@@ -114,15 +114,16 @@ object Aggregates {
     * (the reference guards this case, `FD/evaluation.py:148-151`).
     */
   def rocAuc(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
-    val w = Window.orderBy(col(probaCol))
-    val ranked = df.select(col(labelCol).cast("double").as("y"), col(probaCol).as("p"))
-      .withColumn("r", avg(rank().over(w) + (count(lit(1)).over(
-        Window.partitionBy(col("p"))) - 1) / 2.0).over(Window.partitionBy(col("p"))))
-    // average rank of tied probas = rank + (ties-1)/2
+    // average rank of tied probas = min-rank + (ties-1)/2
+    val ranked = df
+      .select(col(labelCol).cast("double").as("y"), col(probaCol).as("p"))
+      .withColumn("r",
+        rank().over(Window.orderBy(col("p"))) +
+          (count(lit(1)).over(Window.partitionBy(col("p"))) - 1) / 2.0)
     ranked.agg(
       when(sum(col("y")) === 0 || sum(lit(1) - col("y")) === 0, lit(null))
         .otherwise(
-          (sum(when(col("y") === 1, col("r"))) -
+          (sum(when(col("y") === 1, col("r")).otherwise(0.0)) -
             sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
             (sum(col("y")) * sum(lit(1) - col("y")))).as("roc_auc"))
   }
@@ -134,17 +135,19 @@ object Aggregates {
     */
   def optimalThreshold(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
-    // per-distinct-threshold counts, then cumulative sums ordered desc
+    // per-distinct-threshold counts, then cumulative sums ordered desc.
+    // Total positives come in via a one-row cross join (broadcast — no
+    // driver-side action, stays a single lazy plan).
     val perTh = df.groupBy(col(probaCol).as("th"))
       .agg(sum(y).as("pos"), sum(lit(1) - y).as("neg"))
+    val totals = df.agg(sum(y).as("total_pos"))
     val w = Window.orderBy(col("th").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = df.agg(sum(y)).first().getDouble(0)
-    val curve = perTh
+    val curve = perTh.crossJoin(broadcast(totals))
       .withColumn("tp", sum(col("pos")).over(w))
       .withColumn("fp", sum(col("neg")).over(w))
       .withColumn("precision", col("tp") / (col("tp") + col("fp")))
-      .withColumn("recall", col("tp") / lit(total))
+      .withColumn("recall", col("tp") / col("total_pos"))
       .withColumn("f1",
         when(col("precision") + col("recall") === 0, lit(null))
           .otherwise(lit(2) * col("precision") * col("recall") /

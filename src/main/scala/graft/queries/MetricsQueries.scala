@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregates
+
+/** Model-quality metric aggregates — SURVEY §2.4 A9, A11-A17 — computed by
+  * the `graft.ops.Aggregates` library over a synthetic label/score derived
+  * from lineitem columns (the operator semantics, not the fraud domain,
+  * are what the oracle checks):
+  *   label = (l_returnflag = 'R'), pred = (l_discount > 0.05),
+  *   proba = l_discount * 9 + l_tax   (ties on purpose — exercises
+  *   average-rank AUC and per-distinct-threshold PR-curve handling).
+  */
+object MetricsQueries extends QuerySet {
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        (col("l_returnflag") === "R").cast("int").as("label"),
+        (col("l_discount") > 0.05).cast("int").as("pred"),
+        (col("l_discount") * 9 + col("l_tax")).as("proba"))
+
+  private val scoredSql =
+    """SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+              CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS pred,
+              l_discount * 9 + l_tax AS proba
+       FROM lineitem"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A11-A14: accuracy %, weighted P/R/F1, specificity, FPR, FNR, MCC —
+    // the full FD/model.py:131-146 battery from one confusion pass.
+    "a11_metric_battery" -> ((s, d) =>
+      Aggregates.binaryMetrics(
+        Aggregates.confusionCounts(scored(s, d), "label", "pred"))),
+
+    // A12: accuracy as a standalone single-pass aggregate.
+    "a12_accuracy" -> ((s, d) =>
+      Aggregates.accuracy(scored(s, d), "label", "pred")),
+
+    // A16: ROC AUC via rank-sum identity (sklearn tie semantics).
+    "a16_roc_auc" -> ((s, d) =>
+      Aggregates.rocAuc(scored(s, d), "label", "proba")),
+
+    // A17: PR-curve optimal threshold + best F1.
+    "a17_optimal_threshold" -> ((s, d) =>
+      Aggregates.optimalThreshold(scored(s, d), "label", "proba"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "a11_metric_battery" ->
+      s"""WITH cm AS (
+            SELECT
+              CAST(SUM(CASE WHEN label=0 AND pred=0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+              CAST(SUM(CASE WHEN label=0 AND pred=1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+              CAST(SUM(CASE WHEN label=1 AND pred=0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+              CAST(SUM(CASE WHEN label=1 AND pred=1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp
+            FROM ($scoredSql)),
+          m AS (
+            SELECT *,
+              tn + fp + fn + tp AS n,
+              tn + fp AS sup0, fn + tp AS sup1,
+              CASE WHEN tn + fn = 0 THEN 0.0 ELSE tn / (tn + fn) END AS p0,
+              CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS p1,
+              CASE WHEN tn + fp = 0 THEN 0.0 ELSE tn / (tn + fp) END AS r0,
+              CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS r1
+            FROM cm),
+          f AS (
+            SELECT *,
+              CASE WHEN p0 + r0 = 0 THEN 0.0 ELSE 2 * p0 * r0 / (p0 + r0) END AS f0,
+              CASE WHEN p1 + r1 = 0 THEN 0.0 ELSE 2 * p1 * r1 / (p1 + r1) END AS f1
+            FROM m)
+          SELECT
+            (tp + tn) / n * 100 AS accuracy,
+            (p0 * sup0 + p1 * sup1) / n AS precision_weighted,
+            (r0 * sup0 + r1 * sup1) / n AS recall_weighted,
+            (f0 * sup0 + f1 * sup1) / n AS f1_weighted,
+            CASE WHEN tn + fp = 0 THEN 0.0 ELSE tn / (tn + fp) END AS specificity,
+            CASE WHEN fp + tn = 0 THEN 0.0 ELSE fp / (fp + tn) END AS false_positive_rate,
+            CASE WHEN fn + tp = 0 THEN 0.0 ELSE fn / (fn + tp) END AS false_negative_rate,
+            CASE WHEN sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn)) = 0 THEN 0.0
+                 ELSE (tp*tn - fp*fn) / sqrt((tp+fp)*(tp+fn)*(tn+fp)*(tn+fn))
+            END AS matthews_corrcoef
+          FROM f""",
+    "a12_accuracy" ->
+      s"""SELECT AVG(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
+          FROM ($scoredSql)""",
+    "a16_roc_auc" ->
+      s"""WITH ranked AS (
+            SELECT CAST(label AS DOUBLE) AS y,
+                   RANK() OVER (ORDER BY proba) +
+                     (COUNT(*) OVER (PARTITION BY proba) - 1) / 2.0 AS r
+            FROM ($scoredSql))
+          SELECT CASE WHEN SUM(y) = 0 OR SUM(1 - y) = 0 THEN NULL
+                      ELSE (SUM(CASE WHEN y = 1 THEN r ELSE 0.0 END) -
+                            SUM(y) * (SUM(y) + 1) / 2.0) /
+                           (SUM(y) * SUM(1 - y))
+                 END AS roc_auc
+          FROM ranked""",
+    "a17_optimal_threshold" ->
+      s"""WITH perth AS (
+            SELECT proba AS th,
+                   CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS pos,
+                   CAST(SUM(1 - CAST(label AS DOUBLE)) AS DOUBLE) AS neg
+            FROM ($scoredSql) GROUP BY proba),
+          totals AS (
+            SELECT CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS total_pos
+            FROM ($scoredSql)),
+          curve AS (
+            SELECT th,
+              SUM(pos) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              SUM(neg) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+              total_pos
+            FROM perth CROSS JOIN totals),
+          f AS (
+            SELECT th,
+              tp / (tp + fp) AS prec, tp / total_pos AS rec
+            FROM curve),
+          g AS (
+            SELECT th,
+              CASE WHEN prec + rec = 0 THEN NULL
+                   ELSE 2 * prec * rec / (prec + rec) END AS f1
+            FROM f)
+          SELECT th AS optimal_threshold, f1 AS best_f1
+          FROM g WHERE f1 IS NOT NULL
+          ORDER BY f1 DESC, th ASC LIMIT 1"""
+  )
+}

@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cleaning
+
+/** Projection / cleaning / scalar-function coverage — SURVEY §2.2 P1-P8
+  * and §2.3 F1-F17 — expressed over the driver testdata with DuckDB
+  * oracles. Each query exercises the operator through the `graft.ops`
+  * library where one exists, so the oracle validates the library code,
+  * not a one-off expression.
+  */
+object OpsQueries extends QuerySet {
+  import Parity._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1+P2: drop ID/PII-style columns (ignore-if-missing) + ordered select.
+    "p01_drop_project" -> ((s, d) => {
+      val dropped = Cleaning.dropColumns(Tables.customer(s, d),
+        Seq("c_name", "not_a_column"))
+      Cleaning.selectOrdered(dropped,
+        Seq("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey")).limit(50)
+    }),
+
+    // P3: inject absent feature columns as constant 0.
+    "p03_inject_missing" -> ((s, d) =>
+      Cleaning.injectMissing(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal")),
+        Seq("c_acctbal", "bonus_points"))
+        .orderBy(col("c_custkey")).limit(50)),
+
+    // P4: deduplication (drop_duplicates over all columns).
+    "p04_dedup" -> ((s, d) =>
+      Cleaning.dropDuplicates(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // P5: fillna(0) — nulls manufactured with nullif, then filled back.
+    "p05_fillna" -> ((s, d) => {
+      val withNulls = Tables.lineitem(s, d)
+        .withColumn("disc_n",
+          when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+      Cleaning.fillNumericNulls(withNulls)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("disc_n")).as("sum_disc"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // P6: dropna on a subset of columns.
+    "p06_dropna" -> ((s, d) => {
+      val withNulls = Tables.events(s, d)
+        .withColumn("v",
+          when(col("user_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      Cleaning.dropNulls(withNulls, Seq("v"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("v")).as("sum_v"))
+        .orderBy(col("event_type"))
+    }),
+
+    // P7: predicate filter then distribution.
+    "p07_filter" -> ((s, d) =>
+      Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))),
+
+    // P8: validity filter on text blocks (non-blank + marker substring).
+    "p08_blocks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(length(trim(col("text"))) > 0 && col("text").contains("table"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))),
+
+    // F1+F2+F3+F5: epoch-nanos → timestamp → formatted date/time strings →
+    // concat → parse back → epoch seconds (full round trip).
+    "f02_parse_roundtrip" -> ((s, d) => {
+      val ts = timestamp_micros((col("ts") / 1000).cast("long"))
+      Tables.events(s, d).filter(col("user_id") < 20)
+        .withColumn("ds", date_format(ts, "yyyy-MM-dd"))
+        .withColumn("tstr", date_format(ts, "HH:mm:ss"))
+        .withColumn("parsed",
+          to_timestamp(concat_ws(" ", col("ds"), col("tstr")),
+            "yyyy-MM-dd HH:mm:ss"))
+        .select(col("event_id"), unix_timestamp(col("parsed")).as("epoch_s"))
+        .orderBy(col("event_id")).limit(200)
+    }),
+
+    // F9+F10+F18: label→display-string→label round trip + threshold label.
+    "f10_label_roundtrip" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("status",
+          when(col("l_quantity") > 25, "FRAUD").otherwise("VALID"))
+        .withColumn("back",
+          when(upper(col("status")) === "FRAUD", 1).otherwise(0))
+        .withColumn("th_label", (col("l_discount") >= 0.05).cast("int"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("back")).as("n_fraud"), sum(col("th_label")).as("n_above"))
+        .orderBy(col("l_returnflag"))),
+
+    // F11+F12: currency format → parse back → exact aggregate.
+    "f12_currency_roundtrip" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("disp", format_string("$%.2f", round(col("o_totalprice"), 2)))
+        .withColumn("parsed",
+          regexp_replace(col("disp"), "[$]", "").cast("double"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("parsed")).as("sum_parsed"))
+        .orderBy(col("o_orderpriority"))),
+
+    // F13+F14: key normalization + key/value extraction from semi-structured
+    // props (the log-line split, over the events props payload).
+    "f14_kv_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("key",
+          regexp_replace(lower(trim(col("event_type"))), " ", "_"))
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("key"))),
+
+    // F15+F16: safe numeric coercion with junk → null → 0.0 default.
+    "f15_try_cast" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(col("user_id") % 3 === 0, lit("junk"))
+            .otherwise(col("value").cast("string")))
+        .withColumn("parsed",
+          coalesce(expr("try_cast(raw AS double)"), lit(0.0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("parsed")).as("sum_parsed"))
+        .orderBy(col("event_type"))),
+
+    // F17: formatted string-ID synthesis.
+    "f17_id_synthesis" -> ((s, d) =>
+      Tables.customer(s, d)
+        .withColumn("cust_id", concat(lit("CUST"), col("c_custkey")))
+        .withColumn("email",
+          concat(lit("user"), col("c_custkey"), lit("@example.com")))
+        .select(col("c_custkey"), col("cust_id"), col("email"))
+        .orderBy(col("c_custkey")).limit(50)),
+
+    // A10: class distribution / imbalance ratio (scale_pos_weight input).
+    "a10_class_ratio" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("label", (col("l_returnflag") === "R").cast("int"))
+        .agg(
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_pos"),
+          (sum(when(col("label") === 0, 1L).otherwise(0L)).cast("double") /
+            sum(when(col("label") === 1, 1L).otherwise(0L))).as("imbalance_ratio"))),
+
+    // A18: distinct-class counting per group.
+    "a18_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "p01_drop_project" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey LIMIT 50""",
+    "p03_inject_missing" ->
+      """SELECT c_custkey, c_acctbal, 0 AS bonus_points
+         FROM customer ORDER BY c_custkey LIMIT 50""",
+    "p04_dedup" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "p05_fillna" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+           ${sqlSum("COALESCE(NULLIF(l_discount, 0.0), 0)")} AS sum_disc
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "p06_dropna" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlSum("v")} AS sum_v
+          FROM (SELECT event_type,
+                       CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS v
+                FROM events)
+          WHERE v IS NOT NULL GROUP BY event_type ORDER BY event_type""",
+    "p07_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+         WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "p08_blocks" ->
+      """SELECT lang, COUNT(*) AS n FROM documents
+         WHERE LENGTH(TRIM(text)) > 0 AND text LIKE '%table%'
+         GROUP BY lang ORDER BY lang""",
+    "f02_parse_roundtrip" ->
+      """SELECT event_id,
+           CAST(epoch(strptime(strftime(ts, '%Y-%m-%d') || ' ' ||
+                               strftime(ts, '%H:%M:%S'),
+                               '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
+         FROM events WHERE user_id < 20 ORDER BY event_id LIMIT 200""",
+    "f10_label_roundtrip" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN UPPER(CASE WHEN l_quantity > 25 THEN 'FRAUD'
+                                         ELSE 'VALID' END) = 'FRAUD'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fraud,
+           CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "f12_currency_roundtrip" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+           ${sqlSum("CAST(REPLACE(printf('$$%.2f', ROUND(o_totalprice, 2)), '$$', '') AS DOUBLE)")} AS sum_parsed
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "f14_kv_extract" ->
+      """SELECT REPLACE(LOWER(TRIM(event_type)), ' ', '_') AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY 1 ORDER BY key""",
+    "f15_try_cast" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sqlSum("parsed")} AS sum_parsed
+          FROM (SELECT event_type,
+                       COALESCE(TRY_CAST(CASE WHEN user_id % 3 = 0 THEN 'junk'
+                                              ELSE CAST(value AS VARCHAR)
+                                         END AS DOUBLE), 0.0) AS parsed
+                FROM events)
+          GROUP BY event_type ORDER BY event_type""",
+    "f17_id_synthesis" ->
+      """SELECT c_custkey,
+           'CUST' || CAST(c_custkey AS VARCHAR) AS cust_id,
+           'user' || CAST(c_custkey AS VARCHAR) || '@example.com' AS email
+         FROM customer ORDER BY c_custkey LIMIT 50""",
+    "a10_class_ratio" ->
+      """SELECT
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS DOUBLE) /
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS imbalance_ratio
+         FROM lineitem""",
+    "a18_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
