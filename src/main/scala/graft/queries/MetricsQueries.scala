@@ -45,7 +45,11 @@ object MetricsQueries extends QuerySet {
 
     // A17: PR-curve optimal threshold + best F1.
     "a17_optimal_threshold" -> ((s, d) =>
-      Aggregates.optimalThreshold(scored(s, d), "label", "proba"))
+      Aggregates.optimalThreshold(scored(s, d), "label", "proba")),
+
+    // A15: log loss with sklearn eps clipping.
+    "a15_log_loss" -> ((s, d) =>
+      Aggregates.logLoss(scored(s, d), "label", "proba"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -86,6 +90,11 @@ object MetricsQueries extends QuerySet {
     "a12_accuracy" ->
       s"""SELECT AVG(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
           FROM ($scoredSql)""",
+    "a15_log_loss" ->
+      s"""SELECT -AVG(CASE WHEN label = 1 THEN ln(p) ELSE ln(1 - p) END) AS log_loss
+          FROM (SELECT label,
+                       GREATEST(LEAST(proba, 1 - 1e-15), 1e-15) AS p
+                FROM ($scoredSql))""",
     "a16_roc_auc" ->
       s"""WITH ranked AS (
             SELECT CAST(label AS DOUBLE) AS y,

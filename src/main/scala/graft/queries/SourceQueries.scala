@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TransactionGen
+import graft.ops.LogGrammar
+
+/** Source/sink-shaped coverage — SURVEY §2.1 S3 (synthetic generator)
+  * and S6/S7 (log-block format + parse round trip).
+  */
+object SourceQueries extends QuerySet {
+  import Parity._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S3/S4/F7/F8/F17: deterministic generator. Not DuckDB-expressible
+    // (Spark's rand stream) — no oracle entry; the driver records a
+    // rows-only check, and GenSpec asserts the invariants.
+    "s03_generator" -> ((s, _) =>
+      TransactionGen.batch(s, 10000, seed = 42)
+        .groupBy(col("Is_Fraud"))
+        .agg(count(lit(1)).as("n"),
+          avg(col("Transaction_Amount")).as("avg_amount"),
+          countDistinct(col("Transaction_Location")).as("n_locations"))
+        .orderBy(col("Is_Fraud"))),
+
+    // S6+S7+F10-F14: render each order as a consumer-log block, parse the
+    // block back with the map-based grammar, and aggregate the recovered
+    // typed fields. The oracle states the round-trip identity directly.
+    "s06_log_grammar" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val block = LogGrammar.formatBlock(
+        txnId = concat(lit("TXN"), col("o_orderkey")),
+        custId = concat(lit("CUST"), col("o_custkey")),
+        amount = round(col("o_totalprice"), 2),
+        typ = col("o_orderpriority"),
+        merchant = concat(lit("MERC"), col("o_custkey") % 1000),
+        location = concat(lit("LOC"), col("o_custkey") % 50),
+        device = concat(lit("DEV"), col("o_orderkey") % 900),
+        date = date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        time = lit("12:00:00"),
+        prediction = (col("o_orderstatus") === "F").cast("int"),
+        actual = (col("o_orderstatus") === "F").cast("int"),
+        probability = (col("o_custkey") % 10000) / 10000.0)
+      val parsed = o.select(block.as("block"))
+        .select(LogGrammar.parseBlock(col("block")).as("m"))
+      parsed.select(
+        col("m").getItem("type").as("typ"),
+        LogGrammar.amountOf(col("m")).as("amount"),
+        LogGrammar.predictedOf(col("m")).as("pred"),
+        LogGrammar.probabilityOf(col("m")).as("prob"))
+        .groupBy(col("typ"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("amount")).as("sum_amount"),
+          sum(col("pred")).as("n_fraud"),
+          max(col("prob")).as("max_prob"))
+        .orderBy(col("typ"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s06_log_grammar" ->
+      s"""SELECT o_orderpriority AS typ, COUNT(*) AS n,
+           ${sqlSum("ROUND(o_totalprice, 2)")} AS sum_amount,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fraud,
+           MAX((o_custkey % 10000) / 10000.0) AS max_prob
+          FROM orders GROUP BY o_orderpriority ORDER BY typ"""
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Aggregates
+
+/** Metric aggregates against hand-computed fixtures — SURVEY §5.2:
+  * formulas (confusion, MCC, log-loss, AUC, PR threshold) verified on
+  * tiny frames where the expected value is derivable by hand.
+  */
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y=[1,1,1,0,0], p=[0.9,0.6,0.4,0.6,0.2], pred@0.5=[1,1,0,1,0]
+  lazy val scored = Seq(
+    (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
+  ).toDF("label", "proba", "pred")
+
+  test("confusion counts tn/fp/fn/tp") {
+    val r = Aggregates.confusionCounts(scored, "label", "pred").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 1L, 1L, 2L)))
+  }
+
+  test("binary metric battery matches hand computation") {
+    val m = Aggregates.binaryMetrics(
+      Aggregates.confusionCounts(scored, "label", "pred")).collect()(0)
+    assert(approx(m.getAs[Double]("accuracy"), 60.0))
+    assert(approx(m.getAs[Double]("precision_weighted"), 0.6))
+    assert(approx(m.getAs[Double]("recall_weighted"), 0.6))
+    assert(approx(m.getAs[Double]("f1_weighted"), 0.6))
+    assert(approx(m.getAs[Double]("specificity"), 0.5))
+    assert(approx(m.getAs[Double]("false_positive_rate"), 0.5))
+    assert(approx(m.getAs[Double]("false_negative_rate"), 1.0 / 3))
+    assert(approx(m.getAs[Double]("matthews_corrcoef"), 1.0 / 6))
+  }
+
+  test("roc auc with average-rank ties = 0.75") {
+    val r = Aggregates.rocAuc(scored, "label", "proba").collect()(0)
+    assert(approx(r.getAs[Double]("roc_auc"), 0.75))
+  }
+
+  test("roc auc null on single-class input") {
+    val one = Seq((1, 0.9), (1, 0.2)).toDF("label", "proba")
+    assert(Aggregates.rocAuc(one, "label", "proba").collect()(0).isNullAt(0))
+  }
+
+  test("optimal threshold picks f1-max (th=0.4, f1=6/7)") {
+    val r = Aggregates.optimalThreshold(scored, "label", "proba").collect()(0)
+    assert(approx(r.getAs[Double]("optimal_threshold"), 0.4))
+    assert(approx(r.getAs[Double]("best_f1"), 6.0 / 7))
+  }
+
+  test("log loss matches direct computation") {
+    val expected = -(math.log(0.9) + math.log(0.6) + math.log(0.4) +
+      math.log(1 - 0.6) + math.log(1 - 0.2)) / 5
+    val r = Aggregates.logLoss(scored, "label", "proba").collect()(0)
+    assert(approx(r.getAs[Double]("log_loss"), expected))
+  }
+
+  test("log loss clips extreme probabilities (no infinities)") {
+    val ext = Seq((1, 0.0), (0, 1.0)).toDF("label", "proba")
+    val v = Aggregates.logLoss(ext, "label", "proba")
+      .collect()(0).getAs[Double]("log_loss")
+    assert(!v.isInfinite && v > 30) // -ln(1e-15) ≈ 34.5
+  }
+
+  test("mode per group uses pandas tie-break (smallest value)") {
+    val df = Seq(("a", 2), ("a", 1), ("a", 2), ("a", 1), ("a", 3), ("b", 9))
+      .toDF("g", "v")
+    val m = Aggregates.modePerGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m("a") == 1) // 1 and 2 both appear twice → smallest wins
+    assert(m("b") == 9)
+  }
+
+  test("last value per key follows the highest ordinal") {
+    val df = Seq(("f", 1L, 10.0), ("f", 3L, 30.0), ("f", 2L, 20.0),
+      ("n", 5L, 50.0)).toDF("k", "ord", "v")
+    val m = Aggregates.lastPerKey(df, "k", "ord", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("f") == 30.0 && m("n") == 50.0)
+  }
+
+  test("tailN returns last n in ascending display order") {
+    val df = (1L to 20L).toDF("ord")
+    val got = Aggregates.tailN(df, "ord", 5).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(16L, 17L, 18L, 19L, 20L))
+  }
+}

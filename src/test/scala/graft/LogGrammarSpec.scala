@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LogGrammar
+
+/** Log-block grammar round trip — SURVEY §2.1 S6/S7, §2.3 F10-F16
+  * (FIXTURES.md §3: both consumer variants + junk blocks).
+  */
+class LogGrammarSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("format → parse round trip recovers typed fields") {
+    val df = Seq((4711L, 123L, 9743.33, "Online", 0.8123))
+      .toDF("txn", "cust", "amount", "typ", "prob")
+    val block = LogGrammar.formatBlock(
+      txnId = concat(lit("TXN"), $"txn"),
+      custId = concat(lit("CUST"), $"cust"),
+      amount = $"amount", typ = $"typ",
+      merchant = lit("MERC1"), location = lit("LOC99"), device = lit("DEV1"),
+      date = lit("2025-03-30"), time = lit("03:00:05"),
+      prediction = lit(1), actual = lit(0), probability = $"prob")
+    val m = df.select(LogGrammar.parseBlock(block).as("m"))
+    val row = m.select(
+      $"m".getItem("transaction_id"),
+      LogGrammar.amountOf($"m"),
+      LogGrammar.predictedOf($"m"),
+      LogGrammar.actualOf($"m"),
+      LogGrammar.probabilityOf($"m"),
+      $"m".getItem("date")).collect()(0)
+    assert(row.getString(0) == "TXN4711")
+    assert(row.getDouble(1) == 9743.33)
+    assert(row.getInt(2) == 1)
+    assert(row.getInt(3) == 0)
+    assert(row.getDouble(4) == 0.8123)
+    assert(row.getString(5) == "2025-03-30")
+  }
+
+  test("older variant without Actual Fraud Status parses with defaults") {
+    val block =
+      s"""${LogGrammar.delimiter}
+         |New Transaction Received:
+         |Transaction ID: TXN1
+         |Amount: $$12.50
+         |Fraud Prediction: VALID
+         |Fraud Probability: 0.0100
+         |${LogGrammar.delimiter}""".stripMargin
+    val m = Seq(block).toDF("b").select(LogGrammar.parseBlock($"b").as("m"))
+    val row = m.select(
+      LogGrammar.actualOf($"m"), LogGrammar.predictedOf($"m"),
+      LogGrammar.amountOf($"m")).collect()(0)
+    assert(row.getInt(0) == 0) // absent ground truth → 0
+    assert(row.getInt(1) == 0)
+    assert(row.getDouble(2) == 12.50)
+  }
+
+  test("junk blocks yield defaults, not errors") {
+    val m = Seq("", "no structure here", "weird: : colons :")
+      .toDF("b").select(LogGrammar.parseBlock($"b").as("m"))
+    val rows = m.select(LogGrammar.amountOf($"m"),
+      LogGrammar.probabilityOf($"m")).collect()
+    assert(rows.forall(r => r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0))
+  }
+
+  test("splitBlocks splits a whole log on 60+ '=' runs") {
+    val text = s"header\n${"=" * 68}\nblock one\nTransaction ID: TXN1\n" +
+      s"${"=" * 68}\n\n${"=" * 68}\nblock two\nTransaction ID: TXN2\n${"=" * 68}"
+    val blocks = Seq(text).toDF("t")
+      .select(explode(LogGrammar.splitBlocks($"t")).as("block"))
+    val valid = graft.ops.Cleaning.validBlocks(blocks)
+    assert(valid.count() == 2)
+  }
+}
