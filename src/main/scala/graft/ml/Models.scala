@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.{
+  GBTClassifier, LogisticRegression, ProbabilisticClassifier,
+  RandomForestClassifier}
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.vector_to_array
+
+import graft.ops.Aggregates
+
+/** Classifier zoo + evaluation — SURVEY §2.5 M5-M12.
+  *
+  * The reference trains three class-balanced models and scores each with
+  * the full metric battery (`FD/model.py:116-146`). XGBoost is
+  * substituted by MLlib `GBTClassifier` (documented divergence, SURVEY
+  * §7.3 — xgboost4j is not available offline); `scale_pos_weight`
+  * becomes per-row balanced weights, which is the same reweighting
+  * expressed per-example.
+  */
+object Models {
+
+  /** M5: 80/20 split, seed 42 (`FD/model.py:107`). */
+  def split(df: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(0.8, 0.2), seed)
+    (train, test)
+  }
+
+  /** M6-M8: the three candidates, all consuming the balanced weight
+    * column (sklearn `class_weight='balanced'` ≙ weightCol).
+    */
+  def candidates(featuresCol: String = "features",
+                 labelCol: String = "label",
+                 weightCol: String = "weight",
+                 fast: Boolean = false)
+      : Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
+    "Logistic Regression" -> new LogisticRegression()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setWeightCol(weightCol).setMaxIter(if (fast) 20 else 100),
+    "Random Forest" -> new RandomForestClassifier()
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setWeightCol(weightCol).setSeed(42)
+      .setNumTrees(if (fast) 10 else 100),
+    "XGBoost" -> new GBTClassifier() // GBT stands in for xgboost (§7.3)
+      .setFeaturesCol(featuresCol).setLabelCol(labelCol)
+      .setWeightCol(weightCol).setSeed(42)
+      .setMaxIter(if (fast) 10 else 50)
+  )
+
+  /** M9: score a frame → (label, pred, proba=P(class 1)). */
+  def scored(model: Transformer, df: DataFrame,
+             labelCol: String = "label"): DataFrame =
+    model.transform(df).select(
+      col(labelCol).cast("int").as("label"),
+      col("prediction").cast("int").as("pred"),
+      element_at(vector_to_array(col("probability")), 2).as("proba"))
+
+  /** A9/A11-A16 in three passes over the scored frame, joined into one
+    * metrics row (the model_metrics.json shape, `FD/model.py:135-146`).
+    */
+  def evaluate(scoredDf: DataFrame): DataFrame = {
+    val s = scoredDf.cache()
+    val battery = Aggregates.binaryMetrics(
+      Aggregates.confusionCounts(s, "label", "pred"))
+    val auc = Aggregates.rocAuc(s, "label", "proba")
+    val ll = Aggregates.logLoss(s, "label", "proba")
+    battery.crossJoin(auc).crossJoin(ll)
+  }
+
+  /** M12: train/evaluate every candidate; returns fitted models plus a
+    * metrics frame with one row per model.
+    */
+  def trainAll(train: DataFrame, test: DataFrame,
+               featuresCol: String = "features", labelCol: String = "label",
+               weightCol: String = "weight", fast: Boolean = false)
+      : (Map[String, Transformer], DataFrame) = {
+    val results = candidates(featuresCol, labelCol, weightCol, fast).map {
+      case (name, est) =>
+        val model = est.fit(train).asInstanceOf[Transformer]
+        val metrics = evaluate(scored(model, test, labelCol))
+          .withColumn("model", lit(name))
+        (name, model, metrics)
+    }
+    (results.map(r => r._1 -> r._2).toMap,
+      results.map(_._3).reduce(_ unionByName _))
+  }
+
+  /** M10: named feature importances → top-k (A6). Tree models only. */
+  def featureImportances(spark: SparkSession, importances: Vector,
+                         names: Seq[String], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val df = names.zip(importances.toArray).toDF("feature", "importance")
+    Aggregates.topK(df, "importance", k, "feature")
+  }
+
+  /** M11/S8: persist the chosen production model. */
+  def save(model: Transformer, path: String): Unit =
+    model.asInstanceOf[MLWritable].write.overwrite().save(path)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.TransactionGen
+import graft.ml.{Balance, FeaturePipeline, Models, TrainingJob}
+import graft.schema.Transactions
+
+/** ML pipeline — SURVEY §2.5 M1-M12. Trained on the deterministic
+  * generator (§5.2: assert formulas and contracts, not the reference's
+  * absolute numbers).
+  */
+class MLSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val raw = TransactionGen.batch(spark, 3000, seed = 42).cache()
+
+  test("M1: StringIndexer alphabetAsc reproduces sklearn LabelEncoder codes") {
+    val df = Seq("Savings", "Business", "Checking", "Savings").toDF("Account_Type")
+    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("Account_Type").setOutputCol("code")
+      .setStringOrderType("alphabetAsc")
+    val codes = indexer.fit(df).transform(df)
+      .select("Account_Type", "code").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // sklearn LabelEncoder: sorted classes → Business=0, Checking=1, Savings=2
+    assert(codes == Map("Business" -> 0.0, "Checking" -> 1.0, "Savings" -> 2.0))
+  }
+
+  test("feature pipeline preserves the 15-position FEATURE_ORDER contract") {
+    assert(FeaturePipeline.assemblerInputs.length == 15)
+    assert(FeaturePipeline.assemblerInputs(2) == "Transaction_Amount")
+    assert(FeaturePipeline.assemblerInputs(0) == "Bank_Branch_idx")
+    assert(FeaturePipeline.assemblerInputs(9) == "year")
+  }
+
+  test("preprocess drops PII, keeps time components") {
+    val pre = FeaturePipeline.preprocess(raw)
+    Transactions.droppedColumns.foreach(c =>
+      assert(!pre.columns.contains(c), s"$c should be dropped"))
+    Seq("year", "month", "day", "hour", "minute", "second").foreach(c =>
+      assert(pre.columns.contains(c), s"$c missing"))
+  }
+
+  test("balanced weights follow n/(k*n_c)") {
+    val df = Seq.fill(30)(0).map(l => Tuple1(l)).toDF("label")
+      .union(Seq.fill(10)(1).map(l => Tuple1(l)).toDF("label"))
+    val w = Balance.withBalancedWeights(df, "label")
+      .groupBy("label").agg(first("weight")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(w(0), 40.0 / (2 * 30)))
+    assert(approx(w(1), 40.0 / (2 * 10)))
+  }
+
+  test("oversampleBalanced equalizes class counts (within bernoulli noise)") {
+    val df = (1 to 300).map(i => (i, 0)).toDF("x", "label")
+      .union((1 to 60).map(i => (i, 1)).toDF("x", "label"))
+    val counts = Balance.oversampleBalanced(df, "label")
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts(0) == 300)
+    assert(math.abs(counts(1) - 300L) <= 25, s"minority ${counts(1)}")
+  }
+
+  test("end-to-end training: 3 models, full metric battery, GBT persisted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml").toString
+    val artifacts = TrainingJob.run(raw, Some(dir), fast = true)
+
+    val metrics = artifacts.metrics.collect()
+    assert(metrics.length == 3)
+    val names = metrics.map(_.getAs[String]("model")).toSet
+    assert(names == Set("Logistic Regression", "Random Forest", "XGBoost"))
+    metrics.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      val auc = r.getAs[Double]("roc_auc")
+      // alternation ties fraud to amount bands — any real model separates
+      assert(acc > 90, s"${r.getAs[String]("model")} accuracy $acc")
+      assert(auc > 0.9, s"${r.getAs[String]("model")} auc $auc")
+      assert(r.getAs[Double]("log_loss") > 0)
+      assert(r.getAs[Double]("matthews_corrcoef") > 0.8)
+    }
+
+    // S8 round trip: reload artifacts and score the raw stream shape
+    val (features, model) = TrainingJob.load(spark, dir)
+    val rescored = TrainingJob.score(raw.limit(200), features, model)
+    assert(rescored.filter(col("prediction_label").isin("FRAUD", "VALID"))
+      .count() == 200)
+    val agree = rescored
+      .filter((col("prediction") === 1) === (col("Is_Fraud") === 1)).count()
+    assert(agree > 180, s"reloaded model agreement $agree/200")
+
+    // S9: metrics JSON readable back
+    val mj = spark.read.json(s"$dir/model_metrics")
+    assert(mj.count() == 3)
+  }
+
+  test("M10: feature importances expose amount as a top signal") {
+    val pre = FeaturePipeline.preprocess(raw)
+      .withColumn("label", col("Is_Fraud").cast("int"))
+    val fm = FeaturePipeline.fit(pre)
+    val featured = fm.transform(FeaturePipeline.withRequiredFeatures(pre))
+      .withColumn("weight", lit(1.0))
+    val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setFeaturesCol("features").setLabelCol("label").setWeightCol("weight")
+      .setNumTrees(10).setSeed(42).fit(featured)
+    val top = Models.featureImportances(spark, rf.featureImportances,
+      Transactions.featureOrder, k = 3)
+      .collect().map(_.getString(0))
+    assert(top.contains("Transaction_Amount"), top.mkString(","))
+  }
+}
