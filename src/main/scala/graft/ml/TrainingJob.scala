@@ -84,14 +84,16 @@ object TrainingJob {
         when(col("prediction") === 1.0, "FRAUD").otherwise("VALID"))
   }
 
-  /** Streaming-safe preprocess: identical feature derivation to
+  /** Streaming-safe preprocess: the same feature derivation as
     * `FeaturePipeline.preprocess` minus dropDuplicates (a global
     * aggregate — not applicable per-batch; the reference consumer never
-    * deduped the stream either, `FD/consumer.py:40-68`).
+    * deduped the stream either, `FD/consumer.py:40-68`) and minus the
+    * PII drop: the display sink needs Transaction_ID/Customer_ID
+    * (`FD/consumer.py:134-150`), and the assembler selects features by
+    * name, so extra columns simply ride along.
     */
   def servePreprocess(df: DataFrame): DataFrame = {
-    val dropped = graft.ops.Cleaning.dropColumns(df, Transactions.droppedColumns)
-    val withTs = dropped.withColumn("__ts",
+    val withTs = df.withColumn("__ts",
       graft.ops.TimeFeatures.combinedTimestamp(col("Transaction_Date"),
         col("Transaction_Time")))
     val filled = graft.ops.Cleaning.fillNumericNulls(withTs)

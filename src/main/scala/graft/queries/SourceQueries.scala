@@ -24,6 +24,22 @@ object SourceQueries extends QuerySet {
           countDistinct(col("Transaction_Location")).as("n_locations"))
         .orderBy(col("Is_Fraud"))),
 
+    // S2/A1/§2.6: a real Structured Streaming query — file source over
+    // the events table, all-time counters in complete mode to a memory
+    // sink — checked against the batch oracle (streaming ≡ batch on a
+    // bounded source).
+    "st01_stream_counters" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st01_counters_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy(col("event_type"))
+    }),
+
     // S6+S7+F10-F14: render each order as a consumer-log block, parse the
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
@@ -59,6 +75,9 @@ object SourceQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "st01_stream_counters" ->
+      """SELECT event_type, COUNT(*) AS cnt FROM events
+         GROUP BY event_type ORDER BY event_type""",
     "s06_log_grammar" ->
       s"""SELECT o_orderpriority AS typ, COUNT(*) AS n,
            ${sqlSum("ROUND(o_totalprice, 2)")} AS sum_amount,

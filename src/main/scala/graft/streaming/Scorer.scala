@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.Transformer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.ml.TrainingJob
+import graft.ops.LogGrammar
+
+/** Streaming inference topology — SURVEY §3.2 (`FD/consumer.py:96-161`)
+  * in Spark shape:
+  *
+  *   source → decode → feature exprs → PipelineModel.transform
+  *     → (a) formatted-block/structured sink (S6, via foreachBatch)
+  *     → (b) running counters (A1, update mode)
+  *
+  * The reference scores one row at a time (a 1×15 pandas frame per Kafka
+  * message — maximally anti-vectorized). Micro-batching restores real
+  * vectorization: the same `PipelineModel.transform` used in training
+  * scores whole batches through codegen'd expressions, and the model
+  * broadcasts to executors via the plan closure. State lives in the
+  * state store, not process globals.
+  */
+object Scorer {
+
+  /** Score a (streaming or batch) frame of wire-format transactions. */
+  def score(parsed: DataFrame, features: PipelineModel,
+            model: Transformer): DataFrame =
+    TrainingJob.score(parsed, features, model)
+
+  /** A1: the two running counters as a streaming aggregation. Complete
+    * mode keeps the all-time totals queryable — the `counts.log`
+    * semantics (`FD/consumer.py:127-131`, SURVEY §drift-2).
+    */
+  def counters(scoredDf: DataFrame): DataFrame =
+    scoredDf.groupBy(col("prediction_label")).agg(count(lit(1)).as("cnt"))
+
+  /** Render scored rows as consumer-log blocks (S6 display parity). */
+  def blocks(scoredDf: DataFrame): DataFrame =
+    scoredDf.select(LogGrammar.formatBlock(
+      txnId = col("Transaction_ID"),
+      custId = col("Customer_ID"),
+      amount = col("Transaction_Amount"),
+      typ = col("Transaction_Type"),
+      merchant = col("Merchant_ID"),
+      location = col("Transaction_Location"),
+      device = col("Device_Type"),
+      date = col("Transaction_Date"),
+      time = col("Transaction_Time"),
+      prediction = col("prediction").cast("int"),
+      actual = col("Is_Fraud"),
+      probability = col("fraud_probability")).as("block"))
+
+  /** Structured sink: scored stream → parquet (the queryable replacement
+    * for the log-file IPC bus, §3.3) with exactly-once per batch via the
+    * checkpoint. Text-block display parity rides along in the same
+    * foreachBatch when `textLogPath` is set.
+    */
+  def sinkWriter(scoredDf: DataFrame, parquetPath: String,
+                 checkpoint: String, textLogPath: Option[String] = None)
+      : DataStreamWriter[Row] = {
+    val cols = scoredDf.columns.filterNot(Seq("features", "features_raw",
+      "rawPrediction", "probability").contains)
+    scoredDf.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("2 seconds")) // producer cadence (S4)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val slim = batch.select(cols.map(col).toIndexedSeq: _*)
+        slim.persist()
+        slim.write.mode("append").parquet(parquetPath)
+        textLogPath.foreach { p =>
+          blocks(slim).coalesce(1).write.mode("append").text(p)
+        }
+        slim.unpersist()
+        ()
+      }
+  }
+
+  /** Counter sink: update-mode counts appended as `counts.log`-format
+    * lines (S11) — `Fraud Count: N` / `Non-Fraud Count: N` snapshots,
+    * latest-wins on read (A7).
+    */
+  def counterWriter(countersDf: DataFrame, textPath: String,
+                    checkpoint: String): DataStreamWriter[Row] =
+    countersDf.writeStream
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(
+          concat(
+            when(col("prediction_label") === "FRAUD", "Fraud Count: ")
+              .otherwise("Non-Fraud Count: "),
+            col("cnt")).as("line"))
+          .coalesce(1).write.mode("append").text(textPath)
+        ()
+      }
+
+  /** S11 read-back: latest counter value per key from a counts.log-format
+    * text dir. The counters are all-time (monotonically nondecreasing),
+    * so latest == max — no ordering column needed across append files.
+    */
+  def lastCounts(spark: org.apache.spark.sql.SparkSession,
+                 textPath: String): DataFrame = {
+    val lines = spark.read.text(textPath)
+    lines
+      .select(
+        trim(substring_index(col("value"), ":", 1)).as("key"),
+        trim(expr("substring(value, instr(value, ':') + 1)"))
+          .cast("long").as("cnt"))
+      .filter(col("cnt").isNotNull)
+      .groupBy(col("key")).agg(max(col("cnt")).as("last_value"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.gen.TransactionGen
+import graft.ml.TrainingJob
+import graft.schema.Transaction
+import graft.streaming.{Scorer, WireFormat}
+
+/** Streaming semantics — SURVEY §2.6 / §3.2: decode, micro-batch scoring,
+  * running counters with state, checkpoint restart, counts.log sink.
+  */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val artifacts = TrainingJob.run(
+    TransactionGen.batch(spark, 1500, seed = 42), fast = true)
+
+  def txns(n: Int, seed: Long): Seq[Transaction] =
+    TransactionGen.batch(spark, n, seed = seed).as[Transaction]
+      .collect().toSeq
+
+  test("wire codec round trip + corrupt payload → dead letter") {
+    val df = TransactionGen.batch(spark, 50, seed = 1)
+    val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))
+    assert(decoded.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(decoded.agg(sum("Transaction_Amount")).first.getDouble(0) ==
+      df.agg(sum("Transaction_Amount")).first.getDouble(0))
+
+    val junk = Seq("not json at all", """{"broken": """).toDF("value")
+    val decodedJunk = WireFormat.decodeFrame(junk)
+    assert(WireFormat.corrupt(decodedJunk).count() == 2)
+    // valid rows survive alongside junk
+    val mixed = WireFormat.encodeFrame(df.limit(3)).union(junk)
+    val out = WireFormat.decodeFrame(mixed)
+    assert(WireFormat.corrupt(out).count() == 2 && out.count() == 5)
+  }
+
+  test("micro-batch scoring over MemoryStream matches batch scoring") {
+    val stream = MemoryStream[Transaction](spark)
+    val scoredStream = Scorer.score(stream.toDF(),
+      artifacts.features, artifacts.production)
+    val q = scoredStream
+      .select("Transaction_ID", "prediction_label", "fraud_probability")
+      .writeStream.format("memory").queryName("scored_mem")
+      .outputMode("append").start()
+    try {
+      val batch1 = txns(40, seed = 7)
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      val got = spark.table("scored_mem")
+      assert(got.count() == 40)
+      // streaming result == batch result on the same rows
+      val batchScored = Scorer.score(batch1.toDF(),
+        artifacts.features, artifacts.production)
+        .select("Transaction_ID", "prediction_label")
+      val joined = spark.table("scored_mem").as("s")
+        .join(batchScored.as("b"), Seq("Transaction_ID"))
+        .filter($"s.prediction_label" =!= $"b.prediction_label")
+      assert(joined.count() == 0)
+    } finally q.stop()
+  }
+
+  test("running counters accumulate across micro-batches (complete mode)") {
+    val stream = MemoryStream[Transaction](spark)
+    val counters = Scorer.counters(Scorer.score(stream.toDF(),
+      artifacts.features, artifacts.production))
+    val q = counters.writeStream.format("memory").queryName("counters_mem")
+      .outputMode("complete").start()
+    try {
+      stream.addData(txns(30, seed = 11): _*)
+      q.processAllAvailable()
+      val c1 = spark.table("counters_mem").agg(sum("cnt")).first.getLong(0)
+      assert(c1 == 30)
+      stream.addData(txns(20, seed = 12): _*)
+      q.processAllAvailable()
+      val c2 = spark.table("counters_mem").agg(sum("cnt")).first.getLong(0)
+      assert(c2 == 50) // all-time totals, not per-batch
+    } finally q.stop()
+  }
+
+  test("checkpointed counters survive a restart (A1 state recovery)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$dir/src"; val ckpt = s"$dir/ckpt"; val txt = s"$dir/counts"
+    TransactionGen.batch(spark, 24, seed = 21)
+      .write.mode("append").parquet(srcDir)
+
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(graft.schema.Transactions.wireSchema).parquet(srcDir)
+      val counters = Scorer.counters(Scorer.score(src,
+        artifacts.features, artifacts.production))
+      Scorer.counterWriter(counters, txt, ckpt).start()
+    }
+
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    val after1 = Scorer.lastCounts(spark, txt)
+      .agg(sum("last_value")).first.getLong(0)
+    assert(after1 == 24)
+
+    // restart from checkpoint with more source data
+    TransactionGen.batch(spark, 16, seed = 22)
+      .withColumn("Transaction_ID", concat(lit("TXNB"), col("Transaction_ID")))
+      .write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val after2 = Scorer.lastCounts(spark, txt)
+      .agg(sum("last_value")).first.getLong(0)
+    assert(after2 == 40, s"state lost on restart: $after2") // 24 + 16
+  }
+
+  test("scored stream lands in parquet + formatted text blocks") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val stream = MemoryStream[Transaction](spark)
+    val scoredStream = Scorer.score(stream.toDF(),
+      artifacts.features, artifacts.production)
+    val q = Scorer.sinkWriter(scoredStream, s"$dir/parquet", s"$dir/ckpt",
+      textLogPath = Some(s"$dir/log")).start()
+    try {
+      stream.addData(txns(10, seed = 31): _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/parquet").count() == 10)
+      val text = spark.read.text(s"$dir/log")
+      assert(text.filter($"value".contains("Fraud Prediction:")).count() == 10)
+      assert(text.filter($"value".startsWith("Amount: $")).count() == 10)
+    } finally q.stop()
+  }
+}
