@@ -4,7 +4,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private val sets: Seq[QuerySet] =
-    Seq(CoreQueries, OpsQueries, MetricsQueries, SourceQueries, MlQueries)
+    Seq(CoreQueries, OpsQueries, MetricsQueries, SourceQueries, MlQueries,
+      TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries)
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("a02_grouped_agg")(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: every near-dup path is banded — candidate pairs come
+  * from equi-joins on (band, bucket) keys, never from a cross join, so
+  * the shuffle is proportional to data + collisions, not n². Signatures
+  * are row-local column expressions (array HOFs over xxhash64), so the
+  * expensive part distributes with the scan.
+  */
+object Dedup {
+
+  // ---------- exact ----------
+
+  /** Exact-duplicate groups keyed by content hash: representative id +
+    * multiplicity per distinct text. One hash-shuffle on the digest.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("digest"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one deterministic representative row per distinct text. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------- shingles + MinHash ----------
+
+  /** Word n-gram shingles (distinct) of a token array. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+
+  /** MinHash signature: k independent permutations simulated by salted
+    * xxhash64; each signature slot is the min hash over the shingle set.
+    * Row-local (array HOFs), no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { k =>
+      array_min(transform(shinglesCol,
+        s => xxhash64(s, lit(k))))
+    }: _*)
+
+  /** LSH banding: (bandIndex, bandHash) keys from a signature — docs
+    * sharing any band key are candidates. bands*rowsPerBand must equal
+    * the signature length.
+    */
+  def bandKeys(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sigCol, b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          .as("bucket"))
+    }: _*)
+
+  /** Candidate pairs (idA < idB) from banded signatures: explode bands →
+    * equi-join on (band,bucket). The shuffle key is the band bucket, so
+    * skew is bounded by collision-group size, not corpus size.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = df.select(col(idCol).as("id"),
+        explode(bandKeys(col(sigCol), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union === 0, 0.0).otherwise(inter.cast("double") / union)
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: tokenize → shingle → sign →
+    * band → candidate pairs → exact-Jaccard verify ≥ threshold.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val prepared = df.select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val pairs = lshCandidatePairs(prepared, "id", "sig", bands, rowsPerBand)
+    pairs
+      .join(prepared.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash of a token array: per-bit ±1 votes from each token's
+    * xxhash64, sign-folded into a long. Row-local HOF aggregate.
+    */
+  def simhash64(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, b) => a + when(
+            call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
+    * chunks (guarantees recall for distance ≤ 3 when bands=4), equi-join
+    * per chunk, verify by Hamming distance.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val signed = df.select(col(idCol).as("id"),
+      simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+    val banded = signed.select(col("id"), col("sim"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sim"), b * 16).bitwiseAND(0xFFFFL)
+              .as("chunk"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
+
+  /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
+    * correctness baseline the banded paths approximate). Caller bounds
+    * the input; the join is a broadcast when one side is small.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val prepared = df.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("sh"))
+    prepared.as("a").join(prepared.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

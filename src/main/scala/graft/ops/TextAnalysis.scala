@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions over a text column — no UDFs, no
+  * shuffles; every op is row-local and runs inside whole-stage codegen
+  * (HOF array ops excepted), so a 100 TB corpus maps straight through
+  * the scan with column pruning.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the "token count: whitespace" baseline). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digit runs + punctuation
+    * singles, approximating tokenizer behavior without a vocab. Counts
+    * maximal runs of letters (split every 4 chars, a crude merge rule),
+    * digits, and individual punctuation marks.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Punctuation ratio over a fixed class (quality signal). */
+  def punctRatio(text: Column): Column = {
+    val stripped = regexp_replace(text, "[.,!?;:]", "")
+    when(length(text) === 0, 0.0)
+      .otherwise((length(text) - length(stripped)).cast("double") / length(text))
+  }
+
+  /** Ratio of tokens that are stopwords (quality + language signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks,
+      t => t.isInCollection(stopwords.map(_.toLowerCase))))
+    when(size(toks) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0)
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence −
+    * punctuation noise. A deliberately simple, fully-stated formula so
+    * the oracle can restate it.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 10.0, lit(1.0))
+    greatest(lit(0.0),
+      least(lit(1.0),
+        lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2))
+  }
+
+  /** Per-language stopword seeds for the n-gram/stopword language-ID
+    * heuristic (tiny closed lists — the point is the operator shape, a
+    * scan-local scored argmax, not lexicon quality).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "est"))
+
+  /** Language ID: argmax of stopword hit counts, alphabetical tie-break,
+    * "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(size(filter(toks, t => t.isInCollection(sw))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs orders by hits then lang — for the
+    // alphabetical-on-tie contract we want the SMALLEST lang among max
+    // hits, so compare on (hits, reversed-rank) via sort + last element.
+    val best = array_max(array(
+      langStopwords.toSeq.sortBy(_._1).reverse.zipWithIndex.map {
+        case ((lang, sw), i) =>
+          struct(size(filter(toks, t => t.isInCollection(sw))).as("hits"),
+            lit(i).as("pref"), lit(lang).as("lang"))
+      }: _*))
+    when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** Content fingerprint: sha256 over the sorted distinct token set —
+    * order-insensitive exact-duplicate key (the rolling-hash family's
+    * set-hash variant; scan-local, joinable at any scale).
+    */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))), 256)
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Deduplication coverage over the documents table: exact groups,
+  * exact n-gram Jaccard (oracle-checked), MinHash-LSH and SimHash
+  * (banded paths — not DuckDB-expressible, rows-only + DedupSpec).
+  */
+object DedupQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup over a corpus with planted duplicates (the table
+    // unioned with itself under shifted ids).
+    "d01_exact_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val withDups = docs.union(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      Dedup.exactGroups(withDups, "text", "doc_id")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_rows"),
+          sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+          min(col("rep_id")).as("min_rep"))
+    }),
+
+    // Exact word-3-gram Jaccard pairs over a bounded subset — the
+    // un-banded correctness baseline for the LSH paths.
+    "d03_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, d).filter(col("doc_id") < 100),
+        "text", "doc_id", n = 3, threshold = 0.015)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // MinHash+LSH near-dups: banded candidate generation + exact-Jaccard
+    // verify. xxhash64 signatures are not DuckDB-expressible → rows-only
+    // here; recall/precision asserted in DedupSpec on planted near-dups.
+    "d02_minhash_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      // plant near-duplicates: copies with the first word dropped
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.minhashNearDups(docs.union(mutated), "text", "doc_id",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") - col("id_a") === 1000000, 1L).otherwise(0L))
+            .as("n_planted_found"))
+    }),
+
+    // SimHash near-dups over the same planted corpus (rows-only).
+    "d04_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.simhashNearDups(docs.union(mutated), "text", "doc_id",
+        maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") - col("id_a") === 1000000, 1L).otherwise(0L))
+            .as("n_planted_found"))
+    })
+  )
+
+  private val sh3 =
+    """list_distinct(CASE WHEN len(toks) < 3
+         THEN [list_aggregate(toks, 'string_agg', ' ')]
+         ELSE list_transform(range(0, len(toks) - 2),
+                i -> list_aggregate(toks[i+1:i+3], 'string_agg', ' '))
+       END)"""
+
+  def oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents),
+         g AS (
+           SELECT MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+           FROM u GROUP BY text)
+         SELECT COUNT(*) AS n_groups,
+                CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_groups,
+                MIN(rep_id) AS min_rep
+         FROM g""",
+    "d03_ngram_jaccard" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 100),
+          s AS (SELECT doc_id, $sh3 AS sh FROM t)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jaccard
+          FROM s a, s b
+          WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= 0.015
+          ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal
+
+/** Multimodal-column coverage: binary payloads + typed metadata, decode
+  * stub via partition-local mapPartitions, resize arithmetic, frame
+  * sampling plan. Metadata/plan arithmetic is integer/double-exact →
+  * DuckDB oracles; the decode stub is validated through its invariant
+  * (per-row feature histogram sums to 1 for nonempty payloads).
+  */
+object MultimodalQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm01_decode_resize" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      val resized = Multimodal.withResizedDims(media, 256, 256)
+      val decoded = Multimodal.decodeFeatures(media, dim = 32).toDF()
+        .withColumn("rowsum",
+          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")))
+        .select(col("media_id"),
+          (abs(col("rowsum") - 1.0) < 0.01).cast("int").as("decoded_ok"))
+      resized.join(decoded, "media_id")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("out_width")).as("sum_w"),
+          sum(col("out_height")).as("sum_h"),
+          sum(col("decoded_ok")).as("n_decoded"))
+        .orderBy(col("kind"))
+    }),
+
+    "mm02_frame_plan" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(Tables.documents(s, d))
+      Multimodal.frameSamplePlan(media, stride = 2, maxFrames = 8)
+        .agg(countDistinct(col("media_id")).as("n_media"),
+          count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).as("max_idx"))
+    })
+  )
+
+  private val kindSql =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  def oracle: Map[String, String] = Map(
+    "mm01_decode_resize" ->
+      s"""WITH m AS (
+            SELECT $kindSql AS kind,
+              CAST(n_chars % 640 + 16 AS INT) AS w,
+              CAST(n_chars % 480 + 16 AS INT) AS h,
+              CASE WHEN LENGTH(text) > 0 THEN 1 ELSE 0 END AS decoded_ok
+            FROM documents),
+          r AS (
+            SELECT kind, decoded_ok,
+              GREATEST(CAST(FLOOR(w * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1) AS ow,
+              GREATEST(CAST(FLOOR(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1) AS oh
+            FROM m)
+          SELECT kind, COUNT(*) AS n,
+            CAST(SUM(ow) AS BIGINT) AS sum_w,
+            CAST(SUM(oh) AS BIGINT) AS sum_h,
+            CAST(SUM(decoded_ok) AS BIGINT) AS n_decoded
+          FROM r GROUP BY kind ORDER BY kind""",
+    "mm02_frame_plan" ->
+      s"""SELECT COUNT(*) AS n_media,
+            CAST(SUM(LEAST((nf + 1) // 2, 8)) AS BIGINT) AS n_frames,
+            CAST(MAX(LEAST((nf + 1) // 2, 8) * 2 - 2) AS INT) AS max_idx
+          FROM (SELECT CAST(n_chars % 30 + 1 AS INT) AS nf
+                FROM documents WHERE doc_id % 3 = 2)"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Similarity-search coverage over the embeddings table. The cosine
+  * arithmetic is a sequential double fold on both sides (verified:
+  * DuckDB's list_dot_product ≡ left fold), so brute-force results are
+  * exactly oracle-checkable, ordering included. The IVF path involves
+  * KMeans → rows-only + SimilaritySpec recall assertions.
+  */
+object SimilarityQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 for 5 query vectors (broadcast NL join).
+    "n01_brute_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs above 0.35 (bounded subset;
+    // the corpus max pairwise cosine is ~0.44, so this band is populated).
+    "n03_cosine_neardups" -> ((s, d) =>
+      Similarity.cosineNearDups(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // IVF (KMeans coarse quantizer, nprobe=3 of nlist=8): rows-only;
+    // recall vs brute force asserted in SimilaritySpec.
+    "n02_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val (model, indexed) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = 8)
+      Similarity.ivfTopK(indexed, model, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 3)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), max(col("cos")).as("best_cos"))
+        .orderBy(col("query_id"))
+    })
+  )
+
+  private val cosSql =
+    """list_dot_product(a.v, b.v) /
+       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
+
+  def oracle: Map[String, String] = Map(
+    "n01_brute_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+           scored AS (
+             SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+                    CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                              sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                         ELSE $cosSql END AS cos
+             FROM e a, e b
+             WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id),
+           ranked AS (
+             SELECT query_id, vec_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM scored)
+          SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "n03_cosine_neardups" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < 200)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                      ELSE $cosSql END AS cos
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                          sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                     ELSE $cosSql END >= 0.35
+          ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextAnalysis
+
+/** Text-analysis coverage over the documents table: token stats, quality
+  * bucketing, language ID, fingerprinting. Oracles restate each formula
+  * in DuckDB; scores are compared via integer bucket counts (floor of
+  * identically-computed doubles), which sidesteps sum-order effects.
+  */
+object TextQueries extends QuerySet {
+
+  private val enStop = TextAnalysis.langStopwords("en")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting (whitespace + BPE-ish regex) per language.
+    "t01_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("toks"),
+          TextAnalysis.subwordCount(col("text")).as("subs"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("toks")).as("sum_tokens"),
+          sum(col("subs")).as("sum_subwords"),
+          max(col("toks")).as("max_tokens"))
+        .orderBy(col("lang"))),
+
+    // Quality scoring: identical double formula both sides → identical
+    // floor buckets; counted per (lang, decile).
+    "t02_quality_buckets" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          floor(TextAnalysis.qualityScore(col("text"), enStop) * 10)
+            .cast("int").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("bucket"))),
+
+    // Language-ID heuristic distribution vs the labeled lang column.
+    "t03_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))),
+
+    // Content fingerprint: distinct count + min digest pins sha256 parity.
+    "t04_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("fp")).as("n_distinct"),
+          min(col("fp")).as("min_fp"))
+        .orderBy(col("lang")))
+  )
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  def oracle: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n,
+           CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_subwords,
+           CAST(MAX(len($toksSql)) AS INT) AS max_tokens
+          FROM documents GROUP BY lang ORDER BY lang""",
+    "t02_quality_buckets" ->
+      s"""SELECT lang, CAST(FLOOR(q * 10) AS INT) AS bucket, COUNT(*) AS n
+          FROM (
+            SELECT lang,
+              GREATEST(0.0, LEAST(1.0,
+                LEAST(CAST(len($toksSql) AS DOUBLE) / 100.0, 1.0) * 0.4 +
+                LEAST((CASE WHEN len($toksSql) = 0 THEN 0.0
+                       ELSE CAST(${hitsSql(enStop)} AS DOUBLE) / len($toksSql)
+                       END) * 5.0, 1.0) * 0.4 +
+                (1.0 - LEAST((CASE WHEN LENGTH(text) = 0 THEN 0.0
+                  ELSE CAST(LENGTH(text) -
+                       LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                       AS DOUBLE) / LENGTH(text) END) * 10.0, 1.0)) * 0.2
+              )) AS q
+            FROM documents)
+          GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "t03_langid" ->
+      s"""SELECT lang, pred, COUNT(*) AS n FROM (
+            SELECT lang,
+              CASE
+                WHEN ${hitsSql(TextAnalysis.langStopwords("de"))} = 0
+                 AND ${hitsSql(TextAnalysis.langStopwords("en"))} = 0
+                 AND ${hitsSql(TextAnalysis.langStopwords("es"))} = 0
+                 AND ${hitsSql(TextAnalysis.langStopwords("fr"))} = 0 THEN 'und'
+                WHEN ${hitsSql(TextAnalysis.langStopwords("de"))} >=
+                     GREATEST(${hitsSql(TextAnalysis.langStopwords("en"))},
+                              ${hitsSql(TextAnalysis.langStopwords("es"))},
+                              ${hitsSql(TextAnalysis.langStopwords("fr"))}) THEN 'de'
+                WHEN ${hitsSql(TextAnalysis.langStopwords("en"))} >=
+                     GREATEST(${hitsSql(TextAnalysis.langStopwords("es"))},
+                              ${hitsSql(TextAnalysis.langStopwords("fr"))}) THEN 'en'
+                WHEN ${hitsSql(TextAnalysis.langStopwords("es"))} >=
+                     ${hitsSql(TextAnalysis.langStopwords("fr"))} THEN 'es'
+                ELSE 'fr'
+              END AS pred
+            FROM documents)
+          GROUP BY lang, pred ORDER BY lang, pred""",
+    "t04_fingerprint" ->
+      s"""SELECT lang, COUNT(DISTINCT fp) AS n_distinct, MIN(fp) AS min_fp
+          FROM (SELECT lang,
+                  sha256(list_aggregate(list_sort(list_distinct($ltoksSql)),
+                    'string_agg', ' ')) AS fp
+                FROM documents)
+          GROUP BY lang ORDER BY lang"""
+  )
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators: dedup recall on planted duplicates,
+  * similarity-search correctness, text analysis, multimodal plumbing.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("minhash LSH finds all planted near-duplicates") {
+    val mutated = docs.select($"doc_id" + 100000 as "doc_id",
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val pairs = Dedup.minhashNearDups(
+      docs.select("doc_id", "text").union(mutated), "text", "doc_id",
+      threshold = 0.5)
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000).count()
+    // recall bound, not equality: a short doc minus its first word can
+    // legitimately fall under the 0.5 jaccard verify threshold, and LSH
+    // banding is probabilistic by construction
+    assert(planted >= (docs.count() * 0.95).toLong,
+      s"planted recall $planted/${docs.count()}")
+    // jaccard values are genuine (no pair above 1.0, none below threshold)
+    assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
+  }
+
+  test("simhash distance 0 for identical docs, banding finds exact copies") {
+    val copies = docs.select($"doc_id" + 100000 as "doc_id", $"text")
+    val pairs = Dedup.simhashNearDups(
+      docs.select("doc_id", "text").union(copies), "text", "doc_id",
+      maxHamming = 0)
+    assert(pairs.filter($"id_b" - $"id_a" === 100000).count() == docs.count())
+    assert(pairs.filter($"hamming" =!= 0).count() == 0)
+  }
+
+  test("exact dedup keeps lowest-id representative") {
+    val dup = docs.select("doc_id", "text")
+      .union(docs.select($"doc_id" + 100000 as "doc_id", $"text"))
+    val kept = Dedup.exactDedup(dup, "text", "doc_id")
+    assert(kept.count() == docs.count())
+    assert(kept.filter($"doc_id" >= 100000).count() == 0)
+  }
+
+  test("brute-force top-k: self-similarity excluded, scores ordered") {
+    val top = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 5).cache()
+    assert(top.count() == 15)
+    assert(top.filter($"vec_id" === $"query_id").count() == 0)
+    // rank 1 has the max cosine per query
+    val r1 = top.filter($"rank" === 1).select($"query_id", $"cos".as("c1"))
+    val bad = top.join(r1, "query_id").filter($"cos" > $"c1")
+    assert(bad.count() == 0)
+  }
+
+  test("IVF top-k recall vs brute force ≥ 60% at nprobe=3/8") {
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id")
+    val (model, indexed) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8)
+    val ivf = Similarity.ivfTopK(indexed, model, queries,
+      "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "vec_id")
+    val hits = ivf.intersect(brute).count()
+    assert(hits >= 30, s"IVF recall $hits/50")
+  }
+
+  test("language ID picks the seeded language, und on no hits") {
+    val df = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa de que", "es"),
+      ("le chien et les maisons des un", "fr"),
+      ("zzz qqq xxx", "und")).toDF("text", "want")
+    val got = df.select(TextAnalysis.langId($"text").as("pred"), $"want")
+      .filter($"pred" =!= $"want")
+    assert(got.count() == 0)
+  }
+
+  test("fingerprint is token-order-insensitive but content-sensitive") {
+    val df = Seq("a b c", "c b a", "a b d").toDF("t")
+      .select(TextAnalysis.fingerprint($"t").as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("multimodal decode stub: deterministic, unit-sum histogram") {
+    val f1 = Multimodal.decodeBytes("hello world".getBytes, 16)
+    val f2 = Multimodal.decodeBytes("hello world".getBytes, 16)
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-3)
+    assert(Multimodal.decodeBytes(null, 16).sum == 0.0f)
+
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.decodeFeatures(media, dim = 32)
+    assert(feats.count() == docs.count())
+    assert(feats.filter(f => f.features.length != 32).count() == 0)
+  }
+
+  test("resize preserves aspect ratio within the bounding box") {
+    val media = Multimodal.fromDocuments(docs)
+    val resized = Multimodal.withResizedDims(media, 100, 100)
+    val bad = resized.filter($"out_width" > 100 || $"out_height" > 100 ||
+      ($"width" <= 100 && $"height" <= 100 &&
+        ($"out_width" =!= $"width" || $"out_height" =!= $"height")))
+    assert(bad.count() == 0)
+  }
+}
