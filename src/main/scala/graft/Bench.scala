@@ -12,7 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional filter for profiling: SPARK_GRAFT_ONLY=q1,q2
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => only.contains(kv._1))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

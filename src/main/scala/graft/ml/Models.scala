@@ -39,15 +39,15 @@ object Models {
       : Seq[(String, org.apache.spark.ml.Estimator[_])] = Seq(
     "Logistic Regression" -> new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
-      .setWeightCol(weightCol).setMaxIter(if (fast) 20 else 100),
+      .setWeightCol(weightCol).setMaxIter(if (fast) 10 else 100),
     "Random Forest" -> new RandomForestClassifier()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setWeightCol(weightCol).setSeed(42)
-      .setNumTrees(if (fast) 10 else 100),
+      .setNumTrees(if (fast) 8 else 100),
     "XGBoost" -> new GBTClassifier() // GBT stands in for xgboost (§7.3)
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setWeightCol(weightCol).setSeed(42)
-      .setMaxIter(if (fast) 10 else 50)
+      .setMaxIter(if (fast) 6 else 50)
   )
 
   /** M9: score a frame → (label, pred, proba=P(class 1)). */
@@ -63,11 +63,22 @@ object Models {
     */
   def evaluate(scoredDf: DataFrame): DataFrame = {
     val s = scoredDf.cache()
-    val battery = Aggregates.binaryMetrics(
-      Aggregates.confusionCounts(s, "label", "pred"))
-    val auc = Aggregates.rocAuc(s, "label", "proba")
-    val ll = Aggregates.logLoss(s, "label", "proba")
-    battery.crossJoin(auc).crossJoin(ll)
+    val l = col("label"); val p = col("pred")
+    val eps = 1e-15
+    val pr = greatest(least(col("proba"), lit(1 - eps)), lit(eps))
+    // confusion counts + log loss share one aggregation pass; AUC needs
+    // its own (global rank window)
+    val base = s.agg(
+      sum(when(l === 0 && p === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(l === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(l === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(l === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      (-avg(when(l === 1, log(pr)).otherwise(log(lit(1) - pr))))
+        .as("log_loss"))
+    val b = base.cache() // one row; evaluated once, read twice
+    Aggregates.binaryMetrics(b)
+      .crossJoin(b.select("log_loss"))
+      .crossJoin(Aggregates.rocAuc(s, "label", "proba"))
   }
 
   /** M12: train/evaluate every candidate; returns fitted models plus a

@@ -45,7 +45,10 @@ object TrainingJob {
       jitterCols = Nil) // vectors already assembled; jitter is pre-assembly
     val weighted = Balance.withBalancedWeights(balanced, "label")
 
-    val (train, test) = Models.split(weighted)
+    // three estimators iterate over the same split: materialize once
+    // instead of re-deriving the generator→features→balance plan per fit
+    val (trainRaw, testRaw) = Models.split(weighted)
+    val train = trainRaw.cache(); val test = testRaw.cache()
     val (models, metrics) = Models.trainAll(train, test, fast = fast)
 
     // M11: the reference hard-codes XGBoost as production

@@ -93,9 +93,14 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.6): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // signatures feed three joins (banding + both pair sides): persist
+    // the compact (id, shingles, sig) frame instead of recomputing the
+    // shingle/hash pipeline per consumer — the same call a production
+    // dedup job would make
     val prepared = df.select(col(idCol).as("id"),
         shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = lshCandidatePairs(prepared, "id", "sig", bands, rowsPerBand)
     pairs
       .join(prepared.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -138,7 +143,8 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val signed = df.select(col(idCol).as("id"),
-      simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+        simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(col("id"), col("sim"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),

@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -17,9 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (sequential fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two double arrays — a codegen'd primitive loop
+    * (`graft.functions.DotProduct`); sequential fold, so results equal
+    * the HOF form and DuckDB's list_dot_product exactly.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayMath.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -36,13 +36,18 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms computed once per row/query, not once per pair
     val c = corpus.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
     val scoredAll = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     scoredAll.withColumn("rank", row_number().over(w))
@@ -50,16 +55,75 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
-  /** IVF index: (kmeans model, corpus tagged with cluster id). */
+  /** A trained coarse quantizer: just its centroids. */
+  case class IvfModel(centroids: Array[Array[Double]])
+
+  /** Driver-side Lloyd's iterations over a bounded sample. The sample is
+    * capped at `fitSample` regardless of corpus size (the FAISS recipe:
+    * quantizer centroids converge on a few thousand points), so this is
+    * O(sample · nlist · dim · iters) on the driver — microseconds-to-
+    * milliseconds, with zero per-iteration cluster jobs.
+    */
+  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
+                    seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "empty quantizer sample")
+    val dim = sample.head.length
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
+      .map(i => sample(i).clone()).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      for (c <- centroids.indices if counts(c) > 0; i <- 0 until dim)
+        centroids(c)(i) = sums(c)(i) / counts(c)
+    }
+    centroids
+  }
+
+  /** Squared-distance argmin over centroid literals — pure column
+    * expressions, so cluster assignment of the full corpus stays inside
+    * whole-stage codegen with no vector conversions.
+    */
+  def assignCluster(v: Column, centroids: Array[Array[Double]]): Column = {
+    // argmin_c ‖v−c‖² = argmin_c (‖c‖² − 2·v·c): the ‖v‖² term is
+    // constant per row and drops out, leaving one codegen'd dot per
+    // centroid
+    val dists = centroids.map { c =>
+      val cc = c.map(x => x * x).sum
+      lit(cc) - lit(2.0) * dot(v, typedLit(c.toSeq))
+    }
+    (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
+      .cast("int")
+  }
+
+  /** IVF index: (quantizer, corpus tagged with cluster id). */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, seed: Long = 42L): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
-    val vecs = corpus.select(col(idCol).as("vec_id"),
-      asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(vecs)
-    (model, model.transform(vecs).select("vec_id", "v", "cluster"))
+               nlist: Int, seed: Long = 42L, maxIter: Int = 8,
+               fitSample: Int = 4096): (IvfModel, DataFrame) = {
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .limit(fitSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val model = IvfModel(lloyd(sample, nlist, maxIter, seed))
+    val indexed = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("cluster", assignCluster(col("v"), model.centroids))
+    (model, indexed)
   }
 
   /** IVF search: score each query against the centroids, probe the
@@ -67,17 +131,17 @@ object Similarity {
     * The corpus join key is the cluster id — the scan prunes to
     * nprobe/nlist of the data instead of all of it.
     */
-  def ivfTopK(indexed: DataFrame,
-              model: org.apache.spark.ml.clustering.KMeansModel,
+  def ivfTopK(indexed: DataFrame, model: IvfModel,
               queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nprobe: Int): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
+    val centroids = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster", "centroid")
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("qv"))
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
     // nearest nprobe centroids per query (tiny: nlist × queries)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cluster").asc)
@@ -85,12 +149,14 @@ object Similarity {
       .withColumn("cdist", -cosine(col("qv"), col("centroid")))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cluster"))
+      .select(col("query_id"), col("qv"), col("nq"), col("cluster"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     indexed.join(broadcast(probed), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("v"), col("qv")))
+      .withColumn("cos",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
@@ -104,9 +170,12 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
     c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

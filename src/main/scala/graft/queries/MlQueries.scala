@@ -17,7 +17,9 @@ object MlQueries extends QuerySet {
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
     "m12_train_metrics" -> ((s, _) => {
-      val raw = TransactionGen.batch(s, 2000, seed = 42)
+      // 4 partitions: MLlib iterations schedule per-partition tasks, and
+      // 32-way parallelism on 2k rows is pure scheduler overhead
+      val raw = TransactionGen.batch(s, 2000, seed = 42, partitions = 4)
       TrainingJob.run(raw, outDir = None, fast = true)
         .metrics
         .select(col("model"), round(col("accuracy"), 2).as("accuracy"),
