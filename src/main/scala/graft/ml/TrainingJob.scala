@@ -27,9 +27,16 @@ object TrainingJob {
                        metrics: DataFrame,
                        production: Transformer)
 
-  /** Train end-to-end from raw wire-format transactions. */
+  /** Train end-to-end from raw wire-format transactions.
+    *
+    * `trueSmote=true` swaps the jittered-oversample balancer for the
+    * full kNN-interpolating SMOTE (graft.ml.Smote), applied — like the
+    * reference (`FD/model.py:103` before `:110`) — on the encoded,
+    * pre-scaling feature matrix; the scaler is then fitted on the
+    * resampled data.
+    */
   def run(raw: DataFrame, outDir: Option[String] = None,
-          fast: Boolean = false): Artifacts = {
+          fast: Boolean = false, trueSmote: Boolean = false): Artifacts = {
     val pre = FeaturePipeline.preprocess(raw)
       .withColumn("label", col("Is_Fraud").cast("int"))
 
@@ -37,13 +44,39 @@ object TrainingJob {
     val classes = pre.groupBy("label").count().count()
     require(classes >= 2, "training data must contain both classes")
 
-    val featureModel = FeaturePipeline.fit(pre)
-    val featured = featureModel.transform(
-      FeaturePipeline.withRequiredFeatures(pre))
-
-    val balanced = Balance.oversampleBalanced(featured, "label",
-      jitterCols = Nil) // vectors already assembled; jitter is pre-assembly
-    val weighted = Balance.withBalancedWeights(balanced, "label")
+    val (featureModel, weighted) =
+      if (!trueSmote) {
+        val fm = FeaturePipeline.fit(pre)
+        val featured = fm.transform(FeaturePipeline.withRequiredFeatures(pre))
+        val balanced = Balance.oversampleBalanced(featured, "label",
+          jitterCols = Nil) // vectors already assembled; jitter is pre-assembly
+        (fm, Balance.withBalancedWeights(balanced, "label"))
+      } else {
+        val pre2 = FeaturePipeline.withRequiredFeatures(pre)
+        // fit stages separately so SMOTE can run between encode and scale
+        val indexerModel = new org.apache.spark.ml.feature.StringIndexer()
+          .setInputCols(Transactions.categoricalFeatures.toArray)
+          .setOutputCols(Transactions.categoricalFeatures
+            .map(FeaturePipeline.idx).toArray)
+          .setStringOrderType("alphabetAsc").setHandleInvalid("keep")
+          .fit(pre2)
+        val indexed = indexerModel.transform(pre2)
+        val smoted = Smote.oversample(indexed, "label",
+          FeaturePipeline.assemblerInputs.toSeq)
+        val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(FeaturePipeline.assemblerInputs)
+          .setOutputCol("features_raw").setHandleInvalid("keep")
+        val assembled = assembler.transform(smoted)
+        val scalerModel = new org.apache.spark.ml.feature.StandardScaler()
+          .setInputCol("features_raw").setOutputCol("features")
+          .setWithMean(true).setWithStd(true)
+          .fit(assembled)
+        // re-wrap the fitted stages as one serveable PipelineModel
+        val fm = new org.apache.spark.ml.Pipeline()
+          .setStages(Array(indexerModel, assembler, scalerModel)).fit(pre2)
+        (fm, Balance.withBalancedWeights(
+          scalerModel.transform(assembled), "label"))
+      }
 
     // three estimators iterate over the same split: materialize once
     // instead of re-deriving the generator→features→balance plan per fit

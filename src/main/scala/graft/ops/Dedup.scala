@@ -40,15 +40,14 @@ object Dedup {
         .otherwise(transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
 
-  /** MinHash signature: k independent permutations simulated by salted
-    * xxhash64; each signature slot is the min hash over the shingle set.
-    * Row-local (array HOFs), no shuffle.
+  /** MinHash signature: k independent permutations simulated by seeded
+    * XXH64; each signature slot is the min hash over the shingle set.
+    * Row-local single pass via the native `MinHashSignature` expression
+    * (the HOF spelling — k× `array_min(transform(...))` — costs k
+    * interpreted passes per row).
     */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { k =>
-      array_min(transform(shinglesCol,
-        s => xxhash64(s, lit(k))))
-    }: _*)
+    graft.functions.TextHashes.minhashSignature(shinglesCol, numHashes)
 
   /** LSH banding: (bandIndex, bandHash) keys from a signature — docs
     * sharing any band key are candidates. bands*rowsPerBand must equal
@@ -113,25 +112,12 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash of a token array: per-bit ±1 votes from each token's
-    * xxhash64, sign-folded into a long. Row-local HOF aggregate.
+    * XXH64, sign-folded into a long. Single native pass (the HOF
+    * spelling — a 64-wide `zip_with` per token — is interpreted and
+    * boxes every vote).
     */
-  def simhash64(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, b) => a + when(
-            call_function("shiftright", h, b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, b) => when(v > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash64(toks: Column): Column =
+    graft.functions.TextHashes.simhash64(toks)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

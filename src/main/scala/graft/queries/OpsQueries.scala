@@ -158,7 +158,23 @@ object OpsQueries extends QuerySet {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // A19: substring-bucketed grouping with collected members (the
+    // dashboard's chart-gallery topic grouping, FD/dashboard.py:286-299).
+    "a19_chart_groups" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("topic",
+          when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+            "early")
+            .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
+              "mid")
+            .otherwise("late"))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_set(col("source"))))
+            .as("members"))
+        .orderBy(col("topic")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -233,6 +249,14 @@ object OpsQueries extends QuerySet {
          FROM lineitem""",
     "a18_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a19_chart_groups" ->
+      """SELECT CASE
+           WHEN source IN ('src0','src1','src2','src3','src4') THEN 'early'
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 'mid'
+           ELSE 'late' END AS topic,
+           COUNT(*) AS n,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS members
+         FROM documents GROUP BY 1 ORDER BY topic"""
   )
 }
