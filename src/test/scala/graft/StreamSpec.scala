@@ -114,6 +114,27 @@ class StreamSpec extends SparkSpec {
     assert(after2 == 40, s"state lost on restart: $after2") // 24 + 16
   }
 
+  test("mapGroupsWithState counters track all-time totals per label") {
+    val stream = MemoryStream[Transaction](spark)
+    val scored = Scorer.score(stream.toDF(),
+      artifacts.features, artifacts.production)
+    val updates = graft.streaming.StatefulCounters.counters(scored)
+    val q = graft.streaming.StatefulCounters
+      .toMemorySink(updates, "stateful_counters").start()
+    try {
+      stream.addData(txns(20, seed = 41): _*)
+      q.processAllAvailable()
+      stream.addData(txns(12, seed = 42): _*)
+      q.processAllAvailable()
+      // latest update per label carries the all-time running total
+      val latest = spark.table("stateful_counters")
+        .groupBy($"label").agg(max($"count").as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest.values.sum == 32, latest.toString)
+      assert(latest.keySet.subsetOf(Set("FRAUD", "VALID")))
+    } finally q.stop()
+  }
+
   test("scored stream lands in parquet + formatted text blocks") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val stream = MemoryStream[Transaction](spark)
