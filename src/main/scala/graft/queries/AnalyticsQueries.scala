@@ -46,8 +46,12 @@ object AnalyticsQueries extends QuerySet {
           LogGrammar.amountOf(col("m")).as("amount"),
           col("m").getItem("location").as("location"),
           col("m").getItem("type").as("typ"))
+      // four consumers (metrics, two modes, fraud avg) read this frame:
+      // materialize the parse once instead of re-running the block
+      // grammar per subtree
       val clean = Cleaning.dropNulls(parsed,
         Seq("actual_fraud", "predicted_fraud", "probability"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // A2/A3/A4/A12: the live-metrics aggregate
       val metrics = clean.agg(

@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
     .getOrCreate()
 
   def approx(a: Double, b: Double, tol: Double = 1e-9): Boolean =
