@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration for the graft custom expressions, so `spark.sql`
+  * users get the same kernels as the Column API:
+  *
+  *   SELECT graft_dot(a, b), graft_simhash64(toks),
+  *          graft_minhash_sig(shingles, 16),
+  *          graft_parse_log_block(block)['amount'] ...
+  */
+object Register {
+  def all(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction("graft_simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    registry.createOrReplaceTempFunction("graft_parse_log_block",
+      exprs => ParseLogBlock(exprs.head), "built-in")
+  }
+}

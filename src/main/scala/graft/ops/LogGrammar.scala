@@ -52,9 +52,14 @@ object LogGrammar {
   /** F13+F14: parse a block's `Key: Value` lines into a map with
     * normalized keys (`strip().lower().replace(' ','_')` —
     * `FD/evaluation.py:66-70`). Split-limit-2 semantics: the value keeps
-    * any further colons.
+    * any further colons. Single native pass
+    * (`graft.functions.ParseLogBlock`); `parseBlockComposable` is the
+    * equivalent built-in spelling, kept as the semantic reference.
     */
   def parseBlock(block: Column): Column =
+    graft.functions.ParseLogBlock.parse(block)
+
+  def parseBlockComposable(block: Column): Column =
     map_from_entries(
       transform(
         filter(split(block, "\n"), l => l.contains(": ")),

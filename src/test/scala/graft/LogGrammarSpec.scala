@@ -62,6 +62,38 @@ class LogGrammarSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0))
   }
 
+  test("native parseBlock ≡ composable spelling on real and junk blocks") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val block = LogGrammar.formatBlock(
+      txnId = concat(lit("TXN"), col("o_orderkey")),
+      custId = concat(lit("CUST"), col("o_custkey")),
+      amount = col("o_totalprice"), typ = col("o_orderpriority"),
+      merchant = lit("M"), location = lit("L"), device = lit("D"),
+      date = lit("2025-01-01"), time = lit("00:00:00"),
+      prediction = lit(1), actual = lit(0),
+      probability = (col("o_custkey") % 100) / 100.0)
+    val both = df.select(
+      LogGrammar.parseBlock(block).as("native"),
+      LogGrammar.parseBlockComposable(block).as("composable"))
+    val diff = both.filter(
+      to_json(map_entries($"native")) =!= to_json(map_entries($"composable")))
+    assert(diff.count() == 0)
+
+    // junk parity (no-dup rows; map_from_entries throws on dup keys)
+    val junk = Seq("", "no colons", "weird: : colons :")
+      .toDF("b").select(
+        LogGrammar.parseBlock($"b").as("n"),
+        LogGrammar.parseBlockComposable($"b").as("c"))
+    val junkDiff = junk.filter(
+      to_json(map_entries($"n")) =!= to_json(map_entries($"c")))
+    assert(junkDiff.count() == 0)
+    // intentional divergence: native parser is last-win on dup keys
+    val dupRow = Seq("a: b\nc: d\na: e").toDF("b")
+      .select(LogGrammar.parseBlock($"b").as("n"))
+      .collect()(0).getMap[String, String](0)
+    assert(dupRow("a") == "e")
+  }
+
   test("splitBlocks splits a whole log on 60+ '=' runs") {
     val text = s"header\n${"=" * 68}\nblock one\nTransaction ID: TXN1\n" +
       s"${"=" * 68}\n\n${"=" * 68}\nblock two\nTransaction ID: TXN2\n${"=" * 68}"

@@ -1,0 +1,19 @@
+package graft
+
+/** SQL-surface registration of the custom expressions. */
+class RegisterSpec extends SparkSpec {
+
+  test("custom expressions callable from spark.sql") {
+    graft.functions.Register.all(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_simhash64(array('a', 'b')) AS s,
+                size(graft_minhash_sig(array('x', 'y'), 8)) AS m,
+                graft_parse_log_block('Amount: $1.50')['amount'] AS a
+      """).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 8)
+    assert(r.getString(3) == "$1.50")
+  }
+}
