@@ -167,6 +167,51 @@ object Similarity {
     * bounds its input (`maxRows`) — the 100 TB path pre-buckets with
     * `ivfIndex` and compares within clusters only.
     */
+  /** Scale path for embedding near-dup: random-hyperplane LSH. Each
+    * vector gets `numBits` sign bits (sign of v·rᵢ for seeded Gaussian
+    * hyperplanes), packed to a long; bits split into `bands`; vectors
+    * sharing any band bucket become candidates (equi-join on the band
+    * key — shuffle ∝ data + collisions, never n²); candidates verify by
+    * exact cosine. P[bit match] = 1 − θ/π, so near-dup pairs
+    * (θ small) collide with high probability while the bulk never meets.
+    */
+  def cosineNearDupsLSH(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, numBits: Int = 16,
+                        bands: Int = 4, seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0 && numBits <= 63, "bits must split into bands")
+    val bitsPerBand = numBits / bands
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("sig",
+        planes.zipWithIndex.map { case (p, i) =>
+          when(dot(col("v"), typedLit(p)) >= 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_ bitwiseOR _))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = c.select(col("id"), col("v"), col("nv"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1).as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("v"), col("nv"), col("bk.band"), col("bk.bucket"))
+
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))

@@ -30,6 +30,22 @@ object SimilarityQueries extends QuerySet {
         "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Hyperplane-LSH cosine near-dup (the banded scale path) over a
+    // corpus with planted jittered copies. Spark-rand jitter → rows-only;
+    // recall asserted in PipelineOpsSpec.
+    "n04_cosine_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val jittered = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (rand(7) - 0.5) * 0.01f).as("embedding"))
+      Similarity.cosineNearDupsLSH(
+        emb.select("vec_id", "embedding").union(jittered),
+        "vec_id", "embedding", threshold = 0.9)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("id_b") - col("id_a") === 1000000, 1L).otherwise(0L))
+            .as("n_planted_found"))
+    }),
+
     // IVF (KMeans coarse quantizer, nprobe=3 of nlist=8): rows-only;
     // recall vs brute force asserted in SimilaritySpec.
     "n02_ivf_topk" -> ((s, d) => {

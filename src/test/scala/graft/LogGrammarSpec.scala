@@ -94,6 +94,28 @@ class LogGrammarSpec extends SparkSpec {
     assert(dupRow("a") == "e")
   }
 
+  test("formatted block matches the reference grammar literally") {
+    // FIXTURES.md §3: 68-char '=' delimiter, header, '-' rule, field
+    // order, $-amount with 2dp, probability with 4dp
+    val block = Seq(1).toDF("x").select(LogGrammar.formatBlock(
+      txnId = lit("TXN457986"), custId = lit("CUST96906"),
+      amount = lit(9743.33), typ = lit("Online"), merchant = lit("MERC4521"),
+      location = lit("LOC99"), device = lit("Mobile"),
+      date = lit("2025-03-30"), time = lit("03:00:05"),
+      prediction = lit(1), actual = lit(1), probability = lit(0.8123))
+      .as("b")).collect()(0).getString(0)
+    val lines = block.split("\n")
+    assert(lines(1) == "=" * 68)
+    assert(lines(2) == "New Transaction Received:")
+    assert(lines(3) == "-" * 68)
+    assert(lines(4) == "Transaction ID: TXN457986")
+    assert(lines(6) == "Amount: $9743.33")
+    assert(lines(13) == "Fraud Prediction: FRAUD")
+    assert(lines(14) == "Actual Fraud Status: FRAUD")
+    assert(lines(15) == "Fraud Probability: 0.8123")
+    assert(lines.last == "=" * 68)
+  }
+
   test("splitBlocks splits a whole log on 60+ '=' runs") {
     val text = s"header\n${"=" * 68}\nblock one\nTransaction ID: TXN1\n" +
       s"${"=" * 68}\n\n${"=" * 68}\nblock two\nTransaction ID: TXN2\n${"=" * 68}"

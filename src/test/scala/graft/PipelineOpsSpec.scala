@@ -73,6 +73,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= 30, s"IVF recall $hits/50")
   }
 
+  test("hyperplane-LSH cosine near-dup recalls planted jittered copies") {
+    // plant near-duplicates: each vector + tiny elementwise jitter
+    val jittered = emb.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding",
+        x => x + (rand(7) - 0.5) * 0.01f).as("embedding"))
+    val corpus = emb.select($"vec_id", $"embedding").union(jittered)
+    val pairs = graft.ops.Similarity.cosineNearDupsLSH(
+      corpus, "vec_id", "embedding", threshold = 0.9)
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000).count()
+    val total = emb.count()
+    assert(planted >= (total * 0.9).toLong, s"recall $planted/$total")
+    // verified cosines are genuine
+    assert(pairs.filter($"cos" < 0.9).count() == 0)
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
