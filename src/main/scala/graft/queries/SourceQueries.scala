@@ -40,6 +40,29 @@ object SourceQueries extends QuerySet {
       s.table(qn).orderBy(col("event_type"))
     }),
 
+    // Event-time tumbling windows + watermark over the events stream
+    // (beyond the reference surface — §2.6 notes the reference has no
+    // windows; this is the standard Spark-native windowed counter).
+    // Complete mode on a bounded source ≡ the batch per-hour rollup.
+    "st02_stream_window" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st02_window_sink"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withWatermark("t", "10 minutes")
+      val q = src
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("cnt"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
     // S6+S7+F10-F14: render each order as a consumer-log block, parse the
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
@@ -78,6 +101,10 @@ object SourceQueries extends QuerySet {
     "st01_stream_counters" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "st02_stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+                event_type, COUNT(*) AS cnt
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
     "s06_log_grammar" ->
       s"""SELECT o_orderpriority AS typ, COUNT(*) AS n,
            ${sqlSum("ROUND(o_totalprice, 2)")} AS sum_amount,

@@ -135,6 +135,33 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark closes event-time windows in append mode") {
+    import java.sql.Timestamp
+    val stream = MemoryStream[(Timestamp, Double)](spark)
+    val q = stream.toDF().toDF("t", "v")
+      .withWatermark("t", "10 minutes")
+      .groupBy(window($"t", "1 hour")).agg(sum($"v").as("s"))
+      .writeStream.format("memory").queryName("wm_sink")
+      .outputMode("append").start()
+    try {
+      def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      stream.addData((ts(1, 10), 1.0), (ts(1, 40), 2.0))
+      q.processAllAvailable()
+      // watermark = 01:40 - 10min = 01:30 < window end 02:00 → withheld
+      assert(spark.table("wm_sink").count() == 0)
+      stream.addData((ts(2, 30), 5.0))
+      q.processAllAvailable()
+      // watermark = 02:20 ≥ 02:00 → the 01:00 window closes and emits
+      val rows = spark.table("wm_sink")
+        .select(unix_timestamp($"window.start").as("w"), $"s").collect()
+      assert(rows.length == 1 && rows(0).getDouble(1) == 3.0)
+      // a straggler behind the watermark is dropped, not double-counted
+      stream.addData((ts(1, 50), 100.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_sink").count() == 1)
+    } finally q.stop()
+  }
+
   test("scored stream lands in parquet + formatted text blocks") {
     val dir = Files.createTempDirectory("graft-sink").toString
     val stream = MemoryStream[Transaction](spark)
