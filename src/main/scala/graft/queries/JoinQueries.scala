@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-shaped coverage. The reference itself has no joins (SURVEY §2.4
+  * note) — these exercise the engine surface an analytics user expects:
+  * broadcast dimension joins, semi/anti joins, and the spark.sql string
+  * API over registered views.
+  */
+object JoinQueries extends QuerySet {
+  import Parity._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Broadcast dimension join: fact scan stays shuffle-free.
+    "j01_broadcast_join" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("p_brand"))),
+
+    // Left-semi / left-anti (EXISTS / NOT EXISTS).
+    "j02_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_semi").agg(count(lit(1)).as("n_with"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"),
+        "left_anti").agg(count(lit(1)).as("n_without"))
+      withOrders.crossJoin(withoutOrders)
+    }),
+
+    // The SQL string surface over registered temp views.
+    "j03_sql_revenue" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+           FROM v_orders o JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY o.o_orderkey, o.o_orderpriority
+           ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "j01_broadcast_join" ->
+      s"""SELECT p_brand, COUNT(*) AS n,
+            ${sqlSum("l_extendedprice")} AS sum_price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    "j02_semi_anti" ->
+      """SELECT
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
+           (SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""",
+    "j03_sql_revenue" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderkey, o.o_orderpriority
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
+  )
+}
