@@ -158,6 +158,20 @@ object Aggregates {
       .select(col("th").as("optimal_threshold"), col("f1").as("best_f1"))
   }
 
+  /** Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
+    * counting and approximate quantiles — the constant-memory stand-ins
+    * for exact distinct/percentile when cardinality explodes. (Beyond
+    * the reference surface; rows-only gate + tolerance spec since
+    * sketch internals differ across engines.)
+    */
+  def sketchProfile(df: DataFrame, keyCol: String, valueCol: String,
+                    rsd: Double = 0.05): DataFrame =
+    df.agg(
+      approx_count_distinct(col(keyCol), rsd).as("approx_distinct"),
+      countDistinct(col(keyCol)).as("exact_distinct"),
+      percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("p50"),
+      percentile_approx(col(valueCol), lit(0.99), lit(10000)).as("p99"))
+
   /** A12: accuracy as a single aggregate (`FD/evaluation.py:145`). */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((avg((col(labelCol) === col(predCol)).cast("double")) * 100)

@@ -160,6 +160,13 @@ object OpsQueries extends QuerySet {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // Sketches (beyond reference surface): HLL++ distinct + approximate
+    // quantiles. Engine-specific internals → rows-only; tolerance vs
+    // exact asserted in AggregatesSpec.
+    "a20_sketches" -> ((s, d) =>
+      graft.ops.Aggregates.sketchProfile(
+        Tables.events(s, d), "user_id", "value")),
+
     // A19: substring-bucketed grouping with collected members (the
     // dashboard's chart-gallery topic grouping, FD/dashboard.py:286-299).
     "a19_chart_groups" -> ((s, d) =>

@@ -82,6 +82,18 @@ class AggregatesSpec extends SparkSpec {
     assert(m("f") == 30.0 && m("n") == 50.0)
   }
 
+  test("sketch profile: HLL within rsd, quantiles within rank tolerance") {
+    val df = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val r = Aggregates.sketchProfile(df, "user_id", "value").collect()(0)
+    val approxD = r.getLong(0); val exactD = r.getLong(1)
+    assert(math.abs(approxD - exactD) <= exactD * 0.15,
+      s"hll $approxD vs exact $exactD")
+    val exactP50 = df.stat.approxQuantile("value", Array(0.5), 0.0)(0)
+    assert(math.abs(r.getDouble(2) - exactP50) <=
+      math.max(1.0, exactP50 * 0.05), s"p50 ${r.getDouble(2)} vs $exactP50")
+    assert(r.getDouble(3) >= r.getDouble(2)) // p99 ≥ p50
+  }
+
   test("tailN returns last n in ascending display order") {
     val df = (1L to 20L).toDF("ord")
     val got = Aggregates.tailN(df, "ord", 5).collect().map(_.getLong(0)).toSeq
