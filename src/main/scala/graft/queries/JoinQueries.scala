@@ -33,6 +33,26 @@ object JoinQueries extends QuerySet {
       withOrders.crossJoin(withoutOrders)
     }),
 
+    // Backward as-of join (point-in-time feature join): every purchase
+    // event gets the most recent prior view value for its user. Right
+    // side deduped per (user, ts) by max event_id so matches are
+    // unambiguous. Checked against DuckDB's native ASOF JOIN.
+    "j04_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") < 100)
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ops.AsOfJoin.backward(purchases, views,
+        keyCol = "user_id", leftTime = "ts", rightTime = "ts",
+        rightValueCols = Seq("value"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // The SQL string surface over registered temp views.
     "j03_sql_revenue" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("v_orders")
@@ -60,6 +80,16 @@ object JoinQueries extends QuerySet {
             WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
            (SELECT COUNT(*) FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""",
+    "j04_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase' AND user_id < 100),
+            v AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "j03_sql_revenue" ->
       """SELECT o.o_orderkey, o.o_orderpriority,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
