@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional and sessionized aggregation coverage (beyond the
+  * reference surface): rollup, pivot, and session windows. The session
+  * oracle is the classic gaps-and-islands SQL; Spark's `session_window`
+  * must agree with it exactly (new session at gap ≥ 30 minutes).
+  */
+object WindowQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ROLLUP over two dims; rolled-up levels surfaced as 'ALL'.
+    "w01_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // Pivot on a known domain (conditional-aggregation equivalent).
+    "w02_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .na.fill(0L, Seq("n_f", "n_o"))
+        .orderBy(col("l_returnflag"))),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "w03_session" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+      val sessions = ev
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      sessions.agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w01_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "w02_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w03_session" ->
+      """WITH d AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         s AS (
+           SELECT user_id,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d),
+         g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+         SELECT COUNT(*) AS n_sessions,
+                CAST(SUM(n) AS BIGINT) AS n_events,
+                CAST(MAX(n) AS BIGINT) AS max_events,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM g"""
+  )
+}
