@@ -21,5 +21,7 @@ object Register {
         exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
     registry.createOrReplaceTempFunction("graft_parse_log_block",
       exprs => ParseLogBlock(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_mode",
+      exprs => ModeAgg(exprs.head), "built-in")
   }
 }

@@ -75,6 +75,15 @@ object CoreQueries extends QuerySet {
         "event_type", "bucket")
         .orderBy(col("event_type"))),
 
+    // A5 single-pass variant: the TypedImperativeAggregate mode — one
+    // shuffle with map-side partials instead of count + window. Same
+    // oracle semantics as a05.
+    "a05b_mode_single_pass" -> ((s, d) =>
+      Tables.events(s, d).withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .agg(graft.functions.ModeAgg.mode(col("event_type")).as("mode_value"))
+        .orderBy(col("bucket"))),
+
     // A7: last value per key (counts.log reverse scan) via max_by.
     "a07_last_per_key" -> ((s, d) =>
       Aggregates.lastPerKey(
@@ -140,6 +149,14 @@ object CoreQueries extends QuerySet {
            FROM (SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS cnt
                  FROM events GROUP BY 1, 2))
          WHERE rn = 1 ORDER BY event_type""",
+    "a05b_mode_single_pass" ->
+      """SELECT bucket, mode_value FROM (
+           SELECT bucket, event_type AS mode_value,
+                  ROW_NUMBER() OVER (PARTITION BY bucket
+                                     ORDER BY cnt DESC, event_type ASC) AS rn
+           FROM (SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS cnt
+                 FROM events GROUP BY 1, 2))
+         WHERE rn = 1 ORDER BY bucket""",
     "a07_last_per_key" ->
       """SELECT user_id, value AS last_value, event_id AS last_ord FROM (
            SELECT user_id, value, event_id,

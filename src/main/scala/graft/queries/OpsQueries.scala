@@ -160,6 +160,17 @@ object OpsQueries extends QuerySet {
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
+    // Data-quality profile (beyond reference surface): one-pass column
+    // stats a pipeline runs before training on a new corpus.
+    "p12_profile" -> ((s, d) =>
+      Tables.customer(s, d).agg(
+        count(lit(1)).as("n"),
+        sum(col("c_acctbal").isNull.cast("long")).as("n_null_bal"),
+        countDistinct(col("c_mktsegment")).as("n_segments"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sum(length(col("c_name")).cast("long")).as("sum_name_len"))),
+
     // Sketches (beyond reference surface): HLL++ distinct + approximate
     // quantiles. Engine-specific internals → rows-only; tolerance vs
     // exact asserted in AggregatesSpec.
@@ -257,6 +268,14 @@ object OpsQueries extends QuerySet {
     "a18_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "p12_profile" ->
+      """SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_bal,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           CAST(SUM(LENGTH(c_name)) AS BIGINT) AS sum_name_len
+         FROM customer""",
     "a19_chart_groups" ->
       """SELECT CASE
            WHEN source IN ('src0','src1','src2','src3','src4') THEN 'early'

@@ -30,6 +30,17 @@ object WindowQueries extends QuerySet {
         .na.fill(0L, Seq("n_f", "n_o"))
         .orderBy(col("l_returnflag"))),
 
+    // Sliding windows (1h size / 30m slide — every event lands in two
+    // windows). Oracle enumerates the candidate window starts per event.
+    "w04_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("event_type"), col("n"))
+        .orderBy(col("ws"), col("event_type"))),
+
     // Session windows: 30-minute inactivity gap per user.
     "w03_session" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -56,6 +67,18 @@ object WindowQueries extends QuerySet {
            CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
            CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "w04_sliding" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) // 1000000 AS tsec FROM events),
+         cand AS (
+           SELECT event_type, tsec,
+                  unnest([tsec // 1800 * 1800,
+                          tsec // 1800 * 1800 - 1800]) AS ws
+           FROM e)
+         SELECT ws, event_type, COUNT(*) AS n
+         FROM cand
+         WHERE tsec >= ws AND tsec < ws + 3600
+         GROUP BY ws, event_type ORDER BY ws, event_type""",
     "w03_session" ->
       """WITH d AS (
            SELECT user_id, epoch_us(ts) AS t,

@@ -15,5 +15,11 @@ class RegisterSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 8)
     assert(r.getString(3) == "$1.50")
+
+    // aggregate registration: single-pass mode with pandas tie-break
+    val m = spark.sql(
+      """SELECT graft_mode(v) FROM
+         VALUES ('b'), ('a'), ('b'), ('a'), ('c') AS t(v)""").collect()(0)
+    assert(m.getString(0) == "a") // a and b tie at 2 → smallest wins
   }
 }
