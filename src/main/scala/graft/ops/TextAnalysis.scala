@@ -95,6 +95,16 @@ object TextAnalysis {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** PII redaction for training corpora: emails and international-ish
+    * phone numbers replaced by typed placeholders. Patterns restricted
+    * to the regex subset Java and RE2 agree on.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "[EMAIL]")
+    regexp_replace(noEmail, "\\+?[0-9]{10,12}", "[PHONE]")
+  }
+
   /** Content fingerprint: sha256 over the sorted distinct token set —
     * order-insensitive exact-duplicate key (the rolling-hash family's
     * set-hash variant; scan-local, joinable at any scale).

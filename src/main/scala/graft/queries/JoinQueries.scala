@@ -33,6 +33,16 @@ object JoinQueries extends QuerySet {
       withOrders.crossJoin(withoutOrders)
     }),
 
+    // Set operations: INTERSECT / EXCEPT / UNION over key sets.
+    "j05_setops" -> ((s, d) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k")).distinct()
+      a.intersect(b).agg(count(lit(1)).as("n_intersect"))
+        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
+        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+    }),
+
     // Backward as-of join (point-in-time feature join): every purchase
     // event gets the most recent prior view value for its user. Right
     // side deduped per (user, ts) by max event_id so matches are
@@ -80,6 +90,16 @@ object JoinQueries extends QuerySet {
             WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with,
            (SELECT COUNT(*) FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without""",
+    "j05_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            b AS (SELECT DISTINCT c_custkey AS k FROM customer
+                  WHERE c_acctbal > 5000)
+         SELECT (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b))
+                  AS n_intersect,
+                (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b))
+                  AS n_except,
+                (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b))
+                  AS n_union""",
     "j04_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase' AND user_id < 100),

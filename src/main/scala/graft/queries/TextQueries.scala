@@ -47,6 +47,24 @@ object TextQueries extends QuerySet {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred"))),
 
+    // PII redaction: plant an email + phone in every doc, redact, count
+    // placeholders and verify no residue.
+    "t05_pii_redaction" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("dirty",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1202555"),
+            lpad(col("doc_id") % 10000, 4, "0")))
+        .withColumn("cleaned", TextAnalysis.redactPii(col("dirty")))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("cleaned").contains("[EMAIL]"), 1L).otherwise(0L))
+            .as("n_email_redacted"),
+          sum(when(col("cleaned").contains("[PHONE]"), 1L).otherwise(0L))
+            .as("n_phone_redacted"),
+          sum(when(col("cleaned").rlike("@example\\.com"), 1L).otherwise(0L))
+            .as("n_email_residue"))),
+
     // Content fingerprint: distinct count + min digest pins sha256 parity.
     "t04_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -107,6 +125,24 @@ object TextQueries extends QuerySet {
               END AS pred
             FROM documents)
           GROUP BY lang, pred ORDER BY lang, pred""",
+    "t05_pii_redaction" ->
+      """SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN cleaned LIKE '%[EMAIL]%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_email_redacted,
+           CAST(SUM(CASE WHEN cleaned LIKE '%[PHONE]%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_phone_redacted,
+           CAST(SUM(CASE WHEN regexp_matches(cleaned, '@example\.com')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_email_residue
+         FROM (
+           SELECT regexp_replace(
+                    regexp_replace(
+                      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                        '@example.com or +1202555' ||
+                        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                      '[EMAIL]', 'g'),
+                    '\+?[0-9]{10,12}', '[PHONE]', 'g') AS cleaned
+           FROM documents)""",
     "t04_fingerprint" ->
       s"""SELECT lang, COUNT(DISTINCT fp) AS n_distinct, MIN(fp) AS min_fp
           FROM (SELECT lang,
