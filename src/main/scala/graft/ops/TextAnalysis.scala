@@ -95,6 +95,33 @@ object TextAnalysis {
     when(best.getField("hits") === 0, "und").otherwise(best.getField("lang"))
   }
 
+  /** Fixed-size token chunking with overlap — the standard
+    * context-window splitter for LLM training corpora. Produces an
+    * array of chunk strings; callers `explode` it into one row per
+    * chunk. Stride = size − overlap; the final partial chunk is kept.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(overlap < chunkSize, "overlap must be smaller than chunk size")
+    val stride = chunkSize - overlap
+    val toks = tokens(text)
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
+  /** Repetition ratio: 1 − distinct n-grams / total n-grams — the
+    * boilerplate/looping-text quality signal. 0 = no repetition.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val grams = transform(sequence(lit(0), greatest(total - 1, lit(0))),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(total <= 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+  }
+
   /** PII redaction for training corpora: emails and international-ish
     * phone numbers replaced by typed placeholders. Patterns restricted
     * to the regex subset Java and RE2 agree on.

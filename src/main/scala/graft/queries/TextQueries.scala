@@ -47,6 +47,29 @@ object TextQueries extends QuerySet {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("pred"))),
 
+    // Context-window chunking: 50-token chunks, 10-token overlap; chunk
+    // counts + boundary token sums per lang (all integers → exact).
+    "t06_chunking" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("chunk",
+          explode(TextAnalysis.chunkTokens(col("text"), 50, 10)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(TextAnalysis.tokenCount(col("chunk"))).as("sum_chunk_tokens"),
+          max(TextAnalysis.tokenCount(col("chunk"))).as("max_chunk_tokens"))
+        .orderBy(col("lang"))),
+
+    // Repetition-ratio quality filter: deciles of 1 − distinct/total
+    // 2-grams (identical float formula → identical floor buckets).
+    "t07_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          floor(TextAnalysis.repetitionRatio(col("text"), 2) * 10)
+            .cast("int").as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("bucket"))),
+
     // PII redaction: plant an email + phone in every doc, redact, count
     // placeholders and verify no residue.
     "t05_pii_redaction" -> ((s, d) =>
@@ -81,6 +104,34 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t06_chunking" ->
+      s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+          c AS (SELECT lang,
+                  unnest(list_transform(
+                    range(0, GREATEST(1,
+                      CAST(ceil((len(toks) - 10) / 40.0) AS INT))),
+                    i -> list_aggregate(toks[i*40+1:i*40+50],
+                                        'string_agg', ' '))) AS chunk
+                FROM t)
+          SELECT lang, COUNT(*) AS n_chunks,
+            CAST(SUM(len(string_split_regex(trim(chunk), '\\s+'))) AS BIGINT)
+              AS sum_chunk_tokens,
+            CAST(MAX(len(string_split_regex(trim(chunk), '\\s+'))) AS INT)
+              AS max_chunk_tokens
+          FROM c GROUP BY lang ORDER BY lang""",
+    "t07_repetition" ->
+      s"""SELECT lang, CAST(FLOOR(r * 10) AS INT) AS bucket, COUNT(*) AS n
+          FROM (
+            SELECT lang,
+              CASE WHEN len(toks) - 1 <= 0 THEN 0.0
+                   ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                          range(0, len(toks) - 1),
+                          i -> list_aggregate(toks[i+1:i+2],
+                                              'string_agg', ' '))))
+                        AS DOUBLE) / (len(toks) - 1)
+              END AS r
+            FROM (SELECT lang, $ltoksSql AS toks FROM documents))
+          GROUP BY lang, bucket ORDER BY lang, bucket""",
     "t01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n,
            CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
