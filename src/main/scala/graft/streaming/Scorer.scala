@@ -120,6 +120,21 @@ object Scorer {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same transaction
+    * across micro-batches (at-least-once Kafka → exactly-once effect).
+    * State is bounded by the watermark: duplicates arriving later than
+    * the delay are outside the guarantee, matching Spark's
+    * dropDuplicatesWithinWatermark contract.
+    */
+  def dedupStream(parsed: DataFrame, eventTimeCol: String,
+                  idCols: Seq[String], watermarkDelay: String): DataFrame =
+    parsed
+      .withColumn("__event_time",
+        org.apache.spark.sql.functions.timestamp_seconds(col(eventTimeCol)))
+      .withWatermark("__event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+      .drop("__event_time")
+
   /** S11 read-back: latest counter value per key from a counts.log-format
     * text dir. The counters are all-time (monotonically nondecreasing),
     * so latest == max — no ordering column needed across append files.

@@ -135,6 +135,24 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redeliveries across micro-batches") {
+    val stream = MemoryStream[Transaction](spark)
+    val deduped = Scorer.dedupStream(stream.toDF(), "Time",
+      Seq("Transaction_ID"), watermarkDelay = "1 hour")
+    val q = deduped.select("Transaction_ID")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      val batch = txns(15, seed = 51)
+      stream.addData(batch: _*)
+      q.processAllAvailable()
+      stream.addData(batch.take(10): _*) // redelivery of 10 rows
+      q.processAllAvailable()
+      val distinctIds = batch.map(_.Transaction_ID).distinct.size
+      assert(spark.table("dedup_sink").count() == distinctIds)
+    } finally q.stop()
+  }
+
   test("watermark closes event-time windows in append mode") {
     import java.sql.Timestamp
     val stream = MemoryStream[(Timestamp, Double)](spark)
