@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Driven via `Test/runMain graft.ExtensionsSmoke` — needs a fresh JVM
+  * because extensions apply only at session construction.
+  */
+object ExtensionsSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_mode(v) AS m
+         FROM VALUES ('a'), ('b'), ('a') AS t(v)""").collect()(0)
+    assert(r.getDouble(0) == 11.0, s"dot ${r.getDouble(0)}")
+    assert(r.getString(1) == "a", s"mode ${r.getString(1)}")
+    println("EXTENSIONS_OK")
+    spark.stop()
+  }
+}
