@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.classification.{
-  GBTClassifier, LogisticRegression, ProbabilisticClassifier,
+  GBTClassifier, LogisticRegression,
   RandomForestClassifier}
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.Transformer

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,7 +47,6 @@ object Smote {
   private def synthesize(minority: DataFrame, featureCols: Seq[String],
                          need: Long, k: Int, numTables: Int,
                          bucketWidth: Double, seed: Long): DataFrame = {
-    val spark = minority.sparkSession
     val dim = featureCols.length
     val rnd = new scala.util.Random(seed)
     // seeded unit-ish hyperplanes for the projection tables

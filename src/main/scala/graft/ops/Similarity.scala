@@ -107,8 +107,8 @@ object Similarity {
       val cc = c.map(x => x * x).sum
       lit(cc) - lit(2.0) * dot(v, typedLit(c.toSeq))
     }
-    (array_position(array(dists: _*), array_min(array(dists: _*))) - 1)
-      .cast("int")
+    val distArr = array(dists.toIndexedSeq: _*)
+    (array_position(distArr, array_min(distArr)) - 1).cast("int")
   }
 
   /** IVF index: (quantizer, corpus tagged with cluster id). */

@@ -79,13 +79,9 @@ object TextAnalysis {
     */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
-    val scored = langStopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
-      struct(size(filter(toks, t => t.isInCollection(sw))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    // array_max on (hits, lang) structs orders by hits then lang — for the
-    // alphabetical-on-tie contract we want the SMALLEST lang among max
-    // hits, so compare on (hits, reversed-rank) via sort + last element.
+    // array_max picks the struct with max (hits, pref); pref is the
+    // REVERSED alphabetical rank, so ties on hits resolve to the
+    // alphabetically-smallest language.
     val best = array_max(array(
       langStopwords.toSeq.sortBy(_._1).reverse.zipWithIndex.map {
         case ((lang, sw), i) =>
