@@ -148,6 +148,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---------- near-dup clustering ----------
+
+  /** Connected components over a near-dup pair list (id_a, id_b) by
+    * min-label propagation: every node repeatedly adopts the smallest
+    * component label among itself and its neighbors until fixpoint.
+    * Each iteration is two distributed joins + an aggregate (shuffle on
+    * node id); lineage is cut per iteration via localCheckpoint so long
+    * chains don't stack plans. Converges in O(diameter) iterations —
+    * near-dup graphs are overwhelmingly tiny cliques, so 3-5 in practice.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("component", "nbr_component"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_component")).as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.component") =!= col("l.component")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Deduplicate a corpus given near-dup pairs: every component keeps
+    * its smallest id; rows never seen in a pair keep themselves.
+    */
+  def dedupByComponents(df: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val reps = labels.groupBy(col("component")).agg(min(col("id")).as("rep"))
+    val members = labels.join(reps, "component")
+      .select(col("id"), col("rep"))
+    df.join(members.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("rep").isNull || col("rep") === col(idCol))
+      .drop("rep")
+  }
+
   // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the

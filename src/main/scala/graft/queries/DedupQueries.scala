@@ -50,6 +50,21 @@ object DedupQueries extends QuerySet {
             .as("n_planted_found"))
     }),
 
+    // Full dedup pipeline: pairs → connected components → one
+    // representative per cluster (rows-only; invariants in
+    // ComponentsSpec). Doubled corpus must collapse back to ≤ originals.
+    "d05_dedup_clustered" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val doubled = docs.union(
+        docs.withColumn("doc_id", col("doc_id") + 1000000))
+      val pairs = Dedup.minhashNearDups(doubled, "text", "doc_id",
+        threshold = 0.9).select("id_a", "id_b")
+      val deduped = Dedup.dedupByComponents(doubled, "doc_id", pairs)
+      deduped.agg(count(lit(1)).as("n_kept"),
+        sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L))
+          .as("n_copy_survivors"))
+    }),
+
     // SimHash near-dups over the same planted corpus (rows-only).
     "d04_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")

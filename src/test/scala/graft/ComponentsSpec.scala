@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Near-dup clustering: connected components + corpus dedup. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains merge into one component; isolates stay put") {
+    // a-b, b-c, plus d-e, plus f alone (never in pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(!comps.contains(99L))
+  }
+
+  test("long chain converges (diameter > 2)") {
+    val pairs = (1L to 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    assert(comps.select(countDistinct($"component")).first.getLong(0) == 1L)
+    assert(comps.agg(min($"component")).first.getLong(0) == 1L)
+  }
+
+  test("dedupByComponents keeps one representative per cluster") {
+    val docs = (1L to 8L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L)) // reps 1,5 + untouched 4,7,8
+  }
+
+  test("end-to-end: minhash pairs → clustered dedup of planted corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val tripled = docs
+      .union(docs.withColumn("doc_id", $"doc_id" + 100000))
+      .union(docs.withColumn("doc_id", $"doc_id" + 200000))
+    val pairs = Dedup.minhashNearDups(tripled, "text", "doc_id",
+      threshold = 0.9).select("id_a", "id_b")
+    val deduped = Dedup.dedupByComponents(tripled, "doc_id", pairs)
+    // exact-copy triples collapse; organic near-dups may merge further
+    assert(deduped.count() <= docs.count(),
+      s"deduped ${deduped.count()} vs originals ${docs.count()}")
+    // identical copies always pair with their original (same minhash
+    // signature), so every surviving representative is an original
+    assert(deduped.filter($"doc_id" >= 100000).count() == 0)
+  }
+}
