@@ -43,6 +43,29 @@ object LogGrammar {
       concat(lit("Fraud Probability: "), format_string("%.4f", probability)),
       lit(delimiter))
 
+  /** S6 producer variant (`FD/producer.py:96-111`): header
+    * `New Transaction Sent:`, ground-truth `Fraud Status:` field, no
+    * prediction/probability lines.
+    */
+  def formatProducerBlock(txnId: Column, custId: Column, amount: Column,
+                          typ: Column, merchant: Column, location: Column,
+                          device: Column, date: Column, time: Column,
+                          isFraud: Column): Column =
+    concat_ws("\n",
+      lit(""), lit(delimiter), lit("New Transaction Sent:"), lit(rule),
+      concat(lit("Transaction ID: "), txnId),
+      concat(lit("Customer ID: "), custId),
+      concat(lit("Amount: "), format_string("$%.2f", amount)),
+      concat(lit("Type: "), typ),
+      concat(lit("Merchant: "), merchant),
+      concat(lit("Location: "), location),
+      concat(lit("Device: "), device),
+      concat(lit("Date: "), date),
+      concat(lit("Time: "), time),
+      concat(lit("Fraud Status: "),
+        when(isFraud === 1, "FRAUD").otherwise("VALID")),
+      lit(delimiter))
+
   /** S7: split a whole log text into blocks (the dashboard's read path —
     * split on runs of 60+ `=`).
     */

@@ -62,6 +62,23 @@ class LogGrammarSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0))
   }
 
+  test("producer-variant block: Sent header, Fraud Status, no prediction") {
+    val block = Seq(1).toDF("x").select(LogGrammar.formatProducerBlock(
+      txnId = lit("TXN1"), custId = lit("CUST1"), amount = lit(12.5),
+      typ = lit("POS"), merchant = lit("M"), location = lit("LOC1"),
+      device = lit("ATM"), date = lit("2025-01-01"), time = lit("10:00:00"),
+      isFraud = lit(0)).as("b")).collect()(0).getString(0)
+    assert(block.contains("New Transaction Sent:"))
+    assert(block.contains("Fraud Status: VALID"))
+    assert(!block.contains("Fraud Prediction"))
+    // parses through the same grammar
+    val m = Seq(block).toDF("b")
+      .select(LogGrammar.parseBlock($"b").as("m"))
+      .select($"m".getItem("fraud_status"), LogGrammar.amountOf($"m"))
+      .collect()(0)
+    assert(m.getString(0) == "VALID" && m.getDouble(1) == 12.5)
+  }
+
   test("native parseBlock ≡ composable spelling on real and junk blocks") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val block = LogGrammar.formatBlock(
