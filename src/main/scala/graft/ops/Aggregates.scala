@@ -99,6 +99,31 @@ object Aggregates {
         .otherwise((tp * tn - fp * fn) / mccDen).as("matthews_corrcoef"))
   }
 
+  /** Per-class classification-report rows (`FD/model.py:136-139` —
+    * sklearn `classification_report`'s per-class block): one row per
+    * class with precision / recall / F1 / support, from the same one-row
+    * confusion frame as [[binaryMetrics]]. Two rows out via an inline
+    * array explode — still a single aggregate pass upstream.
+    */
+  def classReport(confusion: DataFrame): DataFrame = {
+    val tn = col("tn").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tp = col("tp").cast("double")
+    def safeDiv(a: Column, b: Column): Column =
+      when(b === 0, 0.0).otherwise(a / b)
+    val p0 = safeDiv(tn, tn + fn); val p1 = safeDiv(tp, tp + fp)
+    val r0 = safeDiv(tn, tn + fp); val r1 = safeDiv(tp, tp + fn)
+    val f0 = safeDiv(lit(2) * p0 * r0, p0 + r0)
+    val f1 = safeDiv(lit(2) * p1 * r1, p1 + r1)
+    confusion
+      .select(explode(array(
+        struct(lit(0).as("label_class"), p0.as("precision"), r0.as("recall"),
+          f0.as("f1"), (tn + fp).cast("long").as("support")),
+        struct(lit(1).as("label_class"), p1.as("precision"), r1.as("recall"),
+          f1.as("f1"), (fn + tp).cast("long").as("support"))))
+        .as("row"))
+      .select(col("row.*"))
+  }
+
   /** A15: log loss with sklearn's eps clipping (`FD/model.py:145`). */
   def logLoss(df: DataFrame, labelCol: String, probaCol: String,
               eps: Double = 1e-15): DataFrame = {
@@ -107,56 +132,141 @@ object Aggregates {
       .as("log_loss"))
   }
 
-  /** A16: ROC AUC via the rank-sum (Mann-Whitney U) identity — exactly
-    * `sklearn.roc_auc_score` including tie handling through average ranks.
-    * One global sort window + one aggregate; at scale the sort is a range
-    * shuffle on proba. Returns null when only one class is present
-    * (the reference guards this case, `FD/evaluation.py:148-151`).
+  /** Partition-parallel prefix sums over a frame whose `orderCol` values
+    * are DISTINCT non-null numerics (i.e. the frame is already grouped by
+    * the order key). Replaces the classic `Window.orderBy(k)` global
+    * cumulative sum — which Spark executes as a SINGLE-partition sort
+    * (`WARN WindowExec: No Partition Defined`) — with a plan that stays
+    * parallel end to end:
+    *
+    *   1. bucket each row by its position in the [min, max] value range
+    *      (any monotonic bucketing preserves prefix-sum identity);
+    *   2. local cumulative sums via a window PARTITIONED by bucket;
+    *   3. per-bucket totals → per-bucket offsets through a broadcast
+    *      triangular self-join over the ≤`buckets`-row totals frame (no
+    *      window at all, so no single-partition stage anywhere);
+    *   4. prefix = local cum + bucket offset.
+    *
+    * Adds one `cum_<c>` column per requested sum column. Integer-valued
+    * inputs stay exact (offset+local decomposition is plain addition), so
+    * results are bit-identical to the global-window spelling.
     */
-  def rocAuc(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
-    // average rank of tied probas = min-rank + (ties-1)/2
-    val ranked = df
-      .select(col(labelCol).cast("double").as("y"), col(probaCol).as("p"))
-      .withColumn("r",
-        rank().over(Window.orderBy(col("p"))) +
-          (count(lit(1)).over(Window.partitionBy(col("p"))) - 1) / 2.0)
-    ranked.agg(
-      when(sum(col("y")) === 0 || sum(lit(1) - col("y")) === 0, lit(null))
-        .otherwise(
-          (sum(when(col("y") === 1, col("r")).otherwise(0.0)) -
-            sum(col("y")) * (sum(col("y")) + 1) / 2.0) /
-            (sum(col("y")) * sum(lit(1) - col("y")))).as("roc_auc"))
+  def bucketedPrefixSums(df: DataFrame, orderCol: String, ascending: Boolean,
+                         sumCols: Seq[String], buckets: Int = 1024): DataFrame = {
+    val key = if (ascending) col(orderCol) else -col(orderCol)
+    val keyed = df.withColumn("__k", key.cast("double"))
+    val stats = keyed.agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+    val bucketed = keyed.crossJoin(broadcast(stats))
+      .withColumn("__bkt",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(
+            floor((col("__k") - col("__mn")) / (col("__mx") - col("__mn"))
+              * buckets),
+            lit(buckets - 1L))))
+      .drop("__mn", "__mx")
+    val localW = Window.partitionBy(col("__bkt")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sumCols.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(s"__loc_$c", sum(col(c)).over(localW))
+    }
+    val totals = bucketed.groupBy(col("__bkt").as("__tbkt"))
+      .agg(sum(col(sumCols.head)).as(s"__tot_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"__tot_$c")): _*)
+    val offsets = totals.select(col("__tbkt").as("__obkt"))
+      .join(broadcast(totals), col("__tbkt") < col("__obkt"), "left")
+      .groupBy(col("__obkt"))
+      .agg(sum(col(s"__tot_${sumCols.head}")).as(s"__off_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(s"__tot_$c")).as(s"__off_$c")): _*)
+    val joined = local.join(broadcast(offsets),
+      col("__bkt") === col("__obkt"), "left")
+    val withCums = sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"cum_$c",
+        col(s"__loc_$c") + coalesce(col(s"__off_$c"), lit(0)))
+    }
+    withCums.select((df.columns.map(col) ++
+      sumCols.map(c => col(s"cum_$c"))).toIndexedSeq: _*)
   }
 
-  /** A17: PR-curve optimal threshold (`FD/evaluation.py:91-95,139-140`).
-    * Cumulative tp/fp over descending proba, per-threshold precision /
-    * recall / F1, NaN rows skipped like numpy's nan-ignoring argmax
-    * (SURVEY §2.9.7); tie-break = highest F1 then lowest threshold.
+  /** A16: ROC AUC via the rank-sum (Mann-Whitney U) identity — exactly
+    * `sklearn.roc_auc_score` including tie handling through average ranks.
+    * Ranks come from `groupBy(proba)` counts + a partition-parallel prefix
+    * sum ([[bucketedPrefixSums]]) — no global window, so the plan has no
+    * single-partition stage and shuffles only the distinct-score frame.
+    * Average-rank values are half-integers (exact in double), so the sum
+    * is order-independent and matches the per-row global-rank spelling
+    * bit for bit. Returns null when only one class is present (the
+    * reference guards this case, `FD/evaluation.py:148-151`).
     */
-  def optimalThreshold(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
+  def rocAuc(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
+    val perP = df
+      .select(col(probaCol).as("p"), col(labelCol).cast("double").as("y"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).cast("double").as("cnt"), sum(col("y")).as("pos"))
+    val cum = bucketedPrefixSums(perP, "p", ascending = true, Seq("cnt"))
+    // min-rank of the tie group = cum_cnt - cnt + 1, so the shared
+    // average rank = min-rank + (cnt-1)/2 = cum_cnt - cnt + (cnt+1)/2
+    val ranked = cum.withColumn("r",
+      col("cum_cnt") - col("cnt") + (col("cnt") + 1) / 2.0)
+    ranked.agg(
+      when(sum(col("pos")) === 0 || sum(col("cnt") - col("pos")) === 0,
+        lit(null))
+        .otherwise(
+          (sum(col("pos") * col("r")) -
+            sum(col("pos")) * (sum(col("pos")) + 1) / 2.0) /
+            (sum(col("pos")) * sum(col("cnt") - col("pos")))).as("roc_auc"))
+  }
+
+  /** ROC curve point frame (`FD/model.py:155-171`): per distinct
+    * threshold, descending, the (fpr, tpr) reached by predicting positive
+    * at score ≥ threshold. Same parallel prefix-sum plan as [[rocAuc]].
+    */
+  def rocCurve(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
     val y = col(labelCol).cast("double")
-    // per-distinct-threshold counts, then cumulative sums ordered desc.
-    // Total positives come in via a one-row cross join (broadcast — no
-    // driver-side action, stays a single lazy plan).
+    val perTh = df.groupBy(col(probaCol).as("th"))
+      .agg(sum(y).as("pos"), sum(lit(1) - y).as("neg"))
+    val totals = df.agg(sum(y).as("total_pos"),
+      sum(lit(1) - y).as("total_neg"))
+    bucketedPrefixSums(perTh, "th", ascending = false, Seq("pos", "neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("th").as("threshold"),
+        (col("cum_neg") / col("total_neg")).as("fpr"),
+        (col("cum_pos") / col("total_pos")).as("tpr"))
+  }
+
+  /** PR curve point frame (`FD/evaluation.py:91-95`): per distinct
+    * threshold, descending, cumulative precision / recall / F1 (F1 null
+    * when precision+recall = 0, mirroring the numpy NaN row).
+    */
+  def prCurve(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
+    val y = col(labelCol).cast("double")
     val perTh = df.groupBy(col(probaCol).as("th"))
       .agg(sum(y).as("pos"), sum(lit(1) - y).as("neg"))
     val totals = df.agg(sum(y).as("total_pos"))
-    val w = Window.orderBy(col("th").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val curve = perTh.crossJoin(broadcast(totals))
-      .withColumn("tp", sum(col("pos")).over(w))
-      .withColumn("fp", sum(col("neg")).over(w))
-      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
-      .withColumn("recall", col("tp") / col("total_pos"))
+    bucketedPrefixSums(perTh, "th", ascending = false, Seq("pos", "neg"))
+      .crossJoin(broadcast(totals))
+      .withColumn("precision",
+        col("cum_pos") / (col("cum_pos") + col("cum_neg")))
+      .withColumn("recall", col("cum_pos") / col("total_pos"))
       .withColumn("f1",
         when(col("precision") + col("recall") === 0, lit(null))
           .otherwise(lit(2) * col("precision") * col("recall") /
             (col("precision") + col("recall"))))
-    curve.filter(col("f1").isNotNull)
-      .orderBy(col("f1").desc, col("th").asc)
-      .limit(1)
-      .select(col("th").as("optimal_threshold"), col("f1").as("best_f1"))
+      .select(col("th").as("threshold"), col("precision"), col("recall"),
+        col("f1"))
   }
+
+  /** A17: PR-curve optimal threshold (`FD/evaluation.py:91-95,139-140`).
+    * The [[prCurve]] frame (partition-parallel — no global window; the
+    * cumulative tp/fp are exact integer-valued doubles, so the F1 doubles
+    * match the global-window spelling bit for bit), argmax'd with the
+    * NaN-skipping tie-break: highest F1, then lowest threshold.
+    */
+  def optimalThreshold(df: DataFrame, labelCol: String, probaCol: String): DataFrame =
+    prCurve(df, labelCol, probaCol)
+      .filter(col("f1").isNotNull)
+      .orderBy(col("f1").desc, col("threshold").asc)
+      .limit(1)
+      .select(col("threshold").as("optimal_threshold"), col("f1").as("best_f1"))
 
   /** Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
     * counting and approximate quantiles — the constant-memory stand-ins

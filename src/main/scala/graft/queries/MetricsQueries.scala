@@ -39,6 +39,19 @@ object MetricsQueries extends QuerySet {
     "a12_accuracy" -> ((s, d) =>
       Aggregates.accuracy(scored(s, d), "label", "pred")),
 
+    // Per-class classification-report rows (FD/model.py:136-139).
+    "a11b_class_report" -> ((s, d) =>
+      Aggregates.classReport(
+        Aggregates.confusionCounts(scored(s, d), "label", "pred"))),
+
+    // ROC curve point frame (FD/model.py:155-171).
+    "a16b_roc_curve" -> ((s, d) =>
+      Aggregates.rocCurve(scored(s, d), "label", "proba")),
+
+    // PR curve point frame (FD/evaluation.py:91-95).
+    "a17b_pr_curve" -> ((s, d) =>
+      Aggregates.prCurve(scored(s, d), "label", "proba")),
+
     // A16: ROC AUC via rank-sum identity (sklearn tie semantics).
     "a16_roc_auc" -> ((s, d) =>
       Aggregates.rocAuc(scored(s, d), "label", "proba")),
@@ -90,6 +103,76 @@ object MetricsQueries extends QuerySet {
     "a12_accuracy" ->
       s"""SELECT AVG(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
           FROM ($scoredSql)""",
+    "a11b_class_report" ->
+      s"""WITH cm AS (
+            SELECT
+              CAST(SUM(CASE WHEN label=0 AND pred=0 THEN 1 ELSE 0 END) AS DOUBLE) AS tn,
+              CAST(SUM(CASE WHEN label=0 AND pred=1 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+              CAST(SUM(CASE WHEN label=1 AND pred=0 THEN 1 ELSE 0 END) AS DOUBLE) AS fn,
+              CAST(SUM(CASE WHEN label=1 AND pred=1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp
+            FROM ($scoredSql)),
+          m AS (
+            SELECT *,
+              CASE WHEN tn + fn = 0 THEN 0.0 ELSE tn / (tn + fn) END AS p0,
+              CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp / (tp + fp) END AS p1,
+              CASE WHEN tn + fp = 0 THEN 0.0 ELSE tn / (tn + fp) END AS r0,
+              CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp / (tp + fn) END AS r1
+            FROM cm),
+          f AS (
+            SELECT *,
+              CASE WHEN p0 + r0 = 0 THEN 0.0 ELSE 2 * p0 * r0 / (p0 + r0) END AS f0c,
+              CASE WHEN p1 + r1 = 0 THEN 0.0 ELSE 2 * p1 * r1 / (p1 + r1) END AS f1c
+            FROM m)
+          SELECT 0 AS label_class, p0 AS "precision", r0 AS recall,
+                 f0c AS f1, CAST(tn + fp AS BIGINT) AS support FROM f
+          UNION ALL
+          SELECT 1 AS label_class, p1 AS "precision", r1 AS recall,
+                 f1c AS f1, CAST(fn + tp AS BIGINT) AS support FROM f""",
+    "a16b_roc_curve" ->
+      s"""WITH perth AS (
+            SELECT proba AS th,
+                   CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS pos,
+                   CAST(SUM(1 - CAST(label AS DOUBLE)) AS DOUBLE) AS neg
+            FROM ($scoredSql) GROUP BY proba),
+          totals AS (
+            SELECT CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS total_pos,
+                   CAST(SUM(1 - CAST(label AS DOUBLE)) AS DOUBLE) AS total_neg
+            FROM ($scoredSql)),
+          curve AS (
+            SELECT th,
+              SUM(pos) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              SUM(neg) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+              total_pos, total_neg
+            FROM perth CROSS JOIN totals)
+          SELECT th AS threshold, fp / total_neg AS fpr, tp / total_pos AS tpr
+          FROM curve""",
+    "a17b_pr_curve" ->
+      s"""WITH perth AS (
+            SELECT proba AS th,
+                   CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS pos,
+                   CAST(SUM(1 - CAST(label AS DOUBLE)) AS DOUBLE) AS neg
+            FROM ($scoredSql) GROUP BY proba),
+          totals AS (
+            SELECT CAST(SUM(CAST(label AS DOUBLE)) AS DOUBLE) AS total_pos
+            FROM ($scoredSql)),
+          curve AS (
+            SELECT th,
+              SUM(pos) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              SUM(neg) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+              total_pos
+            FROM perth CROSS JOIN totals),
+          f AS (
+            SELECT th,
+              tp / (tp + fp) AS prec, tp / total_pos AS rec
+            FROM curve)
+          SELECT th AS threshold, prec AS "precision", rec AS recall,
+                 CASE WHEN prec + rec = 0 THEN NULL
+                      ELSE 2 * prec * rec / (prec + rec) END AS f1
+          FROM f""",
     "a15_log_loss" ->
       s"""SELECT -AVG(CASE WHEN label = 1 THEN ln(p) ELSE ln(1 - p) END) AS log_loss
           FROM (SELECT label,
