@@ -1,12 +1,10 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{DataType, MapType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,15 +12,24 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass log-block parser: `Key: Value` lines → normalized-key map.
   *
   * Exactly the composable grammar in `ops/LogGrammar.parseBlock`
-  * (filter lines containing ": ", key = lowercased/trimmed prefix of
+  * (keep lines containing ": ", key = lowercased/trimmed prefix of
   * the FIRST ':' with spaces → underscores, value = trimmed suffix,
   * last key wins) — but as a single string scan per row instead of a
   * split + per-line regexp_replace + HOF map build (~15 interpreted
-  * passes). The display-log analytics path (SURVEY §3.3) parses every
-  * block on every read, so this is its hot kernel.
+  * passes). Deliberate divergence from `FD/evaluation.py:66-70`, which
+  * splits any line containing ':' — so the reference also emits e.g.
+  * `new_transaction_received -> ""` for the header line; we keep only
+  * real `Key: Value` pairs (typed projections are unaffected — every
+  * data field has a `": "` separator).
+  *
+  * The display-log analytics path (SURVEY §3.3) parses every block on
+  * every read, so this is its hot kernel: `doGenCode` keeps the whole
+  * stage inside codegen (a static call on the input UTF8String — no
+  * CodegenFallback row boxing), and the last-win map builds through
+  * parallel arrays with linear-scan replace (blocks carry ~12 unique
+  * keys; a hash map loses at that size).
   */
-case class ParseLogBlock(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ParseLogBlock(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -33,49 +40,11 @@ case class ParseLogBlock(child: Expression)
     MapType(StringType, StringType, valueContainsNull = false)
   override def prettyName: String = "graft_parse_log_block"
 
-  /** Spark's `trim` strips the space character only (not all
-    * whitespace like Java's String.trim) — mirrored for parity with the
-    * composable form.
-    */
-  private def trimSpaces(s: String): String = {
-    var a = 0; var b = s.length
-    while (a < b && s.charAt(a) == ' ') a += 1
-    while (b > a && s.charAt(b - 1) == ' ') b -= 1
-    s.substring(a, b)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ParseLogBlock.parseUTF8(input.asInstanceOf[UTF8String])
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    // last-win ordered map (blocks have unique keys; junk may repeat)
-    val entries = mutable.LinkedHashMap.empty[String, String]
-    var start = 0
-    val n = text.length
-    while (start <= n) {
-      val nl = text.indexOf('\n', start)
-      val end = if (nl < 0) n else nl
-      val line = text.substring(start, end)
-      if (line.contains(": ")) {
-        val colon = line.indexOf(':')
-        if (colon >= 0) {
-          val key = trimSpaces(line.substring(0, colon))
-            .toLowerCase.replace(' ', '_')
-          val value = trimSpaces(line.substring(colon + 1))
-          entries.put(key, value)
-        }
-      }
-      start = end + 1
-      if (nl < 0) start = n + 1
-    }
-    val keys = new Array[Any](entries.size)
-    val values = new Array[Any](entries.size)
-    var i = 0
-    entries.foreach { case (k, v) =>
-      keys(i) = UTF8String.fromString(k)
-      values(i) = UTF8String.fromString(v)
-      i += 1
-    }
-    ArrayBasedMapData(keys, values)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ParseLogBlock.parseUTF8($c)")
 
   override protected def withNewChildInternal(c: Expression): ParseLogBlock =
     copy(child = c)
@@ -84,4 +53,68 @@ case class ParseLogBlock(child: Expression)
 object ParseLogBlock {
   def parse(block: Column): Column =
     Bridge.column(ParseLogBlock(Bridge.expression(block)))
+
+  /** Row kernel (also the codegen call target — static forwarder).
+    *
+    * Spark's `trim` strips the space character only (not all whitespace
+    * like Java's String.trim) — mirrored for parity with the composable
+    * form.
+    */
+  def parseUTF8(input: UTF8String): MapData = {
+    val text = input.toString
+    val n = text.length
+    var keys = new Array[String](16)
+    var values = new Array[String](16)
+    var size = 0
+    var start = 0
+    while (start <= n) {
+      val nl = text.indexOf('\n', start)
+      val end = if (nl < 0) n else nl
+      // one scan of the line: first ':' position + any ": " occurrence
+      var firstColon = -1
+      var hasColonSpace = false
+      var i = start
+      while (i < end && !(hasColonSpace && firstColon >= 0)) {
+        if (text.charAt(i) == ':') {
+          if (firstColon < 0) firstColon = i
+          if (i + 1 < end && text.charAt(i + 1) == ' ') hasColonSpace = true
+        }
+        i += 1
+      }
+      if (hasColonSpace && firstColon >= 0) {
+        // key: space-trimmed [start, firstColon), lowered, ' ' -> '_'
+        var a = start; var b = firstColon
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        val key = text.substring(a, b).toLowerCase.replace(' ', '_')
+        // value: space-trimmed suffix after the first ':'
+        var va = firstColon + 1; var vb = end
+        while (va < vb && text.charAt(va) == ' ') va += 1
+        while (vb > va && text.charAt(vb - 1) == ' ') vb -= 1
+        val value = text.substring(va, vb)
+        // last-win: replace in place if the key repeats
+        var j = 0
+        while (j < size && keys(j) != key) j += 1
+        if (j == size) {
+          if (size == keys.length) {
+            keys = java.util.Arrays.copyOf(keys, size * 2)
+            values = java.util.Arrays.copyOf(values, size * 2)
+          }
+          keys(size) = key
+          size += 1
+        }
+        values(j) = value
+      }
+      start = if (nl < 0) n + 1 else end + 1
+    }
+    val ks = new Array[Any](size)
+    val vs = new Array[Any](size)
+    var i = 0
+    while (i < size) {
+      ks(i) = UTF8String.fromString(keys(i))
+      vs(i) = UTF8String.fromString(values(i))
+      i += 1
+    }
+    ArrayBasedMapData(ks, vs)
+  }
 }

@@ -46,33 +46,54 @@ object AnalyticsQueries extends QuerySet {
           LogGrammar.amountOf(col("m")).as("amount"),
           col("m").getItem("location").as("location"),
           col("m").getItem("type").as("typ"))
-      // four consumers (metrics, two modes, fraud avg) read this frame:
-      // materialize the parse once instead of re-running the block
-      // grammar per subtree
       val clean = Cleaning.dropNulls(parsed,
         Seq("actual_fraud", "predicted_fraud", "probability"))
+
+      // Four consumers (live metrics, two fraud modes, fraud amount sum)
+      // all derive from ONE map-side-combining pre-aggregation keyed by
+      // (location, typ, actual, predicted) — cardinality ≤ |loc|×|typ|×4
+      // (~1000 rows), so the format→parse pipeline runs exactly once with
+      // no cache materialization (an InMemoryRelation build costs more
+      // than the whole parse at this width), and every downstream
+      // re-aggregate is a trivially small shuffle the plan reuses via
+      // exchange reuse. Decimal partial sums keep the money/probability
+      // totals exact (dsum parity: cast before arithmetic), so results
+      // are bit-identical to direct aggregation over the row frame.
+      // The ~1000-row pre-agg is persisted, not the 150k-row parse frame:
+      // column pruning specializes the partial aggregate per consumer, so
+      // without the (tiny, constant-size) cache the exchanges stop being
+      // plan-equal and each branch would re-run the parse.
+      val preAgg = clean.groupBy(
+          col("location"), col("typ"),
+          col("actual_fraud"), col("predicted_fraud"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
+          sum(dec(col("amount"))).as("amt_dec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // A2/A3/A4/A12: the live-metrics aggregate
-      val metrics = clean.agg(
-        count(lit(1)).as("total_transactions"),
-        sum(col("actual_fraud")).as("actual_fraud_total"),
-        sum(col("predicted_fraud")).as("predicted_fraud_total"),
-        (sum(col("probability").cast("decimal(18,6)")).cast("double") /
-          count(lit(1))).as("avg_probability"),
-        (avg((col("actual_fraud") === col("predicted_fraud")).cast("double"))
-          * 100).as("accuracy"))
+      val metrics = preAgg.agg(
+        sum(col("cnt")).as("total_transactions"),
+        sum(col("actual_fraud") * col("cnt")).as("actual_fraud_total"),
+        sum(col("predicted_fraud") * col("cnt")).as("predicted_fraud_total"),
+        (sum(col("prob_dec")).cast("double") / sum(col("cnt")))
+          .as("avg_probability"),
+        (sum(when(col("actual_fraud") === col("predicted_fraud"),
+            col("cnt").cast("double")).otherwise(0.0)) /
+          sum(col("cnt")) * 100).as("accuracy"))
 
       // P7 + A5 (mode, pandas tie-break) + A4: fraud-pattern mining
-      val fraud = Cleaning.filterFraud(clean, "actual_fraud")
-      val modeLoc = fraud.groupBy(col("location")).count()
+      val fraudPairs = Cleaning.filterFraud(preAgg, "actual_fraud")
+      val modeLoc = fraudPairs.groupBy(col("location"))
+        .agg(sum(col("cnt")).as("count"))
         .orderBy(col("count").desc, col("location").asc).limit(1)
         .select(col("location").as("common_fraud_location"))
-      val modeType = fraud.groupBy(col("typ")).count()
+      val modeType = fraudPairs.groupBy(col("typ"))
+        .agg(sum(col("cnt")).as("count"))
         .orderBy(col("count").desc, col("typ").asc).limit(1)
         .select(col("typ").as("common_fraud_type"))
-      val fraudAvg = fraud.agg(
-        dsum(col("amount")).as("sum_fraud_amount"))
+      val fraudAvg = fraudPairs.agg(
+        sum(col("amt_dec")).cast("double").as("sum_fraud_amount"))
 
       metrics.crossJoin(modeLoc).crossJoin(modeType).crossJoin(fraudAvg)
     })
