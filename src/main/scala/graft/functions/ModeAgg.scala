@@ -66,11 +66,17 @@ case class ModeAgg(child: Expression,
       UTF8String.fromString(k)
     }
 
+  // length-prefixed UTF-8 byte arrays, not writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 encoded bytes, which would crash
+  // the partial-aggregate shuffle on long string values
   override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
-    buffer.foreach { case (k, n) => out.writeUTF(k); out.writeLong(n) }
+    buffer.foreach { case (k, n) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(n)
+    }
     out.flush(); bos.toByteArray
   }
 
@@ -79,7 +85,14 @@ case class ModeAgg(child: Expression,
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     m
   }
 

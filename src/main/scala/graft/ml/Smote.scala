@@ -28,10 +28,14 @@ import graft.functions.ArrayMath
   */
 object Smote {
 
-  /** Oversample every non-majority class up to the majority count. */
+  /** Oversample every non-majority class up to the majority count.
+    * `maxBucketCandidates` caps the neighbor pool per LSH bucket — one
+    * dense bucket (many identical/near-identical minority rows) would
+    * otherwise make the candidate equi-join quadratic in that bucket.
+    */
   def oversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
                  k: Int = 5, numTables: Int = 3, bucketWidth: Double = 2.0,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L, maxBucketCandidates: Int = 256): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(counts.size >= 2, "need at least two classes") // P9 guard
@@ -39,14 +43,16 @@ object Smote {
 
     val synths = counts.filter(_._2 < majority).map { case (cls, cnt) =>
       synthesize(df.filter(col(labelCol) === cls), featureCols,
-        need = majority - cnt, k, numTables, bucketWidth, seed)
+        need = majority - cnt, k, numTables, bucketWidth, seed,
+        maxBucketCandidates)
     }
     synths.foldLeft(df)(_ unionByName _)
   }
 
   private def synthesize(minority: DataFrame, featureCols: Seq[String],
                          need: Long, k: Int, numTables: Int,
-                         bucketWidth: Double, seed: Long): DataFrame = {
+                         bucketWidth: Double, seed: Long,
+                         maxBucketCandidates: Int): DataFrame = {
     val dim = featureCols.length
     val rnd = new scala.util.Random(seed)
     // seeded unit-ish hyperplanes for the projection tables
@@ -73,8 +79,19 @@ object Smote {
       .select(col("__id"), col("__fv"), col("__n2"),
         col("bk.t"), col("bk.bucket"))
 
+    // candidate POOL side capped per (table, bucket): a pathologically
+    // dense bucket stays O(|bucket| × cap), not O(|bucket|²). Points keep
+    // their full left-side presence, so everyone still finds neighbors
+    // within the (deterministic, id-ordered) capped pool.
+    val poolW = Window.partitionBy(col("t"), col("bucket"))
+      .orderBy(col("__id").asc)
+    val candPool = bucketed
+      .withColumn("__bn", row_number().over(poolW))
+      .filter(col("__bn") <= maxBucketCandidates)
+      .drop("__bn")
+
     // candidates via bucket equi-join; exact top-k by squared distance
-    val cand = bucketed.as("a").join(bucketed.as("b"),
+    val cand = bucketed.as("a").join(candPool.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("id"), col("b.__id").as("nbr_id"),

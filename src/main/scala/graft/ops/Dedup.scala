@@ -23,12 +23,17 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("digest"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
 
-  /** Keep one deterministic representative row per distinct text. */
+  /** Keep one deterministic representative row per distinct text.
+    * Partitioned by the 256-bit content digest, not the raw text — the
+    * shuffle ships a 32-byte key instead of multi-KB documents, and the
+    * window keys compare in constant time.
+    */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(textCol)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .partitionBy(col("__digest")).orderBy(col(idCol))
+    df.withColumn("__digest", sha2(col(textCol), 256))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__digest")
   }
 
   // ---------- shingles + MinHash ----------
@@ -87,6 +92,14 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: tokenize → shingle → sign →
     * band → candidate pairs → exact-Jaccard verify ≥ threshold.
+    *
+    * Cache lifecycle: the compact (id, shingles, sig) frame is persisted
+    * because three join sides consume it and the result is lazy — it
+    * stays in the block manager until the caller's action completes.
+    * Sessions running many dedup jobs should `spark.catalog.clearCache()`
+    * (or unpersist via the returned plan's cached leaf) between jobs;
+    * same note applies to [[simhashNearDups]] and
+    * `Similarity.cosineNearDupsLSH`.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleSize: Int = 3, numHashes: Int = 16,
@@ -174,20 +187,33 @@ object Dedup {
           .withColumnRenamed("component", "nbr_component"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr_component")).as("nbr_min"))
+      // convergence rides along as a per-row flag: the localCheckpoint
+      // action below is the iteration's ONLY full job, and the changed?
+      // probe is a short-circuiting scan of the already-materialized
+      // checkpoint (head(1)), not a second shuffle+count over the data
       val updated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"))
+            .as("component"),
+          (col("nbr_min").isNotNull && col("nbr_min") < col("component"))
+            .as("__changed"))
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.component") =!= col("l.component")).count()
-      labels = updated
-      converged = changed == 0
+      converged = updated.filter(col("__changed")).head(1).isEmpty
+      labels = updated.drop("__changed")
       iter += 1
     }
     edges.unpersist(blocking = false)
     labels
   }
+
+  /** Component-size frame for skew monitoring: one giant component
+    * (e.g. boilerplate that links everything) makes the min-label loop
+    * run to diameter and concentrates one reducer — run this after
+    * clustering and alert on sizes far above the corpus's expected
+    * near-dup clique size before trusting a dedup pass.
+    */
+  def componentSizes(labels: DataFrame): DataFrame =
+    labels.groupBy(col("component")).agg(count(lit(1)).as("size"))
 
   /** Deduplicate a corpus given near-dup pairs: every component keeps
     * its smallest id; rows never seen in a pair keep themselves.
@@ -206,11 +232,20 @@ object Dedup {
   // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
-    * correctness baseline the banded paths approximate). Caller bounds
-    * the input; the join is a broadcast when one side is small.
+    * correctness baseline the banded paths approximate — use
+    * [[minhashNearDups]] at corpus scale). The O(n²) self-join is fenced
+    * by `maxRows`: the call refuses unbounded input instead of silently
+    * going quadratic. The count costs one pass over the (small, already
+    * caller-filtered) candidate frame.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        maxRows: Long = 100000L): DataFrame = {
+    val rows = df.count()
+    require(rows <= maxRows,
+      s"ngramJaccardPairs is the exact all-pairs baseline: got $rows rows " +
+        s"(max $maxRows); use minhashNearDups for corpus-scale input " +
+        "or raise maxRows explicitly")
     val prepared = df.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("sh"))
     prepared.as("a").join(prepared.as("b"), col("a.id") < col("b.id"))

@@ -162,11 +162,6 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs above a threshold. The
-    * banded/LSH variant for scale is `Dedup`-style; this exact form
-    * bounds its input (`maxRows`) — the 100 TB path pre-buckets with
-    * `ivfIndex` and compares within clusters only.
-    */
   /** Scale path for embedding near-dup: random-hyperplane LSH. Each
     * vector gets `numBits` sign bits (sign of v·rᵢ for seeded Gaussian
     * hyperplanes), packed to a long; bits split into `bands`; vectors
@@ -212,8 +207,19 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs above a threshold — the exact
+    * all-pairs baseline [[cosineNearDupsLSH]] approximates. The O(n²)
+    * self-join is fenced by `maxRows` (refuses unbounded input instead
+    * of silently going quadratic); the 100 TB path is the LSH variant or
+    * `ivfIndex` + within-cluster compare.
+    */
   def cosineNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
+                     threshold: Double, maxRows: Long = 100000L): DataFrame = {
+    val rows = corpus.count()
+    require(rows <= maxRows,
+      s"cosineNearDups is the exact all-pairs baseline: got $rows rows " +
+        s"(max $maxRows); use cosineNearDupsLSH for corpus-scale input " +
+        "or raise maxRows explicitly")
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     c.as("a").join(c.as("b"), col("a.id") < col("b.id"))

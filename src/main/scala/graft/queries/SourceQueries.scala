@@ -49,7 +49,7 @@ object SourceQueries extends QuerySet {
       val qn = "st02_window_sink"
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
         .withWatermark("t", "10 minutes")
       val q = src
         .groupBy(window(col("t"), "1 hour"), col("event_type"))

@@ -34,7 +34,7 @@ object WindowQueries extends QuerySet {
     // windows). Oracle enumerates the candidate window starts per event.
     "w04_sliding" -> ((s, d) =>
       Tables.events(s, d)
-        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("window.start")).as("ws"),
@@ -44,7 +44,7 @@ object WindowQueries extends QuerySet {
     // Session windows: 30-minute inactivity gap per user.
     "w03_session" -> ((s, d) => {
       val ev = Tables.events(s, d)
-        .withColumn("t", timestamp_micros((col("ts") / 1000).cast("long")))
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
       val sessions = ev
         .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
