@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the container's effective CPU swings ~3.5× between runs: take the
+    // min of `reps` full passes so per-query numbers reflect the code,
+    // not a noisy-neighbor moment, and record the load average alongside
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,15 +27,29 @@ object Bench {
     try SparkEntry.queries.get("a02_grouped_agg")
       .foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = selected.toSeq.sortBy(_._1)
+    val loadBefore = systemLoad()
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      // each pass evicts the previous pass's lazy caches so a rep pays
+      // its own materialization, not a prior rep's
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
     }
+    val results = names.map { case (k, _) => k -> best(k) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}""")
     spark.stop()
+  }
+
+  private def systemLoad(): Double = {
+    val l = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (l < 0) 0.0 else math.rint(l * 100) / 100
   }
 }

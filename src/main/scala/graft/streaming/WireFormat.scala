@@ -41,21 +41,37 @@ object WireFormat {
     df.filter(Transactions.wireSchema.fieldNames
       .map(col(_).isNull).reduce(_ && _))
 
+  /** The exact DSV2 options the Kafka source receives — the reference's
+    * transport config (`FD/consumer.py:104-109`: bootstrap servers,
+    * subscribed topic, latest offsets) in connector form. Exposed
+    * separately so the contract is testable without the connector jar.
+    */
+  def kafkaSourceOptions(bootstrap: String,
+                         topic: String = defaultTopic): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> "latest")
+
+  /** Sink-side DSV2 options (`FD/producer.py:14-17,133`). */
+  def kafkaSinkOptions(bootstrap: String, topic: String,
+                       checkpoint: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "topic" -> topic,
+      "checkpointLocation" -> checkpoint)
+
   /** Kafka source (deploy classpath provides the connector). */
   def fromKafka(spark: SparkSession, bootstrap: String,
                 topic: String = defaultTopic): DataFrame =
     decodeFrame(
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
+        .options(kafkaSourceOptions(bootstrap, topic))
         .load())
 
   /** Kafka sink writer (S1): call `.start()` on the returned writer. */
   def toKafka(df: DataFrame, bootstrap: String, topic: String,
               checkpoint: String) =
     encodeFrame(df).writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
+      .options(kafkaSinkOptions(bootstrap, topic, checkpoint))
 }

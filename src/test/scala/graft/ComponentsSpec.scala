@@ -49,4 +49,24 @@ class ComponentsSpec extends SparkSpec {
     // signature), so every surviving representative is an original
     assert(deduped.filter($"doc_id" >= 100000).count() == 0)
   }
+
+  test("giant component converges and componentSizes flags it") {
+    // a star + chain hybrid: hub 0 linked to 200 spokes, plus a long
+    // chain hanging off one spoke - one component of 221 nodes next to
+    // a handful of tiny cliques
+    val star = (1L to 200L).map(h => (0L, h))
+    // chain kept short enough that hub-label propagation (one hop per
+    // iteration) converges within the default maxIter
+    val chain = (300L to 310L).map(i => (i, i + 1)) :+ ((200L, 300L))
+    val tiny = Seq((1000L, 1001L), (2000L, 2001L))
+    val pairs = (star ++ chain ++ tiny).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val sizes = Dedup.componentSizes(labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(0L) == 213L) // hub + 200 spokes + 12 chain nodes
+    assert(sizes(1000L) == 2L && sizes(2000L) == 2L)
+    // the monitoring frame makes the skewed component visible
+    val giant = Dedup.componentSizes(labels).filter($"size" > 100)
+    assert(giant.count() == 1)
+  }
 }

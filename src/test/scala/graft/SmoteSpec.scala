@@ -65,4 +65,22 @@ class SmoteSpec extends SparkSpec {
       artifacts.features, artifacts.production)
     assert(scoredDf.count() == 50)
   }
+
+  test("hot LSH bucket stays capped and synthesis still lands in-hull") {
+    // plant a pathological bucket: 60 identical minority points (all
+    // hash to the same (table, bucket)) vs a 300-row majority. With the
+    // candidate pool capped the equi-join is 60 x cap, not 60^2, and
+    // every synthetic row still interpolates between identical points
+    // (i.e. stays exactly on them)
+    val hot = (
+      (1 to 300).map(i => (i.toDouble % 20, (i / 20).toDouble, 0)) ++
+        (1 to 60).map(_ => (50.0, 50.0, 1))
+      ).toDF("x", "y", "label")
+    val out = Smote.oversample(hot, "label", Seq("x", "y"), k = 3,
+      maxBucketCandidates = 8)
+    val minority = out.filter($"label" === 1)
+    assert(math.abs(minority.count() - 300L) <= 25)
+    // identical sources + identical neighbors => synthetics sit on the point
+    assert(minority.filter($"x" =!= 50.0 || $"y" =!= 50.0).count() == 0)
+  }
 }

@@ -196,4 +196,30 @@ class StreamSpec extends SparkSpec {
       assert(text.filter($"value".startsWith("Amount: $")).count() == 10)
     } finally q.stop()
   }
+
+  test("kafka endpoints carry the reference transport config to DSV2") {
+    // the connector jar is not on this offline classpath, so the
+    // strongest honest check: (a) the option maps are exactly the
+    // reference's transport contract, (b) the endpoints wire those
+    // options all the way into DataSource resolution (the failure is
+    // the missing provider, not bad options or a broken plan).
+    assert(WireFormat.kafkaSourceOptions("broker:9092") == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "fraud_topic",
+      "startingOffsets" -> "latest"))
+    assert(WireFormat.kafkaSinkOptions("broker:9092", "fraud_topic", "/ck") == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "topic" -> "fraud_topic",
+      "checkpointLocation" -> "/ck"))
+    val srcErr = intercept[Exception] {
+      WireFormat.fromKafka(spark, "broker:9092")
+    }
+    assert(srcErr.getMessage.toLowerCase.contains("kafka"))
+    val stream = MemoryStream[Transaction](spark)
+    val sinkErr = intercept[Exception] {
+      WireFormat.toKafka(stream.toDF(), "broker:9092", "fraud_topic",
+        Files.createTempDirectory("graft-kafka-ck").toString).start()
+    }
+    assert(sinkErr.getMessage.toLowerCase.contains("kafka"))
+  }
 }
