@@ -14,6 +14,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fall back to per-operator execution (compiled expressions, JIT-able)
+      // for stages whose fused processNext would exceed HotSpot's 8000-byte
+      // JIT ceiling and run as interpreted bytecode (~50x slower)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional filter for profiling: SPARK_GRAFT_ONLY=q1,q2

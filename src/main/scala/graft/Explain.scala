@@ -17,6 +17,10 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fall back to per-operator execution (compiled expressions, JIT-able)
+      // for stages whose fused processNext would exceed HotSpot's 8000-byte
+      // JIT ceiling and run as interpreted bytecode (~50x slower)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { n =>

@@ -15,6 +15,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read as epoch-nanos long (queries convert explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fall back to per-operator execution (compiled expressions, JIT-able)
+      // for stages whose fused processNext would exceed HotSpot's 8000-byte
+      // JIT ceiling and run as interpreted bytecode (~50x slower)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

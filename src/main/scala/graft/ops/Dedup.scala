@@ -109,7 +109,7 @@ object Dedup {
     // the compact (id, shingles, sig) frame instead of recomputing the
     // shingle/hash pipeline per consumer — the same call a production
     // dedup job would make
-    val prepared = df.select(col(idCol).as("id"),
+    val prepared = Layout.fanOut(df).select(col(idCol).as("id"),
         shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -141,7 +141,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val signed = df.select(col(idCol).as("id"),
+    val signed = Layout.fanOut(df).select(col(idCol).as("id"),
         simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = signed.select(col("id"), col("sim"),

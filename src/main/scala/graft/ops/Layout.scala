@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Round-robin fan-out for compute-amplifying pipelines (block
+    * formatting, hash signatures, per-row kernels): when the upstream
+    * scan yields fewer partitions than cores — a single small parquet
+    * file, a single row group, a collapsed coalesce — every downstream
+    * projection runs on one task no matter how wide the cluster is.
+    * Repartitioning the NARROW input rows (cheap to shuffle) before the
+    * expensive projection restores full parallelism. No-op when the
+    * plan already has at least `min` partitions, so applying it to a
+    * properly-split 100 TB scan costs nothing.
+    */
+  def fanOut(df: DataFrame, min: Int = 0): DataFrame = {
+    val target =
+      if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Two-phase salted count/sum for skewed grouping keys: the partial
     * aggregate on (key, salt) spreads a hot key over `saltBuckets`
     * reducers, then a cheap final aggregate on key merges partials.

@@ -36,8 +36,10 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    // norms computed once per row/query, not once per pair
-    val c = corpus.select(col(idCol).as("vec_id"),
+    // norms computed once per row/query, not once per pair; the corpus
+    // side fans out so the broadcast-NL scan isn't one task on a
+    // single-row-group file
+    val c = Layout.fanOut(corpus).select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
     val q = queries.select(col(idCol).as("query_id"),
@@ -119,7 +121,8 @@ object Similarity {
       .limit(fitSample).collect()
       .map(_.getSeq[Double](0).toArray)
     val model = IvfModel(lloyd(sample, nlist, maxIter, seed))
-    val indexed = corpus.select(col(idCol).as("vec_id"),
+    // cluster assignment costs nlist codegen'd dots per row — fan out
+    val indexed = Layout.fanOut(corpus).select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
       .withColumn("cluster", assignCluster(col("v"), model.centroids))
@@ -179,7 +182,8 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
 
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val c = Layout.fanOut(corpus)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
       .withColumn("sig",
         planes.zipWithIndex.map { case (p, i) =>

@@ -18,7 +18,10 @@ object AnalyticsQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_eval_metrics" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      // single-file scan → one task; the format→parse round trip is the
+      // most compute-amplifying pipeline in the suite, so fan the narrow
+      // order rows across cores first (no-op on a split scan)
+      val o = graft.ops.Layout.fanOut(Tables.orders(s, d))
       // synthesize actual/predicted/probability so they disagree
       // (accuracy < 100) — actual from custkey, prediction from status
       val block = LogGrammar.formatBlock(
@@ -35,10 +38,16 @@ object AnalyticsQueries extends QuerySet {
         actual = (col("o_custkey") % 3 === 0).cast("int"),
         probability = (col("o_custkey") % 10000) / 10000.0)
 
-      // S7/F13-F16: parse every block back into typed fields
+      // S7/F13-F16: parse every block back into typed fields.
+      // codegen-stage split: format+filter+parse fused with the typed
+      // projections and the partial aggregate generates a processNext
+      // past HotSpot's 8000-byte JIT ceiling — the fused stage would run
+      // interpreted (~50× slower). A narrow exchange of the parsed map
+      // caps each stage under the limit so the whole path stays JIT'd.
       val parsed = o.select(block.as("block"))
         .transform(b => Cleaning.validBlocks(b, "block"))
         .select(LogGrammar.parseBlock(col("block")).as("m"))
+        .repartition(s.sparkContext.defaultParallelism)
         .select(
           LogGrammar.actualOf(col("m")).as("actual_fraud"),
           LogGrammar.predictedOf(col("m")).as("predicted_fraud"),
@@ -52,24 +61,24 @@ object AnalyticsQueries extends QuerySet {
       // Four consumers (live metrics, two fraud modes, fraud amount sum)
       // all derive from ONE map-side-combining pre-aggregation keyed by
       // (location, typ, actual, predicted) — cardinality ≤ |loc|×|typ|×4
-      // (~1000 rows), so the format→parse pipeline runs exactly once with
-      // no cache materialization (an InMemoryRelation build costs more
-      // than the whole parse at this width), and every downstream
-      // re-aggregate is a trivially small shuffle the plan reuses via
-      // exchange reuse. Decimal partial sums keep the money/probability
+      // (~1000 rows). Decimal partial sums keep the money/probability
       // totals exact (dsum parity: cast before arithmetic), so results
       // are bit-identical to direct aggregation over the row frame.
-      // The ~1000-row pre-agg is persisted, not the 150k-row parse frame:
-      // column pruning specializes the partial aggregate per consumer, so
-      // without the (tiny, constant-size) cache the exchanges stop being
-      // plan-equal and each branch would re-run the parse.
-      val preAgg = clean.groupBy(
+      // The pre-agg lands in a LOCAL relation via a bounded collect of
+      // the constant-size aggregate (same cost class as the tiny metric
+      // collects elsewhere): the four consumers become four broadcast
+      // subtrees of one plan whose exchanges execute as CONCURRENT jobs,
+      // so with a lazily persisted/cached frame they'd race to
+      // materialize it, each re-running the 150k-row parse. The local
+      // relation runs the parse exactly once.
+      val preAggDist = clean.groupBy(
           col("location"), col("typ"),
           col("actual_fraud"), col("predicted_fraud"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
           sum(dec(col("amount"))).as("amt_dec"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val preAgg = s.createDataFrame(
+        java.util.Arrays.asList(preAggDist.collect(): _*), preAggDist.schema)
 
       // A2/A3/A4/A12: the live-metrics aggregate
       val metrics = preAgg.agg(

@@ -67,7 +67,8 @@ object SourceQueries extends QuerySet {
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
     "s06_log_grammar" -> ((s, d) => {
-      val o = Tables.orders(s, d)
+      // fan the narrow order rows across cores before the block kernel
+      val o = graft.ops.Layout.fanOut(Tables.orders(s, d))
       val block = LogGrammar.formatBlock(
         txnId = concat(lit("TXN"), col("o_orderkey")),
         custId = concat(lit("CUST"), col("o_custkey")),

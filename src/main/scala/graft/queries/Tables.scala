@@ -20,6 +20,16 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** documents/embeddings feed compute-amplifying per-row kernels
+    * (tokenize/shingle/hash/dot), and the testdata ships them as
+    * single-row-group files — one scan task. `Layout.fanOut` restores
+    * core-width parallelism before the kernels; it is a no-op on a
+    * properly split production scan, and filters still push through the
+    * round-robin exchange to the scan.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    graft.ops.Layout.fanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    graft.ops.Layout.fanOut(load(s, d, "embeddings"))
 }
