@@ -229,6 +229,44 @@ object Dedup {
       .drop("rep")
   }
 
+  // ---------- benchmark decontamination ----------
+
+  /** Drop corpus documents contaminated by a blocklist (eval-benchmark
+    * text, held-out sets): a document is contaminated when ≥ `threshold`
+    * of its own distinct word n-gram shingles appear anywhere in the
+    * blocklist — the standard n-gram-overlap decontamination rule for
+    * LLM training corpora.
+    *
+    * Scale design: both sides explode to shingle keys and meet in an
+    * equi-join on the shingle, so the shuffle is proportional to total
+    * shingle count, never |corpus| × |blocklist|. The distinct blocklist
+    * shingle set is benchmark-sized in practice → broadcast by default
+    * (`broadcastBlocklist = false` for a huge blocklist lets AQE pick
+    * the join side).
+    */
+  def decontaminate(corpus: DataFrame, blocklist: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5,
+                    broadcastBlocklist: Boolean = true): DataFrame = {
+    val sh = (df: DataFrame) =>
+      shingles(TextAnalysis.tokens(lower(col(textCol))), n)
+    val corpusSh = Layout.fanOut(corpus)
+      .select(col(idCol).as("__id"), sh(corpus).as("__sh"))
+    val blockShRaw = Layout.fanOut(blocklist)
+      .select(explode(sh(blocklist)).as("__bsh")).distinct()
+    val blockSh = if (broadcastBlocklist) broadcast(blockShRaw) else blockShRaw
+    val contaminated = corpusSh
+      .select(col("__id"), size(col("__sh")).as("__total"),
+        explode(col("__sh")).as("__s"))
+      .join(blockSh, col("__s") === col("__bsh"), "left_semi")
+      .groupBy(col("__id"), col("__total"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits").cast("double") / col("__total") >= threshold)
+      .select(col("__id"))
+    corpus.join(contaminated, corpus(idCol) === contaminated("__id"),
+      "left_anti")
+  }
+
   // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the

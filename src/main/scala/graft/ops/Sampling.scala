@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (beyond the
+  * reference surface).
+  *
+  * `rand()`-based sampling resamples on every run, cluster layout, and
+  * retry — poison for incremental corpus builds, ablations, and
+  * train/eval splits that must never leak rows across reruns. These
+  * operators decide each row's fate as a pure function of its id:
+  * stable under reruns, repartitioning, appends, and engine migration.
+  *
+  * Two hash modes: `portable = false` (default) keys on XXH64 — one
+  * codegen'd long hash per row, the 100 TB path; `portable = true` keys
+  * on the md5 hex digest of the id string — ~20× slower per row but
+  * bit-reproducible across engines (any SQL engine with md5 selects the
+  * identical sample), which is what you want when a sample definition
+  * outlives the engine that drew it. The DuckDB oracle checks the
+  * portable mode; the XXH64 mode is spec-gated.
+  */
+object Sampling {
+
+  private val M = 1000000L // fraction granularity: 1e-6
+
+  private def xxKey(idCol: String, seed: Long): Column =
+    pmod(xxhash64(col(idCol), lit(seed)), lit(M))
+
+  /** 32-bit value of the first 8 md5-hex chars, as fixed-width hex text
+    * (lexicographic order == numeric order).
+    */
+  private def md5Key(idCol: String): Column =
+    substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+
+  private def md5Threshold(fraction: Double): String =
+    f"${math.floor(fraction * 4294967296.0).toLong}%08x"
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    if (portable)
+      df.filter(md5Key(idCol) < lit(md5Threshold(fraction)))
+    else
+      df.filter(xxKey(idCol, seed) < (fraction * M).toLong)
+  }
+
+  /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
+    * (a deterministic per-group random sample; ties broken by id). The
+    * per-stratum window parallelizes across strata; a single giant
+    * stratum is the salting case, not this operator's.
+    */
+  def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
+                     n: Int, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    val key = if (portable) md5Key(idCol) else xxKey(idCol, seed)
+    val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+}

@@ -25,6 +25,21 @@ object DedupQueries extends QuerySet {
           min(col("rep_id")).as("min_rep"))
     }),
 
+    // Benchmark decontamination: every 17th doc plays the "benchmark"
+    // blocklist; docs sharing ≥ half their distinct 3-gram shingles with
+    // any blocklist doc (the planted members themselves + near-copies)
+    // are dropped. Survivor counts + id sums per lang.
+    "d06_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val bench = docs.filter(col("doc_id") % 17 === 0)
+      Dedup.decontaminate(docs, bench, "text", "doc_id",
+        n = 3, threshold = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -88,6 +103,27 @@ object DedupQueries extends QuerySet {
        END)"""
 
   def oracle: Map[String, String] = Map(
+    "d06_decontaminate" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, lang, $sh3 AS sh FROM t),
+          b AS (SELECT DISTINCT unnest(sh) AS bsh FROM s
+                WHERE doc_id % 17 = 0),
+          e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+          hits AS (
+            SELECT e.doc_id, COUNT(*) AS h
+            FROM e JOIN b ON e.sh1 = b.bsh GROUP BY e.doc_id),
+          tot AS (SELECT doc_id, len(sh) AS total FROM s),
+          contaminated AS (
+            SELECT tot.doc_id FROM tot JOIN hits USING (doc_id)
+            WHERE CAST(h AS DOUBLE) / total >= 0.5)
+          SELECT lang, COUNT(*) AS n_survivors,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          GROUP BY lang ORDER BY lang""",
     "d01_exact_dedup" ->
       """WITH u AS (
            SELECT doc_id, text FROM documents

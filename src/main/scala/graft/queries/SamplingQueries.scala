@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic sampling coverage (portable md5 mode — the DuckDB
+  * oracle draws the identical sample; XXH64 mode is spec-gated in
+  * SamplingSpec).
+  */
+object SamplingQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ~20% deterministic corpus sample, per-lang survivor stats.
+    "sm01_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", fraction = 0.2, portable = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))),
+
+    // exactly 20 docs per language, chosen in id-hash order.
+    "sm02_stratified_take" -> ((s, d) =>
+      Sampling.stratifiedTake(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "lang", "doc_id", n = 20, portable = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sm01_hash_sample" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+         GROUP BY lang ORDER BY lang""",
+    "sm02_stratified_take" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY lang
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id) AS rn
+           FROM documents)
+         SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM r WHERE rn <= 20
+         GROUP BY lang ORDER BY lang"""
+  )
+}

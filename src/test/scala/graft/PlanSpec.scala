@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape regression gates for the scale properties this engine
+  * promises: no single-partition windows on the metrics path, filter
+  * pushdown through the fan-out exchange, broadcast joins for small
+  * dims. AQE is disabled per-test so the pre-execution physical plan is
+  * the final one and can be walked directly.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan = {
+    // other suites share the session and may have cached frames whose
+    // subplans CacheManager would splice in as InMemoryRelations,
+    // hiding the scans these assertions inspect
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("metrics path has no global (unpartitioned) window") {
+    for (q <- Seq("a16_roc_auc", "a17_optimal_threshold",
+        "a16b_roc_curve", "a17b_pr_curve")) {
+      val globals = plan(q).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty,
+        s"$q plans a single-partition WindowExec: ${globals.headOption}")
+    }
+  }
+
+  test("filters push through the fan-out exchange to the parquet scan") {
+    val scans = plan("d03_ngram_jaccard").collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // the doc_id < 100 bound must reach the scan, not sit above the
+    // round-robin repartition
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "")
+      .contains("LessThan(doc_id,100)")),
+      scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+  }
+
+  test("small-dimension joins broadcast") {
+    val bhj = plan("j01_broadcast_join").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "j01 should plan BroadcastHashJoin for nation/region")
+  }
+
+  test("compute-amplifying pipelines fan out past the single-file scan") {
+    // e01's parse stage must not hang off a 1-partition scan: there is a
+    // round-robin exchange between scan and the block kernel
+    val exchanges = plan("e01_eval_metrics").collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "e01 lost its fan-out repartition")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+/** Deterministic sampling invariants (XXH64 fast mode; the portable md5
+  * mode is oracle-gated via sm01/sm02).
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = (1L to 5000L)
+    .map(i => (i, s"grp${i % 7}")).toDF("id", "grp")
+
+  test("hashSample is deterministic and near the requested fraction") {
+    val a = Sampling.hashSample(base, "id", 0.2).select("id")
+      .as[Long].collect().toSet
+    val b = Sampling.hashSample(base, "id", 0.2).select("id")
+      .as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 1000) < 120, s"got ${a.size}")
+  }
+
+  test("row fate is independent of the rest of the corpus (append-stable)") {
+    // the sample drawn from a grown corpus agrees with the original
+    // sample on every original row — the property rand() sampling lacks
+    val small = Sampling.hashSample(base, "id", 0.15)
+      .select("id").as[Long].collect().toSet
+    val grown = base.union((900001L to 905000L)
+      .map(i => (i, "new")).toDF("id", "grp"))
+    val big = Sampling.hashSample(grown, "id", 0.15)
+      .select("id").as[Long].collect().toSet
+    assert(big.filter(_ <= 5000L) == small)
+  }
+
+  test("different seeds draw different samples") {
+    val a = Sampling.hashSample(base, "id", 0.2, seed = 1L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(base, "id", 0.2, seed = 2L)
+      .select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("stratifiedTake returns exactly min(n, |stratum|) per stratum") {
+    val out = Sampling.stratifiedTake(base, "grp", "id", 50)
+    val counts = out.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.size == 7 && counts.values.forall(_ == 50L))
+    // tiny stratum: fewer rows than n → all kept
+    val tiny = base.filter($"id" <= 3)
+    val outTiny = Sampling.stratifiedTake(tiny, "grp", "id", 50)
+    assert(outTiny.count() == 3)
+    // deterministic
+    val again = Sampling.stratifiedTake(base, "grp", "id", 50)
+    assert(out.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+}
