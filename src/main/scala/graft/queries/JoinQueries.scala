@@ -12,6 +12,25 @@ object JoinQueries extends QuerySet {
   import Parity._
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Banded point-in-interval range join (ops/RangeJoin): lineitem ship
+    // days against 30-day windows opened by a sampled set of orders. The
+    // bin equi-join replaces the nested-loop theta join Spark would
+    // otherwise plan; the oracle states the plain BETWEEN join.
+    "j06_range_join" -> ((s, d) => {
+      val epoch = lit("1970-01-01")
+      val li = Tables.lineitem(s, d).select(col("l_quantity"),
+        datediff(col("l_shipdate"), epoch).as("ship_day"))
+      val iv = Tables.orders(s, d).filter(col("o_custkey") % 1000 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("start_day"))
+        .withColumn("end_day", col("start_day") + 30)
+      graft.ops.RangeJoin.pointInInterval(li, iv,
+          "ship_day", "start_day", "end_day", binWidth = 32)
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_intervals"))
+    }),
+
     // Broadcast dimension join: fact scan stays shuffle-free.
     "j01_broadcast_join" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -79,6 +98,23 @@ object JoinQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "j06_range_join" ->
+      s"""WITH p AS (
+            SELECT l_quantity,
+                   date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+                     AS ship_day
+            FROM lineitem),
+          iv AS (
+            SELECT o_orderkey,
+                   date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                     AS start_day,
+                   date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 30
+                     AS end_day
+            FROM orders WHERE o_custkey % 1000 = 0)
+          SELECT COUNT(*) AS n_pairs,
+                 ${sqlSum("l_quantity")} AS sum_qty,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_intervals
+          FROM p JOIN iv ON ship_day BETWEEN start_day AND end_day""",
     "j01_broadcast_join" ->
       s"""SELECT p_brand, COUNT(*) AS n,
             ${sqlSum("l_extendedprice")} AS sum_price

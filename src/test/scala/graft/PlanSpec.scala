@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(bhj.nonEmpty, "j01 should plan BroadcastHashJoin for nation/region")
   }
 
+  test("range join plans as a bin equi-join, not a nested loop") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = plan("j06_range_join")
+    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      p.collect { case j: CartesianProductExec => j }.isEmpty,
+      "j06 fell back to an all-pairs join")
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
