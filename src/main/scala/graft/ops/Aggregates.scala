@@ -50,6 +50,19 @@ object Aggregates {
   def topK(df: DataFrame, valueCol: String, k: Int, tieBreak: String): DataFrame =
     df.orderBy(col(valueCol).desc, col(tieBreak).asc).limit(k)
 
+  /** A6 grouped variant: top-k rows per group by value. The window is
+    * partitioned by the group key, so ranking parallelizes across
+    * groups; a single hot group is the salting case (`Layout`), not
+    * this operator's.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                   k: Int, tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).desc +: tieBreak.map(col(_).asc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** A8: tail-N by ordinal (`FD/dashboard.py:24`), returned in display
     * (ascending) order.
     */

@@ -122,6 +122,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup: flag rows of `batch` that near-duplicate any
+    * row of an existing `corpus` — the crawl-increment shape. Both sides
+    * sign and band once; candidates come from the banded equi-join of
+    * the (small) batch against the corpus index, so per-increment cost
+    * is ∝ batch + collisions regardless of corpus size, and the corpus's
+    * (id, shingles, sig) frame is exactly what a production pipeline
+    * would keep materialized between increments. Returns one row per
+    * flagged batch id with its best-matching corpus id and Jaccard.
+    */
+  def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String,
+                             shingleSize: Int = 3, numHashes: Int = 16,
+                             bands: Int = 4,
+                             threshold: Double = 0.6): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame) = Layout.fanOut(df)
+      .select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val b = prep(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = prep(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(df: DataFrame) = df
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand))
+        .as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cand = banded(b).as("a").join(banded(c).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val verified = cand
+      .join(b.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(c.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+    // best match per batch row: highest jaccard, smallest corpus id
+    verified.groupBy(col("batch_id"))
+      .agg(max_by(col("corpus_id"),
+          struct(col("jaccard"), -col("corpus_id"))).as("corpus_id"),
+        max(col("jaccard")).as("jaccard"))
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash of a token array: per-bit ±1 votes from each token's

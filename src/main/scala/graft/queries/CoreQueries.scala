@@ -96,6 +96,16 @@ object CoreQueries extends QuerySet {
       Aggregates.topK(Tables.orders(s, d), "o_totalprice", 10, "o_orderkey")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
 
+    // A6 grouped variant: top-3 line items by price per return flag.
+    "a21_topk_per_group" -> ((s, d) =>
+      Aggregates.topKPerGroup(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", "l_extendedprice", 3,
+        Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))),
+
     // A8: tail-N by ordinal, re-sorted ascending for display.
     "a08_tailn" -> ((s, d) =>
       Aggregates.tailN(Tables.events(s, d), "event_id", 10)
@@ -167,6 +177,18 @@ object CoreQueries extends QuerySet {
     "a06_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "a21_topk_per_group" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+         FROM (
+           SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                             l_linenumber ASC) AS rn
+           FROM lineitem)
+         WHERE rn <= 3
+         ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey,
+                  l_linenumber""",
     "a08_tailn" ->
       """SELECT event_id, event_type, value FROM (
            SELECT event_id, event_type, value FROM events

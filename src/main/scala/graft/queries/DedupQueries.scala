@@ -65,6 +65,22 @@ object DedupQueries extends QuerySet {
             .as("n_planted_found"))
     }),
 
+    // Incremental near-dup: a crawl-increment batch (first-word-dropped
+    // copies of every 5th doc) checked against the standing corpus —
+    // every planted copy must flag, most against their exact source.
+    // xxhash64 signatures → rows-only; invariants in PipelineOpsSpec.
+    "d07_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.minhashNearDupsAgainst(batch, docs, "text", "doc_id",
+        threshold = 0.5)
+        .agg(count(lit(1)).as("n_flagged"),
+          sum(when(col("batch_id") - 2000000 === col("corpus_id"), 1L)
+            .otherwise(0L)).as("n_exact_source"))
+    }),
+
     // Full dedup pipeline: pairs → connected components → one
     // representative per cluster (rows-only; invariants in
     // ComponentsSpec). Doubled corpus must collapse back to ≤ originals.

@@ -31,6 +31,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("incremental dedup flags batch copies against the standing corpus") {
+    val corpus = docs.select("doc_id", "text")
+    val copies = corpus.filter($"doc_id" % 3 === 0)
+      .select($"doc_id" + 500000 as "doc_id",
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    // fresh rows: shuffled ids whose text is a synthetic token soup no
+    // corpus doc shares 3-grams with
+    val fresh = (1 to 25).map(i =>
+      (900000L + i, s"zzq$i qqz$i zqz$i qzz$i zzz$i qqq$i")).toDF("doc_id", "text")
+    val flagged = Dedup.minhashNearDupsAgainst(
+      copies.unionByName(fresh), corpus, "text", "doc_id", threshold = 0.5)
+    val got = flagged.select("batch_id").as[Long].collect().toSet
+    // no fresh row flags; nearly all planted copies flag against a source
+    assert(got.forall(_ < 900000L), s"fresh rows flagged: ${got.filter(_ >= 900000L)}")
+    val nCopies = copies.count()
+    assert(got.size >= (nCopies * 0.95).toLong, s"recall ${got.size}/$nCopies")
+    // best match is genuine: jaccard within (0.5, 1.0]
+    assert(flagged.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
+  }
+
   test("simhash distance 0 for identical docs, banding finds exact copies") {
     val copies = docs.select($"doc_id" + 100000 as "doc_id", $"text")
     val pairs = Dedup.simhashNearDups(
