@@ -57,6 +57,26 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Per-group embedding centroid (mean vector) — cluster/class
+    * profiling for embedding pipelines. `posexplode` spreads the vector
+    * DIMENSION across the shuffle too, so partial sums aggregate
+    * (group, position) cells — a wide embedding column never
+    * concentrates one reducer — and the ordered re-assembly sorts each
+    * group's positions back into an array (struct sort is by leading
+    * field, i.e. position).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), (col("s") / col("n"))
+          .as("m")))),
+        x => x.getField("m")).as("centroid"))
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

@@ -14,6 +14,18 @@ import graft.ops.Similarity
 object SimilarityQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-label centroid profile. Float sums are order-sensitive in the
+    // last ulp → rows-only (centroid math spec-gated in PipelineOpsSpec);
+    // output keeps scalars (norm + first component), never array cells.
+    "n05_group_centroids" -> ((s, d) =>
+      Similarity.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("grp").as("label"),
+          org.apache.spark.sql.functions.round(
+            Similarity.norm(col("centroid")), 6).as("centroid_norm"),
+          org.apache.spark.sql.functions.round(
+            element_at(col("centroid"), 1), 6).as("c0"))
+        .orderBy(col("label"))),
+
     // Brute-force cosine top-10 for 5 query vectors (broadcast NL join).
     "n01_brute_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)

@@ -108,6 +108,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"cos" < 0.9).count() == 0)
   }
 
+  test("group centroids: exact means, order- and layout-invariant") {
+    val vecs = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 0.0f)), ("b", Seq(0.0f, 10.0f)), ("b", Seq(2.0f, 2.0f))
+    ).toDF("grp", "vec")
+    val got = Similarity.groupCentroids(vecs, "grp", "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(2.0, 4.0))
+    assert(got("b") == Seq(4.0, 4.0))
+    // layout invariance: the (group, pos) partial sums are exact here,
+    // so a different partitioning yields identical centroids
+    val re = Similarity.groupCentroids(vecs.repartition(7), "grp", "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(re == got)
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
