@@ -294,8 +294,13 @@ object Dedup {
                     textCol: String, idCol: String,
                     n: Int = 3, threshold: Double = 0.5,
                     broadcastBlocklist: Boolean = true): DataFrame = {
+    // shingles travel as 64-bit hashes, not strings: the explode, the
+    // shuffle, and the membership join all move 8-byte keys (the
+    // standard production form of n-gram decontamination; a cross-hash
+    // collision inflating one doc's overlap count is ~2^-64 per pair)
     val sh = (df: DataFrame) =>
-      shingles(TextAnalysis.tokens(lower(col(textCol))), n)
+      transform(shingles(TextAnalysis.tokens(lower(col(textCol))), n),
+        s => xxhash64(s))
     val corpusSh = Layout.fanOut(corpus)
       .select(col(idCol).as("__id"), sh(corpus).as("__sh"))
     val blockShRaw = Layout.fanOut(blocklist)
