@@ -23,5 +23,8 @@ object Register {
       exprs => ParseLogBlock(exprs.head), "built-in")
     registry.createOrReplaceTempFunction("graft_mode",
       exprs => ModeAgg(exprs.head), "built-in")
+    registry.createOrReplaceTempFunction("graft_heavy_hitters",
+      exprs => MisraGriesAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
   }
 }

@@ -281,6 +281,28 @@ object Aggregates {
       .limit(1)
       .select(col("threshold").as("optimal_threshold"), col("f1").as("best_f1"))
 
+  /** Exact top-k values by frequency in two passes at sketch memory: a
+    * mergeable Misra–Gries pass (`functions/MisraGriesAgg`) proposes
+    * ≤ `capacity` candidates — every value with true frequency >
+    * n/(capacity+1) is guaranteed among them — then one exact count of
+    * just the candidate set orders them. Provably exact whenever the
+    * k-th true frequency clears that bound (always when capacity exceeds
+    * the column's cardinality; for skewed data with modest capacity).
+    * The candidate set never leaves the cluster: it broadcasts into a
+    * semi-join, so no driver-side collect at any cardinality.
+    */
+  def exactTopKByFreq(df: DataFrame, valueCol: String, k: Int,
+                      capacity: Int): DataFrame = {
+    val sketch = df.agg(graft.functions.MisraGriesAgg
+      .heavyHitters(col(valueCol).cast("string"), capacity).as("mg"))
+    val cands = sketch.select(explode(map_keys(col("mg"))).as("__cand"))
+    df.join(broadcast(cands),
+        col(valueCol).cast("string") === col("__cand"), "left_semi")
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col(valueCol).asc)
+      .limit(k)
+  }
+
   /** Sketch aggregates for the 100 TB path: HyperLogLog++ distinct
     * counting and approximate quantiles — the constant-memory stand-ins
     * for exact distinct/percentile when cardinality explodes. (Beyond

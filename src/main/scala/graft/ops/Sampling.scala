@@ -41,7 +41,10 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
                  seed: Long = 42L, portable: Boolean = false): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    if (portable)
+    // fraction 1.0 would overflow the 8-hex-digit threshold ("100000000"
+    // compares lexicographically BELOW most keys) — short-circuit it
+    if (fraction >= 1.0) df
+    else if (portable)
       df.filter(md5Key(idCol) < lit(md5Threshold(fraction)))
     else
       df.filter(xxKey(idCol, seed) < (fraction * M).toLong)

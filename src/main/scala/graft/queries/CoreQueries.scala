@@ -106,6 +106,15 @@ object CoreQueries extends QuerySet {
         .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
           col("l_orderkey"), col("l_linenumber"))),
 
+    // Two-pass exact heavy hitters: Misra-Gries candidates (capacity >
+    // cardinality here, so the guarantee is unconditional) + exact
+    // re-count; oracle states the plain GROUP BY top-10.
+    "a22_heavy_hitters" -> ((s, d) =>
+      Aggregates.exactTopKByFreq(
+        Tables.lineitem(s, d)
+          .select(concat(lit("P"), col("l_partkey") % 397).as("bucket")),
+        "bucket", k = 10, capacity = 1000)),
+
     // A8: tail-N by ordinal, re-sorted ascending for display.
     "a08_tailn" -> ((s, d) =>
       Aggregates.tailN(Tables.events(s, d), "event_id", 10)
@@ -177,6 +186,12 @@ object CoreQueries extends QuerySet {
     "a06_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "a22_heavy_hitters" ->
+      """SELECT 'P' || CAST(l_partkey % 397 AS VARCHAR) AS bucket,
+                COUNT(*) AS freq
+         FROM lineitem
+         GROUP BY bucket
+         ORDER BY freq DESC, bucket ASC LIMIT 10""",
     "a21_topk_per_group" ->
       """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
          FROM (

@@ -99,4 +99,18 @@ class AggregatesSpec extends SparkSpec {
     val got = Aggregates.tailN(df, "ord", 5).collect().map(_.getLong(0)).toSeq
     assert(got == Seq(16L, 17L, 18L, 19L, 20L))
   }
+
+  test("misra-gries heavy hitters survive eviction; recount is exact") {
+    import graft.ops.Aggregates
+    // 3 hot values in a sea of 20k singletons; capacity 50 << 20003
+    // distinct forces constant eviction, and repartition(16) forces
+    // partial-summary merges. Guarantee: freq > n/(cap+1) = 26000/51
+    // ≈ 510 → all three hot values must be proposed, recount is exact.
+    val rows = Seq.fill(3000)("hot1") ++ Seq.fill(2000)("hot2") ++
+      Seq.fill(1000)("hot3") ++ (1 to 20000).map(i => s"cold$i")
+    val df = rows.toDF("v").repartition(16)
+    val top = Aggregates.exactTopKByFreq(df, "v", 3, 50).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("hot1", "hot2", "hot3"))
+    assert(top.map(_.getLong(1)).toSeq == Seq(3000L, 2000L, 1000L))
+  }
 }

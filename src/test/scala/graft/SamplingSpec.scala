@@ -34,6 +34,15 @@ class SamplingSpec extends SparkSpec {
     assert(big.filter(_ <= 5000L) == small)
   }
 
+  test("boundary fractions: 1.0 keeps everything, 0.0 keeps nothing") {
+    for (portable <- Seq(true, false)) {
+      assert(Sampling.hashSample(base, "id", 1.0, portable = portable)
+        .count() == 5000, s"portable=$portable full")
+      assert(Sampling.hashSample(base, "id", 0.0, portable = portable)
+        .count() == 0, s"portable=$portable empty")
+    }
+  }
+
   test("different seeds draw different samples") {
     val a = Sampling.hashSample(base, "id", 0.2, seed = 1L)
       .select("id").as[Long].collect().toSet
