@@ -28,6 +28,25 @@ object TextQueries extends QuerySet {
           max(col("toks")).as("max_tokens"))
         .orderBy(col("lang"))),
 
+    // Percentile-band length filter — the corpus-curation trim of the
+    // too-short/too-long tails. Bounds come from one EXACT interpolated
+    // percentile pass over integer token counts (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, R-7 interpolation) and broadcast into the
+    // filter; at scale swap percentile_approx in for one-pass sketch
+    // bounds when exactness isn't required.
+    "t08_length_band" -> ((s, d) => {
+      val withLen = Tables.documents(s, d)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val bounds = withLen.agg(
+        expr("percentile(n_tok, 0.05)").as("lo"),
+        expr("percentile(n_tok, 0.95)").as("hi"))
+      withLen.crossJoin(broadcast(bounds))
+        .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Quality scoring: identical double formula both sides → identical
     // floor buckets; counted per (lang, decile).
     "t02_quality_buckets" -> ((s, d) =>
@@ -132,6 +151,15 @@ object TextQueries extends QuerySet {
               END AS r
             FROM (SELECT lang, $ltoksSql AS toks FROM documents))
           GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "t08_length_band" ->
+      s"""WITH l AS (SELECT lang, len($toksSql) AS n_tok FROM documents),
+          b AS (SELECT quantile_cont(n_tok, 0.05) AS lo,
+                       quantile_cont(n_tok, 0.95) AS hi FROM l)
+          SELECT lang, COUNT(*) AS n_kept,
+                 CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+          FROM l, b
+          WHERE n_tok >= lo AND n_tok <= hi
+          GROUP BY lang ORDER BY lang""",
     "t01_token_stats" ->
       s"""SELECT lang, COUNT(*) AS n,
            CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
