@@ -317,6 +317,34 @@ object Aggregates {
       percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("p50"),
       percentile_approx(col(valueCol), lit(0.99), lit(10000)).as("p99"))
 
+  /** Per-group z-score column WITHOUT a window: one grouped pass
+    * collects exact decimal moment sums (count, Σx, Σx²), the tiny
+    * per-group frame broadcasts back onto the rows, and the z column is
+    * plain arithmetic — so the normalization is two narrow shuffles at
+    * any group cardinality instead of a per-group sort window, and the
+    * doubles are reproducible across engines (exact decimal sums cast
+    * once, then one fixed formula). Sample std (n−1); z is null for
+    * groups with fewer than 2 rows or zero variance.
+    */
+  def zscorePerGroup(df: DataFrame, groupCol: String, valueCol: String,
+                     zCol: String = "z"): DataFrame = {
+    val d = col(valueCol).cast("decimal(18,2)")
+    val moments = df.groupBy(col(groupCol).as("__g")).agg(
+      count(lit(1)).as("__n"),
+      sum(d).cast("double").as("__s"),
+      sum(d * d).cast("double").as("__s2"))
+    val mean = col("__s") / col("__n")
+    val variance = (col("__s2") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1)
+    val stats = moments.select(col("__g"), col("__n"), mean.as("__mean"),
+      sqrt(variance).as("__std"))
+    df.join(broadcast(stats), col(groupCol) === col("__g"))
+      .withColumn(zCol,
+        when(col("__n") >= 2 && col("__std") > 0,
+          (col(valueCol) - col("__mean")) / col("__std")))
+      .drop("__g", "__n", "__s", "__s2", "__mean", "__std")
+  }
+
   /** A12: accuracy as a single aggregate (`FD/evaluation.py:145`). */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((avg((col(labelCol) === col(predCol)).cast("double")) * 100)

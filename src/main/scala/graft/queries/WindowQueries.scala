@@ -20,6 +20,18 @@ object WindowQueries extends QuerySet {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"))
         .orderBy(col("rf"), col("ls"))),
 
+    // Per-group z-score normalization without a window (broadcast
+    // moments join); exact decimal sums → engine-identical doubles.
+    "w05_group_zscore" -> ((s, d) =>
+      graft.ops.Aggregates.zscorePerGroup(
+        Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity")),
+        "l_returnflag", "l_quantity")
+        .groupBy(col("l_returnflag"))
+        .agg(count(col("z")).as("n"),
+          sum(when(abs(col("z")) > 2, 1L).otherwise(0L)).as("n_outliers"),
+          max(col("z")).as("max_z"))
+        .orderBy(col("l_returnflag"))),
+
     // Pivot on a known domain (conditional-aggregation equivalent).
     "w02_pivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -57,6 +69,27 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w05_group_zscore" ->
+      """WITH m AS (
+           SELECT l_returnflag AS g, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY 1),
+          st AS (
+           SELECT g, n, s / n AS mean,
+                  sqrt((s2 - s * s / n) / (n - 1)) AS std
+           FROM m),
+          z AS (
+           SELECT l.l_returnflag AS g,
+                  CASE WHEN st.n >= 2 AND std > 0
+                       THEN (l_quantity - mean) / std END AS z
+           FROM lineitem l JOIN st ON l.l_returnflag = st.g)
+         SELECT g AS l_returnflag, COUNT(z) AS n,
+                CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_outliers,
+                MAX(z) AS max_z
+         FROM z GROUP BY 1 ORDER BY 1""",
     "w01_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                 COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n
