@@ -97,9 +97,80 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a token array in one pass.
+  *
+  * Semantics are exactly `ops/Dedup.shinglesComposable`: fewer than n
+  * tokens → a single shingle joining ALL tokens; otherwise every
+  * n-window joined with single spaces; duplicates dropped keeping first
+  * occurrence. The composable spelling costs three interpreted HOF
+  * passes with boxed lambdas per window (transform + slice + array_join
+  * per shingle); this kernel builds each shingle with one
+  * `UTF8String.concatWs` over the window and dedups through a hash set
+  * — it is the map-side cost of every near-dup path, so it gets
+  * `doGenCode` (static call) like the parse kernel.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n > 0, "shingle size must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects array<string>, got ${dt.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles.shingle($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Row kernel (also the codegen call target — static forwarder). */
+  def shingle(toks: ArrayData, n: Int): ArrayData = {
+    val len = toks.numElements()
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { parts(i) = toks.getUTF8String(i); i += 1 }
+    if (len < n) {
+      return new GenericArrayData(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE,
+          parts.toIndexedSeq: _*)))
+    }
+    val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var start = 0
+    while (start <= len - n) {
+      System.arraycopy(parts, start, window, 0, n)
+      seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE,
+        window.toIndexedSeq: _*))
+      start += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashes {
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), numHashes))
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def wordShingles(tokens: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), n))
 }

@@ -38,8 +38,16 @@ object Dedup {
 
   // ---------- shingles + MinHash ----------
 
-  /** Word n-gram shingles (distinct) of a token array. */
+  /** Word n-gram shingles (distinct) of a token array — single native
+    * pass (`functions/WordShingles`, codegen'd static call); the
+    * composable spelling below is the semantic reference it must match
+    * (three interpreted HOF passes per row — the map-side cost of every
+    * near-dup path).
+    */
   def shingles(toks: Column, n: Int): Column =
+    graft.functions.TextHashes.wordShingles(toks, n)
+
+  def shinglesComposable(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(transform(sequence(lit(0), size(toks) - n),

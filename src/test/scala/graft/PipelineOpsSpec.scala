@@ -15,6 +15,22 @@ class PipelineOpsSpec extends SparkSpec {
   lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
 
+  test("native shingle kernel matches the composable spelling exactly") {
+    // real corpus text + adversarial shapes: empty, single token,
+    // exactly n tokens, repeated windows (dedup order)
+    val texts = docs.select($"text").as[String].take(50).toSeq ++ Seq(
+      "", "one", "a b", "a b c", "a b c d", "x x x x x", "a b c a b c a b c")
+    val df = texts.toDF("text")
+    val toks = split(trim(lower($"text")), "\\s+")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = df.select(
+        Dedup.shingles(toks, n).as("native"),
+        Dedup.shinglesComposable(toks, n).as("composable"))
+        .filter($"native" =!= $"composable")
+      assert(diff.count() == 0, s"n=$n mismatch")
+    }
+  }
+
   test("minhash LSH finds all planted near-duplicates") {
     val mutated = docs.select($"doc_id" + 100000 as "doc_id",
       expr("substring(text, instr(text, ' ') + 1)").as("text"))
