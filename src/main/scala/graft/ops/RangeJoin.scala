@@ -33,6 +33,10 @@ object RangeJoin {
     val p = points.withColumn("__bin",
       floor(col(pointCol).cast("long") / binWidth))
     val iv = intervals
+      // empty/inverted intervals can match nothing, and sequence(a, b)
+      // with a > b would otherwise generate a DESCENDING bin range —
+      // junk explode rows the containment filter pays to discard
+      .filter(col(endCol) >= col(startCol))
       .withColumn("__bin", explode(sequence(
         floor(col(startCol).cast("long") / binWidth),
         floor(col(endCol).cast("long") / binWidth))))
