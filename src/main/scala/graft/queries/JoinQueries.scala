@@ -82,10 +82,14 @@ object JoinQueries extends QuerySet {
         .orderBy(col("event_id"))
     }),
 
-    // The SQL string surface over registered temp views.
+    // The SQL string surface over registered temp views. The views fan
+    // out past the single-row-group test files so the map-side partial
+    // aggregate runs core-wide (no-op on split production scans).
     "j03_sql_revenue" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("v_orders")
-      Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+      graft.ops.Layout.fanOut(Tables.orders(s, d))
+        .createOrReplaceTempView("v_orders")
+      graft.ops.Layout.fanOut(Tables.lineitem(s, d))
+        .createOrReplaceTempView("v_lineitem")
       s.sql(
         """SELECT o.o_orderkey, o.o_orderpriority,
              CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
