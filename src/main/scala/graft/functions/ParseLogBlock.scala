@@ -12,15 +12,17 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass log-block parser: `Key: Value` lines → normalized-key map.
   *
   * Exactly the composable grammar in `ops/LogGrammar.parseBlock`
-  * (keep lines containing ": ", key = lowercased/trimmed prefix of
+  * (keep lines containing ':', key = lowercased/trimmed prefix of
   * the FIRST ':' with spaces → underscores, value = trimmed suffix,
   * last key wins) — but as a single string scan per row instead of a
   * split + per-line regexp_replace + HOF map build (~15 interpreted
-  * passes). Deliberate divergence from `FD/evaluation.py:66-70`, which
-  * splits any line containing ':' — so the reference also emits e.g.
-  * `new_transaction_received -> ""` for the header line; we keep only
-  * real `Key: Value` pairs (typed projections are unaffected — every
-  * data field has a `": "` separator).
+  * passes). Matches `FD/evaluation.py:65-70` (`if ':' in line` +
+  * `split(':', 1)`): header lines like `New Transaction Received:`
+  * yield an empty-valued `new_transaction_received` key, same as the
+  * reference; typed projections only read real `Key: Value` fields. One
+  * retained divergence: trims the space character only (Spark's `trim`),
+  * where Python `strip()` takes all whitespace — the grammar never emits
+  * tabs/CRs around fields.
   *
   * The display-log analytics path (SURVEY §3.3) parses every block on
   * every read, so this is its hot kernel: `doGenCode` keeps the whole
@@ -70,18 +72,14 @@ object ParseLogBlock {
     while (start <= n) {
       val nl = text.indexOf('\n', start)
       val end = if (nl < 0) n else nl
-      // one scan of the line: first ':' position + any ": " occurrence
+      // find the line's first ':' (the reference keeps any line with one)
       var firstColon = -1
-      var hasColonSpace = false
       var i = start
-      while (i < end && !(hasColonSpace && firstColon >= 0)) {
-        if (text.charAt(i) == ':') {
-          if (firstColon < 0) firstColon = i
-          if (i + 1 < end && text.charAt(i + 1) == ' ') hasColonSpace = true
-        }
+      while (i < end && firstColon < 0) {
+        if (text.charAt(i) == ':') firstColon = i
         i += 1
       }
-      if (hasColonSpace && firstColon >= 0) {
+      if (firstColon >= 0) {
         // key: space-trimmed [start, firstColon), lowered, ' ' -> '_'
         var a = start; var b = firstColon
         while (a < b && text.charAt(a) == ' ') a += 1

@@ -325,10 +325,21 @@ object Aggregates {
     * doubles are reproducible across engines (exact decimal sums cast
     * once, then one fixed formula). Sample std (n−1); z is null for
     * groups with fewer than 2 rows or zero variance.
+    *
+    * `momentType` controls the partial-sum arithmetic. The default
+    * `decimal(18,2)` QUANTIZES values to 2 decimal places before the
+    * moment sums (z still subtracts the quantized mean from the RAW
+    * value) and bounds |value| ≲ 10^16 before Σx² overflows to null —
+    * right for money/quantity columns and for oracle parity (w05), wrong
+    * for high-precision columns like probabilities. For those pass a
+    * wider scale (e.g. `"decimal(28,12)"`) to keep exactness, or
+    * `"double"` for full-precision moments at the cost of
+    * partition-order-dependent last-ulp nondeterminism.
     */
   def zscorePerGroup(df: DataFrame, groupCol: String, valueCol: String,
-                     zCol: String = "z"): DataFrame = {
-    val d = col(valueCol).cast("decimal(18,2)")
+                     zCol: String = "z",
+                     momentType: String = "decimal(18,2)"): DataFrame = {
+    val d = col(valueCol).cast(momentType)
     val moments = df.groupBy(col(groupCol).as("__g")).agg(
       count(lit(1)).as("__n"),
       sum(d).cast("double").as("__s"),

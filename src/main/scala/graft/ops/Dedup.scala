@@ -169,10 +169,13 @@ object Dedup {
         "corpus_id")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
-    // best match per batch row: highest jaccard, smallest corpus id
+    // best match per batch row: highest jaccard, ties to the smallest
+    // corpus id — min_by over (-jaccard, corpus_id) orders correctly for
+    // ANY orderable id type (negating a string id would be null/error)
     verified.groupBy(col("batch_id"))
-      .agg(max_by(col("corpus_id"),
-          struct(col("jaccard"), -col("corpus_id"))).as("corpus_id"),
+      .agg(min_by(col("corpus_id"),
+          struct((-col("jaccard")).as("nj"), col("corpus_id")))
+          .as("corpus_id"),
         max(col("jaccard")).as("jaccard"))
   }
 

@@ -74,8 +74,10 @@ object LogGrammar {
 
   /** F13+F14: parse a block's `Key: Value` lines into a map with
     * normalized keys (`strip().lower().replace(' ','_')` —
-    * `FD/evaluation.py:66-70`). Split-limit-2 semantics: the value keeps
-    * any further colons. Single native pass
+    * `FD/evaluation.py:65-70`: ANY line containing ':' splits on the
+    * first one, so header lines yield an empty-valued key, exactly like
+    * the reference). Split-limit-2 semantics: the value keeps any
+    * further colons. Single native pass
     * (`graft.functions.ParseLogBlock`); `parseBlockComposable` is the
     * equivalent built-in spelling, kept as the semantic reference.
     */
@@ -85,7 +87,7 @@ object LogGrammar {
   def parseBlockComposable(block: Column): Column =
     map_from_entries(
       transform(
-        filter(split(block, "\n"), l => l.contains(": ")),
+        filter(split(block, "\n"), l => l.contains(":")),
         l => struct(
           regexp_replace(lower(trim(substring_index(l, ":", 1))), " ", "_")
             .as("key"),

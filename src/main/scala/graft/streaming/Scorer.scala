@@ -121,7 +121,11 @@ object Scorer {
     * (failed, replayed) attempt of this batch id wrote, then append the
     * batch rows tagged with `batch_id` — idempotent on retry without
     * requiring target-side upsert support. The delete is a no-op on the
-    * happy path and tolerates a not-yet-created table.
+    * happy path and tolerates a not-yet-created table (probed with a
+    * zero-row select, the only condition that is safe to swallow); any
+    * failure of the delete itself PROPAGATES — a silently-skipped delete
+    * would downgrade replay to duplicate-appending at-least-once while
+    * still claiming exactly-once.
     */
   def writeJdbcBatch(batch: DataFrame, batchId: Long, url: String,
                      table: String, props: java.util.Properties,
@@ -129,13 +133,24 @@ object Scorer {
                        "rawPrediction", "probability")): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.createStatement()
-      // match how Spark's JDBC writer creates the table: table name
-      // passed through raw, column names dialect-quoted (case-sensitive)
-      try st.executeUpdate(
-        s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-      catch { case _: java.sql.SQLException => () } // first batch: no table
-      finally st.close()
+      // quote through the url's dialect, matching how Spark's JDBC
+      // writer created the column ("batch_id" on Derby/Postgres,
+      // `batch_id` on MySQL — an ANSI-quoted literal there would make
+      // the predicate constant-true/false instead of a column match)
+      val quoted = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+        .quoteIdentifier("batch_id")
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0"); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false } // first batch
+      if (exists) {
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"DELETE FROM $table WHERE $quoted = $batchId")
+        finally st.close()
+      }
     } finally conn.close()
     val cols = batch.columns.filterNot(dropCols.contains)
     batch.select(cols.map(col).toIndexedSeq: _*)

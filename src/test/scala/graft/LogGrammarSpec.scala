@@ -111,6 +111,28 @@ class LogGrammarSpec extends SparkSpec {
     assert(dupRow("a") == "e")
   }
 
+  test("any-':' line splits like the reference (header → empty-valued key)") {
+    // FD/evaluation.py:65-70: `if ':' in line` + `split(':', 1)` — the
+    // header line itself lands in the map with an empty value, and a
+    // no-space `k:v:x` line splits on the FIRST colon only
+    val m = Seq("New Transaction Received:\nTransaction ID: TXN9\nOdd:Line:x")
+      .toDF("b").select(LogGrammar.parseBlock($"b").as("m"))
+      .collect()(0).getMap[String, String](0)
+    assert(m("new_transaction_received") == "")
+    assert(m("transaction_id") == "TXN9")
+    assert(m("odd") == "Line:x")
+    // consumer-block variant: header key present alongside data fields
+    val full = Seq(1).toDF("x").select(LogGrammar.formatBlock(
+      txnId = lit("TXN1"), custId = lit("CUST1"), amount = lit(1.0),
+      typ = lit("POS"), merchant = lit("M"), location = lit("L"),
+      device = lit("D"), date = lit("2025-01-01"), time = lit("00:00:00"),
+      prediction = lit(0), actual = lit(0), probability = lit(0.5)).as("b"))
+      .select(LogGrammar.parseBlock($"b").as("m"))
+      .collect()(0).getMap[String, String](0)
+    assert(full("new_transaction_received") == "")
+    assert(full("transaction_id") == "TXN1")
+  }
+
   test("formatted block matches the reference grammar literally") {
     // FIXTURES.md §3: 68-char '=' delimiter, header, '-' rule, field
     // order, $-amount with 2dp, probability with 4dp

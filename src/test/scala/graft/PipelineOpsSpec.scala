@@ -67,6 +67,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(flagged.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("incremental dedup ties break to the smallest corpus id (string ids)") {
+    // two identical corpus docs tie at jaccard 1.0 against the batch
+    // doc; the documented tie-break must hold for STRING ids too (a
+    // numeric negation of the id would go null under non-ANSI casts
+    // and make the winner arbitrary)
+    val corpus = Seq(
+      ("doc-b", "alpha beta gamma delta epsilon"),
+      ("doc-a", "alpha beta gamma delta epsilon"),
+      ("doc-z", "totally different words here now")).toDF("doc_id", "text")
+    val batch = Seq(("batch-1", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashNearDupsAgainst(batch, corpus, "text", "doc_id",
+      threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("corpus_id") == "doc-a")
+    assert(out(0).getAs[Double]("jaccard") == 1.0)
+  }
+
   test("simhash distance 0 for identical docs, banding finds exact copies") {
     val copies = docs.select($"doc_id" + 100000 as "doc_id", $"text")
     val pairs = Dedup.simhashNearDups(
