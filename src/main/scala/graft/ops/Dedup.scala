@@ -76,16 +76,24 @@ object Dedup {
 
   /** Candidate pairs (idA < idB) from banded signatures: explode bands →
     * equi-join on (band,bucket). The shuffle key is the band bucket, so
-    * skew is bounded by collision-group size, not corpus size.
+    * skew is bounded by collision-group size, not corpus size — and the
+    * collision-group size itself is bounded by `maxBucket`
+    * ([[Layout.capBuckets]]): a degenerate bucket (boilerplate text
+    * hashing identically for millions of docs) sub-splits into id-hash
+    * salt groups instead of going quadratic inside one join group.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
+                        bands: Int, rowsPerBand: Int,
+                        maxBucket: Int = 10000): DataFrame = {
     val banded = df.select(col(idCol).as("id"),
         explode(bandKeys(col(sigCol), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    banded.as("a").join(banded.as("b"),
+    val capped = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
+      maxBucket)
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -99,19 +107,20 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: tokenize → shingle → sign →
-    * band → candidate pairs → exact-Jaccard verify ≥ threshold.
+    * band → candidate pairs (bucket-capped, [[Layout.capBuckets]]) →
+    * exact-Jaccard verify ≥ threshold.
     *
     * Cache lifecycle: the compact (id, shingles, sig) frame is persisted
-    * because three join sides consume it and the result is lazy — it
-    * stays in the block manager until the caller's action completes.
-    * Sessions running many dedup jobs should `spark.catalog.clearCache()`
-    * (or unpersist via the returned plan's cached leaf) between jobs;
-    * same note applies to [[simhashNearDups]] and
-    * `Similarity.cosineNearDupsLSH`.
+    * because three join sides consume it and the result is lazy — call
+    * `.release()` on the returned [[Cached]] after the consuming action
+    * so long-lived sessions don't accumulate signature frames in the
+    * block manager. [[minhashNearDups]] is the plain-DataFrame
+    * convenience for one-shot sessions.
     */
-  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      shingleSize: Int = 3, numHashes: Int = 16,
-                      bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+  def minhashNearDupsCached(df: DataFrame, textCol: String, idCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 16,
+                            bands: Int = 4, threshold: Double = 0.6,
+                            maxBucket: Int = 10000): Cached = {
     val rowsPerBand = numHashes / bands
     // signatures feed three joins (banding + both pair sides): persist
     // the compact (id, shingles, sig) frame instead of recomputing the
@@ -121,14 +130,23 @@ object Dedup {
         shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidatePairs(prepared, "id", "sig", bands, rowsPerBand)
-    pairs
+    val pairs = lshCandidatePairs(prepared, "id", "sig", bands, rowsPerBand,
+      maxBucket)
+    val verified = pairs
       .join(prepared.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    Cached(verified, Seq(prepared))
   }
+
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.6,
+                      maxBucket: Int = 10000): DataFrame =
+    minhashNearDupsCached(df, textCol, idCol, shingleSize, numHashes,
+      bands, threshold, maxBucket).df
 
   /** Incremental near-dup: flag rows of `batch` that near-duplicate any
     * row of an existing `corpus` — the crawl-increment shape. Both sides
@@ -138,12 +156,29 @@ object Dedup {
     * (id, shingles, sig) frame is exactly what a production pipeline
     * would keep materialized between increments. Returns one row per
     * flagged batch id with its best-matching corpus id and Jaccard.
+    *
+    * The bipartite candidate join caps the CORPUS side's buckets
+    * ([[Layout.capBuckets]]): a degenerate corpus bucket meets each
+    * colliding batch row only through one salt group instead of in
+    * full, so a boilerplate bucket of millions can't multiply against a
+    * hot batch key. (The batch side joins uncapped — its bucket
+    * population is bounded by the increment size.)
     */
   def minhashNearDupsAgainst(batch: DataFrame, corpus: DataFrame,
                              textCol: String, idCol: String,
                              shingleSize: Int = 3, numHashes: Int = 16,
                              bands: Int = 4,
-                             threshold: Double = 0.6): DataFrame = {
+                             threshold: Double = 0.6,
+                             maxBucket: Int = 10000): DataFrame =
+    minhashNearDupsAgainstCached(batch, corpus, textCol, idCol, shingleSize,
+      numHashes, bands, threshold, maxBucket).df
+
+  def minhashNearDupsAgainstCached(batch: DataFrame, corpus: DataFrame,
+                                   textCol: String, idCol: String,
+                                   shingleSize: Int = 3, numHashes: Int = 16,
+                                   bands: Int = 4,
+                                   threshold: Double = 0.6,
+                                   maxBucket: Int = 10000): Cached = {
     val rowsPerBand = numHashes / bands
     def prep(df: DataFrame) = Layout.fanOut(df)
       .select(col(idCol).as("id"),
@@ -157,9 +192,21 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand))
         .as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val cand = banded(b).as("a").join(banded(c).as("b"),
+    // corpus-side giant buckets salt-split; each batch row picks the
+    // SAME deterministic salt (id-hash of its own id is wrong here — it
+    // must meet every corpus salt group to keep recall, so instead the
+    // batch row fans out to every salt of a hot bucket)
+    val cCapped = Layout.capBuckets(banded(c), Seq("band", "bucket"), "id",
+      maxBucket)
+    val saltCount = cCapped.groupBy(col("band"), col("bucket"))
+      .agg((max(col("__salt")) + 1).as("__nsalt"))
+    val bFanned = banded(b).join(saltCount, Seq("band", "bucket"), "inner")
+      .select(col("id"), col("band"), col("bucket"),
+        explode(sequence(lit(0L), col("__nsalt") - 1)).as("__salt"))
+    val cand = bFanned.as("a").join(cCapped.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket"))
+          col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt"))
       .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
       .distinct()
     val verified = cand
@@ -172,11 +219,12 @@ object Dedup {
     // best match per batch row: highest jaccard, ties to the smallest
     // corpus id — min_by over (-jaccard, corpus_id) orders correctly for
     // ANY orderable id type (negating a string id would be null/error)
-    verified.groupBy(col("batch_id"))
+    val best = verified.groupBy(col("batch_id"))
       .agg(min_by(col("corpus_id"),
           struct((-col("jaccard")).as("nj"), col("corpus_id")))
           .as("corpus_id"),
         max(col("jaccard")).as("jaccard"))
+    Cached(best, Seq(b, c))
   }
 
   // ---------- SimHash ----------
@@ -197,7 +245,13 @@ object Dedup {
     * per chunk, verify by Hamming distance.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3,
+                      maxBucket: Int = 10000): DataFrame =
+    simhashNearDupsCached(df, textCol, idCol, maxHamming, maxBucket).df
+
+  def simhashNearDupsCached(df: DataFrame, textCol: String, idCol: String,
+                            maxHamming: Int = 3,
+                            maxBucket: Int = 10000): Cached = {
     val signed = Layout.fanOut(df).select(col(idCol).as("id"),
         simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -208,14 +262,20 @@ object Dedup {
               .as("chunk"))
         }: _*)).as("bk"))
       .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
-    banded.as("a").join(banded.as("b"),
+    // identical docs all share one 16-bit chunk per band — the classic
+    // giant-bucket shape; cap it before the self-join
+    val capped = Layout.capBuckets(banded, Seq("band", "chunk"), "id",
+      maxBucket)
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.chunk") === col("b.chunk") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    Cached(pairs, Seq(signed))
   }
 
   // ---------- near-dup clustering ----------

@@ -23,12 +23,64 @@ object Layout {
     * expensive projection restores full parallelism. No-op when the
     * plan already has at least `min` partitions, so applying it to a
     * properly-split 100 TB scan costs nothing.
+    *
+    * The decision is PLAN-SIDE (`Bridge.estimateScanPartitions`): file
+    * sizes vs `maxPartitionBytes` for scans, actual block counts for
+    * materialized caches — never `df.rdd`, which would finalize the
+    * physical plan outside AQE and can eagerly materialize upstream
+    * stages. Plans whose partitioning AQE already owns (anything past a
+    * shuffle) estimate None and pass through untouched.
     */
   def fanOut(df: DataFrame, min: Int = 0): DataFrame = {
     val target =
       if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    org.apache.spark.sql.graft.Bridge.estimateScanPartitions(df) match {
+      case Some(est) if est < target => df.repartition(target)
+      case _ => df
+    }
   }
+
+  /** Giant-bucket guard for banded LSH self-joins: a degenerate bucket
+    * (empty docs, boilerplate pages, zero vectors) with n rows explodes
+    * into n²/2 pairs INSIDE one join group — the skew AQE cannot split,
+    * because it is not partition skew but key-group blowup. This caps it
+    * the way `Smote.synthesize` caps its candidate pool: count rows per
+    * bucket key, and sub-split any bucket above `maxBucket` into
+    * ⌈n/maxBucket⌉ deterministic salt groups (id-hash), so the join adds
+    * `__salt` equality and within-bucket pair counts drop from O(n²) to
+    * O(n·maxBucket). Cold buckets keep salt 0 — zero behavior change.
+    *
+    * The trade is explicit: pairs across salt groups of a HOT bucket are
+    * not generated (other bands can still catch them). That loses recall
+    * only inside degenerate buckets — where production dedup pipelines
+    * routinely drop the bucket outright; salting keeps partial recall
+    * instead. Use [[bucketStats]] to see what got split.
+    */
+  def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
+                 maxBucket: Int): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val keys = keyCols.map(col)
+    // only hot buckets carry a row; the frame is ≤ rows/maxBucket keys
+    // and usually empty → AQE broadcasts the join
+    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+    banded.join(hot, keyCols, "left")
+      .withColumn("__salt",
+        when(col("__n").isNull, lit(0L)).otherwise(
+          pmod(xxhash64(col(idCol)),
+            ceil(col("__n").cast("double") / maxBucket).cast("long"))))
+      .drop("__n")
+  }
+
+  /** Hot-bucket diagnostic for the banded joins: population per bucket
+    * key above `minSize`, largest first — run before/after a dedup pass
+    * to see which buckets [[capBuckets]] split (or to pick `maxBucket`).
+    */
+  def bucketStats(banded: DataFrame, keyCols: Seq[String],
+                  minSize: Long = 1000L): DataFrame =
+    banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSize)
+      .orderBy(col("n").desc)
 
   /** Two-phase salted count/sum for skewed grouping keys: the partial
     * aggregate on (key, salt) spreads a hot key over `saltBuckets`

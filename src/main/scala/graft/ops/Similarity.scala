@@ -195,7 +195,16 @@ object Similarity {
     */
   def cosineNearDupsLSH(corpus: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, numBits: Int = 16,
-                        bands: Int = 4, seed: Long = 42L): DataFrame = {
+                        bands: Int = 4, seed: Long = 42L,
+                        maxBucket: Int = 10000): DataFrame =
+    cosineNearDupsLSHCached(corpus, idCol, vecCol, threshold, numBits,
+      bands, seed, maxBucket).df
+
+  def cosineNearDupsLSHCached(corpus: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              numBits: Int = 16, bands: Int = 4,
+                              seed: Long = 42L,
+                              maxBucket: Int = 10000): graft.ops.Cached = {
     require(numBits % bands == 0 && numBits <= 63, "bits must split into bands")
     val bitsPerBand = numBits / bands
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
@@ -219,9 +228,14 @@ object Similarity {
         }: _*)).as("bk"))
       .select(col("id"), col("v"), col("nv"), col("bk.band"), col("bk.bucket"))
 
-    banded.as("a").join(banded.as("b"),
+    // zero vectors (and any dominant direction) pile into one sign
+    // bucket per band — cap it before the self-join
+    val capped = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
+      maxBucket)
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         when(col("a.nv") * col("b.nv") === 0, 0.0)
@@ -229,6 +243,7 @@ object Similarity {
           .as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
+    graft.ops.Cached(pairs, Seq(c))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold — the exact

@@ -26,6 +26,32 @@ class LayoutSpec extends SparkSpec {
     assert(salted.count() == plain.count())
   }
 
+  test("capBuckets salts only hot buckets, deterministically") {
+    // bucket (0, 100) holds 50 rows, (0, 200) holds 5; cap 10 → the hot
+    // bucket splits into 5 salt groups, the cold one keeps salt 0
+    val banded = ((1 to 50).map(i => (i.toLong, 0, 100L)) ++
+      (51 to 55).map(i => (i.toLong, 0, 200L)))
+      .toDF("id", "band", "bucket")
+    val capped = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
+      maxBucket = 10)
+    val cold = capped.filter($"bucket" === 200)
+    assert(cold.filter($"__salt" =!= 0).count() == 0)
+    val hotSalts = capped.filter($"bucket" === 100)
+      .groupBy($"__salt").count().collect()
+    assert(hotSalts.length > 1, "hot bucket must sub-split")
+    assert(hotSalts.forall(_.getLong(1) <= 25),
+      "salt groups should be near maxBucket-sized, not lopsided")
+    // deterministic: same input → identical salt assignment
+    val again = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
+      maxBucket = 10)
+    assert(capped.select("id", "__salt").except(
+      again.select("id", "__salt")).count() == 0)
+    // diagnostic surface agrees
+    val stats = Layout.bucketStats(banded, Seq("band", "bucket"),
+      minSize = 10).collect()
+    assert(stats.length == 1 && stats(0).getLong(2) == 50)
+  }
+
   test("bucketed tables join without an exchange") {
     // the metastore is per-JVM but the warehouse dir persists: clear
     // leftover table locations from previous runs

@@ -94,6 +94,81 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"hamming" =!= 0).count() == 0)
   }
 
+  test("giant-bucket guard bounds candidate pairs on a degenerate bucket") {
+    // 10k identical docs land in ONE (band,bucket) per band — the
+    // boilerplate shape that goes quadratic inside a single join group
+    // at corpus scale. Uncapped the self-join emits C(10k,2) ≈ 50M
+    // candidate pairs; capped at 200 each salt group holds ~200 rows,
+    // so the pair count collapses to Σ C(|salt|,2) ≈ 1M — linear in the
+    // bucket population.
+    val degen = (1 to 10000).map(i =>
+      (i.toLong, "same boilerplate navigation text repeated on every page"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(degen, "text", "doc_id",
+      threshold = 0.5, maxBucket = 200)
+    val n = pairs.count()
+    assert(n > 0, "cap must not kill within-salt-group pairs")
+    assert(n < 3000000L, s"pair explosion not capped: $n pairs")
+    // every surviving pair is genuine (identical docs → jaccard 1.0)
+    assert(pairs.filter($"jaccard" =!= 1.0).count() == 0)
+
+    // same guard on the simhash path (identical docs share every chunk)
+    val simPairs = Dedup.simhashNearDups(degen, "text", "doc_id",
+      maxHamming = 0, maxBucket = 200)
+    val nSim = simPairs.count()
+    assert(nSim > 0 && nSim < 3000000L, s"simhash pairs: $nSim")
+  }
+
+  test("bucket cap leaves healthy corpora untouched (recall unchanged)") {
+    // planted near-dups with a cap far above any real bucket: identical
+    // recall to the uncapped run (salt is 0 everywhere → same joins)
+    val mutated = docs.select($"doc_id" + 100000 as "doc_id",
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val capped = Dedup.minhashNearDups(
+      docs.select("doc_id", "text").union(mutated), "text", "doc_id",
+      threshold = 0.5, maxBucket = 100)
+    val planted = capped.filter($"id_b" - $"id_a" === 100000).count()
+    assert(planted >= (docs.count() * 0.95).toLong,
+      s"planted recall $planted/${docs.count()} under tight cap")
+  }
+
+  test("cached pipelines release their persisted backing frames") {
+    val sc = spark.sparkContext
+    docs.count(); emb.count() // materialize the suite-level caches first
+    val before = sc.getPersistentRDDs.keySet
+    // every input carries a distinct marker filter: CacheManager dedups
+    // identical analyzed plans, so an unmarked input could silently
+    // REUSE a frame an earlier test persisted (and then release() would
+    // un-cache that shared entry instead of our own)
+    val r1 = Dedup.minhashNearDupsCached(
+      docs.filter($"doc_id" > -1).select("doc_id", "text"),
+      "text", "doc_id", threshold = 0.9)
+    r1.df.count()
+    assert(sc.getPersistentRDDs.size > before.size,
+      "pipeline should persist its signature frame")
+    r1.release()
+    assert(sc.getPersistentRDDs.keySet == before,
+      "release() must drop every backing frame")
+    val r2 = Dedup.simhashNearDupsCached(
+      docs.filter($"doc_id" > -2).select("doc_id", "text"),
+      "text", "doc_id")
+    r2.df.count(); r2.release()
+    val r3 = Similarity.cosineNearDupsLSHCached(
+      emb.filter($"vec_id" > -1).select("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9)
+    r3.df.count(); r3.release()
+    // the corpus side is filtered to keep its analyzed plan DISTINCT
+    // from frames persisted (and never released) by earlier tests —
+    // CacheManager dedups identical plans, and releasing a shared entry
+    // would un-cache someone else's frame
+    val r4 = Dedup.minhashNearDupsAgainstCached(
+      docs.filter($"doc_id" % 5 === 0).select("doc_id", "text"),
+      docs.filter($"doc_id" >= 0).select("doc_id", "text"), "text", "doc_id")
+    r4.df.count(); r4.release()
+    assert(sc.getPersistentRDDs.keySet == before,
+      "all four cached pipelines must release cleanly")
+  }
+
   test("exact dedup keeps lowest-id representative") {
     val dup = docs.select("doc_id", "text")
       .union(docs.select($"doc_id" + 100000 as "doc_id", $"text"))
