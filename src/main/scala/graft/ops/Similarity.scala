@@ -77,6 +77,26 @@ object Similarity {
           .as("m")))),
         x => x.getField("m")).as("centroid"))
 
+  /** Order-forced centroid variant for engine-exact verification:
+    * per (group, position) the component values fold-sum in ascending
+    * `idCol` order — a sequential double fold, the same trick that
+    * makes the cosine queries hash-match DuckDB (`list_dot_product` ≡
+    * left fold; decimal casts of floats are NOT engine-identical, the
+    * two engines round binary→decimal differently). `collect_list` per
+    * cell bounds memory by group size × 1 dimension, fine for
+    * verification corpora; [[groupCentroids]] (partial-sum shuffle,
+    * order-free) is the 100 TB operator this one certifies.
+    */
+  def groupCentroidsOrdered(df: DataFrame, groupCol: String, idCol: String,
+                            vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col("id"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
+      .select(col("grp"), col("pos"), (col("s") / col("n")).as("mean"))
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

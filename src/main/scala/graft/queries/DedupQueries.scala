@@ -81,19 +81,31 @@ object DedupQueries extends QuerySet {
             .otherwise(0L)).as("n_exact_source"))
     }),
 
-    // Full dedup pipeline: pairs → connected components → one
-    // representative per cluster (rows-only; invariants in
-    // ComponentsSpec). Doubled corpus must collapse back to ≤ originals.
+    // Clustered dedup: pairs → connected components → one representative
+    // per cluster. The edge list is DETERMINISTIC and SQL-expressible —
+    // copy edges (doc ↔ its planted duplicate) plus id-chains linking
+    // runs of 5 consecutive originals — so the min-label clustering
+    // itself is oracle-checked against a DuckDB recursive-CTE fixpoint,
+    // including multi-hop merges (~6 propagation iterations). LSH pair
+    // GENERATION is separately gated by d02/d04 (xxhash64 signatures
+    // aren't DuckDB-expressible) and the minhash→components integration
+    // by ComponentsSpec's end-to-end test.
     "d05_dedup_clustered" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val doubled = docs.union(
         docs.withColumn("doc_id", col("doc_id") + 1000000))
-      val pairs = Dedup.minhashNearDups(doubled, "text", "doc_id",
-        threshold = 0.9).select("id_a", "id_b")
-      val deduped = Dedup.dedupByComponents(doubled, "doc_id", pairs)
+      val copyEdges = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000).as("id_b"))
+      val chainEdges = docs.as("x")
+        .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .filter(col("x.doc_id") % 5 =!= 4)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      val deduped = Dedup.dedupByComponents(doubled, "doc_id",
+        copyEdges.union(chainEdges))
       deduped.agg(count(lit(1)).as("n_kept"),
         sum(when(col("doc_id") >= 1000000, 1L).otherwise(0L))
-          .as("n_copy_survivors"))
+          .as("n_copy_survivors"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
     }),
 
     // SimHash near-dups over the same planted corpus (rows-only).
@@ -119,6 +131,39 @@ object DedupQueries extends QuerySet {
        END)"""
 
   def oracle: Map[String, String] = Map(
+    // Min-label connected components as a reachability fixpoint: reach
+    // holds (id, reachable id) pairs, UNION-distinct terminates at the
+    // transitive closure (components are ~10 nodes, so the closure is
+    // tiny); component = min reachable id, dedup keeps each component's
+    // rep plus never-paired rows.
+    "d05_dedup_clustered" ->
+      """WITH RECURSIVE
+         u AS (SELECT doc_id FROM documents
+               UNION ALL SELECT doc_id + 1000000 FROM documents),
+         edges0 AS (
+           SELECT doc_id AS a, doc_id + 1000000 AS b FROM documents
+           UNION ALL
+           SELECT x.doc_id AS a, y.doc_id AS b
+           FROM documents x JOIN documents y ON y.doc_id = x.doc_id + 1
+           WHERE x.doc_id % 5 <> 4),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         reps AS (SELECT component, MIN(id) AS rep FROM comp
+                  GROUP BY component),
+         members AS (SELECT comp.id, reps.rep FROM comp
+                     JOIN reps USING (component)),
+         kept AS (
+           SELECT u.doc_id FROM u LEFT JOIN members ON u.doc_id = members.id
+           WHERE members.rep IS NULL OR members.rep = u.doc_id)
+         SELECT COUNT(*) AS n_kept,
+                CAST(SUM(CASE WHEN doc_id >= 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_copy_survivors,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM kept""",
     "d06_decontaminate" ->
       s"""WITH t AS (
             SELECT doc_id, lang,

@@ -14,17 +14,17 @@ import graft.ops.Similarity
 object SimilarityQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Per-label centroid profile. Float sums are order-sensitive in the
-    // last ulp → rows-only (centroid math spec-gated in PipelineOpsSpec);
-    // output keeps scalars (norm + first component), never array cells.
+    // Per-label centroid profile, hash-exact: the order-forced variant
+    // fold-sums each (label, dimension) cell in vec_id order, the same
+    // sequential-double-fold parity n01/n03 use (DuckDB mirrors it with
+    // list(val ORDER BY vec_id) ⋅ ones). groupCentroids — the order-free
+    // partial-sum operator for scale — is certified against this in
+    // PipelineOpsSpec.
     "n05_group_centroids" -> ((s, d) =>
-      Similarity.groupCentroids(Tables.embeddings(s, d), "label", "embedding")
-        .select(col("grp").as("label"),
-          org.apache.spark.sql.functions.round(
-            Similarity.norm(col("centroid")), 6).as("centroid_norm"),
-          org.apache.spark.sql.functions.round(
-            element_at(col("centroid"), 1), 6).as("c0"))
-        .orderBy(col("label"))),
+      Similarity.groupCentroidsOrdered(Tables.embeddings(s, d),
+        "label", "vec_id", "embedding")
+        .select(col("grp").as("label"), col("pos"), col("mean"))
+        .orderBy(col("label"), col("pos"))),
 
     // Brute-force cosine top-10 for 5 query vectors (broadcast NL join).
     "n01_brute_topk" -> ((s, d) => {
@@ -77,6 +77,20 @@ object SimilarityQueries extends QuerySet {
        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 
   def oracle: Map[String, String] = Map(
+    "n05_group_centroids" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          x AS (SELECT label, vec_id,
+                       CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+                       unnest(v) AS val
+                FROM e),
+          g AS (SELECT label, pos, list(val ORDER BY vec_id) AS l,
+                       COUNT(*) AS n
+                FROM x GROUP BY label, pos)
+          SELECT label, pos,
+                 list_dot_product(l,
+                   list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
+          FROM g ORDER BY label, pos""",
     "n01_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),

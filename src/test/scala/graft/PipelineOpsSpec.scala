@@ -233,6 +233,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("ordered centroid variant certifies the partial-sum operator") {
+    // the order-forced (oracle-parity) spelling and the order-free
+    // partial-sum operator must agree to float-accumulation tolerance
+    // on real embeddings — this is what lets n05's hash-exact oracle
+    // stand in for the scale operator
+    val scale = Similarity.groupCentroids(emb, "label", "embedding")
+      .select($"grp", posexplode($"centroid").as(Seq("pos", "m")))
+    val ordered = Similarity.groupCentroidsOrdered(emb, "label", "vec_id",
+      "embedding")
+    val joined = ordered.join(scale,
+      ordered("grp") === scale("grp") && ordered("pos") === scale("pos"))
+    assert(joined.count() == ordered.count())
+    assert(joined.filter(abs($"mean" - $"m") > 1e-9).count() == 0)
+    // determinism: identical results under a different layout
+    val re = Similarity.groupCentroidsOrdered(emb.repartition(7), "label",
+      "vec_id", "embedding")
+    assert(re.exceptAll(ordered).count() == 0)
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
