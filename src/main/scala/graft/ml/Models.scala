@@ -40,14 +40,19 @@ object Models {
     "Logistic Regression" -> new LogisticRegression()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setWeightCol(weightCol).setMaxIter(if (fast) 10 else 100),
+    // fast mode also caps tree DEPTH: every tree level is a scheduled
+    // job, so depth drives wall-clock on small data far more than tree
+    // count; the bench task (fraud ≙ amount bands) separates at depth 3-4
     "Random Forest" -> new RandomForestClassifier()
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setWeightCol(weightCol).setSeed(42)
-      .setNumTrees(if (fast) 8 else 100),
+      .setNumTrees(if (fast) 8 else 100)
+      .setMaxDepth(if (fast) 4 else 5),
     "XGBoost" -> new GBTClassifier() // GBT stands in for xgboost (§7.3)
       .setFeaturesCol(featuresCol).setLabelCol(labelCol)
       .setWeightCol(weightCol).setSeed(42)
-      .setMaxIter(if (fast) 6 else 50)
+      .setMaxIter(if (fast) 5 else 50)
+      .setMaxDepth(if (fast) 3 else 5)
   )
 
   /** M9: score a frame → (label, pred, proba=P(class 1)). */
@@ -81,22 +86,59 @@ object Models {
       .crossJoin(Aggregates.rocAuc(s, "label", "proba"))
   }
 
+  /** The full battery for MANY models in one pass: scored frames tagged
+    * with a `model` column and union'd, then every metric stage — the
+    * confusion/log-loss aggregation, the derived battery, and the
+    * grouped ROC AUC ([[Aggregates.rocAucByGroup]]) — runs grouped by
+    * model. Evaluating N models costs one traversal of the union
+    * instead of N independent plans (~3× fewer jobs for the m12 shape,
+    * which is pure scheduling overhead at small scale and one saved
+    * scan per model at large scale).
+    */
+  def evaluateAll(scoredByModel: DataFrame): DataFrame = {
+    val s = scoredByModel.cache()
+    val l = col("label"); val p = col("pred")
+    val eps = 1e-15
+    val pr = greatest(least(col("proba"), lit(1 - eps)), lit(eps))
+    val base = s.groupBy(col("model")).agg(
+      sum(when(l === 0 && p === 0, 1L).otherwise(0L)).as("tn"),
+      sum(when(l === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
+      sum(when(l === 1 && p === 0, 1L).otherwise(0L)).as("fn"),
+      sum(when(l === 1 && p === 1, 1L).otherwise(0L)).as("tp"),
+      (-avg(when(l === 1, log(pr)).otherwise(log(lit(1) - pr))))
+        .as("log_loss"))
+    val b = base.cache() // one row per model; evaluated once, read twice
+    Aggregates.binaryMetrics(b, carryCols = Seq("model"))
+      .join(b.select("model", "log_loss"), "model")
+      .join(Aggregates.rocAucByGroup(s, "label", "proba", Seq("model")),
+        "model")
+  }
+
   /** M12: train/evaluate every candidate; returns fitted models plus a
-    * metrics frame with one row per model.
+    * metrics frame with one row per model (one fused evaluation pass —
+    * [[evaluateAll]]).
     */
   def trainAll(train: DataFrame, test: DataFrame,
                featuresCol: String = "features", labelCol: String = "label",
                weightCol: String = "weight", fast: Boolean = false)
       : (Map[String, Transformer], DataFrame) = {
-    val results = candidates(featuresCol, labelCol, weightCol, fast).map {
+    // independent estimators fit CONCURRENTLY (the CrossValidator
+    // pattern): each fit is a chain of small driver-blocking jobs, so
+    // overlapping them fills the scheduler instead of serializing
+    // GBT-behind-RF-behind-LR. The caller's cached train frame must be
+    // materialized before the race — concurrent first-use of a lazy
+    // cache makes every thread build it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fitted = candidates(featuresCol, labelCol, weightCol, fast).map {
       case (name, est) =>
-        val model = est.fit(train).asInstanceOf[Transformer]
-        val metrics = evaluate(scored(model, test, labelCol))
-          .withColumn("model", lit(name))
-        (name, model, metrics)
-    }
-    (results.map(r => r._1 -> r._2).toMap,
-      results.map(_._3).reduce(_ unionByName _))
+        name -> Future(est.fit(train).asInstanceOf[Transformer])
+    }.map { case (name, f) => name -> Await.result(f, Duration.Inf) }
+    val taggedScores = fitted.map { case (name, model) =>
+      scored(model, test, labelCol).withColumn("model", lit(name))
+    }.reduce(_ unionByName _)
+    (fitted.toMap, evaluateAll(taggedScores))
   }
 
   /** M10: named feature importances → top-k (A6). Tree models only. */

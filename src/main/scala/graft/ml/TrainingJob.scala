@@ -79,9 +79,12 @@ object TrainingJob {
       }
 
     // three estimators iterate over the same split: materialize once
-    // instead of re-deriving the generator→features→balance plan per fit
+    // instead of re-deriving the generator→features→balance plan per
+    // fit — eagerly, because trainAll fits concurrently and a lazy
+    // cache's first use would race
     val (trainRaw, testRaw) = Models.split(weighted)
     val train = trainRaw.cache(); val test = testRaw.cache()
+    train.count()
     val (models, metrics) = Models.trainAll(train, test, fast = fast)
 
     // M11: the reference hard-codes XGBoost as production

@@ -87,7 +87,8 @@ object Aggregates {
     * specificity, FPR, FNR, Matthews correlation coefficient. All plain
     * arithmetic over A9's four counts; runs on one row.
     */
-  def binaryMetrics(confusion: DataFrame): DataFrame = {
+  def binaryMetrics(confusion: DataFrame,
+                    carryCols: Seq[String] = Nil): DataFrame = {
     val tn = col("tn").cast("double"); val fp = col("fp").cast("double")
     val fn = col("fn").cast("double"); val tp = col("tp").cast("double")
     val n = tn + fp + fn + tp
@@ -100,7 +101,7 @@ object Aggregates {
     val f0 = safeDiv(lit(2) * p0 * r0, p0 + r0)
     val f1 = safeDiv(lit(2) * p1 * r1, p1 + r1)
     val mccDen = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
-    confusion.select(
+    confusion.select(carryCols.map(col) ++ Seq(
       ((tp + tn) / n * 100).as("accuracy"),
       ((p0 * support0 + p1 * support1) / n).as("precision_weighted"),
       ((r0 * support0 + r1 * support1) / n).as("recall_weighted"),
@@ -110,6 +111,7 @@ object Aggregates {
       safeDiv(fn, fn + tp).as("false_negative_rate"),
       when(mccDen === 0, 0.0)
         .otherwise((tp * tn - fp * fn) / mccDen).as("matthews_corrcoef"))
+      .toIndexedSeq: _*)
   }
 
   /** Per-class classification-report rows (`FD/model.py:136-139` —
@@ -165,11 +167,23 @@ object Aggregates {
     * results are bit-identical to the global-window spelling.
     */
   def bucketedPrefixSums(df: DataFrame, orderCol: String, ascending: Boolean,
-                         sumCols: Seq[String], buckets: Int = 1024): DataFrame = {
+                         sumCols: Seq[String], buckets: Int = 1024,
+                         groupCols: Seq[String] = Nil): DataFrame = {
     val key = if (ascending) col(orderCol) else -col(orderCol)
     val keyed = df.withColumn("__k", key.cast("double"))
-    val stats = keyed.agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
-    val bucketed = keyed.crossJoin(broadcast(stats))
+    val gcols = groupCols.map(col)
+    // per-group bucketing range; the stats frame is one row per group
+    // (tiny for the model-comparison use) and broadcasts either way
+    val stats =
+      if (groupCols.isEmpty)
+        keyed.agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+      else
+        keyed.groupBy(gcols: _*)
+          .agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+    val withStats =
+      if (groupCols.isEmpty) keyed.crossJoin(broadcast(stats))
+      else keyed.join(broadcast(stats), groupCols)
+    val bucketed = withStats
       .withColumn("__bkt",
         when(col("__mx") === col("__mn"), lit(0L))
           .otherwise(least(
@@ -177,21 +191,33 @@ object Aggregates {
               * buckets),
             lit(buckets - 1L))))
       .drop("__mn", "__mx")
-    val localW = Window.partitionBy(col("__bkt")).orderBy(col("__k"))
+    val localW = Window.partitionBy((gcols :+ col("__bkt")): _*)
+      .orderBy(col("__k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sumCols.foldLeft(bucketed) { (d, c) =>
       d.withColumn(s"__loc_$c", sum(col(c)).over(localW))
     }
-    val totals = bucketed.groupBy(col("__bkt").as("__tbkt"))
+    // per-(group, bucket) totals → per-bucket offsets via the triangular
+    // self-join, group-equality added so prefixes never cross groups
+    val totals = bucketed
+      .groupBy((groupCols.zipWithIndex.map { case (g, i) =>
+        col(g).as(s"__tg$i") } :+ col("__bkt").as("__tbkt")): _*)
       .agg(sum(col(sumCols.head)).as(s"__tot_${sumCols.head}"),
         sumCols.tail.map(c => sum(col(c)).as(s"__tot_$c")): _*)
-    val offsets = totals.select(col("__tbkt").as("__obkt"))
-      .join(broadcast(totals), col("__tbkt") < col("__obkt"), "left")
-      .groupBy(col("__obkt"))
+    val lhs = totals.select((groupCols.indices.map(i =>
+      col(s"__tg$i").as(s"__og$i")) :+ col("__tbkt").as("__obkt")): _*)
+    val triangular = groupCols.indices
+      .map(i => col(s"__og$i") === col(s"__tg$i"))
+      .foldLeft(col("__tbkt") < col("__obkt"))(_ && _)
+    val offsets = lhs.join(broadcast(totals), triangular, "left")
+      .groupBy((groupCols.indices.map(i => col(s"__og$i")) :+
+        col("__obkt")): _*)
       .agg(sum(col(s"__tot_${sumCols.head}")).as(s"__off_${sumCols.head}"),
         sumCols.tail.map(c => sum(col(s"__tot_$c")).as(s"__off_$c")): _*)
-    val joined = local.join(broadcast(offsets),
-      col("__bkt") === col("__obkt"), "left")
+    val joinCond = groupCols.zipWithIndex
+      .map { case (g, i) => local(g) === col(s"__og$i") }
+      .foldLeft(col("__bkt") === col("__obkt"))(_ && _)
+    val joined = local.join(broadcast(offsets), joinCond, "left")
     val withCums = sumCols.foldLeft(joined) { (d, c) =>
       d.withColumn(s"cum_$c",
         col(s"__loc_$c") + coalesce(col(s"__off_$c"), lit(0)))
@@ -221,6 +247,33 @@ object Aggregates {
     val ranked = cum.withColumn("r",
       col("cum_cnt") - col("cnt") + (col("cnt") + 1) / 2.0)
     ranked.agg(
+      when(sum(col("pos")) === 0 || sum(col("cnt") - col("pos")) === 0,
+        lit(null))
+        .otherwise(
+          (sum(col("pos") * col("r")) -
+            sum(col("pos")) * (sum(col("pos")) + 1) / 2.0) /
+            (sum(col("pos")) * sum(col("cnt") - col("pos")))).as("roc_auc"))
+  }
+
+  /** [[rocAuc]] per group in ONE pass: same rank-sum identity, every
+    * stage keyed by the group columns (grouped prefix sums included) —
+    * evaluating N models costs one traversal of the union'd scored
+    * frame instead of N separate AUC plans. Null AUC for single-class
+    * groups, like the ungrouped form.
+    */
+  def rocAucByGroup(df: DataFrame, labelCol: String, probaCol: String,
+                    groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val perP = df
+      .select((gcols :+ col(probaCol).as("p") :+
+        col(labelCol).cast("double").as("y")): _*)
+      .groupBy((gcols :+ col("p")): _*)
+      .agg(count(lit(1)).cast("double").as("cnt"), sum(col("y")).as("pos"))
+    val cum = bucketedPrefixSums(perP, "p", ascending = true, Seq("cnt"),
+      groupCols = groupCols)
+    val ranked = cum.withColumn("r",
+      col("cum_cnt") - col("cnt") + (col("cnt") + 1) / 2.0)
+    ranked.groupBy(gcols: _*).agg(
       when(sum(col("pos")) === 0 || sum(col("cnt") - col("pos")) === 0,
         lit(null))
         .otherwise(

@@ -100,41 +100,97 @@ object Similarity {
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** kmeans++ seeding: each next centroid is drawn with probability
+    * ∝ squared distance to the nearest already-chosen one — the spread
+    * that makes Lloyd's converge to a balanced quantizer instead of
+    * collapsing several seeds into one dense region (the failure mode
+    * of uniform seeding that tanks IVF recall).
+    */
+  private def seedPlusPlus(sample: Array[Array[Double]], k: Int,
+                           rnd: scala.util.Random): Array[Array[Double]] = {
+    val n = sample.length
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      sample(rnd.nextInt(n)).clone())
+    val d2 = Array.fill(n)(Double.MaxValue)
+    while (chosen.length < math.min(k, n)) {
+      val last = chosen.last
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val d = dist2(sample(i), last)
+        if (d < d2(i)) d2(i) = d
+        total += d2(i); i += 1
+      }
+      if (total == 0) chosen += sample(rnd.nextInt(n)).clone() // degenerate
+      else {
+        var target = rnd.nextDouble() * total
+        var j = 0
+        while (j < n - 1 && target > d2(j)) { target -= d2(j); j += 1 }
+        chosen += sample(j).clone()
+      }
+    }
+    chosen.toArray
+  }
+
   /** Driver-side Lloyd's iterations over a bounded sample. The sample is
     * capped at `fitSample` regardless of corpus size (the FAISS recipe:
     * quantizer centroids converge on a few thousand points), so this is
-    * O(sample · nlist · dim · iters) on the driver — microseconds-to-
-    * milliseconds, with zero per-iteration cluster jobs.
+    * O(restarts · sample · nlist · dim · iters) on the driver —
+    * microseconds-to-milliseconds, with zero per-iteration cluster jobs.
+    * Three kmeans++-seeded restarts, lowest inertia wins: seeding is
+    * the dominant quality factor for a coarse quantizer, and restarts
+    * cost nothing at this sample size.
     */
   private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
-                    seed: Long): Array[Array[Double]] = {
+                    seed: Long, restarts: Int = 3): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty quantizer sample")
     val dim = sample.head.length
-    val rnd = new scala.util.Random(seed)
-    val centroids = rnd.shuffle(sample.indices.toVector).take(k)
-      .map(i => sample(i).clone()).toArray
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < centroids.length) {
-          var d = 0.0; var i = 0
-          while (i < dim) {
-            val t = v(i) - centroids(c)(i); d += t * t; i += 1
+    var best: Array[Array[Double]] = null
+    var bestInertia = Double.MaxValue
+    for (r <- 0 until restarts) {
+      val rnd = new scala.util.Random(seed + r)
+      val centroids = seedPlusPlus(sample, k, rnd)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](centroids.length)
+        sample.foreach { v =>
+          var bestC = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < centroids.length) {
+            val d = dist2(v, centroids(c))
+            if (d < bestD) { bestD = d; bestC = c }
+            c += 1
           }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
+          counts(bestC) += 1
+          var i = 0
+          while (i < dim) { sums(bestC)(i) += v(i); i += 1 }
         }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        for (c <- centroids.indices if counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+          // spherical update: the quantizer lives on the unit sphere
+          // (ivfIndex normalizes its inputs), so project the mean back —
+          // assignment stays ≡ cosine assignment
+          val n = math.sqrt(centroids(c).map(x => x * x).sum)
+          if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
+        }
       }
-      for (c <- centroids.indices if counts(c) > 0; i <- 0 until dim)
-        centroids(c)(i) = sums(c)(i) / counts(c)
+      val inertia = sample.map { v =>
+        var m = Double.MaxValue; var c = 0
+        while (c < centroids.length) {
+          val d = dist2(v, centroids(c)); if (d < m) m = d; c += 1
+        }
+        m
+      }.sum
+      if (inertia < bestInertia) { bestInertia = inertia; best = centroids }
     }
-    centroids
+    best
   }
 
   /** Squared-distance argmin over centroid literals — pure column
@@ -153,19 +209,37 @@ object Similarity {
     (array_position(distArr, array_min(distArr)) - 1).cast("int")
   }
 
-  /** IVF index: (quantizer, corpus tagged with cluster id). */
+  /** IVF index: (quantizer, corpus tagged with cluster id).
+    *
+    * The quantizer lives on the UNIT SPHERE (fit and assignment both
+    * normalize first): the search metric is cosine, and raw-L2
+    * clustering disagrees with it for unnormalized embeddings — a
+    * cosine-near neighbor with a different magnitude lands in a far
+    * cluster and recall quietly dies. On unit vectors L2² = 2 − 2·cos,
+    * so sphere-L2 assignment ≡ cosine assignment, and the probe ranking
+    * in [[ivfTopK]] (by cosine to the centroid) is consistent with it.
+    * Scoring still uses the raw vectors (cosine is scale-invariant).
+    */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nlist: Int, seed: Long = 42L, maxIter: Int = 8,
                fitSample: Int = 4096): (IvfModel, DataFrame) = {
     val sample = corpus.select(asDouble(col(vecCol)).as("v"))
       .limit(fitSample).collect()
       .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
     val model = IvfModel(lloyd(sample, nlist, maxIter, seed))
     // cluster assignment costs nlist codegen'd dots per row — fan out
     val indexed = Layout.fanOut(corpus).select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
-      .withColumn("cluster", assignCluster(col("v"), model.centroids))
+      .withColumn("__vn",
+        when(col("nv") > 0, transform(col("v"), _ / col("nv")))
+          .otherwise(col("v")))
+      .withColumn("cluster", assignCluster(col("__vn"), model.centroids))
+      .drop("__vn")
     (model, indexed)
   }
 

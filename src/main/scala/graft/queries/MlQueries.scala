@@ -17,16 +17,23 @@ object MlQueries extends QuerySet {
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
     "m12_train_metrics" -> ((s, _) => {
-      // 4 partitions: MLlib iterations schedule per-partition tasks, and
-      // 32-way parallelism on 2k rows is pure scheduler overhead. Small
-      // shuffle width + no AQE for the same reason — dozens of tiny
-      // stages where per-stage replanning dominates. Restored after.
+      // Single-partition layout: MLlib's iterative jobs (LR epochs, one
+      // job per RF/GBT tree depth) each schedule one task instead of
+      // 32, and every shuffle collapses to one reducer — on 2k rows the
+      // work is microseconds, the scheduling is the cost. No AQE (per-
+      // stage replanning dominates) and no whole-stage codegen: ~100
+      // distinct tiny stages across the three fits each pay a janino
+      // compile worth more than the interpreted eval they replace.
+      // All restored after; this block documents the SMALL-data stance —
+      // the 100 TB stance is the inverse (wide partitions, codegen on).
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val prevWsc = s.conf.get("spark.sql.codegen.wholeStage")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
       s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
       try {
-        val raw = TransactionGen.batch(s, 2000, seed = 42, partitions = 4)
+        val raw = TransactionGen.batch(s, 2000, seed = 42, partitions = 1)
         TrainingJob.run(raw, outDir = None, fast = true)
           .metrics
           .select(col("model"), round(col("accuracy"), 2).as("accuracy"),
@@ -38,6 +45,7 @@ object MlQueries extends QuerySet {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
       }
     })
   )

@@ -40,6 +40,23 @@ class AggregatesSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("roc_auc"), 0.75))
   }
 
+  test("grouped roc auc ≡ per-group ungrouped, single-class group null") {
+    val byModel = Seq(
+      ("a", 1, 0.9), ("a", 0, 0.2), ("a", 1, 0.7), ("a", 0, 0.7),
+      ("b", 1, 0.4), ("b", 0, 0.6), ("b", 1, 0.8), ("b", 0, 0.1),
+      ("c", 1, 0.9), ("c", 1, 0.3)).toDF("model", "label", "proba")
+    val grouped = Aggregates.rocAucByGroup(byModel, "label", "proba",
+      Seq("model")).collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    for (m <- Seq("a", "b")) {
+      val single = Aggregates.rocAuc(byModel.filter($"model" === m),
+        "label", "proba").collect()(0).getDouble(0)
+      assert(grouped(m).contains(single),
+        s"model $m grouped=${grouped(m)} single=$single")
+    }
+    assert(grouped("c").isEmpty, "single-class group must yield null")
+  }
+
   test("roc auc null on single-class input") {
     val one = Seq((1, 0.9), (1, 0.2)).toDF("label", "proba")
     assert(Aggregates.rocAuc(one, "label", "proba").collect()(0).isNullAt(0))

@@ -202,6 +202,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= 30, s"IVF recall $hits/50")
   }
 
+  test("IVF recall ≥ 90% at nprobe=8 (kmeans++ spherical quantizer)") {
+    // the trustworthy-ANN gate. Context for the bound: this corpus is
+    // near-random on the unit sphere (max pairwise cosine ~0.44), the
+    // hardest geometry for IVF — neighbors barely correlate with any
+    // clustering, so recall tracks scan fraction. The kmeans++ +
+    // spherical-update quantizer holds ≥90% probing 8 of 10 lists
+    // (uniform seeding and raw-L2 assignment both fail this); the
+    // sharper curve shows at 16 lists: 12 probes ≈ 98%.
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id").cache()
+    val (model, indexed) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 10)
+    val ivf = Similarity.ivfTopK(indexed, model, queries,
+      "vec_id", "embedding", k = 10, nprobe = 8)
+      .select("query_id", "vec_id")
+    val hits = ivf.intersect(brute).count()
+    assert(hits >= 45, s"IVF recall $hits/50 — need ≥ 90%")
+    val (m16, idx16) = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 16)
+    val hits16 = Similarity.ivfTopK(idx16, m16, queries,
+      "vec_id", "embedding", k = 10, nprobe = 12)
+      .select("query_id", "vec_id").intersect(brute).count()
+    assert(hits16 >= 45, s"IVF recall $hits16/50 at 12/16 — need ≥ 90%")
+  }
+
   test("hyperplane-LSH cosine near-dup recalls planted jittered copies") {
     // plant near-duplicates: each vector + tiny elementwise jitter
     val jittered = emb.select(($"vec_id" + 100000).as("vec_id"),
