@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring for training-data pipelines: TF-IDF
+  * document-term weights and BM25 query scoring — the standard tools
+  * for boilerplate down-weighting, topic filtering, and targeted
+  * corpus selection (e.g. "give me the documents most about X" before
+  * an expensive annotation pass).
+  *
+  * Scale design: one explode over tokens, then everything is grouped
+  * aggregation on (doc, term) / (term) keys — shuffle volume is the
+  * token stream, never documents × vocabulary. Corpus-level scalars
+  * (N, average length) ride along as a broadcast one-row frame. All
+  * arithmetic is spelled identically to the DuckDB oracles so the
+  * scores hash-match (integer tf/df/N, per-row double formula, and
+  * the per-doc BM25 sum folds in term order — cross-engine-exact).
+  */
+object Relevance {
+
+  private def toks(textCol: Column): Column =
+    TextAnalysis.tokens(lower(textCol))
+
+  /** Document-term TF-IDF with sklearn's smoothed idf:
+    * `idf = ln((N+1)/(df+1)) + 1`, score = tf · idf. Returns
+    * (doc_id, term, tf, df, tfidf) — one row per distinct document
+    * term; downstream callers window for top-terms-per-doc or
+    * threshold for filtering.
+    */
+  def tfidf(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = Layout.fanOut(df).select(col(idCol).as("doc_id"),
+      explode(toks(col(textCol))).as("term"))
+    val tf = exploded.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // document frequency from the per-doc term rows themselves — no
+    // second pass over the raw text
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
+  /** BM25 score of every document against a bag of query terms
+    * (Robertson idf; k1/b defaults per the literature). The term filter
+    * prunes the exploded stream before any shuffle, so cost is
+    * ∝ matching tokens. The per-document sum folds term-sorted
+    * (sequential double fold) for engine-exact reproducibility.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val base = Layout.fanOut(df).select(col(idCol).as("doc_id"),
+        toks(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    // token counts are integers: their double sum is exact, so avgdl is
+    // engine-identical
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scoredTerms = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("score",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
+    scoredTerms.groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Aggregates, Relevance}
+
+/** Relevance scoring over the documents table (TF-IDF, BM25) plus the
+  * grouped-AUC battery — all hash-exact against DuckDB: tf/df/N are
+  * integers, the idf/score formulas are spelled identically on both
+  * sides, and the only cross-row double sums fold in a deterministic
+  * order (BM25 per-doc sum term-sorted; AUC ranks are half-integers).
+  */
+object RelevanceQueries extends QuerySet {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-3 TF-IDF terms per document over a bounded slice — the
+    // "what is this document about" profile used for topic filtering.
+    "t09_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id", "text")
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      Relevance.tfidf(docs, "text", "doc_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        // ln() is transcendental — not correctly rounded, so the last
+        // ulp may differ across engines; 9dp keeps the score exact for
+        // comparison while ranking stays on the raw doubles
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("df"), round(col("tfidf"), 9).as("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 top-10 documents for a three-term query — targeted corpus
+    // selection before an expensive downstream pass.
+    "t10_bm25" -> ((s, d) =>
+      Relevance.bm25(Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", Seq("table", "data", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(10)
+        .select(col("doc_id"), round(col("bm25"), 9).as("bm25"))),
+
+    // Grouped ROC AUC: one traversal scores both l_linestatus cohorts
+    // (the fused multi-model evaluation path, oracle-gated).
+    "a16c_auc_by_group" -> ((s, d) =>
+      Aggregates.rocAucByGroup(
+        Tables.lineitem(s, d).select(col("l_linestatus").as("grp"),
+          (col("l_returnflag") === "R").cast("int").as("label"),
+          (col("l_discount") * 9 + col("l_tax")).as("proba")),
+        "label", "proba", Seq("grp"))
+        .orderBy(col("grp")))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "t09_tfidf" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         t AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS term
+               FROM docs),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         scored AS (
+           SELECT doc_id, term, tf, df,
+                  tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1)
+                    AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS rank
+           FROM scored)
+         SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+                round(tfidf, 9) AS tfidf
+         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "t10_bm25" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         b2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+                FROM base),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+         t AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+         tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM t
+                WHERE term IN ('table', 'data', 'vector')
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         agg AS (
+           SELECT doc_id,
+                  list_dot_product(list(score ORDER BY term),
+                    list_transform(list(score ORDER BY term),
+                      x -> CAST(1 AS DOUBLE))) AS bm25
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, round(bm25, 9) AS bm25 FROM agg
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+    "a16c_auc_by_group" ->
+      """WITH s AS (
+           SELECT l_linestatus AS grp,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label,
+                  l_discount * 9 + l_tax AS proba
+           FROM lineitem),
+         ranked AS (
+           SELECT grp, CAST(label AS DOUBLE) AS y,
+                  RANK() OVER (PARTITION BY grp ORDER BY proba) +
+                    (COUNT(*) OVER (PARTITION BY grp, proba) - 1) / 2.0 AS r
+           FROM s)
+         SELECT grp,
+                CASE WHEN SUM(y) = 0 OR SUM(1 - y) = 0 THEN NULL
+                     ELSE (SUM(CASE WHEN y = 1 THEN r ELSE 0.0 END) -
+                           SUM(y) * (SUM(y) + 1) / 2.0) /
+                          (SUM(y) * SUM(1 - y))
+                END AS roc_auc
+         FROM ranked GROUP BY grp ORDER BY grp"""
+  )
+}
