@@ -106,6 +106,29 @@ object TextAnalysis {
       i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
   }
 
+  /** Concat-and-chunk sequence packing — the GPT-style training layout:
+    * documents concatenate in ascending `idCol` order into one token
+    * stream, which splits into fixed-`budget` sequences; each document
+    * reports where its first token lands (sequence id + offset). The
+    * running token count is a partition-parallel prefix sum
+    * (`Aggregates.bucketedPrefixSums` — no global window, so the plan
+    * scales to corpus-size inputs), and token counts are integers, so
+    * the assignment is exact and engine-reproducible.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, budget: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val counted = df.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    Aggregates.bucketedPrefixSums(counted, "doc_id", ascending = true,
+      Seq("n_tokens"))
+      .withColumn("start_token", col("cum_n_tokens") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        floor(col("start_token") / budget).cast("long").as("seq_id"),
+        (col("start_token") % budget).as("seq_offset"))
+  }
+
   /** Repetition ratio: 1 − distinct n-grams / total n-grams — the
     * boilerplate/looping-text quality signal. 0 = no repetition.
     */

@@ -34,6 +34,20 @@ object TextQueries extends QuerySet {
     // DuckDB `quantile_cont`, R-7 interpolation) and broadcast into the
     // filter; at scale swap percentile_approx in for one-pass sketch
     // bounds when exactness isn't required.
+    // Concat-and-chunk packing into 512-token training sequences: every
+    // document's (seq_id, offset) assignment, summarized per sequence.
+    // The prefix sum is the parallel bucketed plan (no global window).
+    "t11_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(
+        Tables.documents(s, d).select("doc_id", "text"), "doc_id", "text",
+        budget = 512)
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          min(col("seq_offset")).as("first_offset"))
+        .orderBy(col("seq_id"))),
+
     "t08_length_band" -> ((s, d) => {
       val withLen = Tables.documents(s, d)
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -123,6 +137,19 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t11_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
+                     FROM documents),
+          c AS (SELECT doc_id, n,
+                       SUM(n) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n AS start_token
+                FROM t)
+          SELECT CAST(start_token // 512 AS BIGINT) AS seq_id,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                 MIN(doc_id) AS first_doc,
+                 CAST(MIN(start_token % 512) AS BIGINT) AS first_offset
+          FROM c GROUP BY 1 ORDER BY seq_id""",
     "t06_chunking" ->
       s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
           c AS (SELECT lang,

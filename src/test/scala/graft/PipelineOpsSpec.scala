@@ -279,6 +279,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(re.exceptAll(ordered).count() == 0)
   }
 
+  test("sequence packing matches a sequential driver fold") {
+    val budget = 128
+    val packed = TextAnalysis.packSequences(docs.select("doc_id", "text"),
+      "doc_id", "text", budget).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"),
+          r.getAs[Long]("n_tokens"))).toMap
+    // the ground truth is the literal definition: concatenate in id
+    // order, track the running start
+    val counts = docs.select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    counts.foreach { case (id, n) =>
+      val (seqId, off, nt) = packed(id)
+      assert(nt == n)
+      assert(seqId == cum / budget, s"doc $id seq")
+      assert(off == cum % budget, s"doc $id offset")
+      assert(off >= 0 && off < budget)
+      cum += n
+    }
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
