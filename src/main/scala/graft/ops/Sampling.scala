@@ -50,6 +50,36 @@ object Sampling {
       df.filter(xxKey(idCol, seed) < (fraction * M).toLong)
   }
 
+  /** Deterministic train/validation/test split assignment: each row's
+    * bucket is a pure function of its id hash, so the split never leaks
+    * rows across reruns, appends, repartitions, or engines (portable
+    * mode) — the property `randomSplit` cannot give an evolving corpus.
+    * `fractions` are (name, weight) pairs; weights normalize to 1 and
+    * carve consecutive hash ranges in the given order.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  splitCol: String = "split", seed: Long = 42L,
+                  portable: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    val total = fractions.map(_._2).sum
+    // cumulative upper bounds over the hash range, last pinned to 1.0
+    val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
+      .map(_ / total).dropRight(1)
+    val key =
+      if (portable) md5Key(idCol)
+      else xxKey(idCol, seed)
+    val assigned = fractions.init.zip(bounds).foldRight(
+      lit(fractions.last._1)) { case (((name, _), hi), elseCol) =>
+      val cond =
+        if (portable) key < lit(md5Threshold(hi))
+        else key < lit(math.floor(hi * M).toLong)
+      when(cond, name).otherwise(elseCol)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

@@ -28,7 +28,17 @@ object SamplingQueries extends QuerySet {
         "lang", "doc_id", n = 20, portable = true)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // 80/10/10 train/val/test assignment as a pure id-hash function —
+    // rerun-/append-/engine-stable (the property randomSplit lacks).
+    "sm03_split_assign" -> ((s, d) =>
+      Sampling.assignSplit(
+        Tables.documents(s, d).select("doc_id", "lang"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -47,6 +57,16 @@ object SamplingQueries extends QuerySet {
            FROM documents)
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM r WHERE rn <= 20
-         GROUP BY lang ORDER BY lang"""
+         GROUP BY lang ORDER BY lang""",
+    "sm03_split_assign" ->
+      """SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM (SELECT doc_id,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < 'cccccccc' THEN 'train'
+                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < 'e6666666' THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents)
+         GROUP BY split ORDER BY split"""
   )
 }

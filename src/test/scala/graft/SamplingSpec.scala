@@ -22,6 +22,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size - 1000) < 120, s"got ${a.size}")
   }
 
+  test("assignSplit is a total, deterministic, layout-invariant partition") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.assignSplit(base, "id", fr)
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000, "every row lands in exactly one split")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 4000) < 200, counts.toString)
+    assert(math.abs(counts("val") - 500) < 100, counts.toString)
+    // layout invariance: identical per-row assignment after repartition
+    val s2 = Sampling.assignSplit(base.repartition(13), "id", fr)
+    assert(s1.select("id", "split").except(s2.select("id", "split"))
+      .count() == 0)
+    // weights need not be normalized: 8/1/1 ≡ 0.8/0.1/0.1
+    val s3 = Sampling.assignSplit(base, "id",
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(s1.select("id", "split").except(s3.select("id", "split"))
+      .count() == 0)
+  }
+
   test("row fate is independent of the rest of the corpus (append-stable)") {
     // the sample drawn from a grown corpus agrees with the original
     // sample on every original row — the property rand() sampling lacks
