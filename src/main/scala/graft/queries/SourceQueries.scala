@@ -63,6 +63,27 @@ object SourceQueries extends QuerySet {
         .orderBy(col("ws"), col("event_type"))
     }),
 
+    // Stream-static enrichment join (§2.6, beyond the reference): the
+    // events stream joins the static customer dimension per micro-batch
+    // (broadcast-able static side — no stream state), then aggregates
+    // per segment. Complete mode on a bounded source ≡ the batch join.
+    "st03_stream_static_join" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val cust = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val qn = "st03_join_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ck", col("user_id") % 1000 + 1)
+        .join(cust, col("ck") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("user_id")).as("uid_sum"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy(col("c_mktsegment"))
+    }),
+
     // S6+S7+F10-F14: render each order as a consumer-log block, parse the
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
@@ -106,6 +127,11 @@ object SourceQueries extends QuerySet {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "st03_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(user_id) AS BIGINT) AS uid_sum
+         FROM events JOIN customer ON user_id % 1000 + 1 = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "s06_log_grammar" ->
       s"""SELECT o_orderpriority AS typ, COUNT(*) AS n,
            ${sqlSum("ROUND(o_totalprice, 2)")} AS sum_amount,
