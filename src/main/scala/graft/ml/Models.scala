@@ -93,9 +93,13 @@ object Models {
     * model. Evaluating N models costs one traversal of the union
     * instead of N independent plans (~3× fewer jobs for the m12 shape,
     * which is pure scheduling overhead at small scale and one saved
-    * scan per model at large scale).
+    * scan per model at large scale). Returns the metrics frame plus the
+    * two cached intermediates via [[graft.ops.Cached]] — call
+    * `.release()` after consuming the (tiny) metrics frame, as
+    * [[trainAll]] does, so repeated evaluations don't accumulate scored
+    * frames in the block manager.
     */
-  def evaluateAll(scoredByModel: DataFrame): DataFrame = {
+  def evaluateAllCached(scoredByModel: DataFrame): graft.ops.Cached = {
     val s = scoredByModel.cache()
     val l = col("label"); val p = col("pred")
     val eps = 1e-15
@@ -108,11 +112,15 @@ object Models {
       (-avg(when(l === 1, log(pr)).otherwise(log(lit(1) - pr))))
         .as("log_loss"))
     val b = base.cache() // one row per model; evaluated once, read twice
-    Aggregates.binaryMetrics(b, carryCols = Seq("model"))
+    val metrics = Aggregates.binaryMetrics(b, carryCols = Seq("model"))
       .join(b.select("model", "log_loss"), "model")
       .join(Aggregates.rocAucByGroup(s, "label", "proba", Seq("model")),
         "model")
+    graft.ops.Cached(metrics, Seq(s, b))
   }
+
+  def evaluateAll(scoredByModel: DataFrame): DataFrame =
+    evaluateAllCached(scoredByModel).df
 
   /** M12: train/evaluate every candidate; returns fitted models plus a
     * metrics frame with one row per model (one fused evaluation pass —
@@ -138,7 +146,13 @@ object Models {
     val taggedScores = fitted.map { case (name, model) =>
       scored(model, test, labelCol).withColumn("model", lit(name))
     }.reduce(_ unionByName _)
-    (fitted.toMap, evaluateAll(taggedScores))
+    // the metrics frame is one row per model: materialize it eagerly
+    // (localCheckpoint) so the backing scored/confusion caches release
+    // immediately instead of leaking for the session lifetime
+    val evalRes = evaluateAllCached(taggedScores)
+    val metrics = evalRes.df.localCheckpoint(true)
+    evalRes.release()
+    (fitted.toMap, metrics)
   }
 
   /** M10: named feature importances → top-k (A6). Tree models only. */

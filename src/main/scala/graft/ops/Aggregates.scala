@@ -180,9 +180,20 @@ object Aggregates {
       else
         keyed.groupBy(gcols: _*)
           .agg(min(col("__k")).as("__mn"), max(col("__k")).as("__mx"))
+    // group joins are NULL-SAFE throughout: a null group key is a
+    // legitimate group (groupBy keeps it), and a plain equi-join would
+    // silently drop its rows
     val withStats =
       if (groupCols.isEmpty) keyed.crossJoin(broadcast(stats))
-      else keyed.join(broadcast(stats), groupCols)
+      else {
+        val statsR = stats.select(
+          (groupCols.zipWithIndex.map { case (g, i) =>
+            col(g).as(s"__sg$i") } ++ Seq(col("__mn"), col("__mx"))): _*)
+        keyed.join(broadcast(statsR),
+          groupCols.zipWithIndex.map { case (g, i) =>
+            col(g) <=> col(s"__sg$i") }.reduce(_ && _))
+          .drop(groupCols.indices.map(i => s"__sg$i"): _*)
+      }
     val bucketed = withStats
       .withColumn("__bkt",
         when(col("__mx") === col("__mn"), lit(0L))
@@ -207,7 +218,7 @@ object Aggregates {
     val lhs = totals.select((groupCols.indices.map(i =>
       col(s"__tg$i").as(s"__og$i")) :+ col("__tbkt").as("__obkt")): _*)
     val triangular = groupCols.indices
-      .map(i => col(s"__og$i") === col(s"__tg$i"))
+      .map(i => col(s"__og$i") <=> col(s"__tg$i"))
       .foldLeft(col("__tbkt") < col("__obkt"))(_ && _)
     val offsets = lhs.join(broadcast(totals), triangular, "left")
       .groupBy((groupCols.indices.map(i => col(s"__og$i")) :+
@@ -215,7 +226,7 @@ object Aggregates {
       .agg(sum(col(s"__tot_${sumCols.head}")).as(s"__off_${sumCols.head}"),
         sumCols.tail.map(c => sum(col(s"__tot_$c")).as(s"__off_$c")): _*)
     val joinCond = groupCols.zipWithIndex
-      .map { case (g, i) => local(g) === col(s"__og$i") }
+      .map { case (g, i) => local(g) <=> col(s"__og$i") }
       .foldLeft(col("__bkt") === col("__obkt"))(_ && _)
     val joined = local.join(broadcast(offsets), joinCond, "left")
     val withCums = sumCols.foldLeft(joined) { (d, c) =>

@@ -241,8 +241,14 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
-    * chunks (guarantees recall for distance ≤ 3 when bands=4), equi-join
-    * per chunk, verify by Hamming distance.
+    * chunks, equi-join per chunk, verify by Hamming distance. The
+    * pigeonhole guarantee — distance ≤ 3 pairs always share a chunk
+    * when bands=4 — holds WITHIN buckets up to `maxBucket`; an over-cap
+    * bucket salt-splits ([[Layout.capBuckets]]) and its cross-salt
+    * pairs are skipped, trading exactness inside degenerate
+    * near-identical-boilerplate buckets for bounded pair counts. Pass
+    * `maxBucket = Int.MaxValue` to restore the strict guarantee on
+    * corpora known to be healthy.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3,

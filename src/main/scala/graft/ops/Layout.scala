@@ -29,7 +29,11 @@ object Layout {
     * materialized caches — never `df.rdd`, which would finalize the
     * physical plan outside AQE and can eagerly materialize upstream
     * stages. Plans whose partitioning AQE already owns (anything past a
-    * shuffle) estimate None and pass through untouched.
+    * shuffle) estimate None and pass through untouched — a deliberate
+    * contract change from the `.rdd` probe: AQE sizes post-shuffle
+    * partitions by bytes, and callers feeding a compute-amplifying
+    * kernel from a post-shuffle frame should `repartition` explicitly
+    * (or pass `min`) rather than have fanOut bypass AQE's view.
     */
   def fanOut(df: DataFrame, min: Int = 0): DataFrame = {
     val target =

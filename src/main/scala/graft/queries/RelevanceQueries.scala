@@ -99,8 +99,12 @@ object RelevanceQueries extends QuerySet {
                     list_transform(list(score ORDER BY term),
                       x -> CAST(1 AS DOUBLE))) AS bm25
            FROM sc GROUP BY doc_id)
-         SELECT doc_id, round(bm25, 9) AS bm25 FROM agg
-         ORDER BY bm25 DESC, doc_id ASC LIMIT 10""",
+         SELECT doc_id, round(bm25, 9) AS bm25 FROM (
+           -- order/limit on the RAW score inside the subquery: the outer
+           -- ORDER BY would bind to the rounded output alias and could
+           -- rank 9dp ties differently than Spark's raw-score sort
+           SELECT doc_id, bm25 FROM agg
+           ORDER BY bm25 DESC, doc_id ASC LIMIT 10)""",
     "a16c_auc_by_group" ->
       """WITH s AS (
            SELECT l_linestatus AS grp,

@@ -139,12 +139,20 @@ object Scorer {
       // the predicate constant-true/false instead of a column match)
       val quoted = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
         .quoteIdentifier("batch_id")
+      // SQLState 42* = syntax/access-rule violation, the class every
+      // dialect uses for "table does not exist" (Derby 42X05, Postgres
+      // 42P01, MySQL 42S02). Anything else — connection reset, lock
+      // timeout, revoked grant — PROPAGATES: treating it as first-batch
+      // would skip the delete and silently re-duplicate on replay.
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0"); true }
           finally st.close()
-        } catch { case _: java.sql.SQLException => false } // first batch
+        } catch {
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("42")) => false
+        }
       if (exists) {
         val st = conn.createStatement()
         try st.executeUpdate(

@@ -44,17 +44,22 @@ class AggregatesSpec extends SparkSpec {
     val byModel = Seq(
       ("a", 1, 0.9), ("a", 0, 0.2), ("a", 1, 0.7), ("a", 0, 0.7),
       ("b", 1, 0.4), ("b", 0, 0.6), ("b", 1, 0.8), ("b", 0, 0.1),
-      ("c", 1, 0.9), ("c", 1, 0.3)).toDF("model", "label", "proba")
+      ("c", 1, 0.9), ("c", 1, 0.3),
+      (null, 1, 0.8), (null, 0, 0.2)).toDF("model", "label", "proba")
     val grouped = Aggregates.rocAucByGroup(byModel, "label", "proba",
       Seq("model")).collect()
-      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+      .map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
     for (m <- Seq("a", "b")) {
       val single = Aggregates.rocAuc(byModel.filter($"model" === m),
         "label", "proba").collect()(0).getDouble(0)
-      assert(grouped(m).contains(single),
-        s"model $m grouped=${grouped(m)} single=$single")
+      assert(grouped(Some(m)).contains(single),
+        s"model $m grouped=${grouped(Some(m))} single=$single")
     }
-    assert(grouped("c").isEmpty, "single-class group must yield null")
+    assert(grouped(Some("c")).isEmpty, "single-class group must yield null")
+    // a null group key is a real group: its rows must not silently
+    // vanish in the grouped prefix-sum joins (null-safe equality)
+    assert(grouped.contains(None), "null group dropped")
+    assert(grouped(None).contains(1.0), s"null-group auc ${grouped(None)}")
   }
 
   test("roc auc null on single-class input") {
