@@ -34,6 +34,24 @@ object TextQueries extends QuerySet {
     // DuckDB `quantile_cont`, R-7 interpolation) and broadcast into the
     // filter; at scale swap percentile_approx in for one-pass sketch
     // bounds when exactness isn't required.
+    // CCNet-style LM quality banding: self-score the corpus with an
+    // add-1 word-bigram model, band docs by integer surprisal. ln() is
+    // transcendental (±1 ulp cross-engine) but the band boundaries are
+    // integers ~12 orders of magnitude away — banding absorbs it; the
+    // per-lang mean is rounded to 6dp for the same reason.
+    "t12_lm_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      graft.ops.LanguageModel
+        .bigramSurprisal(docs, docs, "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang"),
+          floor(col("surprisal")).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.round(avg(col("surprisal")), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("lang"), col("band"))
+    }),
+
     // Concat-and-chunk packing into 512-token training sequences: every
     // document's (seq_id, offset) assignment, summarized per sequence.
     // The prefix sum is the parallel bucketed plan (no global window).
@@ -137,6 +155,32 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t12_lm_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $ltoksSql AS t FROM documents),
+          bg AS (SELECT doc_id,
+                        unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+                 FROM toks WHERE len(t) >= 2),
+          pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM bg),
+          cb AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+          cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb
+                 GROUP BY w1),
+          v AS (SELECT COUNT(DISTINCT w) AS v
+                FROM (SELECT unnest(t) AS w FROM toks)),
+          scoredb AS (
+            SELECT p.doc_id,
+                   ln((COALESCE(cb.cb, 0) + 1.0) /
+                      (COALESCE(cu.cu, 0) + 1.0 * v)) AS logp
+            FROM pairs p
+            LEFT JOIN cb USING (w1, w2)
+            LEFT JOIN cu USING (w1)
+            CROSS JOIN v),
+          s AS (SELECT doc_id, -AVG(logp) AS surprisal
+                FROM scoredb GROUP BY doc_id)
+          SELECT lang, CAST(FLOOR(surprisal) AS BIGINT) AS band,
+                 COUNT(*) AS n_docs,
+                 round(AVG(surprisal), 6) AS mean_surprisal
+          FROM s JOIN documents USING (doc_id)
+          GROUP BY lang, band ORDER BY lang, band""",
     "t11_seq_pack" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n
                      FROM documents),

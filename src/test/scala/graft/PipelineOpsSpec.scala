@@ -302,6 +302,25 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram surprisal: hand-computed smoothing, gibberish ranks high") {
+    import graft.ops.LanguageModel
+    val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // corpus model: c(a,b)=2, c(b,a)=1, contexts c(a·)=2, c(b·)=1, V=2
+    val cands = Seq((10L, "a b"), (11L, "z z"), (12L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramSurprisal(corpus, cands, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("surprisal"), r.getAs[Long]("n_bigrams"))).toMap
+    // in-domain: P(b|a) = (2+1)/(2+2) = 3/4
+    assert(math.abs(out(10L)._1 - (-math.log(0.75))) < 1e-12)
+    // unseen everything: P = (0+1)/(0+2) = 1/2
+    assert(math.abs(out(11L)._1 - math.log(2.0)) < 1e-12)
+    assert(out(11L)._1 > out(10L)._1, "gibberish must score higher")
+    assert(out(10L)._2 == 1 && out(11L)._2 == 1)
+    assert(!out.contains(12L), "single-token docs have no bigrams")
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),

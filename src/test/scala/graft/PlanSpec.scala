@@ -30,7 +30,10 @@ class PlanSpec extends SparkSpec {
 
   test("metrics path has no global (unpartitioned) window") {
     for (q <- Seq("a16_roc_auc", "a17_optimal_threshold",
-        "a16b_roc_curve", "a17b_pr_curve")) {
+        "a16b_roc_curve", "a17b_pr_curve",
+        // round 3: the grouped-AUC and sequence-packing prefix sums
+        // must stay bucket-partitioned too
+        "a16c_auc_by_group", "t11_seq_pack")) {
       val globals = plan(q).collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
       }
