@@ -119,8 +119,16 @@ object Models {
     graft.ops.Cached(metrics, Seq(s, b))
   }
 
-  def evaluateAll(scoredByModel: DataFrame): DataFrame =
-    evaluateAllCached(scoredByModel).df
+  /** Convenience form: eagerly materializes the (one-row-per-model)
+    * metrics frame and releases the backing caches before returning, so
+    * callers can't leak them.
+    */
+  def evaluateAll(scoredByModel: DataFrame): DataFrame = {
+    val r = evaluateAllCached(scoredByModel)
+    val out = r.df.localCheckpoint(true)
+    r.release()
+    out
+  }
 
   /** M12: train/evaluate every candidate; returns fitted models plus a
     * metrics frame with one row per model (one fused evaluation pass —
@@ -146,13 +154,7 @@ object Models {
     val taggedScores = fitted.map { case (name, model) =>
       scored(model, test, labelCol).withColumn("model", lit(name))
     }.reduce(_ unionByName _)
-    // the metrics frame is one row per model: materialize it eagerly
-    // (localCheckpoint) so the backing scored/confusion caches release
-    // immediately instead of leaking for the session lifetime
-    val evalRes = evaluateAllCached(taggedScores)
-    val metrics = evalRes.df.localCheckpoint(true)
-    evalRes.release()
-    (fitted.toMap, metrics)
+    (fitted.toMap, evaluateAll(taggedScores))
   }
 
   /** M10: named feature importances → top-k (A6). Tree models only. */

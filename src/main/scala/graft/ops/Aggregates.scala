@@ -413,7 +413,9 @@ object Aggregates {
       (col("__n") - 1)
     val stats = moments.select(col("__g"), col("__n"), mean.as("__mean"),
       sqrt(variance).as("__std"))
-    df.join(broadcast(stats), col(groupCol) === col("__g"))
+    // null-safe: a null group is a real group and its rows must keep
+    // their (null-group) moments instead of being dropped
+    df.join(broadcast(stats), col(groupCol) <=> col("__g"))
       .withColumn(zCol,
         when(col("__n") >= 2 && col("__std") > 0,
           (col(valueCol) - col("__mean")) / col("__std")))

@@ -10,12 +10,12 @@ import org.apache.spark.sql.functions._
   * looks like the reference corpus; high = gibberish, boilerplate, or
   * out-of-domain — the standard signal for corpus quality banding.
   *
-  * Scale design: both corpora explode to bigram rows once; model
-  * statistics are two grouped aggregations (bigram and context counts —
-  * the context table derives from the bigram table, no second corpus
-  * pass); scoring is an equi-join of document bigrams against the
-  * bigram table (shuffle ∝ token stream, never vocab²). The vocab size
-  * rides along as a broadcast one-row frame.
+  * Scale design: the tokenized corpus persists once and feeds both
+  * model aggregations (bigram counts and vocab; context counts derive
+  * from the bigram table — no extra corpus pass); scoring is an
+  * equi-join of document bigrams against the bigram table (shuffle ∝
+  * token stream, never vocab²). The vocab size rides along as a
+  * broadcast one-row frame.
   */
 object LanguageModel {
 
@@ -32,14 +32,20 @@ object LanguageModel {
   /** Per-document average bigram surprisal of `docs` under a model
     * fitted on `corpus` (self-scoring — corpus == docs — is the usual
     * quality-filter shape). Documents with fewer than two tokens have
-    * no bigrams and drop out. Returns (doc_id, surprisal, n_bigrams).
+    * no bigrams and drop out. Returns (doc_id, surprisal, n_bigrams)
+    * plus the persisted tokenized-corpus frame via [[Cached]]: the
+    * bigram-count and vocab aggregations both consume it, so the
+    * corpus scans/tokenizes ONCE; call `.release()` after the scoring
+    * action. [[bigramSurprisal]] is the plain-DataFrame convenience
+    * for one-shot sessions (same contract as the Dedup pipelines).
     */
-  def bigramSurprisal(corpus: DataFrame, docs: DataFrame,
-                      textCol: String, idCol: String,
-                      k: Double = 1.0): DataFrame = {
+  def bigramSurprisalCached(corpus: DataFrame, docs: DataFrame,
+                            textCol: String, idCol: String,
+                            k: Double = 1.0): Cached = {
     require(k > 0, "smoothing constant must be positive")
     val ctoks = Layout.fanOut(corpus)
       .select(toks(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb = ctoks.select(explode(bigrams(col("toks"))).as("b"))
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("cb"))
@@ -52,7 +58,7 @@ object LanguageModel {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     // add-k: P(w2|w1) = (c(w1,w2)+k) / (c(w1·)+k·V); unseen contexts
     // degrade to the uniform 1/V
-    db.join(cb, Seq("w1", "w2"), "left")
+    val scored = db.join(cb, Seq("w1", "w2"), "left")
       .join(cu, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
@@ -61,5 +67,11 @@ object LanguageModel {
       .groupBy(col("doc_id"))
       .agg((-avg(col("logp"))).as("surprisal"),
         count(lit(1)).as("n_bigrams"))
+    Cached(scored, Seq(ctoks))
   }
+
+  def bigramSurprisal(corpus: DataFrame, docs: DataFrame,
+                      textCol: String, idCol: String,
+                      k: Double = 1.0): DataFrame =
+    bigramSurprisalCached(corpus, docs, textCol, idCol, k).df
 }

@@ -39,8 +39,7 @@ object MlQueries extends QuerySet {
             round(col("roc_auc"), 4).as("roc_auc"),
             round(col("matthews_corrcoef"), 4).as("mcc"))
           .orderBy(col("model"))
-          .cache() // materialize under the tuned confs
-          .localCheckpoint(true)
+          .localCheckpoint(true) // materialize under the tuned confs
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)

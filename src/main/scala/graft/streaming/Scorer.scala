@@ -139,11 +139,14 @@ object Scorer {
       // the predicate constant-true/false instead of a column match)
       val quoted = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
         .quoteIdentifier("batch_id")
-      // SQLState 42* = syntax/access-rule violation, the class every
-      // dialect uses for "table does not exist" (Derby 42X05, Postgres
-      // 42P01, MySQL 42S02). Anything else — connection reset, lock
-      // timeout, revoked grant — PROPAGATES: treating it as first-batch
-      // would skip the delete and silently re-duplicate on replay.
+      // Only the SQLStates that specifically mean "table does not
+      // exist" (Derby 42X05, Postgres 42P01, MySQL/H2 42S02, H2 legacy
+      // 42102) — or a driver that reports no SQLState at all (SQLite) —
+      // count as first-batch. Everything else, including the
+      // same-class-42 privilege violations (42501/42000/42502),
+      // PROPAGATES: a swallowed probe failure would skip the delete and
+      // silently re-duplicate on replay.
+      val tableMissingStates = Set("42X05", "42P01", "42S02", "42102")
       val exists =
         try {
           val st = conn.createStatement()
@@ -151,7 +154,8 @@ object Scorer {
           finally st.close()
         } catch {
           case e: java.sql.SQLException
-              if Option(e.getSQLState).exists(_.startsWith("42")) => false
+              if e.getSQLState == null ||
+                tableMissingStates.contains(e.getSQLState) => false
         }
       if (exists) {
         val st = conn.createStatement()

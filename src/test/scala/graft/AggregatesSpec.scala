@@ -62,6 +62,17 @@ class AggregatesSpec extends SparkSpec {
     assert(grouped(None).contains(1.0), s"null-group auc ${grouped(None)}")
   }
 
+  test("zscorePerGroup keeps null-group rows (null-safe moments join)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), (null, 2.0), (null, 4.0))
+      .toDF("g", "v")
+    val z = Aggregates.zscorePerGroup(df, "g", "v")
+    assert(z.count() == 4, "null-group rows must survive the join")
+    val nulls = z.filter($"g".isNull).select("z").as[Double].collect().sorted
+    // null group: mean 3, sample std √2 → z = ±1/√2
+    assert(math.abs(nulls(0) + 1 / math.sqrt(2)) < 1e-9)
+    assert(math.abs(nulls(1) - 1 / math.sqrt(2)) < 1e-9)
+  }
+
   test("roc auc null on single-class input") {
     val one = Seq((1, 0.9), (1, 0.2)).toDF("label", "proba")
     assert(Aggregates.rocAuc(one, "label", "proba").collect()(0).isNullAt(0))
