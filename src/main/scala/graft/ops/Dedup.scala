@@ -416,6 +416,40 @@ object Dedup {
       "left_anti")
   }
 
+  // ---------- passage-level overlap ----------
+
+  /** All n-token passages (overlapping windows, stride 1) of a token
+    * array; shorter docs yield their whole text as one passage.
+    */
+  def passages(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Cross-document passage overlap: every n-token passage that appears
+    * in at least `minDocs` distinct documents, with its document and
+    * occurrence counts — the signal driving passage-level dedup
+    * (strip repeated boilerplate spans rather than whole documents).
+    *
+    * Scale design: passages travel as md5 digests, so the shuffle key
+    * is 32 bytes regardless of n, and the aggregation is one grouped
+    * pass with map-side partials (the md5 spelling is engine-portable —
+    * the d08 oracle recomputes it in DuckDB; swap `md5` for `xxhash64`
+    * when cross-engine parity doesn't matter and 8-byte keys do).
+    */
+  def passageOverlap(df: DataFrame, textCol: String, idCol: String,
+                     n: Int, minDocs: Int = 2): DataFrame =
+    Layout.fanOut(df)
+      .select(col(idCol).as("doc_id"),
+        explode(passages(TextAnalysis.tokens(lower(col(textCol))), n))
+          .as("p"))
+      .select(col("doc_id"), md5(col("p").cast("binary")).as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the

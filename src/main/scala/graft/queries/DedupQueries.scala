@@ -108,6 +108,24 @@ object DedupQueries extends QuerySet {
         sum(col("doc_id")).cast("long").as("id_checksum"))
     }),
 
+    // Passage-level overlap: every 10th doc gains an identical
+    // boilerplate tail — its 5-token passages must surface as shared
+    // across ≥2 docs. Passages travel as engine-portable md5 digests,
+    // so the whole report is oracle-checked.
+    "d08_passage_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0,
+            concat(col("text"),
+              lit(" shared boilerplate footer appears verbatim on many pages")))
+            .otherwise(col("text")))
+      Dedup.passageOverlap(docs, "text", "doc_id", n = 5, minDocs = 2)
+        .agg(count(lit(1)).as("n_shared_passages"),
+          sum(col("n_occurrences")).as("total_occurrences"),
+          max(col("n_docs")).as("max_docs"),
+          min(col("first_doc")).as("min_first_doc"))
+    }),
+
     // SimHash near-dups over the same planted corpus (rows-only).
     "d04_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -131,6 +149,35 @@ object DedupQueries extends QuerySet {
        END)"""
 
   def oracle: Map[String, String] = Map(
+    "d08_passage_overlap" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text ||
+                         ' shared boilerplate footer appears verbatim on many pages'
+                       ELSE text END AS text
+           FROM documents),
+         t AS (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM docs),
+         p AS (SELECT doc_id,
+                      unnest(CASE WHEN len(toks) < 5
+                        THEN [list_aggregate(toks, 'string_agg', ' ')]
+                        ELSE list_transform(range(0, len(toks) - 4),
+                          i -> list_aggregate(toks[i+1:i+5],
+                                              'string_agg', ' '))
+                      END) AS passage
+               FROM t),
+         g AS (SELECT md5(passage) AS ph,
+                      COUNT(DISTINCT doc_id) AS n_docs,
+                      COUNT(*) AS n_occurrences,
+                      MIN(doc_id) AS first_doc
+               FROM p GROUP BY md5(passage))
+         SELECT COUNT(*) AS n_shared_passages,
+                CAST(SUM(n_occurrences) AS BIGINT) AS total_occurrences,
+                MAX(n_docs) AS max_docs,
+                MIN(first_doc) AS min_first_doc
+         FROM g WHERE n_docs >= 2""",
     // Min-label connected components as a reachability fixpoint: reach
     // holds (id, reachable id) pairs, UNION-distinct terminates at the
     // transitive closure (components are ~10 nodes, so the closure is

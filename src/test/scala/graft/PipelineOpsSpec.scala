@@ -302,6 +302,24 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("passage overlap finds shared spans, not unique text") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta trailer"),
+      (3L, "completely different text with no common spans at all")
+    ).toDF("doc_id", "text")
+    val shared = Dedup.passageOverlap(df, "text", "doc_id", n = 5)
+      .collect()
+    // docs 1+2 share the 6-token run → two 5-token windows appear in both
+    assert(shared.length == 2, shared.mkString(";"))
+    assert(shared.forall(_.getAs[Long]("n_docs") == 2))
+    assert(shared.forall(_.getAs[Long]("first_doc") == 1L))
+    // a doc repeating its own passage is NOT cross-document overlap
+    val selfRep = Seq((1L, "x y z w v x y z w v")).toDF("doc_id", "text")
+    assert(Dedup.passageOverlap(selfRep, "text", "doc_id", n = 5)
+      .count() == 0)
+  }
+
   test("bigram surprisal: hand-computed smoothing, gibberish ranks high") {
     import graft.ops.LanguageModel
     val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
