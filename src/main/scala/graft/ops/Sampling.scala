@@ -80,6 +80,48 @@ object Sampling {
     df.withColumn(splitCol, assigned)
   }
 
+  /** Deterministic corpus mixing: sample each source down so the result
+    * matches `weights`' proportions at the LARGEST feasible total (the
+    * binding source — the one scarcest relative to its weight — keeps
+    * everything; the rest hash-sample down). The data-mixture op every
+    * training pipeline runs before tokenization, with hash-gated row
+    * fate: stable under reruns, appends of non-binding sources, and
+    * engines (portable mode). Sources absent from `weights` drop.
+    *
+    * The per-source counts collect to the driver — bounded by source
+    * cardinality (languages/domains), the justified-collect shape.
+    */
+  def mixCorpus(df: DataFrame, sourceCol: String, idCol: String,
+                weights: Map[String, Double], seed: Long = 42L,
+                portable: Boolean = false): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val counts = df
+      .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no rows match any weighted source")
+    // feasible scale k: total output size such that every source can
+    // supply its share; fraction_s = k·w_s / n_s ∈ (0, 1]
+    val k = weights.collect {
+      case (s, w) if counts.contains(s) => counts(s) / w
+    }.min
+    val key = if (portable) md5Key(idCol) else xxKey(idCol, seed)
+    val cond = weights.toSeq.sortBy(_._1).flatMap { case (s, w) =>
+      counts.get(s).map { n =>
+        val f = k * w / n
+        // the binding source's fraction is ~1.0 up to FP jitter: keep
+        // every row rather than compare against a 9-hex threshold
+        if (f >= 1.0) col(sourceCol) === s
+        else if (portable)
+          col(sourceCol) === s && key < lit(md5Threshold(f))
+        else
+          col(sourceCol) === s && key < lit(math.floor(f * M).toLong)
+      }
+    }.reduce(_ || _)
+    df.filter(cond)
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

@@ -38,7 +38,19 @@ object SamplingQueries extends QuerySet {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("split")))
+        .orderBy(col("split"))),
+
+    // Deterministic data mixture: sample langs down to 50/20/20/10
+    // proportions at the largest feasible total (binding source keeps
+    // all rows); 'es' has no weight and drops.
+    "sm04_mix_corpus" -> ((s, d) =>
+      Sampling.mixCorpus(Tables.documents(s, d).select("doc_id", "lang"),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.2, "fr" -> 0.1),
+        portable = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -67,6 +79,21 @@ object SamplingQueries extends QuerySet {
                         < 'e6666666' THEN 'val'
                       ELSE 'test' END AS split
                FROM documents)
-         GROUP BY split ORDER BY split"""
+         GROUP BY split ORDER BY split""",
+    "sm04_mix_corpus" ->
+      """WITH w(src, wt) AS (VALUES ('en', 0.5), ('zh', 0.2),
+                                    ('de', 0.2), ('fr', 0.1)),
+         c AS (SELECT lang AS src, COUNT(*) AS n
+               FROM documents JOIN w ON lang = w.src GROUP BY lang),
+         k AS (SELECT MIN(n / wt) AS k FROM c JOIN w USING (src)),
+         fr AS (SELECT src, k * wt / n AS f
+                FROM c JOIN w USING (src) CROSS JOIN k),
+         sel AS (
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN fr ON d.lang = fr.src
+           WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                 printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
+         SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM sel GROUP BY lang ORDER BY lang"""
   )
 }

@@ -42,6 +42,26 @@ class SamplingSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("mixCorpus hits the target mixture; binding source keeps all rows") {
+    val weights = Map("grp0" -> 0.5, "grp1" -> 0.25, "grp2" -> 0.25)
+    val mixed = Sampling.mixCorpus(base, "grp", "id", weights)
+    val got = mixed.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = base.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("grp0", "grp1", "grp2"), "unweighted drop")
+    // all weighted sources are ~equal-sized, so grp0 (largest weight
+    // relative to size) binds and keeps everything
+    assert(got("grp0") == full("grp0"), "binding source must keep all")
+    // half-weight sources sample to ~half the binding source
+    for (g <- Seq("grp1", "grp2"))
+      assert(math.abs(got(g) - got("grp0") / 2.0) < got("grp0") * 0.15,
+        s"$g ${got(g)} vs ${got("grp0")}")
+    // deterministic
+    val again = Sampling.mixCorpus(base.repartition(11), "grp", "id", weights)
+    assert(mixed.select("id").except(again.select("id")).count() == 0)
+  }
+
   test("row fate is independent of the rest of the corpus (append-stable)") {
     // the sample drawn from a grown corpus agrees with the original
     // sample on every original row — the property rand() sampling lacks
