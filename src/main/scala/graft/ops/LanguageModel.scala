@@ -62,8 +62,11 @@ object LanguageModel {
       .join(cu, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("logp",
-        log((coalesce(col("cb"), lit(0L)) + k) /
-          (coalesce(col("cu"), lit(0L)) + lit(k) * col("v"))))
+        // an empty corpus has V = 0: no model exists, so surprisal is
+        // null rather than log(1/0) = +∞ poisoning the average
+        when(col("v") === 0, lit(null)).otherwise(
+          log((coalesce(col("cb"), lit(0L)) + k) /
+            (coalesce(col("cu"), lit(0L)) + lit(k) * col("v")))))
       .groupBy(col("doc_id"))
       .agg((-avg(col("logp"))).as("surprisal"),
         count(lit(1)).as("n_bigrams"))

@@ -339,6 +339,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(12L), "single-token docs have no bigrams")
   }
 
+  test("new operators degrade cleanly on empty/degenerate input") {
+    import graft.ops.{LanguageModel, Relevance}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Relevance.tfidf(empty, "text", "doc_id").count() == 0)
+    assert(TextAnalysis.packSequences(empty, "doc_id", "text", 128)
+      .count() == 0)
+    assert(Dedup.passageOverlap(empty, "text", "doc_id", n = 5).count() == 0)
+    // scoring against an EMPTY corpus: no model → null surprisal, not +∞
+    val cands = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramSurprisal(empty, cands, "text", "doc_id")
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("surprisal")))
+  }
+
   test("language ID picks the seeded language, und on no hits") {
     val df = Seq(
       ("the cat and the dog of a house", "en"),
