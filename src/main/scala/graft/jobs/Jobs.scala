@@ -103,7 +103,11 @@ object ScoreMain {
         WireFormat.decodeFrame(
           spark.readStream.text(s"$src/wire").withColumnRenamed("value", "v"),
           "v")
-    val scored = Scorer.score(wire, features, model)
+    // drop undecodable messages before scoring (decodeFrame's contract:
+    // corrupt JSON → all-null row, filtered by the caller) — the
+    // reference consumer logs-and-continues; scoring an all-null row
+    // would instead throw or pollute the counters
+    val scored = Scorer.score(WireFormat.valid(wire), features, model)
     val q1 = Scorer.sinkWriter(scored, s"$sinkDir/scored",
       s"$sinkDir/ckpt-scored", textLogPath = Some(s"$sinkDir/consumer_log"))
       .start()

@@ -52,8 +52,10 @@ object Balance {
                          seed: Long = 42L): DataFrame = {
     val counts = df.groupBy(col(labelCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty && counts.values.forall(_ > 0),
-      s"both classes must be present (${counts.size} seen)") // P9 guard
+    // P9 guard: groupBy counts are always > 0, so the meaningful check
+    // is the number of DISTINCT classes
+    require(counts.size >= 2,
+      s"both classes must be present (${counts.size} seen)")
     val majority = counts.values.max
 
     val ratioExpr = counts.foldLeft(lit(1.0)) { case (acc, (label, cnt)) =>

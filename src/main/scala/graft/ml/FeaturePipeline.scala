@@ -39,8 +39,12 @@ object FeaturePipeline {
       TimeFeatures.combinedTimestamp(col("Transaction_Date"),
         col("Transaction_Time")))
     val deduped = Cleaning.dropDuplicates(withTs)
-    val filled = Cleaning.fillNumericNulls(deduped)
-    TimeFeatures.withTimeComponents(filled, col("__ts")).drop("__ts")
+    // components BEFORE the null fill: a row with an unparseable
+    // timestamp gets year..second = null → filled to 0, instead of
+    // nulls surviving past the fill into NaN features that poison the
+    // scaler fit
+    val withComponents = TimeFeatures.withTimeComponents(deduped, col("__ts"))
+    Cleaning.fillNumericNulls(withComponents).drop("__ts")
   }
 
   /** Indexed column name for a categorical feature. */

@@ -63,8 +63,11 @@ object Models {
       col("prediction").cast("int").as("pred"),
       element_at(vector_to_array(col("probability")), 2).as("proba"))
 
-  /** A9/A11-A16 in three passes over the scored frame, joined into one
-    * metrics row (the model_metrics.json shape, `FD/model.py:135-146`).
+  /** A9/A11-A16 over one scored frame, joined into one metrics row (the
+    * model_metrics.json shape, `FD/model.py:135-146`). Materializes
+    * eagerly and releases its working caches before returning — the
+    * metrics row is tiny, and a lazily-returned plan would pin the full
+    * scored frame in the block manager with no release path.
     */
   def evaluate(scoredDf: DataFrame): DataFrame = {
     val s = scoredDf.cache()
@@ -72,7 +75,7 @@ object Models {
     val eps = 1e-15
     val pr = greatest(least(col("proba"), lit(1 - eps)), lit(eps))
     // confusion counts + log loss share one aggregation pass; AUC needs
-    // its own (global rank window)
+    // its own (parallel rank plan)
     val base = s.agg(
       sum(when(l === 0 && p === 0, 1L).otherwise(0L)).as("tn"),
       sum(when(l === 0 && p === 1, 1L).otherwise(0L)).as("fp"),
@@ -81,9 +84,13 @@ object Models {
       (-avg(when(l === 1, log(pr)).otherwise(log(lit(1) - pr))))
         .as("log_loss"))
     val b = base.cache() // one row; evaluated once, read twice
-    Aggregates.binaryMetrics(b)
+    val out = Aggregates.binaryMetrics(b)
       .crossJoin(b.select("log_loss"))
       .crossJoin(Aggregates.rocAuc(s, "label", "proba"))
+      .localCheckpoint(true)
+    s.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+    out
   }
 
   /** The full battery for MANY models in one pass: scored frames tagged

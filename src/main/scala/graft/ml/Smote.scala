@@ -32,27 +32,40 @@ object Smote {
     * `maxBucketCandidates` caps the neighbor pool per LSH bucket — one
     * dense bucket (many identical/near-identical minority rows) would
     * otherwise make the candidate equi-join quadratic in that bucket.
+    * The Cached form returns the persisted per-class minority frames
+    * for release after the consuming action; [[oversample]] is the
+    * plain one-shot wrapper (same contract as the Dedup pipelines).
     */
-  def oversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
-                 k: Int = 5, numTables: Int = 3, bucketWidth: Double = 2.0,
-                 seed: Long = 42L, maxBucketCandidates: Int = 256): DataFrame = {
+  def oversampleCached(df: DataFrame, labelCol: String,
+                       featureCols: Seq[String],
+                       k: Int = 5, numTables: Int = 3,
+                       bucketWidth: Double = 2.0, seed: Long = 42L,
+                       maxBucketCandidates: Int = 256): graft.ops.Cached = {
     val counts = df.groupBy(col(labelCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(counts.size >= 2, "need at least two classes") // P9 guard
     val majority = counts.values.max
 
-    val synths = counts.filter(_._2 < majority).map { case (cls, cnt) =>
+    val results = counts.filter(_._2 < majority).map { case (cls, cnt) =>
       synthesize(df.filter(col(labelCol) === cls), featureCols,
         need = majority - cnt, k, numTables, bucketWidth, seed,
         maxBucketCandidates)
     }
-    synths.foldLeft(df)(_ unionByName _)
+    graft.ops.Cached(results.map(_._1).foldLeft(df)(_ unionByName _),
+      results.map(_._2).toSeq)
   }
+
+  def oversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
+                 k: Int = 5, numTables: Int = 3, bucketWidth: Double = 2.0,
+                 seed: Long = 42L, maxBucketCandidates: Int = 256): DataFrame =
+    oversampleCached(df, labelCol, featureCols, k, numTables, bucketWidth,
+      seed, maxBucketCandidates).df
 
   private def synthesize(minority: DataFrame, featureCols: Seq[String],
                          need: Long, k: Int, numTables: Int,
                          bucketWidth: Double, seed: Long,
-                         maxBucketCandidates: Int): DataFrame = {
+                         maxBucketCandidates: Int)
+      : (DataFrame, DataFrame) = {
     val dim = featureCols.length
     val rnd = new scala.util.Random(seed)
     // seeded unit-ish hyperplanes for the projection tables
@@ -113,13 +126,24 @@ object Smote {
             .cast("int")).cast("int"))
       .filter(col("__copies") > 0)
       .withColumn("__j", explode(expr("sequence(1, __copies)")))
-      // deterministic pseudo-random neighbor slot per (row, copy)
-      .withColumn("__pick",
-        (pmod(xxhash64(col("__id"), col("__j")), lit(k)) + 1).cast("int"))
       .withColumn("__u", rand(seed + 2))
 
-    val joined = sources.join(knn,
-        sources("__id") === knn("id") && sources("__pick") === knn("__rn"),
+    // deterministic pseudo-random neighbor slot per (row, copy), drawn
+    // over the neighbors the point ACTUALLY has (≤ k): a uniform pick
+    // over 1..k would miss the join with probability (k−m)/k for a
+    // point with m < k neighbors and silently clone instead of
+    // interpolate — cloning is reserved for points with NO neighbor
+    val nbrCount = knn.groupBy(col("id").as("__nid"))
+      .agg(max(col("__rn")).as("__m"))
+    val picked = sources
+      .join(nbrCount, sources("__id") === col("__nid"), "left")
+      .drop("__nid")
+      .withColumn("__pick",
+        (pmod(xxhash64(col("__id"), col("__j")),
+          least(lit(k), coalesce(col("__m"), lit(1)))) + 1).cast("int"))
+
+    val joined = picked.join(knn,
+        picked("__id") === knn("id") && picked("__pick") === knn("__rn"),
         "left")
       .withColumn("__synth",
         when(col("nbr_fv").isNull, col("__fv")) // no neighbor → clone
@@ -130,6 +154,6 @@ object Smote {
     val unpacked = featureCols.zipWithIndex.foldLeft(joined) {
       case (d, (c, i)) => d.withColumn(c, element_at(col("__synth"), i + 1))
     }
-    unpacked.select(minority.columns.map(col).toIndexedSeq: _*)
+    (unpacked.select(minority.columns.map(col).toIndexedSeq: _*), base)
   }
 }

@@ -44,13 +44,14 @@ object TrainingJob {
     val classes = pre.groupBy("label").count().count()
     require(classes >= 2, "training data must contain both classes")
 
-    val (featureModel, weighted) =
+    val (featureModel, weighted, smoteHandle) =
       if (!trueSmote) {
         val fm = FeaturePipeline.fit(pre)
         val featured = fm.transform(FeaturePipeline.withRequiredFeatures(pre))
         val balanced = Balance.oversampleBalanced(featured, "label",
           jitterCols = Nil) // vectors already assembled; jitter is pre-assembly
-        (fm, Balance.withBalancedWeights(balanced, "label"))
+        (fm, Balance.withBalancedWeights(balanced, "label"),
+          Option.empty[graft.ops.Cached])
       } else {
         val pre2 = FeaturePipeline.withRequiredFeatures(pre)
         // fit stages separately so SMOTE can run between encode and scale
@@ -61,12 +62,12 @@ object TrainingJob {
           .setStringOrderType("alphabetAsc").setHandleInvalid("keep")
           .fit(pre2)
         val indexed = indexerModel.transform(pre2)
-        val smoted = Smote.oversample(indexed, "label",
+        val sm = Smote.oversampleCached(indexed, "label",
           FeaturePipeline.assemblerInputs.toSeq)
         val assembler = new org.apache.spark.ml.feature.VectorAssembler()
           .setInputCols(FeaturePipeline.assemblerInputs)
           .setOutputCol("features_raw").setHandleInvalid("keep")
-        val assembled = assembler.transform(smoted)
+        val assembled = assembler.transform(sm.df)
         val scalerModel = new org.apache.spark.ml.feature.StandardScaler()
           .setInputCol("features_raw").setOutputCol("features")
           .setWithMean(true).setWithStd(true)
@@ -75,7 +76,7 @@ object TrainingJob {
         val fm = new org.apache.spark.ml.Pipeline()
           .setStages(Array(indexerModel, assembler, scalerModel)).fit(pre2)
         (fm, Balance.withBalancedWeights(
-          scalerModel.transform(assembled), "label"))
+          scalerModel.transform(assembled), "label"), Some(sm))
       }
 
     // three estimators iterate over the same split: materialize once
@@ -86,6 +87,12 @@ object TrainingJob {
     val train = trainRaw.cache(); val test = testRaw.cache()
     train.count()
     val (models, metrics) = Models.trainAll(train, test, fast = fast)
+    // everything downstream is materialized (fitted models + the
+    // checkpointed metrics frame): release the split caches and the
+    // SMOTE minority frames instead of leaking them into the session
+    train.unpersist(blocking = false)
+    test.unpersist(blocking = false)
+    smoteHandle.foreach(_.release())
 
     // M11: the reference hard-codes XGBoost as production
     // (FD/model.py:190-192) even though RF scores higher — reproduced.
@@ -135,7 +142,10 @@ object TrainingJob {
     val withTs = df.withColumn("__ts",
       graft.ops.TimeFeatures.combinedTimestamp(col("Transaction_Date"),
         col("Transaction_Time")))
-    val filled = graft.ops.Cleaning.fillNumericNulls(withTs)
-    graft.ops.TimeFeatures.withTimeComponents(filled, col("__ts")).drop("__ts")
+    // components before the fill — same ordering rationale as
+    // FeaturePipeline.preprocess (null ts → zeros, not NaN features)
+    val withComponents =
+      graft.ops.TimeFeatures.withTimeComponents(withTs, col("__ts"))
+    graft.ops.Cleaning.fillNumericNulls(withComponents).drop("__ts")
   }
 }

@@ -16,7 +16,13 @@ object TimeFeatures {
     * (`FD/model.py:42`).
     */
   def combinedTimestamp(date: Column, time: Column): Column =
-    to_timestamp(concat_ws(" ", date, time), "yyyy-MM-dd HH:mm:ss")
+    // concat (not concat_ws) so a null date/time yields null instead of
+    // a partial string, and try_to_timestamp so malformed input yields
+    // null instead of an ANSI CANNOT_PARSE_TIMESTAMP that kills the job
+    // (Spark 4 defaults ANSI on) — one bad wire row must not take down
+    // a streaming scorer
+    try_to_timestamp(concat(date, lit(" "), time),
+      lit("yyyy-MM-dd HH:mm:ss"))
 
   /** F3: epoch seconds → timestamp (`FD/producer.py:24`, `FD/consumer.py:42`). */
   def epochToTimestamp(epochSeconds: Column): Column =

@@ -36,7 +36,7 @@ object Scorer {
     * semantics (`FD/consumer.py:127-131`, SURVEY §drift-2).
     */
   def counters(scoredDf: DataFrame): DataFrame =
-    scoredDf.groupBy(col("prediction_label")).agg(count(lit(1)).as("cnt"))
+    graft.ops.Aggregates.classCounters(scoredDf, "prediction_label")
 
   /** Render scored rows as consumer-log blocks (S6 display parity). */
   def blocks(scoredDf: DataFrame): DataFrame =
@@ -213,8 +213,11 @@ object Scorer {
     lines
       .select(
         trim(substring_index(col("value"), ":", 1)).as("key"),
-        trim(expr("substring(value, instr(value, ':') + 1)"))
-          .cast("long").as("cnt"))
+        // try_cast: a torn/partial line (writer killed mid-append — the
+        // failure mode this sink tolerates by design) must skip, not
+        // raise ANSI CAST_INVALID_INPUT
+        expr("try_cast(trim(substring(value, instr(value, ':') + 1)) AS BIGINT)")
+          .as("cnt"))
       .filter(col("cnt").isNotNull)
       .groupBy(col("key")).agg(max(col("cnt")).as("last_value"))
   }

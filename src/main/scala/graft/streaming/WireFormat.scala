@@ -41,6 +41,14 @@ object WireFormat {
     df.filter(Transactions.wireSchema.fieldNames
       .map(col(_).isNull).reduce(_ && _))
 
+  /** The complement: decodable rows — the scoring path's input. The
+    * catch-log-continue contract (`FD/consumer.py:158-159`) means a
+    * corrupt message must be dropped (or dead-lettered), never scored.
+    */
+  def valid(df: DataFrame): DataFrame =
+    df.filter(Transactions.wireSchema.fieldNames
+      .map(col(_).isNotNull).reduce(_ || _))
+
   /** The exact DSV2 options the Kafka source receives — the reference's
     * transport config (`FD/consumer.py:104-109`: bootstrap servers,
     * subscribed topic, latest offsets) in connector form. Exposed
