@@ -62,6 +62,24 @@ class MLSpec extends SparkSpec {
     assert(math.abs(counts(1) - 300L) <= 25, s"minority ${counts(1)}")
   }
 
+  test("malformed/missing date survives preprocessing under ANSI mode") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "premise: Spark 4 defaults ANSI on — this spec guards that path")
+    val bad = raw.limit(10)
+      .withColumn("Transaction_Date",
+        when(monotonically_increasing_id() === 0, lit("not-a-date"))
+          .when(monotonically_increasing_id() === 1, lit(null))
+          .otherwise(col("Transaction_Date")))
+    // neither row may throw; both land with zero-filled time components
+    val pre = graft.ml.FeaturePipeline.preprocess(bad)
+    assert(pre.count() == 10)
+    assert(pre.filter(col("year") === 0).count() == 2,
+      "bad-date rows should zero-fill components, not NaN or crash")
+    val serve = TrainingJob.servePreprocess(bad)
+    assert(serve.count() == 10)
+    assert(serve.filter(col("year") === 0).count() == 2)
+  }
+
   test("end-to-end training: 3 models, full metric battery, GBT persisted") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ml").toString
     val artifacts = TrainingJob.run(raw, Some(dir), fast = true)
