@@ -157,4 +157,22 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))), 256)
+
+  /** Winnowing (the MOSS algorithm): robust LOCAL fingerprints — hash
+    * every k-token gram, slide a w-hash window, keep each window's
+    * minimum. Guarantees any shared run of ≥ w+k−1 tokens contributes a
+    * shared fingerprint, so partial overlap is detectable where the
+    * whole-document [[fingerprint]] is all-or-nothing. Pure column
+    * expressions (scan-local); md5 keys keep the selection
+    * engine-portable. Returns the sorted distinct fingerprint set.
+    */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val grams = transform(Dedup.passages(tokens(lower(text)), k),
+      g => md5(g.cast("binary")))
+    sort_array(array_distinct(
+      when(size(grams) <= w, array(array_min(grams)))
+        .otherwise(transform(sequence(lit(0), size(grams) - w),
+          j => array_min(slice(grams, j + 1, lit(w)))))))
+  }
 }

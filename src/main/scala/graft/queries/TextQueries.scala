@@ -34,6 +34,37 @@ object TextQueries extends QuerySet {
     // DuckDB `quantile_cont`, R-7 interpolation) and broadcast into the
     // filter; at scale swap percentile_approx in for one-pass sketch
     // bounds when exactness isn't required.
+    // Winnowing resemblance: each doc vs its planted first-word-dropped
+    // copy — shared local fingerprints over the union (Jaccard on the
+    // winnow sets). md5 selection is engine-portable → fully
+    // oracle-checked; the division is exact-integer/exact-integer so
+    // only the avg needs rounding.
+    "t13_winnow_fp" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val fp = graft.ops.Layout.fanOut(docs).select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4)
+          .as("fp"))
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      val fpm = graft.ops.Layout.fanOut(mutated).select(
+        (col("doc_id") - 1000000).as("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4)
+          .as("fpm"))
+      val res = fp.join(fpm, "doc_id")
+        .withColumn("inter", size(array_intersect(col("fp"), col("fpm"))))
+        .withColumn("uni",
+          size(col("fp")) + size(col("fpm")) - col("inter"))
+        .withColumn("resemblance",
+          col("inter").cast("double") / col("uni"))
+      res.agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_shared"),
+        sum(when(col("resemblance") >= 0.5, 1L).otherwise(0L))
+          .as("n_high"),
+        org.apache.spark.sql.functions.round(avg(col("resemblance")), 6)
+          .as("avg_resemblance"))
+    }),
+
     // CCNet-style LM quality banding: self-score the corpus with an
     // add-1 word-bigram model, band docs by integer surprisal. ln() is
     // transcendental (±1 ulp cross-engine) but the band boundaries are
@@ -155,6 +186,44 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t13_winnow_fp" ->
+      """WITH base AS (
+           SELECT doc_id, 0 AS side, text FROM documents
+           UNION ALL
+           SELECT doc_id, 1 AS side, substr(text, instr(text, ' ') + 1)
+           FROM documents),
+         t AS (SELECT doc_id, side,
+                      string_split_regex(trim(lower(text)), '\s+') AS toks
+               FROM base),
+         g AS (SELECT doc_id, side,
+                 CASE WHEN len(toks) < 3
+                   THEN [md5(list_aggregate(toks, 'string_agg', ' '))]
+                   ELSE list_transform(range(0, len(toks) - 2),
+                     i -> md5(list_aggregate(toks[i+1:i+3],
+                                             'string_agg', ' ')))
+                 END AS grams
+               FROM t),
+         f AS (SELECT doc_id, side,
+                 list_sort(list_distinct(
+                   CASE WHEN len(grams) <= 4
+                     THEN [list_aggregate(grams, 'min')]
+                     ELSE list_transform(range(0, len(grams) - 3),
+                       j -> list_aggregate(grams[j+1:j+4], 'min'))
+                   END)) AS fp
+               FROM g),
+         r AS (SELECT a.doc_id,
+                      len(list_intersect(a.fp, b.fp)) AS inter,
+                      len(a.fp) + len(b.fp) -
+                        len(list_intersect(a.fp, b.fp)) AS uni
+               FROM f a JOIN f b
+                 ON a.doc_id = b.doc_id AND a.side = 0 AND b.side = 1)
+         SELECT COUNT(*) AS n_pairs,
+                CAST(SUM(inter) AS BIGINT) AS sum_shared,
+                CAST(SUM(CASE WHEN CAST(inter AS DOUBLE) / uni >= 0.5
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                round(AVG(CAST(inter AS DOUBLE) / uni), 6)
+                  AS avg_resemblance
+         FROM r""",
     "t12_lm_surprisal" ->
       s"""WITH toks AS (SELECT doc_id, lang, $ltoksSql AS t FROM documents),
           bg AS (SELECT doc_id,

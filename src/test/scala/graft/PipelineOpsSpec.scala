@@ -320,6 +320,28 @@ class PipelineOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("winnowing guarantees shared fingerprints for long shared runs") {
+    import graft.ops.TextAnalysis.winnowFingerprints
+    // two docs share a run of 8 tokens ≥ w+k−1 = 6 → MUST share ≥1
+    // fingerprint; disjoint texts share none
+    val df = Seq(
+      (1L, "p q one two three four five six seven eight r s"),
+      (2L, "x y z one two three four five six seven eight w"),
+      (3L, "totally different words everywhere in this entry here")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", winnowFingerprints($"text", k = 3, w = 4).as("fp"))
+    val fps = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run must fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not")
+    // identical text → identical fingerprint set regardless of position
+    val same = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .select(winnowFingerprints($"text", k = 3, w = 4).as("fp"))
+      .distinct()
+    assert(same.count() == 1)
+  }
+
   test("bigram surprisal: hand-computed smoothing, gibberish ranks high") {
     import graft.ops.LanguageModel
     val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
