@@ -158,6 +158,41 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))), 256)
 
+  /** Gopher-style quality-rule battery (Rae et al. 2021 §A1.1): the
+    * standard document-level pre-training filters, restated as PURE
+    * INTEGER comparisons so the decision is exact and engine-portable
+    * (mean-word-length ∈ [3,10] ⟺ 3n ≤ Σlen ≤ 10n — no float division
+    * anywhere). Returns a struct of per-rule booleans plus the overall
+    * `pass`; scan-local, codegen-friendly, no shuffle.
+    *
+    * Rules: word count ∈ [minWords, maxWords]; mean word length ∈
+    * [3, 10] chars; symbol-to-word ratio (`#` or `...`) ≤ 1/10; ≥ 80%
+    * of words contain an alphabetic character; ≥ 2 stopword hits.
+    * An empty document fails `words_ok` (and therefore `pass`);
+    * ratio rules degenerate to true at n = 0 by construction.
+    */
+  def gopherRules(text: Column, stopwords: Seq[String],
+                  minWords: Int = 30, maxWords: Int = 100000): Column = {
+    require(minWords >= 1 && maxWords >= minWords, "bad word-count band")
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+      .cast("long")
+    val nStop = size(filter(tokens(lower(text)),
+      t => t.isInCollection(stopwords.map(_.toLowerCase)))).cast("long")
+    val wordsOk = n >= minWords && n <= maxWords
+    val meanLenOk = sumLen >= lit(3L) * n && sumLen <= lit(10L) * n
+    val symbolOk = lit(10L) * nSym <= n
+    val alphaOk = lit(5L) * nAlpha >= lit(4L) * n
+    val stopOk = nStop >= 2L
+    struct(wordsOk.as("words_ok"), meanLenOk.as("mean_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"),
+      stopOk.as("stopword_ok"),
+      (wordsOk && meanLenOk && symbolOk && alphaOk && stopOk).as("pass"))
+  }
+
   /** Winnowing (the MOSS algorithm): robust LOCAL fingerprints — hash
     * every k-token gram, slide a w-hash window, keep each window's
     * minimum. Guarantees any shared run of ≥ w+k−1 tokens contributes a

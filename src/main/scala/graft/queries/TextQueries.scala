@@ -65,6 +65,32 @@ object TextQueries extends QuerySet {
           .as("avg_resemblance"))
     }),
 
+    // Gopher rule battery: per-source rule-failure profile. Every rule
+    // is an integer comparison (no float division) → hash-exact oracle.
+    // A third of docs get adversarial mutations planted (doc_id mod 3:
+    // 1 → '# # ...' symbol spam, 2 → numeric tokens) so each rule
+    // actually fires on the synthetic corpus.
+    "t14_gopher_rules" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" # # # ... # ... # # ... #")))
+          .when(col("doc_id") % 3 === 2,
+            concat(lit("12345 67890 11111 22222 33333 44444 55555 "),
+              col("text")))
+          .otherwise(col("text")))
+      val r = dirty.select(col("source"),
+        TextAnalysis.gopherRules(col("text"), enStop, minWords = 30)
+          .as("g"))
+      r.groupBy(col("source")).agg(count(lit(1)).as("n"),
+        sum(when(!col("g.words_ok"), 1L).otherwise(0L)).as("f_words"),
+        sum(when(!col("g.mean_len_ok"), 1L).otherwise(0L)).as("f_meanlen"),
+        sum(when(!col("g.symbol_ok"), 1L).otherwise(0L)).as("f_symbol"),
+        sum(when(!col("g.alpha_ok"), 1L).otherwise(0L)).as("f_alpha"),
+        sum(when(!col("g.stopword_ok"), 1L).otherwise(0L)).as("f_stop"),
+        sum(when(col("g.pass"), 1L).otherwise(0L)).as("n_pass"))
+        .orderBy(col("source"))
+    }),
+
     // CCNet-style LM quality banding: self-score the corpus with an
     // add-1 word-bigram model, band docs by integer surprisal. ln() is
     // transcendental (±1 ulp cross-engine) but the band boundaries are
@@ -186,6 +212,54 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t14_gopher_rules" ->
+      s"""WITH dirty AS (
+            SELECT source,
+              CASE WHEN doc_id % 3 = 1
+                     THEN text || ' # # # ... # ... # # ... #'
+                   WHEN doc_id % 3 = 2
+                     THEN '12345 67890 11111 22222 33333 44444 55555 ' || text
+                   ELSE text END AS text
+            FROM documents),
+          t AS (SELECT source, text,
+                  string_split_regex(trim(text), '\\s+') AS toks,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+                FROM dirty),
+          m AS (SELECT source,
+                  CAST(len(toks) AS BIGINT) AS n,
+                  CAST(COALESCE(list_aggregate(
+                    list_transform(toks, x -> len(x)), 'sum'), 0)
+                    AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                    AS BIGINT) AS n_sym,
+                  CAST(len(list_filter(ltoks, x -> x IN
+                    (${enStop.map(w => s"'$w'").mkString(",")})))
+                    AS BIGINT) AS n_stop
+                FROM t),
+          r AS (SELECT source,
+                  (n >= 30 AND n <= 100000) AS words_ok,
+                  (sum_len >= 3 * n AND sum_len <= 10 * n) AS mean_len_ok,
+                  (10 * n_sym <= n) AS symbol_ok,
+                  (5 * n_alpha >= 4 * n) AS alpha_ok,
+                  (n_stop >= 2) AS stopword_ok
+                FROM m)
+          SELECT source, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_words,
+            CAST(SUM(CASE WHEN NOT mean_len_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_meanlen,
+            CAST(SUM(CASE WHEN NOT symbol_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_symbol,
+            CAST(SUM(CASE WHEN NOT alpha_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_alpha,
+            CAST(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END) AS BIGINT)
+              AS f_stop,
+            CAST(SUM(CASE WHEN words_ok AND mean_len_ok AND symbol_ok
+                           AND alpha_ok AND stopword_ok
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+          FROM r GROUP BY source ORDER BY source""",
     "t13_winnow_fp" ->
       """WITH base AS (
            SELECT doc_id, 0 AS side, text FROM documents

@@ -342,6 +342,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(same.count() == 1)
   }
 
+  test("gopher rules: each rule fires on its targeted degenerate doc") {
+    import graft.ops.TextAnalysis
+    val good = ("the quick brown fox jumps over a lazy dog near the " +
+      "riverbank while the sun sets and the wind blows softly through " +
+      "tall trees in the quiet evening air tonight again and again") // 33 words
+    val docs = Seq(
+      (0L, good),                                    // passes everything
+      (1L, "the a of short"),                        // words_ok fails (<30)
+      (2L, good + " " + Seq.fill(10)("x").mkString(" ") +
+        " supercalifragilisticexpialidocious" * 1),  // still mean-len ok
+      (3L, good + " " + Seq.fill(8)("# ...").mkString(" ")), // symbol fail
+      (4L, ("11 22 33 44 55 66 77 88 99 00 " * 4) + "the a is"), // alpha fail
+      (5L, good.replaceAll("\\bthe\\b|\\ba\\b|\\band\\b", "zz")) // stopword fail
+    ).toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+      TextAnalysis.gopherRules($"text", TextAnalysis.langStopwords("en"),
+        minWords = 30).as("g"))
+      .select($"doc_id", $"g.*").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Boolean]("pass"), "clean doc must pass")
+    assert(!r(1L).getAs[Boolean]("words_ok"))
+    assert(!r(3L).getAs[Boolean]("symbol_ok"))
+    assert(!r(4L).getAs[Boolean]("alpha_ok"))
+    assert(!r(5L).getAs[Boolean]("stopword_ok"))
+    // mean-word-length: a doc of 1-char tokens fails low, one of
+    // 12-char tokens fails high — integer-comparison band, no floats
+    val bands = Seq((1L, Seq.fill(40)("x").mkString(" ")),
+      (2L, Seq.fill(40)("exceedinglyy").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextAnalysis.gopherRules($"text",
+        TextAnalysis.langStopwords("en")).as("g"))
+      .collect().map(x => x.getLong(0) ->
+        x.getStruct(1).getAs[Boolean]("mean_len_ok")).toMap
+    assert(!bands(1L) && !bands(2L))
+  }
+
   test("bigram surprisal: hand-computed smoothing, gibberish ranks high") {
     import graft.ops.LanguageModel
     val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
