@@ -340,6 +340,73 @@ object Similarity {
     graft.ops.Cached(pairs, Seq(c))
   }
 
+  /** SemDeDup (Abbas et al. 2023, public): semantic deduplication.
+    * Embeddings cluster under the IVF coarse quantizer, so candidate
+    * comparison happens WITHIN clusters only — the global n² never
+    * materializes and the shuffle key is the cluster id. Within-cluster
+    * pairs with cosine ≥ `threshold` form duplicate groups (connected
+    * components, O(log d) pointer-doubling rounds), and each group keeps
+    * exactly one member — per the paper's rule, the example with the
+    * LOWEST cosine to its cluster centroid (the least prototypical, so
+    * the diversity tail survives; ties break to the smallest id).
+    * Degenerate clusters (zero vectors, templated embeddings) are
+    * salt-capped by [[Layout.capBuckets]] before the self-join, the same
+    * giant-bucket guard the LSH paths use: pair count is O(n·maxCluster)
+    * worst-case, never quadratic in a hot cluster. Survivors keep their
+    * `cluster` and `cent_cos` columns for downstream diversity analysis.
+    */
+  def semDeDup(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, threshold: Double, seed: Long = 42L,
+               maxCluster: Int = 10000): DataFrame =
+    semDeDupCached(corpus, idCol, vecCol, nlist, threshold, seed,
+      maxCluster).df
+
+  def semDeDupCached(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, threshold: Double, seed: Long = 42L,
+                     maxCluster: Int = 10000): graft.ops.Cached = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (model, indexedRaw) = ivfIndex(corpus, idCol, vecCol, nlist, seed)
+    val indexed = indexedRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // centroids are unit-norm (spherical quantizer) → cos(v, c) = v·c/‖v‖
+    val centDf = model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "centroid")
+    val withCent = indexed.join(broadcast(centDf), "cluster")
+      .withColumn("cent_cos",
+        when(col("nv") === 0, 0.0)
+          .otherwise(dot(col("v"), col("centroid")) / col("nv")))
+      .select("vec_id", "cluster", "v", "nv", "cent_cos")
+    val capped = Layout.capBuckets(withCent, Seq("cluster"), "vec_id",
+      maxCluster)
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.__salt") === col("b.__salt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+    val labels = Dedup.connectedComponents(pairs)
+    // one survivor per duplicate group: lexicographic min over
+    // (cent_cos, id) — an aggregation, NOT a window, so the huge
+    // "no component" population never funnels through one partition
+    val keep = labels.withColumnRenamed("id", "vec_id")
+      .join(withCent.select("vec_id", "cent_cos"), "vec_id")
+      .groupBy(col("component"))
+      .agg(min(struct(col("cent_cos"), col("vec_id"))).as("k"))
+      .select(col("k.vec_id").as("vec_id"), lit(1).as("__keep"))
+    val grouped = labels.select(col("id").as("vec_id"),
+      lit(1).as("__grouped"))
+    val survivors = withCent.select("vec_id", "cluster", "cent_cos")
+      .join(grouped, Seq("vec_id"), "left")
+      .join(keep, Seq("vec_id"), "left")
+      .filter(col("__grouped").isNull || col("__keep").isNotNull)
+      .select("vec_id", "cluster", "cent_cos")
+    graft.ops.Cached(survivors, Seq(indexed))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the exact
     * all-pairs baseline [[cosineNearDupsLSH]] approximates. The O(n²)
     * self-join is fenced by `maxRows` (refuses unbounded input instead

@@ -58,6 +58,22 @@ object SimilarityQueries extends QuerySet {
             .as("n_planted_found"))
     }),
 
+    // SemDeDup (cluster-then-prune semantic dedup): plant an exact copy
+    // of every 5th embedding; each copy pair must collapse to one
+    // survivor — and to the ORIGINAL (equal cent_cos ties break to the
+    // smaller id). KMeans quantizer → rows-only; keep-rule semantics
+    // asserted in PipelineOpsSpec.
+    "n06_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semDeDup(emb.union(copies),
+        "vec_id", "embedding", nlist = 8, threshold = 0.95)
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(when(col("vec_id") >= 1000000, 1L).otherwise(0L))
+            .as("n_copies_survived"))
+    }),
+
     // IVF (KMeans coarse quantizer, nprobe=3 of nlist=8): rows-only;
     // recall vs brute force asserted in SimilaritySpec.
     "n02_ivf_topk" -> ((s, d) => {

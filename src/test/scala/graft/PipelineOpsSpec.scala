@@ -378,6 +378,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!bands(1L) && !bands(2L))
   }
 
+  test("semdedup collapses duplicate groups, keep-rule picks tail member") {
+    import graft.ops.Similarity
+    // one cluster (nlist=1): ids 1,2 identical; 3 near them but
+    // off-axis; 9 orthogonal (ungrouped). threshold .9 groups {1,2,3};
+    // 9 survives alone. The k=1 centroid is the normalized mean of ALL
+    // four vectors ≈ (0.966, 0.26): 9 pulls it +y, 3 sits at −y, so 3
+    // (cos ≈ 0.89) is strictly least prototypical while 1,2 (cos ≈
+    // 0.97) tie — the survivor must be 3, the HIGHEST id, proving the
+    // keep rule is lowest-cent-cos, not min-id.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.98f, -0.199f)),
+      (9L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cached = Similarity.semDeDupCached(emb, "vec_id", "embedding",
+      nlist = 1, threshold = 0.9)
+    val kept = cached.df.select("vec_id").as[Long].collect().toSet
+    cached.release()
+    assert(kept == Set(3L, 9L), s"got $kept")
+    // exact duplicates with equal cent_cos tie-break to the smallest id
+    val ties = Seq((5L, Array(0.0f, 1.0f)), (7L, Array(0.0f, 1.0f)),
+      (8L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept2 = Similarity.semDeDup(ties, "vec_id", "embedding",
+      nlist = 1, threshold = 0.99).select("vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(5L, 8L), s"got $kept2")
+  }
+
   test("bigram surprisal: hand-computed smoothing, gibberish ranks high") {
     import graft.ops.LanguageModel
     val corpus = Seq((1L, "a b a b")).toDF("doc_id", "text")
