@@ -422,6 +422,38 @@ object Aggregates {
       .drop("__g", "__n", "__s", "__s2", "__mean", "__std")
   }
 
+  /** Per-group winsorization: clip `valueCol` into its own group's
+    * [pLo, pHi] interpolated-percentile band (outlier capping before
+    * averaging/training — the standard robust-stats companion to
+    * [[zscorePerGroup]]). Two passes, no window: one grouped exact
+    * `percentile` aggregation (map-side partials), bounds broadcast back,
+    * then a pure clip projection — group cardinality and group size are
+    * both unbounded. At 100 TB swap `percentile_approx` into the bounds
+    * aggregation for a one-pass sketch with the same plan shape.
+    *
+    * `integerBounds = true` rounds each bound to the nearest long before
+    * clipping, so an integral value column stays integral end-to-end
+    * (exact cross-engine arithmetic); leave false for real-valued
+    * columns, where the clipped column is double.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95,
+                outCol: String = "w",
+                integerBounds: Boolean = false): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val b = (c: Column) => if (integerBounds) round(c).cast("long") else c
+    val bounds = df.groupBy(col(groupCol).as("__g")).agg(
+      b(expr(s"percentile($valueCol, $pLo)")).as("__lo"),
+      b(expr(s"percentile($valueCol, $pHi)")).as("__hi"))
+    // null-safe join: a null group is a real group (same stance as
+    // zscorePerGroup) and must clip against its own bounds
+    df.join(broadcast(bounds), col(groupCol) <=> col("__g"))
+      .withColumn(outCol,
+        greatest(least(col(valueCol), col("__hi")), col("__lo")))
+      .drop("__g", "__lo", "__hi")
+  }
+
   /** A12: accuracy as a single aggregate (`FD/evaluation.py:145`). */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((avg((col(labelCol) === col(predCol)).cast("double")) * 100)

@@ -416,6 +416,85 @@ object Dedup {
       "left_anti")
   }
 
+  /** [[decontaminate]] for a blocklist too large to broadcast exactly:
+    * a Bloom filter of the blocklist's distinct shingle hashes (built
+    * with Spark's own `BloomFilterAggregate` — the sketch behind its
+    * runtime join filters) is shipped as a literal and applied as a
+    * scan-local codegen'd predicate, so the corpus' full shingle stream
+    * never shuffles. Only bloom hits — true matches plus ~`fpp` false
+    * positives — enter the exact membership semi-join, which restores
+    * exactness: the result is row-identical to [[decontaminate]], the
+    * bloom only prunes the join input. At 10⁸ blocklist shingles the
+    * exact set is ~800 MB of 8-byte keys; the 1%-fpp filter is ~120 MB
+    * and one aggregation pass to build.
+    *
+    * Sizing runs one count job over the distinct blocklist shingles
+    * (two longs to the driver); the filter itself also returns to the
+    * driver — both bounded by `fpp`, not by data. `release()` the
+    * returned [[Cached]] after the consuming action.
+    */
+  def decontaminateBloomCached(corpus: DataFrame, blocklist: DataFrame,
+                               textCol: String, idCol: String,
+                               n: Int = 3, threshold: Double = 0.5,
+                               fpp: Double = 0.01): Cached = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val sh = (df: DataFrame) =>
+      transform(shingles(TextAnalysis.tokens(lower(col(textCol))), n),
+        s => xxhash64(s))
+    val blockSh = Layout.fanOut(blocklist)
+      .select(explode(sh(blocklist)).as("__bsh")).distinct().persist()
+    val nDistinct = blockSh.count()
+    if (nDistinct == 0L) return Cached(corpus, Seq(blockSh))
+    // standard optimal sizing m = -n·ln(p)/ln(2)², clamped to the same
+    // ceilings Spark enforces on its runtime bloom filters
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val estItems = math.min(nDistinct, maxItems)
+    val numBits = math.min(maxBits, math.max(64L,
+      math.ceil(-estItems * math.log(fpp) / (math.log(2) * math.log(2)))
+        .toLong))
+    val bloomBytes = blockSh
+      .agg(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(col("__bsh")),
+        Literal(estItems), Literal(numBits), 0, 0)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightContain = (c: Column) => Bridge.column(
+      new BloomFilterMightContain(
+        Bridge.expression(lit(bloomBytes)), Bridge.expression(c)))
+    val corpusSh = Layout.fanOut(corpus)
+      .select(col(idCol).as("__id"), sh(corpus).as("__sh"))
+    val contaminated = corpusSh
+      .select(col("__id"), size(col("__sh")).as("__total"),
+        explode(col("__sh")).as("__s"))
+      .filter(mightContain(col("__s")))
+      .join(blockSh, col("__s") === col("__bsh"), "left_semi")
+      .groupBy(col("__id"), col("__total"))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits").cast("double") / col("__total") >= threshold)
+      .select(col("__id"))
+    Cached(
+      corpus.join(contaminated, corpus(idCol) === contaminated("__id"),
+        "left_anti"),
+      Seq(blockSh))
+  }
+
+  /** [[decontaminateBloomCached]] without the release handle. */
+  def decontaminateBloom(corpus: DataFrame, blocklist: DataFrame,
+                         textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.5,
+                         fpp: Double = 0.01): DataFrame =
+    decontaminateBloomCached(corpus, blocklist, textCol, idCol, n,
+      threshold, fpp).df
+
   // ---------- passage-level overlap ----------
 
   /** All n-token passages (overlapping windows, stride 1) of a token

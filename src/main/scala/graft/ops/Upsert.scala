@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins upsert compaction — the incremental-refresh
+  * primitive of a large corpus pipeline: fold a change-set (new and
+  * re-crawled documents, plus delete tombstones) into the standing
+  * snapshot, keeping exactly one live row per key.
+  *
+  * Plan shape: `union` (no shuffle) → one hash aggregation on the key
+  * with a `max_by(struct(row), struct(version, origin))` payload —
+  * max_by partials combine map-side, so the shuffle carries one
+  * candidate row per (key, map partition), not the full change history.
+  * Contrast a MERGE-style join, which shuffles BOTH full inputs and
+  * still needs a second pass for keys only in one side. With snapshot
+  * and changes bucketed on the key the single exchange disappears
+  * entirely (see [[Layout.bucketJoin]] for the layout contract).
+  */
+object Upsert {
+
+  /** Merge `changes` into `snapshot`, one surviving row per key.
+    *
+    * Both frames must share the snapshot's schema. The winner per key is
+    * the row with the highest `versionCol`; on a version tie a change
+    * row beats a snapshot row (re-delivered batches stay idempotent).
+    * Rows whose winning version has `deletedCol = true` are dropped —
+    * the tombstone consumes the key. Ties within `changes` itself are
+    * broken arbitrarily; feed a total (version, origin) order when the
+    * change stream can re-key within one version.
+    */
+  def compact(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+              versionCol: String,
+              deletedCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cols = snapshot.columns.toSeq
+    require(changes.columns.toSeq == cols,
+      s"changes schema ${changes.columns.toSeq} != snapshot schema $cols")
+    val all = snapshot.withColumn("__origin", lit(0))
+      .unionByName(changes.withColumn("__origin", lit(1)))
+    all
+      .groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(col(versionCol), col("__origin"))).as("__winner"))
+      .select(col("__winner.*"))
+      .filter(deletedCol.map(d => !coalesce(col(d), lit(false)))
+        .getOrElse(lit(true)))
+  }
+}

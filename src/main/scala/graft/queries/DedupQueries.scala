@@ -40,6 +40,22 @@ object DedupQueries extends QuerySet {
         .orderBy(col("lang"))
     }),
 
+    // Bloom-pruned decontamination (the huge-blocklist scale path):
+    // every 13th doc is the blocklist; candidate shingles are pruned by
+    // a BloomFilterAggregate-built filter, then exactly verified — the
+    // oracle is the same EXACT semantics (bloom affects cost, not rows).
+    "d09_bloom_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val bench = docs.filter(col("doc_id") % 13 === 0)
+      val cached = Dedup.decontaminateBloomCached(docs, bench, "text",
+        "doc_id", n = 3, threshold = 0.4, fpp = 0.01)
+      cached.df
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -211,6 +227,27 @@ object DedupQueries extends QuerySet {
                   AS BIGINT) AS n_copy_survivors,
                 CAST(SUM(doc_id) AS BIGINT) AS id_checksum
          FROM kept""",
+    "d09_bloom_decontaminate" ->
+      s"""WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, lang, $sh3 AS sh FROM t),
+          b AS (SELECT DISTINCT unnest(sh) AS bsh FROM s
+                WHERE doc_id % 13 = 0),
+          e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+          hits AS (
+            SELECT e.doc_id, COUNT(*) AS h
+            FROM e JOIN b ON e.sh1 = b.bsh GROUP BY e.doc_id),
+          tot AS (SELECT doc_id, len(sh) AS total FROM s),
+          contaminated AS (
+            SELECT tot.doc_id FROM tot JOIN hits USING (doc_id)
+            WHERE CAST(h AS DOUBLE) / total >= 0.4)
+          SELECT lang, COUNT(*) AS n_survivors,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+          GROUP BY lang ORDER BY lang""",
     "d06_decontaminate" ->
       s"""WITH t AS (
             SELECT doc_id, lang,

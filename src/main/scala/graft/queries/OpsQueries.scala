@@ -31,6 +31,25 @@ object OpsQueries extends QuerySet {
         Seq("c_acctbal", "bonus_points"))
         .orderBy(col("c_custkey")).limit(50)),
 
+    // Last-writer-wins upsert compaction: a change-set (every 3rd
+    // customer re-delivered with a new balance, every 30th tombstoned)
+    // folded into the snapshot — one max_by aggregation, no join.
+    "u01_upsert_compact" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val snap = base
+        .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      val changes = base.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0)
+        .withColumn("version", lit(1L))
+        .withColumn("deleted", col("c_custkey") % 10 === 0)
+      graft.ops.Upsert.compact(snap, changes, Seq("c_custkey"), "version",
+        deletedCol = Some("deleted"))
+        .filter(col("c_custkey") <= 200)
+        .select(col("c_custkey"), col("c_acctbal"), col("version"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // P4: deduplication (drop_duplicates over all columns).
     "p04_dedup" -> ((s, d) =>
       Cleaning.dropDuplicates(
@@ -196,6 +215,22 @@ object OpsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "u01_upsert_compact" ->
+      """WITH snap AS (
+           SELECT c_custkey, c_acctbal, 0 AS version, FALSE AS deleted
+           FROM customer),
+         chg AS (
+           SELECT c_custkey, c_acctbal + 1000.0 AS c_acctbal, 1 AS version,
+                  c_custkey % 10 = 0 AS deleted
+           FROM customer WHERE c_custkey % 3 = 0),
+         u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+         r AS (
+           SELECT *, row_number()
+             OVER (PARTITION BY c_custkey ORDER BY version DESC) AS rn
+           FROM u)
+         SELECT c_custkey, c_acctbal, CAST(version AS BIGINT) AS version
+         FROM r WHERE rn = 1 AND NOT deleted AND c_custkey <= 200
+         ORDER BY c_custkey""",
     "p01_drop_project" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
          FROM customer ORDER BY c_custkey LIMIT 50""",

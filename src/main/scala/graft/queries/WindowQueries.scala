@@ -32,6 +32,40 @@ object WindowQueries extends QuerySet {
           max(col("z")).as("max_z"))
         .orderBy(col("l_returnflag"))),
 
+    // CUBE over two dims: all four grouping-set levels in one pass,
+    // disambiguated by grouping_id (COALESCE-as-'ALL' would conflate a
+    // real 'ALL' value with the rolled-up level; the id cannot).
+    "w06_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("rf"), col("ls"))),
+
+    // Per-group winsorization: l_quantity clipped to each returnflag's
+    // [p05, p95] band (integer bounds keep the whole pipeline
+    // BIGINT-exact); clip counts + clipped-sum per group.
+    "w07_winsorize" -> ((s, d) => {
+      val qty = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      graft.ops.Aggregates.winsorize(qty, "l_returnflag", "qty",
+        pLo = 0.05, pHi = 0.95, outCol = "w", integerBounds = true)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("w") > col("qty"), 1L).otherwise(0L)).as("n_raised"),
+          sum(when(col("w") < col("qty"), 1L).otherwise(0L)).as("n_capped"),
+          sum(col("w")).as("sum_w"),
+          min(col("w")).as("min_w"),
+          max(col("w")).as("max_w"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Pivot on a known domain (conditional-aggregation equivalent).
     "w02_pivot" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -95,6 +129,33 @@ object WindowQueries extends QuerySet {
                 COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY rf, ls""",
+    "w06_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+                COALESCE(l_returnflag, 'ALL') AS rf,
+                COALESCE(l_linestatus, 'ALL') AS ls, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, rf, ls""",
+    "w07_winsorize" ->
+      """WITH q AS (
+           SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+         b AS (
+           SELECT g, CAST(ROUND(quantile_cont(qty, 0.05)) AS BIGINT) AS lo,
+                  CAST(ROUND(quantile_cont(qty, 0.95)) AS BIGINT) AS hi
+           FROM q GROUP BY g),
+         w AS (
+           SELECT q.g, qty, GREATEST(LEAST(qty, hi), lo) AS w
+           FROM q JOIN b ON q.g = b.g)
+         SELECT g AS l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN w > qty THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_raised,
+           CAST(SUM(CASE WHEN w < qty THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           MIN(w) AS min_w, MAX(w) AS max_w
+         FROM w GROUP BY g ORDER BY g""",
     "w02_pivot" ->
       """SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

@@ -146,4 +146,42 @@ class AggregatesSpec extends SparkSpec {
     assert(top.map(_.getString(0)).toSeq == Seq("hot1", "hot2", "hot3"))
     assert(top.map(_.getLong(1)).toSeq == Seq(3000L, 2000L, 1000L))
   }
+
+  test("winsorize clips each group to its own percentile band") {
+    // group a: 1..10 plus outlier 1000 (n=11). rank = p·(n-1):
+    //   p05 → rank 0.5 → 1.5 ; p95 → rank 9.5 → (10+1000)/2 = 505
+    // group b: 100..109 plus outlier -50:
+    //   p05 → (-50+100)/2 = 25 ; p95 → (108+109)/2 = 108.5
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) :+ ("a", 1000.0)) ++
+      ((100 to 109).map(v => ("b", v.toDouble)) :+ ("b", -50.0))
+    val w = Aggregates.winsorize(df.toDF("g", "v"), "g", "v")
+      .select("g", "v", "w").as[(String, Double, Double)].collect()
+    assert(w.length == 22)
+    val a = w.filter(_._1 == "a")
+    assert(a.find(_._2 == 1.0).get._3 == 1.5)     // raised to lo
+    assert(a.find(_._2 == 1000.0).get._3 == 505.0) // capped to hi
+    assert(a.count(r => r._3 == r._2) == 9)        // 2..10 untouched
+    val b = w.filter(_._1 == "b")
+    assert(b.find(_._2 == -50.0).get._3 == 25.0)
+    assert(b.find(_._2 == 109.0).get._3 == 108.5)
+  }
+
+  test("winsorize integer bounds keep an integral column integral") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) :+ ("a", 1000L))
+      .toDF("g", "v")
+    val w = Aggregates.winsorize(df, "g", "v", integerBounds = true)
+      .select("v", "w").as[(Long, Long)].collect().toMap
+    assert(w(1L) == 2L)     // lo = round(1.5) = 2
+    assert(w(1000L) == 505L)
+    assert(w(5L) == 5L)
+  }
+
+  test("winsorize keeps null-group rows (null-safe bounds join)") {
+    val df = Seq((Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0),
+      (Option.empty[String], 7.0), (Option.empty[String], 8.0))
+      .toDF("g", "v")
+    val w = Aggregates.winsorize(df, "g", "v")
+    assert(w.count() == 5)
+    assert(w.filter(col("g").isNull).count() == 2)
+  }
 }

@@ -169,6 +169,31 @@ class PipelineOpsSpec extends SparkSpec {
       "all four cached pipelines must release cleanly")
   }
 
+  test("bloom decontamination is row-identical to the exact path") {
+    val corpus = docs.select("doc_id", "text")
+    val bench = corpus.filter($"doc_id" % 11 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, threshold = 0.3)
+    // deliberately sloppy fpp: the exact verify join must absorb a
+    // large false-positive stream without changing a single row
+    val cached = Dedup.decontaminateBloomCached(corpus, bench, "text",
+      "doc_id", n = 3, threshold = 0.3, fpp = 0.25)
+    val bloomIds = cached.df.select("doc_id")
+    val exactIds = exact.select("doc_id")
+    assert(exact.count() < corpus.count(), "fixture must actually drop docs")
+    assert(bloomIds.exceptAll(exactIds).isEmpty &&
+      exactIds.exceptAll(bloomIds).isEmpty)
+    cached.release()
+  }
+
+  test("bloom decontamination: empty blocklist keeps the corpus intact") {
+    val corpus = docs.select("doc_id", "text")
+    val cached = Dedup.decontaminateBloomCached(corpus,
+      corpus.filter($"doc_id" < 0), "text", "doc_id")
+    assert(cached.df.count() == corpus.count())
+    cached.release()
+  }
+
   test("exact dedup keeps lowest-id representative") {
     val dup = docs.select("doc_id", "text")
       .union(docs.select($"doc_id" + 100000 as "doc_id", $"text"))

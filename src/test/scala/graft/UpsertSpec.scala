@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Upsert
+
+/** Last-writer-wins upsert compaction: winner-per-key rule, tombstones,
+  * tie-breaking, and the schema contract.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1, "a", 0L, false), (2, "b", 0L, false), (3, "c", 5L, false))
+    .toDF("k", "v", "version", "del")
+
+  test("highest version wins; change beats snapshot on a version tie") {
+    val chg = Seq(
+      (2, "b2", 1L, false), // plain update
+      (3, "c2", 5L, false), // tie with snapshot version 5 → change wins
+      (4, "d", 1L, false))  // brand-new key
+      .toDF("k", "v", "version", "del")
+    val out = Upsert.compact(snap, chg, Seq("k"), "version", Some("del"))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "a", 2 -> "b2", 3 -> "c2", 4 -> "d"))
+  }
+
+  test("a tombstone consumes its key; later re-insert resurrects it") {
+    val chg = Seq(
+      (1, "x", 3L, true),  // delete key 1
+      (2, "y", 1L, true),  // delete key 2 ...
+      (2, "z", 2L, false)) // ... then resurrect at a higher version
+      .toDF("k", "v", "version", "del")
+    val out = Upsert.compact(snap, chg, Seq("k"), "version", Some("del"))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(out == Map(2 -> "z", 3 -> "c"))
+  }
+
+  test("null deleted flag is live; no deletedCol means nothing drops") {
+    val chg = Seq((1, "x", 2L, null.asInstanceOf[java.lang.Boolean]))
+      .toDF("k", "v", "version", "del")
+    val withFlag = Upsert.compact(snap, chg, Seq("k"), "version", Some("del"))
+    assert(withFlag.count() == 3)
+    val noFlag = Upsert.compact(snap, chg, Seq("k"), "version", None)
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(noFlag(1) == "x")
+  }
+
+  test("mismatched change schema is rejected") {
+    val bad = Seq((1, 0L)).toDF("k", "version")
+    intercept[IllegalArgumentException] {
+      Upsert.compact(snap, bad, Seq("k"), "version", None)
+    }
+  }
+}
