@@ -99,6 +99,69 @@ object Dedup {
       .distinct()
   }
 
+  // ---------- engine-portable MinHash (md5 mode) ----------
+
+  /** Engine-portable MinHash signature: permutation i hashes each
+    * shingle as the md5 hex digest of `"i:shingle"` and keeps the
+    * lexicographic minimum. Both md5-of-UTF-8 and binary string
+    * ordering are engine-invariant (hex digits are ASCII), so an
+    * external SQL engine recomputes the identical signature — the same
+    * portability contract as [[Sampling]]'s md5 mode. The XXH64 path
+    * ([[minhashSignature]]) is the production/perf mode; this one exists
+    * to put the WHOLE banded pipeline on a cross-engine oracle.
+    */
+  def minhashSignaturePortable(shinglesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shinglesCol,
+        s => md5(concat(lit(s"$i:"), s).cast("binary"))))
+    }: _*)
+
+  /** Portable band keys: bucket = md5 of the comma-joined signature
+    * slice (hex strings), reproducible in any engine with md5.
+    */
+  def bandKeysPortable(sigCol: Column, bands: Int,
+                       rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", slice(sigCol, b * rowsPerBand + 1, rowsPerBand))
+          .cast("binary")).as("bucket"))
+    }: _*)
+
+  /** Full MinHash-LSH pipeline in portable md5 mode: the banded
+    * candidate generation AND the exact-Jaccard verify are
+    * reproducible hash-exactly by an external engine (the d02b oracle
+    * recomputes every stage in DuckDB SQL). Correctness-parity mode:
+    * no bucket cap (capping salts by XXH64, which would break
+    * portability) and no persist — use [[minhashNearDups]] for
+    * production corpora.
+    */
+  def minhashNearDupsPortable(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int = 3, numHashes: Int = 8,
+                              bands: Int = 4,
+                              threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val prepared = Layout.fanOut(df).select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+    val banded = prepared.select(col("id"),
+        explode(bandKeysPortable(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(prepared.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

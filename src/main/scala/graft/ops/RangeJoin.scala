@@ -44,4 +44,31 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: every (a, b) pair with
+    * `a.start ≤ b.end AND b.start ≤ a.end` (inclusive ends). Both sides
+    * explode to the bins they touch and meet in a bin equi-join, same
+    * as [[pointInInterval]]; a pair that co-occupies several bins is
+    * emitted from exactly ONE — the bin holding the overlap's left edge
+    * `max(a.start, b.start)` — so no post-join `distinct` pass is
+    * needed (that dedup would re-shuffle the full match set, the
+    * dominant cost at scale). Column names must not collide across the
+    * two sides.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+                      startA: String, endA: String,
+                      startB: String, endB: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s))
+      .withColumn("__bin", explode(sequence(
+        floor(col(s).cast("long") / binWidth),
+        floor(col(e).cast("long") / binWidth))))
+    binned(a, startA, endA).join(binned(b, startB, endB), Seq("__bin"))
+      .filter(col(startA) <= col(endB) && col(startB) <= col(endA) &&
+        col("__bin") === floor(
+          greatest(col(startA), col(startB)).cast("long") / binWidth))
+      .drop("__bin")
+  }
 }

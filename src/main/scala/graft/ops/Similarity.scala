@@ -57,6 +57,82 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  // ---------- scalar quantization (SQ8) ----------
+
+  /** Per-dimension [min,max] bounds of an embedding column, as a
+    * dim-row frame ("pos","lo","hi"). posexplode spreads the vector
+    * dimension across the shuffle (the [[groupCentroids]] layout
+    * argument), so wide embeddings never concentrate a reducer.
+    */
+  def dimensionBounds(df: DataFrame, vecCol: String): DataFrame =
+    Layout.fanOut(df)
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+
+  /** Int8 scalar quantization (the FAISS SQ8 recipe): each dimension
+    * affinely maps its corpus [lo,hi] onto [-127,127]; constant
+    * dimensions code to 0. Cuts an f32 embedding store 4× and turns
+    * similarity into integer math — the standard first rung of
+    * vector-index compression. `floor(x + 0.5)` instead of `round()`
+    * because round-half tie rules differ across engines and this
+    * pipeline is oracle-checked end-to-end; every other step is exact
+    * integer or correctly-rounded IEEE double arithmetic, so the codes
+    * are engine-identical.
+    *
+    * The per-dimension bounds come back to the driver as two
+    * `dim`-sized arrays (bounded by embedding width, never by rows —
+    * the IVF-sample precedent) and re-enter the plan as array
+    * literals, keeping quantization a pure codegen row-local
+    * projection with no join in the hot path.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
+                   bounds: DataFrame): DataFrame = {
+    val b = bounds.orderBy(col("pos")).collect()
+    val lo = b.map(_.getDouble(1))
+    val hi = b.map(_.getDouble(2))
+    val loC = typedLit(lo)
+    val hiC = typedLit(hi)
+    df.select(col(idCol),
+      transform(asDouble(col(vecCol)), (x, i) => {
+        val l = element_at(loC, i + 1)
+        val h = element_at(hiC, i + 1)
+        when(h === l, lit(0))
+          .otherwise(floor((x - l) / (h - l) * 254.0 + lit(0.5))
+            .cast("int") - 127)
+      }).as("codes"))
+  }
+
+  /** Integer dot product of two int8 code arrays (long accumulator). */
+  def codeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** ANN top-k over int8-quantized codes: queries quantize into the
+    * CORPUS's code space (as a production SQ index does), score by
+    * integer dot product, rank per query with a deterministic id
+    * tie-break. Integer scores make the whole pipeline — bounds,
+    * codes, scores, ranks — engine-exact, which is what puts a
+    * quantized ANN path on a hash-checked oracle (n07). Same
+    * broadcast-queries × fanned-corpus shape as [[bruteForceTopK]].
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val bounds = dimensionBounds(corpus, vecCol)
+    val c = Layout.fanOut(quantizeInt8(corpus, idCol, vecCol, bounds))
+      .select(col(idCol).as("vec_id"), col("codes").as("cv"))
+    val q = quantizeInt8(queries, idCol, vecCol, bounds)
+      .select(col(idCol).as("query_id"), col("codes").as("cq"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("score", codeDot(col("cv"), col("cq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "score", "rank")
+  }
+
   /** Per-group embedding centroid (mean vector) — cluster/class
     * profiling for embedding pipelines. `posexplode` spreads the vector
     * DIMENSION across the shuffle too, so partial sums aggregate
@@ -148,7 +224,8 @@ object Similarity {
     * cost nothing at this sample size.
     */
   private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int,
-                    seed: Long, restarts: Int = 3): Array[Array[Double]] = {
+                    seed: Long, restarts: Int = 3,
+                    spherical: Boolean = true): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty quantizer sample")
     val dim = sample.head.length
     var best: Array[Array[Double]] = null
@@ -174,11 +251,15 @@ object Similarity {
         for (c <- centroids.indices if counts(c) > 0) {
           var i = 0
           while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
-          // spherical update: the quantizer lives on the unit sphere
+          // spherical update: the IVF quantizer lives on the unit sphere
           // (ivfIndex normalizes its inputs), so project the mean back —
-          // assignment stays ≡ cosine assignment
-          val n = math.sqrt(centroids(c).map(x => x * x).sum)
-          if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
+          // assignment stays ≡ cosine assignment. PQ subspace codebooks
+          // pass spherical=false: a SLICE of a unit vector is not unit,
+          // plain L2 means are the correct update there
+          if (spherical) {
+            val n = math.sqrt(centroids(c).map(x => x * x).sum)
+            if (n > 0) { i = 0; while (i < dim) { centroids(c)(i) /= n; i += 1 } }
+          }
         }
       }
       val inertia = sample.map { v =>
@@ -271,6 +352,124 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id").asc)
     indexed.join(broadcast(probed), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  // ---------- product quantization (PQ-ADC) ----------
+
+  /** A trained product quantizer: per-subspace codebooks
+    * ([m][ksub][dsub]).
+    */
+  case class PqModel(books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def dsub: Int = books.head.head.length
+  }
+
+  /** Train a product quantizer (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split the
+    * unit-normalized vector into `m` contiguous subvectors and fit an
+    * independent small k-means codebook in each subspace. Fit is
+    * driver-side over a bounded sample (the same FAISS recipe and cap
+    * as [[ivfIndex]] — codebooks converge on a few thousand points
+    * regardless of corpus size). With m=8 × ksub=16, a 64-dim f32
+    * embedding (256 B) compresses to 8 4-bit codes — the memory step
+    * that makes billion-vector ANN fit in RAM. Subspace k-means runs
+    * non-spherical: a slice of a unit vector is not unit.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
+              ksub: Int = 16, seed: Long = 42L, maxIter: Int = 10,
+              fitSample: Int = 4096): PqModel = {
+    val sample = corpus.select(asDouble(col(vecCol)).as("v"))
+      .limit(fitSample).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }
+    require(sample.nonEmpty, "empty PQ fit sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    PqModel((0 until m).map { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, ksub, maxIter, seed + s, spherical = false)
+    }.toArray)
+  }
+
+  /** PQ-encode a corpus: per subspace, squared-distance argmin over
+    * the codebook literals ([[assignCluster]] on the slice) — pure
+    * codegen column math, the whole corpus encodes inside its scan.
+    * Output: (vec_id, codes int array of length m).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val dsub = model.dsub
+    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("__vn",
+        when(col("__n") > 0, transform(col("__v"), _ / col("__n")))
+          .otherwise(col("__v")))
+      .select(col("vec_id"),
+        array((0 until model.m).map { s =>
+          assignCluster(slice(col("__vn"), s * dsub + 1, dsub),
+            model.books(s))
+        }: _*).as("codes"))
+  }
+
+  /** PQ-ADC top-k with exact re-rank: every corpus code array scores
+    * against the query via asymmetric distance (query stays
+    * full-precision): Σ_s ‖q_s − C_s[code_s]‖², expanded to
+    * ‖C‖² − 2·q_s·C so the per-query constant drops from the ranking.
+    * A `shortlist` per query survives ADC; only those rows re-rank by
+    * exact cosine on the raw vectors.
+    *
+    * Scale shape: the corpus-side scan touches ONLY the m-int code
+    * column (the compressed index); raw vectors are fetched for
+    * shortlist × queries rows via an equi-join on vec_id. That split —
+    * approximate pass over codes, exact pass over a bounded candidate
+    * set — is the production PQ search topology, and the reason the
+    * index stays RAM-resident at corpus sizes where f32 vectors can't.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: PqModel, k: Int,
+             shortlist: Int = 100): DataFrame = {
+    val dsub = model.dsub
+    val encoded = Layout.fanOut(pqEncode(corpus, idCol, vecCol, model))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
+      .withColumn("qn",
+        when(col("nq") > 0, transform(col("qv"), _ / col("nq")))
+          .otherwise(col("qv")))
+    val adcScore = (0 until model.m).map { s =>
+      val codeS = element_at(col("codes"), s + 1)
+      val cn2 = typedLit(model.books(s).map(c => c.map(x => x * x).sum).toSeq)
+      val book = typedLit(model.books(s).map(_.toSeq).toSeq)
+      element_at(cn2, codeS + 1) -
+        lit(2.0) * dot(slice(col("qn"), s * dsub + 1, dsub),
+          element_at(book, codeS + 1))
+    }.reduce(_ + _)
+    val shortW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val short = encoded.crossJoin(broadcast(q.select(col("query_id"), col("qn"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", adcScore)
+      .withColumn("sr", row_number().over(shortW))
+      .filter(col("sr") <= shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short.join(c, "vec_id")
+      .join(q.select(col("query_id"), col("qv"), col("nq")), "query_id")
       .withColumn("cos",
         when(col("nv") * col("nq") === 0, 0.0)
           .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))

@@ -129,6 +129,37 @@ object TextAnalysis {
         (col("start_token") % budget).as("seq_offset"))
   }
 
+  /** First step of BPE tokenizer training (Sennrich et al. 2016
+    * §3.1): fold the corpus into adjacent symbol-pair counts — each
+    * word becomes its character sequence plus an end-of-word marker,
+    * and every adjacent pair is counted weighted by word frequency.
+    * The top pair is the merge rule a BPE trainer would apply next.
+    *
+    * Scale design: two grouped passes. The first collapses the corpus
+    * to its distinct-word frequency table (map-side combine absorbs
+    * the token stream; the shuffle carries distinct words, a
+    * vocabulary-sized set, not the corpus). The second explodes pairs
+    * over that table, so its cost is vocabulary-sized regardless of
+    * corpus row count — the reason BPE training is feasible at 100 TB.
+    */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val words = Layout.fanOut(df)
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // chars + marker; indices below stay in bounds for any non-empty
+    // word, so the element_at calls are ANSI-safe
+    val syms = concat(split(col("word"), ""), array(lit("</w>")))
+    words
+      .select(col("freq"), explode(
+        transform(sequence(lit(0), size(syms) - 2),
+          i => struct(element_at(syms, i + 1).as("left"),
+            element_at(syms, i + 2).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
   /** Repetition ratio: 1 − distinct n-grams / total n-grams — the
     * boilerplate/looping-text quality signal. 0 = no repetition.
     */

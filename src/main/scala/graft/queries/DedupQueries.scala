@@ -81,6 +81,23 @@ object DedupQueries extends QuerySet {
             .as("n_planted_found"))
     }),
 
+    // MinHash+LSH in engine-portable md5 mode: signatures, band
+    // buckets, candidate pairs AND the exact-Jaccard verify are all
+    // recomputed verbatim by the DuckDB oracle — the full banded
+    // pipeline on the hash-exact signal (d02 keeps the XXH64 perf
+    // path, gated rows-only + DedupSpec).
+    "d02b_minhash_portable" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 300)
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.minhashNearDupsPortable(docs.union(mutated), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Incremental near-dup: a crawl-increment batch (first-word-dropped
     // copies of every 5th doc) checked against the standing corpus —
     // every planted copy must flag, most against their exact source.
@@ -283,6 +300,37 @@ object DedupQueries extends QuerySet {
                   AS n_dup_groups,
                 MIN(rep_id) AS min_rep
          FROM g""",
+    "d02b_minhash_portable" ->
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+            FROM documents WHERE doc_id < 300),
+          t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM base),
+          s AS (SELECT doc_id, $sh3 AS sh FROM t),
+          sig AS (SELECT doc_id, sh,
+                    list_transform(range(0, 8), i ->
+                      list_aggregate(list_transform(sh,
+                        x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                  FROM s),
+          bands AS (SELECT doc_id, b,
+                      md5(list_aggregate(sig[b*2+1:b*2+2],
+                                         'string_agg', ',')) AS bucket
+                    FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.b = b.b AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+          j AS (SELECT id_a, id_b,
+                  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                    AS jaccard
+                FROM cand
+                JOIN s x ON x.doc_id = cand.id_a
+                JOIN s y ON y.doc_id = cand.id_b)
+          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+          ORDER BY id_a, id_b""",
     "d03_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

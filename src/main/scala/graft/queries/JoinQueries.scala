@@ -31,6 +31,29 @@ object JoinQueries extends QuerySet {
           countDistinct(col("o_orderkey")).as("n_intervals"))
     }),
 
+    // Banded interval-overlap join: lineitem [ship, receipt] windows of
+    // a sampled supplier set against 14-day order windows. Each true
+    // overlap is emitted from exactly one bin (left-edge rule), so the
+    // banded join needs no distinct — the oracle states the plain
+    // overlap theta join.
+    "j07_interval_overlap" -> ((s, d) => {
+      val epoch = lit("1970-01-01")
+      val li = Tables.lineitem(s, d).filter(col("l_suppkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_quantity"),
+          datediff(col("l_shipdate"), epoch).as("a_start"))
+        .withColumn("a_end", col("a_start") + 7)
+      val iv = Tables.orders(s, d).filter(col("o_custkey") % 500 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).as("b_start"))
+        .withColumn("b_end", col("b_start") + 14)
+      graft.ops.RangeJoin.intervalOverlap(li, iv,
+          "a_start", "a_end", "b_start", "b_end", binWidth = 16)
+        .agg(count(lit(1)).as("n_pairs"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("o_orderkey")).as("n_b"),
+          countDistinct(col("l_orderkey")).as("n_a"))
+    }),
+
     // Broadcast dimension join: fact scan stays shuffle-free.
     "j01_broadcast_join" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -119,6 +142,26 @@ object JoinQueries extends QuerySet {
                  ${sqlSum("l_quantity")} AS sum_qty,
                  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_intervals
           FROM p JOIN iv ON ship_day BETWEEN start_day AND end_day""",
+    "j07_interval_overlap" ->
+      s"""WITH a AS (
+            SELECT l_orderkey, l_quantity,
+                   date_diff('day', TIMESTAMP '1970-01-01', l_shipdate)
+                     AS a_start,
+                   date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) + 7
+                     AS a_end
+            FROM lineitem WHERE l_suppkey % 100 = 0),
+          b AS (
+            SELECT o_orderkey,
+                   date_diff('day', TIMESTAMP '1970-01-01', o_orderdate)
+                     AS b_start,
+                   date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 14
+                     AS b_end
+            FROM orders WHERE o_custkey % 500 = 0)
+          SELECT COUNT(*) AS n_pairs,
+                 ${sqlSum("l_quantity")} AS sum_qty,
+                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_b,
+                 CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_a
+          FROM a JOIN b ON a_start <= b_end AND b_start <= a_end""",
     "j01_broadcast_join" ->
       s"""SELECT p_brand, COUNT(*) AS n,
             ${sqlSum("l_extendedprice")} AS sum_price

@@ -50,7 +50,25 @@ object SamplingQueries extends QuerySet {
         portable = true)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
-        .orderBy(col("lang")))
+        .orderBy(col("lang"))),
+
+    // DSIR importance weights: English docs play the curated target
+    // distribution; every doc scores Σ log[p_target/p_raw] over its
+    // hashed (md5-bucket) unigram+bigram features. The bucket
+    // histograms and gram streams are engine-exact; only ln() is
+    // transcendental, absorbed by integer weight bands (t12
+    // precedent). English docs should land in positive bands, other
+    // langs negative — the per-(lang, band) counts pin both the model
+    // and the scoring join.
+    "sm05_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val target = docs.filter(col("lang") === "en")
+      graft.ops.Dsir.importanceWeights(docs, target, "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang"), floor(col("weight")).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("band"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -94,6 +112,40 @@ object SamplingQueries extends QuerySet {
            WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
                  printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
-         FROM sel GROUP BY lang ORDER BY lang"""
+         FROM sel GROUP BY lang ORDER BY lang""",
+    "sm05_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, lang,
+                 CASE WHEN len(toks) < 2 THEN toks
+                      ELSE list_concat(toks,
+                        list_transform(range(0, len(toks) - 1),
+                          i -> toks[i+1] || ' ' || toks[i+2]))
+                 END AS grams
+               FROM t),
+         f AS (SELECT doc_id, lang, substr(md5(gram), 1, 3) AS bucket
+               FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)),
+         ab AS (SELECT printf('%03x', i) AS bucket
+                FROM (SELECT unnest(range(0, 4096)) AS i)),
+         tc AS (SELECT bucket, COUNT(*) AS n FROM f WHERE lang = 'en'
+                GROUP BY bucket),
+         rc AS (SELECT bucket, COUNT(*) AS n FROM f GROUP BY bucket),
+         tt AS (SELECT COUNT(*) AS total FROM f WHERE lang = 'en'),
+         rt AS (SELECT COUNT(*) AS total FROM f),
+         model AS (SELECT ab.bucket,
+                     ln((COALESCE(tc.n, 0) + 1.0) / (tt.total + 4096.0)) -
+                     ln((COALESCE(rc.n, 0) + 1.0) / (rt.total + 4096.0))
+                       AS lr
+                   FROM ab
+                   LEFT JOIN tc USING (bucket)
+                   LEFT JOIN rc USING (bucket)
+                   CROSS JOIN tt CROSS JOIN rt),
+         w AS (SELECT f.doc_id, f.lang, SUM(m.lr) AS weight
+               FROM f JOIN model m USING (bucket)
+               GROUP BY f.doc_id, f.lang)
+         SELECT lang, CAST(floor(weight) AS BIGINT) AS band,
+                COUNT(*) AS n_docs
+         FROM w GROUP BY lang, band ORDER BY lang, band"""
   )
 }

@@ -34,6 +34,17 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8 scalar-quantized ANN (SQ8): corpus-bounds quantization +
+    // integer dot-product scoring. Every stage — per-dim bounds, codes,
+    // scores, ranks — is exact integer or correctly-rounded double
+    // math, so the whole compressed-index path is hash-checked.
+    "n07_quantized_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-duplicate pairs above 0.35 (bounded subset;
     // the corpus max pairwise cosine is ~0.44, so this band is populated).
     "n03_cosine_neardups" -> ((s, d) =>
@@ -85,6 +96,20 @@ object SimilarityQueries extends QuerySet {
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n"), max(col("cos")).as("best_cos"))
         .orderBy(col("query_id"))
+    }),
+
+    // PQ-ADC + exact re-rank (the compressed-index ANN path): 8×16
+    // codebooks, ADC shortlist of 100, exact-cosine re-rank to top-10.
+    // k-means codebooks → rows-only; recall gate vs the n01 exact
+    // oracle lives in PipelineOpsSpec.
+    "n08_pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Similarity.pqTrain(emb, "embedding", m = 8, ksub = 16)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, shortlist = 100)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n"), max(col("cos")).as("best_cos"))
+        .orderBy(col("query_id"))
     })
   )
 
@@ -123,6 +148,35 @@ object SimilarityQueries extends QuerySet {
                                        ORDER BY cos DESC, vec_id ASC) AS rank
              FROM scored)
           SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "n07_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          b AS (SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+                FROM e, (SELECT unnest(range(1, 1 + len(
+                       (SELECT v FROM e LIMIT 1)))) AS i)
+                GROUP BY i),
+          bl AS (SELECT list(lo ORDER BY i) AS lo,
+                        list(hi ORDER BY i) AS hi FROM b),
+          q AS (SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+                  CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
+                       ELSE CAST(floor((v[i] - bl.lo[i]) /
+                              (bl.hi[i] - bl.lo[i]) * 254 + 0.5) AS INT)
+                            - 127
+                  END) AS codes
+                FROM e, bl),
+          scored AS (SELECT y.vec_id AS query_id, x.vec_id AS vec_id,
+                       CAST(list_sum(list_transform(
+                         range(1, len(x.codes) + 1), i ->
+                           CAST(x.codes[i] AS BIGINT) * y.codes[i]))
+                         AS BIGINT) AS score
+                     FROM q x, q y
+                     WHERE y.vec_id < 5 AND x.vec_id <> y.vec_id),
+          ranked AS (SELECT query_id, vec_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY score DESC, vec_id ASC) AS rank
+                     FROM scored)
+          SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "n03_cosine_neardups" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

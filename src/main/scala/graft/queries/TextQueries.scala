@@ -65,6 +65,14 @@ object TextQueries extends QuerySet {
           .as("avg_resemblance"))
     }),
 
+    // BPE tokenizer-training step: corpus → distinct-word frequencies →
+    // adjacent symbol-pair counts (chars + </w> marker). Top-30 merge
+    // candidates; all-integer counts → hash-exact oracle.
+    "t15_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), "text")
+        .orderBy(col("pair_count").desc, col("left"), col("right"))
+        .limit(30)),
+
     // Gopher rule battery: per-source rule-failure profile. Every rule
     // is an integer comparison (no float division) → hash-exact oracle.
     // A third of docs get adversarial mutations planted (doc_id mod 3:
@@ -212,6 +220,22 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t15_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)),
+                      '\s+')) AS word
+                    FROM documents),
+         f AS (SELECT word, COUNT(*) AS freq FROM w
+               WHERE len(word) > 0 GROUP BY word),
+         c AS (SELECT freq,
+                      list_append(string_split(word, ''), '</w>') AS syms
+               FROM f),
+         p AS (SELECT freq, syms[i+1] AS l, syms[i+2] AS r
+               FROM c, unnest(range(0, len(syms) - 1)) t(i)),
+         g AS (SELECT l AS "left", r AS "right",
+                      CAST(SUM(freq) AS BIGINT) AS pair_count
+               FROM p GROUP BY l, r)
+         SELECT "left", "right", pair_count FROM g
+         ORDER BY pair_count DESC, "left", "right" LIMIT 30""",
     "t14_gopher_rules" ->
       s"""WITH dirty AS (
             SELECT source,

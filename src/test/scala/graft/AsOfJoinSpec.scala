@@ -28,4 +28,24 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
     assert(out(1L) == Some(1.0) && out(2L) == None)
   }
+
+  test("intervalOverlap: exact pairs, one emission per multi-bin pair") {
+    import org.apache.spark.sql.functions.col
+    // binWidth 10; pair (a1, b1) overlaps across bins 0..2 and must
+    // appear ONCE; (a2, b2) touch only at one shared endpoint
+    // (inclusive); a3/b3 are disjoint
+    val a = Seq((1L, 0L, 25L), (2L, 30L, 40L), (3L, 100L, 101L))
+      .toDF("aid", "a_start", "a_end")
+    val b = Seq((1L, 5L, 22L), (2L, 40L, 50L), (3L, 200L, 201L),
+      (4L, 26L, 29L)).toDF("bid", "b_start", "b_end")
+    val got = graft.ops.RangeJoin.intervalOverlap(a, b,
+        "a_start", "a_end", "b_start", "b_end", binWidth = 10)
+      .select(col("aid"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)), got.toString)
+    // inverted interval matches nothing
+    val inv = Seq((9L, 50L, 10L)).toDF("aid", "a_start", "a_end")
+    assert(graft.ops.RangeJoin.intervalOverlap(inv, b,
+      "a_start", "a_end", "b_start", "b_end", 10).count() == 0)
+  }
 }

@@ -227,6 +227,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits >= 30, s"IVF recall $hits/50")
   }
 
+  test("PQ-ADC shortlist + exact re-rank: recall ≥ 80% vs brute force") {
+    // 8×16 codebooks on 64-dim near-random unit vectors is a 32×
+    // compression — the ADC shortlist of 100 (of 500) must still carry
+    // ≥80% of the true top-10 through to the exact re-rank. Re-ranked
+    // cosines are exact, so every hit also carries the right score.
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id").cache()
+    val model = Similarity.pqTrain(emb, "embedding", m = 8, ksub = 16)
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      model, k = 10, shortlist = 100)
+    val hits = pq.select("query_id", "vec_id").intersect(brute).count()
+    assert(hits >= 40, s"PQ recall $hits/50")
+    // exactness of the re-ranked scores: every (query, vec) pair PQ
+    // returns must score identically to the brute-force cosine
+    val bruteScores = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", k = 500)
+      .select($"query_id", $"vec_id", $"cos".as("bcos"))
+    val drift = pq.join(bruteScores, Seq("query_id", "vec_id"))
+      .filter(abs($"cos" - $"bcos") > 1e-12).count()
+    assert(drift == 0, "re-ranked cosine drifted from exact")
+    brute.unpersist()
+  }
+
   test("IVF recall ≥ 90% at nprobe=8 (kmeans++ spherical quantizer)") {
     // the trustworthy-ANN gate. Context for the bound: this corpus is
     // near-random on the unit sphere (max pairwise cosine ~0.44), the
@@ -503,5 +528,86 @@ class PipelineOpsSpec extends SparkSpec {
       ($"width" <= 100 && $"height" <= 100 &&
         ($"out_width" =!= $"width" || $"out_height" =!= $"height")))
     assert(bad.count() == 0)
+  }
+
+  test("portable minhash: signature matches a hand-computed md5 fold") {
+    // one doc, shingle set {"a b c"}: every permutation slot must be
+    // md5("<i>:a b c") — the exact spelling the DuckDB oracle recomputes
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sig = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(Dedup.minhashSignaturePortable(
+        Dedup.shingles(TextAnalysis.tokens($"text"), 3), 4).as("sig"))
+      .head().getSeq[String](0)
+    assert(sig == (0 until 4).map(i => md5hex(s"$i:a b c")))
+  }
+
+  test("portable minhash finds planted near-duplicates like the XXH64 path") {
+    val corpus = docs.select("doc_id", "text").filter($"doc_id" < 100)
+    val mutated = corpus.select($"doc_id" + 100000 as "doc_id",
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val pairs = Dedup.minhashNearDupsPortable(corpus.union(mutated),
+      "text", "doc_id", shingleSize = 3, numHashes = 8, bands = 4,
+      threshold = 0.5)
+    val n = corpus.count()
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000).count()
+    assert(planted >= (n * 0.9).toLong, s"planted recall $planted/$n")
+    assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
+  }
+
+  test("bpePairCounts matches a hand-computed pair table") {
+    // words: "aa"×1, "ab"×2 → pairs (a,a):1, (a,</w>):1, (a,b):2, (b,</w>):2
+    val got = TextAnalysis.bpePairCounts(
+      Seq("aa ab", "ab").toDF("text"), "text")
+      .as[(String, String, Long)].collect()
+      .map { case (l, r, c) => (l, r) -> c }.toMap
+    assert(got == Map(("a", "a") -> 1L, ("a", "</w>") -> 1L,
+      ("a", "b") -> 2L, ("b", "</w>") -> 2L))
+  }
+
+  test("quantizeInt8: corpus extremes map to ±127, constant dims to 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, 1.0f)),
+      (1L, Array(1.0f, 5.0f, 2.0f)),
+      (2L, Array(2.0f, 5.0f, 3.0f))).toDF("vec_id", "embedding")
+    val bounds = Similarity.dimensionBounds(vecs, "embedding")
+    val codes = Similarity.quantizeInt8(vecs, "vec_id", "embedding", bounds)
+      .orderBy($"vec_id").as[(Long, Seq[Int])].collect()
+    assert(codes(0)._2 == Seq(-127, 0, -127)) // dim mins; constant dim → 0
+    assert(codes(2)._2 == Seq(127, 0, 127))   // dim maxes
+    assert(codes(1)._2.head == 0)             // midpoint → code 0
+  }
+
+  test("quantizedTopK ranks by integer dot product with id tie-break") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 1.0f)),
+      (2L, Array(2.0f, 2.0f)),
+      (3L, Array(2.0f, 2.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.quantizedTopK(vecs, vecs.filter($"vec_id" === 2),
+      "vec_id", "embedding", k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Int)].collect()
+    // query [2,2] ≡ codes [127,127]: best is its twin id 3, then id 1
+    // (codes [0,0] → score 0) ties id 0 ([-127,-127] → negative) — no:
+    // id 0 scores -32258, id 1 scores 0 → order 3, 1, 0
+    assert(top.map(_._2).toSeq == Seq(3L, 1L, 0L))
+    assert(top(0)._3 == 2L * 127 * 127)
+  }
+
+  test("DSIR weights rank target-like docs above off-target docs") {
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "zzz qqq zzz qqq zzz qqq"),
+      (3L, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta gamma alpha beta"),
+      (11L, "beta alpha gamma beta")).toDF("doc_id", "text")
+    val w = graft.ops.Dsir.importanceWeights(corpus, target, "text",
+      "doc_id").as[(Long, Double)].collect().toMap
+    assert(w(1) > w(2), s"target-like ${w(1)} should beat off-target ${w(2)}")
+    assert(w(3) > w(2))
+    val top = graft.ops.Dsir.selectTop(corpus, target, "text", "doc_id", 2)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(top == Set(1L, 3L))
   }
 }

@@ -64,10 +64,38 @@ class PlanSpec extends SparkSpec {
   test("range join plans as a bin equi-join, not a nested loop") {
     import org.apache.spark.sql.execution.joins.{
       BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val p = plan("j06_range_join")
-    assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
-      p.collect { case j: CartesianProductExec => j }.isEmpty,
-      "j06 fell back to an all-pairs join")
+    for (q <- Seq("j06_range_join", "j07_interval_overlap")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q fell back to an all-pairs join")
+    }
+  }
+
+  test("DSIR scoring joins the bucket model by broadcast") {
+    // the 4096-row log-ratio model must broadcast into the corpus-side
+    // scoring join — a shuffled join here would reshuffle the whole
+    // gram stream at 100 TB
+    val bhj = plan("sm05_dsir_weights").collect {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "sm05 model join is not broadcast")
+  }
+
+  test("quantized ANN keeps the corpus side shuffle-free") {
+    // n07's corpus scan flows scan → quantize projection → broadcast-NL
+    // score: any hash/range exchange of the corpus side means the codes
+    // were shuffled for no reason (only the fan-out round-robin and the
+    // per-query window's partial exchange are expected)
+    val p = plan("n07_quantized_topk")
+    val hashExchanges = p.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") =>
+        e
+    }
+    // one hash exchange: the rank window on query_id; none on vec codes
+    assert(hashExchanges.size <= 1,
+      s"n07 plans ${hashExchanges.size} hash exchanges")
   }
 
   test("compute-amplifying pipelines fan out past the single-file scan") {
