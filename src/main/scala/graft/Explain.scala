@@ -1,33 +1,36 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
-
-/** Plan inspector: prints `explain("formatted")` for the named queries
-  * (or all), for pushdown/broadcast/codegen review.
-  * Usage: runMain graft.Explain <sfDir> [query...]
+/** Plan inspector: `runMain graft.Explain <queryName> [sfDir]` prints
+  * the pre-execution formatted plan, then runs the query and prints
+  * the post-AQE executed plan plus exchange/reuse counts — the
+  * per-operator "would this plan survive 100×?" audit loop.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq
-                else SparkEntry.queries.keys.toSeq.sorted
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // fall back to per-operator execution (compiled expressions, JIT-able)
-      // for stages whose fused processNext would exceed HotSpot's 8000-byte
-      // JIT ceiling and run as interpreted bytecode (~50x slower)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      try SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"(failed: ${e.getMessage})") }
-    }
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    println(s"==== $name: logical-optimized → physical (pre-execution) ====")
+    df.explain("formatted")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    println(s"==== $name: executed (post-AQE) ====")
+    println(plan)
+    def count(p: String) = p.r.findAllIn(plan).length
+    println(s"[explain] exchanges=${count("Exchange ")} " +
+      s"reused=${count("ReusedExchange")} " +
+      s"aggregates=${count("HashAggregate")} " +
+      s"broadcasts=${count("BroadcastExchange")} " +
+      s"codegenSpans=${count("WholeStageCodegen")}")
     spark.stop()
   }
 }

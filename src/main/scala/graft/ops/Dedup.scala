@@ -84,19 +84,30 @@ object Dedup {
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = 10000): DataFrame =
+    lshCandidatePairsCached(df, idCol, sigCol, bands, rowsPerBand,
+      maxBucket).df
+
+  /** [[lshCandidatePairs]] with the hot-bucket count frame persisted
+    * (both self-join sides consume it; exchange reuse does not see
+    * through the aliases) — release via the returned [[Cached]].
+    */
+  def lshCandidatePairsCached(df: DataFrame, idCol: String, sigCol: String,
+                              bands: Int, rowsPerBand: Int,
+                              maxBucket: Int = 10000): Cached = {
     val banded = df.select(col(idCol).as("id"),
         explode(bandKeys(col(sigCol), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val capped = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
-      maxBucket)
-    capped.as("a").join(capped.as("b"),
+    val (capped, hot) = Layout.capBucketsCached(banded,
+      Seq("band", "bucket"), "id", maxBucket)
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    Cached(pairs, Seq(hot))
   }
 
   // ---------- engine-portable MinHash (md5 mode) ----------
@@ -193,15 +204,15 @@ object Dedup {
         shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = lshCandidatePairs(prepared, "id", "sig", bands, rowsPerBand,
-      maxBucket)
-    val verified = pairs
+    val pairsCached = lshCandidatePairsCached(prepared, "id", "sig", bands,
+      rowsPerBand, maxBucket)
+    val verified = pairsCached.df
       .join(prepared.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    Cached(verified, Seq(prepared))
+    Cached(verified, prepared +: pairsCached.backing)
   }
 
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
@@ -259,8 +270,8 @@ object Dedup {
     // SAME deterministic salt (id-hash of its own id is wrong here — it
     // must meet every corpus salt group to keep recall, so instead the
     // batch row fans out to every salt of a hot bucket)
-    val cCapped = Layout.capBuckets(banded(c), Seq("band", "bucket"), "id",
-      maxBucket)
+    val (cCapped, cHot) = Layout.capBucketsCached(banded(c),
+      Seq("band", "bucket"), "id", maxBucket)
     val saltCount = cCapped.groupBy(col("band"), col("bucket"))
       .agg((max(col("__salt")) + 1).as("__nsalt"))
     val bFanned = banded(b).join(saltCount, Seq("band", "bucket"), "inner")
@@ -287,7 +298,7 @@ object Dedup {
           struct((-col("jaccard")).as("nj"), col("corpus_id")))
           .as("corpus_id"),
         max(col("jaccard")).as("jaccard"))
-    Cached(best, Seq(b, c))
+    Cached(best, Seq(b, c, cHot))
   }
 
   // ---------- SimHash ----------
@@ -333,8 +344,8 @@ object Dedup {
       .select(col("id"), col("sim"), col("bk.band"), col("bk.chunk"))
     // identical docs all share one 16-bit chunk per band — the classic
     // giant-bucket shape; cap it before the self-join
-    val capped = Layout.capBuckets(banded, Seq("band", "chunk"), "id",
-      maxBucket)
+    val (capped, hot) = Layout.capBucketsCached(banded, Seq("band", "chunk"),
+      "id", maxBucket)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.chunk") === col("b.chunk") &&
@@ -344,7 +355,7 @@ object Dedup {
         hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    Cached(pairs, Seq(signed))
+    Cached(pairs, Seq(signed, hot))
   }
 
   // ---------- near-dup clustering ----------

@@ -61,19 +61,56 @@ object Layout {
     * instead. Use [[bucketStats]] to see what got split.
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
-                 maxBucket: Int): DataFrame = {
+                 maxBucket: Int): DataFrame =
+    cappedWithHot(banded, keyCols, idCol, maxBucket)._1
+
+  /** [[capBuckets]] with the hot-key frame PERSISTED, probed, and
+    * returned for caller-managed release. The hot frame is small by
+    * construction (≤ rows/maxBucket keys, usually EMPTY), so after
+    * pinning it one cheap probe decides the plan shape: no hot buckets
+    * → the salt column is a constant and the guard join disappears
+    * from the main plan entirely (the self-join's salt equality
+    * constant-folds away) — healthy corpora pay one counting pass and
+    * zero extra stages; only genuinely degenerate corpora pay the
+    * salt-split join. Eager by design (the probe runs the count job at
+    * call time — the [[graft.ops.Similarity.ivfIndex]] fit-collect
+    * precedent); pair with [[graft.ops.Cached]] to release `hot`.
+    */
+  def capBucketsCached(banded: DataFrame, keyCols: Seq[String],
+                       idCol: String, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val keys = keyCols.map(col)
+    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped =
+      if (hot.isEmpty) banded.withColumn("__salt", lit(0L))
+      else banded.join(hot, keyCols, "left")
+        .withColumn("__salt",
+          when(col("__n").isNull, lit(0L)).otherwise(
+            pmod(xxhash64(col(idCol)),
+              ceil(col("__n").cast("double") / maxBucket).cast("long"))))
+        .drop("__n")
+    (capped, hot)
+  }
+
+  private def cappedWithHot(banded: DataFrame, keyCols: Seq[String],
+                            idCol: String, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val keys = keyCols.map(col)
     // only hot buckets carry a row; the frame is ≤ rows/maxBucket keys
     // and usually empty → AQE broadcasts the join
     val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
-    banded.join(hot, keyCols, "left")
+    val capped = banded.join(hot, keyCols, "left")
       .withColumn("__salt",
         when(col("__n").isNull, lit(0L)).otherwise(
           pmod(xxhash64(col(idCol)),
             ceil(col("__n").cast("double") / maxBucket).cast("long"))))
       .drop("__n")
+    (capped, hot)
   }
 
   /** Hot-bucket diagnostic for the banded joins: population per bucket

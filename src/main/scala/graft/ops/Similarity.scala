@@ -523,8 +523,8 @@ object Similarity {
 
     // zero vectors (and any dominant direction) pile into one sign
     // bucket per band — cap it before the self-join
-    val capped = Layout.capBuckets(banded, Seq("band", "bucket"), "id",
-      maxBucket)
+    val (capped, hot) = Layout.capBucketsCached(banded,
+      Seq("band", "bucket"), "id", maxBucket)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
@@ -536,7 +536,7 @@ object Similarity {
           .as("cos"))
       .distinct()
       .filter(col("cos") >= threshold)
-    graft.ops.Cached(pairs, Seq(c))
+    graft.ops.Cached(pairs, Seq(c, hot))
   }
 
   /** SemDeDup (Abbas et al. 2023, public): semantic deduplication.
@@ -576,8 +576,8 @@ object Similarity {
         when(col("nv") === 0, 0.0)
           .otherwise(dot(col("v"), col("centroid")) / col("nv")))
       .select("vec_id", "cluster", "v", "nv", "cent_cos")
-    val capped = Layout.capBuckets(withCent, Seq("cluster"), "vec_id",
-      maxCluster)
+    val (capped, hot) = Layout.capBucketsCached(withCent, Seq("cluster"),
+      "vec_id", maxCluster)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.__salt") === col("b.__salt") &&
@@ -603,7 +603,7 @@ object Similarity {
       .join(keep, Seq("vec_id"), "left")
       .filter(col("__grouped").isNull || col("__keep").isNotNull)
       .select("vec_id", "cluster", "cent_cos")
-    graft.ops.Cached(survivors, Seq(indexed))
+    graft.ops.Cached(survivors, Seq(indexed, hot))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold — the exact
