@@ -122,6 +122,32 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Temperature-smoothed corpus mixing (the multilingual-pretraining
+    * recipe — XLM-R's α-smoothing): target proportions ∝ n_s^alpha
+    * instead of the observed n_s, flattening dominant sources and
+    * boosting the tail as alpha → 0 (alpha = 1 reproduces the corpus
+    * as-is; alpha = 0 equalizes sources). Weights derive from one
+    * grouped count (driver-bounded by the number of sources) and feed
+    * [[mixCorpus]] unnormalized — mixCorpus's feasible-scale math is
+    * scale-invariant in the weights, so no normalization float ops
+    * enter the row-fate thresholds. alpha = 0.5 computes via sqrt
+    * (correctly-rounded IEEE, engine-portable for the oracle); other
+    * alphas use pow.
+    */
+  def mixCorpusTemperature(df: DataFrame, sourceCol: String, idCol: String,
+                           alpha: Double, seed: Long = 42L,
+                           portable: Boolean = false): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val weights = counts.map { case (s, n) =>
+      s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
+            else math.pow(n.toDouble, alpha))
+    }
+    mixCorpus(df, sourceCol, idCol, weights, seed, portable)
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

@@ -160,6 +160,91 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("pair_count"))
   }
 
+  /** Full BPE merge-rule training (Sennrich et al. 2016 §3.1): repeat
+    * numMerges times — take the highest-count adjacent symbol pair
+    * (ties: lexicographic (left, right), deterministic) and fuse it
+    * everywhere. The corpus collapses ONCE to its distinct-word
+    * frequency table (the only corpus-sized, distributed pass); the
+    * merge loop then runs driver-side over the collected vocabulary —
+    * bounded by `maxVocab` (the IVF/PQ bounded-fit contract), and
+    * honest to how production tokenizer trainers work: BPE merges are
+    * inherently sequential (each depends on the last), over a table
+    * vocabulary-sized regardless of corpus rows. Distributed surfaces:
+    * the vocab count here, the merge APPLICATION in
+    * [[bpeApplyMerges]] (pure column expressions).
+    */
+  def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
+                     numMerges: Int, maxVocab: Int = 65536)
+      : Seq[(String, String)] = {
+    val vocabRows = Layout.fanOut(df)
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // deterministic truncation for over-budget vocabularies: keep the
+      // most frequent words (tie: lexicographic)
+      .orderBy(col("freq").desc, col("word")).limit(maxVocab)
+      .collect()
+    var vocab: Array[(Array[String], Long)] = vocabRows.map { r =>
+      (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>", r.getLong(1))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) i = numMerges
+      else {
+        val (best, _) = counts.toSeq
+          .maxBy { case ((l, r), n) => (n, l, r) }(
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+              Ordering.String.reverse))
+        merges += best
+        val fused = best._1 + best._2
+        vocab = vocab.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 &&
+                syms(j + 1) == best._2) { out += fused; j += 2 }
+            else { out += syms(j); j += 1 }
+          }
+          (out.toArray, f)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply trained BPE merges to a single word column: characters +
+    * end-of-word marker, then each merge folds left-to-right over the
+    * symbol array (`aggregate`: fuse when the accumulator's tail is
+    * the merge's left and the next symbol its right — exactly the
+    * greedy non-overlapping pass a BPE tokenizer makes per rule).
+    * Pure column expressions: tokenization of a 100 TB corpus stays
+    * inside the scan, merges ship as literals in the plan.
+    */
+  def bpeApplyMerges(word: Column, merges: Seq[(String, String)]): Column = {
+    val chars = concat(filter(split(word, ""), c => c =!= ""),
+      array(lit("</w>")))
+    merges.foldLeft(chars) { case (syms, (l, r)) =>
+      aggregate(syms,
+        array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(x))))
+    }
+  }
+
   /** Repetition ratio: 1 − distinct n-grams / total n-grams — the
     * boilerplate/looping-text quality signal. 0 = no repetition.
     */

@@ -46,4 +46,31 @@ object Upsert {
       .filter(deletedCol.map(d => !coalesce(col(d), lit(false)))
         .getOrElse(lit(true)))
   }
+
+  /** Type-2 slowly-changing-dimension history from a change log: per
+    * key ordered by `versionCol`, each change row opens a validity
+    * interval that the NEXT change closes (`valid_to` null = the
+    * current row) — the standard warehouse history layout, and the
+    * snapshot-at-version query primitive (`valid_from ≤ v < valid_to`).
+    *
+    * One `lead` window per key: parallel across keys, no self-join
+    * (the naive interval build joins the change log to itself on
+    * key + next-version — a second full shuffle for what the window's
+    * single partition pass already knows).
+    *
+    * `versionCol` must be unique per key: with duplicate versions the
+    * lead order among the ties — and therefore which duplicate closes
+    * the interval — is not deterministic. Run [[compact]] (or dedup on
+    * (key, version)) first when the change stream can re-deliver.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String],
+           versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

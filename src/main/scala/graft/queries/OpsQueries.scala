@@ -50,6 +50,24 @@ object OpsQueries extends QuerySet {
         .orderBy(col("c_custkey"))
     }),
 
+    // Type-2 SCD history from a change log: lineitem plays the change
+    // stream (key = order, version = line number); each change's
+    // validity interval closes at the next version, open = current.
+    // The synthetic lineitem re-delivers (order, line) pairs, so the
+    // log first compacts to one row per (key, version) — exactly the
+    // dedup-before-scd2 contract the operator documents. One
+    // lead-window pass, oracle-checked against DuckDB's LEAD.
+    "u02_scd2_intervals" -> ((s, d) => {
+      val changeLog = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("qty"))
+      graft.ops.Upsert.scd2(changeLog, Seq("l_orderkey"), "l_linenumber")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("is_current"), 1L).otherwise(0L)).as("n_current"),
+          sum(col("valid_to") - col("valid_from")).as("span_sum"),
+          dsum(when(col("is_current"), col("qty"))).as("current_qty"))
+    }),
+
     // P4: deduplication (drop_duplicates over all columns).
     "p04_dedup" -> ((s, d) =>
       Cleaning.dropDuplicates(
@@ -231,6 +249,24 @@ object OpsQueries extends QuerySet {
          SELECT c_custkey, c_acctbal, CAST(version AS BIGINT) AS version
          FROM r WHERE rn = 1 AND NOT deleted AND c_custkey <= 200
          ORDER BY c_custkey""",
+    "u02_scd2_intervals" ->
+      s"""WITH log AS (
+            SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS qty
+            FROM lineitem GROUP BY l_orderkey, l_linenumber),
+          s AS (
+            SELECT l_orderkey, l_linenumber AS valid_from,
+                   LEAD(l_linenumber) OVER (PARTITION BY l_orderkey
+                                            ORDER BY l_linenumber)
+                     AS valid_to,
+                   qty
+            FROM log)
+          SELECT COUNT(*) AS n_rows,
+                 CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_current,
+                 CAST(SUM(valid_to - valid_from) AS BIGINT) AS span_sum,
+                 ${sqlSum("CASE WHEN valid_to IS NULL THEN qty END")}
+                   AS current_qty
+          FROM s""",
     "p01_drop_project" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
          FROM customer ORDER BY c_custkey LIMIT 50""",

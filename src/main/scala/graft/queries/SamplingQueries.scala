@@ -52,6 +52,19 @@ object SamplingQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))),
 
+    // Temperature-smoothed mixture (XLM-R α=0.5): target proportions
+    // ∝ √n_s — the dominant source (en) downsamples, the tail keeps
+    // everything (binding sources at fraction 1.0). sqrt is
+    // correctly-rounded IEEE → thresholds engine-exact in portable
+    // mode, same contract as sm04.
+    "sm06_mix_temperature" -> ((s, d) =>
+      Sampling.mixCorpusTemperature(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "lang", "doc_id", alpha = 0.5, portable = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))),
+
     // DSIR importance weights: English docs play the curated target
     // distribution; every doc scores Σ log[p_target/p_raw] over its
     // hashed (md5-bucket) unigram+bigram features. The bucket
@@ -106,6 +119,19 @@ object SamplingQueries extends QuerySet {
          k AS (SELECT MIN(n / wt) AS k FROM c JOIN w USING (src)),
          fr AS (SELECT src, k * wt / n AS f
                 FROM c JOIN w USING (src) CROSS JOIN k),
+         sel AS (
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN fr ON d.lang = fr.src
+           WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                 printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
+         SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM sel GROUP BY lang ORDER BY lang""",
+    "sm06_mix_temperature" ->
+      """WITH c AS (SELECT lang AS src, COUNT(*) AS n
+                    FROM documents GROUP BY lang),
+         w AS (SELECT src, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM c),
+         k AS (SELECT MIN(n / wt) AS k FROM w),
+         fr AS (SELECT src, k.k * wt / n AS f FROM w CROSS JOIN k),
          sel AS (
            SELECT d.doc_id, d.lang
            FROM documents d JOIN fr ON d.lang = fr.src

@@ -84,6 +84,28 @@ object SourceQueries extends QuerySet {
       s.table(qn).orderBy(col("c_mktsegment"))
     }),
 
+    // Streaming deduplication: the stream unions with itself (every
+    // event delivered twice — the at-least-once replay shape), then
+    // dropDuplicates on the event key restores exactly-once counts.
+    // The oracle is the batch distinct. The watermark-bounded variant
+    // (dropDuplicatesWithinWatermark, bounded state) is spec'd in
+    // StreamSpec; complete-mode-with-agg here keeps the sink
+    // oracle-comparable.
+    "st04_stream_dedup" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st04_dedup_sink"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val q = src.union(src)
+        .dropDuplicates("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy(col("event_type"))
+    }),
+
     // S6+S7+F10-F14: render each order as a consumer-log block, parse the
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
@@ -123,6 +145,10 @@ object SourceQueries extends QuerySet {
     "st01_stream_counters" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
          GROUP BY event_type ORDER BY event_type""",
+    "st04_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(event_id) AS BIGINT) AS id_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "st02_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt

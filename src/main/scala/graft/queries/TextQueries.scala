@@ -73,6 +73,34 @@ object TextQueries extends QuerySet {
         .orderBy(col("pair_count").desc, col("left"), col("right"))
         .limit(30)),
 
+    // End-to-end BPE: train 10 merge rules on the corpus (driver loop
+    // over the distributed vocab count), tokenize every word with them
+    // (pure column-expression fold), report per-lang compression.
+    // Iterative training isn't SQL-expressible → rows-only; the merge
+    // sequence and application are pinned by the canonical-example
+    // spec in PipelineOpsSpec.
+    "t16_bpe_tokenize" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrainMerges(docs, "text", numMerges = 10)
+      // merge application runs once per DISTINCT (lang, word) — the
+      // fold over the symbol array is the expensive kernel, and words
+      // repeat heavily, so the corpus collapses to its vocabulary
+      // before paying it (same shape as bpePairCounts' two passes)
+      docs
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("lang"), col("freq"),
+          size(TextAnalysis.bpeApplyMerges(col("w"), merges)).as("n_sym"),
+          (length(col("w")) + 1).as("n_char_sym"))
+        .groupBy(col("lang"))
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("n_sym") * col("freq")).as("sym_sum"),
+          sum(col("n_char_sym") * col("freq")).as("unmerged_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // Gopher rule battery: per-source rule-failure profile. Every rule
     // is an integer comparison (no float division) → hash-exact oracle.
     // A third of docs get adversarial mutations planted (doc_id mod 3:

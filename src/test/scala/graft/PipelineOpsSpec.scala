@@ -595,6 +595,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top(0)._3 == 2L * 127 * 127)
   }
 
+  test("BPE trainer reproduces the canonical merge sequence") {
+    // Sennrich-style corpus: low×5 lower×2 newest×6 widest×3.
+    // Pair counts put (e,s), (s,t), (t,</w>) tied at 9 → the
+    // deterministic tie-break (lexicographic) picks (e,s); then
+    // (es,t) at 9 beats (t,</w>); then (est,</w>) stands alone.
+    val corpus = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+      .toDF("text")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, "text", numMerges = 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", "</w>")))
+    // application: "newest" → [n, e, w, est</w>]; "low" untouched
+    val got = Seq("newest", "low", "widest").toDF("w")
+      .select(TextAnalysis.bpeApplyMerges($"w", merges).as("syms"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("n", "e", "w", "est</w>"))
+    assert(got(1) == Seq("l", "o", "w", "</w>"))
+    assert(got(2) == Seq("w", "i", "d", "est</w>"))
+  }
+
   test("DSIR weights rank target-like docs above off-target docs") {
     val corpus = Seq(
       (1L, "alpha beta alpha beta alpha beta"),

@@ -62,6 +62,30 @@ class SamplingSpec extends SparkSpec {
     assert(mixed.select("id").except(again.select("id")).count() == 0)
   }
 
+  test("mixCorpusTemperature: α=1 identity, α=0 equalizes, α=.5 between") {
+    // skewed corpus: one dominant source, one mid, one tail
+    val skewed = ((1L to 4000L).map(i => (i, "big")) ++
+      (4001L to 5000L).map(i => (i, "mid")) ++
+      (5001L to 5250L).map(i => (i, "small"))).toDF("id", "grp")
+    def counts(alpha: Double) =
+      Sampling.mixCorpusTemperature(skewed, "grp", "id", alpha)
+        .groupBy("grp").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1: proportions already match the corpus → every source binds
+    assert(counts(1.0) == Map("big" -> 4000L, "mid" -> 1000L,
+      "small" -> 250L))
+    // α=0: uniform target → every source downsamples to ~|smallest|
+    val eq = counts(0.0)
+    assert(eq("small") == 250L, "smallest source binds and keeps all")
+    for (g <- Seq("big", "mid"))
+      assert(math.abs(eq(g) - 250L) < 60, s"$g ${eq(g)}")
+    // α=0.5: between — big shrinks but stays above mid, tail keeps all
+    val half = counts(0.5)
+    assert(half("small") == 250L)
+    assert(half("big") > half("mid") && half("big") < 4000L,
+      half.toString)
+  }
+
   test("row fate is independent of the rest of the corpus (append-stable)") {
     // the sample drawn from a grown corpus agrees with the original
     // sample on every original row — the property rand() sampling lacks

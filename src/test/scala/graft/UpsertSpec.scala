@@ -50,4 +50,23 @@ class UpsertSpec extends SparkSpec {
       Upsert.compact(snap, bad, Seq("k"), "version", None)
     }
   }
+
+  test("scd2 builds per-key validity chains; last change stays open") {
+    import org.apache.spark.sql.functions.col
+    val changes = Seq(
+      (1, 10L, "a"), (1, 20L, "b"), (1, 30L, "c"), // 3-version chain
+      (2, 5L, "x")) // single version → immediately current
+      .toDF("k", "version", "v")
+    val got = Upsert.scd2(changes, Seq("k"), "version")
+      .select(col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1, 10L, Some(20L), false),
+      (1, 20L, Some(30L), false),
+      (1, 30L, None, true),
+      (2, 5L, None, true)))
+  }
 }
