@@ -85,30 +85,39 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         bands: Int, rowsPerBand: Int,
                         maxBucket: Int = 10000): DataFrame =
-    lshCandidatePairsCached(df, idCol, sigCol, bands, rowsPerBand,
-      maxBucket).df
+    lshPairsFrom(Layout.capBuckets(bandedFrame(df, idCol, sigCol, bands,
+      rowsPerBand), Seq("band", "bucket"), "id", maxBucket))
 
   /** [[lshCandidatePairs]] with the hot-bucket count frame persisted
-    * (both self-join sides consume it; exchange reuse does not see
-    * through the aliases) — release via the returned [[Cached]].
+    * and probed ([[Layout.capBucketsCached]]: both self-join sides
+    * consume it and exchange reuse does not see through the aliases;
+    * the guard join vanishes entirely when nothing is hot) — release
+    * via the returned [[Cached]]. The plain variant above stays fully
+    * lazy and persist-free.
     */
   def lshCandidatePairsCached(df: DataFrame, idCol: String, sigCol: String,
                               bands: Int, rowsPerBand: Int,
                               maxBucket: Int = 10000): Cached = {
-    val banded = df.select(col(idCol).as("id"),
+    val (capped, hot) = Layout.capBucketsCached(
+      bandedFrame(df, idCol, sigCol, bands, rowsPerBand),
+      Seq("band", "bucket"), "id", maxBucket)
+    Cached(lshPairsFrom(capped), Seq(hot))
+  }
+
+  private def bandedFrame(df: DataFrame, idCol: String, sigCol: String,
+                          bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).as("id"),
         explode(bandKeys(col(sigCol), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val (capped, hot) = Layout.capBucketsCached(banded,
-      Seq("band", "bucket"), "id", maxBucket)
-    val pairs = capped.as("a").join(capped.as("b"),
+
+  private def lshPairsFrom(capped: DataFrame): DataFrame =
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.__salt") === col("b.__salt") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    Cached(pairs, Seq(hot))
-  }
 
   // ---------- engine-portable MinHash (md5 mode) ----------
 

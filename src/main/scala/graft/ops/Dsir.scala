@@ -53,17 +53,15 @@ object Dsir {
     spark.range(NumBuckets)
       .select(lpad(lower(hex(col("id"))), 3, "0").as("bucket"))
 
-  /** Per-bucket add-k–smoothed log-probability over a document set,
-    * complete over all 4096 buckets (unseen buckets carry the smoothed
-    * floor), as ("bucket", "lp").
+  /** Per-bucket add-k–smoothed log-probability over a bucket stream
+    * (one "bucket" column), complete over all 4096 buckets (unseen
+    * buckets carry the smoothed floor), as ("bucket", "lp").
     */
-  def bucketLogProbs(docs: DataFrame, textCol: String,
-                     k: Double = 1.0): DataFrame = {
-    val counts = Layout.fanOut(docs)
-      .select(explode(featureBuckets(col(textCol))).as("bucket"))
+  def bucketLogProbsFromGrams(grams: DataFrame, k: Double): DataFrame = {
+    val counts = grams
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
-    allBuckets(docs.sparkSession)
+    allBuckets(grams.sparkSession)
       .join(counts, Seq("bucket"), "left")
       .crossJoin(broadcast(total))
       .select(col("bucket"),
@@ -71,25 +69,50 @@ object Dsir {
           (coalesce(col("total"), lit(0L)) + k * NumBuckets)).as("lp"))
   }
 
+  /** [[bucketLogProbsFromGrams]] over a document set. */
+  def bucketLogProbs(docs: DataFrame, textCol: String,
+                     k: Double = 1.0): DataFrame =
+    bucketLogProbsFromGrams(Layout.fanOut(docs)
+      .select(explode(featureBuckets(col(textCol))).as("bucket")), k)
+
   /** Per-document importance weight: Σ over the doc's grams of
     * [log p_target(bucket) − log p_raw(bucket)]. Higher = more
-    * target-like. Returns (idCol, "weight"). The 4096-row log-ratio
-    * model broadcasts; the corpus side is one explode + grouped sum.
+    * target-like. Returns (idCol, "weight") plus the persisted
+    * corpus-gram frame to release.
+    *
+    * The corpus tokenizes and explodes ONCE: the persisted
+    * (id, bucket) frame feeds both the raw histogram and the per-doc
+    * scoring sum (without the persist the dominant gram-generation
+    * pass would run twice). The target — typically orders of magnitude
+    * smaller — pays its own single pass; the 4096-row log-ratio model
+    * broadcasts into the scoring join.
     */
-  def importanceWeights(corpus: DataFrame, target: DataFrame,
-                        textCol: String, idCol: String,
-                        k: Double = 1.0): DataFrame = {
+  def importanceWeightsCached(corpus: DataFrame, target: DataFrame,
+                              textCol: String, idCol: String,
+                              k: Double = 1.0): Cached = {
+    val corpusGrams = Layout.fanOut(corpus)
+      .select(col(idCol), explode(featureBuckets(col(textCol))).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = bucketLogProbs(target, textCol, k)
       .withColumnRenamed("lp", "lp_t")
-      .join(bucketLogProbs(corpus, textCol, k)
+      .join(bucketLogProbsFromGrams(corpusGrams.select(col("bucket")), k)
         .withColumnRenamed("lp", "lp_r"), "bucket")
       .select(col("bucket"), (col("lp_t") - col("lp_r")).as("lr"))
-    Layout.fanOut(corpus)
-      .select(col(idCol), explode(featureBuckets(col(textCol))).as("bucket"))
+    val weights = corpusGrams
       .join(broadcast(model), "bucket")
       .groupBy(col(idCol))
       .agg(sum(col("lr")).as("weight"))
+    Cached(weights, Seq(corpusGrams))
   }
+
+  /** Plain-DataFrame convenience for one-shot sessions (the
+    * [[Dedup.minhashNearDups]] contract: the backing gram frame stays
+    * persisted — use [[importanceWeightsCached]] to release it).
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+                        textCol: String, idCol: String,
+                        k: Double = 1.0): DataFrame =
+    importanceWeightsCached(corpus, target, textCol, idCol, k).df
 
   /** Keep the `n` most target-like documents (deterministic id
     * tie-break) — DSIR's top-k selection variant. One global

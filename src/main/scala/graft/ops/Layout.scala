@@ -62,7 +62,8 @@ object Layout {
     */
   def capBuckets(banded: DataFrame, keyCols: Seq[String], idCol: String,
                  maxBucket: Int): DataFrame =
-    cappedWithHot(banded, keyCols, idCol, maxBucket)._1
+    saltJoin(banded, hotFrame(banded, keyCols, maxBucket), keyCols, idCol,
+      maxBucket)
 
   /** [[capBuckets]] with the hot-key frame PERSISTED, probed, and
     * returned for caller-managed release. The hot frame is small by
@@ -75,43 +76,39 @@ object Layout {
     * salt-split join. Eager by design (the probe runs the count job at
     * call time — the [[graft.ops.Similarity.ivfIndex]] fit-collect
     * precedent); pair with [[graft.ops.Cached]] to release `hot`.
+    * Callers that cannot manage a release use [[capBuckets]], which
+    * stays fully lazy and persist-free.
     */
   def capBucketsCached(banded: DataFrame, keyCols: Seq[String],
                        idCol: String, maxBucket: Int)
       : (DataFrame, DataFrame) = {
-    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
-    val keys = keyCols.map(col)
-    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > maxBucket)
+    val hot = hotFrame(banded, keyCols, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped =
       if (hot.isEmpty) banded.withColumn("__salt", lit(0L))
-      else banded.join(hot, keyCols, "left")
-        .withColumn("__salt",
-          when(col("__n").isNull, lit(0L)).otherwise(
-            pmod(xxhash64(col(idCol)),
-              ceil(col("__n").cast("double") / maxBucket).cast("long"))))
-        .drop("__n")
+      else saltJoin(banded, hot, keyCols, idCol, maxBucket)
     (capped, hot)
   }
 
-  private def cappedWithHot(banded: DataFrame, keyCols: Seq[String],
-                            idCol: String, maxBucket: Int)
-      : (DataFrame, DataFrame) = {
+  /** Per-key populations above the cap — ≤ rows/maxBucket keys and
+    * usually empty, so the guard join broadcasts under AQE.
+    */
+  private def hotFrame(banded: DataFrame, keyCols: Seq[String],
+                       maxBucket: Int): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
-    val keys = keyCols.map(col)
-    // only hot buckets carry a row; the frame is ≤ rows/maxBucket keys
-    // and usually empty → AQE broadcasts the join
-    val hot = banded.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+    banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucket)
-    val capped = banded.join(hot, keyCols, "left")
+  }
+
+  private def saltJoin(banded: DataFrame, hot: DataFrame,
+                       keyCols: Seq[String], idCol: String,
+                       maxBucket: Int): DataFrame =
+    banded.join(hot, keyCols, "left")
       .withColumn("__salt",
         when(col("__n").isNull, lit(0L)).otherwise(
           pmod(xxhash64(col(idCol)),
             ceil(col("__n").cast("double") / maxBucket).cast("long"))))
       .drop("__n")
-    (capped, hot)
-  }
 
   /** Hot-bucket diagnostic for the banded joins: population per bucket
     * key above `minSize`, largest first — run before/after a dedup pass

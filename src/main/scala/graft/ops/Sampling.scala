@@ -94,12 +94,19 @@ object Sampling {
   def mixCorpus(df: DataFrame, sourceCol: String, idCol: String,
                 weights: Map[String, Double], seed: Long = 42L,
                 portable: Boolean = false): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be positive")
     val counts = df
       .filter(col(sourceCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixWithCounts(df, sourceCol, idCol, weights, counts, seed, portable)
+  }
+
+  private def mixWithCounts(df: DataFrame, sourceCol: String, idCol: String,
+                            weights: Map[String, Double],
+                            counts: Map[String, Long], seed: Long,
+                            portable: Boolean): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
     require(counts.nonEmpty, "no rows match any weighted source")
     // feasible scale k: total output size such that every source can
     // supply its share; fraction_s = k·w_s / n_s ∈ (0, 1]
@@ -132,7 +139,9 @@ object Sampling {
     * scale-invariant in the weights, so no normalization float ops
     * enter the row-fate thresholds. alpha = 0.5 computes via sqrt
     * (correctly-rounded IEEE, engine-portable for the oracle); other
-    * alphas use pow.
+    * alphas use pow. The counts collected for the weights feed the
+    * mix directly — one grouped count job total, not one here and a
+    * second inside [[mixCorpus]].
     */
   def mixCorpusTemperature(df: DataFrame, sourceCol: String, idCol: String,
                            alpha: Double, seed: Long = 42L,
@@ -145,7 +154,7 @@ object Sampling {
       s -> (if (alpha == 0.5) math.sqrt(n.toDouble)
             else math.pow(n.toDouble, alpha))
     }
-    mixCorpus(df, sourceCol, idCol, weights, seed, portable)
+    mixWithCounts(df, sourceCol, idCol, weights, counts, seed, portable)
   }
 
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order

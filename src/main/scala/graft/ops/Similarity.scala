@@ -89,16 +89,29 @@ object Similarity {
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String,
                    bounds: DataFrame): DataFrame = {
     val b = bounds.orderBy(col("pos")).collect()
-    val lo = b.map(_.getDouble(1))
-    val hi = b.map(_.getDouble(2))
+    quantizeWithArrays(df, idCol, vecCol,
+      b.map(_.getDouble(1)), b.map(_.getDouble(2)))
+  }
+
+  /** Quantize against already-collected per-dim bounds — lets one
+    * bounds job serve several frames (corpus + queries in
+    * [[quantizedTopK]]).
+    */
+  private def quantizeWithArrays(df: DataFrame, idCol: String,
+                                 vecCol: String, lo: Array[Double],
+                                 hi: Array[Double]): DataFrame = {
     val loC = typedLit(lo)
     val hiC = typedLit(hi)
     df.select(col(idCol),
       transform(asDouble(col(vecCol)), (x, i) => {
         val l = element_at(loC, i + 1)
         val h = element_at(hiC, i + 1)
+        // clamp before scaling (the FAISS SQ clip): a value outside the
+        // TRAINING bounds — a query vector, or corpus drift — must code
+        // to ±127, not escape the int8 range
+        val xc = greatest(least(x, h), l)
         when(h === l, lit(0))
-          .otherwise(floor((x - l) / (h - l) * 254.0 + lit(0.5))
+          .otherwise(floor((xc - l) / (h - l) * 254.0 + lit(0.5))
             .cast("int") - 127)
       }).as("codes"))
   }
@@ -118,10 +131,14 @@ object Similarity {
     */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
-    val bounds = dimensionBounds(corpus, vecCol)
-    val c = Layout.fanOut(quantizeInt8(corpus, idCol, vecCol, bounds))
+    // ONE bounds job serves both sides — quantizeInt8 per side would
+    // re-run the full-corpus min/max aggregation for the query frame
+    val b = dimensionBounds(corpus, vecCol).orderBy(col("pos")).collect()
+    val lo = b.map(_.getDouble(1))
+    val hi = b.map(_.getDouble(2))
+    val c = Layout.fanOut(quantizeWithArrays(corpus, idCol, vecCol, lo, hi))
       .select(col(idCol).as("vec_id"), col("codes").as("cv"))
-    val q = quantizeInt8(queries, idCol, vecCol, bounds)
+    val q = quantizeWithArrays(queries, idCol, vecCol, lo, hi)
       .select(col(idCol).as("query_id"), col("codes").as("cq"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))

@@ -160,7 +160,9 @@ object SimilarityQueries extends QuerySet {
                         list(hi ORDER BY i) AS hi FROM b),
           q AS (SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
                   CASE WHEN bl.hi[i] = bl.lo[i] THEN 0
-                       ELSE CAST(floor((v[i] - bl.lo[i]) /
+                       ELSE CAST(floor(
+                              (greatest(least(v[i], bl.hi[i]), bl.lo[i])
+                                - bl.lo[i]) /
                               (bl.hi[i] - bl.lo[i]) * 254 + 0.5) AS INT)
                             - 127
                   END) AS codes
