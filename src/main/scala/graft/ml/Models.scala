@@ -175,4 +175,25 @@ object Models {
   /** M11/S8: persist the chosen production model. */
   def save(model: Transformer, path: String): Unit =
     model.asInstanceOf[MLWritable].write.overwrite().save(path)
+
+  /** Isotonic (PAVA) probability calibration: fit a monotone
+    * non-decreasing map raw score → empirical P(y=1) on held-out
+    * scores, the standard post-training calibration step when a
+    * model's probabilities drift from observed frequencies (Zadrozny &
+    * Elkan 2002; pool-adjacent-violators). MLlib's distributed
+    * IsotonicRegression does the heavy sort/merge; applying the model
+    * is a broadcast piecewise-linear lookup per row.
+    *
+    * Returns the input with a `calibrated` column appended.
+    */
+  def isotonicCalibrate(scoredDf: DataFrame, labelCol: String,
+                        probaCol: String): DataFrame = {
+    val ir = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("__p").setLabelCol("__y")
+      .setPredictionCol("calibrated").setIsotonic(true)
+    val prepared = scoredDf
+      .withColumn("__p", col(probaCol).cast("double"))
+      .withColumn("__y", col(labelCol).cast("double"))
+    ir.fit(prepared).transform(prepared).drop("__p", "__y")
+  }
 }

@@ -147,6 +147,36 @@ object Aggregates {
       .as("log_loss"))
   }
 
+  /** Probability-calibration diagnostics: Brier score and expected
+    * calibration error over `bins` equal-width probability bins
+    * (Guo et al. 2017, "On Calibration of Modern Neural Networks"):
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, which telescopes to
+    * Σ_b |Σy − Σp| / N — so ONE grouped pass (bin → exact sums) and a
+    * tiny final fold computes both; no window, no sort, map-side
+    * partials absorb the row stream. Probabilities and labels sum as
+    * DECIMAL(18,6) so the per-bin sums are exact and engine-identical
+    * (the dsum parity rule) — only the final two divisions are float.
+    * p = 1.0 clamps into the last bin.
+    */
+  def calibration(df: DataFrame, labelCol: String, probaCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val p = col(probaCol).cast(dec)
+    val y = col(labelCol).cast(dec)
+    val bin = least(floor(col(probaCol) * bins), lit(bins - 1)).cast("int")
+    df.select(bin.as("bin"), p.as("p"), y.as("y"),
+        ((p - y) * (p - y)).as("sq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("psum"),
+        sum(col("y")).as("ysum"), sum(col("sq")).as("sqsum"))
+      .agg(
+        (sum(col("sqsum")).cast("double") / sum(col("n"))).as("brier"),
+        (sum(abs(col("ysum") - col("psum"))).cast("double") /
+          sum(col("n"))).as("ece"),
+        count(lit(1)).as("n_bins"))
+  }
+
   /** Partition-parallel prefix sums over a frame whose `orderCol` values
     * are DISTINCT non-null numerics (i.e. the frame is already grouped by
     * the order key). Replaces the classic `Window.orderBy(k)` global

@@ -134,6 +134,10 @@ object Similarity {
     // ONE bounds job serves both sides — quantizeInt8 per side would
     // re-run the full-corpus min/max aggregation for the query frame
     val b = dimensionBounds(corpus, vecCol).orderBy(col("pos")).collect()
+    require(b.nonEmpty,
+      "quantizedTopK: empty corpus — no bounds to quantize against " +
+        "(an empty bounds array would make every query row's " +
+        "element_at lookup fail under ANSI)")
     val lo = b.map(_.getDouble(1))
     val hi = b.map(_.getDouble(2))
     val c = Layout.fanOut(quantizeWithArrays(corpus, idCol, vecCol, lo, hi))

@@ -26,6 +26,27 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Corpus text normalization: delete NON-whitespace control
+    * characters (C0 minus tab/newline/FF/CR, plus DEL) and
+    * zero-width/BOM codepoints, then collapse every whitespace run —
+    * including the surviving \t \n \f \r — to one space, and trim.
+    * Whitespace controls collapse rather than delete so line breaks
+    * keep separating words ("a\r\nb" → "a b", not "ab"). The first
+    * cleaning pass every web-scraped corpus needs before
+    * hashing/dedup — control and zero-width junk otherwise makes
+    * visually-identical text hash differently.
+    *
+    * Dialect note: \\x0b (vertical tab) is DELETED in pass 1 because
+    * Java's \\s includes it and RE2's does not — removing it first is
+    * what lets the t17 oracle restate both passes verbatim with
+    * identical meaning.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text,
+        "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f​‌‍﻿]", ""),
+      "\\s+", " "))
+
   /** Punctuation ratio over a fixed class (quality signal). */
   def punctRatio(text: Column): Column = {
     val stripped = regexp_replace(text, "[.,!?;:]", "")

@@ -62,7 +62,12 @@ object MetricsQueries extends QuerySet {
 
     // A15: log loss with sklearn eps clipping.
     "a15_log_loss" -> ((s, d) =>
-      Aggregates.logLoss(scored(s, d), "label", "proba"))
+      Aggregates.logLoss(scored(s, d), "label", "proba")),
+
+    // Calibration: Brier + 10-bin ECE from one grouped pass; decimal
+    // partial sums make both engine-exact.
+    "a23_calibration" -> ((s, d) =>
+      Aggregates.calibration(scored(s, d), "label", "proba", bins = 10))
   )
 
   def oracle: Map[String, String] = Map(
@@ -173,6 +178,20 @@ object MetricsQueries extends QuerySet {
                  CASE WHEN prec + rec = 0 THEN NULL
                       ELSE 2 * prec * rec / (prec + rec) END AS f1
           FROM f""",
+    "a23_calibration" ->
+      s"""WITH s AS (
+            SELECT CAST(proba AS DECIMAL(18,6)) AS p,
+                   CAST(label AS DECIMAL(18,6)) AS y,
+                   CAST(LEAST(FLOOR(proba * 10), 9) AS INT) AS bin
+            FROM ($scoredSql)),
+          b AS (
+            SELECT bin, COUNT(*) AS n, SUM(p) AS psum, SUM(y) AS ysum,
+                   SUM((p - y) * (p - y)) AS sqsum
+            FROM s GROUP BY bin)
+          SELECT CAST(SUM(sqsum) AS DOUBLE) / SUM(n) AS brier,
+                 CAST(SUM(ABS(ysum - psum)) AS DOUBLE) / SUM(n) AS ece,
+                 COUNT(*) AS n_bins
+          FROM b""",
     "a15_log_loss" ->
       s"""SELECT -AVG(CASE WHEN label = 1 THEN ln(p) ELSE ln(1 - p) END) AS log_loss
           FROM (SELECT label,

@@ -44,6 +44,23 @@ object MlQueries extends QuerySet {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
+    }),
+
+    // Isotonic (PAVA) probability calibration over the lineitem-derived
+    // scored frame: calibrated probabilities per raw-probability band,
+    // plus the calibration diagnostics before/after. MLlib fit →
+    // rows-only; monotonicity + identity-on-calibrated-input are
+    // spec'd in MLSpec.
+    "m13_isotonic" -> ((s, d) => {
+      val scored = Tables.lineitem(s, d)
+        .select((col("l_returnflag") === "R").cast("int").as("label"),
+          (col("l_discount") * 9 + col("l_tax")).as("proba"))
+      graft.ml.Models.isotonicCalibrate(scored, "label", "proba")
+        .groupBy(floor(col("proba") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("calibrated")), 6).as("avg_calibrated"),
+          round(avg(col("label")), 6).as("empirical"))
+        .orderBy(col("band"))
     })
   )
 

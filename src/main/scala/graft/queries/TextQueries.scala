@@ -73,6 +73,30 @@ object TextQueries extends QuerySet {
         .orderBy(col("pair_count").desc, col("left"), col("right"))
         .limit(30)),
 
+    // Text normalization: docs get planted control chars, zero-width
+    // junk, and whitespace runs (doc_id mod 4); cleaning must strip
+    // them back to the original text. Integer length sums → hash-exact.
+    "t17_normalize" -> ((s, d) => {
+      val dirty = Tables.documents(s, d).withColumn("dirty",
+        when(col("doc_id") % 4 === 1,
+          concat(lit("  "), col("text"), lit("  \r\n")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("​﻿"), col("text"), lit("‌‍")))
+          .when(col("doc_id") % 4 === 3,
+            regexp_replace(col("text"), " ", "   "))
+          .otherwise(col("text")))
+      dirty.select(col("source"),
+          TextAnalysis.normalizeText(col("dirty")).as("clean"),
+          col("text"), col("dirty"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("dirty"))).as("dirty_len"),
+          sum(length(col("clean"))).as("clean_len"),
+          sum(when(col("clean") === col("text"), 1L).otherwise(0L))
+            .as("n_restored"))
+        .orderBy(col("source"))
+    }),
+
     // End-to-end BPE: train 10 merge rules on the corpus (driver loop
     // over the distributed vocab count), tokenize every word with them
     // (pure column-expression fold), report per-lang compression.
@@ -248,6 +272,26 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t17_normalize" ->
+      """WITH dirty AS (
+           SELECT source, text,
+             CASE WHEN doc_id % 4 = 1
+                    THEN '  ' || text || '  ' || chr(13) || chr(10)
+                  WHEN doc_id % 4 = 2 THEN '​﻿' || text || '‌‍'
+                  WHEN doc_id % 4 = 3 THEN replace(text, ' ', '   ')
+                  ELSE text END AS dirty
+           FROM documents),
+         c AS (SELECT source, text, dirty,
+                 trim(regexp_replace(regexp_replace(dirty,
+                   '[\x00-\x08\x0b\x0e-\x1f\x7f​‌‍﻿]', '', 'g'), '\s+', ' ', 'g'))
+                   AS clean
+               FROM dirty)
+         SELECT source, COUNT(*) AS n,
+                CAST(SUM(length(dirty)) AS BIGINT) AS dirty_len,
+                CAST(SUM(length(clean)) AS BIGINT) AS clean_len,
+                CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_restored
+         FROM c GROUP BY source ORDER BY source""",
     "t15_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)),
                       '\s+')) AS word

@@ -98,6 +98,21 @@ class AggregatesSpec extends SparkSpec {
     assert(!v.isInfinite && v > 30) // -ln(1e-15) ≈ 34.5
   }
 
+  test("calibration: hand-computed Brier and 10-bin ECE") {
+    // bin9: (1,.9)(1,.9)(0,.9) → |Σy−Σp|=.7; bin1: (0,.1)(1,.1) → .8;
+    // bin0: (0,.05) → .05. ECE=(0.7+0.8+0.05)/6; Brier=Σ(p−y)²/6
+    val df = Seq((1, 0.9), (1, 0.9), (0, 0.9), (0, 0.1), (1, 0.1),
+      (0, 0.05)).toDF("label", "proba")
+    val r = Aggregates.calibration(df, "label", "proba").collect()(0)
+    assert(approx(r.getAs[Double]("ece"), 1.55 / 6))
+    assert(approx(r.getAs[Double]("brier"), 1.6525 / 6))
+    assert(r.getAs[Long]("n_bins") == 3L)
+    // p = 1.0 clamps into the top bin rather than opening an 11th
+    val edge = Seq((1, 1.0), (1, 0.95)).toDF("label", "proba")
+    val e = Aggregates.calibration(edge, "label", "proba").collect()(0)
+    assert(e.getAs[Long]("n_bins") == 1L)
+  }
+
   test("mode per group uses pandas tie-break (smallest value)") {
     val df = Seq(("a", 2), ("a", 1), ("a", 2), ("a", 1), ("a", 3), ("b", 9))
       .toDF("g", "v")

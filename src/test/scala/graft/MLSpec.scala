@@ -126,4 +126,30 @@ class MLSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(top.contains("Transaction_Amount"), top.mkString(","))
   }
+
+  test("isotonic calibration is monotone and identity on calibrated input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // overconfident scores: p=0.9 where empirical rate is 1/3
+    val over = (Seq.fill(2)((0, 0.9)) ++ Seq((1, 0.9)) ++
+      Seq.fill(3)((0, 0.2)) ++ Seq((1, 0.8), (1, 0.85), (0, 0.5)))
+      .toDF("label", "proba")
+    val cal = Models.isotonicCalibrate(over, "label", "proba")
+      .select("proba", "calibrated")
+      .orderBy(col("proba")).as[(Double, Double)].collect()
+    // monotone non-decreasing in the raw score
+    cal.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a - 1e-12, s"calibration not monotone: $a -> $b")
+    }
+    assert(cal.forall { case (_, c) => c >= 0 && c <= 1 })
+    // perfectly calibrated input maps (approximately) to itself:
+    // each score level's empirical rate equals the score
+    val perfect = (Seq.fill(9)((1, 0.9)) ++ Seq.fill(1)((0, 0.9)) ++
+      Seq.fill(1)((1, 0.1)) ++ Seq.fill(9)((0, 0.1)))
+      .toDF("label", "proba")
+    val id = Models.isotonicCalibrate(perfect, "label", "proba")
+      .select("proba", "calibrated").distinct()
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(id(0.9) - 0.9) < 1e-9 && math.abs(id(0.1) - 0.1) < 1e-9)
+  }
 }

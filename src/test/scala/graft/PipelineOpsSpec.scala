@@ -487,6 +487,32 @@ class PipelineOpsSpec extends SparkSpec {
     val out = LanguageModel.bigramSurprisal(empty, cands, "text", "doc_id")
       .collect()
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("surprisal")))
+    // round-3 additions
+    assert(TextAnalysis.bpeTrainMerges(empty, "text", 5).isEmpty)
+    assert(TextAnalysis.bpePairCounts(empty, "text").count() == 0)
+    assert(Dedup.minhashNearDupsPortable(empty, "text", "doc_id")
+      .count() == 0)
+    assert(graft.ops.Dsir.importanceWeights(empty, empty, "text", "doc_id")
+      .count() == 0)
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.quantizedTopK(emptyVec, emptyVec, "vec_id", "embedding", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(emptyVec, "embedding")
+    }
+  }
+
+  test("normalizeText strips junk and restores canonical text") {
+    val cases = Seq(
+      ("  a\u0007b   c\t ", "ab c"),          // control + runs + trim
+      ("​﻿hello‌‍", "hello"), // zero-width + BOM
+      ("plain text", "plain text"),
+      ("a\r\nb", "a b"),                       // CRLF → collapsed space
+      ("", ""))
+    val got = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
   }
 
   test("language ID picks the seeded language, und on no hits") {
