@@ -456,6 +456,38 @@ object Dedup {
       .drop("rep")
   }
 
+  /** [[dedupByComponents]] with a QUALITY keep rule: each near-dup
+    * cluster keeps its highest-`scoreCol` member (ties → smallest id)
+    * instead of the smallest id — the production policy ("keep the
+    * longest / highest-quality copy") that min-id dedup silently gets
+    * wrong when the best copy is not the first-crawled one. The
+    * representative comes from ONE max_by aggregation over the
+    * cluster members (no window over the full corpus: unclustered
+    * rows — the overwhelming majority — never shuffle).
+    */
+  def dedupByComponentsKeepBest(df: DataFrame, idCol: String,
+                                scoreCol: String,
+                                pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    val scored = labels
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+        "id")
+    // (max score, then min id among the maxima) in two cheap aggs —
+    // a single max_by(struct(score, id)) would break ties toward the
+    // LARGEST id, and negating the id to flip the tie is type-unsafe
+    // for string ids (the minhashNearDupsAgainst tie-break lesson)
+    val best = scored.groupBy(col("component"))
+      .agg(max(col("__score")).as("__best"))
+    val reps = scored.join(best, "component")
+      .filter(col("__score") === col("__best"))
+      .groupBy(col("component")).agg(min(col("id")).as("rep"))
+    val members = labels.join(reps, "component")
+      .select(col("id"), col("rep"))
+    df.join(members.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("rep").isNull || col("rep") === col(idCol))
+      .drop("rep")
+  }
+
   // ---------- benchmark decontamination ----------
 
   /** Drop corpus documents contaminated by a blocklist (eval-benchmark
@@ -577,6 +609,34 @@ object Dedup {
                          fpp: Double = 0.01): DataFrame =
     decontaminateBloomCached(corpus, blocklist, textCol, idCol, n,
       threshold, fpp).df
+
+  /** Per-document blocklist-overlap score — the REPORT form of
+    * [[decontaminate]]: instead of dropping contaminated docs, emit
+    * (doc, overlapping-shingle count, total shingles) for every doc
+    * with ≥1 hit, so a pipeline can audit memorization risk, tune the
+    * drop threshold, or quarantine by band before committing to a
+    * filter. Same shuffle shape as decontaminate: shingles travel as
+    * 8-byte hashes, blocklist broadcast, one grouped count.
+    */
+  def overlapScores(corpus: DataFrame, blocklist: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3,
+                    broadcastBlocklist: Boolean = true): DataFrame = {
+    val sh = (df: DataFrame) =>
+      transform(shingles(TextAnalysis.tokens(lower(col(textCol))), n),
+        s => xxhash64(s))
+    val corpusSh = Layout.fanOut(corpus)
+      .select(col(idCol).as("doc_id"), sh(corpus).as("__sh"))
+    val blockShRaw = Layout.fanOut(blocklist)
+      .select(explode(sh(blocklist)).as("__bsh")).distinct()
+    val blockSh = if (broadcastBlocklist) broadcast(blockShRaw) else blockShRaw
+    corpusSh
+      .select(col("doc_id"), size(col("__sh")).as("n_shingles"),
+        explode(col("__sh")).as("__s"))
+      .join(blockSh, col("__s") === col("__bsh"), "left_semi")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_overlap"))
+  }
 
   // ---------- passage-level overlap ----------
 

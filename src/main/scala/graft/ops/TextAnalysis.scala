@@ -47,6 +47,26 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f​‌‍﻿]", ""),
       "\\s+", " "))
 
+  /** Unicode script profile: per-script character counts — the
+    * script-identification signal web-corpus pipelines use alongside
+    * n-gram language ID (mixed-script documents are a spam/mojibake
+    * marker; script routing picks the right tokenizer). Each count is
+    * `length − length(strip(class))`, a pure scan-local expression;
+    * the ranges are plain codepoint intervals so the oracle restates
+    * them in RE2 syntax with identical meaning.
+    */
+  def scriptCounts(text: Column): Column = {
+    def n(cls: String) =
+      (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+    struct(
+      n("[A-Za-z\\u00C0-\\u024F]").as("latin"),
+      n("[\\u0400-\\u04FF]").as("cyrillic"),
+      n("[\\u4E00-\\u9FFF]").as("cjk"),
+      n("[\\u0600-\\u06FF]").as("arabic"),
+      n("[0-9]").as("digit"),
+      length(text).cast("long").as("total"))
+  }
+
   /** Punctuation ratio over a fixed class (quality signal). */
   def punctRatio(text: Column): Column = {
     val stripped = regexp_replace(text, "[.,!?;:]", "")

@@ -56,6 +56,19 @@ object DedupQueries extends QuerySet {
         .orderBy(col("lang"))
     }),
 
+    // Blocklist-overlap REPORT (the audit form of decontamination):
+    // per-doc overlapping-shingle counts against the every-19th-doc
+    // blocklist — blocklist members score total overlap; near-copies
+    // partial. Spark joins 8-byte xxhash64 shingle keys; the oracle
+    // joins the shingle STRINGS (identical membership semantics, the
+    // d06 contract).
+    "d10_overlap_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 19 === 0)
+      Dedup.overlapScores(docs, bench, "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -265,6 +278,22 @@ object DedupQueries extends QuerySet {
           FROM documents
           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
           GROUP BY lang ORDER BY lang""",
+    "d10_overlap_score" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+          s AS (SELECT doc_id, $sh3 AS sh FROM t),
+          b AS (SELECT DISTINCT unnest(sh) AS bsh FROM s
+                WHERE doc_id % 19 = 0),
+          e AS (SELECT doc_id, unnest(sh) AS sh1 FROM s),
+          hits AS (
+            SELECT e.doc_id, COUNT(*) AS n_overlap
+            FROM e JOIN b ON e.sh1 = b.bsh GROUP BY e.doc_id)
+          SELECT s.doc_id, CAST(len(s.sh) AS INT) AS n_shingles,
+                 CAST(hits.n_overlap AS BIGINT) AS n_overlap
+          FROM s JOIN hits USING (doc_id)
+          ORDER BY s.doc_id""",
     "d06_decontaminate" ->
       s"""WITH t AS (
             SELECT doc_id, lang,

@@ -106,6 +106,44 @@ object SourceQueries extends QuerySet {
       s.table(qn).orderBy(col("event_type"))
     }),
 
+    // ORC round-trip: write the orders subset as ORC (Spark's second
+    // built-in columnar format — its own predicate-pushdown and
+    // encoding path), read it back, aggregate. The oracle states the
+    // same aggregate over the original parquet — identical rows prove
+    // the format round-trips values exactly.
+    "s07_orc_roundtrip" -> ((s, d) => {
+      val path = "/tmp/graft_s07_orc"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // JSON-lines round-trip: the wire format of the reference's Kafka
+    // messages (S1/S2) as a file source/sink — write, read with an
+    // explicit schema (inference is the reference's bug surface, not
+    // ours), aggregate.
+    "s08_json_roundtrip" -> ((s, d) => {
+      val path = "/tmp/graft_s08_json"
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_custkey")).as("cust_sum"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // S6+S7+F10-F14: render each order as a consumer-log block, parse the
     // block back with the map-based grammar, and aggregate the recovered
     // typed fields. The oracle states the round-trip identity directly.
@@ -149,6 +187,17 @@ object SourceQueries extends QuerySet {
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(event_id) AS BIGINT) AS id_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "s07_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            MIN(o_orderdate) AS min_date,
+            MAX(o_orderkey) AS max_key
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s08_json_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "st02_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt

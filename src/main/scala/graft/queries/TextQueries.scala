@@ -97,6 +97,30 @@ object TextQueries extends QuerySet {
         .orderBy(col("source"))
     }),
 
+    // Unicode script profile: the ASCII corpus gets script-specific
+    // suffixes planted (doc_id mod 5: Cyrillic / CJK / Arabic /
+    // digits) and the per-lang script counts must pick them up
+    // exactly. Integer char counts → hash-exact.
+    "t18_script_profile" -> ((s, d) => {
+      val planted = Tables.documents(s, d).withColumn("text",
+        when(col("doc_id") % 5 === 1, concat(col("text"), lit(" привет мир")))
+          .when(col("doc_id") % 5 === 2, concat(col("text"), lit(" 中文文本")))
+          .when(col("doc_id") % 5 === 3, concat(col("text"), lit(" مرحبا")))
+          .when(col("doc_id") % 5 === 4, concat(col("text"), lit(" 12345")))
+          .otherwise(col("text")))
+      planted.select(col("lang"),
+          TextAnalysis.scriptCounts(col("text")).as("sc"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("sc.latin")).as("latin"),
+          sum(col("sc.cyrillic")).as("cyrillic"),
+          sum(col("sc.cjk")).as("cjk"),
+          sum(col("sc.arabic")).as("arabic"),
+          sum(col("sc.digit")).as("digits"),
+          sum(col("sc.total")).as("total"))
+        .orderBy(col("lang"))
+    }),
+
     // End-to-end BPE: train 10 merge rules on the corpus (driver loop
     // over the distributed vocab count), tokenize every word with them
     // (pure column-expression fold), report per-lang compression.
@@ -272,6 +296,35 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t18_script_profile" ->
+      """WITH planted AS (
+           SELECT lang,
+             CASE WHEN doc_id % 5 = 1 THEN text || ' привет мир'
+                  WHEN doc_id % 5 = 2 THEN text || ' 中文文本'
+                  WHEN doc_id % 5 = 3 THEN text || ' مرحبا'
+                  WHEN doc_id % 5 = 4 THEN text || ' 12345'
+                  ELSE text END AS text
+           FROM documents),
+         c AS (SELECT lang, length(text) AS total,
+                 length(text) - length(regexp_replace(text,
+                   '[A-Za-z\x{00c0}-\x{024f}]', '', 'g')) AS latin,
+                 length(text) - length(regexp_replace(text,
+                   '[\x{0400}-\x{04ff}]', '', 'g')) AS cyrillic,
+                 length(text) - length(regexp_replace(text,
+                   '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                 length(text) - length(regexp_replace(text,
+                   '[\x{0600}-\x{06ff}]', '', 'g')) AS arabic,
+                 length(text) - length(regexp_replace(text,
+                   '[0-9]', '', 'g')) AS digit
+               FROM planted)
+         SELECT lang, COUNT(*) AS n,
+                CAST(SUM(latin) AS BIGINT) AS latin,
+                CAST(SUM(cyrillic) AS BIGINT) AS cyrillic,
+                CAST(SUM(cjk) AS BIGINT) AS cjk,
+                CAST(SUM(arabic) AS BIGINT) AS arabic,
+                CAST(SUM(digit) AS BIGINT) AS digits,
+                CAST(SUM(total) AS BIGINT) AS total
+         FROM c GROUP BY lang ORDER BY lang""",
     "t17_normalize" ->
       """WITH dirty AS (
            SELECT source, text,

@@ -69,4 +69,23 @@ class ComponentsSpec extends SparkSpec {
     val giant = Dedup.componentSizes(labels).filter($"size" > 100)
     assert(giant.count() == 1)
   }
+
+  test("keep-best dedup keeps the highest-score member, ties to min id") {
+    val docs = Seq(
+      (1L, "short", 5),
+      (2L, "the longest text here", 21),
+      (3L, "mid text", 8),
+      (10L, "tie a", 5), (11L, "tie b", 5), // equal scores → id 10
+      (99L, "unpaired survives", 17))
+      .toDF("doc_id", "text", "len")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup
+      .dedupByComponentsKeepBest(docs, "doc_id", "len", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 10L, 99L), kept.toString)
+    // contrast: min-id rule would keep 1, not the longest 2
+    val minId = graft.ops.Dedup.dedupByComponents(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 10L, 99L))
+  }
 }
