@@ -31,6 +31,26 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** The ANN finisher: per-query top-k via the bounded mergeable
+    * [[graft.functions.TopKAgg]] instead of a
+    * `row_number().over(partitionBy(query_id))` window. The window
+    * funnels every scored candidate for one query through ONE reducer
+    * task — O(|corpus|) rows per task for brute force, the
+    * single-partition bottleneck at 100 TB. The aggregate keeps a
+    * size-k heap per query on the map side, so each partition ships at
+    * most k rows per query into the final merge. Ordering (score desc,
+    * id asc, ties included) is identical to the window it replaces —
+    * n01/n07 stay hash-exact against the oracle's ROW_NUMBER.
+    */
+  private def topKFinish(scored: DataFrame, scoreName: String,
+                         k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col(scoreName), col("vec_id"), k)
+        .as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("vec_id"),
+        col("__e.score").as(scoreName), col("__e.rank").as("rank"))
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors. `queries` must be small (it broadcasts).
     */
@@ -50,11 +70,7 @@ object Similarity {
       .withColumn("cos",
         when(col("nv") * col("nq") === 0, 0.0)
           .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scoredAll.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+    topKFinish(scoredAll, "cos", k)
   }
 
   // ---------- scalar quantization (SQ8) ----------
@@ -147,11 +163,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("score", codeDot(col("cv"), col("cq")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "score", "rank")
+    topKFinish(scored, "score", k)
   }
 
   /** Per-group embedding centroid (mean vector) — cluster/class
@@ -361,7 +373,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("nq", norm(col("qv")))
-    // nearest nprobe centroids per query (tiny: nlist × queries)
+    // nearest nprobe centroids per query: this window is bounded by
+    // nlist × queries rows (both broadcast-small), not by the corpus —
+    // the candidate-set funnel the TopKAgg finisher removes below
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("cdist").asc, col("cluster").asc)
     val probed = q.crossJoin(broadcast(centroids))
@@ -369,16 +383,12 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("nq"), col("cluster"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    indexed.join(broadcast(probed), "cluster")
+    val scored = indexed.join(broadcast(probed), "cluster")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos",
         when(col("nv") * col("nq") === 0, 0.0)
           .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+    topKFinish(scored, "cos", k)
   }
 
   // ---------- product quantization (PQ-ADC) ----------
@@ -476,27 +486,25 @@ object Similarity {
         lit(2.0) * dot(slice(col("qn"), s * dsub + 1, dsub),
           element_at(book, codeS + 1))
     }.reduce(_ + _)
-    val shortW = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
+    // ADC shortlist: smallest distances first — the same bounded
+    // mergeable aggregate (largest = false), so the full corpus×queries
+    // ADC score stream never funnels through per-query reducer tasks
     val short = encoded.crossJoin(broadcast(q.select(col("query_id"), col("qn"))))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("adc", adcScore)
-      .withColumn("sr", row_number().over(shortW))
-      .filter(col("sr") <= shortlist)
-      .select(col("query_id"), col("vec_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("adc"), col("vec_id"),
+        shortlist, largest = false).as("__sl"))
+      .select(col("query_id"), explode(col("__sl.id")).as("vec_id"))
     val c = corpus.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    short.join(c, "vec_id")
+    val reranked = short.join(c, "vec_id")
       .join(q.select(col("query_id"), col("qv"), col("nq")), "query_id")
       .withColumn("cos",
         when(col("nv") * col("nq") === 0, 0.0)
           .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "vec_id", "cos", "rank")
+    topKFinish(reranked, "cos", k)
   }
 
   /** Scale path for embedding near-dup: random-hyperplane LSH. Each

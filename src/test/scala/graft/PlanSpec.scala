@@ -42,6 +42,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANN finishers aggregate, not window") {
+    // round 4: the per-query row_number funnel is gone — top-k is a
+    // bounded mergeable aggregate (TopKAgg), so no WindowExec may
+    // appear anywhere in the exact ANN plans
+    for (q <- Seq("n01_brute_topk", "n07_quantized_topk")) {
+      val windows = plan(q).collect { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"$q still plans a WindowExec: ${windows.headOption}")
+    }
+  }
+
   test("filters push through the fan-out exchange to the parquet scan") {
     val scans = plan("d03_ngram_jaccard").collect {
       case s: FileSourceScanExec => s
