@@ -37,7 +37,11 @@ object Explain {
         val df = SparkEntry.queries(n)(spark, sfDir)
         df.explain("formatted")
         if (execute) {
-          df.collect()
+          // execute without materializing on the driver: row-heavy
+          // queries (d10 emits one row per document) would make a
+          // collect() unbounded at larger SFs; the post-AQE plan is
+          // available from queryExecution after any full execution
+          df.foreach(_ => ())
           val plan = df.queryExecution.executedPlan.toString
           println(s"---------- $n: executed (post-AQE) ----------")
           println(plan)

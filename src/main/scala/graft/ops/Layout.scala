@@ -90,6 +90,34 @@ object Layout {
     (capped, hot)
   }
 
+  /** Materialize a pre-aggregate ONCE for multi-consumer plans, with a
+    * cardinality guard. Concurrent consumer subtrees (the e01 pattern:
+    * four broadcast branches over one grouped frame) would race to
+    * materialize a lazily-cached frame, each re-running the expensive
+    * upstream pipeline — a local relation runs it exactly once. But
+    * collecting is only safe when the aggregate's cardinality is
+    * domain-bounded, and a comment is not a guard: this counts first
+    * (one cheap job that eagerly materializes the persisted frame) and
+    * only collects at or below `maxRows`. Above it, the already-
+    * materialized persisted frame is returned instead — consumers can
+    * no longer race (the count pinned the blocks), and the driver never
+    * holds an unbounded row set. The fallback's cache is bounded by the
+    * aggregate's size and lives until `spark.catalog.clearCache()` or
+    * session end; callers needing an explicit handle should persist
+    * themselves and wrap in [[Cached]].
+    */
+  def materializeBounded(df: DataFrame, maxRows: Long = 100000L): DataFrame = {
+    val persisted =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = persisted.count()
+    if (n <= maxRows) {
+      val rows = persisted.collect()
+      persisted.unpersist(blocking = false)
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    } else persisted
+  }
+
   /** Per-key populations above the cap — ≤ rows/maxBucket keys and
     * usually empty, so the guard join broadcasts under AQE.
     */

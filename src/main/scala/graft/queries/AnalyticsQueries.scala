@@ -64,21 +64,22 @@ object AnalyticsQueries extends QuerySet {
       // (~1000 rows). Decimal partial sums keep the money/probability
       // totals exact (dsum parity: cast before arithmetic), so results
       // are bit-identical to direct aggregation over the row frame.
-      // The pre-agg lands in a LOCAL relation via a bounded collect of
-      // the constant-size aggregate (same cost class as the tiny metric
-      // collects elsewhere): the four consumers become four broadcast
-      // subtrees of one plan whose exchanges execute as CONCURRENT jobs,
-      // so with a lazily persisted/cached frame they'd race to
-      // materialize it, each re-running the 150k-row parse. The local
-      // relation runs the parse exactly once.
-      val preAggDist = clean.groupBy(
+      // The pre-agg lands in a LOCAL relation (bounded collect): the
+      // four consumers become four broadcast subtrees of one plan whose
+      // exchanges execute as CONCURRENT jobs, so with a lazily
+      // persisted/cached frame they'd race to materialize it, each
+      // re-running the 150k-row parse. materializeBounded counts first
+      // — the ~1000-row cardinality is a DOMAIN assumption (closed
+      // location/type sets), and a high-cardinality column must fall
+      // back to the eagerly-persisted distributed frame, not collect
+      // unbounded rows onto the driver.
+      val preAgg = graft.ops.Layout.materializeBounded(
+        clean.groupBy(
           col("location"), col("typ"),
           col("actual_fraud"), col("predicted_fraud"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
-          sum(dec(col("amount"))).as("amt_dec"))
-      val preAgg = s.createDataFrame(
-        java.util.Arrays.asList(preAggDist.collect(): _*), preAggDist.schema)
+          sum(dec(col("amount"))).as("amt_dec")))
 
       // A2/A3/A4/A12: the live-metrics aggregate
       val metrics = preAgg.agg(

@@ -78,6 +78,27 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == 2000)
   }
 
+  test("materializeBounded collects small aggregates, falls back above the cap") {
+    // small side: becomes a local relation (no scan/exchange left)
+    val small = (1L to 50L).map(i => (i % 5, i)).toDF("k", "v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+    val local = Layout.materializeBounded(small, maxRows = 100L)
+    assert(local.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(local.count() == 5)
+
+    // high-cardinality side (the e01 domain assumption violated): must
+    // NOT collect — the persisted distributed frame comes back instead
+    val wide = (1L to 5000L).toDF("k")
+      .groupBy("k").agg(org.apache.spark.sql.functions.count($"k").as("n"))
+    val dist = Layout.materializeBounded(wide, maxRows = 100L)
+    assert(!dist.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]))
+    assert(dist.storageLevel.useMemory, "fallback frame should stay persisted")
+    assert(dist.count() == 5000)
+    dist.unpersist(blocking = false)
+  }
+
   test("range layout: predicate scans a bounded subset of files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     val df = (1L to 10000L).toDF("id").withColumn("v", $"id" * 1.5)
