@@ -182,6 +182,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Incremental near-dup in engine-portable md5 mode: the bipartite
+    * banded join of [[minhashNearDupsAgainst]] with
+    * [[minhashSignaturePortable]] signatures, so every stage — both
+    * sides' signatures, band buckets, candidate join, exact-Jaccard
+    * verify, best-match election — is recomputed verbatim by an
+    * external SQL engine (the d07b oracle). Correctness-parity mode:
+    * no corpus-side bucket cap (capping salts by XXH64) and no
+    * persist; [[minhashNearDupsAgainst]] is the production path.
+    * Returns one row per flagged batch id with its best-matching
+    * corpus id (highest Jaccard, ties to the smallest corpus id).
+    */
+  def minhashNearDupsAgainstPortable(batch: DataFrame, corpus: DataFrame,
+                                     textCol: String, idCol: String,
+                                     shingleSize: Int = 3, numHashes: Int = 8,
+                                     bands: Int = 4,
+                                     threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    def prep(df: DataFrame) = Layout.fanOut(df).select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(col(textCol)), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+    val b = prep(batch)
+    val c = prep(corpus)
+    def banded(df: DataFrame) = df.select(col("id"),
+        explode(bandKeysPortable(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    val cand = banded(b).as("a").join(banded(c).as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("batch_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val verified = cand
+      .join(b.select(col("id").as("batch_id"), col("sh").as("sh_a")),
+        "batch_id")
+      .join(c.select(col("id").as("corpus_id"), col("sh").as("sh_b")),
+        "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+    // same election as minhashNearDupsAgainst: min_by over
+    // (-jaccard, corpus_id) = highest jaccard, ties to smallest id
+    verified.groupBy(col("batch_id"))
+      .agg(min_by(col("corpus_id"),
+          struct((-col("jaccard")).as("nj"), col("corpus_id")))
+          .as("corpus_id"),
+        max(col("jaccard")).as("jaccard"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
@@ -365,6 +414,57 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
     Cached(pairs, Seq(signed, hot))
+  }
+
+  /** Engine-portable SimHash signature (md5 mode): a 32-bit signature
+    * rendered as a 32-char '0'/'1' string. Bit j takes a ±1 vote from
+    * each token — +1 when hex digit j of the token's md5 is >= '8'
+    * (the digit's high bit; hex digits are ASCII so the comparison is
+    * engine-invariant), -1 otherwise — and folds to '1' when the votes
+    * sum positive. Input is the token array pre-hashed to md5 hex
+    * (one md5 per token, shared across all 32 bit positions).
+    */
+  def simhashSignaturePortable(md5Toks: Column): Column =
+    concat((0 until 32).map { j =>
+      val votes = aggregate(md5Toks, lit(0), (acc, h) =>
+        acc + when(substring(h, j + 1, 1) >= "8", 1).otherwise(-1))
+      when(votes > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** SimHash near-dup pairs in engine-portable md5 mode: signature
+    * bits, 4×8-bit band chunks, candidate pairs AND the Hamming verify
+    * are all recomputed verbatim by the DuckDB oracle (the d04b row) —
+    * the whole banded pipeline on the hash-exact signal. Pigeonhole:
+    * with 4 bands over 32 bits, any pair at Hamming distance ≤ 3
+    * shares at least one chunk, so recall is exact (no bucket cap in
+    * parity mode). [[simhashNearDups]] (XXH64 64-bit, capped buckets)
+    * remains the production path.
+    */
+  def simhashNearDupsPortable(df: DataFrame, textCol: String, idCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val signed = Layout.fanOut(df).select(col(idCol).as("id"),
+        transform(TextAnalysis.tokens(col(textCol)),
+          t => md5(t.cast("binary"))).as("hs"))
+      .select(col("id"), simhashSignaturePortable(col("hs")).as("sig"))
+    val banded = signed.select(col("id"), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            substring(col("sig"), b * 8 + 1, 8).as("chunk"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val hammingBits = (0 until 32).map { j =>
+      when(substring(col("a.sig"), j + 1, 1) =!=
+        substring(col("b.sig"), j + 1, 1), 1).otherwise(0)
+    }.reduce(_ + _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingBits.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---------- near-dup clustering ----------

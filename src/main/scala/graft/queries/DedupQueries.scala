@@ -172,6 +172,36 @@ object DedupQueries extends QuerySet {
           min(col("first_doc")).as("min_first_doc"))
     }),
 
+    // Incremental near-dup in engine-portable md5 mode: the SAME
+    // crawl-increment shape as d07 — batch sigs, corpus sigs, band
+    // buckets, bipartite candidates, Jaccard verify, best-match
+    // election all recomputed verbatim by the DuckDB oracle (d07
+    // keeps the XXH64 + bucket-cap production path, rows-only).
+    "d07b_incremental_portable" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.minhashNearDupsAgainstPortable(batch, docs, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .orderBy(col("batch_id"))
+    }),
+
+    // SimHash in engine-portable md5 mode: 32-bit signatures, 4×8-bit
+    // band chunks, candidate pairs and the Hamming verify all
+    // recomputed verbatim by the DuckDB oracle (d04 keeps the XXH64
+    // 64-bit production path, rows-only).
+    "d04b_simhash_portable" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.simhashNearDupsPortable(docs.union(mutated), "text", "doc_id",
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dups over the same planted corpus (rows-only).
     "d04_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -360,6 +390,84 @@ object DedupQueries extends QuerySet {
                 JOIN s y ON y.doc_id = cand.id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
           ORDER BY id_a, id_b""",
+    "d04b_simhash_portable" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+           FROM documents),
+         t AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS toks
+               FROM base),
+         h AS (SELECT doc_id, list_transform(toks, x -> md5(x)) AS hs
+               FROM t),
+         sig AS (SELECT doc_id,
+                   list_aggregate(list_transform(range(0, 32), j ->
+                     CASE WHEN list_sum(list_transform(hs, x ->
+                            CASE WHEN substr(x, CAST(j+1 AS INT), 1) >= '8'
+                                 THEN 1 ELSE -1 END)) > 0
+                          THEN '1' ELSE '0' END), 'string_agg', '') AS sig
+                 FROM h),
+         bands AS (SELECT doc_id, sig, b,
+                          substr(sig, CAST(b*8+1 AS INT), 8) AS chunk
+                   FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.sig AS sa, b.sig AS sb
+                  FROM bands a JOIN bands b
+                    ON a.b = b.b AND a.chunk = b.chunk
+                      AND a.doc_id < b.doc_id),
+         ham AS (SELECT id_a, id_b,
+                   CAST(len(list_filter(range(0, 32), j ->
+                     substr(sa, CAST(j+1 AS INT), 1) <>
+                       substr(sb, CAST(j+1 AS INT), 1))) AS INT) AS hamming
+                 FROM cand)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         ORDER BY id_a, id_b""",
+    "d07b_incremental_portable" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          batch AS (SELECT doc_id + 2000000 AS doc_id,
+                           substr(text, instr(text, ' ') + 1) AS text
+                    FROM documents WHERE doc_id % 5 = 0),
+          tc AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM corpus),
+          tb AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                 FROM batch),
+          sc AS (SELECT doc_id, $sh3 AS sh FROM tc),
+          sb AS (SELECT doc_id, $sh3 AS sh FROM tb),
+          sigc AS (SELECT doc_id, sh,
+                     list_transform(range(0, 8), i ->
+                       list_aggregate(list_transform(sh,
+                         x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                   FROM sc),
+          sigb AS (SELECT doc_id, sh,
+                     list_transform(range(0, 8), i ->
+                       list_aggregate(list_transform(sh,
+                         x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                   FROM sb),
+          bc AS (SELECT doc_id, b,
+                   md5(list_aggregate(sig[b*2+1:b*2+2],
+                                      'string_agg', ',')) AS bucket
+                 FROM sigc, (SELECT unnest(range(0, 4)) AS b)),
+          bb AS (SELECT doc_id, b,
+                   md5(list_aggregate(sig[b*2+1:b*2+2],
+                                      'string_agg', ',')) AS bucket
+                 FROM sigb, (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT bb.doc_id AS batch_id,
+                          bc.doc_id AS corpus_id
+                   FROM bb JOIN bc ON bb.b = bc.b AND bb.bucket = bc.bucket),
+          j AS (SELECT batch_id, corpus_id,
+                  CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                    (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                    AS jaccard
+                FROM cand
+                JOIN sb x ON x.doc_id = cand.batch_id
+                JOIN sc y ON y.doc_id = cand.corpus_id),
+          best AS (SELECT batch_id, corpus_id, jaccard,
+                     row_number() OVER (PARTITION BY batch_id
+                       ORDER BY jaccard DESC, corpus_id) AS rn
+                   FROM j WHERE jaccard >= 0.5)
+          SELECT batch_id, corpus_id, jaccard FROM best WHERE rn = 1
+          ORDER BY batch_id""",
     "d03_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

@@ -94,6 +94,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"hamming" =!= 0).count() == 0)
   }
 
+  test("portable simhash finds exact copies at hamming 0, bands keep pigeonhole") {
+    val copies = docs.select($"doc_id" + 100000 as "doc_id", $"text")
+    val pairs = Dedup.simhashNearDupsPortable(
+      docs.select("doc_id", "text").union(copies), "text", "doc_id",
+      maxHamming = 3)
+    // identical docs: identical 32-bit signature → hamming 0, and every
+    // planted copy pair must surface (4 bands of 8 shared chunks)
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000)
+    assert(planted.count() == docs.count())
+    assert(planted.filter($"hamming" =!= 0).count() == 0)
+    // hamming is a genuine distance: within [0, maxHamming] after filter
+    assert(pairs.filter($"hamming" < 0 || $"hamming" > 3).count() == 0)
+  }
+
+  test("portable incremental dedup matches the production path's flags") {
+    val corpus = docs.select("doc_id", "text")
+    val batch = corpus.filter($"doc_id" % 3 === 0)
+      .select($"doc_id" + 500000 as "doc_id",
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val out = Dedup.minhashNearDupsAgainstPortable(batch, corpus,
+      "text", "doc_id", threshold = 0.5)
+    val got = out.select("batch_id").as[Long].collect().toSet
+    val nCopies = batch.count()
+    assert(got.size >= (nCopies * 0.95).toLong, s"recall ${got.size}/$nCopies")
+    assert(out.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
+    // tie-break contract matches minhashNearDupsAgainst: identical
+    // corpus docs tie at 1.0 → smallest corpus id wins
+    val tieCorpus = Seq(
+      ("doc-b", "alpha beta gamma delta epsilon"),
+      ("doc-a", "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val tieBatch = Seq(("batch-1", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val tie = Dedup.minhashNearDupsAgainstPortable(tieBatch, tieCorpus,
+      "text", "doc_id", threshold = 0.5).collect()
+    assert(tie.length == 1 && tie(0).getAs[String]("corpus_id") == "doc-a")
+  }
+
   test("giant-bucket guard bounds candidate pairs on a degenerate bucket") {
     // 10k identical docs land in ONE (band,bucket) per band — the
     // boilerplate shape that goes quadratic inside a single join group
