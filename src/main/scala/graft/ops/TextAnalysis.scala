@@ -213,6 +213,15 @@ object TextAnalysis {
     * vocabulary-sized regardless of corpus rows. Distributed surfaces:
     * the vocab count here, the merge APPLICATION in
     * [[bpeApplyMerges]] (pure column expressions).
+    *
+    * Pair counts are maintained INCREMENTALLY, the way production
+    * trainers do it: an inverted index (pair → word ids currently
+    * containing it) confines each merge's bookkeeping to the words the
+    * fused pair actually appears in, and a lazy-invalidation max-heap
+    * (stale entries skipped against the live count at pop time) makes
+    * selection O(log heap) instead of a full pair-table scan. Per-merge
+    * cost is ∝ affected words, not numMerges × Σ|word| — a 32k-merge
+    * vocabulary no longer recounts the whole symbol table 32k times.
     */
   def bpeTrainMerges(df: org.apache.spark.sql.DataFrame, textCol: String,
                      numMerges: Int, maxVocab: Int = 65536)
@@ -225,38 +234,76 @@ object TextAnalysis {
       // most frequent words (tie: lexicographic)
       .orderBy(col("freq").desc, col("word")).limit(maxVocab)
       .collect()
-    var vocab: Array[(Array[String], Long)] = vocabRows.map { r =>
-      (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>", r.getLong(1))
+    val syms: Array[Array[String]] = vocabRows.map { r =>
+      r.getString(0).split("").filter(_.nonEmpty) :+ "</w>"
     }
+    val freqs: Array[Long] = vocabRows.map(_.getLong(1))
+
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .Map.empty[(String, String), scala.collection.mutable.Set[Int]]
+    // dequeues the highest count, ties to the lexicographically
+    // smallest (left, right) — identical to the full-recount maxBy
+    val ord = Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+      Ordering.String.reverse)
+    val heap = scala.collection.mutable
+      .PriorityQueue.empty[(Long, String, String)](ord)
+    // add (sign=+1) or retract (sign=-1) one word's adjacent-pair
+    // contributions; pushes fresh heap entries on add, prunes the
+    // inverted index on retract
+    def contribute(w: Int, sign: Long): Unit = {
+      val s = syms(w); val f = freqs(w) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val n = counts.getOrElse(p, 0L) + f
+        if (n == 0L) counts.remove(p) else counts(p) = n
+        // every change to a live count gets a fresh heap entry —
+        // including decrements, or a pair lowered by a retraction and
+        // never re-added would have only stale (higher) entries and
+        // become unselectable despite holding the live maximum
+        if (n > 0L) heap.enqueue((n, p._1, p._2))
+        if (sign > 0L) {
+          where.getOrElseUpdate(
+            p, scala.collection.mutable.Set.empty[Int]) += w
+        } else where.get(p).foreach { ws =>
+          ws -= w; if (ws.isEmpty) where.remove(p)
+        }
+        j += 1
+      }
+    }
+    var w = 0
+    while (w < syms.length) { contribute(w, 1L); w += 1 }
+
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var i = 0
     while (i < numMerges) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, f) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          val p = (syms(j), syms(j + 1))
-          counts(p) = counts.getOrElse(p, 0L) + f
-          j += 1
-        }
+      // pop until the top entry reflects a live count (lazy invalidation)
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (n, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(n)) best = (l, r)
       }
-      if (counts.isEmpty) i = numMerges
+      if (best == null) i = numMerges
       else {
-        val (best, _) = counts.toSeq
-          .maxBy { case ((l, r), n) => (n, l, r) }(
-            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
-              Ordering.String.reverse))
         merges += best
         val fused = best._1 + best._2
-        vocab = vocab.map { case (syms, f) =>
+        // only words currently containing the fused pair change; each
+        // retracts its old pairs, fuses greedily left-to-right, and
+        // re-adds — every other word's counts are untouched
+        val affected = where.get(best).map(_.toArray).getOrElse(Array.empty)
+        affected.foreach { wi =>
+          contribute(wi, -1L)
+          val s = syms(wi)
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == best._1 &&
-                syms(j + 1) == best._2) { out += fused; j += 2 }
-            else { out += syms(j); j += 1 }
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == best._1 &&
+                s(j + 1) == best._2) { out += fused; j += 2 }
+            else { out += s(j); j += 1 }
           }
-          (out.toArray, f)
+          syms(wi) = out.toArray
+          contribute(wi, 1L)
         }
         i += 1
       }

@@ -678,6 +678,71 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == Seq("w", "i", "d", "est</w>"))
   }
 
+  test("incremental BPE trainer matches a naive full-recount reference") {
+    // naive reference: rebuild the whole pair table every merge — the
+    // O(numMerges × Σ|word|) spelling the incremental trainer replaced.
+    // Same tie-break (count desc, then lexicographic (left, right)).
+    def naive(vocab0: Seq[(String, Long)], numMerges: Int)
+        : Seq[(String, String)] = {
+      var vocab: Array[(Array[String], Long)] = vocab0.map { case (w, f) =>
+        (w.split("").filter(_.nonEmpty) :+ "</w>", f)
+      }.toArray
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var i = 0
+      while (i < numMerges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, f) =>
+          var j = 0
+          while (j < syms.length - 1) {
+            val p = (syms(j), syms(j + 1))
+            counts(p) = counts.getOrElse(p, 0L) + f
+            j += 1
+          }
+        }
+        if (counts.isEmpty) i = numMerges
+        else {
+          val (best, _) = counts.toSeq.maxBy { case ((l, r), n) => (n, l, r) }(
+            Ordering.Tuple3(Ordering.Long, Ordering.String.reverse,
+              Ordering.String.reverse))
+          merges += best
+          val fused = best._1 + best._2
+          vocab = vocab.map { case (syms, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 &&
+                  syms(j + 1) == best._2) { out += fused; j += 2 }
+              else { out += syms(j); j += 1 }
+            }
+            (out.toArray, f)
+          }
+          i += 1
+        }
+      }
+      merges.toSeq
+    }
+    // randomized corpus over a small alphabet: plenty of pair ties,
+    // overlapping runs (aaa…), and words that die mid-training
+    val rnd = new scala.util.Random(42)
+    val words = (1 to 120).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+        1L + rnd.nextInt(9))
+    }
+    val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mkString(" ")
+    val freqs = words.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toSeq
+    for (m <- Seq(1, 7, 40)) {
+      val got = TextAnalysis.bpeTrainMerges(Seq(text).toDF("text"), "text", m)
+      assert(got == naive(freqs, m), s"divergence at numMerges=$m")
+    }
+    // exhaustion: more merges than distinct pairs ever exist → both stop
+    val all = TextAnalysis.bpeTrainMerges(
+      Seq("ab ab ba").toDF("text"), "text", numMerges = 100)
+    assert(all == naive(Seq(("ab", 2L), ("ba", 1L)), 100))
+  }
+
   test("DSIR weights rank target-like docs above off-target docs") {
     val corpus = Seq(
       (1L, "alpha beta alpha beta alpha beta"),
