@@ -578,8 +578,14 @@ object Dedup {
     // for string ids (the minhashNearDupsAgainst tie-break lesson)
     val best = scored.groupBy(col("component"))
       .agg(max(col("__score")).as("__best"))
+    // null-safe compare: a cluster whose members ALL have null scores
+    // has __best null, and a plain === (null → filter drops the row)
+    // would elect no representative — every member would silently
+    // survive undeduplicated. <=> makes the all-null cluster fall back
+    // to the min-id rep; in mixed clusters null <=> non-null is false,
+    // so null-scored members still lose to any scored member.
     val reps = scored.join(best, "component")
-      .filter(col("__score") === col("__best"))
+      .filter(col("__score") <=> col("__best"))
       .groupBy(col("component")).agg(min(col("id")).as("rep"))
     val members = labels.join(reps, "component")
       .select(col("id"), col("rep"))

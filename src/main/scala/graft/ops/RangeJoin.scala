@@ -60,6 +60,24 @@ object RangeJoin {
                       startB: String, endB: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // fail fast instead of an ambiguous-resolution analysis error (or a
+    // silently wrong join): the post-join filter resolves all four
+    // range columns by bare name, so they must be distinct across
+    // sides, and neither input may already carry the internal __bin
+    val rangeCols = Seq(startA, endA, startB, endB)
+    require(rangeCols.distinct.size == 4,
+      s"start/end column names must be distinct across sides, got $rangeCols")
+    Seq(("a", a, Seq(startB, endB)), ("b", b, Seq(startA, endA)))
+      .foreach { case (side, df, other) =>
+        val fields = df.columns.toSet
+        require(!fields.contains("__bin"),
+          s"input $side already has a __bin column (reserved)")
+        other.filter(fields.contains).foreach { c =>
+          throw new IllegalArgumentException(
+            s"input $side also has the other side's range column '$c'; " +
+              "rename one side before joining")
+        }
+      }
     def binned(df: DataFrame, s: String, e: String) = df
       .filter(col(e) >= col(s))
       .withColumn("__bin", explode(sequence(

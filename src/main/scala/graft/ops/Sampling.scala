@@ -147,7 +147,12 @@ object Sampling {
                            alpha: Double, seed: Long = 42L,
                            portable: Boolean = false): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
-    val counts = df.groupBy(col(sourceCol)).count().collect()
+    // null-source rows drop, matching mixCorpus's absent-source rule —
+    // and they must not enter the counts either: a null key's weight
+    // would distort the feasible-scale k for every REAL source while
+    // its own predicate (=== null) could never match a row
+    val counts = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "empty corpus")
     val weights = counts.map { case (s, n) =>

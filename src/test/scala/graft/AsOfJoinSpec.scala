@@ -48,4 +48,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(graft.ops.RangeJoin.intervalOverlap(inv, b,
       "a_start", "a_end", "b_start", "b_end", 10).count() == 0)
   }
+
+  test("intervalOverlap fails fast on colliding or reserved columns") {
+    val a = Seq((1L, 0L, 5L)).toDF("aid", "start", "a_end")
+    val b = Seq((1L, 2L, 9L)).toDF("bid", "start", "b_end")
+    // same start name on both sides: ambiguous resolution, refuse early
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlap(a, b,
+        "start", "a_end", "start", "b_end", 10)
+    }
+    // one side also carries the OTHER side's range column name
+    val b2 = Seq((1L, 2L, 9L, 7L)).toDF("bid", "b_start", "b_end", "a_end")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlap(a, b2,
+        "start", "a_end", "b_start", "b_end", 10)
+    }
+    // reserved internal column present → refuse, not silent breakage
+    val a3 = Seq((1L, 0L, 5L, 0L)).toDF("aid", "a_start", "a_end", "__bin")
+    val b3 = Seq((1L, 2L, 9L)).toDF("bid", "b_start", "b_end")
+    intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.intervalOverlap(a3, b3,
+        "a_start", "a_end", "b_start", "b_end", 10)
+    }
+  }
 }

@@ -88,4 +88,20 @@ class ComponentsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(minId == Set(1L, 10L, 99L))
   }
+
+  test("keep-best elects one representative even for null scores") {
+    // all-null cluster (20,21): must still dedup to its min id, not
+    // silently keep every member; mixed cluster (30,31): the scored
+    // member beats the null-scored one
+    val docs = Seq(
+      (20L, Option.empty[Int]), (21L, Option.empty[Int]),
+      (30L, Option.empty[Int]), (31L, Some(9)),
+      (99L, Some(3)))
+      .toDF("doc_id", "score")
+    val pairs = Seq((20L, 21L), (30L, 31L)).toDF("id_a", "id_b")
+    val kept = graft.ops.Dedup
+      .dedupByComponentsKeepBest(docs, "doc_id", "score", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 31L, 99L), kept.toString)
+  }
 }

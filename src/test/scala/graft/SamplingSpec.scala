@@ -86,6 +86,22 @@ class SamplingSpec extends SparkSpec {
       half.toString)
   }
 
+  test("mixCorpusTemperature drops null sources without distorting weights") {
+    // null-source rows drop (the mixCorpus absent-source rule) — and
+    // they must not enter the temperature weights: a large null block
+    // would otherwise shift the feasible scale for every real source
+    val withNulls = ((1L to 400L).map(i => (i, Some("big"))) ++
+      (401L to 500L).map(i => (i, Some("small"))) ++
+      (501L to 900L).map(i => (i, Option.empty[String])))
+      .toDF("id", "grp")
+    val out = Sampling.mixCorpusTemperature(withNulls, "grp", "id", 1.0)
+      .groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // α=1 on the non-null sources is the identity mix; no null rows out
+    assert(out == Map(Some("big") -> 400L, Some("small") -> 100L),
+      out.toString)
+  }
+
   test("row fate is independent of the rest of the corpus (append-stable)") {
     // the sample drawn from a grown corpus agrees with the original
     // sample on every original row — the property rand() sampling lacks
