@@ -47,7 +47,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
+    println(json)
+    // the driver's stdout capture can truncate a long tail, hiding
+    // per-query regressions; persist the same JSON line to the repo
+    // root as the machine-parsable record of this run
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_summary.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 

@@ -222,4 +222,13 @@ class StreamSpec extends SparkSpec {
     }
     assert(sinkErr.getMessage.toLowerCase.contains("kafka"))
   }
+
+  test("KafkaSmoke probe takes the skip path on this connector-less classpath") {
+    // the probe must report absent (not throw), and the skip message
+    // must name the artifact a deploy engineer needs to add — the
+    // self-verifying half of the Kafka deploy story; the round-trip
+    // half executes only where the provider resolves
+    assert(!graft.jobs.KafkaSmoke.providerPresent(spark))
+    assert(graft.jobs.KafkaSmoke.skipMessage.contains("spark-sql-kafka"))
+  }
 }
