@@ -458,8 +458,15 @@ object Aggregates {
     * [[zscorePerGroup]]). Two passes, no window: one grouped exact
     * `percentile` aggregation (map-side partials), bounds broadcast back,
     * then a pure clip projection — group cardinality and group size are
-    * both unbounded. At 100 TB swap `percentile_approx` into the bounds
-    * aggregation for a one-pass sketch with the same plan shape.
+    * both unbounded.
+    *
+    * `approx = true` is the 100-TB path: the bounds aggregation runs on
+    * `approx_percentile` (a bounded-memory mergeable sketch) instead of
+    * exact `percentile` (which buffers every group value). The plan
+    * shape is identical; the CONTRACT differs and is spec-pinned:
+    * exact mode interpolates between neighbors (fractional bounds on
+    * integer data), approx mode returns an actual data value whose
+    * rank is within n/`approxAccuracy` of the requested percentile.
     *
     * `integerBounds = true` rounds each bound to the nearest long before
     * clipping, so an integral value column stays integral end-to-end
@@ -469,13 +476,18 @@ object Aggregates {
   def winsorize(df: DataFrame, groupCol: String, valueCol: String,
                 pLo: Double = 0.05, pHi: Double = 0.95,
                 outCol: String = "w",
-                integerBounds: Boolean = false): DataFrame = {
+                integerBounds: Boolean = false,
+                approx: Boolean = false,
+                approxAccuracy: Int = 10000): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
       s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
     val b = (c: Column) => if (integerBounds) round(c).cast("long") else c
+    val pct = (p: Double) =>
+      if (approx) expr(s"approx_percentile($valueCol, $p, $approxAccuracy)")
+      else expr(s"percentile($valueCol, $p)")
     val bounds = df.groupBy(col(groupCol).as("__g")).agg(
-      b(expr(s"percentile($valueCol, $pLo)")).as("__lo"),
-      b(expr(s"percentile($valueCol, $pHi)")).as("__hi"))
+      b(pct(pLo)).as("__lo"),
+      b(pct(pHi)).as("__hi"))
     // null-safe join: a null group is a real group (same stance as
     // zscorePerGroup) and must clip against its own bounds
     df.join(broadcast(bounds), col(groupCol) <=> col("__g"))

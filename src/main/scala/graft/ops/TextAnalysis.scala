@@ -18,6 +18,37 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Corpus length-band filter: keep rows whose token count falls in
+    * the global [pLo, pHi] percentile band — the standard too-short /
+    * too-long document cut. One bounds aggregation broadcast against
+    * the corpus, then a scan-local filter; the token-count column
+    * survives as `countCol` for downstream stats.
+    *
+    * `approx = true` is the 100-TB path: bounds come from
+    * `approx_percentile` (bounded-memory mergeable sketch) instead of
+    * exact `percentile` (which buffers every count on one aggregator).
+    * Contract difference (spec-pinned): exact interpolates — on
+    * integer counts the bound can be fractional — while approx returns
+    * an actual corpus value whose rank is within n/`approxAccuracy`
+    * of the requested percentile.
+    */
+  def lengthBand(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 pLo: Double = 0.05, pHi: Double = 0.95,
+                 approx: Boolean = false, approxAccuracy: Int = 10000,
+                 countCol: String = "n_tok")
+      : org.apache.spark.sql.DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val withLen = df.withColumn(countCol, tokenCount(col(textCol)))
+    val pct = (p: Double) =>
+      if (approx) expr(s"approx_percentile($countCol, $p, $approxAccuracy)")
+      else expr(s"percentile($countCol, $p)")
+    val bounds = withLen.agg(pct(pLo).as("__lo"), pct(pHi).as("__hi"))
+    withLen.crossJoin(broadcast(bounds))
+      .filter(col(countCol) >= col("__lo") && col(countCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** BPE-ish subword count: word pieces + digit runs + punctuation
     * singles, approximating tokenizer behavior without a vocab. Counts
     * maximal runs of letters (split every 4 chars, a crude merge rule),

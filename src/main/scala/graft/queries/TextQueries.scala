@@ -32,8 +32,8 @@ object TextQueries extends QuerySet {
     // too-short/too-long tails. Bounds come from one EXACT interpolated
     // percentile pass over integer token counts (Spark `percentile` ≡
     // DuckDB `quantile_cont`, R-7 interpolation) and broadcast into the
-    // filter; at scale swap percentile_approx in for one-pass sketch
-    // bounds when exactness isn't required.
+    // filter; `TextAnalysis.lengthBand(approx = true)` is the one-pass
+    // sketch path for 100-TB corpora (contract pinned in its spec).
     // Winnowing resemblance: each doc vs its planted first-word-dropped
     // copy — shared local fingerprints over the union (Jaccard on the
     // winnow sets). md5 selection is engine-portable → fully
@@ -207,18 +207,13 @@ object TextQueries extends QuerySet {
           min(col("seq_offset")).as("first_offset"))
         .orderBy(col("seq_id"))),
 
-    "t08_length_band" -> ((s, d) => {
-      val withLen = Tables.documents(s, d)
-        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
-      val bounds = withLen.agg(
-        expr("percentile(n_tok, 0.05)").as("lo"),
-        expr("percentile(n_tok, 0.95)").as("hi"))
-      withLen.crossJoin(broadcast(bounds))
-        .filter(col("n_tok") >= col("lo") && col("n_tok") <= col("hi"))
+    "t08_length_band" -> ((s, d) =>
+      TextAnalysis.lengthBand(
+        Tables.documents(s, d).select(col("lang"), col("text")), "text",
+        pLo = 0.05, pHi = 0.95)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("sum_tokens"))
-        .orderBy(col("lang"))
-    }),
+        .orderBy(col("lang"))),
 
     // Quality scoring: identical double formula both sides → identical
     // floor buckets; counted per (lang, decile).

@@ -191,6 +191,30 @@ class AggregatesSpec extends SparkSpec {
     assert(w(5L) == 5L)
   }
 
+  test("winsorize approx mode: sketch bounds are real data values near the exact rank") {
+    // the exact-vs-approx CONTRACT, pinned: exact interpolates (p95 of
+    // 1..10 ∪ 1000 is 505.0 — not a data value); approx returns an
+    // ACTUAL corpus value whose rank is within n/accuracy of p. With
+    // accuracy >> n the sketch is rank-exact, so the bound is the data
+    // value at the percentile rank — never an interpolated midpoint.
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) :+ ("a", 1000.0))
+      .toDF("g", "v")
+    val exact = Aggregates.winsorize(df, "g", "v")
+      .select("v", "w").as[(Double, Double)].collect().toMap
+    assert(exact(1000.0) == 505.0) // interpolated midpoint of 10 and 1000
+    val approx = Aggregates.winsorize(df, "g", "v", approx = true)
+      .select("v", "w").as[(Double, Double)].collect().toMap
+    val values = (1 to 10).map(_.toDouble).toSet + 1000.0
+    assert(values.contains(approx(1000.0)), approx(1000.0).toString)
+    assert(values.contains(approx(1.0)), approx(1.0).toString)
+    // rank-exact at this accuracy: p95 of 11 values → the 10th or 11th
+    // order statistic, p05 → the 1st or 2nd
+    assert(Set(10.0, 1000.0).contains(approx(1000.0)))
+    assert(Set(1.0, 2.0).contains(approx(1.0)))
+    // untouched interior rows agree between modes
+    assert((3 to 9).forall(v => approx(v.toDouble) == v.toDouble))
+  }
+
   test("winsorize keeps null-group rows (null-safe bounds join)") {
     val df = Seq((Option("a"), 1.0), (Option("a"), 2.0), (Option("a"), 3.0),
       (Option.empty[String], 7.0), (Option.empty[String], 8.0))

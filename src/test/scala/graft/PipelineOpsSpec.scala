@@ -678,6 +678,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) == Seq("w", "i", "d", "est</w>"))
   }
 
+  test("lengthBand trims percentile tails; approx mode pins the sketch contract") {
+    // 100 one-token docs, 100 three-token docs, tails: one empty-ish
+    // short doc and one 50-token doc
+    val short = Seq("x")
+    val long50 = Seq.fill(50)("w").mkString(" ")
+    val corpus = ((1 to 100).map(i => (i.toLong, "one")) ++
+      (101 to 200).map(i => (i.toLong, "a b c")) :+
+      (300L, short.head) :+ (301L, long50))
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.lengthBand(corpus, "text", 0.05, 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    // the 50-token doc is above p95; the band keeps the 1- and 3-token mass
+    assert(!kept.contains(301L))
+    assert(kept.size >= 190, s"kept ${kept.size}")
+    // approx path: same filter semantics, bounds from the sketch — on
+    // this small corpus with accuracy >> n the kept set matches exactly,
+    // and the count column survives for downstream stats in both modes
+    val keptApprox = TextAnalysis.lengthBand(corpus, "text", 0.05, 0.95,
+      approx = true)
+    assert(keptApprox.columns.contains("n_tok"))
+    assert(keptApprox.select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("incremental BPE trainer matches a naive full-recount reference") {
     // naive reference: rebuild the whole pair table every merge — the
     // O(numMerges × Σ|word|) spelling the incremental trainer replaced.
