@@ -446,23 +446,25 @@ object Dedup {
         transform(TextAnalysis.tokens(col(textCol)),
           t => md5(t.cast("binary"))).as("hs"))
       .select(col("id"), simhashSignaturePortable(col("hs")).as("sig"))
-    val banded = signed.select(col("id"), col("sig"),
+      // the bit-string is the portable REPRESENTATION (band chunks are
+      // substrings of it, and the oracle recomputes it verbatim); the
+      // verify runs on its long form so the candidate join's hot path
+      // is one codegen'd bit_count(xor), not 64 interpreted substring
+      // compares per pair
+      .withColumn("sigl", conv(col("sig"), 2, 10).cast("long"))
+    val banded = signed.select(col("id"), col("sigl"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
             substring(col("sig"), b * 8 + 1, 8).as("chunk"))
         }: _*)).as("bk"))
-      .select(col("id"), col("sig"),
+      .select(col("id"), col("sigl"),
         col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val hammingBits = (0 until 32).map { j =>
-      when(substring(col("a.sig"), j + 1, 1) =!=
-        substring(col("b.sig"), j + 1, 1), 1).otherwise(0)
-    }.reduce(_ + _)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hammingBits.as("hamming"))
+        hamming(col("a.sigl"), col("b.sigl")).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -548,6 +550,10 @@ object Dedup {
   def dedupByComponents(df: DataFrame, idCol: String,
                         pairs: DataFrame): DataFrame = {
     val labels = connectedComponents(pairs)
+    // opt-in skew diagnostics: a boilerplate-linked giant component
+    // shows up in the log before the keep-join pays for it
+    if (Diag.enabled(df.sparkSession))
+      Diag.logTop("dedupByComponents", Diag.componentSkew(labels))
     val reps = labels.groupBy(col("component")).agg(min(col("id")).as("rep"))
     val members = labels.join(reps, "component")
       .select(col("id"), col("rep"))

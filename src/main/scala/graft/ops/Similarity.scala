@@ -617,6 +617,15 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= threshold)
     val labels = Dedup.connectedComponents(pairs)
+    // opt-in skew diagnostics (spark.graft.diagnostics=true): giant
+    // duplicate groups and hot clusters surface in the log before they
+    // concentrate a reducer — the pre-retry signal a production
+    // semantic-dedup run wants
+    if (graft.ops.Diag.enabled(spark))
+      graft.ops.Diag.logTop("semdedup",
+        graft.ops.Diag.componentSkew(labels).unionByName(
+          graft.ops.Diag.bucketSkew(withCent, Seq("cluster"),
+            minSize = math.max(1L, maxCluster.toLong / 2))))
     // one survivor per duplicate group: lexicographic min over
     // (cent_cos, id) — an aggregation, NOT a window, so the huge
     // "no component" population never funnels through one partition

@@ -192,7 +192,12 @@ object DedupQueries extends QuerySet {
     // recomputed verbatim by the DuckDB oracle (d04 keeps the XXH64
     // 64-bit production path, rows-only).
     "d04b_simhash_portable" -> ((s, d) => {
+      // bounded subset (the d02b precedent): a coarse 32-bit signature
+      // over similar synthetic docs collides heavily, so the UNCAPPED
+      // parity pipeline's candidate set grows quadratically with the
+      // corpus — the production path (d04) caps buckets instead
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 1000)
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000)
         .withColumn("text",
@@ -392,10 +397,10 @@ object DedupQueries extends QuerySet {
           ORDER BY id_a, id_b""",
     "d04b_simhash_portable" ->
       """WITH base AS (
-           SELECT doc_id, text FROM documents
+           SELECT doc_id, text FROM documents WHERE doc_id < 1000
            UNION ALL
            SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
-           FROM documents),
+           FROM documents WHERE doc_id < 1000),
          t AS (SELECT doc_id,
                       string_split_regex(trim(text), '\s+') AS toks
                FROM base),
