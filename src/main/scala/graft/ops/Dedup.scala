@@ -469,6 +469,39 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Corpus-level exact line deduplication — the CCNet/RefinedWeb
+    * boilerplate rule: a line whose exact content appears in at least
+    * `minDocs` DISTINCT documents (nav bars, footers, cookie banners)
+    * is removed from EVERY document; surviving lines keep their
+    * original order, and documents left with no lines drop.
+    *
+    * Scale shape: lines shuffle as 16-byte md5 digests, never text —
+    * the distinct-doc count per digest is one two-level hash agg; the
+    * blocked set (lines shared across `minDocs`+ docs) is tiny
+    * relative to the corpus → broadcast anti-join; reassembly groups
+    * by doc id with a collect bounded by single-document size. No
+    * window, no self-join.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = Layout.fanOut(df).select(col(idCol).as("__id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+      .withColumn("__lh", md5(col("__line").cast("binary")))
+    val blocked = lines.groupBy(col("__lh"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__lh")
+    val kept = lines.join(broadcast(blocked), Seq("__lh"), "left_anti")
+    kept.groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("__text"))
+      .select(col("__id").as(idCol), col("__text").as(textCol))
+  }
+
   // ---------- near-dup clustering ----------
 
   /** Connected components over a near-dup pair list (id_a, id_b) by

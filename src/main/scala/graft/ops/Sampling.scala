@@ -162,6 +162,40 @@ object Sampling {
     mixWithCounts(df, sourceCol, idCol, weights, counts, seed, portable)
   }
 
+  /** Deterministic pseudorandom corpus shuffle, materialized the way a
+    * distributed pipeline actually writes one: each row hash-assigns to
+    * a shard, then orders WITHIN its shard by its hash key. Reading
+    * shards in label order and rows in (shard, pos) order replays one
+    * global pseudorandom permutation of the corpus — but no global sort
+    * or single-partition window ever runs: the per-shard `row_number`
+    * windows are independent and parallel (the training-shuffle layout
+    * every epoch-assembly job needs; `ORDER BY rand()` re-deals per
+    * run and funnels a global sort).
+    *
+    * Portable mode shards on the first `shardChars` md5-hex chars of
+    * the id (16^shardChars shards, labels are the hex prefixes) and
+    * orders by the full digest — any engine with md5 replays the
+    * identical permutation. Fast mode shards on XXH64.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, shardChars: Int = 2,
+                    seed: Long = 42L, portable: Boolean = false,
+                    shardCol: String = "shard",
+                    posCol: String = "pos"): DataFrame = {
+    require(shardChars >= 1 && shardChars <= 8,
+      s"shardChars in [1,8], got $shardChars")
+    // both modes key on fixed-width lowercase hex so the shard label
+    // is a uniform prefix and lexicographic order == numeric order
+    val key =
+      if (portable) md5(col(idCol).cast("string").cast("binary"))
+      else lpad(lower(hex(xxhash64(col(idCol), lit(seed)))), 16, "0")
+    val keyed = df.withColumn("__key", key)
+      .withColumn(shardCol, substring(col("__key"), 1, shardChars))
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col("__key"), col(idCol))
+    keyed.withColumn(posCol, row_number().over(w).cast("long"))
+      .drop("__key")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

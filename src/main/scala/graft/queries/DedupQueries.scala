@@ -207,6 +207,31 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Corpus-level exact line dedup (the CCNet/RefinedWeb boilerplate
+    // rule): docs become two lines (first-5-tokens / rest) and every
+    // 7th doc gains a shared cookie-banner line; lines appearing in
+    // ≥5 distinct docs vanish from ALL docs, survivors keep order.
+    // Lines travel as md5 digests → the whole pipeline including
+    // reassembly is oracle-checked per doc.
+    "d11_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val toks = graft.ops.TextAnalysis.tokens(col("text"))
+      val multiline = docs.select(col("doc_id"),
+        concat_ws("\n",
+          array_join(slice(toks, 1, 5), " "),
+          array_join(slice(toks, 6, 100000), " ")).as("text"))
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit("\nthis site uses cookies accept to continue")))
+            .otherwise(col("text")))
+      Dedup.lineDedup(multiline, "text", "doc_id", minDocs = 5)
+        .select(col("doc_id"),
+          size(split(col("text"), "\n")).as("n_lines"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dups over the same planted corpus (rows-only).
     "d04_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -395,6 +420,37 @@ object DedupQueries extends QuerySet {
                 JOIN s y ON y.doc_id = cand.id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
           ORDER BY id_a, id_b""",
+    "d11_line_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         ml AS (SELECT doc_id,
+                  list_aggregate(toks[1:5], 'string_agg', ' ') || chr(10) ||
+                  list_aggregate(toks[6:], 'string_agg', ' ') AS text
+                FROM base),
+         planted AS (SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN text || chr(10) ||
+                         'this site uses cookies accept to continue'
+                       ELSE text END AS text
+                FROM ml),
+         lsx AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                 FROM planted),
+         lines AS (SELECT doc_id, unnest(ls) AS line,
+                          unnest(range(1, len(ls) + 1)) AS pos
+                   FROM lsx),
+         blocked AS (SELECT md5(line) AS lh FROM lines
+                     GROUP BY md5(line)
+                     HAVING COUNT(DISTINCT doc_id) >= 5),
+         kept AS (SELECT * FROM lines
+                  WHERE md5(line) NOT IN (SELECT lh FROM blocked)),
+         rebuilt AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                     FROM kept GROUP BY doc_id)
+         SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
+                CAST(length(text) AS INT) AS n_chars
+         FROM rebuilt ORDER BY doc_id""",
     "d04b_simhash_portable" ->
       """WITH base AS (
            SELECT doc_id, text FROM documents WHERE doc_id < 1000

@@ -65,6 +65,18 @@ object SamplingQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))),
 
+    // Deterministic training shuffle, sharded: 16 md5-prefix shards,
+    // per-shard hash order. Reading (shard, pos) ascending replays one
+    // global pseudorandom permutation with NO global sort — the
+    // epoch-assembly layout. The full (shard, pos, doc) map is the
+    // oracle row set, so the permutation itself is hash-checked.
+    "sm07_shuffle_shards" -> ((s, d) =>
+      Sampling.shuffleShards(
+        Tables.documents(s, d).select("doc_id", "lang"),
+        "doc_id", shardChars = 1, portable = true)
+        .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+        .orderBy(col("shard"), col("pos"))),
+
     // DSIR importance weights: English docs play the curated target
     // distribution; every doc scores Σ log[p_target/p_raw] over its
     // hashed (md5-bucket) unigram+bigram features. The bucket
@@ -139,6 +151,15 @@ object SamplingQueries extends QuerySet {
                  printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM sel GROUP BY lang ORDER BY lang""",
+    "sm07_shuffle_shards" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS BIGINT) AS pos,
+                doc_id, lang
+         FROM documents
+         ORDER BY shard, pos""",
     "sm05_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang,
                       string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators: dedup recall on planted duplicates,
   * similarity-search correctness, text analysis, multimodal plumbing.
@@ -129,6 +129,58 @@ class PipelineOpsSpec extends SparkSpec {
     val tie = Dedup.minhashNearDupsAgainstPortable(tieBatch, tieCorpus,
       "text", "doc_id", threshold = 0.5).collect()
     assert(tie.length == 1 && tie(0).getAs[String]("corpus_id") == "doc-a")
+  }
+
+  test("lineDedup removes cross-doc boilerplate lines, keeps order, drops empty docs") {
+    val docs = Seq(
+      (1L, "alpha one\nshared footer\nalpha two"),
+      (2L, "beta one\nshared footer"),
+      (3L, "gamma one\nshared footer\ngamma two"),
+      (4L, "delta only original content"),
+      (5L, "shared footer")) // nothing but boilerplate → doc drops
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(
+      1L -> "alpha one\nalpha two",
+      2L -> "beta one",
+      3L -> "gamma one\ngamma two",
+      4L -> "delta only original content"), out.toString)
+    // below the threshold nothing is removed (2 docs < minDocs=3 share)
+    val loose = Dedup.lineDedup(
+      docs.filter($"doc_id".isin(1L, 2L, 4L)), "text", "doc_id", minDocs = 3)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L) == "alpha one\nshared footer\nalpha two")
+  }
+
+  test("shuffleShards is a partition-parallel deterministic permutation") {
+    val df = (1L to 5000L).toDF("id")
+    val out = Sampling.shuffleShards(df, "id", shardChars = 1,
+      portable = true)
+    val rows = out.select("shard", "pos", "id")
+      .as[(String, Long, Long)].collect()
+    // every row exactly once
+    assert(rows.map(_._3).toSet == (1L to 5000L).toSet)
+    // per-shard positions are contiguous from 1 (a permutation, no
+    // gaps), and shards are single hex chars
+    rows.groupBy(_._1).foreach { case (shard, rs) =>
+      assert(shard.length == 1 && "0123456789abcdef".contains(shard))
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // layout-invariant: same permutation after a repartition
+    val again = Sampling.shuffleShards(df.repartition(13), "id",
+      shardChars = 1, portable = true)
+      .select("shard", "pos", "id").as[(String, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+    // fast mode: also a permutation with contiguous per-shard positions
+    val fast = Sampling.shuffleShards(df, "id", shardChars = 1)
+      .select("shard", "pos", "id").as[(String, Long, Long)].collect()
+    assert(fast.map(_._3).toSet == (1L to 5000L).toSet)
+    fast.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
   }
 
   test("giant-bucket guard bounds candidate pairs on a degenerate bucket") {
