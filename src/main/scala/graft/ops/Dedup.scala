@@ -783,6 +783,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Cross-group shingle-overlap matrix — the corpus-composition audit:
+    * for every pair of groups (sources, snapshots, languages), how many
+    * DISTINCT word n-gram shingles they share, with each side's own
+    * distinct-shingle total and the containment ratio
+    * shared / min(|a|, |b|). High containment between two "independent"
+    * sources means one mirrors the other — the signal that decides
+    * whether to dedup across them before mixing.
+    *
+    * Scale: each group collapses to its distinct shingle set FIRST
+    * (shingles as 8-byte hashes, two-level distinct agg), so the
+    * pair join is over per-group vocabularies, never documents; the
+    * matrix itself is |groups|² rows. The d06/d10 hash-membership
+    * contract applies (a cross-hash collision is ~2^-64 per pair).
+    */
+  def groupOverlapMatrix(df: DataFrame, textCol: String, groupCol: String,
+                         n: Int = 3): DataFrame =
+    groupOverlapMatrixCached(df, textCol, groupCol, n).df
+
+  /** [[groupOverlapMatrix]] with the persisted per-group shingle
+    * vocabulary exposed for release (three consumers: totals + both
+    * join sides).
+    */
+  def groupOverlapMatrixCached(df: DataFrame, textCol: String,
+                               groupCol: String, n: Int = 3): Cached = {
+    val gs = Layout.fanOut(df)
+      .select(col(groupCol).as("__g"),
+        explode(transform(shingles(TextAnalysis.tokens(lower(col(textCol))),
+          n), s => xxhash64(s))).as("__h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = gs.groupBy(col("__g")).agg(count(lit(1)).as("__total"))
+    val shared = gs.as("a").join(gs.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(totals.select(col("__g").as("group_a"),
+        col("__total").as("total_a"))), "group_a")
+      .join(broadcast(totals.select(col("__g").as("group_b"),
+        col("__total").as("total_b"))), "group_b")
+      .withColumn("containment",
+        col("n_shared").cast("double") /
+          least(col("total_a"), col("total_b")))
+      .select("group_a", "group_b", "n_shared", "total_a", "total_b",
+        "containment")
+    Cached(out, Seq(gs))
+  }
+
   // ---------- passage-level overlap ----------
 
   /** All n-token passages (overlapping windows, stride 1) of a token

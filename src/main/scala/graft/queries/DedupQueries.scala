@@ -232,6 +232,17 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-source shingle-overlap matrix — the corpus-composition
+    // audit: per source pair, shared distinct 3-gram count, each
+    // side's vocabulary size, and containment. Spark joins 8-byte
+    // xxhash64 shingle keys; the oracle joins shingle strings (the
+    // d06/d10 membership-equivalence contract).
+    "d12_source_overlap" -> ((s, d) =>
+      Dedup.groupOverlapMatrix(
+        Tables.documents(s, d).select("source", "text"),
+        "text", "source", n = 3)
+        .orderBy(col("group_a"), col("group_b"))),
+
     // SimHash near-dups over the same planted corpus (rows-only).
     "d04_simhash" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -420,6 +431,26 @@ object DedupQueries extends QuerySet {
                 JOIN s y ON y.doc_id = cand.id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
           ORDER BY id_a, id_b""",
+    "d12_source_overlap" ->
+      s"""WITH t AS (
+            SELECT source,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+          s AS (SELECT source, $sh3 AS sh FROM t),
+          gs AS (SELECT DISTINCT g, h FROM
+                   (SELECT source AS g, unnest(sh) AS h FROM s)),
+          totals AS (SELECT g, COUNT(*) AS total FROM gs GROUP BY g),
+          shared AS (SELECT a.g AS group_a, b.g AS group_b,
+                            COUNT(*) AS n_shared
+                     FROM gs a JOIN gs b ON a.h = b.h AND a.g < b.g
+                     GROUP BY a.g, b.g)
+          SELECT group_a, group_b, n_shared,
+                 ta.total AS total_a, tb.total AS total_b,
+                 CAST(n_shared AS DOUBLE) / least(ta.total, tb.total)
+                   AS containment
+          FROM shared JOIN totals ta ON ta.g = group_a
+                      JOIN totals tb ON tb.g = group_b
+          ORDER BY group_a, group_b""",
     "d11_line_dedup" ->
       """WITH base AS (
            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

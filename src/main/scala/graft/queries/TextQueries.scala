@@ -207,6 +207,31 @@ object TextQueries extends QuerySet {
           min(col("seq_offset")).as("first_offset"))
         .orderBy(col("seq_id"))),
 
+    // End-to-end curation funnel — the composed pipeline a training-data
+    // job actually runs, with per-stage survivor counts: exact dedup
+    // (keep min-id per text) → Gopher quality battery → percentile
+    // length band over the SURVIVORS. Every stage is engine-portable,
+    // so the whole funnel (including the survivor-dependent percentile
+    // bounds) is one oracle row set.
+    "c01_curation_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val deduped = docs.join(
+        docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      val gophered = deduped.filter(
+        TextAnalysis.gopherRules(col("text"), enStop, minWords = 30)
+          .getField("pass"))
+      val banded = TextAnalysis.lengthBand(gophered, "text", 0.05, 0.95)
+      def stage(name: String, df0: DataFrame) =
+        df0.agg(count(lit(1)).as("n_docs"))
+          .select(lit(name).as("stage"), col("n_docs"))
+      stage("1_raw", docs)
+        .unionByName(stage("2_exact_dedup", deduped))
+        .unionByName(stage("3_gopher", gophered))
+        .unionByName(stage("4_length_band", banded))
+        .orderBy(col("stage"))
+    }),
+
     "t08_length_band" -> ((s, d) =>
       TextAnalysis.lengthBand(
         Tables.documents(s, d).select(col("lang"), col("text")), "text",
@@ -509,6 +534,47 @@ object TextQueries extends QuerySet {
               END AS r
             FROM (SELECT lang, $ltoksSql AS toks FROM documents))
           GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "c01_curation_funnel" ->
+      s"""WITH deduped AS (
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                             GROUP BY text)),
+          t AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\\s+') AS toks,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+                  text
+                FROM deduped),
+          m AS (SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n,
+                  CAST(COALESCE(list_aggregate(
+                    list_transform(toks, x -> len(x)), 'sum'), 0)
+                    AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                    AS BIGINT) AS n_sym,
+                  CAST(len(list_filter(ltoks, x -> x IN
+                    (${enStop.map(w => s"'$w'").mkString(",")})))
+                    AS BIGINT) AS n_stop
+                FROM t),
+          g AS (SELECT doc_id, n FROM m
+                WHERE n >= 30 AND n <= 100000
+                  AND sum_len >= 3 * n AND sum_len <= 10 * n
+                  AND 10 * n_sym <= n AND 5 * n_alpha >= 4 * n
+                  AND n_stop >= 2),
+          b AS (SELECT quantile_cont(n, 0.05) AS lo,
+                       quantile_cont(n, 0.95) AS hi FROM g),
+          banded AS (SELECT g.doc_id FROM g, b
+                     WHERE n >= lo AND n <= hi)
+          SELECT stage, n_docs FROM (
+            SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+            UNION ALL
+            SELECT '2_exact_dedup', COUNT(*) FROM deduped
+            UNION ALL
+            SELECT '3_gopher', COUNT(*) FROM g
+            UNION ALL
+            SELECT '4_length_band', COUNT(*) FROM banded)
+          ORDER BY stage""",
     "t08_length_band" ->
       s"""WITH l AS (SELECT lang, len($toksSql) AS n_tok FROM documents),
           b AS (SELECT quantile_cont(n_tok, 0.05) AS lo,

@@ -153,6 +153,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose(1L) == "alpha one\nshared footer\nalpha two")
   }
 
+  test("groupOverlapMatrix: hand-computed shared counts and containment") {
+    // A: shingles {a b c, b c d}  B: {a b c, b c d, c d e}  C: {x y z}
+    // A⊂B → containment(A,B) = 1.0; C shares nothing
+    val df = Seq(
+      ("A", "a b c d"),
+      ("B", "a b c d e"),
+      ("C", "x y z")).toDF("src", "text")
+    val m = Dedup.groupOverlapMatrix(df, "text", "src", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.keySet == Set(("A", "B")))
+    assert(m(("A", "B")) == ((2L, 2L, 3L, 1.0)))
+    // duplicate docs inside a group must not inflate its vocabulary
+    val dup = df.union(Seq(("A", "a b c d")).toDF("src", "text"))
+    val m2 = Dedup.groupOverlapMatrix(dup, "text", "src", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m2(("A", "B")) == 2L)
+  }
+
   test("shuffleShards is a partition-parallel deterministic permutation") {
     val df = (1L to 5000L).toDF("id")
     val out = Sampling.shuffleShards(df, "id", shardChars = 1,
