@@ -45,6 +45,32 @@ object Relevance {
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
 
+  /** Corpus vocabulary with document-frequency pruning — the
+    * CountVectorizer-style preprocessing cut: (term, tf, df) for every
+    * term kept by `minDf <= df` and `df <= maxDfRatio · N` (the rare-
+    * typo floor and the stopword-like ceiling). One explode + two
+    * grouped aggs; the corpus row count rides along as a broadcast
+    * one-row frame, so the ceiling is a plan-time predicate, not a
+    * driver constant baked per run.
+    */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+                 minDf: Long = 1L, maxDfRatio: Double = 1.0): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfRatio > 0 && maxDfRatio <= 1.0,
+      s"maxDfRatio in (0,1], got $maxDfRatio")
+    val exploded = Layout.fanOut(df)
+      .select(col(idCol).as("__doc"), explode(toks(col(textCol))).as("term"))
+    val perDoc = exploded.groupBy(col("__doc"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val stats = perDoc.groupBy(col("term"))
+      .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    stats.crossJoin(broadcast(n))
+      .filter(col("df") >= minDf &&
+        col("df").cast("double") <= lit(maxDfRatio) * col("__n"))
+      .select("term", "tf", "df")
+  }
+
   /** BM25 score of every document against a bag of query terms
     * (Robertson idf; k1/b defaults per the literature). The term filter
     * prunes the exploded stream before any shuffle, so cost is

@@ -17,6 +17,16 @@ object RelevanceQueries extends QuerySet {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Top-3 TF-IDF terms per document over a bounded slice — the
     // "what is this document about" profile used for topic filtering.
+    // Corpus vocabulary with document-frequency pruning: rare terms
+    // (df < 30) and stopword-like terms (df > 78% of docs) cut — the
+    // CountVectorizer preprocessing step, thresholds chosen so BOTH
+    // bounds bite on this corpus's df distribution. All-integer output.
+    "t19_vocabulary" -> ((s, d) =>
+      Relevance.vocabulary(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", minDf = 30L, maxDfRatio = 0.78)
+        .orderBy(col("term"))),
+
     "t09_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 50).select("doc_id", "text")
@@ -54,6 +64,20 @@ object RelevanceQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "t19_vocabulary" ->
+      """WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS term
+               FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         stats AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf,
+                          COUNT(*) AS df
+                   FROM tf GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         SELECT term, tf, df FROM stats CROSS JOIN n
+         WHERE df >= 30 AND CAST(df AS DOUBLE) <= 0.78 * n_docs
+         ORDER BY term""",
     "t09_tfidf" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
          t AS (SELECT doc_id,

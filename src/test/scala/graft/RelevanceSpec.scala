@@ -31,6 +31,24 @@ class RelevanceSpec extends SparkSpec {
     assert(got((3L, "cherry"))._1 == 3L)
   }
 
+  test("vocabulary applies min-df floor and max-df-ratio ceiling") {
+    // df: apple 1, banana 2, cherry 2, durian 1 over N=3 docs
+    val all = Relevance.vocabulary(corpus, "text", "doc_id")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(all == Map("apple" -> ((2L, 1L)), "banana" -> ((2L, 2L)),
+      "cherry" -> ((4L, 2L)), "durian" -> ((1L, 1L))))
+    // floor cuts the df=1 tail
+    val floored = Relevance.vocabulary(corpus, "text", "doc_id", minDf = 2)
+      .select("term").as[String].collect().toSet
+    assert(floored == Set("banana", "cherry"))
+    // ceiling cuts stopword-like terms: df=2 > 0.5*3
+    val ceiled = Relevance.vocabulary(corpus, "text", "doc_id",
+      maxDfRatio = 0.5)
+      .select("term").as[String].collect().toSet
+    assert(ceiled == Set("apple", "durian"))
+  }
+
   test("bm25 ranks the term-dense document first and saturates tf") {
     val scores = Relevance.bm25(corpus, "text", "doc_id", Seq("cherry"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
