@@ -105,6 +105,50 @@ object JoinQueries extends QuerySet {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: the next view at-or-after each purchase (the
+    // "next event after" lookup). Same one-shuffle union-window shape
+    // as j04, frame ahead instead of behind.
+    "j08_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") < 100)
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ops.AsOfJoin.forward(purchases, views,
+        keyCol = "user_id", leftTime = "ts", rightTime = "ts",
+        rightValueCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of: closest view either way, ties backward (the
+    // pandas merge_asof direction='nearest' shape); the matched view
+    // timestamp rides along so the oracle pins WHICH row won, not
+    // just its value.
+    "j09_asof_nearest" -> ((s, d) => {
+      // the matched time is an OUTPUT column here, and DuckDB's parquet
+      // reader truncates TIMESTAMP(NANOS) to microseconds — so the
+      // whole join runs on epoch-µs (ts div 1000) on both sides
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase" &&
+        col("user_id") < 100)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ops.AsOfJoin.nearest(purchases, views,
+        keyCol = "user_id", leftTime = "ts_us", rightTime = "ts_us",
+        rightValueCols = Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_time"),
+          col("asof_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // The SQL string surface over registered temp views. The views fan
     // out past the single-row-group test files so the map-side partial
     // aggregate runs core-wide (no-op on split production scans).
@@ -125,6 +169,39 @@ object JoinQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "j08_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'purchase' AND user_id < 100),
+            v AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, v.value AS asof_value
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts <= v.ts
+         ORDER BY p.event_id""",
+    "j09_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+                    FROM events
+                    WHERE event_type = 'purchase' AND user_id < 100),
+            v AS (SELECT user_id, epoch_us(ts) AS ts,
+                         arg_max(value, event_id) AS value
+                  FROM events WHERE event_type = 'view'
+                  GROUP BY user_id, epoch_us(ts)),
+            b AS (SELECT p.event_id, v.ts AS bt, v.value AS bv
+                  FROM p ASOF LEFT JOIN v
+                    ON p.user_id = v.user_id AND p.ts >= v.ts),
+            f AS (SELECT p.event_id, v.ts AS ft, v.value AS fv
+                  FROM p ASOF LEFT JOIN v
+                    ON p.user_id = v.user_id AND p.ts <= v.ts)
+         SELECT p.event_id, p.user_id,
+                CASE WHEN ft IS NULL OR
+                          (bt IS NOT NULL AND p.ts - bt <= ft - p.ts)
+                     THEN bt ELSE ft END AS asof_time,
+                CASE WHEN ft IS NULL OR
+                          (bt IS NOT NULL AND p.ts - bt <= ft - p.ts)
+                     THEN bv ELSE fv END AS asof_value
+         FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+         ORDER BY p.event_id""",
     "j06_range_join" ->
       s"""WITH p AS (
             SELECT l_quantity,

@@ -29,6 +29,36 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1L) == Some(1.0) && out(2L) == None)
   }
 
+  test("forward as-of picks the earliest right row at-or-after, inclusive") {
+    val left = Seq((1L, 100L), (1L, 8L), (1L, 300L)).toDF("k", "lt")
+      .select($"lt", $"k")
+    val right = Seq((1L, 8L, 0.8), (1L, 150L, 1.5)).toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, "k", "lt", "t", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(100L) == Some(1.5))  // next ahead
+    assert(out(8L) == Some(0.8))    // inclusive at equal time
+    assert(out(300L) == None)       // nothing ahead
+  }
+
+  test("nearest as-of picks the closer side, ties backward") {
+    val left = Seq(
+      (1L, 10L),   // bwd at 8 (d=2), fwd at 20 (d=10) → bwd
+      (1L, 19L),   // bwd at 8 (d=11), fwd at 20 (d=1) → fwd
+      (1L, 14L),   // tie: d=6 both → backward (8)
+      (1L, 20L),   // exact hit → that row, distance 0
+      (2L, 5L))    // key with no right rows → null
+      .toDF("k", "lt")
+    val right = Seq((1L, 8L, 0.8), (1L, 20L, 2.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.nearest(left, right, "k", "lt", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out((1L, 10L)) == ((Some(8L), Some(0.8))))
+    assert(out((1L, 19L)) == ((Some(20L), Some(2.0))))
+    assert(out((1L, 14L)) == ((Some(8L), Some(0.8))), "tie must go backward")
+    assert(out((1L, 20L)) == ((Some(20L), Some(2.0))))
+    assert(out((2L, 5L)) == ((None, None)))
+  }
+
   test("intervalOverlap: exact pairs, one emission per multi-bin pair") {
     import org.apache.spark.sql.functions.col
     // binWidth 10; pair (a1, b1) overlaps across bins 0..2 and must
