@@ -196,6 +196,39 @@ object Sampling {
       .drop("__key")
   }
 
+  /** Deterministic budget fill: keep rows in id-hash order until the
+    * cumulative `costCol` (token counts, bytes) reaches `budget` — the
+    * "give me a pseudorandom ~N-token subset" op every epoch-assembly
+    * and ablation pipeline runs. Keeps every row whose running total
+    * INCLUDING itself is ≤ budget (greedy fill; the first overflowing
+    * row is dropped, nothing after it can enter).
+    *
+    * The running total uses [[Aggregates.bucketedPrefixSums]] — the
+    * partition-parallel windowless prefix-sum machinery — so there is
+    * no global sort or single-partition window; row fate is stable
+    * under reruns, appends... with the usual caveat that appending
+    * rows can displace earlier picks near the boundary (the budget is
+    * global, unlike [[hashSample]]'s per-row fate). Keys are 48-bit
+    * hash prefixes (doubles order them exactly below 2^53); a key
+    * collision only matters when the budget boundary falls between the
+    * tied rows.
+    */
+  def sampleToBudget(df: DataFrame, idCol: String, costCol: String,
+                     budget: Long, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val key =
+      if (portable)
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 12),
+          16, 10).cast("long")
+      else pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 48))
+    val keyed = df.withColumn("__ord", key)
+    Aggregates.bucketedPrefixSums(keyed, "__ord", ascending = true,
+        Seq(costCol))
+      .filter(col(s"cum_$costCol") <= budget)
+      .drop("__ord", s"cum_$costCol")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

@@ -77,6 +77,21 @@ object SamplingQueries extends QuerySet {
         .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
         .orderBy(col("shard"), col("pos"))),
 
+    // Deterministic budget fill: pseudorandom docs in id-hash order
+    // until 8000 cumulative tokens — the epoch-assembly / ablation
+    // subset op. Running totals come from the windowless bucketed
+    // prefix sums, so no global sort ever runs.
+    "sm08_budget_fill" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Sampling.sampleToBudget(docs, "doc_id", "n_tok", budget = 8000L,
+        portable = true)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_sum"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // DSIR importance weights: English docs play the curated target
     // distribution; every doc scores Σ log[p_target/p_raw] over its
     // hashed (md5-bucket) unigram+bigram features. The bucket
@@ -151,6 +166,19 @@ object SamplingQueries extends QuerySet {
                  printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM sel GROUP BY lang ORDER BY lang""",
+    "sm08_budget_fill" ->
+      """WITH t AS (SELECT doc_id, lang,
+                      len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS k
+                    FROM documents),
+         c AS (SELECT *, SUM(n_tok) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT lang, COUNT(*) AS n,
+                CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM c WHERE cum <= 8000
+         GROUP BY lang ORDER BY lang""",
     "sm07_shuffle_shards" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
                 CAST(ROW_NUMBER() OVER (

@@ -102,6 +102,33 @@ class SamplingSpec extends SparkSpec {
       out.toString)
   }
 
+  test("sampleToBudget greedily fills the budget in hash order") {
+    val rows = (1L to 400L).map(i => (i, 10L + (i % 7))).toDF("id", "cost")
+    val kept = Sampling.sampleToBudget(rows, "id", "cost", budget = 1000L,
+      portable = true).select("id", "cost").as[(Long, Long)].collect()
+    // local reference: same md5-prefix order, same greedy rule
+    def key(i: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString.substring(0, 12)
+    }
+    val expected = (1L to 400L).map(i => (i, 10L + (i % 7)))
+      .sortBy(t => key(t._1))
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (i, c)) => (i, c, cum + c) }
+      .tail.takeWhile(_._3 <= 1000L).map(t => (t._1, t._2)).toSet
+    assert(kept.toSet == expected, s"${kept.length} vs ${expected.size}")
+    assert(kept.map(_._2).sum <= 1000L)
+    // budget 0 → empty; huge budget → everything
+    assert(Sampling.sampleToBudget(rows, "id", "cost", 0L).count() == 0)
+    assert(Sampling.sampleToBudget(rows, "id", "cost", Long.MaxValue)
+      .count() == 400)
+    // layout-invariant
+    val again = Sampling.sampleToBudget(rows.repartition(17), "id", "cost",
+      budget = 1000L, portable = true)
+      .select("id").as[Long].collect().toSet
+    assert(again == expected.map(_._1))
+  }
+
   test("row fate is independent of the rest of the corpus (append-stable)") {
     // the sample drawn from a grown corpus agrees with the original
     // sample on every original row — the property rand() sampling lacks
