@@ -109,6 +109,33 @@ class PlanSpec extends SparkSpec {
       s"n07 plans ${hashExchanges.size} hash exchanges")
   }
 
+  test("round-4 layouts keep their scale shapes") {
+    // line dedup: the blocked-line set must broadcast into the
+    // anti-join — a shuffled anti-join would reshuffle every line of
+    // a 100-TB corpus against a tiny boilerplate set
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val d11 = plan("d11_line_dedup")
+    assert(d11.collect { case b: BroadcastHashJoinExec
+        if b.joinType.toString == "LeftAnti" => b }.nonEmpty,
+      "d11 blocked-line anti-join is not broadcast")
+
+    // shuffle shards and budget fill: deterministic permutation /
+    // prefix sums with NO single-partition window anywhere
+    for (q <- Seq("sm07_shuffle_shards", "sm08_budget_fill")) {
+      val globals = plan(q).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty,
+        s"$q plans a single-partition WindowExec: ${globals.headOption}")
+    }
+
+    // overlap matrix: pair join runs over per-group vocabularies and
+    // the totals join must broadcast (a 20-row frame)
+    val d12 = plan("d12_source_overlap")
+    assert(d12.collect { case b: BroadcastHashJoinExec => b }.size >= 2,
+      "d12 totals joins are not broadcast")
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
