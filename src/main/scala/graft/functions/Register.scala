@@ -26,5 +26,11 @@ object Register {
     registry.createOrReplaceTempFunction("graft_heavy_hitters",
       exprs => MisraGriesAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    // graft_top_k(score, id, k) — the bounded mergeable ANN finisher:
+    // per-group top-k (score desc, ties to smallest id) as an
+    // aggregate, no per-group window funnel
+    registry.createOrReplaceTempFunction("graft_top_k",
+      exprs => TopKAgg(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
   }
 }
