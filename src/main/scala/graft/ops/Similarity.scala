@@ -507,6 +507,55 @@ object Similarity {
     topKFinish(reranked, "cos", k)
   }
 
+  // ---------- random projection (Johnson–Lindenstrauss) ----------
+
+  /** Deterministic Rademacher (±1) sign matrix for random projection,
+    * shaped [outDim][dim]. Signs derive from md5 of a positional key
+    * (`"rp<seed>_<i>_<j>"`, +1 when the first hex digit is even), not
+    * from a JVM RNG, so ANY engine — including the DuckDB oracle — can
+    * rebuild the exact matrix from the same recipe. Achlioptas (2003)
+    * showed ±1 entries satisfy the JL lemma just like Gaussians, and
+    * they keep the projection pure additions/subtractions.
+    */
+  def projectionSigns(dim: Int, outDim: Int,
+                      seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"rp${seed}_${i}_${j}".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random projection of an embedding column to `outDim` dimensions:
+    * out_j = v · s_j / √outDim with the md5-derived ±1 matrix above.
+    * The JL workhorse for 100-TB embedding pipelines — LSH/clustering
+    * over 16 dims costs a quarter of 64, with pairwise distances
+    * preserved within the JL distortion bound.
+    *
+    * Scale shape: the sign matrix enters the plan as `outDim` array
+    * literals (dim-sized, bounded by embedding width — the SQ8 bounds
+    * precedent), so the projection is `outDim` codegen'd
+    * [[graft.functions.DotProduct]] loops inside the scan: row-local,
+    * shuffle-free, and pushdown-transparent. The sequential fold makes
+    * every output value engine-exact (list_dot_product parity), which
+    * is what puts a dimensionality-reduction path on a hash-checked
+    * oracle.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val signs = projectionSigns(dim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    df.select(col(idCol),
+      array((0 until outDim).map { j =>
+        (dot(asDouble(col(vecCol)), typedLit(signs(j).toSeq)) / scale)
+          .as(s"p$j")
+      }: _*).as("proj"))
+  }
+
   /** Scale path for embedding near-dup: random-hyperplane LSH. Each
     * vector gets `numBits` sign bits (sign of v·rᵢ for seeded Gaussian
     * hyperplanes), packed to a long; bits split into `bands`; vectors

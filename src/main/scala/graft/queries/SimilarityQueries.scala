@@ -98,6 +98,18 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"))
     }),
 
+    // Random projection (Johnson–Lindenstrauss) 64 → 16 dims with the
+    // md5-derived ±1 matrix: every projected value is a sequential
+    // double fold over literal signs, so the whole reduction is
+    // hash-exact — DuckDB rebuilds the identical matrix from the md5
+    // recipe and replays the same dot products.
+    "n09_random_project" -> ((s, d) =>
+      Similarity.randomProject(
+        Tables.embeddings(s, d).filter(col("vec_id") < 100),
+        "vec_id", "embedding", outDim = 16, seed = 42L)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))
+        .orderBy(col("vec_id"), col("pos"))),
+
     // PQ-ADC + exact re-rank (the compressed-index ANN path): 8×16
     // codebooks, ADC shortlist of 100, exact-cosine re-rank to top-10.
     // k-means codebooks → rows-only; recall gate vs the n01 exact
@@ -180,6 +192,20 @@ object SimilarityQueries extends QuerySet {
                      FROM scored)
           SELECT query_id, vec_id, score, CAST(rank AS INT) AS rank
           FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "n09_random_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 100),
+          d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+          m AS (SELECT j, list(CASE WHEN substr(
+                         md5('rp42_' || i || '_' || j), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                       THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+                FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                     (SELECT unnest(range(0, 16)) AS j)
+                GROUP BY j)
+          SELECT e.vec_id, CAST(m.j AS INT) AS pos,
+                 list_dot_product(e.v, m.sv) / 4 AS val
+          FROM e, m ORDER BY vec_id, pos""",
     "n03_cosine_neardups" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings WHERE vec_id < 200)

@@ -388,6 +388,56 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits16 >= 45, s"IVF recall $hits16/50 at 12/16 — need ≥ 90%")
   }
 
+  test("random projection: md5 signs match in-engine, JL distances hold") {
+    // the sign recipe is the portability contract: the driver-side
+    // matrix must equal what any engine computes from md5 of the same
+    // positional key (the oracle recomputes it in DuckDB; here Spark's
+    // own md5() re-derives it)
+    val signs = Similarity.projectionSigns(dim = 8, outDim = 4, seed = 42L)
+    val fromSql = spark.range(4).selectExpr("id AS j")
+      .crossJoin(spark.range(8).selectExpr("id AS i"))
+      .withColumn("s",
+        when(substring(md5(concat(lit("rp42_"), $"i", lit("_"), $"j")), 1, 1)
+          .isin("0", "2", "4", "6", "8", "a", "c", "e"), 1.0).otherwise(-1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    fromSql.foreach { case (j, i, s) =>
+      assert(signs(j.toInt)(i.toInt) == s, s"sign mismatch at ($i,$j)")
+    }
+
+    // JL distance preservation: E[‖Pa−Pb‖²] = ‖a−b‖² (the ±1 matrix is
+    // unbiased), and at k=16 the per-pair distortion concentrates
+    // within a few √(2/k) ≈ 0.35 of 1. On this corpus (near-random
+    // unit vectors, every distance ≈ √2) a CORRELATION test is
+    // meaningless — there is no distance variance to track — so the
+    // JL contract is checked directly: the red/orig ratio is centered
+    // on 1 and no pair collapses or explodes. Deterministic data +
+    // deterministic matrix → fixed corpus statistics, not flaky draws.
+    val sub = emb.filter($"vec_id" < 60).select($"vec_id",
+      transform($"embedding", _.cast("double")).as("v"))
+    val proj = Similarity.randomProject(sub, "vec_id", "v", outDim = 16)
+    val d2 = udf((a: Seq[Double], b: Seq[Double]) =>
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val stats = sub.as("a").join(sub.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(d2($"a.v", $"b.v").as("orig"),
+        $"a.vec_id".as("ia"), $"b.vec_id".as("ib"))
+      .join(proj.select($"vec_id".as("ia"), $"proj".as("pa")), "ia")
+      .join(proj.select($"vec_id".as("ib"), $"proj".as("pb")), "ib")
+      .select((d2($"pa", $"pb") / $"orig").as("ratio"))
+      .agg(avg($"ratio").as("mean"), min($"ratio").as("lo"),
+        max($"ratio").as("hi")).first()
+    info(s"JL ratio stats: $stats")
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.1,
+      s"distance ratio mean ${stats.getDouble(0)} — projection biased")
+    assert(stats.getDouble(1) > 0.2 && stats.getDouble(2) < 3.0,
+      s"distance ratio range [${stats.getDouble(1)}, ${stats.getDouble(2)}]")
+
+    // layout invariance: the projection is row-local column math
+    val a = proj.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val b = Similarity.randomProject(sub.repartition(7), "vec_id", "v",
+      outDim = 16).orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq == b.toSeq, "projection not layout-invariant")
+  }
+
   test("hyperplane-LSH cosine near-dup recalls planted jittered copies") {
     // plant near-duplicates: each vector + tiny elementwise jitter
     val jittered = emb.select(($"vec_id" + 100000).as("vec_id"),

@@ -136,6 +136,22 @@ class PlanSpec extends SparkSpec {
       "d12 totals joins are not broadcast")
   }
 
+  test("random projection is a shuffle-free scan-local projection") {
+    // the JL reduction is outDim codegen'd dots against literal sign
+    // vectors — any exchange before the query's final ORDER BY means
+    // the matrix got joined instead of inlined. The only expected
+    // shuffle is that final range exchange for the sort.
+    val p = plan("n09_random_project")
+    val hashExchanges = p.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("hashpartitioning") =>
+        e
+    }
+    assert(hashExchanges.isEmpty,
+      s"n09 plans ${hashExchanges.size} hash exchanges — " +
+        "projection should be row-local column math")
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
