@@ -106,6 +106,37 @@ object SourceQueries extends QuerySet {
       s.table(qn).orderBy(col("event_type"))
     }),
 
+    // Streaming MinHash-LSH dedup (§2.6 × the dedup layer): documents
+    // stream in (replayed twice — the at-least-once shape — plus a
+    // planted first-word-dropped near-copy of every 4th doc), band
+    // keys compute scan-locally in portable md5 mode, and each
+    // (band, bucket) claims its first-seen document via
+    // flatMapGroupsWithState. A doc survives iff it wins every band.
+    // On a bounded source ids arrive in one ordered batch, so the kept
+    // set equals the batch rule the oracle states: keep d iff d is the
+    // min id in all of its buckets.
+    "st05_stream_lsh_dedup" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val qn = "st05_dedup_sink"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("doc_id"), col("text"))
+      def withPlanted = src.union(src.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+      val verdicts = graft.streaming.StreamDedup.bandVerdicts(
+        withPlanted.union(withPlanted), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, bands = 4, portable = true)
+      val q = verdicts.toDF.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamDedup.keptIds(s.table(qn))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("id") >= 1000000, 1L).otherwise(0L))
+            .as("n_copies_kept"),
+          sum(col("id")).cast("long").as("id_checksum"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -187,6 +218,43 @@ object SourceQueries extends QuerySet {
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(event_id) AS BIGINT) AS id_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "st05_stream_lsh_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+           FROM documents WHERE doc_id % 4 = 0),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+               FROM base),
+         s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3
+                   THEN [list_aggregate(toks, 'string_agg', ' ')]
+                   ELSE list_transform(range(0, len(toks) - 2),
+                          i -> list_aggregate(toks[i+1:i+3],
+                                              'string_agg', ' '))
+                 END) AS sh FROM t),
+         sig AS (SELECT doc_id,
+                   list_transform(range(0, 8), i ->
+                     list_aggregate(list_transform(sh,
+                       x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                 FROM s),
+         bands AS (SELECT doc_id, b,
+                     md5(list_aggregate(sig[b*2+1:b*2+2],
+                                        'string_agg', ',')) AS bucket
+                   FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+         wins AS (SELECT b, bucket, MIN(doc_id) AS w
+                  FROM bands GROUP BY b, bucket),
+         kept AS (SELECT x.doc_id AS id
+                  FROM bands x
+                  JOIN wins w ON w.b = x.b AND w.bucket = x.bucket
+                  GROUP BY x.doc_id
+                  HAVING MIN(CASE WHEN x.doc_id = w.w
+                             THEN 1 ELSE 0 END) = 1)
+         SELECT COUNT(*) AS n_kept,
+                CAST(SUM(CASE WHEN id >= 1000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_copies_kept,
+                CAST(SUM(id) AS BIGINT) AS id_checksum
+         FROM kept""",
     "s07_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.streaming.GroupState
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Streaming MinHash-LSH deduplication — dedup the crawl AS IT ARRIVES
+  * instead of in a nightly batch sweep.
+  *
+  * Shape: each incoming document computes its MinHash signature and
+  * band keys scan-locally (pure column expressions — the same kernels
+  * the batch [[graft.ops.Dedup]] paths use), then every (band, bucket)
+  * key runs through `flatMapGroupsWithState`: the FIRST document to
+  * claim a bucket wins it forever (state = winner id), and every
+  * document emits one verdict per band — `ok` iff it is the bucket's
+  * winner. A document survives dedup iff it wins ALL its buckets;
+  * losing any band means some earlier document already covered that
+  * slice of its signature (the LSH collision = near-duplicate signal,
+  * the aggressive drop-on-collision rule streaming crawl dedup uses —
+  * there is no exact-Jaccard verify join here, because the verify side
+  * would need the full text of every previously kept document in
+  * state).
+  *
+  * Determinism contract: within one micro-batch the winner is the
+  * smallest id (an order proxy, since rows in a batch have no arrival
+  * order); across batches the winner is whoever claimed the bucket
+  * first. When ids arrive in nondecreasing order — a replayed log, a
+  * single bounded source — the kept set is therefore exactly the batch
+  * rule "keep d iff d = min(id) in every one of its buckets", which is
+  * what the st05 oracle states in SQL. Out-of-order arrival diverges
+  * by design: streaming decisions are emitted once and never retracted.
+  *
+  * Replay (at-least-once) is idempotent end-to-end: a redelivered
+  * winner re-emits `ok = true`, a redelivered loser re-emits
+  * `ok = false` — verdicts never conflict across deliveries, so the
+  * downstream kept-set aggregation (`GROUP BY id HAVING min(ok)`) is
+  * stable without an upstream exactly-once stage.
+  *
+  * Scale shape: state is ONE long per distinct (band, bucket) — the
+  * corpus's bucket vocabulary, not its documents — and the only
+  * shuffle is the groupByKey on the band key, ∝ bands × docs rows of
+  * (key, id) pairs. Production runs bound state with the state-store
+  * TTL knobs (a bucket unclaimed for months can expire); NoTimeout
+  * here keeps the bounded-source semantics exact.
+  */
+object StreamDedup {
+
+  /** One per-band verdict: `id` wins (`ok`) or loses its bucket. */
+  case class BandVerdict(id: Long, band: Int, ok: Boolean)
+
+  /** Internal band-key row shape (public: Catalyst's deserializer
+    * codegen cannot reference a private class).
+    */
+  case class BandRow(key: String, id: Long)
+
+  /** Per-bucket first-claim verdicts for a streaming document frame.
+    *
+    * `portable = true` uses the md5 signature/band kernels (engine-
+    * reproducible — the st05 oracle recomputes them in DuckDB);
+    * `false` uses the XXH64 production kernels. Emits one row per
+    * distinct (id, band) per delivery, append mode.
+    */
+  def bandVerdicts(docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 8,
+                   bands: Int = 4,
+                   portable: Boolean = false): Dataset[BandVerdict] = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = Dedup.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)
+    val sig =
+      if (portable) Dedup.minhashSignaturePortable(sh, numHashes)
+      else Dedup.minhashSignature(sh, numHashes)
+    val bk =
+      if (portable) Dedup.bandKeysPortable(sig, bands, rowsPerBand)
+      else Dedup.bandKeys(sig, bands, rowsPerBand)
+    docs.select(col(idCol).cast("long").as("id"), explode(bk).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bucket")).as("key"),
+        col("id"))
+      .as[BandRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, BandVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[BandRow], state: GroupState[Long]) =>
+          val band = key.substring(0, key.indexOf('|')).toInt
+          val ids = rows.map(_.id).toArray.distinct
+          val winner = state.getOption.getOrElse(ids.min)
+          if (!state.exists) state.update(winner)
+          ids.iterator.map(id => BandVerdict(id, band, id == winner))
+      }
+  }
+
+  /** Batch finisher over an append-sink verdict table: the kept set —
+    * documents that won every band — with conflict-free verdicts, so
+    * replays collapse under the min().
+    */
+  def keptIds(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("id"))
+      .agg(min(col("ok")).as("kept"))
+      .filter(col("kept"))
+      .select(col("id"))
+}

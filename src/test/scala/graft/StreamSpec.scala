@@ -153,6 +153,75 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup: bucket claims persist, replay is idempotent") {
+    import graft.streaming.StreamDedup
+    val stream = MemoryStream[(Long, String)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val verdicts = StreamDedup.bandVerdicts(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 8, bands = 4, portable = true)
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("st_lsh_sink").outputMode("append").start()
+    try {
+      val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val tB = "one two three four five six seven eight nine ten eleven"
+      stream.addData((10L, tA), (20L, tB))
+      q.processAllAvailable()
+      // batch 2: an identical-text copy of 10 (all four bands collide →
+      // dropped by cross-batch state), a REPLAY of 10 (idempotent), and
+      // a SMALLER id with 20's text — first-arrival wins, so 5 loses:
+      // streaming decisions are emitted once and never retracted
+      stream.addData((30L, tA), (10L, tA), (5L, tB))
+      q.processAllAvailable()
+      val kept = StreamDedup.keptIds(spark.table("st_lsh_sink"))
+        .as[Long].collect().toSet
+      assert(kept == Set(10L, 20L), s"kept $kept")
+      // replayed winner re-emitted only consistent verdicts
+      val v10 = spark.table("st_lsh_sink").filter($"id" === 10L)
+        .select($"ok").as[Boolean].collect()
+      assert(v10.nonEmpty && v10.forall(identity))
+    } finally q.stop()
+  }
+
+  test("streaming LSH dedup over one ordered batch equals the batch rule") {
+    import graft.streaming.StreamDedup
+    import graft.ops.{Dedup, TextAnalysis}
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").filter($"doc_id" < 120)
+    val corpus = base.union(base.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    // batch statement of the rule: keep d iff d = min(id) in every
+    // one of its band buckets
+    val banded = corpus.select($"doc_id".as("id"),
+        explode(Dedup.bandKeysPortable(
+          Dedup.minhashSignaturePortable(
+            Dedup.shingles(TextAnalysis.tokens($"text"), 3), 8), 4, 2))
+          .as("bk"))
+      .select($"id", $"bk.band", $"bk.bucket")
+    val wins = banded.groupBy($"band", $"bucket")
+      .agg(min($"id").as("w"))
+    val batchKept = banded.join(wins, Seq("band", "bucket"))
+      .groupBy($"id").agg(min(($"id" === $"w").cast("int")).as("allwin"))
+      .filter($"allwin" === 1).select($"id").as[Long].collect().toSet
+
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)](spark)
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val verdicts = StreamDedup.bandVerdicts(docs, "text", "doc_id",
+      shingleSize = 3, numHashes = 8, bands = 4, portable = true)
+    val q = verdicts.toDF().writeStream.format("memory")
+      .queryName("st_lsh_eq_sink").outputMode("append").start()
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      val streamKept = StreamDedup.keptIds(spark.table("st_lsh_eq_sink"))
+        .as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream ${streamKept.size} vs batch ${batchKept.size}: " +
+          s"diff ${(streamKept diff batchKept) ++ (batchKept diff streamKept)}")
+    } finally q.stop()
+  }
+
   test("watermark closes event-time windows in append mode") {
     import java.sql.Timestamp
     val stream = MemoryStream[(Timestamp, Double)](spark)
