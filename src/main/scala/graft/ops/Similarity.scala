@@ -549,11 +549,13 @@ object Similarity {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val signs = projectionSigns(dim, outDim, seed)
     val scale = math.sqrt(outDim.toDouble)
-    df.select(col(idCol),
-      array((0 until outDim).map { j =>
-        (dot(asDouble(col(vecCol)), typedLit(signs(j).toSeq)) / scale)
-          .as(s"p$j")
-      }: _*).as("proj"))
+    // cast the vector once, not once per output dimension — outDim
+    // redundant array casts per row would be the hot-path cost at scale
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .select(col(idCol),
+        array((0 until outDim).map { j =>
+          (dot(col("__v"), typedLit(signs(j).toSeq)) / scale).as(s"p$j")
+        }: _*).as("proj"))
   }
 
   /** Scale path for embedding near-dup: random-hyperplane LSH. Each

@@ -118,9 +118,14 @@ object SourceQueries extends QuerySet {
     "st05_stream_lsh_dedup" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val qn = "st05_dedup_sink"
+      // doc_id bound = the d02b convention: the portable md5 signature
+      // is the interpreted parity kernel, so the verify/bench corpus is
+      // bounded (no-op at sf0.01; at sf0.1 it caps the md5 volume) —
+      // the XXH64 production mode has no bound
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
       def withPlanted = src.union(src.filter(col("doc_id") % 4 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
@@ -220,10 +225,10 @@ object SourceQueries extends QuerySet {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "st05_stream_lsh_dedup" ->
       """WITH base AS (
-           SELECT doc_id, text FROM documents
+           SELECT doc_id, text FROM documents WHERE doc_id < 1000
            UNION ALL
            SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
-           FROM documents WHERE doc_id % 4 = 0),
+           FROM documents WHERE doc_id % 4 = 0 AND doc_id < 1000),
          t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
                FROM base),
          s AS (SELECT doc_id,

@@ -72,14 +72,24 @@ object StreamDedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = Dedup.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)
+    // stage shingles → signature → band keys as separate projections:
+    // the signature references the shingle column numHashes times and
+    // the band keys reference the signature bands times — inlined into
+    // one expression tree the shingle pass would recompute
+    // numHashes × bands times per row (CollapseProject keeps a
+    // multi-referenced non-cheap column staged, the batch paths'
+    // layout)
     val sig =
-      if (portable) Dedup.minhashSignaturePortable(sh, numHashes)
-      else Dedup.minhashSignature(sh, numHashes)
+      if (portable) Dedup.minhashSignaturePortable(col("sh"), numHashes)
+      else Dedup.minhashSignature(col("sh"), numHashes)
     val bk =
-      if (portable) Dedup.bandKeysPortable(sig, bands, rowsPerBand)
-      else Dedup.bandKeys(sig, bands, rowsPerBand)
-    docs.select(col(idCol).cast("long").as("id"), explode(bk).as("bk"))
+      if (portable) Dedup.bandKeysPortable(col("sig"), bands, rowsPerBand)
+      else Dedup.bandKeys(col("sig"), bands, rowsPerBand)
+    docs.select(col(idCol).cast("long").as("id"),
+        Dedup.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)
+          .as("sh"))
+      .select(col("id"), sig.as("sig"))
+      .select(col("id"), explode(bk).as("bk"))
       .select(concat_ws("|", col("bk.band"), col("bk.bucket")).as("key"),
         col("id"))
       .as[BandRow]
