@@ -51,12 +51,15 @@ object Bench {
     println(json)
     // the driver's stdout capture can truncate a long tail, hiding
     // per-query regressions; persist the same JSON line to the repo
-    // root as the machine-parsable record of this run
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_summary.json"), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] summary write failed: ${e.getMessage}")
-    }
+    // root as the machine-parsable record of this run. A filtered
+    // profiling run (SPARK_GRAFT_ONLY) must NOT clobber the full-suite
+    // record.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_summary.json"), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] summary write failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 
