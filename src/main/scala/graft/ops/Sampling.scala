@@ -232,7 +232,8 @@ object Sampling {
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant
-    * stratum is the salting case, not this operator's.
+    * stratum is the salting case — or [[capPerGroup]], the window-free
+    * form of this operator.
     */
   def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
                      n: Int, seed: Long = 42L,
@@ -241,5 +242,41 @@ object Sampling {
     val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** Window-free scale path for [[stratifiedTake]] — the per-domain cap
+    * crawl pipelines apply before mixing (at most `n` documents per
+    * domain/source, deterministically by id hash). Selection runs
+    * through the bounded mergeable top-k aggregate
+    * ([[graft.functions.TopKAgg]], the ANN-finisher machinery): each
+    * map partition keeps a size-n heap per stratum, so a hot stratum —
+    * one domain being half the crawl — compacts map-side to n
+    * candidates per partition instead of sorting ALL its rows through
+    * one reducer task, which is how the window form dies at 100 TB.
+    * The survivor id set then prunes the corpus with a semi-join whose
+    * build side is bounded by n × |strata| (AQE broadcasts it when
+    * small).
+    *
+    * Selection order (hash key asc, id asc) is identical to
+    * [[stratifiedTake]] — spec-gated equal, portable and XXH64 modes.
+    * Divergences from the window form, by construction of the
+    * aggregate: rows with a NULL stratum or NULL id are dropped, not
+    * sampled (a window treats null as one more partition; here the
+    * semi-join can't match them). `idCol` must be long/int/string.
+    */
+  def capPerGroup(df: DataFrame, strataCol: String, idCol: String,
+                  n: Int, seed: Long = 42L,
+                  portable: Boolean = false): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    // numeric value of the 32-bit md5 prefix: ordering ≡ md5Key's
+    // fixed-width-hex lexicographic order (TopKAgg scores are numeric)
+    val key =
+      if (portable) conv(md5Key(idCol), 16, 10).cast("long")
+      else xxKey(idCol, seed)
+    val kept = df.groupBy(col(strataCol))
+      .agg(graft.functions.TopKAgg.topK(key, col(idCol), n,
+        largest = false).as("__tk"))
+      .select(col(strataCol), explode(col("__tk.id")).as(idCol))
+    df.join(kept, Seq(strataCol, idCol), "left_semi")
   }
 }

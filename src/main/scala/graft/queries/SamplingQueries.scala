@@ -30,6 +30,16 @@ object SamplingQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("lang"))),
 
+    // per-domain cap (at most 15 docs per source) via the window-free
+    // TopKAgg path — element-level: the full kept (source, doc_id) set
+    // must hash-match DuckDB's ROW_NUMBER statement of the same rule.
+    "sm09_cap_per_group" -> ((s, d) =>
+      Sampling.capPerGroup(
+        Tables.documents(s, d).select("doc_id", "source"),
+        "source", "doc_id", n = 15, portable = true)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // 80/10/10 train/val/test assignment as a pure id-hash function —
     // rerun-/append-/engine-stable (the property randomSplit lacks).
     "sm03_split_assign" -> ((s, d) =>
@@ -128,6 +138,16 @@ object SamplingQueries extends QuerySet {
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM r WHERE rn <= 20
          GROUP BY lang ORDER BY lang""",
+    "sm09_cap_per_group" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY source
+                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                             doc_id) AS rn
+           FROM documents)
+         SELECT source, doc_id FROM r WHERE rn <= 15
+         ORDER BY source, doc_id""",
     "sm03_split_assign" ->
       """SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM (SELECT doc_id,

@@ -172,4 +172,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("id").as[Long].collect().toSet ==
       again.select("id").as[Long].collect().toSet)
   }
+
+  test("capPerGroup selects the same rows as stratifiedTake, both modes") {
+    // the window-free TopKAgg path must reproduce the window's
+    // selection exactly — (hash key asc, id asc) is the same total
+    // order in both operators
+    for (portable <- Seq(false, true)) {
+      val win = Sampling.stratifiedTake(base, "grp", "id", 50,
+          portable = portable)
+        .select("grp", "id").as[(String, Long)].collect().toSet
+      val agg = Sampling.capPerGroup(base, "grp", "id", 50,
+          portable = portable)
+        .select("grp", "id").as[(String, Long)].collect().toSet
+      assert(agg == win, s"portable=$portable: " +
+        s"diff ${(agg diff win) ++ (win diff agg)}")
+    }
+    // layout invariance: map-side heaps merge to the same survivors
+    val spread = Sampling.capPerGroup(base.repartition(13), "grp", "id",
+      50).select("id").as[Long].collect().toSet
+    val one = Sampling.capPerGroup(base.coalesce(1), "grp", "id", 50)
+      .select("id").as[Long].collect().toSet
+    assert(spread == one)
+    // documented divergence: null strata drop (the window form would
+    // sample them as one more partition)
+    val withNull = base.union(Seq((90001L, null: String)).toDF("id", "grp"))
+    assert(Sampling.capPerGroup(withNull, "grp", "id", 50)
+      .filter($"grp".isNull).count() == 0)
+  }
 }
