@@ -865,6 +865,70 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Cross-document repeated-span REMOVAL — the scrub step behind
+    * [[passageOverlap]]'s report (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": repeated ≥n-token
+    * substrings are removed from all but one occurrence). Every
+    * n-token span appearing in ≥ `minDocs` distinct documents keeps
+    * its FIRST occurrence (the min-id document keeps every token) and
+    * is scrubbed everywhere else: a token goes iff some shared span
+    * covers it and this document is not that span's first. Documents
+    * scrubbed empty drop entirely; order of surviving tokens is
+    * preserved.
+    *
+    * Scale shape: span occurrences shuffle as 32-byte md5 digests
+    * (one grouped pass with map-side partials — the [[passageOverlap]]
+    * layout); removal START positions come back per document as one
+    * doc-bounded `collect_set` (≤ tokens-per-doc ints, never corpus-
+    * bounded); and the rebuild is a scan-local HOF filter against that
+    * array — corpus TOKENS never shuffle, only digests and positions
+    * do. Per-row rebuild cost is |tokens| × |removal starts|, bounded
+    * by boilerplate density, not corpus size.
+    *
+    * Span keys hash the LOWERCASED tokens (match [[passageOverlap]]);
+    * the rebuild re-emits the original-case tokens at surviving
+    * positions (whitespace runs collapse to single spaces — the same
+    * token-rebuild contract as [[lineDedup]]'s reassembly). Documents
+    * shorter than n tokens emit no spans and pass through untouched.
+    */
+  def removeSharedPassages(df: DataFrame, textCol: String, idCol: String,
+                           n: Int, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(n >= 2, s"span length must be >= 2, got $n")
+    val spans = Layout.fanOut(df)
+      .select(col(idCol).as("__id"),
+        TextAnalysis.tokens(lower(col(textCol))).as("__lt"))
+      .filter(size(col("__lt")) >= n)
+      .select(col("__id"),
+        posexplode(passages(col("__lt"), n)).as(Seq("__pos", "__p")))
+      .select(col("__id"), col("__pos"),
+        md5(col("__p").cast("binary")).as("__key"))
+    val shared = spans.groupBy(col("__key"))
+      .agg(countDistinct(col("__id")).as("__nd"),
+        min(col("__id")).as("__first"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__key"), col("__first"))
+    val starts = spans.join(shared, Seq("__key"))
+      .filter(col("__id") =!= col("__first"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__pos")).as("__starts"))
+    val joined = df.join(starts.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left")
+    val raw = TextAnalysis.tokens(col(textCol))
+    // surviving tokens: original-case token at 0-based position i stays
+    // iff no removal start s covers it (s <= i < s + n)
+    val kept = filter(
+      transform(raw, (t, i) => struct(t.as("t"), i.as("i"))),
+      x => !exists(col("__starts"), s =>
+        x.getField("i") >= s && x.getField("i") < s + n))
+    joined
+      .withColumn(textCol,
+        when(col("__starts").isNull, col(textCol))
+          .otherwise(array_join(transform(kept, _.getField("t")), " ")))
+      .filter(length(col(textCol)) > 0)
+      .drop("__starts")
+  }
+
   // ---------- n-gram Jaccard (exact, un-banded baseline) ----------
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the

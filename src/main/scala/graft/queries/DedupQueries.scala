@@ -154,6 +154,29 @@ object DedupQueries extends QuerySet {
         sum(col("doc_id")).cast("long").as("id_checksum"))
     }),
 
+    // Repeated-span REMOVAL (Lee et al. 2022 scrub): plant a shared
+    // 10-token footer on every 6th doc; each shared 5-token span keeps
+    // its first (min-id) occurrence and is scrubbed everywhere else.
+    // The word-soup corpus also shares ~1k NATURAL 5-gram spans, so
+    // the oracle exercises both planted and organic repeats — per-doc
+    // token counts and the md5 of every rebuilt text hash-exact
+    // (fully-covered docs drop; DuckDB replays the whole scrub).
+    "d13_passage_scrub" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .withColumn("text",
+          when(col("doc_id") % 6 === 0,
+            concat(col("text"),
+              lit(" exactly repeated footer tokens appear verbatim " +
+                "across many crawled pages")))
+            .otherwise(col("text")))
+      Dedup.removeSharedPassages(docs, "text", "doc_id", n = 5,
+        minDocs = 2)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_after"),
+          md5(col("text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Passage-level overlap: every 10th doc gains an identical
     // boilerplate tail — its 5-token passages must surface as shared
     // across ≥2 docs. Passages travel as engine-portable md5 digests,
@@ -266,6 +289,45 @@ object DedupQueries extends QuerySet {
        END)"""
 
   def oracle: Map[String, String] = Map(
+    "d13_passage_scrub" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 6 = 0
+                       THEN text || ' exactly repeated footer tokens ' ||
+                            'appear verbatim across many crawled pages'
+                       ELSE text END AS text
+           FROM documents),
+         tk AS (SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS rt,
+                       string_split_regex(trim(lower(text)), '\s+') AS lt
+                FROM base),
+         sp0 AS (SELECT doc_id, lt,
+                        unnest(range(0, len(lt) - 4)) AS pos
+                 FROM tk WHERE len(lt) >= 5),
+         sp AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                       md5(list_aggregate(lt[pos+1:pos+5],
+                                          'string_agg', ' ')) AS key
+                FROM sp0),
+         shared AS (SELECT key, MIN(doc_id) AS first
+                    FROM sp GROUP BY key
+                    HAVING COUNT(DISTINCT doc_id) >= 2),
+         rm AS (SELECT sp.doc_id, sp.pos
+                FROM sp JOIN shared USING (key)
+                WHERE sp.doc_id <> shared.first),
+         starts AS (SELECT doc_id, list(DISTINCT pos) AS ss
+                    FROM rm GROUP BY doc_id),
+         rebuilt AS (
+           SELECT tk.doc_id,
+                  CASE WHEN ss IS NULL THEN tk.rt
+                       ELSE list_filter(tk.rt, (x, i) ->
+                              len(list_filter(ss, s ->
+                                i - 1 >= s AND i - 1 < s + 5)) = 0)
+                  END AS kt
+           FROM tk LEFT JOIN starts ON tk.doc_id = starts.doc_id)
+         SELECT doc_id, CAST(len(kt) AS INT) AS n_after,
+                md5(list_aggregate(kt, 'string_agg', ' ')) AS clean_md5
+         FROM rebuilt WHERE len(kt) > 0
+         ORDER BY doc_id""",
     "d08_passage_overlap" ->
       """WITH docs AS (
            SELECT doc_id,

@@ -303,6 +303,37 @@ class PipelineOpsSpec extends SparkSpec {
     cached.release()
   }
 
+  test("removeSharedPassages scrubs repeats, keeps first occurrence") {
+    // docs 2 and 3 share a 6-token tail; with n=5 the two pure-tail
+    // windows cover all 6 tail positions. Straddling windows are
+    // unique per doc, so body tokens survive untouched.
+    val corpus = Seq(
+      (1L, "apple banana cherry date elder fig grape"),
+      (2L, "red orange yellow green blue COMMON tail tokens shared here now"),
+      (3L, "One Two Three Four Five COMMON tail tokens shared here now"),
+      (4L, "z1 z2 z3 z4 z5"),
+      (5L, "z1 z2 z3 z4 z5"),
+      (6L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.removeSharedPassages(corpus, "text", "doc_id",
+      n = 5, minDocs = 2)
+    val m = out.as[(Long, String)].collect().toMap
+    assert(m(1L) == "apple banana cherry date elder fig grape")
+    // first occurrence (min id) keeps every token
+    assert(m(2L) == "red orange yellow green blue COMMON tail tokens shared here now")
+    // later occurrence loses exactly the shared tail, case preserved
+    assert(m(3L) == "One Two Three Four Five")
+    // identical whole-doc spans: first kept, second scrubbed empty →
+    // dropped
+    assert(m(4L) == "z1 z2 z3 z4 z5" && !m.contains(5L))
+    // under-length doc passes through untouched
+    assert(m(6L) == "x y")
+
+    // threshold respected: minDocs=3 leaves the 2-doc tail alone
+    val loose = Dedup.removeSharedPassages(corpus, "text", "doc_id",
+      n = 5, minDocs = 3).as[(Long, String)].collect().toMap
+    assert(loose(3L) == "One Two Three Four Five COMMON tail tokens shared here now")
+  }
+
   test("exact dedup keeps lowest-id representative") {
     val dup = docs.select("doc_id", "text")
       .union(docs.select($"doc_id" + 100000 as "doc_id", $"text"))

@@ -119,6 +119,12 @@ class PlanSpec extends SparkSpec {
         if b.joinType.toString == "LeftAnti" => b }.nonEmpty,
       "d11 blocked-line anti-join is not broadcast")
 
+    // per-group cap: the TopKAgg selection must plan as aggregates —
+    // any WindowExec means the giant-stratum funnel came back
+    val sm09 = plan("sm09_cap_per_group")
+    assert(sm09.collect { case w: WindowExec => w }.isEmpty,
+      "sm09 plans a WindowExec — capPerGroup regressed to a window")
+
     // shuffle shards and budget fill: deterministic permutation /
     // prefix sums with NO single-partition window anywhere
     for (q <- Seq("sm07_shuffle_shards", "sm08_budget_fill")) {
