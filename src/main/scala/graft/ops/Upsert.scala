@@ -73,4 +73,29 @@ object Upsert {
       .withColumn("valid_to", lead(col(versionCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Corpus snapshot diff: classify every id across two snapshots as
+    * `added` / `removed` / `changed` / `unchanged` by content digest —
+    * the audit between crawl snapshots that decides what to re-embed,
+    * re-tokenize, or re-index downstream. ONE full outer join on the
+    * id; content compares as md5 digests computed inside each side's
+    * scan, so the join carries 32-byte digests (never document text)
+    * and the comparison after the exchange is a fixed-width equality.
+    * A null `contentCol` digests to null: null vs null compares
+    * `unchanged` (null-safe equality), null vs text `changed`.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol),
+      md5(col(contentCol).cast("binary")).as("__old"))
+    val n = newSnap.select(col(idCol),
+      md5(col(contentCol).cast("binary")).as("__new"))
+    o.withColumn("__in_old", lit(1))
+      .join(n.withColumn("__in_new", lit(1)), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("__old") <=> col("__new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

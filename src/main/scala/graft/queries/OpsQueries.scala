@@ -50,6 +50,24 @@ object OpsQueries extends QuerySet {
         .orderBy(col("c_custkey"))
     }),
 
+    // Corpus snapshot diff: between two crawl snapshots (every 10th≡3
+    // doc is new, every 10th≡7 dropped, every 6th edited), classify
+    // each id added/removed/changed/unchanged by content digest — one
+    // full outer join carrying 32-byte md5s, never text.
+    "u03_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("text",
+          when(col("doc_id") % 6 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")))
+      graft.ops.Upsert.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_checksum"))
+        .orderBy(col("status"))
+    }),
+
     // Type-2 SCD history from a change log: lineitem plays the change
     // stream (key = order, version = line number); each change's
     // validity interval closes at the next version, open = current.
@@ -233,6 +251,22 @@ object OpsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "u03_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id % 10 <> 3),
+         n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 0 THEN text || ' updated'
+                      ELSE text END AS text
+               FROM documents WHERE doc_id % 10 <> 7),
+         j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.text = n.text THEN 'unchanged'
+                      ELSE 'changed' END AS status
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT status, COUNT(*) AS n,
+                CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+         FROM j GROUP BY status ORDER BY status""",
     "u01_upsert_compact" ->
       """WITH snap AS (
            SELECT c_custkey, c_acctbal, 0 AS version, FALSE AS deleted

@@ -12,6 +12,8 @@ import graft.ops.LogGrammar
 object SourceQueries extends QuerySet {
   import Parity._
 
+  private val enStop = graft.ops.TextAnalysis.langStopwords("en")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S3/S4/F7/F8/F17: deterministic generator. Not DuckDB-expressible
     // (Spark's rand stream) — no oracle entry; the driver records a
@@ -142,6 +144,29 @@ object SourceQueries extends QuerySet {
           sum(col("id")).cast("long").as("id_checksum"))
     }),
 
+    // Streaming quality gate (§2.6 × the text layer): the full Gopher
+    // rule battery — pure integer-comparison column exprs — runs
+    // INSIDE the stream's scan, aggregating per-language pass counts
+    // in complete mode. The filter a streaming crawl ingest applies
+    // before anything is persisted; bounded source ≡ the batch battery.
+    "st06_stream_quality" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val qn = "st06_quality_sink"
+      val g = graft.ops.TextAnalysis.gopherRules(col("text"),
+        graft.ops.TextAnalysis.langStopwords("en"), minWords = 30)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("lang"), g.as("g"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("g.pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(!col("g.stopword_ok"), 1L).otherwise(0L)).as("f_stop"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy(col("lang"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -260,6 +285,38 @@ object SourceQueries extends QuerySet {
                      AS BIGINT) AS n_copies_kept,
                 CAST(SUM(id) AS BIGINT) AS id_checksum
          FROM kept""",
+    "st06_stream_quality" ->
+      s"""WITH t AS (SELECT lang, text,
+                  string_split_regex(trim(text), '\\s+') AS toks,
+                  string_split_regex(trim(lower(text)), '\\s+') AS ltoks
+                FROM documents),
+          m AS (SELECT lang,
+                  CAST(len(toks) AS BIGINT) AS n,
+                  CAST(COALESCE(list_aggregate(
+                    list_transform(toks, x -> len(x)), 'sum'), 0)
+                    AS BIGINT) AS sum_len,
+                  CAST(len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                    AS BIGINT) AS n_sym,
+                  CAST(len(list_filter(ltoks, x -> x IN
+                    (${enStop.map(w => s"'$w'").mkString(",")})))
+                    AS BIGINT) AS n_stop
+                FROM t),
+          r AS (SELECT lang,
+                  (n >= 30 AND n <= 100000) AS words_ok,
+                  (sum_len >= 3 * n AND sum_len <= 10 * n) AS mean_len_ok,
+                  (10 * n_sym <= n) AS symbol_ok,
+                  (5 * n_alpha >= 4 * n) AS alpha_ok,
+                  (n_stop >= 2) AS stopword_ok
+                FROM m)
+          SELECT lang, COUNT(*) AS n,
+            CAST(SUM(CASE WHEN words_ok AND mean_len_ok AND symbol_ok
+                           AND alpha_ok AND stopword_ok
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+            CAST(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS f_stop
+          FROM r GROUP BY lang ORDER BY lang""",
     "s07_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,

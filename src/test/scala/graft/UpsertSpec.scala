@@ -51,6 +51,19 @@ class UpsertSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies ids by content digest, nulls null-safely") {
+    val oldSnap = Seq((1L, "same"), (2L, "before"), (3L, "gone"),
+      (5L, null: String), (6L, null: String))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, "same"), (2L, "after"), (4L, "fresh"),
+      (5L, null: String), (6L, "filled in"))
+      .toDF("id", "text")
+    val m = Upsert.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"), m.toString)
+  }
+
   test("scd2 builds per-key validity chains; last change stays open") {
     import org.apache.spark.sql.functions.col
     val changes = Seq(
