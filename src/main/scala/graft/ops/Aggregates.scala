@@ -496,6 +496,96 @@ object Aggregates {
       .drop("__g", "__lo", "__hi")
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — the distribution-drift
+    * monitor a scoring pipeline runs between a reference window and
+    * live traffic (the reference re-reads its whole log per dashboard
+    * tick instead, `FD/evaluation.py:102-104`; this is the bounded,
+    * aggregated form of that comparison).
+    *
+    * D = max over distinct values v of |F_exp(v) − F_act(v)|, with
+    * both ECDFs right-continuous step functions. Computed windowless:
+    * groupBy(value) counts, then [[bucketedPrefixSums]] for the
+    * cumulative counts — no global sort, no single-partition stage,
+    * and the shuffled frame is the DISTINCT-value frame, not the
+    * corpus. The comparison runs on the INTEGER numerator
+    * |cumE·Nact − cumA·Nexp| (exact in long far past any realistic
+    * sample), and the reported `ks` is one exact-integer division —
+    * bit-stable across engines, no transcendental anywhere.
+    *
+    * Returns one row: (n_expected, n_actual, ks_num, ks) where
+    * ks = ks_num / (n_expected · n_actual).
+    */
+  def ksDrift(expected: DataFrame, actual: DataFrame,
+              valueCol: String): DataFrame = {
+    val side = (d: DataFrame, a: Long, b: Long) =>
+      d.select(col(valueCol).cast("double").as("v"),
+        lit(a).as("ea"), lit(b).as("ab")).filter(col("v").isNotNull)
+    val perV = side(expected, 1L, 0L).unionAll(side(actual, 0L, 1L))
+      .groupBy(col("v"))
+      .agg(sum(col("ea")).as("ca"), sum(col("ab")).as("cb"))
+    val cum = bucketedPrefixSums(perV, "v", ascending = true,
+      Seq("ca", "cb"))
+    val tot = perV.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(col("na")).as("n_expected"),
+        max(col("nb")).as("n_actual"),
+        max(abs(col("cum_ca") * col("nb") - col("cum_cb") * col("na")))
+          .as("ks_num"))
+      .withColumn("ks",
+        col("ks_num") / (col("n_expected") * col("n_actual"))
+          .cast("double"))
+  }
+
+  /** Population Stability Index over equal-width bins — the binned
+    * drift companion to [[ksDrift]], the monitor fraud teams alarm on
+    * (PSI > 0.2 ≙ retrain). Bin edges come from the EXPECTED side's
+    * min/max (one tiny agg, broadcast into both binning projections);
+    * actual-side values outside the range clamp to the edge bins.
+    * Laplace add-1 smoothing keeps empty bins finite:
+    * p_i = (nE_i + 1)/(NE + bins). Per-bin counts are exact integers;
+    * the ln-bearing contribution is rounded to 9dp (the t09 stance:
+    * ln is not correctly rounded, the last ulp may differ across
+    * engines). At scale this is two scans + one `bins`-row agg.
+    *
+    * Returns one row per bin: (bin, n_expected, n_actual, psi_term)
+    * — Σ psi_term is the PSI.
+    */
+  def psiDrift(expected: DataFrame, actual: DataFrame, valueCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val edges = expected
+      .agg(min(col(valueCol).cast("double")).as("__mn"),
+        max(col(valueCol).cast("double")).as("__mx"))
+    val binned = (d: DataFrame) =>
+      d.select(col(valueCol).cast("double").as("v"))
+        .filter(col("v").isNotNull)
+        .crossJoin(broadcast(edges))
+        .select(
+          when(col("__mx") === col("__mn"), lit(0L))
+            .otherwise(greatest(lit(0L), least(
+              floor((col("v") - col("__mn")) /
+                (col("__mx") - col("__mn")) * bins),
+              lit(bins - 1L)))).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val e = binned(expected).withColumnRenamed("n", "n_expected")
+    val a = binned(actual).withColumnRenamed("n", "n_actual")
+      .withColumnRenamed("bin", "__abin")
+    val byBin = e.join(a, col("bin") === col("__abin"), "full_outer")
+      .select(coalesce(col("bin"), col("__abin")).as("bin"),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+    val totals = byBin.agg(sum(col("n_expected")).as("ne"),
+      sum(col("n_actual")).as("na"))
+    byBin.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_expected"), col("n_actual"),
+        round(
+          ((col("n_expected") + 1) / (col("ne") + bins).cast("double") -
+            (col("n_actual") + 1) / (col("na") + bins).cast("double")) *
+            log(((col("n_expected") + 1) * (col("na") + bins)).cast("double") /
+              ((col("n_actual") + 1) * (col("ne") + bins)).cast("double")),
+          9).as("psi_term"))
+  }
+
   /** A12: accuracy as a single aggregate (`FD/evaluation.py:145`). */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((avg((col(labelCol) === col(predCol)).cast("double")) * 100)

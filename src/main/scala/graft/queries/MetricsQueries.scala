@@ -67,10 +67,85 @@ object MetricsQueries extends QuerySet {
     // Calibration: Brier + 10-bin ECE from one grouped pass; decimal
     // partial sums make both engine-exact.
     "a23_calibration" -> ((s, d) =>
-      Aggregates.calibration(scored(s, d), "label", "proba", bins = 10))
+      Aggregates.calibration(scored(s, d), "label", "proba", bins = 10)),
+
+    // Two-sample KS drift between the click and purchase value
+    // distributions — reference window vs live traffic. Windowless
+    // ECDFs (bucketed prefix sums over the distinct-value frame); the
+    // statistic compares as an exact integer numerator.
+    "a24_ks_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Aggregates.ksDrift(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value")
+    }),
+
+    // PSI over 10 equal-width bins anchored on the expected side —
+    // the binned drift monitor (alarm at PSI > 0.2). Per-bin counts
+    // exact; the ln-bearing term rounds to 9dp (t09 stance).
+    "a25_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Aggregates.psiDrift(
+        ev.filter(col("event_type") === "click").select(col("value")),
+        ev.filter(col("event_type") === "purchase").select(col("value")),
+        "value", bins = 10)
+        .orderBy(col("bin"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
+    "a24_ks_drift" ->
+      """WITH e AS (SELECT value AS v FROM events
+                    WHERE event_type = 'click' AND value IS NOT NULL),
+           a AS (SELECT value AS v FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+           u AS (SELECT v, 1 AS ca, 0 AS cb FROM e
+                 UNION ALL SELECT v, 0, 1 FROM a),
+           perv AS (SELECT v, SUM(ca) AS ca, SUM(cb) AS cb
+                    FROM u GROUP BY v),
+           c AS (SELECT SUM(ca) OVER w AS cuma, SUM(cb) OVER w AS cumb
+                 FROM perv
+                 WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM perv)
+         SELECT CAST(na AS BIGINT) AS n_expected,
+                CAST(nb AS BIGINT) AS n_actual,
+                CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+                CAST(MAX(ABS(cuma * nb - cumb * na)) AS DOUBLE)
+                  / (na * nb) AS ks
+         FROM c CROSS JOIN t GROUP BY na, nb""",
+    "a25_psi_drift" ->
+      """WITH e AS (SELECT value AS v FROM events
+                    WHERE event_type = 'click' AND value IS NOT NULL),
+           a AS (SELECT value AS v FROM events
+                 WHERE event_type = 'purchase' AND value IS NOT NULL),
+           edges AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM e),
+           be AS (SELECT CASE WHEN mx = mn THEN 0
+                    ELSE GREATEST(0, LEAST(
+                      CAST(FLOOR((v - mn) / (mx - mn) * 10) AS BIGINT), 9))
+                    END AS bin
+                  FROM e CROSS JOIN edges),
+           ba AS (SELECT CASE WHEN mx = mn THEN 0
+                    ELSE GREATEST(0, LEAST(
+                      CAST(FLOOR((v - mn) / (mx - mn) * 10) AS BIGINT), 9))
+                    END AS bin
+                  FROM a CROSS JOIN edges),
+           ce AS (SELECT bin, COUNT(*) AS n_expected FROM be GROUP BY bin),
+           ca AS (SELECT bin, COUNT(*) AS n_actual FROM ba GROUP BY bin),
+           bb AS (SELECT COALESCE(ce.bin, ca.bin) AS bin,
+                    COALESCE(n_expected, 0) AS n_expected,
+                    COALESCE(n_actual, 0) AS n_actual
+                  FROM ce FULL OUTER JOIN ca ON ce.bin = ca.bin),
+           t AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na
+                 FROM bb)
+         SELECT bin, n_expected, n_actual,
+                ROUND(((n_expected + 1) / CAST(ne + 10 AS DOUBLE) -
+                       (n_actual + 1) / CAST(na + 10 AS DOUBLE)) *
+                  ln(CAST((n_expected + 1) * (na + 10) AS DOUBLE) /
+                     CAST((n_actual + 1) * (ne + 10) AS DOUBLE)), 9)
+                  AS psi_term
+         FROM bb CROSS JOIN t ORDER BY bin""",
     "a11_metric_battery" ->
       s"""WITH cm AS (
             SELECT

@@ -167,6 +167,41 @@ object SourceQueries extends QuerySet {
       s.table(qn).orderBy(col("lang"))
     }),
 
+    // Stream-stream join (§2.6): click→purchase attribution — each
+    // click joins purchases by the SAME user landing within 10 minutes
+    // after it. Both sides carry watermarks and the join condition
+    // bounds event time, so Spark can evict state (the only way a
+    // stream-stream join survives unbounded input). Inner join in
+    // append mode on a bounded source ≡ the batch interval join the
+    // oracle states; times run on epoch-µs (j09's NANOS convention).
+    "st07_stream_stream_join" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st07_join_sink"
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ct"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("pt"))
+      val q = graft.streaming.Attribution.intervalJoin(
+          clicks, purchases, keyCol = "user_id",
+          leftTimeCol = "ct", rightTimeCol = "pt",
+          horizon = "10 minutes", watermark = "30 minutes")
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+        .groupBy(expr("gap_us div 60000000").as("gap_min"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("click_id")).cast("long").as("click_checksum"),
+          sum(col("purchase_id")).cast("long").as("purchase_checksum"))
+        .orderBy(col("gap_min"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -317,6 +352,20 @@ object SourceQueries extends QuerySet {
             CAST(SUM(CASE WHEN NOT stopword_ok THEN 1 ELSE 0 END)
                  AS BIGINT) AS f_stop
           FROM r GROUP BY lang ORDER BY lang""",
+    "st07_stream_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                      epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'click'),
+           p AS (SELECT event_id AS purchase_id, user_id,
+                   epoch_us(ts) AS pt
+                 FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT click_id, purchase_id, pt - ct AS gap_us
+                 FROM c JOIN p USING (user_id)
+                 WHERE pt >= ct AND pt <= ct + 600000000)
+         SELECT gap_us // 60000000 AS gap_min, COUNT(*) AS n_pairs,
+                CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+                CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum
+         FROM j GROUP BY 1 ORDER BY 1""",
     "s07_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,

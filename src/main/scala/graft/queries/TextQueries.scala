@@ -15,6 +15,33 @@ object TextQueries extends QuerySet {
   private val enStop = TextAnalysis.langStopwords("en")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Spell correction / OCR cleanup: plant a deterministic typo (last
+    // char → '~' on every 5th (doc_id+pos) token of length ≥ 4), then
+    // recover it against the corpus's own vocabulary via the blocked
+    // levenshtein join. Shape: corrections run over DISTINCT OOV terms
+    // (bounded by vocabulary size, not corpus size) with the dictionary
+    // broadcast twice — the exploded corpus is never shuffled.
+    "t20_spell_correct" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val dirty = toks.withColumn("tok",
+        when((col("doc_id") + col("pos")) % 5 === 0 &&
+            length(col("tok")) >= 4,
+          concat(expr("substring(tok, 1, length(tok) - 1)"), lit("~")))
+          .otherwise(col("tok")))
+      val vocab = toks.select(col("tok")).distinct()
+      val oov = dirty.join(vocab.withColumnRenamed("tok", "__v"),
+        col("tok") === col("__v"), "left_anti")
+      val corr = graft.ops.FuzzyJoin.corrections(
+        oov.select(col("tok")), "tok", vocab, "tok", maxDist = 1)
+      oov.join(broadcast(corr), col("tok") === col("term"))
+        .groupBy(col("term").as("dirty"), col("corrected"), col("dist"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("doc_checksum"))
+        .orderBy(col("dirty"))
+    }),
+
     // Token counting (whitespace + BPE-ish regex) per language.
     "t01_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -316,6 +343,38 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t20_spell_correct" ->
+      """WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+           tok AS (SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) - 1 AS pos
+                   FROM t),
+           dirty AS (SELECT doc_id,
+                       CASE WHEN (doc_id + pos) % 5 = 0 AND len(tok) >= 4
+                            THEN substring(tok, 1, len(tok) - 1) || '~'
+                            ELSE tok END AS tok
+                     FROM tok),
+           vocab AS (SELECT DISTINCT tok FROM tok),
+           oov AS (SELECT d.* FROM dirty d
+                   WHERE d.tok NOT IN (SELECT tok FROM vocab)),
+           cand AS (SELECT o.term, v.tok AS cand,
+                      levenshtein(o.term, v.tok) AS dist
+                    FROM (SELECT DISTINCT tok AS term FROM oov) o
+                    JOIN vocab v
+                      ON substring(o.term, 1, 1) = substring(v.tok, 1, 1)
+                     AND abs(len(o.term) - len(v.tok)) <= 1
+                     AND levenshtein(o.term, v.tok) <= 1),
+           best AS (SELECT term, cand AS corrected,
+                      CAST(dist AS BIGINT) AS dist,
+                      ROW_NUMBER() OVER (PARTITION BY term
+                                         ORDER BY dist, cand) AS rn
+                    FROM cand)
+         SELECT o.tok AS dirty, b.corrected, b.dist,
+                COUNT(*) AS n,
+                CAST(SUM(o.doc_id) AS BIGINT) AS doc_checksum
+         FROM oov o JOIN best b ON o.tok = b.term AND b.rn = 1
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "t18_script_profile" ->
       """WITH planted AS (
            SELECT lang,

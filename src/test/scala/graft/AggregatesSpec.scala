@@ -223,4 +223,41 @@ class AggregatesSpec extends SparkSpec {
     assert(w.count() == 5)
     assert(w.filter(col("g").isNull).count() == 2)
   }
+
+  test("ksDrift: hand-computed D on overlapping samples, exact numerator") {
+    // E=[1,2,3,4], A=[3,4,5,6]: F_E-F_A peaks at 0.5 (v=2..4)
+    val e = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val a = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Aggregates.ksDrift(e, a, "v").first()
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getLong(2) == 8, s"ks_num ${r.getLong(2)}") // 8/16 = 0.5
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  test("ksDrift: identical samples give D = 0") {
+    val e = Seq(1.0, 2.0, 2.0, 9.0).toDF("v")
+    val r = Aggregates.ksDrift(e, e, "v").first()
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+  }
+
+  test("psiDrift: bin counts, clamped outliers, formula match") {
+    // one expected value per bin; actual concentrated in bin 5 with
+    // outliers beyond both edges clamping to bins 0 and 9
+    val e = (0 to 9).map(i => i + 0.5).toDF("v")
+    val a = Seq(5.51, 5.52, 5.53, -100.0, 100.0).toDF("v")
+    val rows = Aggregates.psiDrift(e, a, "v", bins = 10)
+      .orderBy(col("bin")).collect()
+    val byBin = rows.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.map(_.getLong(1)).sum == 10)
+    assert(rows.map(_.getLong(2)).sum == 5)
+    assert(byBin(5L)._2 == 3 && byBin(0L)._2 == 1 && byBin(9L)._2 == 1)
+    // replicate the smoothed formula for bin 5 (nE=1, nA=3, NE=10, NA=5)
+    val expected = BigDecimal(
+      (2.0 / 20 - 4.0 / 15) * math.log((2.0 * 15) / (4.0 * 20)))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(byBin(5L)._3 == expected, s"${byBin(5L)._3} vs $expected")
+    // (p-q) and ln(p/q) always share sign → every PSI term is >= 0
+    assert(rows.forall(_.getDouble(3) >= 0), rows.mkString(","))
+  }
 }

@@ -222,6 +222,47 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs within the horizon") {
+    import java.sql.Timestamp
+    import graft.streaming.Attribution
+    // offset clear of epoch 0: the initial watermark is exactly
+    // 1970-01-01T00:00, and a row AT the watermark counts as late
+    def t(min: Long) = new Timestamp(86400000L + min * 60000L)
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = Attribution.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "ct"),
+      buys.toDF().toDF("buy_id", "user_id", "pt"),
+      keyCol = "user_id", leftTimeCol = "ct", rightTimeCol = "pt",
+      horizon = "10 minutes", watermark = "1 hour")
+    val q = joined.select($"click_id", $"buy_id")
+      .writeStream.format("memory").queryName("st_attr_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: click@0 → buys at +5 (match) and +20 (outside horizon);
+      // a second click@15 catches the +20 buy. user 2: buy BEFORE the
+      // click (never matches). user 3: click with no buy at all.
+      clicks.addData((100L, 1L, t(0)), (101L, 1L, t(15)),
+        (102L, 2L, t(10)), (103L, 3L, t(0)))
+      buys.addData((200L, 1L, t(5)), (201L, 1L, t(20)), (202L, 2L, t(2)))
+      q.processAllAvailable()
+      val pairs = spark.table("st_attr_sink")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((100L, 200L), (101L, 201L)), pairs.toString)
+    } finally q.stop()
+  }
+
+  test("intervalJoin rejects colliding non-key column names") {
+    import java.sql.Timestamp
+    val a = Seq((1L, new Timestamp(0L), "x")).toDF("k", "t1", "dup")
+    val b = Seq((1L, new Timestamp(0L), "y")).toDF("k", "t2", "dup")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Attribution.intervalJoin(a, b, "k", "t1", "t2",
+        "10 minutes", "1 hour")
+    }
+    assert(e.getMessage.contains("dup"))
+  }
+
   test("watermark closes event-time windows in append mode") {
     import java.sql.Timestamp
     val stream = MemoryStream[(Timestamp, Double)](spark)
