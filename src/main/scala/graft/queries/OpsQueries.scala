@@ -226,6 +226,25 @@ object OpsQueries extends QuerySet {
         max(col("c_acctbal")).as("max_bal"),
         sum(length(col("c_name")).cast("long")).as("sum_name_len"))),
 
+    // Typed semi-structured extraction (beyond reference surface):
+    // `from_json` with an explicit schema — the codegen'd columnar
+    // path for JSON payloads, vs f14's regexp. Malformed records
+    // (planted on every 7th user) parse to null, counted per group:
+    // the ingest-quality signal a pipeline watches on a new feed.
+    "p13_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(col("user_id") % 7 === 0, lit("not json{"))
+            .otherwise(col("props")))
+        .withColumn("k", from_json(col("raw"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").isNull.cast("long")).as("n_bad"),
+          sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("event_type"))),
+
     // Sketches (beyond reference surface): HLL++ distinct + approximate
     // quantiles. Engine-specific internals → rows-only; tolerance vs
     // exact asserted in AggregatesSpec.
@@ -381,6 +400,20 @@ object OpsQueries extends QuerySet {
            MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
            CAST(SUM(LENGTH(c_name)) AS BIGINT) AS sum_name_len
          FROM customer""",
+    "p13_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+         FROM (SELECT event_type,
+                 CASE WHEN json_valid(raw)
+                   THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                 END AS k
+               FROM (SELECT event_type,
+                       CASE WHEN user_id % 7 = 0 THEN 'not json{'
+                            ELSE props END AS raw
+                     FROM events))
+         GROUP BY event_type ORDER BY event_type""",
     "a19_chart_groups" ->
       """SELECT CASE
            WHEN source IN ('src0','src1','src2','src3','src4') THEN 'early'

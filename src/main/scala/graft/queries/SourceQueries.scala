@@ -202,6 +202,74 @@ object SourceQueries extends QuerySet {
         .orderBy(col("gap_min"))
     }),
 
+    // Left-outer stream-stream join (§2.6): clicks that never
+    // converted. Unmatched clicks emit with null purchase columns only
+    // once the watermark passes click-time + horizon, so far-future
+    // sentinel events (user −1, excluded from the result) are appended
+    // on EACH side to close every real click's window. Eviction runs
+    // with the watermark of the PREVIOUS batch, so the sentinels land
+    // in two rounds: round 1 drags the watermark past the corpus,
+    // round 2 is the data batch whose eviction applies it — relying on
+    // the trailing no-data cleanup batch instead is a race on a file
+    // source. Bounded source + closed watermark ≡ the batch left
+    // interval join the oracle states.
+    "st08_stream_outer_join" -> ((s, d) => {
+      val stage = "/tmp/graft_st08_in"
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      // bounded driver scalar: one max over the corpus
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      val hourNs = 3600L * 1000000000L
+      def sentinels(round: Long) = s.range(1).select(
+          lit(-2 * round).as("event_id"),
+          lit(maxTs + round * hourNs).as("ts"),
+          lit(-1L).as("user_id"), lit("click").as("event_type"))
+        .union(s.range(1).select(
+          lit(-2 * round - 1).as("event_id"),
+          lit(maxTs + round * hourNs - 1L).as("ts"),
+          lit(-1L).as("user_id"), lit("purchase").as("event_type")))
+        .coalesce(1)
+      ev.write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st08_outer_sink"
+      def src = s.readStream.schema(schema).parquet(stage)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("ct"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("pt"))
+      val q = graft.streaming.Attribution.intervalJoin(
+          clicks, purchases, keyCol = "user_id",
+          leftTimeCol = "ct", rightTimeCol = "pt",
+          horizon = "10 minutes", watermark = "30 minutes",
+          joinType = "left_outer")
+        // sentinels flow through to the sink and are excluded in the
+        // batch aggregation below — a pushable in-stream predicate
+        // like user_id != -1 would be pushed into BOTH scans (the left
+        // directly, the right via the join-key equality constraint)
+        // and silently drop the rows that drive the watermark
+        .select(col("click_id"), col("purchase_id"),
+          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        for (round <- 1L to 2L) {
+          sentinels(round).write.mode("append").parquet(stage)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(qn)
+        .filter(col("click_id") >= 0L)
+        .groupBy(coalesce(expr("gap_us div 60000000"), lit(-1L))
+          .cast("long").as("gap_min"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("click_id")).cast("long").as("click_checksum"),
+          sum(col("purchase_id")).cast("long").as("purchase_checksum"))
+        .orderBy(col("gap_min"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -363,6 +431,23 @@ object SourceQueries extends QuerySet {
                  FROM c JOIN p USING (user_id)
                  WHERE pt >= ct AND pt <= ct + 600000000)
          SELECT gap_us // 60000000 AS gap_min, COUNT(*) AS n_pairs,
+                CAST(SUM(click_id) AS BIGINT) AS click_checksum,
+                CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "st08_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+                      epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'click'),
+           p AS (SELECT event_id AS purchase_id, user_id,
+                   epoch_us(ts) AS pt
+                 FROM events WHERE event_type = 'purchase'),
+           j AS (SELECT c.click_id, p.purchase_id, p.pt - c.ct AS gap_us
+                 FROM c LEFT JOIN p
+                   ON c.user_id = p.user_id
+                  AND p.pt >= c.ct AND p.pt <= c.ct + 600000000)
+         SELECT CAST(COALESCE(gap_us // 60000000, -1) AS BIGINT)
+                  AS gap_min,
+                COUNT(*) AS n_rows,
                 CAST(SUM(click_id) AS BIGINT) AS click_checksum,
                 CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum
          FROM j GROUP BY 1 ORDER BY 1""",

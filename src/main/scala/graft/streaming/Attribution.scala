@@ -22,17 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Attribution {
 
-  /** Inner-join `left` to `right` on `keyCol`, keeping pairs where
+  /** Join `left` to `right` on `keyCol`, keeping pairs where
     * `right.rightTimeCol ∈ [left.leftTimeCol, left.leftTimeCol +
     * horizon]`. Column names must be disjoint across the two inputs
     * except `keyCol`, which is required on both and deduplicated.
+    *
+    * `joinType` may be `inner` (default) or `left_outer`: the outer
+    * form emits a left row with null right columns once the watermark
+    * passes `leftTime + horizon` and no match arrived — the "click
+    * that never converted" record. The emission is watermark-driven,
+    * so unmatched rows surface only after the stream's event time
+    * moves past the horizon (plus the lateness bound).
     *
     * @param horizon   SQL interval literal body, e.g. "10 minutes"
     * @param watermark lateness bound applied to BOTH event-time columns
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
                    leftTimeCol: String, rightTimeCol: String,
-                   horizon: String, watermark: String): DataFrame = {
+                   horizon: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
     val overlap = left.columns.toSet
       .intersect(right.columns.toSet) - keyCol
     require(overlap.isEmpty,
@@ -44,7 +52,8 @@ object Attribution {
         col(keyCol) === col("__rk") &&
           col(rightTimeCol) >= col(leftTimeCol) &&
           col(rightTimeCol) <= col(leftTimeCol) +
-            expr(s"INTERVAL $horizon"))
+            expr(s"INTERVAL $horizon"),
+        joinType)
       .drop("__rk")
   }
 }

@@ -252,6 +252,44 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched clicks after the watermark closes") {
+    import java.sql.Timestamp
+    import graft.streaming.Attribution
+    def t(min: Long) = new Timestamp(86400000L + min * 60000L)
+    val clicks = MemoryStream[(Long, Long, Timestamp)](spark)
+    val buys = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = Attribution.intervalJoin(
+      clicks.toDF().toDF("click_id", "user_id", "ct"),
+      buys.toDF().toDF("buy_id", "user_id", "pt"),
+      keyCol = "user_id", leftTimeCol = "ct", rightTimeCol = "pt",
+      horizon = "10 minutes", watermark = "1 hour",
+      joinType = "left_outer")
+    val q = joined.select($"click_id", $"buy_id")
+      .writeStream.format("memory").queryName("st_attr_outer_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 converts; user 2's buy precedes the click; user 3 never
+      // buys. 2 and 3 must surface as null-buy rows — but only after
+      // the watermark (min across BOTH streams) passes ct + horizon.
+      clicks.addData((100L, 1L, t(0)), (102L, 2L, t(10)), (103L, 3L, t(0)))
+      buys.addData((200L, 1L, t(5)), (202L, 2L, t(2)))
+      q.processAllAvailable()
+      val matchedOnly = spark.table("st_attr_outer_sink")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(matchedOnly == Set((100L, Some(200L))), matchedOnly.toString)
+      // sentinel on both streams drags the watermark past the horizon;
+      // the buy PRECEDES the click so the sentinels never match each
+      // other (and the sentinel click itself stays unflushed in state)
+      clicks.addData((900L, 99L, t(300)))
+      buys.addData((901L, 99L, t(299)))
+      q.processAllAvailable()
+      val all = spark.table("st_attr_outer_sink")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(all == Set((100L, Some(200L)), (102L, None), (103L, None)),
+        all.toString)
+    } finally q.stop()
+  }
+
   test("intervalJoin rejects colliding non-key column names") {
     import java.sql.Timestamp
     val a = Seq((1L, new Timestamp(0L), "x")).toDF("k", "t1", "dup")
