@@ -586,6 +586,73 @@ object Aggregates {
           9).as("psi_term"))
   }
 
+  /** Chi-square drift for a CATEGORICAL column — the third drift
+    * monitor beside [[ksDrift]] (continuous) and [[psiDrift]] (binned):
+    * a 2×C contingency of `catCol` across the expected and actual
+    * frames, emitting one row per category with its observed counts
+    * and its chi-square contribution `Σ_side (obs − exp)² / exp`
+    * (expected from the margins). Terms are per-row and rounded to
+    * 9dp so the output is deterministic regardless of aggregation
+    * order; the caller sums them and compares against the χ²(C−1)
+    * critical value. One grouped count per side + a broadcast totals
+    * row — no shuffle wider than the category cardinality.
+    */
+  def chi2Drift(expected: DataFrame, actual: DataFrame,
+                catCol: String): DataFrame = {
+    val ce = expected.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("n_expected"))
+    val ca = actual.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("__acat")).agg(count(lit(1)).as("n_actual"))
+    val byCat = ce.join(ca, col(catCol) === col("__acat"), "full_outer")
+      .select(coalesce(col(catCol), col("__acat")).as(catCol),
+        coalesce(col("n_expected"), lit(0L)).as("n_expected"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+    val totals = byCat.agg(sum(col("n_expected")).as("__ne"),
+      sum(col("n_actual")).as("__na"))
+    byCat.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_expected"), col("n_actual"),
+        round({
+          val n = (col("__ne") + col("__na")).cast("double")
+          val rt = (col("n_expected") + col("n_actual")).cast("double")
+          val ee = rt * col("__ne") / n
+          val ea = rt * col("__na") / n
+          val de = col("n_expected") - ee
+          val da = col("n_actual") - ea
+          de * de / ee + da * da / ea
+        }, 9).as("chi2_term"))
+  }
+
+  /** Equi-depth (quantile) binning: assign every row to one of `k`
+    * equal-population bins of `valueCol` and report each bin's value
+    * range and occupancy — the feature-bucketization complement to
+    * [[psiDrift]]'s equal-width bins. A distinct value never splits
+    * across bins: the whole value group takes the bin of its first
+    * global rank, so a heavy value makes its bin oversized — that skew
+    * is reported, not hidden (qcut's duplicates="drop" stance).
+    *
+    * Windowless and exact: ranks come from `groupBy(value)` counts +
+    * [[bucketedPrefixSums]] (partition-parallel, no global sort), and
+    * the bin decision `(first_rank - 1) * k div N` is pure integer
+    * arithmetic — reproducible on any engine, no percentile
+    * interpolation. The shuffle carries the distinct-value frame, not
+    * the rows, so at 100 TB the cost is bounded by value cardinality.
+    */
+  def equidepthBins(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__cnt"))
+    val cum = bucketedPrefixSums(vals, valueCol, ascending = true,
+      sumCols = Seq("__cnt"))
+    val total = vals.agg(sum(col("__cnt")).as("__N"))
+    cum.crossJoin(broadcast(total))
+      .select(col(valueCol),
+        col("__cnt"),
+        expr(s"((cum___cnt - __cnt) * $k) div __N").as("bin"))
+      .groupBy(col("bin"))
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        sum(col("__cnt")).as("n"))
+  }
+
   /** A12: accuracy as a single aggregate (`FD/evaluation.py:145`). */
   def accuracy(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     df.agg((avg((col(labelCol) === col(predCol)).cast("double")) * 100)

@@ -91,6 +91,27 @@ object MetricsQueries extends QuerySet {
         ev.filter(col("event_type") === "purchase").select(col("value")),
         "value", bins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // Equi-depth binning of the event value distribution — 8 equal-
+    // population buckets with their value ranges, the quantile
+    // counterpart of a25's equal-width bins. The bin rule is integer-
+    // exact (first-rank arithmetic, no percentile interpolation).
+    "a26_equidepth" -> ((s, d) =>
+      Aggregates.equidepthBins(
+        Tables.events(s, d).select(col("value")), "value", k = 8)
+        .orderBy(col("bin"))),
+
+    // Chi-square drift on a categorical column: the language mix of
+    // even- vs odd-id documents as a 2×C contingency, one chi² term
+    // per language (9dp). Counts exact; terms deterministic per row.
+    "a27_chi2_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Aggregates.chi2Drift(
+        docs.filter(col("doc_id") % 2 === 0).select(col("lang")),
+        docs.filter(col("doc_id") % 2 === 1).select(col("lang")),
+        "lang")
+        .orderBy(col("lang"))
     })
   )
 
@@ -146,6 +167,46 @@ object MetricsQueries extends QuerySet {
                      CAST((n_actual + 1) * (ne + 10) AS DOUBLE)), 9)
                   AS psi_term
          FROM bb CROSS JOIN t ORDER BY bin""",
+    "a27_chi2_drift" ->
+      """WITH e AS (SELECT lang, COUNT(*) AS n_expected FROM documents
+                    WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+                    GROUP BY lang),
+           a AS (SELECT lang, COUNT(*) AS n_actual FROM documents
+                 WHERE doc_id % 2 = 1 AND lang IS NOT NULL
+                 GROUP BY lang),
+           b AS (SELECT COALESCE(e.lang, a.lang) AS lang,
+                   COALESCE(n_expected, 0) AS n_expected,
+                   COALESCE(n_actual, 0) AS n_actual
+                 FROM e FULL OUTER JOIN a ON e.lang = a.lang),
+           t AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na
+                 FROM b)
+         SELECT lang, n_expected, n_actual,
+                ROUND(
+                  (n_expected - (n_expected + n_actual) * ne /
+                     CAST(ne + na AS DOUBLE)) *
+                  (n_expected - (n_expected + n_actual) * ne /
+                     CAST(ne + na AS DOUBLE)) /
+                  ((n_expected + n_actual) * ne /
+                     CAST(ne + na AS DOUBLE)) +
+                  (n_actual - (n_expected + n_actual) * na /
+                     CAST(ne + na AS DOUBLE)) *
+                  (n_actual - (n_expected + n_actual) * na /
+                     CAST(ne + na AS DOUBLE)) /
+                  ((n_expected + n_actual) * na /
+                     CAST(ne + na AS DOUBLE)), 9) AS chi2_term
+         FROM b CROSS JOIN t ORDER BY lang""",
+    "a26_equidepth" ->
+      """WITH v AS (SELECT value AS v, COUNT(*) AS cnt FROM events
+                    WHERE value IS NOT NULL GROUP BY value),
+           c AS (SELECT v, cnt, SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum FROM v),
+           t AS (SELECT SUM(cnt) AS n_total FROM v),
+           b AS (SELECT v, cnt, ((cum - cnt) * 8) // n_total AS bin
+                 FROM c CROSS JOIN t)
+         SELECT CAST(bin AS BIGINT) AS bin, MIN(v) AS lo, MAX(v) AS hi,
+                CAST(SUM(cnt) AS BIGINT) AS n
+         FROM b GROUP BY bin ORDER BY bin""",
     "a11_metric_battery" ->
       s"""WITH cm AS (
             SELECT

@@ -234,6 +234,46 @@ class AggregatesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
   }
 
+  test("chi2Drift: hand-computed 2x2 terms, zero on identical mixes") {
+    // E=[a,a,a,b], A=[a,b,b,b]: margins give exp=2 per cell, so each
+    // category contributes (3-2)^2/2 + (1-2)^2/2 = 1.0
+    val e = Seq("a", "a", "a", "b").toDF("c")
+    val a = Seq("a", "b", "b", "b").toDF("c")
+    val r = Aggregates.chi2Drift(e, a, "c").orderBy($"c")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(("a", 3L, 1L, 1.0), ("b", 1L, 3L, 1.0)), r.toString)
+    // identical mixes → every term 0; a one-sided category still rows
+    val e2 = Seq("a", "b").toDF("c")
+    val r2 = Aggregates.chi2Drift(e2, e2, "c")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(r2.forall(_._4 == 0.0), r2.toString)
+    val oneSided = Aggregates.chi2Drift(e2, Seq("a", "z").toDF("c"), "c")
+      .as[(String, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(oneSided("z") == ((0L, 1L)) && oneSided("b") == ((1L, 0L)),
+      oneSided.toString)
+  }
+
+  test("equidepthBins: even split, heavy value keeps its group whole") {
+    // [1,1,1,1,2,3,4,5] k=2: value 1 fills bin 0 exactly; 2..5 bin 1
+    val even = Seq(1.0, 1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r1 = Aggregates.equidepthBins(even, "v", k = 2)
+      .orderBy($"bin").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(r1 == Seq((0L, 1.0, 1.0, 4L), (1L, 2.0, 5.0, 4L)), r1.toString)
+    // [1×5, 2×3] k=2: value 1 straddles the midpoint but stays whole —
+    // bin 0 oversized (5), bin 1 undersized (3)
+    val heavy = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0).toDF("v")
+    val r2 = Aggregates.equidepthBins(heavy, "v", k = 2)
+      .orderBy($"bin").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(r2 == Seq((0L, 1.0, 1.0, 5L), (1L, 2.0, 2.0, 3L)), r2.toString)
+    // nulls are excluded before ranking
+    val withNull = Seq(Some(1.0), None, Some(2.0), Some(3.0), Some(4.0))
+      .toDF("v")
+    val r3 = Aggregates.equidepthBins(withNull, "v", k = 2)
+      .orderBy($"bin").as[(Long, Double, Double, Long)].collect().toSeq
+    assert(r3 == Seq((0L, 1.0, 2.0, 2L), (1L, 3.0, 4.0, 2L)), r3.toString)
+  }
+
   test("ksDrift: identical samples give D = 0") {
     val e = Seq(1.0, 2.0, 2.0, 9.0).toDF("v")
     val r = Aggregates.ksDrift(e, e, "v").first()
