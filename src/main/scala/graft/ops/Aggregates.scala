@@ -452,6 +452,68 @@ object Aggregates {
       .drop("__g", "__n", "__s", "__s2", "__mean", "__std")
   }
 
+  /** Lower median per group: the smallest value whose cumulative count
+    * reaches ceil(N/2) — integer-exact rank selection (no
+    * interpolation), reproducible on any engine. Windowless: grouped
+    * counts + [[bucketedPrefixSums]], so the shuffle carries the
+    * per-group distinct-value frame, never the rows.
+    */
+  private def lowerMedianPerGroup(df: DataFrame, groupCol: String,
+                                  valueCol: String,
+                                  outCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val cum = bucketedPrefixSums(counts, valueCol, ascending = true,
+      sumCols = Seq("__cnt"), groupCols = Seq(groupCol))
+    val totals = counts.groupBy(col(groupCol).as("__tg"))
+      .agg(sum(col("__cnt")).as("__N"))
+    cum.join(broadcast(totals), col(groupCol) <=> col("__tg"))
+      .filter(expr("cum___cnt >= (__N + 1) div 2"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as(outCol))
+  }
+
+  /** Robust per-group z-score via median/MAD — the heavy-tail-safe
+    * companion to [[zscorePerGroup]] (web-scale quality scores are
+    * exactly the columns whose mean/std a single spam document can
+    * drag). `z = 0.6745 · (v − median) / MAD` (Iglewicz–Hoaglin
+    * modified z-score; |z| > 3.5 is the classic outlier cut), null
+    * when the group's MAD is 0. Both the median and the MAD are
+    * lower medians — integer-exact rank rules over the windowless
+    * prefix-sum machinery, so every produced double is bit-exactly
+    * reproducible (subtract/divide of exact inputs, no percentile
+    * interpolation, no transcendental).
+    *
+    * Two grouped passes (values, then absolute deviations) + two
+    * broadcast joins; group cardinality is assumed driver-bounded
+    * (the same contract as [[zscorePerGroup]]'s stats broadcast).
+    * `keepStats = true` retains `robust_med` / `robust_mad` columns.
+    */
+  def robustZscorePerGroup(df: DataFrame, groupCol: String,
+                           valueCol: String, zCol: String = "robust_z",
+                           keepStats: Boolean = false): DataFrame = {
+    val med = lowerMedianPerGroup(df, groupCol, valueCol, "__med")
+      .withColumnRenamed(groupCol, "__mg")
+    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__mg"))
+      .drop("__mg")
+    val mad = lowerMedianPerGroup(
+        withMed.select(col(groupCol),
+          abs(col(valueCol) - col("__med")).as("__dev")),
+        groupCol, "__dev", "__mad")
+      .withColumnRenamed(groupCol, "__dg")
+    val scored = withMed
+      .join(broadcast(mad), col(groupCol) <=> col("__dg"))
+      .drop("__dg")
+      .withColumn(zCol,
+        when(col("__mad") > 0,
+          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")))
+    if (keepStats)
+      scored.withColumnRenamed("__med", "robust_med")
+        .withColumnRenamed("__mad", "robust_mad")
+    else scored.drop("__med", "__mad")
+  }
+
   /** Per-group winsorization: clip `valueCol` into its own group's
     * [pLo, pHi] interpolated-percentile band (outlier capping before
     * averaging/training — the standard robust-stats companion to

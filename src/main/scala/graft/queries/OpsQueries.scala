@@ -55,7 +55,11 @@ object OpsQueries extends QuerySet {
     // each id added/removed/changed/unchanged by content digest — one
     // full outer join carrying 32-byte md5s, never text.
     "u03_snapshot_diff" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select("doc_id", "text")
+      // plain scan, no fanOut: the digest projection runs inside the
+      // scan and the full outer join's own key exchange provides the
+      // parallelism — a round-robin fan-out here would shuttle raw
+      // text across an exchange for nothing (PlanSpec-gated)
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
       val oldSnap = docs.filter(col("doc_id") % 10 =!= 3)
       val newSnap = docs.filter(col("doc_id") % 10 =!= 7)
         .withColumn("text",

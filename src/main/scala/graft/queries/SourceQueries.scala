@@ -230,7 +230,10 @@ object SourceQueries extends QuerySet {
           lit(maxTs + round * hourNs - 1L).as("ts"),
           lit(-1L).as("user_id"), lit("purchase").as("event_type")))
         .coalesce(1)
-      ev.write.mode("overwrite").parquet(stage)
+      // few large staged files: each file-source batch pays the full
+      // stateful-join overhead, so 32 shuffle-partition files would
+      // mean 32 micro-batches of state-store round-trips
+      ev.coalesce(4).write.mode("overwrite").parquet(stage)
       val schema = s.read.parquet(stage).schema
       val qn = "st08_outer_sink"
       def src = s.readStream.schema(schema).parquet(stage)

@@ -32,6 +32,23 @@ object WindowQueries extends QuerySet {
           max(col("z")).as("max_z"))
         .orderBy(col("l_returnflag"))),
 
+    // Robust per-group z-score: median/MAD instead of mean/std — the
+    // outlier cut a single spam row cannot drag. Lower-median rank
+    // rules are integer-exact; every emitted double is engine-identical
+    // (no interpolation, no transcendental).
+    "w08_robust_zscore" -> ((s, d) =>
+      graft.ops.Aggregates.robustZscorePerGroup(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value")),
+        "event_type", "value", zCol = "z", keepStats = true)
+        .groupBy(col("event_type"))
+        .agg(min(col("robust_med")).as("med"),
+          min(col("robust_mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))),
+
     // CUBE over two dims: all four grouping-set levels in one pass,
     // disambiguated by grouping_id (COALESCE-as-'ALL' would conflate a
     // real 'ALL' value with the rolled-up level; the id cannot).
@@ -103,6 +120,37 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w08_robust_zscore" ->
+      """WITH src AS (SELECT event_type AS g, value AS v FROM events
+                      WHERE value IS NOT NULL),
+           c AS (SELECT g, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2),
+           cum AS (SELECT g, v, cnt,
+                     SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+           med AS (SELECT g, MIN(v) AS med FROM cum
+                   WHERE cum >= (n + 1) // 2 GROUP BY g),
+           dev AS (SELECT s.g, ABS(s.v - m.med) AS dv
+                   FROM src s JOIN med m ON s.g = m.g),
+           dc AS (SELECT g, dv, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+           dcum AS (SELECT g, dv, cnt,
+                      SUM(cnt) OVER (PARTITION BY g ORDER BY dv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      SUM(cnt) OVER (PARTITION BY g) AS n FROM dc),
+           mad AS (SELECT g, MIN(dv) AS mad FROM dcum
+                   WHERE cum >= (n + 1) // 2 GROUP BY g),
+           z AS (SELECT s.g, m.med, d.mad,
+                   CASE WHEN d.mad > 0
+                     THEN 0.6745 * (s.v - m.med) / d.mad END AS z
+                 FROM src s JOIN med m ON s.g = m.g
+                            JOIN mad d ON s.g = d.g)
+         SELECT g AS event_type, MIN(med) AS med, MIN(mad) AS mad,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+         FROM z GROUP BY g ORDER BY event_type""",
     "w05_group_zscore" ->
       """WITH m AS (
            SELECT l_returnflag AS g, COUNT(*) AS n,

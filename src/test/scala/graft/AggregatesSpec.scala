@@ -234,6 +234,26 @@ class AggregatesSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.5)
   }
 
+  test("robustZscorePerGroup: hand-computed median/MAD, null on zero MAD") {
+    // a: [1,2,3,4,100] → med 3 (3rd of 5), devs {0,1,1,2,97} → mad 1;
+    // the 100 outlier gets z = 0.6745·97, the median itself z = 0.
+    // b: constant group → mad 0 → z null. c (even N): lower medians.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 5.0), ("b", 5.0),
+      ("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", 4.0)).toDF("g", "v")
+    val out = Aggregates.robustZscorePerGroup(df, "g", "v",
+        zCol = "z", keepStats = true)
+      .select($"g", $"v", $"robust_med", $"robust_mad", $"z")
+      .as[(String, Double, Double, Double, Option[Double])]
+      .collect().map(t => (t._1, t._2) -> ((t._3, t._4, t._5))).toMap
+    assert(out(("a", 100.0)) == ((3.0, 1.0, Some(0.6745 * 97.0))))
+    assert(out(("a", 3.0)) == ((3.0, 1.0, Some(0.0))))
+    assert(out(("a", 1.0))._3 == Some(0.6745 * -2.0))
+    assert(out(("b", 5.0)) == ((5.0, 0.0, None)))
+    assert(out(("c", 2.0)) == ((2.0, 1.0, Some(0.0))))
+    assert(out(("c", 4.0))._3 == Some(0.6745 * 2.0))
+  }
+
   test("chi2Drift: hand-computed 2x2 terms, zero on identical mixes") {
     // E=[a,a,a,b], A=[a,b,b,b]: margins give exp=2 per cell, so each
     // category contributes (3-2)^2/2 + (1-2)^2/2 = 1.0

@@ -142,6 +142,28 @@ class PlanSpec extends SparkSpec {
       "d12 totals joins are not broadcast")
   }
 
+  test("drift monitors and robust stats stay windowless and digest-thin") {
+    // KS, equi-depth and robust z-score all ride bucketedPrefixSums —
+    // a global window here would funnel the distinct-value frame
+    // through one reducer
+    for (q <- Seq("a24_ks_drift", "a26_equidepth", "w08_robust_zscore")) {
+      val globals = plan(q).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty,
+        s"$q plans a single-partition WindowExec: ${globals.headOption}")
+    }
+    // snapshot diff: every exchange must carry digests, never document
+    // text — the md5 projection has to happen inside each scan
+    val u03 = plan("u03_snapshot_diff")
+    val textThroughShuffle = u03.collect {
+      case e: ShuffleExchangeExec
+          if e.output.exists(_.name == "text") => e
+    }
+    assert(textThroughShuffle.isEmpty,
+      "u03 shuffles raw document text instead of digests")
+  }
+
   test("random projection is a shuffle-free scan-local projection") {
     // the JL reduction is outDim codegen'd dots against literal sign
     // vectors — any exchange before the query's final ORDER BY means
