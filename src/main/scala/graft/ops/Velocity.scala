@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trailing-window velocity features per entity — the classic
+  * transaction-stream fraud signal (how many events, how much value,
+  * did THIS account generate in the last hour?) that the reference's
+  * per-row scorer never sees because it reads one message at a time
+  * (`FD/consumer.py` scores each record in isolation). Computed here
+  * as a batch feature-engineering pass suitable for training-set
+  * construction and backtesting.
+  *
+  * Scale shape: ONE hash exchange on the entity key, then a per-key
+  * local sort feeding a RANGE-frame running window. The frame is
+  * time-bounded, so window state per key is bounded by the key's event
+  * rate × the window span — no global ordering, no single-reducer
+  * funnel, skew bounded by the hottest single entity (an account doing
+  * a million events/hour is a data-quality problem before it is a
+  * shuffle problem). Value sums are computed in exact DECIMAL(18,2)
+  * space (cast BEFORE arithmetic — see `Parity`), so results are
+  * bit-reproducible on any engine regardless of intra-frame order.
+  */
+object Velocity {
+
+  /** Append `<prefix>_n` (trailing event count) and `<prefix>_sum`
+    * (trailing exact-decimal value sum, null if every value in the
+    * frame is null) to every row: aggregates over the half-open
+    * trailing window `(t - windowMicros, t]` within the row's
+    * `keyCol` partition. Peer rows (identical timestamp) are all
+    * included — RANGE frames close over ties, so two replayed copies
+    * of the same event see each other symmetrically.
+    *
+    * `tsCol` must be epoch-microseconds (LongType) — the testdata's
+    * TIMESTAMP(NANOS) longs are `ts div 1000` away; keeping the
+    * argument integral sidesteps engine-specific timestamp frame
+    * semantics entirely.
+    */
+  def trailing(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, windowMicros: Long,
+               prefix: String = "vel"): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+      .rangeBetween(-(windowMicros - 1), Window.currentRow)
+    df.withColumn(s"${prefix}_n", count(lit(1)).over(w))
+      .withColumn(s"${prefix}_sum",
+        sum(col(valueCol).cast(DecimalType(18, 2))).over(w))
+  }
+
+  /** Burst flag: trailing count at-or-above `threshold` — the velocity
+    * rule every rules-engine ships before any model does.
+    */
+  def burst(velNCol: String, threshold: Long): Column =
+    col(velNCol) >= threshold
+}

@@ -112,10 +112,43 @@ object MetricsQueries extends QuerySet {
         docs.filter(col("doc_id") % 2 === 1).select(col("lang")),
         "lang")
         .orderBy(col("lang"))
-    })
+    }),
+
+    // Poisson-bootstrap sampling distribution of the per-type mean
+    // event value: 32 deterministic md5-keyed replicates in ONE
+    // weighted aggregate (shuffle carries groups × reps partials, not
+    // data). The spread across reps is the standard error nobody
+    // reports at 100 TB because the naive bootstrap can't run there.
+    "a28_bootstrap" -> ((s, d) =>
+      graft.ops.Bootstrap.bootMeans(
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "event_id", "value", reps = 32)
+        .orderBy(col("event_type"), col("rep")))
   )
 
+  private val bootstrapSql: String = {
+    val caseSum = graft.ops.Bootstrap.thresholdsHex
+      .map(h => s"CASE WHEN k >= '$h' THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH r AS (SELECT unnest(range(32)) AS rep),
+         e AS (SELECT event_type AS g, event_id AS id,
+                      CAST(value AS DECIMAL(18,2)) AS v
+               FROM events WHERE value IS NOT NULL),
+         x AS (SELECT g, rep,
+                      substr(md5(id::VARCHAR || ':' || rep::VARCHAR), 1, 8)
+                        AS k, v
+               FROM e CROSS JOIN r),
+         wt AS (SELECT g, rep, v, $caseSum AS w FROM x),
+         agg AS (SELECT g, rep, SUM(w) AS n_eff, SUM(w * v) AS wsum
+                 FROM wt GROUP BY 1, 2)
+       SELECT g AS event_type, rep, CAST(n_eff AS BIGINT) AS n_eff,
+              CASE WHEN n_eff > 0 THEN CAST(wsum AS DOUBLE) / n_eff END
+                AS boot_mean
+       FROM agg ORDER BY event_type, rep"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "a28_bootstrap" -> bootstrapSql,
     "a24_ks_drift" ->
       """WITH e AS (SELECT value AS v FROM events
                     WHERE event_type = 'click' AND value IS NOT NULL),

@@ -49,6 +49,25 @@ object WindowQueries extends QuerySet {
             .as("n_outliers"))
         .orderBy(col("event_type"))),
 
+    // Trailing-1h velocity features per user (count + exact-decimal
+    // value sum in a RANGE frame) — the transaction-burst fraud signal.
+    // One key exchange + per-key local sort; frame state is bounded by
+    // per-entity rate × window span, never corpus size.
+    "w09_velocity" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          expr("ts div 1000").as("tus"), col("value"))
+      graft.ops.Velocity.trailing(ev, "user_id", "tus", "value",
+          windowMicros = 3600L * 1000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("vel_n")).as("max_vel"),
+          sum(when(graft.ops.Velocity.burst("vel_n", 3L), 1L)
+            .otherwise(0L)).as("n_burst"),
+          max(col("vel_sum")).cast("double").as("max_window_sum"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUBE over two dims: all four grouping-set levels in one pass,
     // disambiguated by grouping_id (COALESCE-as-'ALL' would conflate a
     // real 'ALL' value with the rolled-up level; the id cannot).
@@ -120,6 +139,20 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w09_velocity" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t,
+                           CAST(value AS DECIMAL(18,2)) AS v FROM events),
+           w AS (SELECT event_type,
+                        COUNT(*) OVER win AS vn,
+                        SUM(v) OVER win AS vs
+                 FROM e
+                 WINDOW win AS (PARTITION BY user_id ORDER BY t
+                   RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW))
+         SELECT event_type, COUNT(*) AS n, MAX(vn) AS max_vel,
+                CAST(SUM(CASE WHEN vn >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_burst,
+                CAST(MAX(vs) AS DOUBLE) AS max_window_sum
+         FROM w GROUP BY event_type ORDER BY event_type""",
     "w08_robust_zscore" ->
       """WITH src AS (SELECT event_type AS g, value AS v FROM events
                       WHERE value IS NOT NULL),
