@@ -452,24 +452,21 @@ object Aggregates {
       .drop("__g", "__n", "__s", "__s2", "__mean", "__std")
   }
 
-  /** Lower median per group: the smallest value whose cumulative count
-    * reaches ceil(N/2) — integer-exact rank selection (no
-    * interpolation), reproducible on any engine. Windowless: grouped
-    * counts + [[bucketedPrefixSums]], so the shuffle carries the
-    * per-group distinct-value frame, never the rows.
+  /** Lower median per group from a pre-grouped (group, value, count)
+    * frame: the smallest value whose cumulative count reaches
+    * ceil(N/2) — integer-exact rank selection (no interpolation),
+    * reproducible on any engine. Windowless: [[bucketedPrefixSums]],
+    * so the shuffle carries the distinct-value frame, never rows.
     */
-  private def lowerMedianPerGroup(df: DataFrame, groupCol: String,
-                                  valueCol: String,
+  private def lowerMedianOfCounts(counts: DataFrame, groupCol: String,
+                                  valueCol: String, cntCol: String,
                                   outCol: String): DataFrame = {
-    val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
-      .agg(count(lit(1)).as("__cnt"))
     val cum = bucketedPrefixSums(counts, valueCol, ascending = true,
-      sumCols = Seq("__cnt"), groupCols = Seq(groupCol))
+      sumCols = Seq(cntCol), groupCols = Seq(groupCol))
     val totals = counts.groupBy(col(groupCol).as("__tg"))
-      .agg(sum(col("__cnt")).as("__N"))
+      .agg(sum(col(cntCol)).as("__N"))
     cum.join(broadcast(totals), col(groupCol) <=> col("__tg"))
-      .filter(expr("cum___cnt >= (__N + 1) div 2"))
+      .filter(expr(s"cum_$cntCol >= (__N + 1) div 2"))
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as(outCol))
   }
@@ -485,33 +482,79 @@ object Aggregates {
     * reproducible (subtract/divide of exact inputs, no percentile
     * interpolation, no transcendental).
     *
-    * Two grouped passes (values, then absolute deviations) + two
-    * broadcast joins; group cardinality is assumed driver-bounded
-    * (the same contract as [[zscorePerGroup]]'s stats broadcast).
-    * `keepStats = true` retains `robust_med` / `robust_mad` columns.
+    * The raw frame aggregates ONCE into a persisted (group, value,
+    * count) frame; the MAD's deviation histogram derives from that
+    * frame (weighted by counts), never from re-scanning rows. Group
+    * cardinality is driver-bounded by contract (the same stance as
+    * [[zscorePerGroup]]'s stats broadcast and the SQ8 bounds fit), so
+    * the med and mad frames — one row per group — are EAGERLY
+    * collected and re-enter the plan as a local relation: without
+    * this, each prefix-sum pipeline re-inlines its predecessor inside
+    * a nested broadcast subtree and the whole chain re-executes per
+    * reference (measured 3× slower). The returned frame is therefore
+    * a plain scan + ONE broadcast hash join against a literal stats
+    * table. `keepStats = true` retains `robust_med` / `robust_mad`
+    * columns; release the returned backing after the consuming
+    * action (the stats jobs have already run by then).
+    */
+  def robustZscorePerGroupCached(df: DataFrame, groupCol: String,
+                                 valueCol: String,
+                                 zCol: String = "robust_z",
+                                 keepStats: Boolean = false): Cached = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = lowerMedianOfCounts(counts, groupCol, valueCol, "__cnt",
+      "__med")
+    val medRows = med.collect() // bounded: one row per group
+    val medLocal = spark.createDataFrame(medRows.toSeq.asJava,
+      med.schema).withColumnRenamed(groupCol, "__mg")
+    val devCounts = counts
+      .join(broadcast(medLocal), col(groupCol) <=> col("__mg"))
+      .select(col(groupCol),
+        abs(col(valueCol) - col("__med")).as("__dev"), col("__cnt"))
+      .groupBy(col(groupCol), col("__dev"))
+      .agg(sum(col("__cnt")).as("__dcnt"))
+    val mad = lowerMedianOfCounts(devCounts, groupCol, "__dev",
+      "__dcnt", "__mad")
+    val madByGroup = mad.collect().map(r => r.get(0) -> r.get(1)).toMap
+    val statsSchema = StructType(Seq(
+      StructField("__mg", med.schema(groupCol).dataType, nullable = true),
+      StructField("__med", med.schema("__med").dataType, nullable = true),
+      StructField("__mad", mad.schema("__mad").dataType,
+        nullable = true)))
+    val statsRows = medRows.toSeq.map(r =>
+      Row(r.get(0), r.get(1), madByGroup.getOrElse(r.get(0), null)))
+    val stats = spark.createDataFrame(statsRows.asJava, statsSchema)
+    val scored = df.join(broadcast(stats), col(groupCol) <=> col("__mg"))
+      .drop("__mg")
+      .withColumn(zCol,
+        when(col("__mad") > 0,
+          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")))
+    val out =
+      if (keepStats)
+        scored.withColumnRenamed("__med", "robust_med")
+          .withColumnRenamed("__mad", "robust_mad")
+      else scored.drop("__med", "__mad")
+    Cached(out, Seq(counts))
+  }
+
+  /** [[robustZscorePerGroupCached]] with the backing released at once
+    * — safe, because the stats collects have already consumed it; the
+    * returned frame never re-reads it.
     */
   def robustZscorePerGroup(df: DataFrame, groupCol: String,
                            valueCol: String, zCol: String = "robust_z",
                            keepStats: Boolean = false): DataFrame = {
-    val med = lowerMedianPerGroup(df, groupCol, valueCol, "__med")
-      .withColumnRenamed(groupCol, "__mg")
-    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__mg"))
-      .drop("__mg")
-    val mad = lowerMedianPerGroup(
-        withMed.select(col(groupCol),
-          abs(col(valueCol) - col("__med")).as("__dev")),
-        groupCol, "__dev", "__mad")
-      .withColumnRenamed(groupCol, "__dg")
-    val scored = withMed
-      .join(broadcast(mad), col(groupCol) <=> col("__dg"))
-      .drop("__dg")
-      .withColumn(zCol,
-        when(col("__mad") > 0,
-          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")))
-    if (keepStats)
-      scored.withColumnRenamed("__med", "robust_med")
-        .withColumnRenamed("__mad", "robust_mad")
-    else scored.drop("__med", "__mad")
+    val c = robustZscorePerGroupCached(df, groupCol, valueCol, zCol,
+      keepStats)
+    c.release()
+    c.df
   }
 
   /** Per-group winsorization: clip `valueCol` into its own group's
