@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-journey analytics over an event stream — cohort retention and
+  * ordered conversion funnels, the two read-side questions every
+  * event-producing product asks of exactly the table the reference's
+  * pipeline emits (`FD/consumer.py` logs one row per scored
+  * transaction; these aggregate the journey ACROSS rows per account).
+  *
+  * Scale shape: every stage keys on the entity column — the first-touch
+  * aggregate, the stage joins, and the stage minima are all
+  * co-partitioned on one hash key, so N funnel stages cost N passes
+  * over an already-partitioned frame, never N re-shuffles of the
+  * corpus. Timestamps stay integral epoch-micros throughout: stage
+  * ordering, offsets, and lags are exact integer arithmetic,
+  * bit-reproducible on any engine.
+  */
+object Journey {
+
+  /** Retention matrix: bucket each entity by its FIRST event time
+    * (cohort), then count distinct entities active per (cohort,
+    * offset) bucket pair. `bucketMicros` is the grid (a day, a week).
+    * Integer floor-division buckets — no timezone, no calendar.
+    *
+    * Two key exchanges: entity → first-touch, then (cohort, offset) →
+    * distinct count (partial-deduped map-side by the expand).
+    */
+  def cohortRetention(df: DataFrame, entityCol: String, tsCol: String,
+                      bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    // exact floor division: subtract the (always non-negative) pmod so
+    // the quotient is an integral multiple — no double rounding at
+    // bucket boundaries, and true floor (not truncate-toward-zero)
+    // for pre-epoch timestamps
+    val bucket = (c: Column) =>
+      ((c - pmod(c, lit(bucketMicros))) / lit(bucketMicros)).cast("long")
+    val firsts = df.groupBy(col(entityCol).as("__e"))
+      .agg(min(bucket(col(tsCol))).as("cohort"))
+    df.select(col(entityCol), bucket(col(tsCol)).as("__b"))
+      .join(firsts, col(entityCol) <=> col("__e"))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
+      .agg(countDistinct(col(entityCol)).as("n_active"))
+  }
+
+  /** Ordered conversion funnel: `stages` are (name, predicate) pairs;
+    * an entity reaches stage i at the EARLIEST event satisfying
+    * predicate i at-or-after its stage i−1 time (`>=`, so a
+    * same-microsecond chain converts). Returns one row per stage:
+    * `(stage_idx, stage, n_entities, sum_lag_us)` where `sum_lag_us`
+    * is the exact integer sum of per-entity lags from the previous
+    * stage (null for stage 0) — divide by `n_entities` for the mean
+    * conversion lag without losing cross-engine exactness inside the
+    * aggregate.
+    */
+  def funnel(df: DataFrame, entityCol: String, tsCol: String,
+             stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val ev = df.select(col(entityCol).as("__e"), col(tsCol).as("__t"),
+      struct(stages.zipWithIndex.map { case ((_, p), i) =>
+        p.as(s"col$i") }: _*).as("__p"))
+    // fold: frame of (entity, stage-i time, lag from stage i-1)
+    val reached = stages.zipWithIndex.scanLeft(
+      Option.empty[DataFrame]) { case (prevOpt, ((_, _), i)) =>
+      val hit = ev.filter(col("__p")(s"col$i"))
+      Some(prevOpt match {
+        case None =>
+          hit.groupBy(col("__e")).agg(min(col("__t")).as("__st"))
+            .withColumn("__lag", lit(null).cast("long"))
+        case Some(prev) =>
+          hit.join(prev.select(col("__e").as("__pe"),
+              col("__st").as("__pt")), col("__e") <=> col("__pe"))
+            .filter(col("__t") >= col("__pt"))
+            .groupBy(col("__e"))
+            .agg(min(col("__t")).as("__st"), min(col("__pt")).as("__pt"))
+            .withColumn("__lag", col("__st") - col("__pt"))
+      })
+    }.flatten
+    reached.zip(stages).zipWithIndex.map { case ((r, (name, _)), i) =>
+      r.agg(count(lit(1)).as("n_entities"),
+        sum(col("__lag")).as("sum_lag_us"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_entities"), col("sum_lag_us"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -106,10 +106,67 @@ object AnalyticsQueries extends QuerySet {
         sum(col("amt_dec")).cast("double").as("sum_fraud_amount"))
 
       metrics.crossJoin(modeLoc).crossJoin(modeType).crossJoin(fraudAvg)
-    })
+    }),
+
+    // Cohort retention: bucket each user by first-touch day, count
+    // distinct users active per (cohort, day-offset) cell. Two key
+    // exchanges (user, then cell), integer day arithmetic throughout.
+    "e02_cohort_retention" -> ((s, d) =>
+      graft.ops.Journey.cohortRetention(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        "user_id", "tus", 86400000000L)
+        .orderBy(col("cohort"), col("offset"))),
+
+    // Ordered conversion funnel view → click → purchase: stage i is
+    // the earliest matching event at-or-after stage i-1's time; every
+    // stage joins and aggregates on the SAME user key. Lags stay
+    // exact integer micros inside the aggregate.
+    "e03_funnel" -> ((s, d) =>
+      graft.ops.Journey.funnel(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("tus"),
+            col("event_type")),
+        "user_id", "tus", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy(col("stage_idx")))
   )
 
   def oracle: Map[String, String] = Map(
+    "e02_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b
+                    FROM events),
+           f AS (SELECT user_id, MIN(b) AS cohort FROM e GROUP BY 1)
+         SELECT f.cohort, e.b - f.cohort AS offset,
+                COUNT(DISTINCT e.user_id) AS n_active
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e03_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t, event_type
+                    FROM events),
+           s0 AS (SELECT u, MIN(t) AS st FROM e
+                  WHERE event_type = 'view' GROUP BY u),
+           s1 AS (SELECT e.u, MIN(e.t) AS st, MIN(s0.st) AS pt
+                  FROM e JOIN s0 ON e.u = s0.u
+                  WHERE e.event_type = 'click' AND e.t >= s0.st
+                  GROUP BY e.u),
+           s2 AS (SELECT e.u, MIN(e.t) AS st, MIN(s1.st) AS pt
+                  FROM e JOIN s1 ON e.u = s1.u
+                  WHERE e.event_type = 'purchase' AND e.t >= s1.st
+                  GROUP BY e.u)
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                  COUNT(*) AS n_entities,
+                  CAST(NULL AS BIGINT) AS sum_lag_us FROM s0
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), 'click', COUNT(*),
+                  CAST(SUM(st - pt) AS BIGINT) FROM s1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'purchase', COUNT(*),
+                  CAST(SUM(st - pt) AS BIGINT) FROM s2)
+         ORDER BY stage_idx""",
     "e01_eval_metrics" ->
       s"""WITH base AS (
             SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS actual_fraud,

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Journey
+
+class JourneySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val DAY = 86400000000L
+
+  test("cohortRetention: hand-computed matrix, boundary lands in the later bucket") {
+    // u1 first touch day 0, active days 0 and 2; u2 first touch day 1,
+    // active day 1 twice (dedup to one) and day 2; u3 exactly at the
+    // day-1 boundary (t = DAY) → cohort 1, not 0.
+    val df = Seq(
+      (1L, 0L), (1L, 2 * DAY + 5), (2L, DAY + 3), (2L, DAY + 9),
+      (2L, 2 * DAY), (3L, DAY)).toDF("u", "t")
+    val out = Journey.cohortRetention(df, "u", "t", DAY)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(
+      (0L, 0L) -> 1L, (0L, 2L) -> 1L,          // u1
+      (1L, 0L) -> 2L,                          // u2 + boundary u3
+      (1L, 1L) -> 1L))                         // u2 on day 2
+  }
+
+  test("cohortRetention: pre-epoch timestamps floor (not truncate)") {
+    val df = Seq((1L, -1L), (1L, 0L)).toDF("u", "t")
+    val out = Journey.cohortRetention(df, "u", "t", DAY)
+      .as[(Long, Long, Long)].collect().toSet
+    // t=-1 is day -1 (floor), so cohort -1, offsets 0 and 1
+    assert(out == Set((-1L, 0L, 1L), (-1L, 1L, 1L)))
+  }
+
+  test("funnel: ordering enforced, lags exact, same-instant chain converts") {
+    // A: view@0, click@10, purchase@5 → purchase precedes click, stops
+    //    at stage 1 with lag 10.
+    // B: view@0, click@5, purchase@20 → full funnel, lags 5 and 15.
+    // C: click only → never enters (no stage-0 event).
+    // D: view/click/purchase all @7 → full funnel, lags 0.
+    val df = Seq(
+      ("A", 0L, "view"), ("A", 10L, "click"), ("A", 5L, "purchase"),
+      ("B", 0L, "view"), ("B", 5L, "click"), ("B", 20L, "purchase"),
+      ("C", 3L, "click"),
+      ("D", 7L, "view"), ("D", 7L, "click"), ("D", 7L, "purchase"))
+      .toDF("u", "t", "et")
+    val out = Journey.funnel(df, "u", "t", Seq(
+        "view" -> ($"et" === "view"),
+        "click" -> ($"et" === "click"),
+        "purchase" -> ($"et" === "purchase")))
+      .orderBy($"stage_idx")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (0L, "view", 3L, None),            // A, B, D
+      (1L, "click", 3L, Some(15L)),      // lags A=10, B=5, D=0
+      (2L, "purchase", 2L, Some(15L))))  // lags B=15, D=0
+  }
+
+  test("funnel: single stage degenerates to first-touch count") {
+    val df = Seq(("A", 1L, "x"), ("A", 2L, "x"), ("B", 9L, "y"))
+      .toDF("u", "t", "et")
+    val out = Journey.funnel(df, "u", "t",
+        Seq("x" -> ($"et" === "x")))
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(out == Seq((0L, "x", 1L, None)))
+  }
+}
