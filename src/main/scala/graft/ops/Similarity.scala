@@ -619,6 +619,58 @@ object Similarity {
     graft.ops.Cached(pairs, Seq(c, hot))
   }
 
+  /** Engine-portable twin of [[cosineNearDupsLSH]] — the d02b/d04b
+    * verification pattern applied to embedding LSH. The seeded-Gaussian
+    * hyperplanes (JVM RNG, not rebuildable elsewhere) are replaced by
+    * the md5-derived ±1 planes of [[projectionSigns]]: sign-of-dot
+    * against Rademacher directions is an equally valid cosine LSH
+    * family (Charikar 2002 needs only symmetrically distributed
+    * directions), and every stage — plane signs, signature bits, band
+    * buckets, candidate join, exact-cosine verify — becomes
+    * reconstructible by the DuckDB oracle from the same recipe. Dots
+    * are sequential double folds (list_dot_product parity), so the
+    * `>= 0` sign test and the final cosines are engine-identical.
+    *
+    * Scale shape is the production path's: signatures are scan-local
+    * column math, candidates come from a banded equi-join (shuffle ∝
+    * data + collisions, never n²). The salt cap is omitted — this is
+    * the verification twin; capped-bucket semantics are spec'd on the
+    * production variant.
+    */
+  def cosineNearDupsLSHPortable(corpus: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                numBits: Int = 16, bands: Int = 4,
+                                seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0 && numBits <= 62, "bits must split into bands")
+    val bitsPerBand = numBits / bands
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = projectionSigns(dim, numBits, seed)
+    val c = Layout.fanOut(corpus)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("bits", array((0 until numBits).map { j =>
+        when(dot(col("v"), typedLit(planes(j).toSeq)) >= 0, 1L).otherwise(0L)
+      }: _*))
+    val banded = c.select(col("id"), col("v"), col("nv"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            (0 until bitsPerBand).map { o =>
+              element_at(col("bits"), b * bitsPerBand + o + 1) * (1L << o)
+            }.reduce(_ + _).as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("v"), col("nv"), col("bk.band"), col("bk.bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")))
+          .as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic deduplication.
     * Embeddings cluster under the IVF coarse quantizer, so candidate
     * comparison happens WITHIN clusters only — the global n² never

@@ -69,6 +69,33 @@ object SimilarityQueries extends QuerySet {
             .as("n_planted_found"))
     }),
 
+    // Portable hyperplane-LSH (the d02b/d04b pattern for n04): planted
+    // copies carry a DETERMINISTIC ±0.004 per-dimension jitter whose
+    // sign comes from md5 of a positional key, and the hyperplanes are
+    // the md5-derived ±1 matrix — so DuckDB rebuilds the jitter, the
+    // planes, the 16-bit signatures, the band buckets, the candidate
+    // join, and the exact-cosine verify, putting the WHOLE embedding
+    // LSH pipeline on a hash-checked oracle.
+    "n04b_cosine_lsh_portable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+      // jitter BEFORE re-aliasing the id: with both in one select, the
+      // output alias `vec_id` (= id + 1000000) wins name resolution
+      // inside the lambda and the md5 key silently shifts
+      val jittered = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + when(substring(md5(concat(lit("jit42_"),
+              col("vec_id").cast("string"), lit("_"),
+              i.cast("string")).cast("binary")), 1, 1)
+              .isin("0", "2", "4", "6", "8", "a", "c", "e"),
+            lit(0.004)).otherwise(lit(-0.004))).as("embedding"))
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupsLSHPortable(emb.union(jittered),
+        "vec_id", "embedding", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SemDeDup (cluster-then-prune semantic dedup): plant an exact copy
     // of every 5th embedding; each copy pair must collapse to one
     // survivor — and to the ORIGINAL (equal cent_cos ties break to the
@@ -206,6 +233,50 @@ object SimilarityQueries extends QuerySet {
           SELECT e.vec_id, CAST(m.j AS INT) AS pos,
                  list_dot_product(e.v, m.sv) / 4 AS val
           FROM e, m ORDER BY vec_id, pos""",
+    "n04b_cosine_lsh_portable" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 200),
+          jit AS (SELECT vec_id,
+                    list(val + CASE WHEN substr(md5(
+                             'jit42_' || vec_id || '_' || (i - 1)), 1, 1)
+                           IN ('0','2','4','6','8','a','c','e')
+                         THEN 0.004 ELSE -0.004 END ORDER BY i) AS v
+                  FROM (SELECT vec_id, unnest(v) AS val,
+                               generate_subscripts(v, 1) AS i FROM base)
+                  GROUP BY vec_id),
+          e AS (SELECT * FROM base
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, v FROM jit),
+          d AS (SELECT len(v) AS dim FROM base LIMIT 1),
+          m AS (SELECT j, list(CASE WHEN substr(
+                         md5('rp42_' || i || '_' || j), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                       THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+                FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                     (SELECT unnest(range(0, 16)) AS j)
+                GROUP BY j),
+          bits AS (SELECT e.vec_id, m.j,
+                     CASE WHEN list_dot_product(e.v, m.sv) >= 0
+                          THEN 1 ELSE 0 END AS bit
+                   FROM e, m),
+          bk AS (SELECT vec_id, j // 4 AS band,
+                        CAST(SUM(bit * (1 << (j % 4))) AS BIGINT) AS bucket
+                 FROM bits GROUP BY vec_id, j // 4),
+          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM bk a JOIN bk b
+                     ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id),
+          pairs AS (SELECT id_a, id_b,
+                      CASE WHEN sqrt(list_dot_product(x.v, x.v)) *
+                                sqrt(list_dot_product(y.v, y.v)) = 0 THEN 0.0
+                           ELSE list_dot_product(x.v, y.v) /
+                                (sqrt(list_dot_product(x.v, x.v)) *
+                                 sqrt(list_dot_product(y.v, y.v))) END AS cos
+                    FROM cand
+                    JOIN e x ON x.vec_id = cand.id_a
+                    JOIN e y ON y.vec_id = cand.id_b)
+          SELECT id_a, id_b, cos FROM pairs
+          WHERE cos >= 0.9 ORDER BY id_a, id_b""",
     "n03_cosine_neardups" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings WHERE vec_id < 200)

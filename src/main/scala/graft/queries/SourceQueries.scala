@@ -185,15 +185,26 @@ object SourceQueries extends QuerySet {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("pt"))
-      val q = graft.streaming.Attribution.intervalJoin(
-          clicks, purchases, keyCol = "user_id",
-          leftTimeCol = "ct", rightTimeCol = "pt",
-          horizon = "10 minutes", watermark = "30 minutes")
-        .select(col("click_id"), col("purchase_id"),
-          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
+      // a stream-stream join commits FOUR state stores per shuffle
+      // partition per micro-batch; partition count is pinned at query
+      // start, so size it to the state volume (arrival rate × horizon),
+      // not the batch-analytics default — 32 partitions here means 128
+      // store commits per batch for kilobytes of state. On a real
+      // cluster this knob scales with executor count; sizing it
+      // deliberately is the point.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.Attribution.intervalJoin(
+            clicks, purchases, keyCol = "user_id",
+            leftTimeCol = "ct", rightTimeCol = "pt",
+            horizon = "10 minutes", watermark = "30 minutes")
+          .select(col("click_id"), col("purchase_id"),
+            (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn)
         .groupBy(expr("gap_us div 60000000").as("gap_min"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -243,26 +254,32 @@ object SourceQueries extends QuerySet {
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           timestamp_micros(expr("ts div 1000")).as("pt"))
-      val q = graft.streaming.Attribution.intervalJoin(
-          clicks, purchases, keyCol = "user_id",
-          leftTimeCol = "ct", rightTimeCol = "pt",
-          horizon = "10 minutes", watermark = "30 minutes",
-          joinType = "left_outer")
-        // sentinels flow through to the sink and are excluded in the
-        // batch aggregation below — a pushable in-stream predicate
-        // like user_id != -1 would be pushed into BOTH scans (the left
-        // directly, the right via the join-key equality constraint)
-        // and silently drop the rows that drive the watermark
-        .select(col("click_id"), col("purchase_id"),
-          (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
+      // state-partition sizing: see st07 — the outer join pays the
+      // four-store commit cost on EVERY one of its three micro-batches
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        for (round <- 1L to 2L) {
-          sentinels(round).write.mode("append").parquet(stage)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = graft.streaming.Attribution.intervalJoin(
+            clicks, purchases, keyCol = "user_id",
+            leftTimeCol = "ct", rightTimeCol = "pt",
+            horizon = "10 minutes", watermark = "30 minutes",
+            joinType = "left_outer")
+          // sentinels flow through to the sink and are excluded in the
+          // batch aggregation below — a pushable in-stream predicate
+          // like user_id != -1 would be pushed into BOTH scans (the left
+          // directly, the right via the join-key equality constraint)
+          // and silently drop the rows that drive the watermark
+          .select(col("click_id"), col("purchase_id"),
+            (unix_micros(col("pt")) - unix_micros(col("ct"))).as("gap_us"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try {
+          for (round <- 1L to 2L) {
+            sentinels(round).write.mode("append").parquet(stage)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn)
         .filter(col("click_id") >= 0L)
         .groupBy(coalesce(expr("gap_us div 60000000"), lit(-1L))

@@ -484,6 +484,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"cos" < 0.9).count() == 0)
   }
 
+  test("portable hyperplane-LSH: exact copies always found, layout-stable") {
+    // an exact copy has an identical signature, so every band collides
+    // — recall on copies is guaranteed, not probabilistic
+    val copies = emb.filter($"vec_id" < 100)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val corpus = emb.select($"vec_id", $"embedding").union(copies)
+    val pairs = graft.ops.Similarity.cosineNearDupsLSHPortable(
+      corpus, "vec_id", "embedding", threshold = 0.999)
+    val planted = pairs.filter($"id_b" - $"id_a" === 100000)
+      .filter($"id_a" < 100)
+    assert(planted.count() == 100, "every exact-copy pair must collide")
+    assert(pairs.filter($"cos" < 0.999).count() == 0, "verify gate leaked")
+    // signatures are row-local column math: partitioning can't change
+    // the emitted pair set
+    val re = graft.ops.Similarity.cosineNearDupsLSHPortable(
+      corpus.repartition(7), "vec_id", "embedding", threshold = 0.999)
+    assert(re.orderBy("id_a", "id_b").collect().toSeq ==
+      pairs.orderBy("id_a", "id_b").collect().toSeq)
+  }
+
   test("group centroids: exact means, order- and layout-invariant") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
