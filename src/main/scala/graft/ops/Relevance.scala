@@ -71,6 +71,62 @@ object Relevance {
       .select("term", "tf", "df")
   }
 
+  /** Windowed token co-occurrence with pointwise mutual information —
+    * the collocation/phrase-mining signal (word2vec-era SGNS trains
+    * against exactly these windowed pair statistics). For each token
+    * position, the pair (token, each of the next `window` tokens) is
+    * counted once, unordered (pair members sort lexicographically);
+    * `pmi = ln(p(a,b) / (p(a)·p(b)))` with pair probabilities over the
+    * pair count and unigram probabilities over the token count.
+    *
+    * Scale shape: pair generation is a scan-local HOF over the token
+    * array (no positional self-join — the naive spelling joins the
+    * exploded position stream to itself, shuffling the corpus twice),
+    * then everything is grouped aggregation on (a,b) / (token) keys
+    * with map-side partials; corpus totals ride along as a broadcast
+    * one-row frame. Output is bounded by `minPairs` — the long tail of
+    * hapax pairs never leaves the first aggregation.
+    *
+    * Parity: counts are exact integers; the single ln() rounds 9dp
+    * (the t09 stance on transcendentals).
+    */
+  def pmi(df: DataFrame, textCol: String, idCol: String,
+          window: Int = 5, minPairs: Long = 5L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val base = Layout.fanOut(df)
+      .select(col(idCol).as("__doc"), toks(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+    // unigram counts over ALL tokens (incl. single-token docs that can
+    // never form a pair) — the marginal a pair's tokens are scored by
+    val uni = base.select(explode(col("__t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = base.agg(sum(col("__n")).as("n_tok"))
+    // Spark's sequence(start, stop) DESCENDS when start > stop, so a
+    // 1-token doc would generate [0, -1]; filter before sequencing
+    val pairs = base.filter(col("__n") >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), col("__n") - 2), i =>
+          transform(sequence(i + 1, least(i + window, col("__n") - 1)), j =>
+            struct(
+              least(element_at(col("__t"), i + 1),
+                element_at(col("__t"), j + 1)).as("a"),
+              greatest(element_at(col("__t"), i + 1),
+                element_at(col("__t"), j + 1)).as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_pair"))
+    val npairs = pairs.agg(count(lit(1)).as("n_pairs_total"))
+    pc.filter(col("n_pair") >= minPairs)
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), "b")
+      .crossJoin(broadcast(npairs))
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_pair"), col("c_a"), col("c_b"),
+        round(log(
+          (col("n_pair").cast("double") / col("n_pairs_total")) /
+            ((col("c_a").cast("double") / col("n_tok")) *
+              (col("c_b").cast("double") / col("n_tok")))), 9).as("pmi"))
+  }
+
   /** BM25 score of every document against a bag of query terms
     * (Robertson idf; k1/b defaults per the literature). The term filter
     * prunes the exploded stream before any shuffle, so cost is

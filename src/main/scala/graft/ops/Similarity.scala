@@ -206,6 +206,84 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x.getField("v")).as("s"))
       .select(col("grp"), col("pos"), (col("s") / col("n")).as("mean"))
 
+  /** Upper-triangle covariance matrix of an embedding column — the
+    * whitening / PCA precursor (dominant-direction removal is the
+    * standard post-processing for sentence embeddings). Returns one row
+    * per cell (i ≤ j): `cov = E[x_i·x_j] − E[x_i]·E[x_j]`.
+    *
+    * Scale shape: cell products are generated scan-locally (dim²/2
+    * structs per row via a HOF — no positional self-join of the
+    * exploded corpus, which would shuffle rows × dim twice), then
+    * partial-aggregated in the same stage; the shuffle carries at most
+    * dim²/2 (i,j,sum) cells per map partition, never rows. Dimension
+    * means are a second scan-local pass; the dim-row means frame
+    * broadcasts into the finish. Sums are order-free doubles — the
+    * production spelling; [[covarianceMatrixOrdered]] is the
+    * engine-exact verification twin that certifies it.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val base = Layout.fanOut(df).select(asDouble(col(vecCol)).as("__v"))
+    val cells = base.select(explode(flatten(transform(
+        sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("__v"), i + 1) *
+                element_at(col("__v"), j + 1)).as("p")))))).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p")).as("sxy"), count(lit(1)).as("n"))
+    val means = base.select(posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("s"))
+    cells
+      .join(broadcast(means.select(col("pos").as("i"), col("s").as("si"))),
+        "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("s").as("sj"))),
+        "j")
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") -
+          (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
+  }
+
+  /** Order-forced covariance variant for engine-exact verification —
+    * the [[groupCentroidsOrdered]] pattern: every per-cell product sum
+    * and every dimension mean folds in ascending `idCol` order
+    * (sequential double fold ≡ DuckDB list_dot_product), so the final
+    * `sxy/n − (si/n)(sj/n)` doubles are engine-identical with no
+    * rounding. `collect_list` per cell bounds memory by corpus rows —
+    * verification corpora only; [[covarianceMatrix]] is the 100 TB
+    * operator this one certifies.
+    */
+  def covarianceMatrixOrdered(df: DataFrame, idCol: String,
+                              vecCol: String): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val base = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val cells = base.select(col("__id"), explode(flatten(transform(
+        sequence(lit(0), lit(dim - 1)), i =>
+          transform(sequence(i, lit(dim - 1)), j =>
+            struct(i.cast("int").as("i"), j.cast("int").as("j"),
+              (element_at(col("__v"), i + 1) *
+                element_at(col("__v"), j + 1)).as("p")))))).as("c"))
+      .select(col("__id"), col("c.i").as("i"), col("c.j").as("j"),
+        col("c.p").as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        aggregate(array_sort(collect_list(struct(col("__id"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("sxy"))
+    val means = base
+      .select(col("__id"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(aggregate(array_sort(collect_list(struct(col("__id"), col("x")))),
+        lit(0.0), (acc, x) => acc + x.getField("x")).as("s"))
+    cells
+      .join(broadcast(means.select(col("pos").as("i"), col("s").as("si"))),
+        "i")
+      .join(broadcast(means.select(col("pos").as("j"), col("s").as("sj"))),
+        "j")
+      .select(col("i"), col("j"),
+        (col("sxy") / col("n") -
+          (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
+  }
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

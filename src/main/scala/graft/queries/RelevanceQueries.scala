@@ -43,6 +43,16 @@ object RelevanceQueries extends QuerySet {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // Windowed co-occurrence PMI (collocation mining / the SGNS
+    // training statistic): unordered token pairs within a 5-token
+    // forward window, unigram marginals, ln rounded 9dp. Pair counts,
+    // unigram counts, and totals are exact integers; the probability
+    // ratio is spelled identically in the oracle.
+    "t21_pmi" -> ((s, d) =>
+      Relevance.pmi(Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", window = 5, minPairs = 40L)
+        .orderBy(col("a"), col("b"))),
+
     // BM25 top-10 documents for a three-term query — targeted corpus
     // selection before an expensive downstream pass.
     "t10_bm25" -> ((s, d) =>
@@ -100,6 +110,30 @@ object RelevanceQueries extends QuerySet {
          SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
                 round(tfidf, 9) AS tfidf
          FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "t21_pmi" ->
+      """WITH base AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         pos AS (SELECT doc_id, unnest(t) AS tok,
+                        generate_subscripts(t, 1) AS i FROM base),
+         uni AS (SELECT tok, COUNT(*) AS c FROM pos GROUP BY tok),
+         nt AS (SELECT COUNT(*) AS n_tok FROM pos),
+         pr AS (SELECT least(p1.tok, p2.tok) AS a,
+                       greatest(p1.tok, p2.tok) AS b
+                FROM pos p1 JOIN pos p2
+                  ON p1.doc_id = p2.doc_id
+                    AND p2.i > p1.i AND p2.i <= p1.i + 5),
+         pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pr GROUP BY a, b),
+         np AS (SELECT COUNT(*) AS n_pairs_total FROM pr)
+         SELECT pc.a, pc.b, pc.n_pair, ua.c AS c_a, ub.c AS c_b,
+                round(ln((CAST(pc.n_pair AS DOUBLE) / n_pairs_total) /
+                         ((CAST(ua.c AS DOUBLE) / n_tok) *
+                          (CAST(ub.c AS DOUBLE) / n_tok))), 9) AS pmi
+         FROM pc JOIN uni ua ON ua.tok = pc.a
+                 JOIN uni ub ON ub.tok = pc.b
+         CROSS JOIN np CROSS JOIN nt
+         WHERE pc.n_pair >= 40
+         ORDER BY a, b""",
     "t10_bm25" ->
       """WITH base AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

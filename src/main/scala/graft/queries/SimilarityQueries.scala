@@ -137,6 +137,18 @@ object SimilarityQueries extends QuerySet {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))
         .orderBy(col("vec_id"), col("pos"))),
 
+    // Embedding covariance matrix (whitening/PCA precursor) — the
+    // order-forced variant: every cell's product sum and every mean
+    // folds in vec_id order, so all 2080 upper-triangle covariances
+    // are engine-exact with no rounding. covarianceMatrix (the
+    // order-free partial-sum scale operator) is certified against this
+    // in PipelineOpsSpec.
+    "n10_embedding_cov" -> ((s, d) =>
+      Similarity.covarianceMatrixOrdered(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding")
+        .orderBy(col("i"), col("j"))),
+
     // PQ-ADC + exact re-rank (the compressed-index ANN path): 8×16
     // codebooks, ADC shortlist of 100, exact-cosine re-rank to top-10.
     // k-means codebooks → rows-only; recall gate vs the n01 exact
@@ -233,6 +245,31 @@ object SimilarityQueries extends QuerySet {
           SELECT e.vec_id, CAST(m.j AS INT) AS pos,
                  list_dot_product(e.v, m.sv) / 4 AS val
           FROM e, m ORDER BY vec_id, pos""",
+    "n10_embedding_cov" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 200),
+          d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+          idx AS (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+          cell AS (SELECT a.i AS i, b.i AS j, e.vec_id,
+                          e.v[a.i + 1] * e.v[b.i + 1] AS p
+                   FROM e, idx a, idx b WHERE b.i >= a.i),
+          g AS (SELECT i, j, COUNT(*) AS n,
+                       list_dot_product(list(p ORDER BY vec_id),
+                         list_transform(list(p ORDER BY vec_id),
+                           y -> CAST(1 AS DOUBLE))) AS sxy
+                FROM cell GROUP BY i, j),
+          mx AS (SELECT pos,
+                        list_dot_product(list(x ORDER BY vec_id),
+                          list_transform(list(x ORDER BY vec_id),
+                            y -> CAST(1 AS DOUBLE))) AS s
+                 FROM (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,
+                              unnest(v) AS x FROM e)
+                 GROUP BY pos)
+          SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+                 g.sxy / g.n - (mi.s / g.n) * (mj.s / g.n) AS cov
+          FROM g JOIN mx mi ON mi.pos = g.i
+                 JOIN mx mj ON mj.pos = g.j
+          ORDER BY i, j""",
     "n04b_cosine_lsh_portable" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id < 200),

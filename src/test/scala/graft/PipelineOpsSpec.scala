@@ -504,6 +504,34 @@ class PipelineOpsSpec extends SparkSpec {
       pairs.orderBy("id_a", "id_b").collect().toSeq)
   }
 
+  test("covariance matrix: hand-computed cells, scale op certified") {
+    // x = (1,3), y = (2,4): var(x) = var(y) = 1, cov(x,y) = 1
+    val tiny = Seq(Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)).toDF("v")
+    val got = Similarity.covarianceMatrix(tiny, "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 1.0, (0, 1) -> 1.0, (1, 1) -> 1.0))
+
+    // the order-free partial-sum operator agrees with the order-forced
+    // (oracle-parity) spelling to float-accumulation tolerance on real
+    // embeddings — what lets n10's hash-exact oracle certify the scale
+    // path
+    val sub = emb.filter($"vec_id" < 200)
+    val ordered = Similarity.covarianceMatrixOrdered(sub, "vec_id",
+        "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val free = Similarity.covarianceMatrix(sub, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(free.keySet == ordered.keySet)
+    val maxErr = free.map { case (k, v) => math.abs(v - ordered(k)) }.max
+    assert(maxErr < 1e-9, s"scale vs ordered covariance drift $maxErr")
+
+    // partial sums are layout-invariant within the same tolerance
+    val re = Similarity.covarianceMatrix(sub.repartition(7), "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(re.keySet == free.keySet)
+    assert(re.map { case (k, v) => math.abs(v - ordered(k)) }.max < 1e-9)
+  }
+
   test("group centroids: exact means, order- and layout-invariant") {
     val vecs = Seq(
       ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),

@@ -62,4 +62,42 @@ class RelevanceSpec extends SparkSpec {
       Seq("cherry", "apple"))
     assert(multi.count() == 3)
   }
+
+  test("pmi: hand-computed windowed pair stats") {
+    // doc1 [a,b,a] → pairs (a,b),(a,a),(a,b); doc2 [b,c] → (b,c)
+    // npairs=4; unigrams a:2 b:2 c:1, ntok=5
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Relevance.pmi(docs, "text", "doc_id", window = 5,
+        minPairs = 1L)
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        (r.getAs[Long]("n_pair"), r.getAs[Long]("c_a"),
+          r.getAs[Long]("c_b"), r.getAs[Double]("pmi")))
+      .toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "a"), ("b", "c")))
+    assert(got(("a", "b"))._1 == 2L)
+    // pmi(a,b) = ln((2/4) / ((2/5)·(2/5))) = ln(3.125)
+    val exp = math.rint(math.log((2.0 / 4) / ((2.0 / 5) * (2.0 / 5))) * 1e9) / 1e9
+    assert(got(("a", "b"))._4 == exp)
+    assert(got(("a", "a")) == ((1L, 2L, 2L,
+      math.rint(math.log((1.0 / 4) / ((2.0 / 5) * (2.0 / 5))) * 1e9) / 1e9)))
+
+    // window truncation: 8 tokens, window=2 → 7 + 6 = 13 total pairs,
+    // and (h1, h4) is OUT of window so it never appears
+    val wide = Seq((1L, "h1 h2 h3 h4 h5 h6 h7 h8")).toDF("doc_id", "text")
+    val pairs = Relevance.pmi(wide, "text", "doc_id", window = 2,
+      minPairs = 1L)
+    assert(pairs.agg(sum($"n_pair")).head().getLong(0) == 13L)
+    assert(pairs.filter($"a" === "h1" && $"b" === "h4").count() == 0)
+
+    // minPairs bounds the output
+    assert(Relevance.pmi(docs, "text", "doc_id", window = 5,
+      minPairs = 2L).count() == 1)
+
+    // single-token and empty docs must not break pair generation
+    val degenerate = Seq((1L, "solo"), (2L, ""), (3L, "x y"))
+      .toDF("doc_id", "text")
+    assert(Relevance.pmi(degenerate, "text", "doc_id", window = 3,
+      minPairs = 1L).count() == 1)
+  }
 }
