@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Sampling}
 
 /** Deduplication coverage over the documents table: exact groups,
   * exact n-gram Jaccard (oracle-checked), MinHash-LSH and SimHash
@@ -109,6 +109,39 @@ object DedupQueries extends QuerySet {
       Dedup.minhashNearDupsPortable(docs.union(mutated), "text", "doc_id",
         shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cluster-safe split (leakage-safe train/test assignment): near-dup
+    // CLUSTERS — not documents — are the split unit, so a test example
+    // can never have a near-copy in train (the contamination the d06
+    // decontamination pass exists to catch, prevented structurally at
+    // split time). Composition of three oracle-proven pieces: portable
+    // MinHash-LSH pairs → connected components (min-label fixpoint) →
+    // md5 hash-range split on the COMPONENT id; singletons split by
+    // their own id. The whole chain — signatures, buckets, Jaccard
+    // verify, the recursive fixpoint, the split thresholds — is
+    // restated by the DuckDB oracle.
+    "c02_cluster_safe_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 300)
+      val corpus = docs.union(docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text", expr("substring(text, instr(text, ' ') + 1)")))
+      val pairs = Dedup.minhashNearDupsPortable(corpus, "text", "doc_id",
+        shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      val labels = Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+      val grouped = corpus.select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+          "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      Sampling.assignSplit(grouped, "grp",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(col("split"))
     }),
 
     // Incremental near-dup: a crawl-increment batch (first-word-dropped
@@ -493,6 +526,57 @@ object DedupQueries extends QuerySet {
                 JOIN s y ON y.doc_id = cand.id_b)
           SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
           ORDER BY id_a, id_b""",
+    "c02_cluster_safe_split" ->
+      s"""WITH RECURSIVE base AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+            FROM documents WHERE doc_id < 300),
+          t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM base),
+          s AS (SELECT doc_id, $sh3 AS sh FROM t),
+          sig AS (SELECT doc_id, sh,
+                    list_transform(range(0, 8), i ->
+                      list_aggregate(list_transform(sh,
+                        x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                  FROM s),
+          bands AS (SELECT doc_id, b,
+                      md5(list_aggregate(sig[b*2+1:b*2+2],
+                                         'string_agg', ',')) AS bucket
+                    FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.b = b.b AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id),
+          jp AS (SELECT id_a, id_b,
+                   CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+                     AS jaccard
+                 FROM cand
+                 JOIN s x ON x.doc_id = cand.id_a
+                 JOIN s y ON y.doc_id = cand.id_b),
+          p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.5),
+          edges AS (SELECT id_a AS a, id_b AS b FROM p
+                    UNION SELECT id_b, id_a FROM p),
+          reach(id, r) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+          comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+          grouped AS (SELECT base.doc_id,
+                             COALESCE(comp.component, base.doc_id) AS grp
+                      FROM base LEFT JOIN comp ON comp.id = base.doc_id),
+          assigned AS (SELECT doc_id, grp,
+                         CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8)
+                                < 'cccccccc' THEN 'train'
+                              WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8)
+                                < 'e6666666' THEN 'val'
+                              ELSE 'test' END AS split
+                       FROM grouped)
+          SELECT split, COUNT(*) AS n_docs,
+                 COUNT(DISTINCT grp) AS n_groups,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum
+          FROM assigned GROUP BY split ORDER BY split""",
     "d12_source_overlap" ->
       s"""WITH t AS (
             SELECT source,

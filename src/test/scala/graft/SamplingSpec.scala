@@ -199,4 +199,46 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.capPerGroup(withNull, "grp", "id", 50)
       .filter($"grp".isNull).count() == 0)
   }
+
+  test("cluster-safe split: no near-dup cluster ever spans two splits") {
+    // the c02 composition on a corpus of planted copy-chains: doc i,
+    // i+10000 and i+20000 are near-identical, so each triple must land
+    // in ONE split — the structural guarantee that makes a test set
+    // uncontaminated by near-dups of training rows
+    val docs = (0L until 200L).map { i =>
+      val body = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i " +
+        s"eta$i theta$i iota$i kappa$i"
+      Seq((i, s"head $body"), (i + 10000L, body),
+        (i + 20000L, s"$body tail"))
+    }.flatten.toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minhashNearDupsPortable(docs, "text",
+      "doc_id", shingleSize = 3, numHashes = 8, bands = 4, threshold = 0.5)
+    val labels = graft.ops.Dedup.connectedComponents(
+      pairs.select($"id_a", $"id_b"))
+    val grouped = docs.select("doc_id")
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce($"component", $"doc_id"))
+    val split = Sampling.assignSplit(grouped, "grp",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), portable = true)
+    // every group maps to exactly one split (true by construction —
+    // the split is a function of grp — but this is the contract)
+    assert(split.groupBy($"grp")
+      .agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1).count() == 0)
+    // the planted triples actually clustered: their three members share
+    // a group, so they share a split
+    val triples = split.withColumn("fam", $"doc_id" % 10000L)
+      .groupBy($"fam")
+      .agg(countDistinct($"split").as("ns"), count(lit(1)).as("n"))
+    assert(triples.filter($"n" === 3 && $"ns" =!= 1).count() == 0,
+      "a copy-family leaked across splits")
+    // and the assignment is the same one assignSplit gives the group key
+    // directly (composition adds no hash drift)
+    val direct = Sampling.assignSplit(grouped.select($"grp").distinct(),
+      "grp", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      portable = true)
+    val joined = split.select($"grp", $"split").distinct()
+      .join(direct.withColumnRenamed("split", "direct"), "grp")
+    assert(joined.filter($"split" =!= $"direct").count() == 0)
+  }
 }
