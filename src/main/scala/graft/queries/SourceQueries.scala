@@ -290,6 +290,42 @@ object SourceQueries extends QuerySet {
         .orderBy(col("gap_min"))
     }),
 
+    // Streaming session windows (§2.6 × w03): the same 30-minute-gap
+    // session aggregation, but built INCREMENTALLY — events arrive in
+    // four separate micro-batches (maxFilesPerTrigger=1 over a 4-file
+    // stage, arbitrary row order), so sessions split across batches
+    // must merge in the session-window state store. Complete mode on
+    // the bounded source must converge to the batch gaps-and-islands
+    // answer regardless of arrival order — the property that makes
+    // sessionization on a live stream trustworthy.
+    "st09_stream_session" -> ((s, d) => {
+      val stage = "/tmp/graft_st09_in"
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("ts"), col("user_id"))
+        .coalesce(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st09_session_sink"
+      // state-partition sizing: see st07
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("t", "10 minutes")
+          .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn).agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).cast("long").as("n_events"),
+        max(col("n")).as("max_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -482,6 +518,25 @@ object SourceQueries extends QuerySet {
             ${sqlSum("o_totalprice")} AS sum_price,
             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "st09_stream_session" ->
+      """WITH d AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         s AS (
+           SELECT user_id,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d),
+         g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+         SELECT COUNT(*) AS n_sessions,
+                CAST(SUM(n) AS BIGINT) AS n_events,
+                CAST(MAX(n) AS BIGINT) AS max_events,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM g""",
     "st02_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt

@@ -153,6 +153,37 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows merge sessions split across batches") {
+    // one user's events arrive 10 minutes apart but in SEPARATE
+    // micro-batches — the session-window state must merge them into
+    // one session; a second user's two events 40 minutes apart must
+    // stay two sessions even when they arrive together
+    val stream = MemoryStream[(Long, Long)](spark)
+    val ev = stream.toDF().toDF("user_id", "t_us")
+      .withColumn("t", timestamp_micros($"t_us"))
+      .withWatermark("t", "10 minutes")
+    val q = ev.groupBy(session_window($"t", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("st_session_sink")
+      .outputMode("complete").start()
+    try {
+      val min = 60L * 1000000L
+      stream.addData((1L, 0L), (2L, 0L), (2L, 40L * min))
+      q.processAllAvailable()
+      // batch 2: user 1's continuation (10 min later) and an OVERLAP
+      // bridge — an event between two of user 2's sessions but within
+      // 30 min of BOTH, which must merge them into one
+      stream.addData((1L, 10L * min), (2L, 20L * min))
+      q.processAllAvailable()
+      val got = spark.table("st_session_sink")
+        .select($"user_id", $"n").orderBy($"user_id", $"n")
+        .as[(Long, Long)].collect().toSeq
+      // user 1: one merged 2-event session; user 2: the bridge fused
+      // both singletons into one 3-event session
+      assert(got == Seq((1L, 2L), (2L, 3L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming LSH dedup: bucket claims persist, replay is idempotent") {
     import graft.streaming.StreamDedup
     val stream = MemoryStream[(Long, String)](spark)
