@@ -185,4 +185,22 @@ object Layout {
     df.repartitionByRange(partitions, col(rangeCol))
       .write.mode("overwrite")
       .parquet(path)
+
+  /** Hive-style partition-directory layout (`path/col=value/…`): the
+    * storage shape that turns an equality/IN predicate on the partition
+    * column into PARTITION PRUNING — pruned directories are never
+    * listed, let alone read, which is the difference between scanning
+    * one language's shard and scanning 100 TB. Rows are pre-shuffled
+    * onto their partition values so each directory is written by the
+    * tasks owning it (small-files control: ~1 file per value per write,
+    * not one per upstream task).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "need at least one partition column")
+    df.repartition(partCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partCols: _*)
+      .parquet(path)
+  }
 }

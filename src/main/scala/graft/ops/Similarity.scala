@@ -73,6 +73,31 @@ object Similarity {
     topKFinish(scoredAll, "cos", k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * near-miss examples that make a contrastive or reranker objective
+    * informative (easy negatives contribute ~zero gradient). Same
+    * broadcast-NL + bounded mergeable top-k shape as
+    * [[bruteForceTopK]]; the label predicate runs inside the scan, so
+    * same-label candidates never reach scoring.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = Layout.fanOut(corpus).select(col(idCol).as("vec_id"),
+        col(labelCol).as("__cl"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("__ql"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        !(col("__cl") <=> col("__ql")))
+      .withColumn("cos",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
+    topKFinish(scored, "cos", k)
+  }
+
   // ---------- scalar quantization (SQ8) ----------
 
   /** Per-dimension [min,max] bounds of an embedding column, as a

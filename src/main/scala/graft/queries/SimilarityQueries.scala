@@ -137,6 +137,17 @@ object SimilarityQueries extends QuerySet {
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))
         .orderBy(col("vec_id"), col("pos"))),
 
+    // Hard-negative mining (contrastive training data): per query, the
+    // top-10 most-similar vectors with a DIFFERENT label. Same exact
+    // arithmetic as n01 (hash-checked incl. ordering) with the label
+    // exclusion inside the scan.
+    "n11_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding covariance matrix (whitening/PCA precursor) — the
     // order-forced variant: every cell's product sum and every mean
     // folds in vec_id order, so all 2080 upper-triangle covariances
@@ -245,6 +256,24 @@ object SimilarityQueries extends QuerySet {
           SELECT e.vec_id, CAST(m.j AS INT) AS pos,
                  list_dot_product(e.v, m.sv) / 4 AS val
           FROM e, m ORDER BY vec_id, pos""",
+    "n11_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+           scored AS (
+             SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+                    CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                              sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                         ELSE $cosSql END AS cos
+             FROM e a, e b
+             WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id
+               AND a.label IS DISTINCT FROM b.label),
+           ranked AS (
+             SELECT query_id, vec_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, vec_id ASC) AS rank
+             FROM scored)
+          SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "n10_embedding_cov" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings WHERE vec_id < 200),

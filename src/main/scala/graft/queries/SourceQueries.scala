@@ -346,6 +346,26 @@ object SourceQueries extends QuerySet {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Partition-directory round-trip (the corpus storage layout): docs
+    // written hive-partitioned by lang, read back with a partition
+    // predicate — the predicate prunes directories at LISTING time
+    // (gated in LayoutSpec), so a one-language read never touches the
+    // other shards. Values must survive the partition-column encode/
+    // decode (lang travels as a directory name, not parquet data).
+    "s09_partitioned_scan" -> ((s, d) => {
+      val path = "/tmp/graft_s09_part"
+      graft.ops.Layout.writePartitioned(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        path, Seq("lang"))
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // JSON-lines round-trip: the wire format of the reference's Kafka
     // messages (S1/S2) as a file source/sink — write, read with an
     // explicit schema (inference is the reference's bug surface, not
@@ -513,6 +533,12 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s09_partitioned_scan" ->
+      """SELECT lang, COUNT(*) AS n,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS char_sum
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY lang ORDER BY lang""",
     "s08_json_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,

@@ -99,6 +99,36 @@ class LayoutSpec extends SparkSpec {
     dist.unpersist(blocking = false)
   }
 
+  test("partitioned layout: partition filter prunes directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val df = (1L to 3000L)
+      .map(i => (i, s"lang${i % 6}", i * 1.5)).toDF("id", "lang", "v")
+    Layout.writePartitioned(df, s"$dir/docs", Seq("lang"))
+    val read = spark.read.parquet(s"$dir/docs").filter($"lang" === "lang3")
+    assert(read.count() == 500)
+    // the predicate must land in partitionFilters (pruning), not just
+    // dataFilters (row skipping after the read)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val scans = read.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "lang predicate did not become a partition filter")
+      // pruning is observable: the selected scan reads one directory
+      val files = scans.map(_.relation.location
+        .listFiles(scans.head.partitionFilters, Nil)
+        .map(_.files.length).sum).sum
+      val allFiles = spark.read.parquet(s"$dir/docs")
+        .queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.relation.location.listFiles(Nil, Nil).map(_.files.length).sum
+        }.sum
+      assert(files < allFiles, s"pruned scan lists $files of $allFiles files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("range layout: predicate scans a bounded subset of files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     val df = (1L to 10000L).toDF("id").withColumn("v", $"id" * 1.5)
