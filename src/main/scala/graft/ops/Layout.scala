@@ -186,6 +186,67 @@ object Layout {
       .write.mode("overwrite")
       .parquet(path)
 
+  /** Morton (Z-order) key over two pre-scaled coordinates: interleave
+    * the low `bits` bits of `a` (odd positions) and `b` (even
+    * positions). Inputs must already be non-negative integers below
+    * 2^bits — use [[writeZOrdered]] for the min/max scaling that gets
+    * arbitrary numeric columns there. Pure integer arithmetic
+    * (shift/mod/multiply), so the key is engine-portable and stays
+    * inside whole-stage codegen; with bits ≤ 31 the result fits a LONG.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    // bit positions never overlap, so a sum of the shifted bits is the
+    // interleave — no BIT_OR needed, which keeps the DuckDB oracle to
+    // plain arithmetic
+    (0 until bits).map { i =>
+      (shiftright(a, i) % 2) * lit(1L << (2 * i + 1)) +
+        (shiftright(b, i) % 2) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order-clustered parquet layout: rows are range-partitioned AND
+    * sorted by the Morton interleave of two dimensions, so every file
+    * (and every row group inside it) covers a small RECTANGLE of the
+    * (a,b) value space instead of a thin slice of one dimension. A
+    * range layout on `a` alone makes predicates on `a` prune and
+    * predicates on `b` scan everything; the Z layout gives BOTH columns
+    * tight per-file min/max, so a 2-D range predicate skips the files
+    * (and row groups) whose rectangle misses the query box — the
+    * multi-dimensional analogue of [[writeRangeLayout]], and the
+    * standard lakehouse answer to "we filter on two keys".
+    *
+    * Each dimension is scaled to [0, 2^bits) with an equi-WIDTH
+    * min/max transform computed in one bounded aggregate (4 scalars on
+    * the driver, never rows). Equi-width keeps the transform a pure
+    * per-row expression; heavily skewed dimensions can pre-quantize
+    * through [[Aggregates.equidepthBins]] first. The Z key is dropped
+    * before the write — pruning works off the parquet min/max of the
+    * ORIGINAL columns, the key only steers placement.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, bits: Int = 12, files: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!r.anyNull, s"z-order columns $colA/$colB are all-null")
+    val n = 1L << bits
+    def scaled(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      // least() folds the single max-value row back into the top cell
+      least(floor((col(c).cast("double") - lit(lo)) / lit(span) * lit(n))
+        .cast("long"), lit(n - 1))
+    }
+    val z = zValue(scaled(colA, r.getDouble(0), r.getDouble(1)),
+      scaled(colB, r.getDouble(2), r.getDouble(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite")
+      .parquet(path)
+  }
+
   /** Hive-style partition-directory layout (`path/col=value/…`): the
     * storage shape that turns an equality/IN predicate on the partition
     * column into PARTITION PRUNING — pruned directories are never

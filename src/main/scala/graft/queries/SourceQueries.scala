@@ -366,6 +366,29 @@ object SourceQueries extends QuerySet {
         .orderBy(col("lang"))
     }),
 
+    // Z-order-clustered layout: orders rewritten so each file covers a
+    // small RECTANGLE of (custkey, totalprice) space, then read back
+    // with a 2-D range predicate — the layout that lets BOTH filter
+    // columns prune files/row groups via parquet min-max, where a
+    // single-column range layout only serves one of them (file-skipping
+    // gated in LayoutSpec). Values must survive the rewrite exactly.
+    "s10_zorder_scan" -> ((s, d) => {
+      val path = "/tmp/graft_s10_zorder"
+      graft.ops.Layout.writeZOrdered(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus")),
+        path, "o_custkey", "o_totalprice")
+      s.read.parquet(path)
+        .filter(col("o_custkey").between(20, 120) &&
+          col("o_totalprice").between(50000, 150000))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("key_sum"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // JSON-lines round-trip: the wire format of the reference's Kafka
     // messages (S1/S2) as a file source/sink — write, read with an
     // explicit schema (inference is the reference's bug surface, not
@@ -544,6 +567,14 @@ object SourceQueries extends QuerySet {
             ${sqlSum("o_totalprice")} AS sum_price,
             CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s10_zorder_scan" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+            CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+            ${sqlSum("o_totalprice")} AS sum_price
+          FROM orders
+          WHERE o_custkey BETWEEN 20 AND 120
+            AND o_totalprice BETWEEN 50000 AND 150000
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "st09_stream_session" ->
       """WITH d AS (
            SELECT user_id, epoch_us(ts) AS t,

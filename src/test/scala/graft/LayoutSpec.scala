@@ -129,6 +129,38 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("zValue interleaves bits (hand-computed)") {
+    // a-bits land at odd positions, b-bits at even: z(3,5) with 3 bits
+    // → a=011 → bits 1,3; b=101 → bits 0,4 → 2+8+1+16 = 27
+    val df = Seq((3L, 5L), (1L, 0L), (0L, 1L), (0L, 0L), (7L, 7L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", bits = 3).as("z"))
+    assert(df.as[Long].collect().toSeq == Seq(27L, 2L, 1L, 0L, 63L))
+  }
+
+  test("z-ordered layout: a 2-D box predicate touches few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // full 128×128 grid; bits=7 makes the min/max scaling the identity,
+    // so file placement follows the exact Morton curve
+    val grid = spark.range(128L * 128L)
+      .select(($"id" / 128).cast("long").as("a"), ($"id" % 128).as("b"),
+        ($"id" * 31 % 997).as("v"))
+    Layout.writeZOrdered(grid, s"$dir/z", "a", "b", bits = 7, files = 16)
+    val read = spark.read.parquet(s"$dir/z")
+      .filter($"a" < 16 && $"b" < 16)
+    assert(read.count() == 256)
+    // 16 files ≈ 16 equal runs of the z-curve = one 32×32 quadrant
+    // each; the 16×16 corner box lies inside one quadrant, so its rows
+    // concentrate in very few files — the co-location a range layout
+    // on `a` alone cannot give a predicate on BOTH dims
+    val touched = read.select(input_file_name()).distinct().count()
+    assert(touched <= 4, s"box rows spread across $touched of 16 files")
+    // values survive the rewrite exactly
+    val vSum = spark.read.parquet(s"$dir/z").agg(sum($"v")).head().getLong(0)
+    val expect = grid.agg(sum($"v")).head().getLong(0)
+    assert(vSum == expect)
+  }
+
   test("range layout: predicate scans a bounded subset of files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
     val df = (1L to 10000L).toDF("id").withColumn("v", $"id" * 1.5)
