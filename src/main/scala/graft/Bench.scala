@@ -34,20 +34,38 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     val loadBefore = systemLoad()
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // a thrown query must NOT record its time-to-throw as a result —
+    // that turned 13 broken queries into fake sub-0.1s "wins" in r4.
+    // Failures carry an err string into the JSON and fail the run.
+    val errs = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to reps; (name, fn) <- names) {
       // each pass evicts the previous pass's lazy caches so a rep pays
       // its own materialization, not a prior rep's
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
+      } catch { case e: Throwable =>
+        errs(name) = e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("").linesIterator
+            .take(1).mkString.take(200)
+      }
     }
-    val results = names.map { case (k, _) => k -> best(k) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    // value -1 marks a query with zero successful reps
+    val results = names.map { case (k, _) => k -> best.getOrElse(k, -1.0) }
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
+    val failed = names.map(_._1).filter(n => !best.contains(n))
+    val errJson = failed.map(n => jstr(n) + ":" + jstr(errs(n)))
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
     println(json)
     // the driver's stdout capture can truncate a long tail, hiding
     // per-query regressions; persist the same JSON line to the repo
@@ -61,6 +79,10 @@ object Bench {
         System.err.println(s"[bench] summary write failed: ${e.getMessage}")
       }
     spark.stop()
+    if (failed.nonEmpty) {
+      failed.foreach(n => System.err.println(s"[bench] FAILED $n: ${errs(n)}"))
+      sys.exit(1)
+    }
   }
 
   private def systemLoad(): Double = {

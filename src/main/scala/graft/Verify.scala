@@ -26,12 +26,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a thrown query is a hard failure: record it, keep dumping the
+    // rest, and exit nonzero at the end — r4 proved a stderr line alone
+    // lets breakage sail through the driver unseen
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = e.getClass.getSimpleName + ": " +
+          Option(e.getMessage).getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -50,6 +56,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -113,8 +113,8 @@ object AnalyticsQueries extends QuerySet {
     // exchanges (user, then cell), integer day arithmetic throughout.
     "e02_cohort_retention" -> ((s, d) =>
       graft.ops.Journey.cohortRetention(
-        Tables.events(s, d)
-          .select(col("user_id"), expr("ts div 1000").as("tus")),
+        Tables.eventsMicros(s, d)
+          .select(col("user_id"), col("ts_us").as("tus")),
         "user_id", "tus", 86400000000L)
         .orderBy(col("cohort"), col("offset"))),
 
@@ -124,8 +124,8 @@ object AnalyticsQueries extends QuerySet {
     // exact integer micros inside the aggregate.
     "e03_funnel" -> ((s, d) =>
       graft.ops.Journey.funnel(
-        Tables.events(s, d)
-          .select(col("user_id"), expr("ts div 1000").as("tus"),
+        Tables.eventsMicros(s, d)
+          .select(col("user_id"), col("ts_us").as("tus"),
             col("event_type")),
         "user_id", "tus", Seq(
           "view" -> (col("event_type") === "view"),

@@ -90,15 +90,15 @@ object JoinQueries extends QuerySet {
     // side deduped per (user, ts) by max event_id so matches are
     // unambiguous. Checked against DuckDB's native ASOF JOIN.
     "j04_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsMicros(s, d)
       val purchases = ev.filter(col("event_type") === "purchase" &&
         col("user_id") < 100)
-        .select("event_id", "user_id", "ts")
+        .select("event_id", "user_id", "ts_us")
       val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
+        .groupBy(col("user_id"), col("ts_us"))
         .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.ops.AsOfJoin.backward(purchases, views,
-        keyCol = "user_id", leftTime = "ts", rightTime = "ts",
+        keyCol = "user_id", leftTime = "ts_us", rightTime = "ts_us",
         rightValueCols = Seq("value"))
         .select(col("event_id"), col("user_id"),
           col("asof_value"))
@@ -109,15 +109,15 @@ object JoinQueries extends QuerySet {
     // "next event after" lookup). Same one-shuffle union-window shape
     // as j04, frame ahead instead of behind.
     "j08_asof_forward" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsMicros(s, d)
       val purchases = ev.filter(col("event_type") === "purchase" &&
         col("user_id") < 100)
-        .select("event_id", "user_id", "ts")
+        .select("event_id", "user_id", "ts_us")
       val views = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
+        .groupBy(col("user_id"), col("ts_us"))
         .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.ops.AsOfJoin.forward(purchases, views,
-        keyCol = "user_id", leftTime = "ts", rightTime = "ts",
+        keyCol = "user_id", leftTime = "ts_us", rightTime = "ts_us",
         rightValueCols = Seq("value"))
         .select(col("event_id"), col("user_id"), col("asof_value"))
         .orderBy(col("event_id"))
@@ -129,16 +129,15 @@ object JoinQueries extends QuerySet {
     // just its value.
     "j09_asof_nearest" -> ((s, d) => {
       // the matched time is an OUTPUT column here, and DuckDB's parquet
-      // reader truncates TIMESTAMP(NANOS) to microseconds — so the
-      // whole join runs on epoch-µs (ts div 1000) on both sides
-      val ev = Tables.events(s, d)
+      // reader resolves ts to microseconds — so the whole join runs on
+      // epoch-µs (Tables.tsMicros) on both sides
+      val ev = Tables.eventsMicros(s, d)
       val purchases = ev.filter(col("event_type") === "purchase" &&
         col("user_id") < 100)
-        .select(col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("value"),
-          expr("ts div 1000").as("ts_us"))
+          col("ts_us"))
         .groupBy(col("user_id"), col("ts_us"))
         .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.ops.AsOfJoin.nearest(purchases, views,

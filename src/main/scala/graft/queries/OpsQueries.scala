@@ -135,8 +135,8 @@ object OpsQueries extends QuerySet {
     // F1+F2+F3+F5: epoch-nanos → timestamp → formatted date/time strings →
     // concat → parse back → epoch seconds (full round trip).
     "f02_parse_roundtrip" -> ((s, d) => {
-      val ts = timestamp_micros(expr("ts div 1000"))
-      Tables.events(s, d).filter(col("user_id") < 20)
+      val ts = timestamp_micros(col("ts_us"))
+      Tables.eventsMicros(s, d).filter(col("user_id") < 20)
         .withColumn("ds", date_format(ts, "yyyy-MM-dd"))
         .withColumn("tstr", date_format(ts, "HH:mm:ss"))
         .withColumn("parsed",

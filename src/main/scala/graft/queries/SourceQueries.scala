@@ -51,7 +51,8 @@ object SourceQueries extends QuerySet {
       val qn = "st02_window_sink"
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+        .withColumn("t",
+          timestamp_micros(Tables.tsMicros(schema("ts").dataType)))
         .withWatermark("t", "10 minutes")
       val q = src
         .groupBy(window(col("t"), "1 hour"), col("event_type"))
@@ -179,12 +180,13 @@ object SourceQueries extends QuerySet {
       val qn = "st07_join_sink"
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+      val tsUs = Tables.tsMicros(schema("ts").dataType)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ct"))
+          timestamp_micros(tsUs).as("ct"))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("pt"))
+          timestamp_micros(tsUs).as("pt"))
       // a stream-stream join commits FOUR state stores per shuffle
       // partition per micro-batch; partition count is pinned at query
       // start, so size it to the state volume (arrival rate × horizon),
@@ -226,19 +228,21 @@ object SourceQueries extends QuerySet {
     // interval join the oracle states.
     "st08_stream_outer_join" -> ((s, d) => {
       val stage = "/tmp/graft_st08_in"
-      val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), col("ts"), col("user_id"),
+      // staged as epoch-µs BIGINT so the stream side is physical-type
+      // independent (Tables.tsMicros absorbs the testdata's clock type)
+      val ev = Tables.eventsMicros(s, d)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
           col("event_type"))
       // bounded driver scalar: one max over the corpus
-      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
-      val hourNs = 3600L * 1000000000L
+      val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+      val hourUs = 3600L * 1000000L
       def sentinels(round: Long) = s.range(1).select(
           lit(-2 * round).as("event_id"),
-          lit(maxTs + round * hourNs).as("ts"),
+          lit(maxTs + round * hourUs).as("ts_us"),
           lit(-1L).as("user_id"), lit("click").as("event_type"))
         .union(s.range(1).select(
           lit(-2 * round - 1).as("event_id"),
-          lit(maxTs + round * hourNs - 1L).as("ts"),
+          lit(maxTs + round * hourUs - 1L).as("ts_us"),
           lit(-1L).as("user_id"), lit("purchase").as("event_type")))
         .coalesce(1)
       // few large staged files: each file-source batch pays the full
@@ -250,10 +254,10 @@ object SourceQueries extends QuerySet {
       def src = s.readStream.schema(schema).parquet(stage)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("ct"))
+          timestamp_micros(col("ts_us")).as("ct"))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          timestamp_micros(expr("ts div 1000")).as("pt"))
+          timestamp_micros(col("ts_us")).as("pt"))
       // state-partition sizing: see st07 — the outer join pays the
       // four-store commit cost on EVERY one of its three micro-batches
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -300,8 +304,8 @@ object SourceQueries extends QuerySet {
     // sessionization on a live stream trustworthy.
     "st09_stream_session" -> ((s, d) => {
       val stage = "/tmp/graft_st09_in"
-      s.read.parquet(s"$d/events.parquet")
-        .select(col("ts"), col("user_id"))
+      Tables.eventsMicros(s, d)
+        .select(col("ts_us"), col("user_id"))
         .coalesce(4).write.mode("overwrite").parquet(stage)
       val schema = s.read.parquet(stage).schema
       val qn = "st09_session_sink"
@@ -311,7 +315,7 @@ object SourceQueries extends QuerySet {
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
-          .withColumn("t", timestamp_micros(expr("ts div 1000")))
+          .withColumn("t", timestamp_micros(col("ts_us")))
           .withWatermark("t", "10 minutes")
           .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
           .agg(count(lit(1)).as("n"))

@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet testdata (TESTDATA.md).
   *
@@ -20,6 +22,34 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  /** Epoch-micros BIGINT expression for an events-shaped `ts` column,
+    * adaptive to the type the parquet reader actually produced. The
+    * shipped testdata has drifted between TIMESTAMP(NANOS) (read as
+    * epoch-nanos LONG under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ);
+    * hard-coding either assumption breaks every event-time query the
+    * next time the physical type flips. All entry points pin the
+    * session timezone to UTC, so the NTZ→TZ cast is an identity on the
+    * wall-clock reading and this matches DuckDB's `epoch_us(ts)`.
+    */
+  def tsMicros(dt: DataType, name: String = "ts"): Column = dt match {
+    // integral `div`, NOT `/`: epoch-nanos exceed 2^53, double loses µs
+    case LongType         => expr(s"`$name` div 1000")
+    case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+    case TimestampType    => unix_micros(col(name))
+    case other => throw new IllegalArgumentException(
+      s"events.ts read as unsupported type $other — expected LONG (nanos), " +
+        "TIMESTAMP or TIMESTAMP_NTZ")
+  }
+
+  /** events with an extra `ts_us` epoch-micros BIGINT column — the one
+    * event-time accessor every time-based query goes through.
+    */
+  def eventsMicros(s: SparkSession, d: String): DataFrame = {
+    val df = events(s, d)
+    df.withColumn("ts_us", tsMicros(df.schema("ts").dataType))
+  }
 
   /** documents/embeddings feed compute-amplifying per-row kernels
     * (tokenize/shingle/hash/dot), and the testdata ships them as

@@ -54,9 +54,9 @@ object WindowQueries extends QuerySet {
     // One key exchange + per-key local sort; frame state is bounded by
     // per-entity rate × window span, never corpus size.
     "w09_velocity" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.eventsMicros(s, d)
         .select(col("event_type"), col("user_id"),
-          expr("ts div 1000").as("tus"), col("value"))
+          col("ts_us").as("tus"), col("value"))
       graft.ops.Velocity.trailing(ev, "user_id", "tus", "value",
           windowMicros = 3600L * 1000000L)
         .groupBy(col("event_type"))
@@ -115,8 +115,8 @@ object WindowQueries extends QuerySet {
     // Sliding windows (1h size / 30m slide — every event lands in two
     // windows). Oracle enumerates the candidate window starts per event.
     "w04_sliding" -> ((s, d) =>
-      Tables.events(s, d)
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      Tables.eventsMicros(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
         .groupBy(window(col("t"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_timestamp(col("window.start")).as("ws"),
@@ -125,8 +125,8 @@ object WindowQueries extends QuerySet {
 
     // Session windows: 30-minute inactivity gap per user.
     "w03_session" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      val ev = Tables.eventsMicros(s, d)
+        .withColumn("t", timestamp_micros(col("ts_us")))
       val sessions = ev
         .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"))
