@@ -7,7 +7,7 @@ object SparkEntry {
     Seq(CoreQueries, OpsQueries, MetricsQueries, SourceQueries, MlQueries,
       TextQueries, DedupQueries, SimilarityQueries, MultimodalQueries,
       AnalyticsQueries, JoinQueries, WindowQueries, SamplingQueries,
-      RelevanceQueries)
+      RelevanceQueries, GraphQueries)
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("a02_grouped_agg")(spark, "/root/testdata/sf0.001")

@@ -84,10 +84,10 @@ object Models {
       (-avg(when(l === 1, log(pr)).otherwise(log(lit(1) - pr))))
         .as("log_loss"))
     val b = base.cache() // one row; evaluated once, read twice
-    val out = Aggregates.binaryMetrics(b)
-      .crossJoin(b.select("log_loss"))
-      .crossJoin(Aggregates.rocAuc(s, "label", "proba"))
-      .localCheckpoint(true)
+    val out = graft.ops.Checkpoints.cut(
+      Aggregates.binaryMetrics(b)
+        .crossJoin(b.select("log_loss"))
+        .crossJoin(Aggregates.rocAuc(s, "label", "proba")))
     s.unpersist(blocking = false)
     b.unpersist(blocking = false)
     out
@@ -132,7 +132,7 @@ object Models {
     */
   def evaluateAll(scoredByModel: DataFrame): DataFrame = {
     val r = evaluateAllCached(scoredByModel)
-    val out = r.df.localCheckpoint(true)
+    val out = graft.ops.Checkpoints.cut(r.df)
     r.release()
     out
   }

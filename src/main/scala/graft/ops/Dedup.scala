@@ -513,8 +513,11 @@ object Dedup {
     * so chains converge in O(log diameter) edge phases instead of
     * O(diameter) — and the extra work per iteration shuffles nodes, not
     * edges, which is the cheap side at corpus scale. Lineage is cut per
-    * iteration via localCheckpoint; the compression self-join reads the
-    * already-materialized checkpoint twice at no recompute cost.
+    * iteration via [[Checkpoints.cut]] (localCheckpoint by default,
+    * reliable `spark.graft.checkpointDir` checkpoints for
+    * executor-loss-tolerant cluster runs); the compression self-join
+    * reads the already-materialized checkpoint twice at no recompute
+    * cost.
     * Near-dup graphs are overwhelmingly tiny cliques, so 2-3 iterations
     * in practice.
     */
@@ -523,9 +526,9 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = Checkpoints.cut(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -538,13 +541,13 @@ object Dedup {
       // action below is the phase's ONLY full job, and the changed?
       // probe is a short-circuiting scan of the already-materialized
       // checkpoint (head(1)), not a second shuffle+count over the data
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (col("nbr_min").isNotNull && col("nbr_min") < col("component"))
-            .as("__changed"))
-        .localCheckpoint(true)
+      val stepped = Checkpoints.cut(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("nbr_min"), col("component")))
+              .as("component"),
+            (col("nbr_min").isNotNull && col("nbr_min") < col("component"))
+              .as("__changed")))
       converged = stepped.filter(col("__changed")).head(1).isEmpty
       labels = stepped.drop("__changed")
       if (!converged) {
@@ -553,14 +556,13 @@ object Dedup {
         // reaches it directly next phase. Labels only decrease, and
         // always to a node id inside the same component, so the
         // step-fixpoint convergence criterion above stays valid.
-        labels = labels.as("a")
+        labels = Checkpoints.cut(labels.as("a")
           .join(labels.select(col("id").as("__lid"),
             col("component").as("__lcomp")).as("b"),
             col("a.component") === col("__lid"), "left")
           .select(col("a.id").as("id"),
             least(col("a.component"),
-              coalesce(col("__lcomp"), col("a.component"))).as("component"))
-          .localCheckpoint(true)
+              coalesce(col("__lcomp"), col("a.component"))).as("component")))
       }
       iter += 1
     }

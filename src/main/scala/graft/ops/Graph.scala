@@ -78,7 +78,7 @@ object Graph {
     * last level) joins the edge list once, and discovered neighbors
     * anti-join the visited set. Work per level is O(frontier-adjacent
     * edges), not O(graph); each level's frontier is cut from lineage
-    * via localCheckpoint, and the convergence probe is a head(1) scan
+    * via [[Checkpoints.cut]], and the convergence probe is a head(1) scan
     * of that already-materialized checkpoint (the connectedComponents
     * discipline — no extra count job per level). The visited set is a
     * union of ≤ maxHops checkpointed levels, so the anti-join's build
@@ -91,21 +91,21 @@ object Graph {
   def khopReach(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0))
-      .localCheckpoint(true)
+    var visited = Checkpoints.cut(
+      seeds.select(col("node")).distinct()
+        .withColumn("hops", lit(0)))
     var frontier = visited
     var h = 0
     var done = maxHops == 0
     while (!done) {
       h += 1
-      val next = frontier.select(col("node").as("u"))
-        .join(sym, Seq("u"))
-        .select(col("v").as("node"))
-        .distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("hops", lit(h))
-        .localCheckpoint(true)
+      val next = Checkpoints.cut(
+        frontier.select(col("node").as("u"))
+          .join(sym, Seq("u"))
+          .select(col("v").as("node"))
+          .distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h)))
       if (next.head(1).isEmpty) done = true
       else {
         visited = visited.union(next)
@@ -163,7 +163,7 @@ object Graph {
           s"CAST($base AS BIGINT) + " +
             s"($dampPct * coalesce(s, CAST(0 AS BIGINT))) div 100 AS rank")
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true)
+        ranks = Checkpoints.cut(ranks)
     }
     Cached(ranks, Seq(sym, deg))
   }

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fraud-ring graph analytics over the events stream (ops/Graph.scala):
+  * project a user↔attribute bipartite graph (users sharing the same
+  * `props.k` repeatedly) onto user–user edges, then ask the standard
+  * ring questions — who's connected (g01), who's central (g02
+  * PageRank), where are the near-cliques (g03 triangles), and how far
+  * does a seed set's neighborhood reach (g04 k-hop BFS).
+  *
+  * Every oracle is exact: PageRank runs in integer fixed-point
+  * arithmetic precisely so a SQL engine can replay it bit-identically
+  * (the 3 iterations unroll as chained CTEs); triangles verify against
+  * the naive u<v<w triple join; BFS unrolls its 2 levels.
+  */
+object GraphQueries extends QuerySet {
+
+  /** User–user co-attribute edges: the shared attribute is the `k`
+    * field of the props JSON (the device/location analogue — see
+    * ops/Graph.scala's reference note), qualified at >= 3 events per
+    * (user, attr). The maxAttrUsers super-node cap never binds on this
+    * corpus (<= 1500 users total), so the oracle can omit it.
+    */
+  private def edges(s: SparkSession, d: String): DataFrame =
+    graft.ops.Graph.coAttributeEdges(
+      Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("attr")),
+      "user_id", "attr", minEvents = 3)
+
+  private def seeds(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).filter(col("user_id") % 37 === 0)
+      .select(col("user_id").as("node")).distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_coattr_edges" -> ((s, d) =>
+      edges(s, d).orderBy(col("u"), col("v"))),
+
+    "g02_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRank(edges(s, d), iters = 3)
+        .orderBy(col("node"))),
+
+    "g03_triangles" -> ((s, d) =>
+      graft.ops.Graph.triangleCounts(edges(s, d))
+        .orderBy(col("node"))),
+
+    "g04_khop_reach" -> ((s, d) =>
+      graft.ops.Graph.khopReach(edges(s, d), seeds(s, d), maxHops = 2)
+        .orderBy(col("hops"), col("node")))
+  )
+
+  // shared oracle prelude: qualified (user, attr) pairs and the
+  // canonical u<v edge list — mirrors coAttributeEdges exactly
+  private val prelude =
+    """WITH src AS (SELECT user_id AS u,
+                           CAST(json_extract(props, '$.k') AS INT) AS attr
+                    FROM events
+                    WHERE user_id IS NOT NULL
+                      AND json_extract(props, '$.k') IS NOT NULL),
+         pa AS (SELECT u, attr FROM src
+                GROUP BY u, attr HAVING COUNT(*) >= 3),
+         e AS (SELECT a.u AS u, b.u AS v, COUNT(*) AS shared
+               FROM pa a JOIN pa b ON a.attr = b.attr AND a.u < b.u
+               GROUP BY 1, 2)"""
+
+  def oracle: Map[String, String] = Map(
+    "g01_coattr_edges" ->
+      s"""$prelude
+         SELECT u, v, shared FROM e ORDER BY u, v""",
+
+    // 3 unrolled iterations of the integer fixed-point PageRank:
+    // scale 10^6, damping 85%, base = 150000, every division a floor
+    // division on positive integers — bit-identical to the Spark run
+    "g02_pagerank" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         c1 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r0 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r1 AS (SELECT d.node,
+                       CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM deg d LEFT JOIN c1 c ON d.node = c.node),
+         c2 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r1 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r2 AS (SELECT d.node,
+                       CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM deg d LEFT JOIN c2 c ON d.node = c.node),
+         c3 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r2 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r3 AS (SELECT d.node,
+                       CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM deg d LEFT JOIN c3 c ON d.node = c.node)
+         SELECT node, r AS "rank" FROM r3 ORDER BY node""",
+
+    // naive triple join: e is canonical (u < v) so each triangle
+    // x<y<z appears exactly once; orientation-invariant counts
+    "g03_triangles" ->
+      s"""$prelude,
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM e a JOIN e b ON a.v = b.u
+                          JOIN e c ON c.u = a.u AND c.v = b.v),
+         n AS (SELECT unnest([x, y, z]) AS node FROM tri)
+         SELECT node, COUNT(*) AS triangles FROM n
+         GROUP BY node ORDER BY node""",
+
+    // BFS unrolled to 2 levels over the symmetrized edges; seeds
+    // appear at hops 0 even when isolated
+    "g04_khop_reach" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         seeds AS (SELECT DISTINCT user_id AS node FROM events
+                   WHERE user_id % 37 = 0),
+         h1 AS (SELECT DISTINCT s.v AS node
+                FROM sym s JOIN seeds sd ON s.u = sd.node
+                WHERE s.v NOT IN (SELECT node FROM seeds)),
+         h2 AS (SELECT DISTINCT s.v AS node
+                FROM sym s JOIN h1 ON s.u = h1.node
+                WHERE s.v NOT IN (SELECT node FROM seeds)
+                  AND s.v NOT IN (SELECT node FROM h1))
+         SELECT node, 0 AS hops FROM seeds
+         UNION ALL SELECT node, 1 AS hops FROM h1
+         UNION ALL SELECT node, 2 AS hops FROM h2
+         ORDER BY hops, node"""
+  )
+}

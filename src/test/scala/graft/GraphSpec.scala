@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Checkpoints, Graph}
+
+/** Hand-computed gates for the fraud-ring graph toolkit, plus the
+  * reliable-checkpoint path for iterative ops.
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDF(pairs: (Long, Long)*) =
+    pairs.toDF("u", "v")
+
+  test("coAttributeEdges: qualification threshold and pair counts") {
+    // users 1,2,3 each carry attr "a" 3 times (qualified); user 4 only
+    // once (filtered); users 1,2 also share attr "b" 3 times each
+    val rows =
+      (for (u <- 1L to 3L; _ <- 1 to 3) yield (u, "a")) ++
+      (for (u <- 1L to 2L; _ <- 1 to 3) yield (u, "b")) ++
+      Seq((4L, "a"))
+    val df = rows.toDF("user", "attr")
+    val got = Graph.coAttributeEdges(df, "user", "attr", minEvents = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) share a AND b; (1,3) and (2,3) share only a
+    assert(got === Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("coAttributeEdges: super-node attribute dropped by maxAttrUsers") {
+    val rows =
+      (for (u <- 1L to 10L; _ <- 1 to 3) yield (u, "hot")) ++
+      (for (u <- 1L to 2L; _ <- 1 to 3) yield (u, "cold"))
+    val df = rows.toDF("user", "attr")
+    val got = Graph.coAttributeEdges(df, "user", "attr",
+        minEvents = 3, maxAttrUsers = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // "hot" links 10 users > cap 5 → dropped; only "cold" survives
+    assert(got === Set((1L, 2L, 1L)))
+  }
+
+  test("pageRank: integer fixed-point matches the hand-run on a path") {
+    // path 1–2–3, deg = (1, 2, 1); 3 iterations at scale 10^6, d=85%:
+    //   it1: (575000, 1850000, 575000)
+    //   it2: (936250, 1127500, 936250)
+    //   it3: (629187, 1741625, 629187)   [floor divisions throughout]
+    val ranks = Graph.pageRank(edgesDF((1L, 2L), (2L, 3L)), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
+  }
+
+  test("triangleCounts: 4-clique plus pendant edge") {
+    // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3;
+    // pendant 5 (edge 4–5) is in none and absent from the output
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val got = Graph.triangleCounts(edgesDF(k4 :+ ((4L, 5L)): _*))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("khopReach: bounded BFS with an isolated seed") {
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = Graph.khopReach(
+        edgesDF((1L, 2L), (2L, 3L), (3L, 4L)), seeds, maxHops = 2)
+      .as[(Long, Int)].collect().toMap
+    // 9 is isolated (hops 0); 4 is 3 hops out — beyond the bound
+    assert(got === Map(1L -> 0, 9L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("reliable checkpoint dir: iterative ops agree with the local path") {
+    val dir = "/tmp/graft-ckpt-spec"
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val local = graft.ops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      val reliable = graft.ops.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(reliable === local)
+      assert(reliable === Set((1L, 1L), (2L, 1L), (3L, 1L),
+        (10L, 10L), (11L, 10L)))
+      // the reliable path actually wrote checkpoint files
+      val wrote = new java.io.File(dir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, s"no checkpoint files under $dir")
+      val khop = Graph.khopReach(edgesDF((1L, 2L)), Seq(1L).toDF("node"), 1)
+        .as[(Long, Int)].collect().toMap
+      assert(khop === Map(1L -> 0, 2L -> 1))
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+}
