@@ -501,8 +501,6 @@ object Aggregates {
                                  valueCol: String,
                                  zCol: String = "robust_z",
                                  keepStats: Boolean = false): Cached = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
     val counts = df.filter(col(valueCol).isNotNull)
@@ -523,24 +521,10 @@ object Aggregates {
     val mad = lowerMedianOfCounts(devCounts, groupCol, "__dev",
       "__dcnt", "__mad")
     val madByGroup = mad.collect().map(r => r.get(0) -> r.get(1)).toMap
-    val statsSchema = StructType(Seq(
-      StructField("__mg", med.schema(groupCol).dataType, nullable = true),
-      StructField("__med", med.schema("__med").dataType, nullable = true),
-      StructField("__mad", mad.schema("__mad").dataType,
-        nullable = true)))
-    val statsRows = medRows.toSeq.map(r =>
-      Row(r.get(0), r.get(1), madByGroup.getOrElse(r.get(0), null)))
-    val stats = spark.createDataFrame(statsRows.asJava, statsSchema)
-    val scored = df.join(broadcast(stats), col(groupCol) <=> col("__mg"))
-      .drop("__mg")
-      .withColumn(zCol,
-        when(col("__mad") > 0,
-          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")))
-    val out =
-      if (keepStats)
-        scored.withColumnRenamed("__med", "robust_med")
-          .withColumnRenamed("__mad", "robust_mad")
-      else scored.drop("__med", "__mad")
+    val out = scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
+      medRows, med.schema(groupCol).dataType,
+      med.schema("__med").dataType, mad.schema("__mad").dataType,
+      madByGroup)
     Cached(out, Seq(counts))
   }
 
@@ -555,6 +539,84 @@ object Aggregates {
       keepStats)
     c.release()
     c.df
+  }
+
+  /** Bounded-memory twin of [[robustZscorePerGroup]] — the 100-TB path
+    * for CONTINUOUS value columns, mirroring `winsorize(approx = true)`.
+    *
+    * The exact path's (group, value, count) frame is only bounded when
+    * values are quantized; on a continuous double column distinct ≈
+    * rows and the exact-median shuffle carries the corpus. Here both
+    * the median and the MAD come from `percentile_approx` — a mergeable
+    * constant-size sketch per group, map-side partials, no
+    * distinct-value frame anywhere — so memory is O(groups × accuracy)
+    * regardless of row count, and the whole stats phase is TWO light
+    * aggregation jobs (median, then deviation median) instead of four.
+    *
+    * Contract difference (spec-pinned, same stance as winsorize): the
+    * returned median/MAD are actual data values whose rank is within
+    * n/`accuracy` of the true median — EQUAL to the exact lower median
+    * whenever the group has <= `accuracy` rows with a unique median
+    * rank, drifting by at most that rank bound beyond. z-scores follow
+    * the same Iglewicz–Hoaglin formula, null when MAD is 0.
+    */
+  def robustZscorePerGroupApprox(df: DataFrame, groupCol: String,
+                                 valueCol: String,
+                                 zCol: String = "robust_z",
+                                 keepStats: Boolean = false,
+                                 accuracy: Int = 10000): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val vals = df.filter(col(valueCol).isNotNull)
+    val med = vals.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
+        .as("__med"))
+    val medRows = med.collect() // bounded: one row per group
+    val medLocal = spark.createDataFrame(medRows.toSeq.asJava, med.schema)
+      .withColumnRenamed(groupCol, "__mg")
+    val mad = vals
+      .join(broadcast(medLocal), col(groupCol) <=> col("__mg"))
+      .groupBy(col(groupCol))
+      .agg(percentile_approx(abs(col(valueCol) - col("__med")),
+        lit(0.5), lit(accuracy)).as("__mad"))
+    val madByGroup = mad.collect().map(r => r.get(0) -> r.get(1)).toMap
+    scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
+      medRows, med.schema(groupCol).dataType,
+      med.schema("__med").dataType, mad.schema("__mad").dataType,
+      madByGroup)
+  }
+
+  /** Shared tail of the exact/approx robust z-score: re-enter the
+    * driver-collected per-group stats as a literal broadcast table and
+    * score (see [[robustZscorePerGroupCached]] for why the collect).
+    */
+  private def scoreWithStats(df: DataFrame, groupCol: String,
+                             valueCol: String, zCol: String,
+                             keepStats: Boolean,
+                             medRows: Array[org.apache.spark.sql.Row],
+                             groupType: org.apache.spark.sql.types.DataType,
+                             medType: org.apache.spark.sql.types.DataType,
+                             madType: org.apache.spark.sql.types.DataType,
+                             madByGroup: Map[Any, Any]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val statsSchema = StructType(Seq(
+      StructField("__mg", groupType, nullable = true),
+      StructField("__med", medType, nullable = true),
+      StructField("__mad", madType, nullable = true)))
+    val statsRows = medRows.toSeq.map(r =>
+      Row(r.get(0), r.get(1), madByGroup.getOrElse(r.get(0), null)))
+    val stats = df.sparkSession.createDataFrame(statsRows.asJava, statsSchema)
+    val scored = df.join(broadcast(stats), col(groupCol) <=> col("__mg"))
+      .drop("__mg")
+      .withColumn(zCol,
+        when(col("__mad") > 0,
+          lit(0.6745) * (col(valueCol) - col("__med")) / col("__mad")))
+    if (keepStats)
+      scored.withColumnRenamed("__med", "robust_med")
+        .withColumnRenamed("__mad", "robust_mad")
+    else scored.drop("__med", "__mad")
   }
 
   /** Per-group winsorization: clip `valueCol` into its own group's

@@ -49,6 +49,27 @@ object WindowQueries extends QuerySet {
             .as("n_outliers"))
         .orderBy(col("event_type"))),
 
+    // The bounded-memory twin of w08 (percentile_approx sketches — the
+    // path a continuous value column takes at 100 TB, where the exact
+    // distinct-value frame would carry the corpus). accuracy=100000
+    // exceeds every group's row count at the verify/bench scales, so
+    // the sketch's rank bound collapses to exact and the SAME lower-
+    // median oracle pins the rank rule; production calls tune accuracy
+    // down and accept rank error <= n/accuracy (spec-pinned contract).
+    "w08b_robust_zscore_approx" -> ((s, d) =>
+      graft.ops.Aggregates.robustZscorePerGroupApprox(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value")),
+        "event_type", "value", zCol = "z", keepStats = true,
+        accuracy = 100000)
+        .groupBy(col("event_type"))
+        .agg(min(col("robust_med")).as("med"),
+          min(col("robust_mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))),
+
     // Trailing-1h velocity features per user (count + exact-decimal
     // value sum in a RANGE frame) — the transaction-burst fraud signal.
     // One key exchange + per-key local sort; frame state is bounded by
@@ -154,6 +175,40 @@ object WindowQueries extends QuerySet {
                 CAST(MAX(vs) AS DOUBLE) AS max_window_sum
          FROM w GROUP BY event_type ORDER BY event_type""",
     "w08_robust_zscore" ->
+      """WITH src AS (SELECT event_type AS g, value AS v FROM events
+                      WHERE value IS NOT NULL),
+           c AS (SELECT g, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2),
+           cum AS (SELECT g, v, cnt,
+                     SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+           med AS (SELECT g, MIN(v) AS med FROM cum
+                   WHERE cum >= (n + 1) // 2 GROUP BY g),
+           dev AS (SELECT s.g, ABS(s.v - m.med) AS dv
+                   FROM src s JOIN med m ON s.g = m.g),
+           dc AS (SELECT g, dv, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+           dcum AS (SELECT g, dv, cnt,
+                      SUM(cnt) OVER (PARTITION BY g ORDER BY dv
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum,
+                      SUM(cnt) OVER (PARTITION BY g) AS n FROM dc),
+           mad AS (SELECT g, MIN(dv) AS mad FROM dcum
+                   WHERE cum >= (n + 1) // 2 GROUP BY g),
+           z AS (SELECT s.g, m.med, d.mad,
+                   CASE WHEN d.mad > 0
+                     THEN 0.6745 * (s.v - m.med) / d.mad END AS z
+                 FROM src s JOIN med m ON s.g = m.g
+                            JOIN mad d ON s.g = d.g)
+         SELECT g AS event_type, MIN(med) AS med, MIN(mad) AS mad,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_outliers
+         FROM z GROUP BY g ORDER BY event_type""",
+    // identical SQL to w08: at verify scale the sketch is exact (see
+    // the query comment), so the approx twin must reproduce the exact
+    // lower-median answer bit-for-bit
+    "w08b_robust_zscore_approx" ->
       """WITH src AS (SELECT event_type AS g, value AS v FROM events
                       WHERE value IS NOT NULL),
            c AS (SELECT g, v, COUNT(*) AS cnt FROM src GROUP BY 1, 2),

@@ -254,6 +254,36 @@ class AggregatesSpec extends SparkSpec {
     assert(out(("c", 4.0))._3 == Some(0.6745 * 2.0))
   }
 
+  test("robustZscorePerGroupApprox: matches exact when accuracy >= n") {
+    // the bounded-memory contract: with accuracy >= group size the
+    // percentile_approx sketch's rank error is < 1, so medians, MADs
+    // and every z must equal the exact lower-median path — on odd,
+    // even, constant (MAD 0 → null z) and heavy-outlier groups alike
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("a", 100.0), ("b", 5.0), ("b", 5.0),
+      ("c", 1.0), ("c", 2.0), ("c", 3.0), ("c", 4.0)).toDF("g", "v")
+    def key(r: (String, Double, Double, Double, Option[Double])) =
+      (r._1, r._2) -> ((r._3, r._4, r._5))
+    val exact = Aggregates.robustZscorePerGroup(df, "g", "v",
+        zCol = "z", keepStats = true)
+      .select($"g", $"v", $"robust_med", $"robust_mad", $"z")
+      .as[(String, Double, Double, Double, Option[Double])]
+      .collect().map(key).toMap
+    val approx = Aggregates.robustZscorePerGroupApprox(df, "g", "v",
+        zCol = "z", keepStats = true, accuracy = 1000)
+      .select($"g", $"v", $"robust_med", $"robust_mad", $"z")
+      .as[(String, Double, Double, Double, Option[Double])]
+      .collect().map(key).toMap
+    assert(approx === exact)
+    // the approx result is always an ACTUAL data value (rank-bounded
+    // selection, never interpolation) even at minimum accuracy
+    val coarse = Aggregates.robustZscorePerGroupApprox(df, "g", "v",
+        zCol = "z", keepStats = true, accuracy = 2)
+      .select($"g", $"robust_med").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(Set(1.0, 2.0, 3.0, 4.0, 100.0).contains(coarse("a")))
+  }
+
   test("chi2Drift: hand-computed 2x2 terms, zero on identical mixes") {
     // E=[a,a,a,b], A=[a,b,b,b]: margins give exp=2 per cell, so each
     // category contributes (3-2)^2/2 + (1-2)^2/2 = 1.0
