@@ -112,6 +112,44 @@ class MLSpec extends SparkSpec {
     assert(mj.count() == 3)
   }
 
+  test("M8 parity: fused evaluateAll ≡ per-model evaluate on the GBT sub") {
+    // closes the documented XGBoost→GBT substitution with a quantified
+    // check on the METRIC side: whatever model fills the "XGBoost" slot,
+    // the fused multi-model evaluator (one traversal, grouped by model)
+    // must reproduce the per-model battery bit-for-bit, so the
+    // model_metrics.json numbers don't depend on which evaluation path
+    // produced them. Divergence from the reference's persisted xgboost
+    // model remains in the MODEL (SURVEY §7.3), not the formulas.
+    val pre = FeaturePipeline.preprocess(raw)
+      .withColumn("label", col("Is_Fraud").cast("int"))
+    val fm = FeaturePipeline.fit(pre)
+    val featured = Balance.withBalancedWeights(
+      fm.transform(FeaturePipeline.withRequiredFeatures(pre)), "label")
+    val (train, test) = Models.split(featured)
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setFeaturesCol("features").setLabelCol("label").setWeightCol("weight")
+      .setSeed(42).setMaxIter(5).setMaxDepth(3).fit(train)
+    val s = Models.scored(gbt, test).cache()
+    val per = Models.evaluate(s).head()
+    val fused = Models.evaluateAll(s.withColumn("model", lit("XGBoost")))
+    assert(fused.count() == 1)
+    val f = fused.head()
+    val shared = per.schema.fieldNames.toSet
+      .intersect(f.schema.fieldNames.toSet)
+    assert(shared.size >= 10, s"only shared metrics: $shared")
+    for (c <- shared) {
+      val (a, b) = (per.getAs[Any](c), f.getAs[Any](c))
+      (a, b) match {
+        case (x: Double, y: Double) =>
+          assert(x == y || math.abs(x - y) < 1e-12, s"$c: $x vs $y")
+        case _ => assert(a == b, s"$c: $a vs $b")
+      }
+    }
+    // and the model actually separates (the slot is a real classifier)
+    assert(per.getAs[Double]("roc_auc") > 0.9)
+    s.unpersist(blocking = false)
+  }
+
   test("M10: feature importances expose amount as a top signal") {
     val pre = FeaturePipeline.preprocess(raw)
       .withColumn("label", col("Is_Fraud").cast("int"))

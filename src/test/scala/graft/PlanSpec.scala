@@ -180,6 +180,31 @@ class PlanSpec extends SparkSpec {
         "projection should be row-local column math")
   }
 
+  test("graph queries keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, BroadcastNestedLoopJoinExec,
+      CartesianProductExec}
+    // g01: the super-node hot-attr filter must be a broadcast ANTI join
+    // (the hot list is tiny by construction — pairs/maxAttrUsers keys);
+    // a shuffled anti-join would reshuffle every qualified pair
+    val g01 = plan("g01_coattr_edges")
+    assert(g01.collect { case b: BroadcastHashJoinExec
+        if b.joinType.toString == "LeftAnti" => b }.nonEmpty,
+      "g01 hot-attribute anti-join is not broadcast")
+    // and the projection self-join must be an equi-join on the attr —
+    // never an all-pairs fallback
+    for (q <- Seq("g01_coattr_edges", "g02_pagerank", "g03_triangles",
+        "g04_khop_reach")) {
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q fell back to an all-pairs join")
+      // no windows anywhere: ranks/counts are pure joins + hash aggs
+      assert(p.collect { case w: WindowExec => w }.isEmpty,
+        s"$q plans a WindowExec")
+    }
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
