@@ -44,6 +44,36 @@ object Journey {
       .agg(countDistinct(col(entityCol)).as("n_active"))
   }
 
+  /** Event-level sessionization: assign every event its entity's
+    * 0-based session index (new session when the gap since the
+    * previous event is >= `gapMicros` — the same inclusive rule as
+    * `session_window`'s close) plus `gap_us`, the exact integer gap to
+    * the previous event (null on each entity's first). This is the
+    * ASSIGNMENT form of w03's aggregate: the session-example builder a
+    * training pipeline needs (session features, within-session
+    * ordering, session-level labels), where `session_window` only
+    * yields per-session aggregates.
+    *
+    * ONE key exchange + per-key local sort (lag + running sum over the
+    * entity partition); per-key window state is one row. Entity skew
+    * bounds the reducer: a hot entity's events sort on one task — the
+    * same bound as any per-entity sequence model's input builder, and
+    * orders of magnitude below corpus scale.
+    */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 gapMicros: Long,
+                 sessionCol: String = "session_idx",
+                 gapCol: String = "gap_us"): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(gapCol, col(tsCol) - lag(col(tsCol), 1).over(w))
+      .withColumn(sessionCol,
+        (sum(when(col(gapCol).isNull || col(gapCol) >= gapMicros, 1L)
+          .otherwise(0L)).over(run) - 1L).as(sessionCol))
+  }
+
   /** Ordered conversion funnel: `stages` are (name, predicate) pairs;
     * an entity reaches stage i at the EARLIEST event satisfying
     * predicate i at-or-after its stage i−1 time (`>=`, so a

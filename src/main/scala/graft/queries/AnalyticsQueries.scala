@@ -118,6 +118,25 @@ object AnalyticsQueries extends QuerySet {
         "user_id", "tus", 86400000000L)
         .orderBy(col("cohort"), col("offset"))),
 
+    // Event-level sessionization (the ASSIGNMENT form of w03): every
+    // event gets its user's session index, sessions then roll up to a
+    // session-size histogram with exact integer durations. One key
+    // exchange + per-key sort; deterministic under timestamp ties
+    // (equal-ts events always share a session: gap 0 < threshold).
+    "e04_sessionize" -> ((s, d) => {
+      val sess = graft.ops.Journey.sessionize(
+        Tables.eventsMicros(s, d).select(col("user_id"), col("ts_us")),
+        "user_id", "ts_us", gapMicros = 1800000000L)
+      sess.groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("session_size"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur"))
+        .groupBy(col("session_size"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("dur")).as("sum_duration_us"))
+        .orderBy(col("session_size"))
+    }),
+
     // Ordered conversion funnel view → click → purchase: stage i is
     // the earliest matching event at-or-after stage i-1's time; every
     // stage joins and aggregates on the SAME user key. Lags stay
@@ -135,6 +154,26 @@ object AnalyticsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "e04_sessionize" ->
+      """WITH d AS (
+           SELECT user_id, epoch_us(ts) AS t,
+                  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            >= 1800000000 THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         s AS (
+           SELECT user_id, t,
+                  SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) - 1 AS sid
+           FROM d),
+         g AS (SELECT user_id, sid, COUNT(*) AS n,
+                      MAX(t) - MIN(t) AS dur
+               FROM s GROUP BY user_id, sid)
+         SELECT n AS session_size, COUNT(*) AS n_sessions,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(SUM(dur) AS BIGINT) AS sum_duration_us
+         FROM g GROUP BY 1 ORDER BY 1""",
     "e02_cohort_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS b
                     FROM events),

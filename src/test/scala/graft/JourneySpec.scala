@@ -64,4 +64,41 @@ class JourneySpec extends SparkSpec {
       .as[(Long, String, Long, Option[Long])].collect().toSeq
     assert(out == Seq((0L, "x", 1L, None)))
   }
+
+  test("sessionize: boundary gap splits, ties share, keys isolate") {
+    // gap = 100: A's events at 0, 50 (same session, gap 50), 150
+    // (gap exactly 100 → NEW session — the inclusive >= rule matching
+    // session_window's close), 150 again (tie, gap 0 → same), 249
+    // (gap 99 → same). B has one event (session 0, null gap).
+    val df = Seq(("A", 0L), ("A", 50L), ("A", 150L), ("A", 150L),
+      ("A", 249L), ("B", 7L)).toDF("u", "t")
+    val out = Journey.sessionize(df, "u", "t", gapMicros = 100L)
+      .as[(String, Long, Option[Long], Long)] // u, t, gap_us, session_idx
+      .collect().toSet
+    assert(out === Set(
+      ("A", 0L, None, 0L), ("A", 50L, Some(50L), 0L),
+      ("A", 150L, Some(100L), 1L), ("A", 150L, Some(0L), 1L),
+      ("A", 249L, Some(99L), 1L), ("B", 7L, None, 0L)))
+  }
+
+  test("sessionize: per-session rollup agrees with session_window") {
+    // the assignment form must reproduce session_window's aggregate
+    // view on a multi-user frame with out-of-order input
+    val gap = 1800000000L // 30 min in µs
+    val rows = for (u <- 1L to 5L; i <- 0L until 20L) yield
+      (u, i / 7 * (gap + u * 1000L) + i * 60000000L) // 3 bursts per user
+    val df = spark.createDataFrame(
+      scala.util.Random.shuffle(rows).toList).toDF("u", "t")
+    val viaAssign = Journey.sessionize(df, "u", "t", gap)
+      .groupBy($"u", $"session_idx").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum($"n"), max($"n"))
+      .as[(Long, Long, Long)].head()
+    val viaWindow = df
+      .withColumn("ts", timestamp_micros($"t"))
+      .groupBy(session_window($"ts", "30 minutes"), $"u")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), sum($"n"), max($"n"))
+      .as[(Long, Long, Long)].head()
+    assert(viaAssign === viaWindow)
+  }
 }
