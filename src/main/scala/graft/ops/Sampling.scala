@@ -229,6 +229,45 @@ object Sampling {
       .drop("__ord", s"cum_$costCol")
   }
 
+  /** Temporal train/test split with an embargo band — the leakage-safe
+    * split time-series/fraud ML needs (evaluate strictly on the FUTURE;
+    * rows whose trailing-window features would peek across the boundary
+    * sit in a discardable embargo band — the "purged" split of
+    * financial ML, e.g. López de Prado 2018 ch.7).
+    *
+    * The boundary is the first time value whose cumulative count
+    * reaches ceil(N·num/den) — an exact INTEGER first-rank rule over
+    * the windowless prefix-sum machinery (the w07/a26 discipline): no
+    * percentile interpolation, so any engine restates the same
+    * boundary. Labels: `t <= thr − embargo` → train, `t > thr` → test,
+    * between → embargo. Two aggregation barriers (histogram + rank
+    * rule, N), threshold re-enters the plan as a broadcast one-row
+    * frame — no driver collect, shuffle bounded by distinct time
+    * values.
+    */
+  def temporalSplit(df: DataFrame, tsCol: String,
+                    pctNum: Int = 4, pctDen: Int = 5,
+                    embargoMicros: Long = 0L,
+                    splitCol: String = "split"): DataFrame = {
+    require(pctDen > 0 && pctNum >= 0 && pctNum <= pctDen,
+      s"need 0 <= num/den <= 1, got $pctNum/$pctDen")
+    require(embargoMicros >= 0, "embargo must be >= 0")
+    val vals = df.filter(col(tsCol).isNotNull)
+      .groupBy(col(tsCol)).agg(count(lit(1)).as("__cnt"))
+    val cum = Aggregates.bucketedPrefixSums(vals, tsCol, ascending = true,
+      sumCols = Seq("__cnt"))
+    val total = vals.agg(sum(col("__cnt")).as("__N"))
+    val thr = cum.crossJoin(broadcast(total))
+      .filter(expr(s"cum___cnt >= (__N * $pctNum + ${pctDen - 1}) div $pctDen"))
+      .agg(min(col(tsCol)).as("__thr"))
+    df.crossJoin(broadcast(thr))
+      .withColumn(splitCol,
+        when(col(tsCol) <= col("__thr") - embargoMicros, "train")
+          .when(col(tsCol) > col("__thr"), "test")
+          .otherwise("embargo"))
+      .drop("__thr")
+  }
+
   /** Exactly min(n, |stratum|) rows per stratum, chosen in id-hash order
     * (a deterministic per-group random sample; ties broken by id). The
     * per-stratum window parallelizes across strata; a single giant

@@ -12,6 +12,21 @@ import graft.ops.Sampling
 object SamplingQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Temporal 80/20 split with a 1-hour embargo band: train strictly
+    // before, test strictly after, the leakage-adjacent hour discarded.
+    // The boundary is an exact integer first-rank rule (no percentile
+    // interpolation), so DuckDB restates the same timestamp.
+    "sm10_temporal_split" -> ((s, d) =>
+      Sampling.temporalSplit(
+        Tables.eventsMicros(s, d).select(col("user_id"), col("ts_us")),
+        "ts_us", pctNum = 4, pctDen = 5, embargoMicros = 3600000000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts_us")).as("min_ts"),
+          max(col("ts_us")).as("max_ts"),
+          sum(col("user_id")).as("uid_checksum"))
+        .orderBy(col("split"))),
+
     // ~20% deterministic corpus sample, per-lang survivor stats.
     "sm01_hash_sample" -> ((s, d) =>
       Sampling.hashSample(
@@ -122,6 +137,22 @@ object SamplingQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "sm10_temporal_split" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS t FROM events
+                    WHERE ts IS NOT NULL),
+         c AS (SELECT t, COUNT(*) AS cnt FROM v GROUP BY 1),
+         cum AS (SELECT t, cnt,
+                   SUM(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                     AS cum,
+                   SUM(cnt) OVER () AS n FROM c),
+         thr AS (SELECT MIN(t) AS thr FROM cum
+                 WHERE cum >= (n * 4 + 4) // 5)
+         SELECT CASE WHEN t <= thr - 3600000000 THEN 'train'
+                     WHEN t > thr THEN 'test'
+                     ELSE 'embargo' END AS split,
+                COUNT(*) AS n, MIN(t) AS min_ts, MAX(t) AS max_ts,
+                CAST(SUM(user_id) AS BIGINT) AS uid_checksum
+         FROM v CROSS JOIN thr GROUP BY 1 ORDER BY 1""",
     "sm01_hash_sample" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM documents

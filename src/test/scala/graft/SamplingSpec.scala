@@ -241,4 +241,29 @@ class SamplingSpec extends SparkSpec {
       .join(direct.withColumnRenamed("split", "direct"), "grp")
     assert(joined.filter($"split" =!= $"direct").count() == 0)
   }
+
+  test("temporalSplit: exact rank boundary, embargo band, tie handling") {
+    // 10 rows at t = 100..1000 step 100, with a duplicate at 800.
+    // N = 11, 80% rank = ceil(11*4/5) = 9 → threshold is the 9th value
+    // ascending = 800. embargo 150: train t <= 650 → {100..600} (6),
+    // embargo (650, 800] → {700, 800, 800} (3), test > 800 → {900,
+    // 1000} (2).
+    val ts = (1 to 10).map(_ * 100L) :+ 800L
+    val df = ts.map(Tuple1(_)).toDF("t")
+    val got = Sampling.temporalSplit(df, "t", pctNum = 4, pctDen = 5,
+        embargoMicros = 150L)
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("train" -> 6L, "embargo" -> 3L, "test" -> 2L))
+    // zero embargo: the boundary row itself trains, strictly-later test
+    val noEmb = Sampling.temporalSplit(df, "t", pctNum = 4, pctDen = 5)
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(noEmb === Map("train" -> 9L, "test" -> 2L))
+    // degenerate 100%: everything trains
+    val all = Sampling.temporalSplit(df, "t", pctNum = 1, pctDen = 1)
+      .groupBy($"split").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(all === Map("train" -> 11L))
+  }
 }
