@@ -24,6 +24,13 @@ import org.apache.spark.sql.DataFrame
   * path. Both modes are eager, so callers can keep piggybacking
   * convergence probes (`head(1)`) on the already-materialized result
   * without scheduling an extra job.
+  *
+  * Disk note: Spark does NOT delete reliable checkpoint files when the
+  * frame goes out of scope (only
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` reclaims
+  * them at GC time, best-effort). Production jobs should point the flag
+  * at a per-run directory and remove it after the job — the same
+  * lifecycle as a streaming checkpoint location.
   */
 object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"

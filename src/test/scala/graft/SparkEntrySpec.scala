@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards on the driver surface itself. `SparkEntry` merges
+  * per-category query maps with `++` — a duplicate name across two
+  * QuerySets would silently overwrite one implementation with the
+  * other (and its oracle), which the driver would report as a normal
+  * pass. These assertions make that a test failure instead.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  private val sets = Seq(
+    queries.CoreQueries, queries.OpsQueries, queries.MetricsQueries,
+    queries.SourceQueries, queries.MlQueries, queries.TextQueries,
+    queries.DedupQueries, queries.SimilarityQueries,
+    queries.MultimodalQueries, queries.AnalyticsQueries,
+    queries.JoinQueries, queries.WindowQueries, queries.SamplingQueries,
+    queries.RelevanceQueries, queries.GraphQueries)
+
+  test("no query name collides across query sets") {
+    val all = sets.flatMap(_.queries.keys)
+    val dupes = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: ${dupes.mkString(", ")}")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query, every name is driver-safe") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: ${orphans.mkString(", ")}")
+    // names become directory names + JSON keys on the driver side
+    val bad = qs.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"unsafe query names: ${bad.mkString(", ")}")
+  }
+
+  test("every oracle's SQL only references shipped tables") {
+    // the driver creates DuckDB views for exactly these tables; an
+    // oracle naming anything else fails at compare time, invisible
+    // until the round report
+    val tables = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    for ((name, rawSql) <- SparkEntry.oracleSql) {
+      // FROM appears as a keyword outside table position in
+      // EXTRACT(unit FROM x), TRIM(x FROM y) and IS [NOT] DISTINCT
+      // FROM — drop those spans before scanning
+      val sql = "(?i)IS\\s+(?:NOT\\s+)?DISTINCT\\s+FROM".r.replaceAllIn(
+        "(?i)(EXTRACT|TRIM)\\s*\\([^()]*\\)".r.replaceAllIn(rawSql, ""),
+        "IS_DISTINCT")
+      // collect bare table identifiers; CTE names declared in the SQL
+      // are legitimate non-table references
+      // both CTE forms: `name AS (` and `name(col, ...) AS (`
+      val ctes =
+        "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+          .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
+        .filterNot(ctes)
+        .filterNot(Set("unnest", "read_parquet", "values"))
+      val unknown = refs.filterNot(tables).toSet
+      assert(unknown.isEmpty,
+        s"$name references non-shipped tables: ${unknown.mkString(", ")}")
+    }
+  }
+}
