@@ -330,6 +330,39 @@ object SourceQueries extends QuerySet {
         countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Streaming point-in-time velocity (§2.6 × w09): per-event
+    // trailing-1h counts computed IN the stream via per-entity state
+    // (streaming/StreamVelocity) — the burst feature at serving time.
+    // Single-batch bounded source + in-group event-time ordering ≡ the
+    // batch RANGE-frame oracle; cross-batch incrementality and tie
+    // semantics are StreamSpec-gated with controlled MemoryStream
+    // batches.
+    "st10_stream_velocity" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st10_velocity_sink"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
+      // state-partition sizing: see st07
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamVelocity.trailingCounts(
+            src, "user_id", "ts_us", "event_type",
+            windowMicros = 3600L * 1000000L)
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("tag").as("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("velN")).cast("long").as("max_vel"),
+          sum(when(col("velN") >= 3, 1L).otherwise(0L)).as("n_burst"),
+          sum(col("velN")).as("sum_vel"))
+        .orderBy(col("event_type"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -598,6 +631,19 @@ object SourceQueries extends QuerySet {
                 CAST(MAX(n) AS BIGINT) AS max_events,
                 COUNT(DISTINCT user_id) AS n_users
          FROM g""",
+    "st10_stream_velocity" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t
+                    FROM events),
+         w AS (SELECT event_type, COUNT(*) OVER win AS vn
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY t
+                 RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW))
+         SELECT event_type, COUNT(*) AS n,
+                CAST(MAX(vn) AS BIGINT) AS max_vel,
+                CAST(SUM(CASE WHEN vn >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_burst,
+                CAST(SUM(vn) AS BIGINT) AS sum_vel
+         FROM w GROUP BY event_type ORDER BY event_type""",
     "st02_stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt

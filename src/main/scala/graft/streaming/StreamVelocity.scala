@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming point-in-time velocity features — the transaction-burst
+  * signal (`ops/Velocity`'s trailing-window count) computed AT SERVING
+  * TIME inside the stream, per event, instead of in a nightly batch
+  * window. This is the feature the reference's one-message-at-a-time
+  * scorer (`FD/consumer.py:114`) fundamentally cannot see and a fraud
+  * model most wants at inference: "how many events did THIS entity
+  * produce in the trailing hour, as of THIS event".
+  *
+  * Shape: events group by entity through `flatMapGroupsWithState`;
+  * state per entity = the event times still inside the trailing window
+  * — bounded by per-entity rate × window span (the same bound as the
+  * batch RANGE frame's in-memory state), NEVER corpus size. Each event
+  * emits exactly once with its as-of count.
+  *
+  * Determinism contract (the StreamDedup stance): within a micro-batch
+  * rows process in event-time order, and same-instant events are
+  * admitted TOGETHER before any of them emits — the RANGE-frame peer
+  * rule, so each tie sees all its peers, exactly like the batch
+  * oracle. Across batches, events must arrive in nondecreasing
+  * event-time order per entity (a per-key-ordered log — the Kafka
+  * partition-per-key shape); a late event gets the count as-of its
+  * arrival knowledge and earlier emissions are never retracted. Ties
+  * that SPAN a batch boundary therefore under-count the earlier batch's
+  * side by design; stage boundaries on range-partitioned time (or rely
+  * on a single batch) for exact batch equivalence.
+  */
+object StreamVelocity {
+
+  case class TaggedEvent(user: Long, ts: Long, tag: String)
+  case class VelRow(user: Long, ts: Long, tag: String, velN: Int)
+  case class VelState(times: Seq[Long])
+
+  /** Per-event trailing-window count (including the event itself and
+    * its same-instant peers) over `(t − windowMicros, t]` — the same
+    * inclusive bound as the batch `RANGE windowMicros−1 PRECEDING`
+    * frame. `tagCol` rides along for downstream grouping.
+    */
+  def trailingCounts(events: DataFrame, userCol: String, tsCol: String,
+                     tagCol: String, windowMicros: Long): Dataset[VelRow] = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(tagCol).cast("string").as("tag"))
+      .as[TaggedEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[VelState, VelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TaggedEvent],
+         state: GroupState[VelState]) =>
+          var times = state.getOption.map(_.times.toVector)
+            .getOrElse(Vector.empty[Long])
+          // batch rows carry no arrival order — event-time order is the
+          // deterministic processing order (tag tie-break for stability)
+          val sorted = rows.toArray.sortBy(r => (r.ts, r.tag))
+          val out = Vector.newBuilder[VelRow]
+          var i = 0
+          while (i < sorted.length) {
+            val t = sorted(i).ts
+            var j = i
+            while (j < sorted.length && sorted(j).ts == t) j += 1
+            // evict beyond the window, admit ALL same-instant peers,
+            // then emit each with the full peer-inclusive count
+            times = times.filter(_ > t - windowMicros) ++
+              Vector.fill(j - i)(t)
+            val n = times.length
+            var k = i
+            while (k < j) {
+              out += VelRow(user, sorted(k).ts, sorted(k).tag, n)
+              k += 1
+            }
+            i = j
+          }
+          state.update(VelState(times))
+          out.result().iterator
+      }
+  }
+}

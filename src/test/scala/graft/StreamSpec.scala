@@ -402,6 +402,40 @@ class StreamSpec extends SparkSpec {
     assert(sinkErr.getMessage.toLowerCase.contains("kafka"))
   }
 
+  test("streaming velocity: cross-batch state, tie peers, window evict") {
+    import graft.streaming.StreamVelocity
+    case class Ev(user: Long, ts: Long, tag: String)
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val qn = "vel_spec_sink"
+    val q = StreamVelocity.trailingCounts(
+        stream.toDF.toDF("u", "t", "et"), "u", "t", "et",
+        windowMicros = 15L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 at t=0 and a same-instant PAIR at t=10 (both
+      // peers must count each other — the RANGE-frame rule); user 2
+      // isolated. Out-of-order within the batch on purpose.
+      stream.addData((1L, 10L, "a"), (1L, 0L, "a"), (1L, 10L, "b"),
+        (2L, 100L, "a"))
+      q.processAllAvailable()
+      // batch 2: t=20 — the t=0 event has left the 15µs window, the
+      // two t=10 peers remain in state from batch 1
+      stream.addData((1L, 20L, "a"))
+      q.processAllAvailable()
+      val got = spark.table(qn)
+        .as[(Long, Long, String, Int)].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      assert(got === Map(
+        (1L, 0L, "a") -> 1,   // alone
+        (1L, 10L, "a") -> 3,  // 0 in window + both peers
+        (1L, 10L, "b") -> 3,  // same count for the peer
+        (1L, 20L, "a") -> 3,  // 0 evicted, {10, 10, 20}
+        (2L, 100L, "a") -> 1  // key isolation
+      ), got.toString)
+    } finally q.stop()
+  }
+
   test("KafkaSmoke probe takes the skip path on this connector-less classpath") {
     // the probe must report absent (not throw), and the skip message
     // must name the artifact a deploy engineer needs to add — the
