@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators.
   *
   * The Spark-side plumbing is real — schema, partition-local batched
-  * processing, typed output shape. The codec itself is a clearly-marked
-  * DETERMINISTIC STUB (`decodeBytes`): this container has no image/audio
-  * libraries, so the stub derives a fake "decoded" feature block from
-  * the raw bytes. Swapping in a real codec is a one-function change; the
-  * dataflow (what a 1000-executor cluster actually exercises) is
-  * identical.
+  * processing, typed output shape. The codec ([[decodeBytes]]) is REAL
+  * for the uncompressed formats pure byte parsing can handle —
+  * [[Codecs.decodePpm]] (P6 raster images) and [[Codecs.decodeWavPcm16]]
+  * (RIFF/WAVE PCM-16 audio) — and falls back to a clearly-marked
+  * DETERMINISTIC STUB for compressed formats (JPEG/FLAC/H.264), whose
+  * codec libraries aren't in this container. Swapping the fallback for a
+  * real compressed-format codec is a one-function change; the dataflow
+  * (what a 1000-executor cluster actually exercises) is identical.
   *
   * Design: decode runs via `mapPartitions` on a typed Dataset — one JVM
   * codec context per partition (the expensive init a real codec needs),
@@ -57,12 +59,78 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
 
-  /** DETERMINISTIC STUB for the codec: a real implementation would hand
-    * `bytes` to an image/audio decoder here. The stub folds the payload
-    * into `dim` byte-histogram buckets — deterministic, cheap, and
+  /** The codec dispatch: REAL decode for PPM images and PCM-16 WAV
+    * audio (magic-byte sniff, see [[Codecs]]); anything else — which
+    * includes every compressed format — takes the documented
+    * deterministic stub ([[stubFeatures]]). A corrupt or truncated
+    * payload of a recognized format also falls back to the stub rather
+    * than throwing (the dead-letter stance).
+    */
+  def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
+    Codecs.decodePpm(bytes).map(imageFeatures(_, dim))
+      .orElse(Codecs.decodeWavPcm16(bytes).map(audioFeatures(_, dim)))
+      .getOrElse(stubFeatures(bytes, dim))
+
+  /** Real image features from decoded pixels: dims 0-2 are per-channel
+    * means scaled to [0,1]; the rest is a grayscale intensity histogram
+    * (the classic cheap raster descriptor), normalized by pixel count.
+    */
+  def imageFeatures(p: Codecs.Ppm, dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val nPix = p.width * p.height
+    var i = 0
+    while (i < p.rgb.length) {
+      val r = p.rgb(i) & 0xFF; val g = p.rgb(i + 1) & 0xFF
+      val b = p.rgb(i + 2) & 0xFF
+      if (dim > 0) acc(0) += r
+      if (dim > 1) acc(1) += g
+      if (dim > 2) acc(2) += b
+      if (dim > 3) {
+        // integer-exact ITU-601-ish luma (77R+150G+29B)/256
+        val gray = (77 * r + 150 * g + 29 * b) >> 8
+        acc(3 + gray * (dim - 3) / 256) += 1.0f
+      }
+      i += 3
+    }
+    var j = 0
+    val denom = (255.0f * nPix)
+    while (j < math.min(3, dim)) { acc(j) /= denom; j += 1 }
+    while (j < dim) { acc(j) /= nPix; j += 1 }
+    acc
+  }
+
+  /** Real audio features from decoded samples: dim 0 = RMS energy
+    * scaled to [0,1], dim 1 = zero-crossing rate; the rest is an
+    * absolute-amplitude histogram normalized by sample count.
+    */
+  def audioFeatures(w: Codecs.Wav, dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    val n = w.samples.length
+    if (n == 0) return acc
+    var sumSq = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val s = w.samples(i).toDouble
+      sumSq += s * s
+      if (i > 0 && ((w.samples(i) >= 0) != (w.samples(i - 1) >= 0))) zc += 1
+      if (dim > 2) {
+        val a = math.abs(w.samples(i).toInt)
+        acc(2 + math.min(a, 32767) * (dim - 2) / 32768) += 1.0f
+      }
+      i += 1
+    }
+    if (dim > 0) acc(0) = (math.sqrt(sumSq / n) / 32768.0).toFloat
+    if (dim > 1) acc(1) = zc.toFloat / n
+    var j = 2
+    while (j < dim) { acc(j) /= n; j += 1 }
+    acc
+  }
+
+  /** DETERMINISTIC STUB for compressed formats: folds the payload into
+    * `dim` byte-histogram buckets — deterministic, cheap, and
     * shape-identical to a real feature extractor.
     */
-  def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
+  def stubFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Float](dim)
     if (bytes != null) {
       var i = 0
@@ -75,6 +143,64 @@ object Multimodal {
       while (j < dim) { acc(j) /= n; j += 1 }
     }
     acc
+  }
+
+  /** Exact integer pixel statistics through the REAL PPM decoder — the
+    * oracle-checkable face of the image path (float features can't
+    * hash-match an engine-independent oracle; integer channel sums
+    * can). Undecodable payloads yield a (-1, -1) dims row, counted not
+    * thrown.
+    */
+  def decodeImageStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          Codecs.decodePpm(bytes) match {
+            case Some(p) =>
+              var r = 0L; var g = 0L; var b = 0L
+              var i = 0
+              while (i < p.rgb.length) {
+                r += p.rgb(i) & 0xFF; g += p.rgb(i + 1) & 0xFF
+                b += p.rgb(i + 2) & 0xFF
+                i += 3
+              }
+              (id, p.width, p.height, r, g, b)
+            case None => (id, -1, -1, -1L, -1L, -1L)
+          }
+        }
+      }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
+  /** Exact integer sample statistics through the REAL WAV decoder —
+    * the audio twin of [[decodeImageStats]].
+    */
+  def decodeAudioStats(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          Codecs.decodeWavPcm16(bytes) match {
+            case Some(w) =>
+              var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+              var i = 0
+              while (i < w.samples.length) {
+                val s = w.samples(i).toInt
+                sum += s
+                if (s < mn) mn = s
+                if (s > mx) mx = s
+                i += 1
+              }
+              (id, w.sampleRate, w.channels, w.samples.length, sum, mn, mx)
+            case None => (id, -1, -1, -1, -1L, 0, 0)
+          }
+        }
+      }.toDF("media_id", "sample_rate", "channels", "n_samples",
+        "sum_samples", "min_sample", "max_sample")
   }
 
   /** Decode + feature-extract: partition-local batch processing with a

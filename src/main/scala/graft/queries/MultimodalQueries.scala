@@ -37,6 +37,47 @@ object MultimodalQueries extends QuerySet {
         .agg(countDistinct(col("media_id")).as("n_media"),
           count(lit(1)).as("n_frames"),
           max(col("frame_idx")).as("max_idx"))
+    }),
+
+    // REAL image codec round trip: deterministic 8×8 RGB rasters
+    // (pixel bytes are a closed-form function of doc_id and position)
+    // encode to actual binary PPM, decode through Codecs.decodePpm,
+    // and the integer channel sums must equal the closed form the
+    // oracle computes directly — the encode and decode errors cannot
+    // cancel because the header (dims) is checked too.
+    "mm03_image_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val w = 8; val h = 8
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = ((id * 31 + p) % 256).toByte
+          rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
+          rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
+          p += 1
+        }
+        (id, graft.ops.Codecs.encodePpm(w, h, rgb))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeImageStats(media).orderBy(col("media_id"))
+    }),
+
+    // REAL audio codec round trip (the WAV twin of mm03): PCM-16
+    // samples from a closed form, encoded as a real RIFF/WAVE payload,
+    // decoded back; header fields and exact sample statistics checked.
+    "mm04_audio_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val n = 64
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7919 + k * 263) % 65536) - 32768).toShort)
+        (id, graft.ops.Codecs.encodeWavPcm16(16000, 1, samples))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeAudioStats(media).orderBy(col("media_id"))
     })
   )
 
@@ -66,6 +107,31 @@ object MultimodalQueries extends QuerySet {
             CAST(SUM(LEAST((nf + 1) // 2, 8)) AS BIGINT) AS n_frames,
             CAST(MAX(LEAST((nf + 1) // 2, 8) * 2 - 2) AS INT) AS max_idx
           FROM (SELECT CAST(n_chars % 30 + 1 AS INT) AS nf
-                FROM documents WHERE doc_id % 3 = 2)"""
+                FROM documents WHERE doc_id % 3 = 2)""",
+    "mm03_image_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST(SUM((id * 31 + p) % 256) AS BIGINT) AS r_sum,
+                CAST(SUM((id * 37 + p) % 256) AS BIGINT) AS g_sum,
+                CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
+         FROM px GROUP BY id ORDER BY media_id""",
+    "mm04_audio_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         sm AS (SELECT id, (id * 7919 + r.range * 263) % 65536 - 32768
+                  AS s
+                FROM ids CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id,
+                CAST(16000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(64 AS INT) AS n_samples,
+                CAST(SUM(s) AS BIGINT) AS sum_samples,
+                CAST(MIN(s) AS INT) AS min_sample,
+                CAST(MAX(s) AS INT) AS max_sample
+         FROM sm GROUP BY id ORDER BY media_id"""
   )
 }

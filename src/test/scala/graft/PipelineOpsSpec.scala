@@ -785,6 +785,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(feats.filter(f => f.features.length != 32).count() == 0)
   }
 
+  test("real PPM codec: exact round trip, header forms, total on junk") {
+    import graft.ops.Codecs
+    // 2×1 image: red then mid-gray — decode must return the exact bytes
+    val rgb = Array[Byte](255.toByte, 0, 0, 128.toByte, 128.toByte,
+      128.toByte)
+    val enc = Codecs.encodePpm(2, 1, rgb)
+    val dec = Codecs.decodePpm(enc).get
+    assert(dec.width == 2 && dec.height == 1 && dec.maxVal == 255)
+    assert(dec.rgb.toSeq == rgb.toSeq)
+    // comments and flexible whitespace are legal netpbm headers
+    val commented = ("P6 # a comment\n2 1 # dims\n255\n").getBytes(
+      "US-ASCII") ++ rgb
+    assert(Codecs.decodePpm(commented).map(_.rgb.toSeq)
+      .contains(rgb.toSeq))
+    // truncated raster, wrong magic, junk → None, never a throw
+    assert(Codecs.decodePpm(enc.dropRight(1)).isEmpty)
+    assert(Codecs.decodePpm("P5\n2 1\n255\nxx".getBytes).isEmpty)
+    assert(Codecs.decodePpm("hello world".getBytes).isEmpty)
+    assert(Codecs.decodePpm(null).isEmpty)
+    // the dispatch routes a real image to imageFeatures: dims 0-2 are
+    // the channel means over 255
+    val f = Multimodal.decodeBytes(enc, 8)
+    assert(math.abs(f(0) - (255 + 128) / (255.0f * 2)) < 1e-6)
+    assert(math.abs(f(1) - 128 / (255.0f * 2)) < 1e-6)
+  }
+
+  test("real WAV codec: round trip, chunk walking, non-PCM rejected") {
+    import graft.ops.Codecs
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5)
+    val enc = Codecs.encodeWavPcm16(16000, 1, samples)
+    val dec = Codecs.decodeWavPcm16(enc).get
+    assert(dec.sampleRate == 16000 && dec.channels == 1)
+    assert(dec.samples.toSeq == samples.toSeq)
+    // a LIST chunk between fmt and data must be skipped, not fatal
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = enc.take(36) ++ list ++ enc.drop(36)
+    // patch the RIFF size for the inserted chunk
+    val riffLen = enc.length - 8 + list.length
+    withList(4) = (riffLen & 0xFF).toByte
+    withList(5) = ((riffLen >> 8) & 0xFF).toByte
+    assert(Codecs.decodeWavPcm16(withList).map(_.samples.toSeq)
+      .contains(samples.toSeq))
+    // IEEE-float format (3) is not PCM-16 → None
+    val floatFmt = enc.clone(); floatFmt(20) = 3
+    assert(Codecs.decodeWavPcm16(floatFmt).isEmpty)
+    assert(Codecs.decodeWavPcm16("RIFFjunk".getBytes).isEmpty)
+    assert(Codecs.decodeWavPcm16(null).isEmpty)
+    // dispatch: real audio lands in audioFeatures (dim 1 = ZCR)
+    val f = Multimodal.decodeBytes(enc, 4)
+    assert(f(1) > 0.0f && f(1) <= 1.0f)
+  }
+
   test("resize preserves aspect ratio within the bounding box") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.withResizedDims(media, 100, 100)

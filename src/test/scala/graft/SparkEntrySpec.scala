@@ -56,7 +56,7 @@ class SparkEntrySpec extends AnyFunSuite {
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .filterNot(ctes)
-        .filterNot(Set("unnest", "read_parquet", "values"))
+        .filterNot(Set("unnest", "read_parquet", "values", "range"))
       val unknown = refs.filterNot(tables).toSet
       assert(unknown.isEmpty,
         s"$name references non-shipped tables: ${unknown.mkString(", ")}")
