@@ -74,6 +74,44 @@ object Codecs {
     out
   }
 
+  /** Average-pool a decoded raster by an integer factor (the real
+    * pixel half of resize — `withResizedDims` is the metadata half).
+    * Each output channel byte is the floor-average of its f×f input
+    * block; a ragged edge (width/height not divisible by f) is
+    * truncated, the standard pooling convention. Integer arithmetic
+    * throughout, so any engine can restate the result exactly.
+    */
+  def poolPpm(p: Ppm, f: Int): Ppm = {
+    require(f >= 1, "pool factor must be >= 1")
+    val ow = p.width / f; val oh = p.height / f
+    require(ow >= 1 && oh >= 1, s"factor $f collapses ${p.width}x${p.height}")
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        var c = 0
+        while (c < 3) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              s += p.rgb(((y * f + dy) * p.width + (x * f + dx)) * 3 + c) & 0xFF
+              dx += 1
+            }
+            dy += 1
+          }
+          out((y * ow + x) * 3 + c) = (s / (f * f)).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Ppm(ow, oh, p.maxVal, out)
+  }
+
   private def le32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) |
       ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)

@@ -174,6 +174,28 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
 
+  /** REAL pixel resize: decode → average-pool by `factor` → re-encode
+    * ([[Codecs.poolPpm]]); payloads that aren't decodable PPM pass
+    * through as null bytes (downstream stats report them as
+    * undecodable rather than anything throwing). Pixel work is where
+    * resize actually costs at 100 TB — this runs scan-local in the
+    * same mapPartitions shape as decode, no shuffle.
+    */
+  def resizePixels(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          (id, Codecs.decodePpm(bytes)
+            .map(p => Codecs.poolPpm(p, factor))
+            .map(p => Codecs.encodePpm(p.width, p.height, p.rgb))
+            .orNull)
+        }
+      }.toDF("media_id", "bytes")
+  }
+
   /** Exact integer sample statistics through the REAL WAV decoder —
     * the audio twin of [[decodeImageStats]].
     */

@@ -64,6 +64,31 @@ object MultimodalQueries extends QuerySet {
       Multimodal.decodeImageStats(media).orderBy(col("media_id"))
     }),
 
+    // REAL pixel resize: the mm03 rasters decode, average-pool 8×8→4×4
+    // (floor arithmetic), re-encode, decode AGAIN, and the pooled
+    // channel sums must equal the closed form DuckDB computes by
+    // grouping the pixel formula into 2×2 blocks — two full codec
+    // round trips plus the pooling kernel, all integer-exact.
+    "mm05_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val w = 8; val h = 8
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = ((id * 31 + p) % 256).toByte
+          rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
+          rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
+          p += 1
+        }
+        (id, graft.ops.Codecs.encodePpm(w, h, rgb))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeImageStats(Multimodal.resizePixels(media, 2))
+        .orderBy(col("media_id"))
+    }),
+
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
     // samples from a closed form, encoded as a real RIFF/WAVE payload,
     // decoded back; header fields and exact sample statistics checked.
@@ -119,6 +144,22 @@ object MultimodalQueries extends QuerySet {
                 CAST(SUM((id * 37 + p) % 256) AS BIGINT) AS g_sum,
                 CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
          FROM px GROUP BY id ORDER BY media_id""",
+    "mm05_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r),
+         pooled AS (SELECT id, (p // 8) // 2 AS py, (p % 8) // 2 AS qx,
+                      SUM((id * 31 + p) % 256) // 4 AS pr,
+                      SUM((id * 37 + p) % 256) // 4 AS pg,
+                      SUM((id * 41 + p) % 256) // 4 AS pb
+                    FROM px GROUP BY 1, 2, 3)
+         SELECT id AS media_id,
+                CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+                CAST(SUM(pr) AS BIGINT) AS r_sum,
+                CAST(SUM(pg) AS BIGINT) AS g_sum,
+                CAST(SUM(pb) AS BIGINT) AS b_sum
+         FROM pooled GROUP BY id ORDER BY media_id""",
     "mm04_audio_roundtrip" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),

@@ -811,6 +811,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(f(1) - 128 / (255.0f * 2)) < 1e-6)
   }
 
+  test("poolPpm: exact floor averages, ragged edge truncates") {
+    import graft.ops.Codecs
+    // 2×2 grayscale-ish blocks: channel 0 values 10,20,30,41 →
+    // floor((10+20+30+41)/4) = 25
+    val rgb = new Array[Byte](2 * 2 * 3)
+    val r0 = Seq(10, 20, 30, 41)
+    for (i <- 0 until 4) {
+      rgb(i * 3) = r0(i).toByte; rgb(i * 3 + 1) = (2 * r0(i)).toByte
+      rgb(i * 3 + 2) = 7.toByte
+    }
+    val pooled = Codecs.poolPpm(Codecs.Ppm(2, 2, 255, rgb), 2)
+    assert(pooled.width == 1 && pooled.height == 1)
+    assert((pooled.rgb(0) & 0xFF) == 25)       // floor(101/4)
+    assert((pooled.rgb(1) & 0xFF) == 50)       // floor(202/4)
+    assert((pooled.rgb(2) & 0xFF) == 7)
+    // 3×3 pooled by 2 truncates the ragged edge to 1×1 over the
+    // top-left 2×2 block
+    val nine = Array.tabulate(27)(i => (i * 5).toByte)
+    val t = Codecs.poolPpm(Codecs.Ppm(3, 3, 255, nine), 2)
+    assert(t.width == 1 && t.height == 1)
+    // top-left block pixel indices 0,1,3,4 → channel 0 bytes 0,15,45,60
+    assert((t.rgb(0) & 0xFF) == (0 + 15 + 45 + 60) / 4)
+  }
+
   test("real WAV codec: round trip, chunk walking, non-PCM rejected") {
     import graft.ops.Codecs
     val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5)
