@@ -24,6 +24,12 @@ class TestDataContractSpec extends SparkSpec {
   private val integral: Set[DataType] = Set(IntegerType, LongType)
   private val clock: Set[DataType] =
     Set(LongType, TimestampType, TimestampNTZType) // Tables.tsMicros domain
+  // day-granularity columns tolerate DATE (every consumer uses
+  // year/month/datediff/date_format — all DATE-compatible) but NOT a
+  // raw epoch long, which those functions reject; events.ts stays on
+  // the strict clock family (needs time-of-day, adapted by tsMicros)
+  private val dayClock: Set[DataType] =
+    Set(TimestampType, TimestampNTZType, DateType)
 
   private val contract: Map[String, Seq[(String, Set[DataType])]] = Map(
     "region" -> Seq("r_regionkey" -> integral, "r_name" -> Set(StringType)),
@@ -39,13 +45,13 @@ class TestDataContractSpec extends SparkSpec {
       "p_size" -> integral, "p_retailprice" -> Set(DoubleType)),
     "orders" -> Seq("o_orderkey" -> integral, "o_custkey" -> integral,
       "o_orderstatus" -> Set(StringType), "o_totalprice" -> Set(DoubleType),
-      "o_orderdate" -> clock, "o_orderpriority" -> Set(StringType)),
+      "o_orderdate" -> dayClock, "o_orderpriority" -> Set(StringType)),
     "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral,
       "l_suppkey" -> integral, "l_linenumber" -> integral,
       "l_quantity" -> Set(DoubleType), "l_extendedprice" -> Set(DoubleType),
       "l_discount" -> Set(DoubleType), "l_tax" -> Set(DoubleType),
       "l_returnflag" -> Set(StringType), "l_linestatus" -> Set(StringType),
-      "l_shipdate" -> clock),
+      "l_shipdate" -> dayClock),
     "events" -> Seq("event_id" -> integral, "ts" -> clock,
       "user_id" -> integral, "event_type" -> Set(StringType),
       "value" -> Set(DoubleType), "props" -> Set(StringType)),
