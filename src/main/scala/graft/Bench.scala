@@ -53,10 +53,7 @@ object Bench {
             .take(1).mkString.take(200)
       }
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String): String = Jsons.quote(s)
     // value -1 marks a query with zero successful reps
     val results = names.map { case (k, _) => k -> best.getOrElse(k, -1.0) }
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }
@@ -64,8 +61,15 @@ object Bench {
     val failed = names.map(_._1).filter(n => !best.contains(n))
     val errJson = failed.map(n => jstr(n) + ":" + jstr(errs(n)))
       .mkString("{", ",", "}")
+    // a query that threw on SOME reps but succeeded on another still has
+    // an honest best time, but the intermittent failure must be visible
+    // — not silently discarded as it was pre-round-5
+    val flaky = names.map(_._1)
+      .filter(n => best.contains(n) && errs.contains(n))
+    val flakyJson = flaky.map(n => jstr(n) + ":" + jstr(errs(n)))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
     println(json)
     // the driver's stdout capture can truncate a long tail, hiding
     // per-query regressions; persist the same JSON line to the repo
@@ -79,6 +83,7 @@ object Bench {
         System.err.println(s"[bench] summary write failed: ${e.getMessage}")
       }
     spark.stop()
+    flaky.foreach(n => System.err.println(s"[bench] FLAKY $n: ${errs(n)}"))
     if (failed.nonEmpty) {
       failed.foreach(n => System.err.println(s"[bench] FAILED $n: ${errs(n)}"))
       sys.exit(1)

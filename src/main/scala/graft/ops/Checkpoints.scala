@@ -36,19 +36,25 @@ object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"
 
   // setCheckpointDir mints a fresh UUID subdir per call, so compare
-  // against the last flag value we applied, not getCheckpointDir
-  @volatile private var applied: String = null
+  // against the last flag value we applied, not getCheckpointDir —
+  // keyed to the live SparkContext: a cache that outlived a stopped
+  // context would skip setCheckpointDir on its successor and
+  // checkpoint() would throw "directory has not been set"
+  @volatile private var applied: (org.apache.spark.SparkContext, String) =
+    null
 
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (applied != dir) synchronized {
-          if (applied != dir) {
-            spark.sparkContext.setCheckpointDir(dir)
-            applied = dir
+        val sc = spark.sparkContext
+        if (applied == null || applied._1 != sc || applied._2 != dir)
+          synchronized {
+            if (applied == null || applied._1 != sc || applied._2 != dir) {
+              sc.setCheckpointDir(dir)
+              applied = (sc, dir)
+            }
           }
-        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -55,8 +55,12 @@ object Codecs {
     val w = readInt(); val h = readInt(); val mx = readInt()
     if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
       mx <= 0 || mx > 255) return None
-    // exactly ONE whitespace byte separates maxval from the raster
+    // exactly ONE whitespace byte separates maxval from the raster —
+    // anything else is a malformed header, not a shifted raster
     if (i >= bytes.length) return None
+    val sep = bytes(i)
+    if (sep != ' ' && sep != '\t' && sep != '\r' && sep != '\n')
+      return None
     i += 1
     val need = w.toLong * h * 3
     if (bytes.length - i < need) return None
@@ -128,27 +132,30 @@ object Codecs {
     if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
         bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
         bytes(10) == 'V' && bytes(11) == 'E')) return None
-    var i = 12
+    // chunk offsets/sizes in Long: a crafted le32 size near Int.MaxValue
+    // must hit the bounds check, not overflow past it and throw
+    var i = 12L
     var rate = -1; var channels = -1; var bits = -1; var fmt = -1
     var samples: Array[Short] = null
     while (i + 8 <= bytes.length && samples == null) {
-      val id = new String(bytes, i, 4, "US-ASCII")
-      val size = le32(bytes, i + 4)
-      if (size < 0 || i + 8 + size > bytes.length) return None
+      val off = i.toInt
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
+      if (i + 8 + size > bytes.length) return None
       id match {
         case "fmt " if size >= 16 =>
-          fmt = le16(bytes, i + 8)
-          channels = le16(bytes, i + 10)
-          rate = le32(bytes, i + 12)
-          bits = le16(bytes, i + 22)
+          fmt = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
         case "data" =>
           if (fmt != 1 || bits != 16 || channels < 1 || rate <= 0)
             return None
-          val n = size / 2
+          val n = (size / 2).toInt
           val out = new Array[Short](n)
           var k = 0
           while (k < n) {
-            out(k) = le16(bytes, i + 8 + 2 * k).toShort
+            out(k) = le16(bytes, off + 8 + 2 * k).toShort
             k += 1
           }
           samples = out

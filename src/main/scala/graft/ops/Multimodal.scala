@@ -189,6 +189,9 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           (id, Codecs.decodePpm(bytes)
+            // an image smaller than the pool factor would collapse to
+            // zero pixels — degrade to null bytes, never throw
+            .filter(p => p.width >= factor && p.height >= factor)
             .map(p => Codecs.poolPpm(p, factor))
             .map(p => Codecs.encodePpm(p.width, p.height, p.rgb))
             .orNull)

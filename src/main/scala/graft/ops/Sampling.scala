@@ -240,10 +240,12 @@ object Sampling {
     * the windowless prefix-sum machinery (the w07/a26 discipline): no
     * percentile interpolation, so any engine restates the same
     * boundary. Labels: `t <= thr − embargo` → train, `t > thr` → test,
-    * between → embargo. Two aggregation barriers (histogram + rank
-    * rule, N), threshold re-enters the plan as a broadcast one-row
-    * frame — no driver collect, shuffle bounded by distinct time
-    * values.
+    * between → embargo; a NULL timestamp gets a NULL split (time-less
+    * rows are excluded from the boundary computation and belong to no
+    * temporal side — the caller decides their fate explicitly). Two
+    * aggregation barriers (histogram + rank rule, N), threshold
+    * re-enters the plan as a broadcast one-row frame — no driver
+    * collect, shuffle bounded by distinct time values.
     */
   def temporalSplit(df: DataFrame, tsCol: String,
                     pctNum: Int = 4, pctDen: Int = 5,
@@ -262,7 +264,8 @@ object Sampling {
       .agg(min(col(tsCol)).as("__thr"))
     df.crossJoin(broadcast(thr))
       .withColumn(splitCol,
-        when(col(tsCol) <= col("__thr") - embargoMicros, "train")
+        when(col(tsCol).isNull, lit(null).cast("string"))
+          .when(col(tsCol) <= col("__thr") - embargoMicros, "train")
           .when(col(tsCol) > col("__thr"), "test")
           .otherwise("embargo"))
       .drop("__thr")

@@ -164,8 +164,12 @@ object AnalyticsQueries extends QuerySet {
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
          s AS (
            SELECT user_id, t,
+                  -- RANGE, not ROWS: tied rows share the cumulative brk
+                  -- (tie-order-invariant, matching Spark's co-session
+                  -- rule for equal timestamps at a session boundary)
                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) - 1 AS sid
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 1 AS sid
            FROM d),
          g AS (SELECT user_id, sid, COUNT(*) AS n,
                       MAX(t) - MIN(t) AS dur

@@ -13,6 +13,30 @@ import graft.ops.Multimodal
   */
 object MultimodalQueries extends QuerySet {
 
+  /** The deterministic 8×8 test raster shared by mm03/mm05: pixel
+    * bytes are a closed-form function of (doc_id, position) that BOTH
+    * oracles restate directly — change it in exactly one place.
+    */
+  private def testRaster(id: Long): Array[Byte] = {
+    val w = 8; val h = 8
+    val rgb = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      rgb(p * 3) = ((id * 31 + p) % 256).toByte
+      rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
+      rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
+      p += 1
+    }
+    graft.ops.Codecs.encodePpm(w, h, rgb)
+  }
+
+  private def testMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map(id => (id, testRaster(id))).toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -45,49 +69,19 @@ object MultimodalQueries extends QuerySet {
     // and the integer channel sums must equal the closed form the
     // oracle computes directly — the encode and decode errors cannot
     // cancel because the header (dims) is checked too.
-    "mm03_image_roundtrip" -> ((s, d) => {
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-        .filter(col("doc_id") < 100).as[Long]
-      val media = ids.map { id =>
-        val w = 8; val h = 8
-        val rgb = new Array[Byte](w * h * 3)
-        var p = 0
-        while (p < w * h) {
-          rgb(p * 3) = ((id * 31 + p) % 256).toByte
-          rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
-          rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
-          p += 1
-        }
-        (id, graft.ops.Codecs.encodePpm(w, h, rgb))
-      }.toDF("media_id", "bytes")
-      Multimodal.decodeImageStats(media).orderBy(col("media_id"))
-    }),
+    "mm03_image_roundtrip" -> ((s, d) =>
+      Multimodal.decodeImageStats(testMedia(s, d))
+        .orderBy(col("media_id"))),
 
     // REAL pixel resize: the mm03 rasters decode, average-pool 8×8→4×4
     // (floor arithmetic), re-encode, decode AGAIN, and the pooled
     // channel sums must equal the closed form DuckDB computes by
     // grouping the pixel formula into 2×2 blocks — two full codec
     // round trips plus the pooling kernel, all integer-exact.
-    "mm05_image_resize" -> ((s, d) => {
-      import s.implicits._
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-        .filter(col("doc_id") < 100).as[Long]
-      val media = ids.map { id =>
-        val w = 8; val h = 8
-        val rgb = new Array[Byte](w * h * 3)
-        var p = 0
-        while (p < w * h) {
-          rgb(p * 3) = ((id * 31 + p) % 256).toByte
-          rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
-          rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
-          p += 1
-        }
-        (id, graft.ops.Codecs.encodePpm(w, h, rgb))
-      }.toDF("media_id", "bytes")
-      Multimodal.decodeImageStats(Multimodal.resizePixels(media, 2))
-        .orderBy(col("media_id"))
-    }),
+    "mm05_image_resize" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.resizePixels(testMedia(s, d), 2))
+        .orderBy(col("media_id"))),
 
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
     // samples from a closed form, encoded as a real RIFF/WAVE payload,

@@ -320,7 +320,8 @@ object WindowQueries extends QuerySet {
          s AS (
            SELECT user_id,
                   SUM(brk) OVER (PARTITION BY user_id ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) AS sid
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS sid
            FROM d),
          g AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
          SELECT COUNT(*) AS n_sessions,

@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch RANGE frame's in-memory state), NEVER corpus size. Each event
   * emits exactly once with its as-of count.
   *
+  * State lifecycle: per-ENTITY state is bounded by rate × span, but
+  * the state STORE holds one entry per entity ever seen (NoTimeout
+  * keeps bounded-source semantics exact for the oracle gate).
+  * Production runs on unbounded entity churn bound the total with the
+  * state-store TTL knobs or an event-time timeout past the watermark —
+  * the same stance as [[StreamDedup]]'s bucket vocabulary.
+  *
   * Determinism contract (the StreamDedup stance): within a micro-batch
   * rows process in event-time order, and same-instant events are
   * admitted TOGETHER before any of them emits — the RANGE-frame peer

@@ -804,6 +804,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Codecs.decodePpm("P5\n2 1\n255\nxx".getBytes).isEmpty)
     assert(Codecs.decodePpm("hello world".getBytes).isEmpty)
     assert(Codecs.decodePpm(null).isEmpty)
+    // a non-whitespace separator after maxval is a malformed header —
+    // decoding a shifted raster would silently corrupt every pixel
+    val badSep = "P6\n2 1\n255X".getBytes("US-ASCII") ++ rgb
+    assert(Codecs.decodePpm(badSep).isEmpty)
     // the dispatch routes a real image to imageFeatures: dims 0-2 are
     // the channel means over 255
     val f = Multimodal.decodeBytes(enc, 8)
@@ -857,6 +861,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Codecs.decodeWavPcm16(floatFmt).isEmpty)
     assert(Codecs.decodeWavPcm16("RIFFjunk".getBytes).isEmpty)
     assert(Codecs.decodeWavPcm16(null).isEmpty)
+    // a crafted chunk size near Int.MaxValue must hit the bounds check
+    // (Long arithmetic), not overflow past it and throw
+    val overflow = enc.clone()
+    overflow(16) = 0xF0.toByte; overflow(17) = 0xFF.toByte
+    overflow(18) = 0xFF.toByte; overflow(19) = 0x7F.toByte
+    assert(Codecs.decodeWavPcm16(overflow).isEmpty)
+    // resizePixels degrades a too-small-to-pool image to null bytes
+    val tiny = Codecs.encodePpm(1, 1, Array[Byte](1, 2, 3))
+    val stats = Multimodal.decodeImageStats(
+      Multimodal.resizePixels(
+        Seq((1L, tiny)).toDF("media_id", "bytes"), 2))
+      .collect()
+    assert(stats.length == 1 && stats(0).getInt(1) == -1)
     // dispatch: real audio lands in audioFeatures (dim 1 = ZCR)
     val f = Multimodal.decodeBytes(enc, 4)
     assert(f(1) > 0.0f && f(1) <= 1.0f)
