@@ -59,15 +59,15 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
 
-  /** The codec dispatch: REAL decode for PPM images and PCM-16 WAV
-    * audio (magic-byte sniff, see [[Codecs]]); anything else — which
-    * includes every compressed format — takes the documented
-    * deterministic stub ([[stubFeatures]]). A corrupt or truncated
-    * payload of a recognized format also falls back to the stub rather
-    * than throwing (the dead-letter stance).
+  /** The codec dispatch: REAL decode for PPM and PNG images and PCM-16
+    * WAV audio (magic-byte sniff, see [[Codecs]]); anything else —
+    * which includes the remaining compressed formats — takes the
+    * documented deterministic stub ([[stubFeatures]]). A corrupt or
+    * truncated payload of a recognized format also falls back to the
+    * stub rather than throwing (the dead-letter stance).
     */
   def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
-    Codecs.decodePpm(bytes).map(imageFeatures(_, dim))
+    Codecs.decodeRaster(bytes).map(imageFeatures(_, dim))
       .orElse(Codecs.decodeWavPcm16(bytes).map(audioFeatures(_, dim)))
       .getOrElse(stubFeatures(bytes, dim))
 
@@ -145,11 +145,11 @@ object Multimodal {
     acc
   }
 
-  /** Exact integer pixel statistics through the REAL PPM decoder — the
-    * oracle-checkable face of the image path (float features can't
-    * hash-match an engine-independent oracle; integer channel sums
-    * can). Undecodable payloads yield a (-1, -1) dims row, counted not
-    * thrown.
+  /** Exact integer pixel statistics through the REAL raster decoders
+    * (PPM or PNG, sniffed by magic bytes) — the oracle-checkable face
+    * of the image path (float features can't hash-match an
+    * engine-independent oracle; integer channel sums can). Undecodable
+    * payloads yield a (-1, -1) dims row, counted not thrown.
     */
   def decodeImageStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -158,7 +158,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          Codecs.decodePpm(bytes) match {
+          Codecs.decodeRaster(bytes) match {
             case Some(p) =>
               var r = 0L; var g = 0L; var b = 0L
               var i = 0
@@ -174,8 +174,9 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
 
-  /** REAL pixel resize: decode → average-pool by `factor` → re-encode
-    * ([[Codecs.poolPpm]]); payloads that aren't decodable PPM pass
+  /** REAL pixel resize: decode (PPM or PNG) → average-pool by `factor`
+    * → re-encode in the SAME container the payload arrived in
+    * ([[Codecs.poolPpm]]); payloads that aren't a decodable raster pass
     * through as null bytes (downstream stats report them as
     * undecodable rather than anything throwing). Pixel work is where
     * resize actually costs at 100 TB — this runs scan-local in the
@@ -188,12 +189,14 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          (id, Codecs.decodePpm(bytes)
+          val png = Codecs.isPng(bytes)
+          (id, Codecs.decodeRaster(bytes)
             // an image smaller than the pool factor would collapse to
             // zero pixels — degrade to null bytes, never throw
             .filter(p => p.width >= factor && p.height >= factor)
             .map(p => Codecs.poolPpm(p, factor))
-            .map(p => Codecs.encodePpm(p.width, p.height, p.rgb))
+            .map(p => if (png) Codecs.encodePng(p.width, p.height, 3, p.rgb)
+                      else Codecs.encodePpm(p.width, p.height, p.rgb))
             .orNull)
         }
       }.toDF("media_id", "bytes")

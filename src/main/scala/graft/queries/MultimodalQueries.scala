@@ -37,6 +37,30 @@ object MultimodalQueries extends QuerySet {
       .map(id => (id, testRaster(id))).toDF("media_id", "bytes")
   }
 
+  /** The mm03 pixel formula encoded as a REAL RGBA PNG (alpha is a
+    * fourth closed-form plane the decoder must strip): exercises the
+    * full `Codecs.encodePng` → chunk walk → CRC check → Inflater →
+    * un-filter → alpha-drop path, against the same DuckDB closed form.
+    */
+  private def testPngMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map { id =>
+        val w = 8; val h = 8
+        val rgba = new Array[Byte](w * h * 4)
+        var p = 0
+        while (p < w * h) {
+          rgba(p * 4) = ((id * 31 + p) % 256).toByte
+          rgba(p * 4 + 1) = ((id * 37 + p) % 256).toByte
+          rgba(p * 4 + 2) = ((id * 41 + p) % 256).toByte
+          rgba(p * 4 + 3) = ((id + p) % 256).toByte
+          p += 1
+        }
+        (id, graft.ops.Codecs.encodePng(w, h, 4, rgba))
+      }.toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -81,6 +105,25 @@ object MultimodalQueries extends QuerySet {
     "mm05_image_resize" -> ((s, d) =>
       Multimodal.decodeImageStats(
         Multimodal.resizePixels(testMedia(s, d), 2))
+        .orderBy(col("media_id"))),
+
+    // REAL PNG codec round trip: the mm03 rasters carried as 8-bit
+    // RGBA PNG — signature, CRC-verified chunk walk, JDK-Inflater
+    // decompress, filter reconstruction, alpha drop — and the decoded
+    // channel sums must equal the same closed form DuckDB computes.
+    // The encode and decode cannot share a bug: the encoder writes
+    // filter-0 scanlines only, while the decoder is exercised on all
+    // five filter types in PipelineOpsSpec.
+    "mm06_png_roundtrip" -> ((s, d) =>
+      Multimodal.decodeImageStats(testPngMedia(s, d))
+        .orderBy(col("media_id"))),
+
+    // REAL PNG resize: PNG in → decode → 2×2 average-pool → re-encode
+    // as PNG (container preserved) → decode again → pooled channel
+    // sums vs the mm05 closed form. Two full PNG round trips.
+    "mm07_png_resize" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.resizePixels(testPngMedia(s, d), 2))
         .orderBy(col("media_id"))),
 
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
@@ -139,6 +182,33 @@ object MultimodalQueries extends QuerySet {
                 CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
          FROM px GROUP BY id ORDER BY media_id""",
     "mm05_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r),
+         pooled AS (SELECT id, (p // 8) // 2 AS py, (p % 8) // 2 AS qx,
+                      SUM((id * 31 + p) % 256) // 4 AS pr,
+                      SUM((id * 37 + p) % 256) // 4 AS pg,
+                      SUM((id * 41 + p) % 256) // 4 AS pb
+                    FROM px GROUP BY 1, 2, 3)
+         SELECT id AS media_id,
+                CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+                CAST(SUM(pr) AS BIGINT) AS r_sum,
+                CAST(SUM(pg) AS BIGINT) AS g_sum,
+                CAST(SUM(pb) AS BIGINT) AS b_sum
+         FROM pooled GROUP BY id ORDER BY media_id""",
+    "mm06_png_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST(SUM((id * 31 + p) % 256) AS BIGINT) AS r_sum,
+                CAST(SUM((id * 37 + p) % 256) AS BIGINT) AS g_sum,
+                CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
+         FROM px GROUP BY id ORDER BY media_id""",
+    "mm07_png_resize" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),
          px AS (SELECT id, r.range AS p

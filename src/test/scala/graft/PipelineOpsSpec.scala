@@ -879,6 +879,136 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f(1) > 0.0f && f(1) <= 1.0f)
   }
 
+  test("real PNG codec: RGB/RGBA round trip, container preserved") {
+    import graft.ops.Codecs
+    val rgb = Array.tabulate(3 * 2 * 3)(i => ((i * 53 + 7) % 256).toByte)
+    val enc = Codecs.encodePng(3, 2, 3, rgb)
+    assert(Codecs.isPng(enc))
+    val dec = Codecs.decodePng(enc).get
+    assert(dec.width == 3 && dec.height == 2 && dec.channels == 3)
+    assert(dec.pixels.toSeq == rgb.toSeq)
+    // RGBA round trip; toRgb strips the alpha plane
+    val rgba = Array.tabulate(2 * 2 * 4)(i => ((i * 31 + 3) % 256).toByte)
+    val dec4 = Codecs.decodePng(Codecs.encodePng(2, 2, 4, rgba)).get
+    assert(dec4.channels == 4 && dec4.pixels.toSeq == rgba.toSeq)
+    assert(dec4.toRgb.toSeq ==
+      (0 until 4).flatMap(p => rgba.slice(p * 4, p * 4 + 3)).toSeq)
+    // decodeRaster sniffs the container; dispatch lands in imageFeatures
+    assert(Codecs.decodeRaster(enc).map(_.rgb.toSeq).contains(rgb.toSeq))
+    val means = Multimodal.decodeBytes(enc, 3)
+    assert(math.abs(means(0) -
+      (0 until 6).map(p => rgb(p * 3) & 0xFF).sum / (255.0f * 6)) < 1e-6)
+    // resizePixels keeps the PNG container on the way out
+    val big = Codecs.encodePng(2, 2, 3,
+      Array.tabulate(12)(i => (i * 11).toByte))
+    val out = Multimodal.resizePixels(
+      Seq((1L, big)).toDF("media_id", "bytes"), 2).collect()
+    assert(Codecs.isPng(out(0).getAs[Array[Byte]]("bytes")))
+  }
+
+  test("PNG decoder: all five filter types reconstruct exactly") {
+    import graft.ops.Codecs
+    val w = 3; val h = 5; val bpp = 3; val stride = w * bpp
+    // known recon pixels; scanline y carries filter type y (0..4)
+    val px = Array.tabulate(stride * h)(i => ((i * 97 + 13) % 256).toByte)
+    def reconAt(y: Int, x: Int): Int =
+      if (y < 0 || x < 0) 0 else px(y * stride + x) & 0xFF
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = y.toByte // filter type = y
+      for (x <- 0 until stride) {
+        val r = reconAt(y, x)
+        val left = if (x >= bpp) reconAt(y, x - bpp) else 0
+        val up = reconAt(y - 1, x)
+        val ul = if (x >= bpp) reconAt(y - 1, x - bpp) else 0
+        val pred = y match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (stride + 1) + 1 + x) = (r - pred).toByte
+      }
+    }
+    // wrap the hand-filtered stream in real chunks
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def p32(v: Long): Unit = for (s <- Seq(24, 16, 8, 0))
+        out.write(((v >> s) & 0xFF).toInt)
+      p32(data.length.toLong)
+      out.write(typ.getBytes("US-ASCII")); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      p32(crc.getValue)
+      out.toByteArray
+    }
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    for ((v, i) <- Seq(w, h).zipWithIndex; s <- 0 until 4)
+      ihdr(i * 4 + s) = ((v >> (24 - 8 * s)) & 0xFF).toByte
+    ihdr(8) = 8; ihdr(9) = 2 // 8-bit RGB
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+      .map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", defl) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(Codecs.decodePng(png).map(_.pixels.toSeq).contains(px.toSeq))
+
+    // malformed inputs: every one must be None, never a throw
+    assert(Codecs.decodePng(png.dropRight(20)).isEmpty) // truncated IEND
+    assert(Codecs.decodePng(null).isEmpty)
+    assert(Codecs.decodePng("not a png at all".getBytes).isEmpty)
+    // CRC garbage: flip a byte inside IDAT data
+    val badCrc = png.clone()
+    badCrc(8 + 25 + 8 + 2) = (badCrc(8 + 25 + 8 + 2) ^ 0x55).toByte
+    assert(Codecs.decodePng(badCrc).isEmpty)
+    // truncated IDAT stream: deflate of HALF the scanlines, real CRC
+    val shortDefl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.take(raw.length / 2)); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    val shortPng = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", shortDefl) ++ chunk("IEND", Array.emptyByteArray)
+    assert(Codecs.decodePng(shortPng).isEmpty)
+    // bad filter byte (9): legal zlib, illegal PNG
+    val badFilter = raw.clone(); badFilter(0) = 9
+    val badDefl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(badFilter); d.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+      d.end(); buf.toByteArray
+    }
+    assert(Codecs.decodePng(sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", badDefl) ++
+      chunk("IEND", Array.emptyByteArray)).isEmpty)
+    // unsupported shapes: grayscale color type, 16-bit depth, Adam7
+    def ihdrVariant(f: Array[Byte] => Unit): Array[Byte] = {
+      val v = ihdr.clone(); f(v)
+      sig ++ chunk("IHDR", v) ++ chunk("IDAT", defl) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    assert(Codecs.decodePng(ihdrVariant(v => v(9) = 0)).isEmpty)  // gray
+    assert(Codecs.decodePng(ihdrVariant(v => v(8) = 16)).isEmpty) // 16-bit
+    assert(Codecs.decodePng(ihdrVariant(v => v(12) = 1)).isEmpty) // Adam7
+  }
+
   test("resize preserves aspect ratio within the bounding box") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.withResizedDims(media, 100, 100)
