@@ -35,52 +35,74 @@ object TransactionGen {
   /** Uniform pick from a small domain, seeded per-column
     * (`random.choice`, `FD/producer.py:60-76`).
     */
-  private def pick(values: Seq[String], seed: Long): Column =
+  private def pick(values: Seq[String], u: Column): Column =
     element_at(
       array(values.map(lit): _*),
-      (floor(rand(seed) * values.size) + 1).cast("int"))
+      (floor(u * values.size) + 1).cast("int"))
 
-  private def randInt(lo: Int, hi: Int, seed: Long): Column =
-    (floor(rand(seed) * (hi - lo + 1)) + lo).cast("long")
+  private def randInt(lo: Int, hi: Int, u: Column): Column =
+    (floor(u * (hi - lo + 1)) + lo).cast("long")
 
-  private def randUniform(lo: Double, hi: Double, seed: Long): Column =
-    rand(seed) * (hi - lo) + lo
+  /** A [0,1) uniform per (draw index, row id) that ANY engine with md5
+    * can replay bit-for-bit: the first 8 md5-hex chars of
+    * `"s03_<k>:<id>"` as a 32-bit integer over 2^32 (the Sampling
+    * portable-mode recipe). ~20× slower per draw than `rand(seed)` —
+    * the oracle-replayable twin, not the scale path.
+    */
+  private def portableUniform(k: Int): Column =
+    conv(substring(md5(concat(lit(s"s03_$k:"), col("id").cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") / lit(4294967296.0)
 
-  /** Per-column generator expressions over existing `id` + `Time` columns. */
-  private def fieldExprs(seed: Long): Seq[(String, Column)] = {
+  /** Per-column generator expressions over existing `id` + `Time`
+    * columns. `u(k)` supplies the k-th uniform draw — `rand(seed + k)`
+    * in the fast JVM mode, [[portableUniform]] in the oracle-replayable
+    * mode. `centsAmounts` switches the two amount bands from
+    * `round(real, 2)` to an integer-cents closed form
+    * (`lo + floor(u * span)` cents) so the portable mode has no
+    * float-rounding divergence to replay.
+    */
+  private def fieldExprs(u: Int => Column,
+                         centsAmounts: Boolean): Seq[(String, Column)] = {
     val isFraud = (col("id") % 2 === 0).cast("int")
-    val fraudPattern = isFraud === 1 && rand(seed + 13) > 0.7
+    val fraudPattern = isFraud === 1 && u(13) > 0.7
     val ts = timestamp_seconds(col("Time"))
+    val amount =
+      if (centsAmounts)
+        when(isFraud === 1,
+          (lit(500000L) + floor(u(5) * 500000)).cast("double") / 100.0)
+          .otherwise(
+            (lit(1000L) + floor(u(5) * 299000)).cast("double") / 100.0)
+      else round(
+        when(isFraud === 1, u(5) * (10000 - 5000) + 5000)
+          .otherwise(u(5) * (3000 - 10) + 10), 2)
     Seq(
       "Is_Fraud" -> isFraud,
-      "Customer_ID" -> concat(lit("CUST"), randInt(10000, 99999, seed + 1)),
-      "Bank_Branch" -> pick(branches, seed + 2),
-      "Account_Type" -> pick(accountTypes, seed + 3),
-      "Transaction_ID" -> concat(lit("TXN"), randInt(100000, 999999, seed + 4)),
+      "Customer_ID" -> concat(lit("CUST"), randInt(10000, 99999, u(1))),
+      "Bank_Branch" -> pick(branches, u(2)),
+      "Account_Type" -> pick(accountTypes, u(3)),
+      "Transaction_ID" -> concat(lit("TXN"), randInt(100000, 999999, u(4))),
       "Transaction_Date" -> date_format(ts, "yyyy-MM-dd"),
       "Transaction_Time" -> when(fraudPattern, lit("03:00:05"))
         .otherwise(date_format(ts, "HH:mm:ss")),
-      "Transaction_Amount" -> round(
-        when(isFraud === 1, randUniform(5000, 10000, seed + 5))
-          .otherwise(randUniform(10, 3000, seed + 5)), 2),
-      "Merchant_ID" -> concat(lit("MERC"), randInt(1000, 9999, seed + 6)),
-      "Transaction_Type" -> pick(txnTypes, seed + 7),
-      "Merchant_Category" -> pick(merchCats, seed + 8),
-      "Account_Balance" -> round(randUniform(0, 100000, seed + 9), 2),
-      "Transaction_Device" -> concat(lit("DEV"), randInt(100, 999, seed + 10)),
+      "Transaction_Amount" -> amount,
+      "Merchant_ID" -> concat(lit("MERC"), randInt(1000, 9999, u(6))),
+      "Transaction_Type" -> pick(txnTypes, u(7)),
+      "Merchant_Category" -> pick(merchCats, u(8)),
+      "Account_Balance" -> round(u(9) * 100000, 2),
+      "Transaction_Device" -> concat(lit("DEV"), randInt(100, 999, u(10))),
       "Transaction_Location" -> when(fraudPattern, lit("LOC99"))
-        .otherwise(concat(lit("LOC"), randInt(1, 50, seed + 11))),
-      "Device_Type" -> pick(deviceTypes, seed + 12),
-      "Transaction_Currency" -> pick(currencies, seed + 14),
-      "Customer_Contact" -> concat(lit("+1"), randInt(200, 999, seed + 15),
-        randInt(1000000, 9999999, seed + 16)),
-      "Transaction_Description" -> pick(descriptions, seed + 17),
-      "Customer_Email" -> concat(lit("user"), randInt(1000, 9999, seed + 18),
+        .otherwise(concat(lit("LOC"), randInt(1, 50, u(11)))),
+      "Device_Type" -> pick(deviceTypes, u(12)),
+      "Transaction_Currency" -> pick(currencies, u(14)),
+      "Customer_Contact" -> concat(lit("+1"), randInt(200, 999, u(15)),
+        randInt(1000000, 9999999, u(16))),
+      "Transaction_Description" -> pick(descriptions, u(17)),
+      "Customer_Email" -> concat(lit("user"), randInt(1000, 9999, u(18)),
         lit("@example.com")))
   }
 
   private def applyFields(df: DataFrame, seed: Long): DataFrame =
-    fieldExprs(seed)
+    fieldExprs(k => rand(seed + k), centsAmounts = false)
       .foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
       .select(Transactions.wireSchema.fieldNames.map(col).toIndexedSeq: _*)
 
@@ -93,6 +115,27 @@ object TransactionGen {
       if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
     applyFields(
       range.withColumn("Time", lit(baseEpoch) + col("id") * 2), seed)
+  }
+
+  /** The oracle-replayable twin of [[batch]]: every uniform draw is
+    * [[portableUniform]] (md5 of `"s03_<k>:<id>"`) and the amount bands
+    * are integer cents, so any engine with md5 — DuckDB included — can
+    * rebuild every generated row from the id alone. Same alternation
+    * (id parity), same 30% injection (`u(13) > 0.7` on fraud rows →
+    * LOC99 + 03:00:05), same domains; still a single distributed
+    * projection over `spark.range`, no shared state.
+    */
+  def batchPortable(spark: SparkSession, n: Long,
+                    baseEpoch: Long = 1735689600L,
+                    partitions: Int = 0): DataFrame = {
+    val range =
+      if (partitions > 0) spark.range(0, n, 1, partitions) else spark.range(n)
+    fieldExprs(portableUniform, centsAmounts = true)
+      .foldLeft(
+        range.withColumn("Time", lit(baseEpoch) + col("id") * 2)) {
+        case (d, (name, c)) => d.withColumn(name, c)
+      }
+      .select(Transactions.wireSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
   /** Streaming variant over the rate source. rowsPerSecond=1 with a

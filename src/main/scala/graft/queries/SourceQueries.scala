@@ -26,6 +26,24 @@ object SourceQueries extends QuerySet {
           countDistinct(col("Transaction_Location")).as("n_locations"))
         .orderBy(col("Is_Fraud"))),
 
+    // S3 portable twin: the same generator semantics — id-parity
+    // alternation, the two amount bands, the 30% LOC99 + 03:00:05
+    // injection — with every uniform draw md5-derived, so the oracle
+    // rebuilds every row from the id alone and hash-checks the result.
+    // s03 (the JVM rand(seed) form, the scale path) stays rows-only.
+    "s03b_generator_portable" -> ((s, _) =>
+      TransactionGen.batchPortable(s, 10000)
+        .groupBy(col("Is_Fraud"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("Transaction_Amount") * 100).cast("long"))
+            .as("cents_sum"),
+          sum((col("Transaction_Location") === "LOC99").cast("long"))
+            .as("n_loc99"),
+          sum((col("Transaction_Time") === "03:00:05").cast("long"))
+            .as("n_suspicious"),
+          countDistinct(col("Transaction_Location")).as("n_locations"))
+        .orderBy(col("Is_Fraud"))),
+
     // S2/A1/§2.6: a real Structured Streaming query — file source over
     // the events table, all-time counters in complete mode to a memory
     // sink — checked against the batch oracle (streaming ≡ batch on a
@@ -480,6 +498,46 @@ object SourceQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    // replays the portable generator row-for-row: the same md5-hex
+    // uniforms (first 8 hex chars of "s03_<k>:<id>" over 2^32 — hex
+    // digits folded with integer shifts, so the u values are
+    // bit-identical to Spark's conv(md5)), the same parity/band/
+    // injection closed forms, and seconds-of-day arithmetic instead of
+    // wall-clock formatting (timezone-proof).
+    "s03b_generator_portable" ->
+      """WITH ids AS (SELECT r.range AS id FROM range(0, 10000) r),
+         hx AS (SELECT id,
+                  substr(md5('s03_5:' || CAST(id AS VARCHAR)), 1, 8) AS h5,
+                  substr(md5('s03_11:' || CAST(id AS VARCHAR)), 1, 8) AS h11,
+                  substr(md5('s03_13:' || CAST(id AS VARCHAR)), 1, 8) AS h13
+                FROM ids),
+         ks AS (SELECT id,
+                  SUM((strpos('0123456789abcdef', substr(h5, p.range + 1, 1)) - 1)
+                      << (4 * (7 - p.range))) AS k5,
+                  SUM((strpos('0123456789abcdef', substr(h11, p.range + 1, 1)) - 1)
+                      << (4 * (7 - p.range))) AS k11,
+                  SUM((strpos('0123456789abcdef', substr(h13, p.range + 1, 1)) - 1)
+                      << (4 * (7 - p.range))) AS k13
+                FROM hx CROSS JOIN range(0, 8) p GROUP BY id),
+         base AS (SELECT id,
+                  CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END AS is_fraud,
+                  (id % 2 = 0 AND k13 / 4294967296.0 > 0.7) AS pattern,
+                  CASE WHEN id % 2 = 0
+                       THEN 500000 + CAST(FLOOR(k5 / 4294967296.0 * 500000) AS BIGINT)
+                       ELSE 1000 + CAST(FLOOR(k5 / 4294967296.0 * 299000) AS BIGINT)
+                  END AS cents,
+                  (1735689600 + 2 * id) % 86400 AS sod,
+                  CASE WHEN id % 2 = 0 AND k13 / 4294967296.0 > 0.7
+                       THEN 'LOC99'
+                       ELSE 'LOC' || CAST(1 + CAST(FLOOR(k11 / 4294967296.0 * 50) AS BIGINT) AS VARCHAR)
+                  END AS loc
+                FROM ks)
+         SELECT CAST(is_fraud AS INT) AS Is_Fraud, COUNT(*) AS n,
+                CAST(SUM(cents) AS BIGINT) AS cents_sum,
+                CAST(SUM(CASE WHEN loc = 'LOC99' THEN 1 ELSE 0 END) AS BIGINT) AS n_loc99,
+                CAST(SUM(CASE WHEN pattern OR sod = 10805 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious,
+                COUNT(DISTINCT loc) AS n_locations
+         FROM base GROUP BY 1 ORDER BY 1""",
     "st01_stream_counters" ->
       """SELECT event_type, COUNT(*) AS cnt FROM events
          GROUP BY event_type ORDER BY event_type""",
