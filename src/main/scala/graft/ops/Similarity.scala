@@ -850,6 +850,72 @@ object Similarity {
     graft.ops.Cached(survivors, Seq(indexed, hot))
   }
 
+  /** Engine-portable twin of [[semDeDup]] — the n04b trick applied to
+    * the cluster step. The KMeans coarse quantizer (JVM RNG + iterative
+    * fits, not rebuildable elsewhere) is replaced by md5-seeded
+    * Rademacher sign bucketing: `nPlanes` ±1 hyperplanes from
+    * [[projectionSigns]] partition the sphere into `2^nPlanes` cones
+    * (cluster = packed sign bits of v·plane — the hyperplane-LSH cell,
+    * an equally valid locality-preserving coarse quantizer), and the
+    * paper's centroid-prototypicality score becomes the cosine to a
+    * fixed md5-derived ±1 prototype direction per cluster
+    * (`projectionSigns(dim, 2^nPlanes, seed + 5000)`). Every stage —
+    * cluster bits, prototype cosines, within-cluster pairs, connected
+    * components, the keep-least-prototypical rule with (score, id)
+    * tie-break — replays in the DuckDB oracle via sequential-fold dots
+    * (`list_dot_product` parity). Same scale shape as the production
+    * variant: candidates come from an equi-join on the cluster key,
+    * components are the pointer-doubling rounds, survivors resolve by
+    * aggregation (no global window). The hot-cluster salt cap is
+    * omitted — this is the verification twin; capped semantics are
+    * spec'd on [[semDeDup]].
+    */
+  def semDeDupPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nPlanes: Int = 3,
+                       seed: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, "nPlanes must be in [1,16]")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = projectionSigns(dim, nPlanes, seed)
+    val nClusters = 1 << nPlanes
+    val protos = projectionSigns(dim, nClusters, seed + 5000)
+    val rootDim = math.sqrt(dim.toDouble)
+    val withCent = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("cluster",
+        (0 until nPlanes).map { j =>
+          when(dot(col("v"), typedLit(planes(j).toSeq)) >= 0,
+            lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).cast("int"))
+      .withColumn("cent_cos",
+        when(col("nv") === 0, 0.0).otherwise(
+          element_at(array((0 until nClusters).map(ci =>
+            dot(col("v"), typedLit(protos(ci).toSeq))): _*),
+            col("cluster") + 1) / (col("nv") * lit(rootDim))))
+    val pairs = withCent.as("a").join(withCent.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) /
+            (col("a.nv") * col("b.nv")))
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+    val labels = Dedup.connectedComponents(pairs)
+    val keep = labels.withColumnRenamed("id", "vec_id")
+      .join(withCent.select("vec_id", "cent_cos"), "vec_id")
+      .groupBy(col("component"))
+      .agg(min(struct(col("cent_cos"), col("vec_id"))).as("k"))
+      .select(col("k.vec_id").as("vec_id"), lit(1).as("__keep"))
+    val grouped = labels.select(col("id").as("vec_id"),
+      lit(1).as("__grouped"))
+    withCent.select("vec_id", "cluster", "cent_cos")
+      .join(grouped, Seq("vec_id"), "left")
+      .join(keep, Seq("vec_id"), "left")
+      .filter(col("__grouped").isNull || col("__keep").isNotNull)
+      .select("vec_id", "cluster", "cent_cos")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold — the exact
     * all-pairs baseline [[cosineNearDupsLSH]] approximates. The O(n²)
     * self-join is fenced by `maxRows` (refuses unbounded input instead

@@ -112,6 +112,23 @@ object SimilarityQueries extends QuerySet {
             .as("n_copies_survived"))
     }),
 
+    // Portable SemDeDup (the n04b trick for n06): md5-Rademacher sign
+    // bucketing replaces the KMeans quantizer and a fixed md5 prototype
+    // direction per cluster replaces the learned centroid, so DuckDB
+    // replays cluster assignment, prototype cosines, within-cluster
+    // pairs, connected components, and the keep-least-prototypical
+    // rule row-for-row. Exact copies of every 5th vector must collapse
+    // to the ORIGINAL (tie on cent_cos breaks to the smaller id).
+    "n06b_semdedup_portable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select("vec_id", "embedding")
+      val copies = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Similarity.semDeDupPortable(emb.union(copies),
+        "vec_id", "embedding", threshold = 0.95)
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF (KMeans coarse quantizer, nprobe=3 of nlist=8): rows-only;
     // recall vs brute force asserted in SimilaritySpec.
     "n02_ivf_topk" -> ((s, d) => {
@@ -343,6 +360,64 @@ object SimilarityQueries extends QuerySet {
                     JOIN e y ON y.vec_id = cand.id_b)
           SELECT id_a, id_b, cos FROM pairs
           WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+    "n06b_semdedup_portable" ->
+      """WITH RECURSIVE
+         base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings WHERE vec_id < 200),
+         e AS (SELECT * FROM base
+               UNION ALL
+               SELECT vec_id + 1000000 AS vec_id, v FROM base
+               WHERE vec_id % 5 = 0),
+         d AS (SELECT len(v) AS dim FROM base LIMIT 1),
+         pl AS (SELECT j, list(CASE WHEN substr(
+                        md5('rp42_' || i || '_' || j), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+               FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                    (SELECT unnest(range(0, 3)) AS j)
+               GROUP BY j),
+         pr AS (SELECT c, list(CASE WHEN substr(
+                        md5('rp5042_' || i || '_' || c), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+               FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                    (SELECT unnest(range(0, 8)) AS c)
+               GROUP BY c),
+         cl AS (SELECT e.vec_id, e.v,
+                  sqrt(list_dot_product(e.v, e.v)) AS nv,
+                  SUM(CASE WHEN list_dot_product(e.v, pl.sv) >= 0
+                        THEN (1 << pl.j) ELSE 0 END) AS cluster
+                FROM e, pl GROUP BY e.vec_id, e.v),
+         wc AS (SELECT cl.vec_id, cl.v, cl.nv, cl.cluster,
+                  CASE WHEN cl.nv = 0 THEN 0.0
+                       ELSE list_dot_product(cl.v, pr.sv) /
+                            (cl.nv * sqrt((SELECT dim FROM d)))
+                  END AS cent_cos
+                FROM cl JOIN pr ON pr.c = cl.cluster),
+         edges0 AS (SELECT a.vec_id AS a, b.vec_id AS b
+                    FROM wc a JOIN wc b
+                      ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                    WHERE (CASE WHEN a.nv * b.nv = 0 THEN 0.0
+                                ELSE list_dot_product(a.v, b.v) /
+                                     (a.nv * b.nv) END) >= 0.95),
+         edges AS (SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e2.b, reach.r FROM reach JOIN edges e2
+             ON e2.a = reach.id),
+         comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         keep AS (SELECT vec_id FROM (
+                    SELECT wc.vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY comp.component
+                        ORDER BY wc.cent_cos, wc.vec_id) AS rn
+                    FROM wc JOIN comp ON comp.id = wc.vec_id)
+                  WHERE rn = 1)
+         SELECT wc.vec_id, CAST(wc.cluster AS INT) AS cluster, wc.cent_cos
+         FROM wc LEFT JOIN comp ON comp.id = wc.vec_id
+         WHERE comp.id IS NULL
+            OR wc.vec_id IN (SELECT vec_id FROM keep)
+         ORDER BY vec_id""",
     "n03_cosine_neardups" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings WHERE vec_id < 200)
