@@ -72,7 +72,8 @@ object ProduceMain {
     val writer =
       if (out.startsWith("kafka:")) {
         val Array(_, host, topic) = out.split(":", 3)
-        WireFormat.toKafka(txns, host, topic, s"/tmp/graft-produce-ckpt")
+        WireFormat.toKafka(txns, host, topic,
+          graft.queries.Tables.stageDir(spark, "produce-ckpt"))
       } else
         WireFormat.encodeFrame(txns).writeStream.format("text")
           .option("path", s"$out/wire")

@@ -245,7 +245,7 @@ object SourceQueries extends QuerySet {
     // source. Bounded source + closed watermark ≡ the batch left
     // interval join the oracle states.
     "st08_stream_outer_join" -> ((s, d) => {
-      val stage = "/tmp/graft_st08_in"
+      val stage = Tables.stageDir(s, "st08_in")
       // staged as epoch-µs BIGINT so the stream side is physical-type
       // independent (Tables.tsMicros absorbs the testdata's clock type)
       val ev = Tables.eventsMicros(s, d)
@@ -321,7 +321,7 @@ object SourceQueries extends QuerySet {
     // answer regardless of arrival order — the property that makes
     // sessionization on a live stream trustworthy.
     "st09_stream_session" -> ((s, d) => {
-      val stage = "/tmp/graft_st09_in"
+      val stage = Tables.stageDir(s, "st09_in")
       Tables.eventsMicros(s, d)
         .select(col("ts_us"), col("user_id"))
         .coalesce(4).write.mode("overwrite").parquet(stage)
@@ -387,7 +387,7 @@ object SourceQueries extends QuerySet {
     // same aggregate over the original parquet — identical rows prove
     // the format round-trips values exactly.
     "s07_orc_roundtrip" -> ((s, d) => {
-      val path = "/tmp/graft_s07_orc"
+      val path = Tables.stageDir(s, "s07_orc")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderdate"), col("o_orderstatus"))
@@ -408,7 +408,7 @@ object SourceQueries extends QuerySet {
     // other shards. Values must survive the partition-column encode/
     // decode (lang travels as a directory name, not parquet data).
     "s09_partitioned_scan" -> ((s, d) => {
-      val path = "/tmp/graft_s09_part"
+      val path = Tables.stageDir(s, "s09_part")
       graft.ops.Layout.writePartitioned(
         Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
         path, Seq("lang"))
@@ -428,7 +428,7 @@ object SourceQueries extends QuerySet {
     // single-column range layout only serves one of them (file-skipping
     // gated in LayoutSpec). Values must survive the rewrite exactly.
     "s10_zorder_scan" -> ((s, d) => {
-      val path = "/tmp/graft_s10_zorder"
+      val path = Tables.stageDir(s, "s10_zorder")
       graft.ops.Layout.writeZOrdered(
         Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -449,7 +449,7 @@ object SourceQueries extends QuerySet {
     // explicit schema (inference is the reference's bug surface, not
     // ours), aggregate.
     "s08_json_roundtrip" -> ((s, d) => {
-      val path = "/tmp/graft_s08_json"
+      val path = Tables.stageDir(s, "s08_json")
       val src = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderstatus"))

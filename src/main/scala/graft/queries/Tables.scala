@@ -33,6 +33,21 @@ object Tables {
     * session timezone to UTC, so the NTZ→TZ cast is an identity on the
     * wall-clock reading and this matches DuckDB's `epoch_us(ts)`.
     */
+  /** Per-run staging directory for queries that write intermediate
+    * files (streaming file sources, format round-trips). Base comes
+    * from `spark.graft.stageDir` (default: the JVM temp dir); the
+    * Spark application id is the run nonce, so two concurrent
+    * `graft.Verify`/CI invocations — separate SparkSessions by
+    * construction — stage into disjoint trees instead of clobbering
+    * each other's parquet mid-read. Memory-sink names need no nonce:
+    * the in-memory table registry is already per-session.
+    */
+  def stageDir(s: SparkSession, name: String): String = {
+    val base = s.conf.getOption("spark.graft.stageDir")
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    s"$base/graft_stage_${s.sparkContext.applicationId}/$name"
+  }
+
   def tsMicros(dt: DataType, name: String = "ts"): Column = dt match {
     // integral `div`, NOT `/`: epoch-nanos exceed 2^53, double loses µs
     case LongType         => expr(s"`$name` div 1000")

@@ -1009,6 +1009,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Codecs.decodePng(ihdrVariant(v => v(12) = 1)).isEmpty) // Adam7
   }
 
+  test("stageDir: conf-derived base + per-application nonce") {
+    val p = graft.queries.Tables.stageDir(spark, "x")
+    // the app id is the run nonce — two concurrent Verify JVMs get
+    // disjoint staging trees; same session → same stable dir
+    assert(p.contains(spark.sparkContext.applicationId))
+    assert(p.endsWith("/x"))
+    assert(p == graft.queries.Tables.stageDir(spark, "x"))
+    spark.conf.set("spark.graft.stageDir", "/tmp/graft-altbase")
+    try assert(graft.queries.Tables.stageDir(spark, "y")
+      .startsWith("/tmp/graft-altbase/"))
+    finally spark.conf.unset("spark.graft.stageDir")
+  }
+
   test("resize preserves aspect ratio within the bounding box") {
     val media = Multimodal.fromDocuments(docs)
     val resized = Multimodal.withResizedDims(media, 100, 100)
