@@ -452,80 +452,76 @@ object Aggregates {
       .drop("__g", "__n", "__s", "__s2", "__mean", "__std")
   }
 
-  /** Lower median per group from a pre-grouped (group, value, count)
-    * frame: the smallest value whose cumulative count reaches
-    * ceil(N/2) — integer-exact rank selection (no interpolation),
-    * reproducible on any engine. Windowless: [[bucketedPrefixSums]],
-    * so the shuffle carries the distinct-value frame, never rows.
-    */
-  private def lowerMedianOfCounts(counts: DataFrame, groupCol: String,
-                                  valueCol: String, cntCol: String,
-                                  outCol: String): DataFrame = {
-    val cum = bucketedPrefixSums(counts, valueCol, ascending = true,
-      sumCols = Seq(cntCol), groupCols = Seq(groupCol))
-    val totals = counts.groupBy(col(groupCol).as("__tg"))
-      .agg(sum(col(cntCol)).as("__N"))
-    cum.join(broadcast(totals), col(groupCol) <=> col("__tg"))
-      .filter(expr(s"cum_$cntCol >= (__N + 1) div 2"))
-      .groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as(outCol))
-  }
-
   /** Robust per-group z-score via median/MAD — the heavy-tail-safe
     * companion to [[zscorePerGroup]] (web-scale quality scores are
     * exactly the columns whose mean/std a single spam document can
     * drag). `z = 0.6745 · (v − median) / MAD` (Iglewicz–Hoaglin
     * modified z-score; |z| > 3.5 is the classic outlier cut), null
     * when the group's MAD is 0. Both the median and the MAD are
-    * lower medians — integer-exact rank rules over the windowless
-    * prefix-sum machinery, so every produced double is bit-exactly
-    * reproducible (subtract/divide of exact inputs, no percentile
-    * interpolation, no transcendental).
+    * lower medians — integer-exact rank rules, so every produced
+    * double is bit-exactly reproducible (subtract/divide of exact
+    * inputs, no percentile interpolation, no transcendental). Values
+    * are cast to double up front (the subtraction in the MAD already
+    * forced this arithmetically; now the stats schema says so too).
     *
-    * The raw frame aggregates ONCE into a persisted (group, value,
-    * count) frame; the MAD's deviation histogram derives from that
-    * frame (weighted by counts), never from re-scanning rows. Group
-    * cardinality is driver-bounded by contract (the same stance as
-    * [[zscorePerGroup]]'s stats broadcast and the SQ8 bounds fit), so
-    * the med and mad frames — one row per group — are EAGERLY
-    * collected and re-enter the plan as a local relation: without
-    * this, each prefix-sum pipeline re-inlines its predecessor inside
-    * a nested broadcast subtree and the whole chain re-executes per
-    * reference (measured 3× slower). The returned frame is therefore
-    * a plain scan + ONE broadcast hash join against a literal stats
-    * table. `keepStats = true` retains `robust_med` / `robust_mad`
-    * columns; release the returned backing after the consuming
-    * action (the stats jobs have already run by then).
+    * Shape: the raw frame aggregates ONCE into a (group, value,
+    * count) histogram — map-side combined, the shuffle carries
+    * distinct values, never rows. The histogram is bounded by the
+    * QUANTIZED-COLUMN contract (on a continuous column distinct ≈
+    * rows; that case belongs to [[robustZscorePerGroupApprox]]), so
+    * each group's sorted histogram fits one aggregation buffer and
+    * BOTH rank selections — the median over values and the MAD over
+    * the derived |v − med| histogram — evaluate as sequential
+    * `aggregate()` folds inside ONE job, no second shuffle of data,
+    * no window anywhere. The per-group stats (one row per group,
+    * driver-bounded by the same contract as [[zscorePerGroup]]'s
+    * broadcast) re-enter the plan as a literal relation, so the
+    * returned frame is a plain scan + ONE broadcast hash join.
+    * `keepStats = true` retains `robust_med` / `robust_mad`.
     */
   def robustZscorePerGroupCached(df: DataFrame, groupCol: String,
                                  valueCol: String,
                                  zCol: String = "robust_z",
                                  keepStats: Boolean = false): Cached = {
-    import scala.jdk.CollectionConverters._
-    val spark = df.sparkSession
     val counts = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol), col(valueCol))
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val med = lowerMedianOfCounts(counts, groupCol, valueCol, "__cnt",
-      "__med")
-    val medRows = med.collect() // bounded: one row per group
-    val medLocal = spark.createDataFrame(medRows.toSeq.asJava,
-      med.schema).withColumnRenamed(groupCol, "__mg")
-    val devCounts = counts
-      .join(broadcast(medLocal), col(groupCol) <=> col("__mg"))
-      .select(col(groupCol),
-        abs(col(valueCol) - col("__med")).as("__dev"), col("__cnt"))
-      .groupBy(col(groupCol), col("__dev"))
-      .agg(sum(col("__cnt")).as("__dcnt"))
-    val mad = lowerMedianOfCounts(devCounts, groupCol, "__dev",
-      "__dcnt", "__mad")
-    val madByGroup = mad.collect().map(r => r.get(0) -> r.get(1)).toMap
+    // per-group sorted histogram; struct order = (value, count), so
+    // sort_array orders by value (count never splits a value: the
+    // groupBy above already merged duplicates)
+    val hist = counts.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__v"), col("__cnt"))))
+        .as("__h"))
+    // lower median of a sorted (v, cnt) array: smallest v whose
+    // cumulative count reaches target — one sequential fold
+    def lowerMedianOfArray(arr: Column, target: Column): Column =
+      aggregate(arr,
+        struct(lit(0L).as("c"), lit(null).cast("double").as("m")),
+        (acc, x) => struct(
+          (acc("c") + x("__cnt")).as("c"),
+          coalesce(acc("m"),
+            when(acc("c") + x("__cnt") >= target, x("__v"))).as("m")),
+        acc => acc("m"))
+    val stats = hist
+      .withColumn("__N",
+        aggregate(col("__h"), lit(0L), (a, x) => a + x("__cnt")))
+      .withColumn("__target", expr("(__N + 1) div 2"))
+      .withColumn("__med", lowerMedianOfArray(col("__h"), col("__target")))
+      // the deviation histogram derives in-row: |v − med| re-sorted
+      // (equal deviations need not merge — rank selection crosses the
+      // same value either way)
+      .withColumn("__mad", lowerMedianOfArray(
+        array_sort(transform(col("__h"), x => struct(
+          abs(x("__v") - col("__med")).as("__v"),
+          x("__cnt").as("__cnt")))),
+        col("__target")))
+      .select(col(groupCol), col("__med"), col("__mad"))
+    val statsRows = stats.collect() // bounded: one row per group
     val out = scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
-      medRows, med.schema(groupCol).dataType,
-      med.schema("__med").dataType, mad.schema("__mad").dataType,
-      madByGroup)
-    Cached(out, Seq(counts))
+      statsRows, stats.schema(groupCol).dataType,
+      stats.schema("__med").dataType, stats.schema("__mad").dataType,
+      statsRows.map(r => r.get(0) -> r.get(2)).toMap)
+    Cached(out, Seq.empty)
   }
 
   /** [[robustZscorePerGroupCached]] with the backing released at once
