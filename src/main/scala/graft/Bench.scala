@@ -69,7 +69,9 @@ object Bench {
     val flakyJson = flaky.map(n => jstr(n) + ":" + jstr(errs(n)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
+    // n_failed makes a shrunken headline total impossible to misread as
+    // a clean run — failed queries carry -1 and are excluded from it
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
     println(json)
     // the driver's stdout capture can truncate a long tail, hiding
     // per-query regressions; persist the same JSON line to the repo

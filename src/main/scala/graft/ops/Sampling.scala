@@ -254,6 +254,17 @@ object Sampling {
     require(pctDen > 0 && pctNum >= 0 && pctNum <= pctDen,
       s"need 0 <= num/den <= 1, got $pctNum/$pctDen")
     require(embargoMicros >= 0, "embargo must be >= 0")
+    // the embargo arithmetic and the rank rule assume a numeric epoch
+    // column; on TimestampType `ts - embargoMicros` is interval math
+    // with different semantics (and different oracle restatements) —
+    // route clock columns through Tables.tsMicros/eventsMicros first
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"temporalSplit needs an integral epoch tsCol (got $other for " +
+          s"'$tsCol') — convert timestamps with Tables.tsMicros first")
+    }
     val vals = df.filter(col(tsCol).isNotNull)
       .groupBy(col(tsCol)).agg(count(lit(1)).as("__cnt"))
     val cum = Aggregates.bucketedPrefixSums(vals, tsCol, ascending = true,

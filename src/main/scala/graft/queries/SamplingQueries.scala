@@ -18,7 +18,11 @@ object SamplingQueries extends QuerySet {
     // interpolation), so DuckDB restates the same timestamp.
     "sm10_temporal_split" -> ((s, d) =>
       Sampling.temporalSplit(
-        Tables.eventsMicros(s, d).select(col("user_id"), col("ts_us")),
+        // null-ts rows would form a null split group the oracle's
+        // `ts IS NOT NULL` excludes — drop them on BOTH sides so a
+        // testdata drift to nullable clocks can't silently diverge
+        Tables.eventsMicros(s, d).select(col("user_id"), col("ts_us"))
+          .filter(col("ts_us").isNotNull),
         "ts_us", pctNum = 4, pctDen = 5, embargoMicros = 3600000000L)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"),

@@ -53,9 +53,15 @@ object StreamVelocity {
     require(windowMicros > 0, "windowMicros must be positive")
     val spark = events.sparkSession
     import spark.implicits._
-    events.select(col(userCol).cast("long").as("user"),
+    // dead-letter stance, enforced: a null user/ts would throw inside
+    // the primitive-field encoder ("Null value appeared in non-nullable
+    // field") and KILL the streaming query — rows without an entity or
+    // a clock have no defined trailing count, so they drop here; a null
+    // tag is representable and coalesces to "" for the sort tie-break
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"),
         col(tsCol).cast("long").as("ts"),
-        col(tagCol).cast("string").as("tag"))
+        coalesce(col(tagCol).cast("string"), lit("")).as("tag"))
       .as[TaggedEvent]
       .groupByKey(_.user)
       .flatMapGroupsWithState[VelState, VelRow](

@@ -68,6 +68,13 @@ class GraphSpec extends SparkSpec {
 
   test("reliable checkpoint dir: iterative ops agree with the local path") {
     val dir = "/tmp/graft-ckpt-spec"
+    // a stale dir from a previous run would satisfy the "wrote files"
+    // assertion even if THIS run wrote nothing — start (and end) clean
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(dir))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val local = graft.ops.Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toSet
@@ -84,6 +91,9 @@ class GraphSpec extends SparkSpec {
       val khop = Graph.khopReach(edgesDF((1L, 2L)), Seq(1L).toDF("node"), 1)
         .as[(Long, Int)].collect().toMap
       assert(khop === Map(1L -> 0, 2L -> 1))
-    } finally spark.conf.unset(Checkpoints.ConfKey)
+    } finally {
+      spark.conf.unset(Checkpoints.ConfKey)
+      rmTree(new java.io.File(dir))
+    }
   }
 }
