@@ -45,9 +45,26 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.triangleCounts(edges(s, d))
         .orderBy(col("node"))),
 
-    "g04_khop_reach" -> ((s, d) =>
-      graft.ops.Graph.khopReach(edges(s, d), seeds(s, d), maxHops = 2)
-        .orderBy(col("hops"), col("node")))
+    // g04 runs with the RELIABLE checkpoint mode on, so the
+    // file-checkpoint path (the 1000-executor fault-tolerance choice —
+    // see Checkpoints) executes under the DuckDB oracle, not just in
+    // GraphSpec: the BFS's per-hop cuts write and re-read real
+    // checkpoint files, and the result must be identical to the
+    // local-block mode (the toggle changes fault tolerance, never
+    // semantics). The cuts run eagerly inside khopReach, so the
+    // conf restore below happens after they have all executed; the
+    // files stay readable for the verifier's later parquet dump.
+    "g04_khop_reach" -> ((s, d) => {
+      val prev = s.conf.getOption(graft.ops.Checkpoints.ConfKey)
+      s.conf.set(graft.ops.Checkpoints.ConfKey,
+        Tables.stageDir(s, "g04_ckpt"))
+      try graft.ops.Graph.khopReach(edges(s, d), seeds(s, d), maxHops = 2)
+        .orderBy(col("hops"), col("node"))
+      finally prev match {
+        case Some(v) => s.conf.set(graft.ops.Checkpoints.ConfKey, v)
+        case None => s.conf.unset(graft.ops.Checkpoints.ConfKey)
+      }
+    })
   )
 
   // shared oracle prelude: qualified (user, attr) pairs and the
