@@ -374,6 +374,488 @@ object Codecs {
     decodePpm(bytes).orElse(
       decodePng(bytes).map(p => Ppm(p.width, p.height, 255, p.toRgb)))
 
+  // ---------------------------------------------------------------
+  // FLAC — a REAL compressed audio codec on pure integer math (the
+  // format is lossless, so unlike JPEG/H.264 it supports bit-exact
+  // round trips an engine-independent oracle can check). Public spec:
+  // RFC 9639 / xiph.org. Encoder emits the fixed-predictor subset
+  // (orders 0-4, Rice residuals, independent channels); the decoder
+  // additionally handles LPC subframes and wasted bits, rejecting
+  // only stereo-decorrelation modes and non-16-bit depths (documented
+  // subset — the engine's audio stats contract is PCM-16).
+  // ---------------------------------------------------------------
+
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nbits = 0
+    def write(v: Long, bits: Int): Unit = {
+      var b = bits
+      while (b > 0) {
+        val take = math.min(8 - nbits, b)
+        acc = (acc << take) | ((v >>> (b - take)) & ((1L << take) - 1))
+        nbits += take; b -= take
+        if (nbits == 8) { buf.write(acc.toInt & 0xFF); acc = 0; nbits = 0 }
+      }
+    }
+    def writeUnary(q: Int): Unit = { // q zeros then a 1
+      var i = 0
+      while (i < q) { write(0, 1); i += 1 }
+      write(1, 1)
+    }
+    def align(): Unit = if (nbits > 0) write(0, 8 - nbits)
+    def bytes: Array[Byte] = { align(); buf.toByteArray }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    var bit = 0
+    var failed = false
+    def readBit(): Int = {
+      if (pos >= bytes.length) { failed = true; 0 }
+      else {
+        val v = (bytes(pos) >> (7 - bit)) & 1
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        v
+      }
+    }
+    def read(bits: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < bits) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(bits: Int): Int = {
+      val v = read(bits)
+      (v << (64 - bits) >> (64 - bits)).toInt // sign-extend
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (!failed && readBit() == 0) {
+        q += 1
+        if (q > (1 << 24)) { failed = true } // corrupt stream guard
+      }
+      q
+    }
+    def alignByte(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+  }
+
+  private def crc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xFF
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xFF
+              else (crc << 1) & 0xFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def crc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xFF) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xFFFF
+              else (crc << 1) & 0xFFFF
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def zigzag(v: Int): Long = if (v >= 0) v.toLong << 1
+                                     else ((-v.toLong) << 1) - 1
+  private def unzigzag(u: Long): Int =
+    (if ((u & 1) == 0) u >>> 1 else -((u + 1) >>> 1)).toInt
+
+  /** Encode PCM-16 as real FLAC: per 4096-sample block and channel,
+    * the best fixed predictor (order 0-4 by residual magnitude) with
+    * one Rice partition, independent channels, CRC-8/16 stamped.
+    * Output decodes in any conforming FLAC reader.
+    */
+  def encodeFlac(sampleRate: Int, channels: Int,
+                 samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    require(channels >= 1 && channels <= 8, "1-8 channels")
+    require(samples.length % channels == 0, "ragged interleave")
+    val nPer = samples.length / channels
+    require(nPer > 0, "empty signal")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO (last metadata block): 34 bytes
+    val si = new BitWriter
+    val maxBs = math.min(nPer, 4096)
+    si.write(1, 1); si.write(0, 7) // last-block, type 0
+    si.write(34, 24)
+    si.write(maxBs, 16); si.write(maxBs, 16) // min/max block size
+    si.write(0, 24); si.write(0, 24) // min/max frame size unknown
+    si.write(sampleRate, 20)
+    si.write(channels - 1, 3)
+    si.write(15, 5) // bits-per-sample - 1
+    si.write(nPer, 36)
+    si.write(0, 64); si.write(0, 64) // md5 unknown (legal zeros)
+    out.write(si.bytes)
+
+    var start = 0
+    var frameIdx = 0L
+    while (start < nPer) {
+      val bs = math.min(4096, nPer - start)
+      val fw = new BitWriter
+      fw.write(0x3FFE, 14) // sync
+      fw.write(0, 1) // reserved
+      fw.write(0, 1) // fixed blocking
+      fw.write(7, 4)  // block size: 16-bit value at end of header
+      fw.write(0, 4)  // sample rate: from STREAMINFO
+      fw.write(channels - 1, 4) // independent channels
+      fw.write(4, 3)  // sample size: 16-bit
+      fw.write(0, 1)  // reserved
+      // UTF-8-coded frame number (values < 2^16 need <= 3 bytes)
+      if (frameIdx < 0x80) fw.write(frameIdx, 8)
+      else if (frameIdx < 0x800) {
+        fw.write(0xC0 | (frameIdx >> 6), 8)
+        fw.write(0x80 | (frameIdx & 0x3F), 8)
+      } else {
+        fw.write(0xE0 | (frameIdx >> 12), 8)
+        fw.write(0x80 | ((frameIdx >> 6) & 0x3F), 8)
+        fw.write(0x80 | (frameIdx & 0x3F), 8)
+      }
+      fw.write(bs - 1, 16)
+      val headerBytes = fw.bytes // byte-aligned here by construction
+      val fw2 = new BitWriter
+      headerBytes.foreach(b => fw2.write(b & 0xFFL, 8))
+      fw2.write(crc8(headerBytes, 0, headerBytes.length), 8)
+      var ch = 0
+      while (ch < channels) {
+        val x = new Array[Int](bs)
+        var i = 0
+        while (i < bs) { x(i) = samples((start + i) * channels + ch); i += 1 }
+        writeSubframe(fw2, x)
+        ch += 1
+      }
+      fw2.align()
+      val frameBytes = fw2.bytes
+      out.write(frameBytes)
+      val c16 = crc16(frameBytes, 0, frameBytes.length)
+      out.write((c16 >> 8) & 0xFF); out.write(c16 & 0xFF)
+      start += bs
+      frameIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** One subframe: constant if flat, else best fixed predictor with a
+    * single Rice partition (partition order 0).
+    */
+  private def writeSubframe(w: BitWriter, x: Array[Int]): Unit = {
+    val n = x.length
+    if (x.forall(_ == x(0))) {
+      w.write(0, 1); w.write(0, 6); w.write(0, 1) // constant, no waste
+      w.write(x(0).toLong & 0xFFFF, 16)
+      return
+    }
+    // residuals for fixed orders 0..4; pick the smallest |sum|
+    val maxOrder = math.min(4, n - 1)
+    var bestOrder = 0
+    var bestCost = Long.MaxValue
+    var bestRes: Array[Int] = null
+    var o = 0
+    while (o <= maxOrder) {
+      val res = fixedResidual(x, o)
+      var cost = 0L
+      var i = 0
+      while (i < res.length) { cost += math.abs(res(i).toLong); i += 1 }
+      if (cost < bestCost) { bestCost = cost; bestOrder = o; bestRes = res }
+      o += 1
+    }
+    w.write(0, 1); w.write(8 + bestOrder, 6); w.write(0, 1) // fixed(o)
+    var i = 0
+    while (i < bestOrder) { w.write(x(i).toLong & 0xFFFF, 16); i += 1 }
+    // Rice parameter k minimizing emitted bits (exact, small search)
+    val m = bestRes.length
+    var k = 0; var bestBits = Long.MaxValue
+    var kk = 0
+    while (kk <= 14) {
+      var bits = 0L
+      var j = 0
+      while (j < m) { bits += (zigzag(bestRes(j)) >>> kk) + 1 + kk; j += 1 }
+      if (bits < bestBits) { bestBits = bits; k = kk }
+      kk += 1
+    }
+    w.write(0, 2) // residual method: 4-bit Rice
+    w.write(0, 4) // partition order 0 — one partition
+    w.write(k, 4)
+    var j = 0
+    while (j < m) {
+      val u = zigzag(bestRes(j))
+      w.writeUnary((u >>> k).toInt)
+      if (k > 0) w.write(u & ((1L << k) - 1), k)
+      j += 1
+    }
+  }
+
+  private def fixedResidual(x: Array[Int], order: Int): Array[Int] = {
+    val n = x.length
+    val res = new Array[Int](n - order)
+    var i = order
+    while (i < n) {
+      res(i - order) = order match {
+        case 0 => x(i)
+        case 1 => x(i) - x(i - 1)
+        case 2 => x(i) - 2 * x(i - 1) + x(i - 2)
+        case 3 => x(i) - 3 * x(i - 1) + 3 * x(i - 2) - x(i - 3)
+        case 4 => x(i) - 4 * x(i - 1) + 6 * x(i - 2) - 4 * x(i - 3) +
+          x(i - 4)
+      }
+      i += 1
+    }
+    res
+  }
+
+  /** True iff the payload starts with the FLAC stream marker. */
+  def isFlac(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 4 &&
+      bytes(0) == 'f' && bytes(1) == 'L' && bytes(2) == 'a' &&
+      bytes(3) == 'C'
+
+  /** Decode FLAC to PCM-16: STREAMINFO + metadata walk, then frames —
+    * constant / verbatim / fixed(0-4) / LPC subframes, Rice residuals
+    * (both 4- and 5-bit parameter widths, escape partitions), wasted
+    * bits, CRC-8 and CRC-16 verified. Returns None for non-16-bit
+    * streams, stereo-decorrelation modes (outside the engine's PCM-16
+    * stats contract), or any structural damage — never throws.
+    */
+  def decodeFlac(bytes: Array[Byte]): Option[Wav] = {
+    if (!isFlac(bytes)) return None
+    var pos = 4
+    var sampleRate = -1; var channels = -1; var bps = -1
+    var totalSamples = -1L
+    var last = false
+    var seenStreamInfo = false
+    while (!last) {
+      if (pos + 4 > bytes.length) return None
+      val hdr = bytes(pos) & 0xFF
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val len = ((bytes(pos + 1) & 0xFF) << 16) |
+        ((bytes(pos + 2) & 0xFF) << 8) | (bytes(pos + 3) & 0xFF)
+      pos += 4
+      if (pos + len > bytes.length) return None
+      if (btype == 0) {
+        if (len != 34) return None
+        val r = new BitReader(bytes, pos)
+        r.read(16); r.read(16); r.read(24); r.read(24)
+        sampleRate = r.read(20).toInt
+        channels = r.read(3).toInt + 1
+        bps = r.read(5).toInt + 1
+        totalSamples = r.read(36)
+        seenStreamInfo = true
+      }
+      pos += len
+    }
+    if (!seenStreamInfo || sampleRate <= 0 || bps != 16 ||
+      totalSamples <= 0 || totalSamples > Int.MaxValue / channels)
+      return None
+
+    val outSamples = new Array[Short]((totalSamples * channels).toInt)
+    var filled = 0L
+    while (filled < totalSamples) {
+      val frameStart = pos
+      val r = new BitReader(bytes, pos)
+      if (r.read(14) != 0x3FFE) return None
+      r.read(1) // reserved
+      r.read(1) // blocking strategy (either is fine)
+      val bsCode = r.read(4).toInt
+      val srCode = r.read(4).toInt
+      val chanAsgn = r.read(4).toInt
+      val ssCode = r.read(3).toInt
+      r.read(1)
+      // sample size: 16-bit directly, or "from STREAMINFO" (known 16)
+      if (!(ssCode == 4 || ssCode == 0)) return None
+      if (chanAsgn > 7) return None // stereo decorrelation: unsupported
+      if (chanAsgn + 1 != channels) return None
+      // UTF-8-coded frame/sample number: skip per its length prefix
+      val first = r.read(8).toInt
+      var extra = 0
+      if ((first & 0x80) != 0) {
+        var mask = 0x40
+        while ((first & mask) != 0) { extra += 1; mask >>= 1 }
+        if (extra == 0 || extra > 6) return None
+        var i = 0
+        while (i < extra) {
+          if ((r.read(8).toInt & 0xC0) != 0x80) return None
+          i += 1
+        }
+      }
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => r.read(8).toInt + 1
+        case 7 => r.read(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => return None // 0 is reserved
+      }
+      srCode match { // inline sample-rate payloads must be skipped
+        case 12 => r.read(8)
+        case 13 | 14 => r.read(16)
+        case 15 => return None
+        case _ => ()
+      }
+      // CRC-8 covers the header bytes up to (not incl.) the CRC byte
+      if (r.bit != 0) return None // header is byte-aligned by spec
+      val hcrc = r.read(8).toInt
+      if (crc8(bytes, frameStart, r.pos - 1) != hcrc) return None
+      if (filled + blockSize > totalSamples) return None
+
+      val chData = new Array[Array[Int]](channels)
+      var ch = 0
+      while (ch < channels) {
+        chData(ch) = readSubframe(r, blockSize, bps) match {
+          case null => return None
+          case d => d
+        }
+        ch += 1
+      }
+      r.alignByte()
+      if (r.failed || r.pos + 2 > bytes.length) return None
+      val fcrc = ((bytes(r.pos) & 0xFF) << 8) | (bytes(r.pos + 1) & 0xFF)
+      if (crc16(bytes, frameStart, r.pos) != fcrc) return None
+      pos = r.pos + 2
+      var i = 0
+      while (i < blockSize) {
+        var c = 0
+        while (c < channels) {
+          outSamples(((filled + i) * channels + c).toInt) =
+            chData(c)(i).toShort
+          c += 1
+        }
+        i += 1
+      }
+      filled += blockSize
+    }
+    Some(Wav(sampleRate, channels, outSamples))
+  }
+
+  /** One subframe; null on any malformed shape (Option boxing per
+    * sample would dominate the decode loop).
+    */
+  private def readSubframe(r: BitReader, n: Int, bps: Int): Array[Int] = {
+    if (r.read(1) != 0) return null
+    val ty = r.read(6).toInt
+    val wastedFlag = r.read(1).toInt
+    val wasted = if (wastedFlag == 1) r.readUnary() + 1 else 0
+    val ebps = bps - wasted
+    if (ebps <= 0 || ebps > 32) return null
+    val x = new Array[Int](n)
+    def finish(): Array[Int] = {
+      if (r.failed) return null
+      if (wasted > 0) { var i = 0; while (i < n) { x(i) <<= wasted; i += 1 } }
+      x
+    }
+    if (ty == 0) { // constant
+      val v = r.readSigned(ebps)
+      java.util.Arrays.fill(x, v)
+      finish()
+    } else if (ty == 1) { // verbatim
+      var i = 0
+      while (i < n) { x(i) = r.readSigned(ebps); i += 1 }
+      finish()
+    } else if (ty >= 8 && ty <= 12) { // fixed, order = ty - 8
+      val order = ty - 8
+      if (order > n) return null
+      var i = 0
+      while (i < order) { x(i) = r.readSigned(ebps); i += 1 }
+      val res = readResiduals(r, n, order)
+      if (res == null) return null
+      i = order
+      while (i < n) {
+        val p = order match {
+          case 0 => 0
+          case 1 => x(i - 1)
+          case 2 => 2 * x(i - 1) - x(i - 2)
+          case 3 => 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
+          case 4 => 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+        }
+        x(i) = p + res(i - order)
+        i += 1
+      }
+      finish()
+    } else if (ty >= 32) { // LPC, order = ty - 31
+      val order = ty - 31
+      if (order > n) return null
+      var i = 0
+      while (i < order) { x(i) = r.readSigned(ebps); i += 1 }
+      val precision = r.read(4).toInt + 1
+      if (precision == 16) return null // 1111 is invalid per spec
+      val shift = r.readSigned(5)
+      if (shift < 0) return null
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+      val res = readResiduals(r, n, order)
+      if (res == null) return null
+      i = order
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * x(i - 1 - j); j += 1 }
+        x(i) = (acc >> shift).toInt + res(i - order)
+        i += 1
+      }
+      finish()
+    } else null
+  }
+
+  private def readResiduals(r: BitReader, n: Int,
+                            order: Int): Array[Int] = {
+    val method = r.read(2).toInt
+    if (method > 1) return null
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xF else 0x1F
+    val partOrder = r.read(4).toInt
+    val nParts = 1 << partOrder
+    if (n % nParts != 0) return null
+    val perPart = n >> partOrder
+    if (perPart <= order && nParts == 1) return null
+    val res = new Array[Int](n - order)
+    var idx = 0
+    var p = 0
+    while (p < nParts) {
+      val cnt = if (p == 0) perPart - order else perPart
+      if (cnt < 0) return null
+      val param = r.read(pBits).toInt
+      if (param == escape) {
+        val raw = r.read(5).toInt
+        var i = 0
+        while (i < cnt) { res(idx) = r.readSigned(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          val q = r.readUnary()
+          val u = (q.toLong << param) |
+            (if (param > 0) r.read(param) else 0L)
+          res(idx) = unzigzag(u); idx += 1; i += 1
+        }
+      }
+      if (r.failed) return null
+      p += 1
+    }
+    res
+  }
+
+  /** Container-agnostic PCM-16 audio decode: RIFF/WAVE or FLAC — the
+    * audio twin of [[decodeRaster]].
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[Wav] =
+    decodeWavPcm16(bytes).orElse(decodeFlac(bytes))
+
   /** Encode PCM-16 samples as a minimal RIFF/WAVE payload. */
   def encodeWavPcm16(sampleRate: Int, channels: Int,
                      samples: Array[Short]): Array[Byte] = {

@@ -68,7 +68,7 @@ object Multimodal {
     */
   def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
     Codecs.decodeRaster(bytes).map(imageFeatures(_, dim))
-      .orElse(Codecs.decodeWavPcm16(bytes).map(audioFeatures(_, dim)))
+      .orElse(Codecs.decodeAudio(bytes).map(audioFeatures(_, dim)))
       .getOrElse(stubFeatures(bytes, dim))
 
   /** Real image features from decoded pixels: dims 0-2 are per-channel
@@ -202,8 +202,9 @@ object Multimodal {
       }.toDF("media_id", "bytes")
   }
 
-  /** Exact integer sample statistics through the REAL WAV decoder —
-    * the audio twin of [[decodeImageStats]].
+  /** Exact integer sample statistics through the REAL audio decoders
+    * (RIFF/WAVE or FLAC, sniffed by magic bytes) — the audio twin of
+    * [[decodeImageStats]].
     */
   def decodeAudioStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -212,7 +213,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          Codecs.decodeWavPcm16(bytes) match {
+          Codecs.decodeAudio(bytes) match {
             case Some(w) =>
               var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
               var i = 0

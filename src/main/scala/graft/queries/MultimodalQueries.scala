@@ -140,6 +140,28 @@ object MultimodalQueries extends QuerySet {
         (id, graft.ops.Codecs.encodeWavPcm16(16000, 1, samples))
       }.toDF("media_id", "bytes")
       Multimodal.decodeAudioStats(media).orderBy(col("media_id"))
+    }),
+
+    // REAL COMPRESSED codec round trip: the mm04 closed-form samples
+    // carried as actual FLAC — fixed predictors, Rice residuals,
+    // CRC-8/16 — through the full decoder (STREAMINFO walk, frame
+    // parse, predictor reconstruction). FLAC is lossless, so the
+    // decoded stats hash-match the SAME closed form; the compression
+    // is real (the fixed-predictor stage strips the signal's linear
+    // structure). This closes the "compressed formats are
+    // container-bound" gap for the one compressed format whose
+    // bit-exactness an engine-independent oracle can state.
+    "mm08_flac_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val n = 64
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7919 + k * 263) % 65536) - 32768).toShort)
+        (id, graft.ops.Codecs.encodeFlac(16000, 1, samples))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeAudioStats(media).orderBy(col("media_id"))
     })
   )
 
@@ -225,6 +247,22 @@ object MultimodalQueries extends QuerySet {
                 CAST(SUM(pb) AS BIGINT) AS b_sum
          FROM pooled GROUP BY id ORDER BY media_id""",
     "mm04_audio_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         sm AS (SELECT id, (id * 7919 + r.range * 263) % 65536 - 32768
+                  AS s
+                FROM ids CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id,
+                CAST(16000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(64 AS INT) AS n_samples,
+                CAST(SUM(s) AS BIGINT) AS sum_samples,
+                CAST(MIN(s) AS INT) AS min_sample,
+                CAST(MAX(s) AS INT) AS max_sample
+         FROM sm GROUP BY id ORDER BY media_id""",
+    // lossless compression: the FLAC round trip must reproduce the
+    // EXACT closed form the WAV twin states
+    "mm08_flac_roundtrip" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),
          sm AS (SELECT id, (id * 7919 + r.range * 263) % 65536 - 32768

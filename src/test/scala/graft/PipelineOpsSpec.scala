@@ -1009,6 +1009,129 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Codecs.decodePng(ihdrVariant(v => v(12) = 1)).isEmpty) // Adam7
   }
 
+  test("real FLAC codec: lossless round trips, real compression") {
+    import graft.ops.Codecs
+    def roundTrip(rate: Int, ch: Int, s: Array[Short]): Int = {
+      val enc = Codecs.encodeFlac(rate, ch, s)
+      assert(Codecs.isFlac(enc))
+      val dec = Codecs.decodeFlac(enc)
+      assert(dec.exists(w => w.sampleRate == rate && w.channels == ch &&
+        w.samples.toSeq == s.toSeq),
+        s"round trip failed: rate=$rate ch=$ch n=${s.length}")
+      enc.length
+    }
+    roundTrip(16000, 1, Array[Short](1, 2, 3, 4, 5))
+    roundTrip(8000, 1, Array.fill(500)(123.toShort)) // constant subframe
+    roundTrip(44100, 1, Array.tabulate(10000)(i => // multi-frame
+      ((i * 37) % 65536 - 32768).toShort))
+    roundTrip(44100, 2, Array.tabulate(2000)(i =>   // stereo interleave
+      ((i * 7919 + 13) % 65536 - 32768).toShort))
+    roundTrip(16000, 1, Array[Short](32767, -32768, 32767, -32768, 0, 1, -1))
+    // the fixed-predictor stage must actually COMPRESS a smooth signal
+    val smooth = Array.tabulate(4096)(i => (math.sin(i * 0.02) * 20000).toShort)
+    val encLen = roundTrip(16000, 1, smooth)
+    assert(encLen < smooth.length * 2 / 2,
+      s"smooth signal should compress >2x, got $encLen of ${smooth.length * 2}")
+    // malformed: truncation, CRC damage, junk, null → None, never throw
+    val enc = Codecs.encodeFlac(16000, 1,
+      Array.tabulate(64)(i => (i * 100).toShort))
+    assert(Codecs.decodeFlac(enc.dropRight(3)).isEmpty)
+    val bad = enc.clone()
+    bad(enc.length - 5) = (bad(enc.length - 5) ^ 0x1).toByte
+    assert(Codecs.decodeFlac(bad).isEmpty)
+    assert(Codecs.decodeFlac("not flac at all".getBytes).isEmpty)
+    assert(Codecs.decodeFlac(null).isEmpty)
+    // dispatch: FLAC lands in audioFeatures through decodeAudio
+    val f = Multimodal.decodeBytes(enc, 4)
+    assert(f(1) >= 0.0f && f(1) <= 1.0f)
+  }
+
+  test("FLAC decoder: LPC subframes and 5-bit Rice reconstruct exactly") {
+    import graft.ops.Codecs
+    // hand-build a frame the encoder never emits: LPC order 1
+    // (coef=2, shift=1 → predictor = x[i-1], an identity-ish filter)
+    // with residual method 1 (5-bit Rice params). Expected samples are
+    // computed here independently; the decoder must match.
+    class W {
+      val buf = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nb = 0
+      def w(v: Long, bits: Int): Unit = {
+        var b = bits
+        while (b > 0) {
+          val t = math.min(8 - nb, b)
+          acc = (acc << t) | ((v >>> (b - t)) & ((1L << t) - 1))
+          nb += t; b -= t
+          if (nb == 8) { buf.write(acc.toInt & 0xFF); acc = 0; nb = 0 }
+        }
+      }
+      def unary(q: Int): Unit = { (0 until q).foreach(_ => w(0, 1)); w(1, 1) }
+      def bytes: Array[Byte] = { if (nb > 0) w(0, 8 - nb); buf.toByteArray }
+    }
+    def crc8(b: Array[Byte]): Int = {
+      var c = 0
+      b.foreach { x =>
+        c ^= x & 0xFF
+        (0 until 8).foreach { _ =>
+          c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xFF else (c << 1) & 0xFF }
+      }
+      c
+    }
+    def crc16(b: Array[Byte]): Int = {
+      var c = 0
+      b.foreach { x =>
+        c ^= (x & 0xFF) << 8
+        (0 until 8).foreach { _ =>
+          c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xFFFF
+              else (c << 1) & 0xFFFF }
+      }
+      c
+    }
+    val n = 4
+    val warmup = 100
+    val residuals = Seq(3, -2, 5) // for samples 1..3
+    // expected: x[i] = ((2 * x[i-1]) >> 1) + res = x[i-1] + res
+    val expected = residuals.scanLeft(warmup)(_ + _)
+    // STREAMINFO
+    val si = new W
+    si.w(1, 1); si.w(0, 7); si.w(34, 24)
+    si.w(n, 16); si.w(n, 16); si.w(0, 24); si.w(0, 24)
+    si.w(16000, 20); si.w(0, 3); si.w(15, 5); si.w(n, 36)
+    si.w(0, 64); si.w(0, 64)
+    // frame header (byte-aligned): sync..reserved + frame 0 + bs-1
+    val fh = new W
+    fh.w(0x3FFE, 14); fh.w(0, 1); fh.w(0, 1)
+    fh.w(7, 4); fh.w(0, 4); fh.w(0, 4); fh.w(4, 3); fh.w(0, 1)
+    fh.w(0, 8) // frame number 0
+    fh.w(n - 1, 16)
+    val header = fh.bytes
+    val fr = new W
+    header.foreach(b => fr.w(b & 0xFFL, 8))
+    fr.w(crc8(header), 8)
+    // subframe: LPC order 1 (type 100000 = 32), no wasted bits
+    fr.w(0, 1); fr.w(32, 6); fr.w(0, 1)
+    fr.w(warmup, 16)        // warmup sample
+    fr.w(3, 4)              // precision-1 = 3 → 4-bit coefs
+    fr.w(1, 5)              // shift = 1
+    fr.w(2, 4)              // coef = 2
+    fr.w(1, 2)              // residual method 1: 5-bit Rice
+    fr.w(0, 4)              // partition order 0
+    fr.w(1, 5)              // rice param k=1
+    residuals.foreach { r =>
+      val u = if (r >= 0) r.toLong << 1 else ((-r.toLong) << 1) - 1
+      fr.unary((u >>> 1).toInt); fr.w(u & 1, 1)
+    }
+    val frameBytes = fr.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(si.bytes)
+    out.write(frameBytes)
+    val c = crc16(frameBytes)
+    out.write((c >> 8) & 0xFF); out.write(c & 0xFF)
+    val dec = Codecs.decodeFlac(out.toByteArray)
+    assert(dec.exists(_.samples.toSeq == expected.map(_.toShort)),
+      s"LPC decode got ${dec.map(_.samples.toSeq)}, want $expected")
+  }
+
   test("stageDir: conf-derived base + per-application nonce") {
     val p = graft.queries.Tables.stageDir(spark, "x")
     // the app id is the run nonce — two concurrent Verify JVMs get
