@@ -494,6 +494,62 @@ object Similarity {
     topKFinish(scored, "cos", k)
   }
 
+  /** Engine-portable twin of [[ivfTopK]] — the coarse quantizer
+    * becomes the md5-Rademacher sign-cone partition of
+    * [[semDeDupPortable]] (cell = packed sign bits of v·plane), and
+    * "nearest nprobe centroids" becomes the nprobe cells with the
+    * smallest Hamming distance to the QUERY's own sign pattern (tie →
+    * smaller cell id) — Hamming over hyperplane sign bits is monotone
+    * in angular distance in expectation (Charikar 2002), the same
+    * geometry argument IVF probing rests on. Every stage — cell bits,
+    * probe ranking, the candidate equi-join, exact-cosine scoring,
+    * (cos desc, id asc) ranking — replays in DuckDB, putting the IVF
+    * candidate-pruning SHAPE on a hash-checked oracle; recall
+    * properties of the production (KMeans) variant stay spec-gated on
+    * [[ivfTopK]]. Scale shape is identical: probe table is
+    * queries × 2^nPlanes (broadcast-small, window bounded by it),
+    * corpus joins on the cell key, and the finisher is the bounded
+    * mergeable [[topKFinish]].
+    */
+  def ivfTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nPlanes: Int = 3, nprobe: Int = 3,
+                      seed: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, "nPlanes must be in [1,16]")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = projectionSigns(dim, nPlanes, seed)
+    val nCells = 1 << nPlanes
+    def cellOf(v: Column): Column = (0 until nPlanes).map { j =>
+      when(dot(v, typedLit(planes(j).toSeq)) >= 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    val c = Layout.fanOut(corpus)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+      .withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
+      .withColumn("qcell", cellOf(col("qv")))
+    val cells = corpus.sparkSession.range(nCells)
+      .select(col("id").cast("int").as("cell"))
+    // bounded by queries × 2^nPlanes rows, both broadcast-small — the
+    // same window-bound argument as ivfTopK's probe ranking
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(cells))
+      .withColumn("ham", bit_count(col("qcell").bitwiseXOR(col("cell"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("nq"), col("cell"))
+    val scored = c.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
+    topKFinish(scored, "cos", k)
+  }
+
   // ---------- product quantization (PQ-ADC) ----------
 
   /** A trained product quantizer: per-subspace codebooks

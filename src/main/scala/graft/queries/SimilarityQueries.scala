@@ -142,6 +142,19 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"))
     }),
 
+    // Portable IVF-style ANN (the n06b cone trick for n02): sign-cone
+    // cells replace the KMeans quantizer, Hamming-to-query-bits probe
+    // ranking replaces centroid distance, exact cosine re-ranks —
+    // every stage DuckDB-replayable, so the IVF candidate-pruning
+    // pipeline itself sits on a hash-checked oracle (recall of the
+    // KMeans form stays spec-gated on n02).
+    "n02b_ivf_portable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopKPortable(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Random projection (Johnson–Lindenstrauss) 64 → 16 dims with the
     // md5-derived ±1 matrix: every projected value is a sequential
     // double fold over literal signs, so the whole reduction is
@@ -360,6 +373,45 @@ object SimilarityQueries extends QuerySet {
                     JOIN e y ON y.vec_id = cand.id_b)
           SELECT id_a, id_b, cos FROM pairs
           WHERE cos >= 0.9 ORDER BY id_a, id_b""",
+    "n02b_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+         pl AS (SELECT j, list(CASE WHEN substr(
+                        md5('rp42_' || i || '_' || j), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+               FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                    (SELECT unnest(range(0, 3)) AS j)
+               GROUP BY j),
+         cells AS (SELECT e.vec_id, e.v,
+                  sqrt(list_dot_product(e.v, e.v)) AS nv,
+                  CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) >= 0
+                        THEN (1 << pl.j) ELSE 0 END) AS INT) AS cell
+                FROM e, pl GROUP BY e.vec_id, e.v),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq,
+                      cell AS qcell
+               FROM cells WHERE vec_id < 5),
+         probe AS (SELECT query_id, qv, nq, cell FROM (
+                  SELECT q.query_id, q.qv, q.nq,
+                    CAST(r.range AS INT) AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY bit_count(xor(q.qcell,
+                        CAST(r.range AS INT))), r.range) AS pr
+                  FROM q CROSS JOIN range(0, 8) r)
+                WHERE pr <= 3),
+         scored AS (SELECT p.query_id, c.vec_id,
+                  CASE WHEN c.nv * p.nq = 0 THEN 0.0
+                       ELSE list_dot_product(c.v, p.qv) / (c.nv * p.nq)
+                  END AS cos
+                FROM probe p JOIN cells c ON c.cell = p.cell
+                WHERE c.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "n06b_semdedup_portable" ->
       """WITH RECURSIVE
          base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
