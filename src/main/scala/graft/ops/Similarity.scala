@@ -592,6 +592,34 @@ object Similarity {
     }.toArray)
   }
 
+  /** Engine-portable PQ codebooks — the n02b/n06b recipe applied to
+    * the codebook fit: entries are md5-derived ±1/√dim
+    * (`"pq<seed>_<sub>_<code>_<t>"`, + when the first hex digit is
+    * even), so ANY engine rebuilds the identical books and replays
+    * encode (squared-distance argmin, first-code tie), ADC scoring,
+    * shortlist and re-rank bit-for-bit. Deliberately NOT a trained
+    * quantizer: recall belongs to [[pqTrain]]'s KMeans books
+    * (spec-gated); this puts the PQ-ADC *pipeline* — the part with
+    * machinery worth hash-checking — on the oracle. At dim = 64 the
+    * entries are exactly ±0.125, so even the ‖c‖² constants are
+    * dyadic-exact.
+    */
+  def pqBooksPortable(dim: Int, m: Int = 8, ksub: Int = 16,
+                      seed: Long = 42L): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    PqModel(Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        Array.tabulate(dsub) { t =>
+          val h = md.digest(s"pq${seed}_${s}_${c}_${t}".getBytes("UTF-8"))
+          if (((h(0) >> 4) & 0xf) % 2 == 0) scale else -scale
+        }
+      }
+    })
+  }
+
   /** PQ-encode a corpus: per subspace, squared-distance argmin over
     * the codebook literals ([[assignCluster]] on the slice) — pure
     * codegen column math, the whole corpus encodes inside its scan.

@@ -202,6 +202,22 @@ object SimilarityQueries extends QuerySet {
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("n"), max(col("cos")).as("best_cos"))
         .orderBy(col("query_id"))
+    }),
+
+    // Portable PQ-ADC (the n02b trick for n08): md5-derived ±1/√dim
+    // codebooks replace the KMeans fit, so DuckDB replays encode
+    // (argmin with first-code ties), asymmetric-distance scoring (a
+    // left-fold over subspace terms), the 100-deep shortlist, and the
+    // exact-cosine re-rank — the full compressed-index search
+    // topology, hash-checked incl. ordering. Recall of the trained
+    // form stays spec-gated on n08.
+    "n08b_pq_portable" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val model = Similarity.pqBooksPortable(dim, m = 8, ksub = 16)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", model, k = 10, shortlist = 100)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -410,6 +426,69 @@ object SimilarityQueries extends QuerySet {
                   ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, vec_id ASC) AS rank
                 FROM scored)
+         SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "n08b_pq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+         ds AS (SELECT dim // 8 AS dsub FROM d),
+         en AS (SELECT vec_id, v,
+                  sqrt(list_dot_product(v, v)) AS nv,
+                  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                       THEN list_transform(v,
+                         x -> x / sqrt(list_dot_product(v, v)))
+                       ELSE v END AS vn
+                FROM e),
+         bk AS (SELECT s.s, c.c,
+                  list(CASE WHEN substr(md5(
+                         'pq42_' || s.s || '_' || c.c || '_' || t.t), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                       THEN 1.0 / sqrt((SELECT dim FROM d))
+                       ELSE -1.0 / sqrt((SELECT dim FROM d))
+                       END ORDER BY t.t) AS cw
+                FROM (SELECT unnest(range(0, 8)) AS s) s,
+                     (SELECT unnest(range(0, 16)) AS c) c,
+                     (SELECT unnest(range(0, (SELECT dsub FROM ds))) AS t) t
+                GROUP BY s.s, c.c),
+         bk2 AS (SELECT s, c, cw, list_dot_product(cw, cw) AS cn2 FROM bk),
+         dist AS (SELECT en.vec_id, b.s, b.c,
+                  b.cn2 - 2 * list_dot_product(
+                    list_slice(en.vn, b.s * (SELECT dsub FROM ds) + 1,
+                      (b.s + 1) * (SELECT dsub FROM ds)), b.cw) AS dd
+                FROM en, bk2 b),
+         code AS (SELECT vec_id, s,
+                  list_position(dl, list_min(dl)) - 1 AS code
+                FROM (SELECT vec_id, s, list(dd ORDER BY c) AS dl
+                      FROM dist GROUP BY vec_id, s)),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq, vn AS qn
+               FROM en WHERE vec_id < 5),
+         terms AS (SELECT code.vec_id, q.query_id, code.s,
+                  b.cn2 - 2 * list_dot_product(
+                    list_slice(q.qn, code.s * (SELECT dsub FROM ds) + 1,
+                      (code.s + 1) * (SELECT dsub FROM ds)), b.cw) AS tv
+                FROM code, q, bk2 b
+                WHERE b.s = code.s AND b.c = code.code
+                  AND code.vec_id <> q.query_id),
+         adc AS (SELECT vec_id, query_id,
+                  list_reduce(list(tv ORDER BY s), (a, b) -> a + b) AS adc
+                FROM terms GROUP BY vec_id, query_id),
+         short AS (SELECT query_id, vec_id FROM (
+                  SELECT query_id, vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc, vec_id) AS rn
+                  FROM adc) WHERE rn <= 100),
+         rer AS (SELECT sh.query_id, sh.vec_id,
+                  CASE WHEN c.nv * q.nq = 0 THEN 0.0
+                       ELSE list_dot_product(c.v, q.qv) / (c.nv * q.nq)
+                  END AS cos
+                FROM short sh
+                JOIN en c ON c.vec_id = sh.vec_id
+                JOIN q ON q.query_id = sh.query_id),
+         ranked AS (SELECT query_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM rer)
          SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "n06b_semdedup_portable" ->
