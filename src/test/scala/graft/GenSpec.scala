@@ -48,6 +48,32 @@ class GenSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("batchPortable: same invariants, md5-replayable draws") {
+    val p = TransactionGen.batchPortable(spark, 1000)
+    // same wire schema, same alternation
+    assert(p.schema == txns.schema)
+    assert(p.filter(col("Is_Fraud") === 1).count() == 500)
+    // cents-exact amount bands: fraud [5000, 10000), valid [10, 3000)
+    assert(p.filter(col("Is_Fraud") === 1 &&
+      (col("Transaction_Amount") < 5000 ||
+        col("Transaction_Amount") >= 10000)).count() == 0)
+    assert(p.filter(col("Is_Fraud") === 0 &&
+      (col("Transaction_Amount") < 10 ||
+        col("Transaction_Amount") >= 3000)).count() == 0)
+    // pattern coupling + ~30% injection hold in the portable mode too
+    assert(p.filter(col("Transaction_Location") === "LOC99" &&
+      col("Is_Fraud") === 0).count() == 0)
+    assert(p.filter(col("Transaction_Location") === "LOC99" &&
+      col("Transaction_Time") =!= "03:00:05").count() == 0)
+    val n = p.filter(col("Transaction_Location") === "LOC99").count()
+    assert(n > 100 && n < 200, s"pattern count $n outside (100,200)")
+    // md5 draws: reruns are identical with no seed state at all
+    val a = p.agg(sum("Transaction_Amount")).collect()(0)
+    val b = TransactionGen.batchPortable(spark, 1000)
+      .agg(sum("Transaction_Amount")).collect()(0)
+    assert(a == b)
+  }
+
   test("2-second cadence on the Time column") {
     val ts = txns.orderBy("Time").select("Time").limit(3)
       .collect().map(_.getLong(0))
