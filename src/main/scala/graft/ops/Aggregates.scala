@@ -411,6 +411,104 @@ object Aggregates {
       percentile_approx(col(valueCol), lit(0.5), lit(10000)).as("p50"),
       percentile_approx(col(valueCol), lit(0.99), lit(10000)).as("p99"))
 
+  /** Engine-portable distinct-count sketches: HyperLogLog registers and
+    * a KMV (k-minimum-values) estimator, both driven by md5 so any SQL
+    * engine replays every register and every produced double bit-exactly
+    * (the a20 `sketchProfile` keeps Spark's native HLL++ for the perf
+    * path; this is its hash-gated twin).
+    *
+    * Determinism contract: all register math is INTEGER (each register's
+    * contribution to the harmonic sum is the exact `2^(50-rank)` BIGINT,
+    * summed order-independently), and each emitted double is ONE
+    * division of exact inputs — no transcendental, no float
+    * accumulation, so Spark and DuckDB produce identical bits. The HLL
+    * estimate is the RAW harmonic-mean formula (`alpha·m²/Σ2^-M_j`);
+    * the small-range linear-counting correction needs `ln`, so instead
+    * of risking libm divergence the inputs it would use (`m`,
+    * `nonzero`) are emitted as integer columns and the tolerance
+    * assertions live in AggregatesSpec.
+    *
+    * Scale shape: one narrow shuffle on the register id (m=16 rows),
+    * one sort-limit for the KMV frontier (TakeOrdered, k rows) — both
+    * constant-size reductions of an arbitrarily large scan, the whole
+    * point of sketching at 100 TB.
+    */
+  def distinctSketchesPortable(df: DataFrame, keyCol: String,
+                               kmvK: Int = 64): DataFrame = {
+    val m = 16 // 1 hex digit of register address
+    val key = col(keyCol).cast("string")
+    val h = md5(concat(lit("hll:"), key).cast("binary"))
+    // 48-bit suffix value; rank = leading zeros in 48 bits + 1.
+    // bin() drops leading zeros in BOTH engines, so rank = 49 - len(bin)
+    val v48 = conv(substring(h, 2, 12), 16, 10).cast("long")
+    val rank = when(v48 === 0, lit(49))
+      .otherwise(lit(49) - length(bin(v48)))
+    val regs = df.filter(col(keyCol).isNotNull)
+      .select(conv(substring(h, 1, 1), 16, 10).cast("int").as("reg"),
+        rank.as("rk"))
+      .groupBy(col("reg")).agg(max(col("rk")).as("r"))
+    // empty registers contribute 2^-0 = 1 each → 2^50 in scaled units
+    val hll = regs.agg(count(lit(1)).as("nonzero"),
+      sum(expr("shiftleft(1L, cast(50 - r as int))")).as("s_present"))
+      .select(col("nonzero"),
+        (col("s_present") + (lit(m.toLong) - col("nonzero")) *
+          lit(1L << 50)).as("hll_s"))
+    val alpha = lit(0.673) // published alpha_16 constant, m = 16
+    val hllEst = hll.select(col("nonzero").as("hll_nonzero"),
+      col("hll_s"),
+      (alpha * lit(m.toDouble * m.toDouble) * lit((1L << 50).toDouble) /
+        col("hll_s").cast("double")).as("hll_raw_est"))
+    // KMV: k-th smallest md5 over DISTINCT keys; est = (k-1)/v_k with
+    // v_k the 48-bit hash prefix as an exact dyadic fraction in [0,1)
+    val kh = df.filter(col(keyCol).isNotNull)
+      .select(md5(concat(lit("kmv:"), key).cast("binary")).as("kh"))
+      .distinct()
+    val frontier = kh.orderBy(col("kh")).limit(kmvK)
+    val kmv = frontier.agg(count(lit(1)).as("kmv_n"),
+      max(col("kh")).as("kmv_kth"))
+      .select(col("kmv_n"),
+        when(col("kmv_n") < kmvK, col("kmv_n").cast("double"))
+          .otherwise(lit((kmvK - 1).toDouble) /
+            (conv(substring(col("kmv_kth"), 1, 12), 16, 10).cast("double") /
+              lit((1L << 48).toDouble))).as("kmv_est"))
+    val exact = df.filter(col(keyCol).isNotNull)
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    exact.crossJoin(hllEst).crossJoin(kmv)
+  }
+
+  /** Engine-portable count-min sketch: `depth` md5-derived hash rows ×
+    * `width` buckets; a key's estimate is the MIN of its bucket counts
+    * across rows, always ≥ the exact count (structural overestimate,
+    * asserted in AggregatesSpec). Emits the top-`k` exact heavy keys
+    * with exact and CMS counts side by side — all integers, so the
+    * DuckDB oracle replays the table bit-exactly. One shuffle on
+    * (row, bucket) — depth·width cells regardless of input size.
+    */
+  def cmsHeavyKeysPortable(df: DataFrame, keyCol: String,
+                           depth: Int = 4, width: Int = 256,
+                           k: Int = 5): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val rows = df.filter(col(keyCol).isNotNull)
+    def bucketOf(keyc: Column): Column =
+      pmod(conv(substring(md5(concat(col("hrow").cast("string"), lit(":"),
+        keyc).cast("binary")), 1, 2), 16, 10).cast("int"), lit(width))
+    val cells = rows
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("hrow"), key.as("k"))
+      .select(col("hrow"), bucketOf(col("k")).as("bucket"))
+      .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = rows.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("key").asc).limit(k)
+    val probes = top
+      .select(col("key"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("hrow"))
+      .withColumn("bucket", bucketOf(col("key")))
+    probes.join(broadcast(cells), Seq("hrow", "bucket"))
+      .groupBy(col("key"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .orderBy(col("n_exact").desc, col("key").asc)
+  }
+
   /** Per-group z-score column WITHOUT a window: one grouped pass
     * collects exact decimal moment sums (count, Σx, Σx²), the tiny
     * per-group frame broadcasts back onto the rows, and the z column is

@@ -256,6 +256,18 @@ object OpsQueries extends QuerySet {
       graft.ops.Aggregates.sketchProfile(
         Tables.events(s, d), "user_id", "value")),
 
+    // Hash-gated twins of a20's sketch surface: md5-driven HLL
+    // registers + KMV frontier (a20b) and a count-min sketch (a20c),
+    // every register / bucket / estimate replayed bit-exactly by the
+    // DuckDB oracle — integer register sums, single-division doubles,
+    // no transcendentals (see Aggregates.distinctSketchesPortable).
+    "a20b_sketches_portable" -> ((s, d) =>
+      graft.ops.Aggregates.distinctSketchesPortable(
+        Tables.events(s, d), "user_id")),
+    "a20c_cms_portable" -> ((s, d) =>
+      graft.ops.Aggregates.cmsHeavyKeysPortable(
+        Tables.events(s, d), "user_id")),
+
     // A19: substring-bucketed grouping with collected members (the
     // dashboard's chart-gallery topic grouping, FD/dashboard.py:286-299).
     "a19_chart_groups" -> ((s, d) =>
@@ -274,6 +286,65 @@ object OpsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "a20b_sketches_portable" ->
+      """WITH r AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL),
+         hx AS (SELECT (instr('0123456789abcdef', substr(h,1,1)) - 1) AS reg,
+                  list_aggregate(list_transform(range(12),
+                    i -> (instr('0123456789abcdef', substr(h,(i+2)::INT,1))
+                          - 1)::BIGINT << (4*(11-i))::INT), 'sum') AS v
+                FROM r),
+         rk AS (SELECT reg,
+                  CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END AS rk
+                FROM hx),
+         regs AS (SELECT reg, MAX(rk) AS r FROM rk GROUP BY reg),
+         hll AS (SELECT COUNT(*) AS nonzero,
+                   SUM(1::BIGINT << (50 - r)::INT) AS sp FROM regs),
+         h2 AS (SELECT nonzero AS hll_nonzero,
+                  sp + (16 - nonzero) * (1::BIGINT << 50) AS hll_s FROM hll),
+         kh AS (SELECT DISTINCT md5('kmv:' || CAST(user_id AS VARCHAR)) AS kh
+                FROM events WHERE user_id IS NOT NULL),
+         fr AS (SELECT kh FROM kh ORDER BY kh LIMIT 64),
+         kmv AS (SELECT COUNT(*) AS kmv_n, MAX(kh) AS kmv_kth FROM fr),
+         ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+                WHERE user_id IS NOT NULL)
+         SELECT n_exact, hll_nonzero, hll_s,
+                CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) *
+                  CAST(1125899906842624 AS DOUBLE) / CAST(hll_s AS DOUBLE)
+                  AS hll_raw_est,
+                kmv_n,
+                CASE WHEN kmv_n < 64 THEN CAST(kmv_n AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE) /
+                       (CAST(list_aggregate(list_transform(range(12),
+                          i -> (instr('0123456789abcdef',
+                                      substr(kmv_kth,(i+1)::INT,1))
+                                - 1)::BIGINT << (4*(11-i))::INT), 'sum')
+                          AS DOUBLE) / CAST(281474976710656 AS DOUBLE))
+                  END AS kmv_est
+         FROM ex, h2, kmv""",
+    "a20c_cms_portable" ->
+      """WITH rws AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                      WHERE user_id IS NOT NULL),
+         cells AS (SELECT hrow,
+                     (instr('0123456789abcdef', substr(h,1,1))-1)*16 +
+                     (instr('0123456789abcdef', substr(h,2,1))-1) AS bucket,
+                     COUNT(*) AS c
+                   FROM (SELECT hrow,
+                           md5(CAST(hrow AS VARCHAR) || ':' || k) AS h
+                         FROM rws, (SELECT unnest(range(0,4)) AS hrow))
+                   GROUP BY 1,2),
+         top AS (SELECT k AS key, COUNT(*) AS n_exact FROM rws GROUP BY k
+                 ORDER BY n_exact DESC, key ASC LIMIT 5),
+         probes AS (SELECT key, n_exact, hrow,
+                      (instr('0123456789abcdef', substr(h,1,1))-1)*16 +
+                      (instr('0123456789abcdef', substr(h,2,1))-1) AS bucket
+                    FROM (SELECT key, n_exact, hrow,
+                            md5(CAST(hrow AS VARCHAR) || ':' || key) AS h
+                          FROM top, (SELECT unnest(range(0,4)) AS hrow)))
+         SELECT key, n_exact, MIN(c) AS n_cms
+         FROM probes JOIN cells USING (hrow, bucket)
+         GROUP BY key, n_exact
+         ORDER BY n_exact DESC, key ASC""",
     "u03_snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents
                     WHERE doc_id % 10 <> 3),

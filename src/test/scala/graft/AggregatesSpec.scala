@@ -324,6 +324,37 @@ class AggregatesSpec extends SparkSpec {
     assert(r3 == Seq((0L, 1.0, 2.0, 2L), (1L, 3.0, 4.0, 2L)), r3.toString)
   }
 
+  test("portable sketches: HLL/KMV estimates near exact, integer registers") {
+    // 500 distinct keys, duplicated rows — duplicates must not move
+    // either estimator (register max / distinct-frontier semantics)
+    val df = ((1 to 500) ++ (1 to 200)).toDF("k")
+    val r = Aggregates.distinctSketchesPortable(df, "k").collect()(0)
+    val exact = r.getLong(r.fieldIndex("n_exact"))
+    val hll = r.getDouble(r.fieldIndex("hll_raw_est"))
+    val kmv = r.getDouble(r.fieldIndex("kmv_est"))
+    assert(exact == 500L)
+    // m=16 raw HLL: 1.04/sqrt(16) = 26% std err; allow 3 sigma
+    assert(math.abs(hll - 500) / 500.0 < 0.78, s"hll=$hll")
+    // KMV k=64: ~13% std err; allow 3 sigma
+    assert(math.abs(kmv - 500) / 500.0 < 0.39, s"kmv=$kmv")
+  }
+
+  test("portable CMS: estimates always >= exact; tight when sparse") {
+    // width 4 forces collisions among 40 keys → strict overestimate on
+    // at least one heavy key; never an underestimate on any
+    val df = ((1 to 40) ++ Seq.fill(30)(7) ++ Seq.fill(20)(13)).toDF("k")
+    val r = Aggregates.cmsHeavyKeysPortable(df, "k", depth = 2, width = 4,
+      k = 5).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val exact = row.getLong(row.fieldIndex("n_exact"))
+      val cms = row.getLong(row.fieldIndex("n_cms"))
+      assert(cms >= exact, s"${row.getString(0)}: cms=$cms < exact=$exact")
+    }
+    // top key is 7 (31 occurrences) and its bucket absorbed collisions
+    assert(r.head.getString(0) == "7" && r.head.getLong(1) == 31L)
+  }
+
   test("ksDrift: identical samples give D = 0") {
     val e = Seq(1.0, 2.0, 2.0, 9.0).toDF("v")
     val r = Aggregates.ksDrift(e, e, "v").first()
