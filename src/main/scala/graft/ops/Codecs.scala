@@ -366,13 +366,14 @@ object Codecs {
     out.toByteArray
   }
 
-  /** Container-agnostic raster decode: PPM (P6) or PNG (alpha dropped)
-    * → interleaved RGB. The single entry point the [[Multimodal]] image
-    * path dispatches through.
+  /** Container-agnostic raster decode: PPM (P6), PNG (alpha dropped)
+    * or GIF (first frame) → interleaved RGB. The single entry point the
+    * [[Multimodal]] image path dispatches through.
     */
   def decodeRaster(bytes: Array[Byte]): Option[Ppm] =
     decodePpm(bytes).orElse(
       decodePng(bytes).map(p => Ppm(p.width, p.height, 255, p.toRgb)))
+      .orElse(decodeGif(bytes))
 
   // ---------------------------------------------------------------
   // FLAC — a REAL compressed audio codec on pure integer math (the
@@ -882,5 +883,274 @@ object Codecs {
     var k = 0
     while (k < samples.length) { put16(44 + 2 * k, samples(k)); k += 1 }
     out
+  }
+
+  // ---------------------------------------------------------------
+  // GIF — a REAL compressed image codec on pure JDK (the palette +
+  // variable-width LZW format is lossless for rasters with ≤256
+  // distinct colors, so — like FLAC, unlike JPEG — it supports the
+  // bit-exact round trips an engine-independent oracle can check).
+  // Public spec: GIF87a/89a (CompuServe; W3C mirror). Encoder emits a
+  // single image with a global color table and true LZW compression
+  // (growing dictionary, width escalation, 4096-entry reset); decoder
+  // handles 87a and 89a, extensions, local color tables, interlace,
+  // and multi-frame files (first frame wins — the still-image
+  // contract of the stats path).
+  // ---------------------------------------------------------------
+
+  /** True iff the payload starts with a GIF87a/89a signature. */
+  def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  /** Encode an interleaved-RGB raster as a single-frame GIF87a.
+    * Palette-exact: requires ≤256 distinct colors (the format's hard
+    * limit — a production pipeline would quantize first; the engine's
+    * closed-form test rasters are within it by construction).
+    */
+  def encodeGif(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length mismatch")
+    // scan-order palette
+    val palette = new java.util.LinkedHashMap[Integer, Integer]()
+    val indices = new Array[Int](width * height)
+    var p = 0
+    while (p < width * height) {
+      val c = ((rgb(p * 3) & 0xFF) << 16) | ((rgb(p * 3 + 1) & 0xFF) << 8) |
+        (rgb(p * 3 + 2) & 0xFF)
+      var idx = palette.get(c)
+      if (idx == null) {
+        idx = palette.size()
+        require(idx < 256, "GIF encoder: raster has > 256 distinct colors")
+        palette.put(c, idx)
+      }
+      indices(p) = idx
+      p += 1
+    }
+    // table size 2^gctBits ≥ palette size; LZW min code size ≥ 2
+    var gctBits = 2
+    while ((1 << gctBits) < palette.size()) gctBits += 1
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    "GIF87a".foreach(c => u8(c.toInt))
+    u16(width); u16(height)
+    u8(0x80 | ((gctBits - 1) << 4) | (gctBits - 1)); u8(0); u8(0)
+    val it = palette.keySet().iterator()
+    var written = 0
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      u8(c >> 16); u8(c >> 8); u8(c); written += 1
+    }
+    while (written < (1 << gctBits)) { u8(0); u8(0); u8(0); written += 1 }
+    u8(0x2C); u16(0); u16(0); u16(width); u16(height); u8(0)
+    val minCode = gctBits
+    u8(minCode)
+    // LZW, LSB-first bit packing
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val data = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nbits = 0
+    var codeWidth = minCode + 1
+    var dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = eoi + 1
+    // Width escalation follows the canonical (giflib) convention: the
+    // post-pack check reads the PRE-add nextCode, so the width grows
+    // one code later than the naive reading of the spec — the decoder
+    // mirrors this with a read counter that runs one ahead of its
+    // dictionary slot.
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += codeWidth
+      while (nbits >= 8) { data.write((acc & 0xFF).toInt); acc >>= 8; nbits -= 8 }
+      if (nextCode >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+    }
+    emit(clear)
+    if (indices.nonEmpty) {
+      var cur = indices(0)
+      var i = 1
+      while (i < indices.length) {
+        val k = indices(i)
+        val key = (cur.toLong << 8) | k
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emit(cur)
+          if (nextCode >= 4095) {
+            emit(clear)
+            dict = new java.util.HashMap[Long, Integer]()
+            nextCode = eoi + 1; codeWidth = minCode + 1
+          } else {
+            dict.put(key, nextCode); nextCode += 1
+          }
+          cur = k
+        }
+        i += 1
+      }
+      emit(cur)
+    }
+    emit(eoi)
+    if (nbits > 0) data.write((acc & 0xFF).toInt)
+    // sub-block the code stream
+    val cs = data.toByteArray
+    var off = 0
+    while (off < cs.length) {
+      val n = math.min(255, cs.length - off)
+      u8(n); out.write(cs, off, n); off += n
+    }
+    u8(0); u8(0x3B)
+    out.toByteArray
+  }
+
+  /** Decode a GIF (87a/89a; first frame of animations) to interleaved
+    * RGB. Returns None on anything malformed — truncation, bad LZW
+    * codes, missing color table — never throws.
+    */
+  def decodeGif(bytes: Array[Byte]): Option[Ppm] = {
+    if (!isGif(bytes)) return None
+    try {
+      var pos = 6
+      def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
+      def u16(): Int = { val v = (bytes(pos) & 0xFF) |
+        ((bytes(pos + 1) & 0xFF) << 8); pos += 2; v }
+      val sw = u16(); val sh = u16()
+      val packed = u8(); u8(); u8() // bg index, aspect
+      var globalTable: Array[Int] = null
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        globalTable = Array.tabulate(n) { _ =>
+          val r = u8(); val g = u8(); val b = u8(); (r << 16) | (g << 8) | b
+        }
+      }
+      while (pos < bytes.length) {
+        (u8(): @annotation.switch) match {
+          case 0x3B => return None // trailer before any image
+          case 0x21 => // extension: label + sub-blocks
+            u8()
+            var n = u8()
+            while (n != 0) { pos += n; n = u8() }
+          case 0x2C =>
+            u16(); u16() // left, top (single-frame contract: composite at origin)
+            val iw = u16(); val ih = u16()
+            // bounded allocation: a malformed header must not drive a
+            // multi-GB array (64 MPix cap ≫ any real single frame here)
+            if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26))
+              return None
+            val ipacked = u8()
+            val table =
+              if ((ipacked & 0x80) != 0) {
+                val n = 1 << ((ipacked & 7) + 1)
+                Array.tabulate(n) { _ =>
+                  val r = u8(); val g = u8(); val b = u8()
+                  (r << 16) | (g << 8) | b
+                }
+              } else globalTable
+            if (table == null) return None
+            val minCode = u8()
+            if (minCode < 2 || minCode > 8) return None
+            // gather LZW sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var n = u8()
+            while (n != 0) {
+              data.write(bytes, pos, n); pos += n; n = u8()
+            }
+            val cs = data.toByteArray
+            val nPix = iw * ih
+            val indices = new Array[Int](nPix)
+            // LZW decode: prefix/suffix chain table
+            val clear = 1 << minCode
+            val eoi = clear + 1
+            val prefix = new Array[Int](4096)
+            val suffix = new Array[Int](4096)
+            var nextCode = eoi + 1
+            var width = minCode + 1
+            // read counter for width escalation — runs ONE AHEAD of
+            // nextCode (see the encoder comment; giflib convention)
+            var counter = eoi + 1
+            var bitPos = 0
+            def read(): Int = {
+              if (bitPos + width > cs.length * 8) return -1
+              var v = 0; var got = 0
+              while (got < width) {
+                val byte = cs(bitPos >> 3) & 0xFF
+                val avail = 8 - (bitPos & 7)
+                val take = math.min(avail, width - got)
+                v |= ((byte >> (bitPos & 7)) & ((1 << take) - 1)) << got
+                got += take; bitPos += take
+              }
+              counter += 1
+              if (counter > (1 << width) && width < 12) width += 1
+              v
+            }
+            val stack = new Array[Int](4097)
+            var out = 0
+            var prev = -1
+            var done = false
+            while (!done && out < nPix) {
+              val code = read()
+              if (code < 0 || code == eoi) done = true
+              else if (code == clear) {
+                nextCode = eoi + 1; width = minCode + 1; prev = -1
+                counter = eoi + 1
+              } else {
+                if (code > nextCode || (code == nextCode && prev < 0))
+                  return None
+                var sp = 0
+                var c = if (code == nextCode) prev else code
+                val firstOfPrev = {
+                  var t = prev
+                  while (t >= clear + 2) t = prefix(t)
+                  t
+                }
+                if (code == nextCode) { stack(sp) = firstOfPrev; sp += 1 }
+                while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1
+                  c = prefix(c) }
+                stack(sp) = c; sp += 1
+                val first = c
+                // pop in reverse = sequence order
+                var j = sp - 1
+                while (j >= 0 && out < nPix) {
+                  indices(out) = stack(j); out += 1; j -= 1
+                }
+                if (prev >= 0 && nextCode < 4095) {
+                  prefix(nextCode) = prev; suffix(nextCode) = first
+                  nextCode += 1
+                }
+                prev = code
+              }
+            }
+            if (out < nPix) return None
+            // de-interlace if flagged
+            val rowOrder: Array[Int] =
+              if ((ipacked & 0x40) != 0) {
+                val order = new Array[Int](ih)
+                var r = 0
+                for (start <- Seq(0, 4, 2, 1); step = if (start == 0) 8
+                       else start * 2;
+                     y <- start.until(ih, step)) { order(r) = y; r += 1 }
+                // order(k) = source row k lands at display row order(k)
+                val inv = new Array[Int](ih)
+                for (k <- 0 until ih) inv(order(k)) = k
+                inv
+              } else null
+            val rgb = new Array[Byte](nPix * 3)
+            var q = 0
+            while (q < nPix) {
+              val y = q / iw
+              val srcRow = if (rowOrder == null) y else rowOrder(y)
+              val idx = indices(srcRow * iw + q % iw)
+              if (idx >= table.length) return None
+              val c = table(idx)
+              rgb(q * 3) = (c >> 16).toByte
+              rgb(q * 3 + 1) = (c >> 8).toByte
+              rgb(q * 3 + 2) = c.toByte
+              q += 1
+            }
+            // screen vs image dims: single-frame contract is the image
+            return Some(Ppm(iw, ih, 255, rgb))
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
   }
 }

@@ -59,8 +59,9 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
 
-  /** The codec dispatch: REAL decode for PPM and PNG images and PCM-16
-    * WAV audio (magic-byte sniff, see [[Codecs]]); anything else —
+  /** The codec dispatch: REAL decode for PPM, PNG and GIF images and
+    * PCM-16 WAV/FLAC audio (magic-byte sniff, see [[Codecs]]); anything
+    * else —
     * which includes the remaining compressed formats — takes the
     * documented deterministic stub ([[stubFeatures]]). A corrupt or
     * truncated payload of a recognized format also falls back to the
@@ -190,12 +191,14 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val png = Codecs.isPng(bytes)
+          val gif = Codecs.isGif(bytes)
           (id, Codecs.decodeRaster(bytes)
             // an image smaller than the pool factor would collapse to
             // zero pixels — degrade to null bytes, never throw
             .filter(p => p.width >= factor && p.height >= factor)
             .map(p => Codecs.poolPpm(p, factor))
             .map(p => if (png) Codecs.encodePng(p.width, p.height, 3, p.rgb)
+                      else if (gif) Codecs.encodeGif(p.width, p.height, p.rgb)
                       else Codecs.encodePpm(p.width, p.height, p.rgb))
             .orNull)
         }

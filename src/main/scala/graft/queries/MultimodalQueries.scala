@@ -61,6 +61,28 @@ object MultimodalQueries extends QuerySet {
       }.toDF("media_id", "bytes")
   }
 
+  /** The mm03 pixel formula carried as a REAL GIF87a: palette build,
+    * true LZW compression (growing dictionary, width escalation),
+    * sub-block framing — decoded back through the full LZW path.
+    */
+  private def testGifMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map(id => {
+        val w = 8; val h = 8
+        val rgb = new Array[Byte](w * h * 3)
+        var p = 0
+        while (p < w * h) {
+          rgb(p * 3) = ((id * 31 + p) % 256).toByte
+          rgb(p * 3 + 1) = ((id * 37 + p) % 256).toByte
+          rgb(p * 3 + 2) = ((id * 41 + p) % 256).toByte
+          p += 1
+        }
+        (id, graft.ops.Codecs.encodeGif(w, h, rgb))
+      }).toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -124,6 +146,22 @@ object MultimodalQueries extends QuerySet {
     "mm07_png_resize" -> ((s, d) =>
       Multimodal.decodeImageStats(
         Multimodal.resizePixels(testPngMedia(s, d), 2))
+        .orderBy(col("media_id"))),
+
+    // REAL COMPRESSED image codec round trip: the mm03 rasters as
+    // actual GIF87a — palette + true LZW (the second compressed format
+    // after FLAC whose losslessness lets an engine-independent oracle
+    // state bit-exact expectations). Same closed form as mm03.
+    "mm09_gif_roundtrip" -> ((s, d) =>
+      Multimodal.decodeImageStats(testGifMedia(s, d))
+        .orderBy(col("media_id"))),
+
+    // REAL GIF resize: GIF in → LZW decode → 2×2 average-pool →
+    // re-encode as GIF (container preserved) → decode again → pooled
+    // channel sums vs the mm05 closed form. Two full LZW round trips.
+    "mm10_gif_resize" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.resizePixels(testGifMedia(s, d), 2))
         .orderBy(col("media_id"))),
 
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
@@ -231,6 +269,33 @@ object MultimodalQueries extends QuerySet {
                 CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
          FROM px GROUP BY id ORDER BY media_id""",
     "mm07_png_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r),
+         pooled AS (SELECT id, (p // 8) // 2 AS py, (p % 8) // 2 AS qx,
+                      SUM((id * 31 + p) % 256) // 4 AS pr,
+                      SUM((id * 37 + p) % 256) // 4 AS pg,
+                      SUM((id * 41 + p) % 256) // 4 AS pb
+                    FROM px GROUP BY 1, 2, 3)
+         SELECT id AS media_id,
+                CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+                CAST(SUM(pr) AS BIGINT) AS r_sum,
+                CAST(SUM(pg) AS BIGINT) AS g_sum,
+                CAST(SUM(pb) AS BIGINT) AS b_sum
+         FROM pooled GROUP BY id ORDER BY media_id""",
+    "mm09_gif_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST(SUM((id * 31 + p) % 256) AS BIGINT) AS r_sum,
+                CAST(SUM((id * 37 + p) % 256) AS BIGINT) AS g_sum,
+                CAST(SUM((id * 41 + p) % 256) AS BIGINT) AS b_sum
+         FROM px GROUP BY id ORDER BY media_id""",
+    "mm10_gif_resize" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),
          px AS (SELECT id, r.range AS p

@@ -906,6 +906,72 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Codecs.isPng(out(0).getAs[Array[Byte]]("bytes")))
   }
 
+  test("real GIF codec: LZW round trips, width growth, dict reset") {
+    import graft.ops.Codecs
+    // small raster, distinct colors
+    val rgb = Array.tabulate(3 * 4 * 2)(i => ((i * 53 + 7) % 256).toByte)
+    val enc = Codecs.encodeGif(4, 2, rgb)
+    assert(Codecs.isGif(enc))
+    val dec = Codecs.decodeGif(enc).get
+    assert(dec.width == 4 && dec.height == 2 && dec.rgb.toSeq == rgb.toSeq)
+    // single-color run: decoder must take the KwKwK path (code==next)
+    val flat = Array.fill(10 * 3)(42.toByte)
+    assert(Codecs.decodeGif(Codecs.encodeGif(10, 1, flat)).get
+      .rgb.toSeq == flat.toSeq)
+    // 128x128 noisy 256-color raster: multiple width escalations AND a
+    // 4096-entry dictionary reset mid-stream; must still be lossless
+    val big = Array.tabulate(128 * 128 * 3) { i =>
+      val p = i / 3
+      val idx = ((p * 2654435761L) >>> 13) & 0xFF // noisy palette index
+      ((idx * (31 + (i % 3) * 6) + (i % 3)) & 0xFF).toByte
+    }
+    val bigEnc = Codecs.encodeGif(128, 128, big)
+    assert(Codecs.decodeGif(bigEnc).get.rgb.toSeq == big.toSeq)
+    // 4-color long-run raster: compression must actually compress
+    val runs = Array.tabulate(200 * 100 * 3)(i =>
+      (((i / 3) / 97 % 4) * 80).toByte)
+    val runsEnc = Codecs.encodeGif(200, 100, runs)
+    assert(runsEnc.length < runs.length / 10,
+      s"no real compression: ${runsEnc.length} vs ${runs.length}")
+    assert(Codecs.decodeGif(runsEnc).get.rgb.toSeq == runs.toSeq)
+    // malformed never throws
+    assert(Codecs.decodeGif("not a gif".getBytes).isEmpty)
+    assert(Codecs.decodeGif(enc.dropRight(8)).isEmpty) // truncated data
+    assert(Codecs.decodeGif(enc.take(10)).isEmpty)
+    // >256 distinct colors is the format's hard limit
+    // 400 distinct (r,g) pairs — over the 256-color limit
+    val wide = Array.tabulate(20 * 20 * 3) { i =>
+      val p = i / 3
+      (i % 3 match { case 0 => p & 0xFF; case 1 => p >> 8; case _ => 7 }).toByte
+    }
+    intercept[IllegalArgumentException](Codecs.encodeGif(20, 20, wide))
+    // dispatch: raster sniff + resize keeps the GIF container
+    assert(Codecs.decodeRaster(enc).map(_.rgb.toSeq).contains(rgb.toSeq))
+    val pool = Codecs.encodeGif(2, 2, Array.tabulate(12)(i => (i * 11).toByte))
+    val out = Multimodal.resizePixels(
+      Seq((1L, pool)).toDF("media_id", "bytes"), 2).collect()
+    assert(Codecs.isGif(out(0).getAs[Array[Byte]]("bytes")))
+  }
+
+  test("GIF decoder: interlaced images reconstruct in display order") {
+    import graft.ops.Codecs
+    // display raster: 5 rows, 2 px wide, 3 colors; row y = color y % 3
+    val w = 2; val h = 5
+    def rowColor(y: Int): Byte = ((y % 3) * 50).toByte
+    val display = Array.tabulate(w * h * 3)(i => rowColor(i / (w * 3)))
+    // GIF interlace pass order for h=5: rows 0, 4, 2, 1, 3
+    val order = Seq(0, 4, 2, 1, 3)
+    val stored = order.toArray.flatMap(y =>
+      display.slice(y * w * 3, (y + 1) * w * 3))
+    val enc = Codecs.encodeGif(w, h, stored)
+    // 3 colors -> 4-entry GCT -> image-descriptor packed byte at
+    // 6 (header) + 7 (LSD) + 12 (GCT) + 9 = byte 34; set interlace bit
+    assert(enc(25) == 0x2C.toByte, "image descriptor offset drifted")
+    val inter = enc.clone()
+    inter(34) = (inter(34) | 0x40).toByte
+    assert(Codecs.decodeGif(inter).get.rgb.toSeq == display.toSeq)
+  }
+
   test("PNG decoder: all five filter types reconstruct exactly") {
     import graft.ops.Codecs
     val w = 3; val h = 5; val bpp = 3; val stride = w * bpp
