@@ -433,20 +433,28 @@ object Aggregates {
     * constant-size reductions of an arbitrarily large scan, the whole
     * point of sketching at 100 TB.
     */
-  def distinctSketchesPortable(df: DataFrame, keyCol: String,
-                               kmvK: Int = 64): DataFrame = {
-    val m = 16 // 1 hex digit of register address
+  /** md5-derived (register, rank) pair for the portable HLL — shared by
+    * the batch sketch and the streaming constant-state variant (st11).
+    * Register = first hex digit (m=16); rank = leading zeros of the
+    * next 48 bits + 1. `bin()` drops leading zeros in BOTH engines, so
+    * rank = 49 − len(bin(v)) with the v=0 case pinned to 49.
+    */
+  def hllRegRank(keyCol: String): (Column, Column) = {
     val key = col(keyCol).cast("string")
     val h = md5(concat(lit("hll:"), key).cast("binary"))
-    // 48-bit suffix value; rank = leading zeros in 48 bits + 1.
-    // bin() drops leading zeros in BOTH engines, so rank = 49 - len(bin)
     val v48 = conv(substring(h, 2, 12), 16, 10).cast("long")
     val rank = when(v48 === 0, lit(49))
       .otherwise(lit(49) - length(bin(v48)))
-    val regs = df.filter(col(keyCol).isNotNull)
-      .select(conv(substring(h, 1, 1), 16, 10).cast("int").as("reg"),
-        rank.as("rk"))
-      .groupBy(col("reg")).agg(max(col("rk")).as("r"))
+    (conv(substring(h, 1, 1), 16, 10).cast("int"), rank)
+  }
+
+  /** Collapse an m=16 `(reg, r)` register frame (max rank per register)
+    * to the one-row raw HLL estimate. Integer harmonic sum (each
+    * register contributes the exact BIGINT `2^(50-rank)`), one final
+    * division — deterministic across engines.
+    */
+  def hllEstimateFromRegisters(regs: DataFrame): DataFrame = {
+    val m = 16
     // empty registers contribute 2^-0 = 1 each → 2^50 in scaled units
     val hll = regs.agg(count(lit(1)).as("nonzero"),
       sum(expr("shiftleft(1L, cast(50 - r as int))")).as("s_present"))
@@ -454,10 +462,20 @@ object Aggregates {
         (col("s_present") + (lit(m.toLong) - col("nonzero")) *
           lit(1L << 50)).as("hll_s"))
     val alpha = lit(0.673) // published alpha_16 constant, m = 16
-    val hllEst = hll.select(col("nonzero").as("hll_nonzero"),
+    hll.select(col("nonzero").as("hll_nonzero"),
       col("hll_s"),
       (alpha * lit(m.toDouble * m.toDouble) * lit((1L << 50).toDouble) /
         col("hll_s").cast("double")).as("hll_raw_est"))
+  }
+
+  def distinctSketchesPortable(df: DataFrame, keyCol: String,
+                               kmvK: Int = 64): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val (reg, rank) = hllRegRank(keyCol)
+    val regs = df.filter(col(keyCol).isNotNull)
+      .select(reg.as("reg"), rank.as("rk"))
+      .groupBy(col("reg")).agg(max(col("rk")).as("r"))
+    val hllEst = hllEstimateFromRegisters(regs)
     // KMV: k-th smallest md5 over DISTINCT keys; est = (k-1)/v_k with
     // v_k the 48-bit hash prefix as an exact dyadic fraction in [0,1)
     val kh = df.filter(col(keyCol).isNotNull)

@@ -381,6 +381,30 @@ object SourceQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming cardinality at constant state (§2.6 × a20b): the
+    // portable-HLL register frame maintained IN the stream — state is
+    // 16 (reg → max rank) rows no matter how many events flow, the
+    // whole point of sketched distinct-counting on an unbounded
+    // stream (exact streaming distinct = unbounded state). Register
+    // update is a plain streaming max aggregate (mergeable, complete
+    // mode); the estimate collapse runs batch-side on the 16-row
+    // table. The DuckDB oracle replays registers AND estimate
+    // bit-exactly (a20b's integer-arithmetic recipe).
+    "st11_stream_distinct" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st11_distinct_sink"
+      val (reg, rank) = graft.ops.Aggregates.hllRegRank("user_id")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("user_id").isNotNull)
+        .select(reg.as("reg"), rank.as("rk"))
+        .groupBy(col("reg")).agg(max(col("rk")).as("r"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Aggregates.hllEstimateFromRegisters(s.table(qn))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -707,6 +731,27 @@ object SourceQueries extends QuerySet {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "st11_stream_distinct" ->
+      """WITH r AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
+                    FROM events WHERE user_id IS NOT NULL),
+         hx AS (SELECT (instr('0123456789abcdef', substr(h,1,1)) - 1) AS reg,
+                  list_aggregate(list_transform(range(12),
+                    i -> (instr('0123456789abcdef', substr(h,(i+2)::INT,1))
+                          - 1)::BIGINT << (4*(11-i))::INT), 'sum') AS v
+                FROM r),
+         rk AS (SELECT reg,
+                  CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END AS rk
+                FROM hx),
+         regs AS (SELECT reg, MAX(rk) AS r FROM rk GROUP BY reg),
+         hll AS (SELECT COUNT(*) AS nonzero,
+                   SUM(1::BIGINT << (50 - r)::INT) AS sp FROM regs)
+         SELECT nonzero AS hll_nonzero,
+                sp + (16 - nonzero) * (1::BIGINT << 50) AS hll_s,
+                CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) *
+                  CAST(1125899906842624 AS DOUBLE) /
+                  CAST(sp + (16 - nonzero) * (1::BIGINT << 50) AS DOUBLE)
+                  AS hll_raw_est
+         FROM hll""",
     "st03_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
                 CAST(SUM(user_id) AS BIGINT) AS uid_sum

@@ -23,6 +23,32 @@ class StreamSpec extends SparkSpec {
     TransactionGen.batch(spark, n, seed = seed).as[Transaction]
       .collect().toSeq
 
+  test("streaming HLL registers merge across micro-batches ≡ batch") {
+    import graft.ops.Aggregates
+    val stream = MemoryStream[Long](spark)
+    val (reg, rank) = Aggregates.hllRegRank("k")
+    val q = stream.toDF().withColumnRenamed("value", "k")
+      .select(reg.as("reg"), rank.as("rk"))
+      .groupBy(col("reg")).agg(max(col("rk")).as("r"))
+      .writeStream.format("memory").queryName("hll_merge_sink")
+      .outputMode("complete").start()
+    try {
+      // overlapping batches: the register max must merge, not reset
+      stream.addData(1L to 300L: _*)
+      q.processAllAvailable()
+      stream.addData(200L to 500L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Aggregates.hllEstimateFromRegisters(
+      spark.table("hll_merge_sink")).collect()(0)
+    val batch = Aggregates.distinctSketchesPortable(
+      (1L to 500L).toDF("k"), "k").collect()(0)
+    assert(streamed.getLong(streamed.fieldIndex("hll_s")) ==
+      batch.getLong(batch.fieldIndex("hll_s")))
+    assert(streamed.getDouble(streamed.fieldIndex("hll_raw_est")) ==
+      batch.getDouble(batch.fieldIndex("hll_raw_est")))
+  }
+
   test("wire codec round trip + corrupt payload → dead letter") {
     val df = TransactionGen.batch(spark, 50, seed = 1)
     val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))
