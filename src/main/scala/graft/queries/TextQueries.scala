@@ -12,6 +12,13 @@ import graft.ops.TextAnalysis
   */
 object TextQueries extends QuerySet {
 
+  /** The pinned merge table shared by t16b's Spark query and its DuckDB
+    * oracle (high-frequency English bigrams; order is the priority).
+    */
+  val pinnedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "an" -> "d", "o" -> "r", "e" -> "n")
+
   private val enStop = TextAnalysis.langStopwords("en")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,6 +169,31 @@ object TextQueries extends QuerySet {
       // repeat heavily, so the corpus collapses to its vocabulary
       // before paying it (same shape as bpePairCounts' two passes)
       docs
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("freq"))
+        .select(col("lang"), col("freq"),
+          size(TextAnalysis.bpeApplyMerges(col("w"), merges)).as("n_sym"),
+          (length(col("w")) + 1).as("n_char_sym"))
+        .groupBy(col("lang"))
+        .agg(sum(col("freq")).as("n_words"),
+          sum(col("n_sym") * col("freq")).as("sym_sum"),
+          sum(col("n_char_sym") * col("freq")).as("unmerged_sum"))
+        .orderBy(col("lang"))
+    }),
+
+    // Hash-gated twin of t16's merge-APPLICATION kernel (the scale-path
+    // half; iterative training stays spec-gated): a pinned 10-rule
+    // merge table, every distinct word tokenized by the same greedy
+    // fold, per-lang compression stats. The DuckDB oracle replays the
+    // fold exactly — a recursive CTE merging the LEFTMOST (l,r) pair
+    // repeatedly, which is equivalent to the single greedy sweep
+    // because a merge of rule (l,r) can never create a new (l,r)
+    // adjacency (lr ≠ l and lr ≠ r by length).
+    "t16b_bpe_tokenize_portable" -> ((s, d) => {
+      val merges = TextQueries.pinnedMerges
+      Tables.documents(s, d)
         .select(col("lang"),
           explode(TextAnalysis.tokens(lower(col("text")))).as("w"))
         .filter(length(col("w")) > 0)
@@ -424,6 +456,45 @@ object TextQueries extends QuerySet {
                 CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_restored
          FROM c GROUP BY source ORDER BY source""",
+    "t16b_bpe_tokenize_portable" -> {
+      val mergeRows = pinnedMerges.zipWithIndex
+        .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(",")
+      s"""WITH RECURSIVE
+         m(idx, l, r) AS (SELECT * FROM (VALUES $mergeRows) v(idx, l, r)),
+         w AS (SELECT lang, word, COUNT(*) AS freq
+               FROM (SELECT lang,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+'))
+                       AS word
+                     FROM documents)
+               WHERE len(word) > 0 GROUP BY 1, 2),
+         v AS (SELECT DISTINCT word FROM w),
+         steps AS (
+           SELECT word, 1 AS idx,
+                  list_append(string_split(word, ''), '</w>') AS syms
+           FROM v
+           UNION ALL
+           SELECT word,
+                  CASE WHEN pos IS NULL THEN idx + 1 ELSE idx END AS idx,
+                  CASE WHEN pos IS NULL THEN syms
+                       ELSE syms[:pos-1] || [syms[pos] || syms[pos+1]] ||
+                            syms[pos+2:]
+                  END AS syms
+           FROM (
+             SELECT s.word, s.idx, s.syms,
+                    list_filter(range(1, len(s.syms)),
+                      i -> s.syms[i] = m.l AND s.syms[i+1] = m.r)[1] AS pos
+             FROM steps s JOIN m ON m.idx = s.idx
+           )
+         ),
+         fin AS (SELECT word, syms FROM steps
+                 WHERE idx = ${pinnedMerges.size + 1})
+         SELECT w.lang, CAST(SUM(w.freq) AS BIGINT) AS n_words,
+                CAST(SUM(len(f.syms) * w.freq) AS BIGINT) AS sym_sum,
+                CAST(SUM((len(w.word) + 1) * w.freq) AS BIGINT)
+                  AS unmerged_sum
+         FROM w JOIN fin f ON w.word = f.word
+         GROUP BY w.lang ORDER BY w.lang"""
+    },
     "t15_bpe_pairs" ->
       """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)),
                       '\s+')) AS word
