@@ -940,6 +940,81 @@ object Dedup {
     * going quadratic. The count costs one pass over the (small, already
     * caller-filtered) candidate frame.
     */
+  // ---------- exact set-similarity join (prefix filtering) ----------
+
+  /** EXACT Jaccard similarity join via prefix filtering (AllPairs /
+    * PPJoin, Bayardo et al. 2007; Xiao et al. 2008) — the scale path
+    * for exact (not approximate) set joins, complementary to the
+    * MinHash band family above: LSH trades recall for speed, this
+    * keeps recall 1.0 and prunes with an algebraic guarantee instead.
+    *
+    * Recipe, every stage an equi-join or grouped aggregation:
+    *  1. element sets per doc — distinct word n-gram [[shingles]]
+    *     (n = 1 gives bag-of-words sets);
+    *  2. global document frequency per token — vocabulary-sized,
+    *     broadcast back so the hot-token join key never shuffles the
+    *     exploded corpus (a stopword's fan-out meets a 1-row build
+    *     side, the skew-proof shape);
+    *  3. each doc's tokens ordered (df asc, token asc) — rarest
+    *     first, the total order the prefix theorem needs;
+    *  4. PREFIX emission: only the first n − ⌈τ·n⌉ + 1 ordered tokens
+    *     index the doc. Under the global order, any pair with
+    *     J ≥ τ must share a prefix token (if a's prefix misses b
+    *     entirely, overlap ≤ ⌈τ·|a|⌉ − 1 < τ·|a∪b| required), so the
+    *     candidate equi-join on the prefix token is COMPLETE — and
+    *     prefixes hold the rare end of the order, so bucket sizes
+    *     stay small where stopword buckets would explode;
+    *  5. length filter in the join condition (τ·|a| ≤ |b| ≤ |a|/τ as
+    *     cross-multiplied integers);
+    *  6. exact verify: τ as the rational tauNum/tauDen, the threshold
+    *     test den·|∩| ≥ num·|∪| pure INTEGER arithmetic — engine-
+    *     invariant, no float boundary anywhere (the d02b/d04b
+    *     portability contract; ⌈τ·n⌉ = (num·n + den − 1) div den).
+    *
+    * Output: (id_a, id_b, inter, uni, jaccard), id_a < id_b, exactly
+    * the pairs with J ≥ tauNum/tauDen — hash-identical to the brute
+    * all-pairs [[ngramJaccardPairs]] rule on the same shingle sets, at
+    * prefix-join cost. The d14 oracle replays every stage in DuckDB.
+    */
+  def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
+                        n: Int = 3,
+                        tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
+    val docs = df.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
+    val e = docs.select(col("id"), explode(col("toks")).as("tok"))
+    // toks are distinct per doc, so count(*) IS the document frequency.
+    val dfreq = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = e.join(broadcast(dfreq), "tok")
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        x => x("tok")).as("otoks"))
+      .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
+    val prefixed = ordered.select(col("id"), col("n"),
+      explode(slice(col("otoks"), lit(1),
+        (col("n") - ((col("n") * tauNum + (tauDen - 1))
+          .cast("long") / tauDen).cast("long").cast("int") + 1)))
+        .as("tok"))
+    val cand = prefixed.as("a").join(prefixed.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("a.n") * tauNum <= col("b.n") * tauDen &&
+          col("b.n") * tauNum <= col("a.n") * tauDen)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand.join(docs.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        (size(col("ta")) + size(col("tb"))
+          - size(array_intersect(col("ta"), col("tb"))))
+          .cast("long").as("uni"))
+      .filter(col("inter") * tauDen >= col("uni") * tauNum)
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+  }
+
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double,
                         maxRows: Long = 100000L): DataFrame = {

@@ -172,6 +172,69 @@ object Graph {
                dampPct: Int = 85): DataFrame =
     pageRankCached(edges, iters, scale, dampPct).df
 
+  /** PERSONALIZED PageRank: restart mass returns only to the `seeds`
+    * set (known-fraud accounts), so rank measures proximity to the
+    * seeds through the co-attribute graph — the "guilt by
+    * association" score ring investigations actually want, where
+    * global [[pageRank]] measures popularity. Same integer
+    * fixed-point contract (BIGINT ranks scaled by `scale`, floor
+    * divisions on non-negative values, bit-identical across engines
+    * and partitionings — the g05 oracle unrolls the iterations as
+    * chained CTEs exactly like g02):
+    *
+    *   r₀(v)   = scale·[v ∈ S]
+    *   rᵢ₊₁(v) = [v ∈ S]·base + d·Σ_{u~v} rᵢ(u) div deg(u)
+    *
+    * Nodes unreachable from any seed stay at exactly 0 — no
+    * smoothing floor, absence of association is itself signal. Seeds
+    * outside the edge set are ignored (they have no edges to carry
+    * mass; the node universe is the graph's, matching [[pageRank]]).
+    * `seeds` must expose a `node` column. Plan shape per iteration is
+    * identical to [[pageRankCached]]; the seed flag rides the
+    * persisted node frame, adding no join.
+    */
+  def personalizedPageRankCached(edges: DataFrame, seeds: DataFrame,
+                                 iters: Int = 3, scale: Long = 1000000L,
+                                 dampPct: Int = 85,
+                                 checkpointEvery: Int = 5): Cached = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct >= 0 && dampPct <= 100, s"dampPct in [0,100], got $dampPct")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = deg
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100 - dampPct) / 100
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * scale).as("rank"))
+    for (i <- 1 to iters) {
+      val contribs = ranks.join(nodes.select(col("node"), col("deg")),
+          Seq("node"))
+        .selectExpr("node AS u", "rank div deg AS c")
+      val incoming = sym.join(contribs, Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("c")).as("s"))
+      ranks = nodes.select(col("node"), col("is_seed"))
+        .join(incoming, Seq("node"), "left")
+        .selectExpr("node",
+          s"is_seed * CAST($base AS BIGINT) + " +
+            s"($dampPct * coalesce(s, CAST(0 AS BIGINT))) div 100 AS rank")
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = Checkpoints.cut(ranks)
+    }
+    Cached(ranks, Seq(sym, nodes))
+  }
+
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, scale: Long = 1000000L,
+                           dampPct: Int = 85): DataFrame =
+    personalizedPageRankCached(edges, seeds, iters, scale, dampPct).df
+
   /** Per-node triangle membership counts — the local-density signal
     * (collusion rings are near-cliques; a bridge account that merely
     * connects rings sits in few triangles).

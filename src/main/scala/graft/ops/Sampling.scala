@@ -50,6 +50,49 @@ object Sampling {
       df.filter(xxKey(idCol, seed) < (fraction * M).toLong)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): keep the k rows with the largest priority
+    * u^(1/w) — equivalently the largest ln(u)/w — where u is the row's
+    * deterministic id-hash uniform and w its weight column (tokens,
+    * bytes, quality score). Inclusion probability is proportional to
+    * weight, each row drawn at most once, and — unlike
+    * `sampleBy`/`rand()` — the draw is a pure function of (id, weight):
+    * rerun-, layout-, and (portable mode) engine-stable, so a token-
+    * weighted corpus subsample is reproducible years later.
+    *
+    * u is built EXACTLY in both engines: the top 52 bits of the id hash
+    * (13 md5-hex chars in portable mode, the low 52 XXH64 bits
+    * otherwise) as integer v, then u = (v + 0.5) / 2^52 — a strictly-
+    * in-(0,1) double with no parse ambiguity, so the single
+    * transcendental ln(u) is the only cross-engine ulp surface (the
+    * t10/t12 precedent; ranking flips need two priorities within one
+    * ulp, which distinct 52-bit uniforms make negligible — and the
+    * oracle checks the actual kept SET, so any flip fails loudly).
+    *
+    * Selection is sort-free at scale: top-k by (priority, id) runs as
+    * TakeOrderedAndProject — per-partition size-k heaps merged on the
+    * driver, no global sort, no window. Rows with weight ≤ 0 or null
+    * never qualify (they cannot be "drawn" under A-ES semantics).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L,
+                     portable: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive: got $k")
+    val v =
+      if (portable)
+        conv(substring(md5(col(idCol).cast("string").cast("binary")),
+          1, 13), 16, 10).cast("long")
+      else
+        xxhash64(col(idCol).cast("string"), lit(seed))
+          .bitwiseAND(lit((1L << 52) - 1))
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Deterministic train/validation/test split assignment: each row's
     * bucket is a pure function of its id hash, so the split never leaks
     * rows across reruns, appends, repartitions, or engines (portable

@@ -69,6 +69,24 @@ object DedupQueries extends QuerySet {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT Jaccard set-similarity join via prefix filtering (AllPairs/
+    // PPJoin): recall-1.0 scale path — global df order, rarest-first
+    // prefixes index the corpus, candidate equi-join + integer-exact
+    // verify. Planted first-word-dropped copies must all pair with
+    // their originals; the oracle replays df → order → prefix →
+    // candidates → verify stage-for-stage in DuckDB.
+    "d14_setjoin_prefix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 400)
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.setSimilarityJoin(docs.union(mutated), "text", "doc_id",
+        n = 3, tauNum = 3, tauDen = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -706,6 +724,43 @@ object DedupQueries extends QuerySet {
                    FROM j WHERE jaccard >= 0.5)
           SELECT batch_id, corpus_id, jaccard FROM best WHERE rn = 1
           ORDER BY batch_id""",
+    "d14_setjoin_prefix" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 400
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   substr(text, instr(text, ' ') + 1) AS text
+            FROM documents WHERE doc_id < 400),
+          tk AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                 FROM corpus),
+          t AS (SELECT doc_id, $sh3 AS toks FROM tk),
+          e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+          dfreq AS (SELECT tok, count(*) AS df FROM e GROUP BY tok),
+          ord AS (SELECT e.doc_id,
+                    list(e.tok ORDER BY d.df, e.tok) AS otoks
+                  FROM e JOIN dfreq d ON e.tok = d.tok
+                  GROUP BY e.doc_id),
+          pre AS (SELECT doc_id, len(otoks) AS n,
+                    otoks[1 : len(otoks)
+                          - ((3 * len(otoks) + 4) // 5) + 1] AS prefix
+                  FROM ord),
+          pe AS (SELECT doc_id, n, unnest(prefix) AS tok FROM pre),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM pe a JOIN pe b ON a.tok = b.tok
+                     AND a.doc_id < b.doc_id
+                     AND 3 * a.n <= 5 * b.n AND 3 * b.n <= 5 * a.n),
+          v AS (SELECT id_a, id_b,
+                  len(list_intersect(x.toks, y.toks)) AS inter,
+                  len(x.toks) + len(y.toks)
+                    - len(list_intersect(x.toks, y.toks)) AS uni
+                FROM cand
+                JOIN t x ON x.doc_id = cand.id_a
+                JOIN t y ON y.doc_id = cand.id_b)
+          SELECT id_a, id_b, inter, uni,
+                 CAST(inter AS DOUBLE) / uni AS jaccard
+          FROM v WHERE 5 * inter >= 3 * uni
+          ORDER BY id_a, id_b""",
     "d03_ngram_jaccard" ->
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

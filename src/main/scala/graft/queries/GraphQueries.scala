@@ -45,6 +45,16 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.triangleCounts(edges(s, d))
         .orderBy(col("node"))),
 
+    // Personalized PageRank from the fraud-seed set: restart mass
+    // returns only to seeds, so rank = proximity to known fraud, and
+    // nodes unreachable from every seed sit at exactly 0. Integer
+    // fixed-point like g02 — the oracle unrolls the 3 iterations with
+    // the seed-conditional restart term.
+    "g05_ppr" -> ((s, d) =>
+      graft.ops.Graph.personalizedPageRank(edges(s, d), seeds(s, d),
+        iters = 3)
+        .orderBy(col("node"))),
+
     // g04 runs with the RELIABLE checkpoint mode on, so the
     // file-checkpoint path (the 1000-executor fault-tolerance choice —
     // see Checkpoints) executes under the DuckDB oracle, not just in
@@ -112,6 +122,41 @@ object GraphQueries extends QuerySet {
          r3 AS (SELECT d.node,
                        CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
                 FROM deg d LEFT JOIN c3 c ON d.node = c.node)
+         SELECT node, r AS "rank" FROM r3 ORDER BY node""",
+
+    // personalized variant: identical fixed-point arithmetic, but the
+    // restart term is seed-conditional and r0 starts all mass on seeds
+    "g05_ppr" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         seeds AS (SELECT DISTINCT user_id AS node FROM events
+                   WHERE user_id % 37 = 0),
+         sn AS (SELECT d.node, d.deg,
+                       CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed
+                FROM deg d LEFT JOIN seeds s ON d.node = s.node),
+         r0 AS (SELECT node, CAST(is_seed * 1000000 AS BIGINT) AS r FROM sn),
+         c1 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r0 r ON s.u = r.node
+                           JOIN sn d ON s.u = d.node GROUP BY 1),
+         r1 AS (SELECT n.node,
+                       CAST(n.is_seed * 150000
+                            + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM sn n LEFT JOIN c1 c ON n.node = c.node),
+         c2 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r1 r ON s.u = r.node
+                           JOIN sn d ON s.u = d.node GROUP BY 1),
+         r2 AS (SELECT n.node,
+                       CAST(n.is_seed * 150000
+                            + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM sn n LEFT JOIN c2 c ON n.node = c.node),
+         c3 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r2 r ON s.u = r.node
+                           JOIN sn d ON s.u = d.node GROUP BY 1),
+         r3 AS (SELECT n.node,
+                       CAST(n.is_seed * 150000
+                            + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
+                FROM sn n LEFT JOIN c3 c ON n.node = c.node)
          SELECT node, r AS "rank" FROM r3 ORDER BY node""",
 
     // naive triple join: e is canonical (u < v) so each triangle

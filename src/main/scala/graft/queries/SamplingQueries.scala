@@ -31,6 +31,17 @@ object SamplingQueries extends QuerySet {
           sum(col("user_id")).as("uid_checksum"))
         .orderBy(col("split"))),
 
+    // A-ES weighted sample without replacement: the 300 docs with the
+    // largest ln(u)/n_chars priority — char-weighted inclusion, drawn
+    // deterministically from the id's md5. The oracle rebuilds u from
+    // the same 13 hex chars (integer bit-fold, exact double) and must
+    // select the IDENTICAL kept set.
+    "sm11_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", k = 300, portable = true)
+        .orderBy(col("doc_id"))),
+
     // ~20% deterministic corpus sample, per-lang survivor stats.
     "sm01_hash_sample" -> ((s, d) =>
       Sampling.hashSample(
@@ -157,6 +168,27 @@ object SamplingQueries extends QuerySet {
                 COUNT(*) AS n, MIN(t) AS min_ts, MAX(t) AS max_ts,
                 CAST(SUM(user_id) AS BIGINT) AS uid_checksum
          FROM v CROSS JOIN thr GROUP BY 1 ORDER BY 1""",
+    "sm11_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, lang, n_chars,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hx
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         v AS (
+           SELECT doc_id, lang, n_chars,
+                  list_sum(list_transform(range(0, 13), i ->
+                    CAST(strpos('0123456789abcdef',
+                         substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                      * (CAST(1 AS BIGINT)
+                         << CAST(4 * (12 - i) AS INT)))) AS vv
+           FROM h),
+         p AS (
+           SELECT doc_id, lang, n_chars,
+                  ln((CAST(vv AS DOUBLE) + 0.5) / 4503599627370496.0)
+                    / CAST(n_chars AS DOUBLE) AS pri
+           FROM v),
+         k AS (SELECT doc_id, lang, n_chars
+               FROM p ORDER BY pri DESC, doc_id LIMIT 300)
+         SELECT doc_id, lang, n_chars FROM k ORDER BY doc_id""",
     "sm01_hash_sample" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM documents

@@ -48,6 +48,29 @@ class GraphSpec extends SparkSpec {
     assert(ranks === Map(1L -> 629187L, 2L -> 1741625L, 3L -> 629187L))
   }
 
+  test("personalizedPageRank: seed-conditional restart, hand-run on a path") {
+    // path 1–2–3, seed {1}; r0 = (10^6, 0, 0):
+    //   it1: 1 → 150000, 2 → 850000 (85% of seed's full push), 3 → 0
+    //   it2: contribs (150000, 425000, 0):
+    //        1 → 150000 + 85·425000//100 = 511250
+    //        2 → 85·150000//100 = 127500, 3 → 361250
+    val seeds = Seq(1L, 99L).toDF("node") // 99 has no edges — ignored
+    val ranks = Graph.personalizedPageRank(
+      edgesDF((1L, 2L), (2L, 3L)), seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks === Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
+  test("personalizedPageRank: no seeds → all ranks exactly 0") {
+    // mass only enters through the restart term: with an empty seed
+    // set every node must sit at literal 0, not a smoothing floor
+    val none = Seq.empty[Long].toDF("node")
+    val ranks = Graph.personalizedPageRank(
+      edgesDF((1L, 2L), (2L, 3L)), none, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("triangleCounts: 4-clique plus pendant edge") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3;
     // pendant 5 (edge 4–5) is in none and absent from the output

@@ -1246,6 +1246,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("setSimilarityJoin ≡ brute-force all-pairs (recall 1.0, no extras)") {
+    // the prefix filter is a complete pruning: its output must be
+    // hash-identical to the unfiltered all-pairs rule on word unigrams
+    val corpus = docs.select("doc_id", "text").filter($"doc_id" < 150)
+    val mutated = corpus.select($"doc_id" + 100000 as "doc_id",
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val all = corpus.union(mutated)
+    val got = Dedup.setSimilarityJoin(all, "text", "doc_id", 3, 3, 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val prepared = all.select($"doc_id".as("id"),
+      Dedup.shingles(TextAnalysis.tokens(lower($"text")), 3).as("toks"))
+    val brute = prepared.as("a").join(prepared.as("b"),
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("i"),
+        (size(col("a.toks")) + size(col("b.toks"))
+          - size(array_intersect(col("a.toks"), col("b.toks")))).as("u"))
+      .filter($"i" * 5 >= $"u" * 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"prefix join ${got.size} vs brute ${brute.size}")
+    // planted near-copies share all but ~1 word: every pair must survive
+    val planted = got.count { case (a, b) => b - a == 100000 }
+    assert(planted >= (corpus.count() * 0.9).toLong)
+  }
+
+  test("setSimilarityJoin threshold boundary is integer-exact") {
+    // |∩|=3, |∪|=5 sits EXACTLY on τ=3/5 — kept; |∩|=2,|∪|=4 (τ=1/2) cut
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"),   // inter {a,b,c}=3, union=5 → 3/5
+      (3L, "p q r"), (4L, "p q s")        // inter=2, union=4 → 1/2 < 3/5
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.setSimilarityJoin(df, "text", "doc_id", 1, 3, 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("bpePairCounts matches a hand-computed pair table") {
     // words: "aa"×1, "ab"×2 → pairs (a,a):1, (a,</w>):1, (a,b):2, (b,</w>):2
     val got = TextAnalysis.bpePairCounts(

@@ -22,6 +22,44 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(a.size - 1000) < 120, s"got ${a.size}")
   }
 
+  test("weightedSample portable mode ≡ a driver-side A-ES reference") {
+    val rows = (1L to 800L).map(i => (i, 1L + (i % 13) * 7L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 100,
+      portable = true).select("id").as[Long].collect().toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = rows.map { case (id, w) =>
+      val v = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0
+      (math.log(u) / w.toDouble, id)
+    }.sortBy { case (p, id) => (-p, id) }.take(100).map(_._2).toSet
+    assert(got == expect)
+  }
+
+  test("weightedSample: heavy rows dominate, k≥n keeps all positives") {
+    // 500 light rows (w=1) vs 50 heavy rows (w=1000): a k=50 sample
+    // must be mostly heavy — inclusion odds scale with weight
+    val df = ((1L to 500L).map(i => (i, 1L)) ++
+      (1001L to 1050L).map(i => (i, 1000L))).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect()
+    assert(kept.count(_ > 1000L) >= 40, s"heavy=${kept.count(_ > 1000L)}")
+    // k >= n: every positive-weight row survives; w<=0 / null never drawn
+    val edge = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("id", "w")
+      .union(Seq((4L, Option.empty[Long])).toDF("id", "w"))
+    val all = Sampling.weightedSample(edge, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(all == Set(1L))
+    // layout invariance: the draw is a pure row function
+    val a = Sampling.weightedSample(df, "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(df.repartition(13), "id", "w", k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("assignSplit is a total, deterministic, layout-invariant partition") {
     val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val s1 = Sampling.assignSplit(base, "id", fr)
