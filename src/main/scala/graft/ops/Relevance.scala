@@ -162,4 +162,65 @@ object Relevance {
         array_sort(collect_list(struct(col("term"), col("score")))),
         lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
   }
+
+  /** Multi-query BM25 retrieval — [[bm25]] generalized from one
+    * hardcoded term bag to a QUERY TABLE, the batch-retrieval shape a
+    * RAG / targeted-selection pipeline runs: N queries × top-k docs in
+    * ONE pass over the corpus.
+    *
+    * Inverted-index topology: the corpus explodes to postings once,
+    * pruned to the query vocabulary by a broadcast semi-join BEFORE
+    * the (doc, term) shuffle — cost is ∝ matching tokens, independent
+    * of query count until the final per-(query, doc) fold. Per-doc
+    * term scores are computed once and fanned out to the queries that
+    * contain the term (broadcast — query terms are tiny next to the
+    * corpus). The per-(query, doc) sum folds term-sorted (the [[bm25]]
+    * engine-exactness contract) and the per-query top-k runs on the
+    * bounded mergeable [[graft.functions.TopKAgg]] heap — no
+    * `row_number` window funneling a query's whole candidate set
+    * through one reducer (the ANN-finisher discipline).
+    *
+    * `queries` must expose (qIdCol, qTextCol); query terms are its
+    * distinct tokens. Output: (query_id, doc_id, bm25, rank),
+    * rank 1..k by (score desc, doc_id asc).
+    */
+  def bm25Retrieval(docs: DataFrame, queries: DataFrame,
+                    textCol: String, idCol: String,
+                    qIdCol: String, qTextCol: String,
+                    k: Int = 10, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val base = Layout.fanOut(docs).select(col(idCol).as("doc_id"),
+        toks(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(toks(col(qTextCol)))).as("term"))
+      .distinct()
+    val vocab = qterms.select(col("term")).distinct()
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
+    val perDoc = scored.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+    perDoc.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topK(col("bm25"), col("doc_id"), k)
+        .as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"), col("__e.id").as("doc_id"),
+        col("__e.score").as("bm25"), col("__e.rank").as("rank"))
+  }
 }

@@ -63,6 +63,30 @@ class RelevanceSpec extends SparkSpec {
     assert(multi.count() == 3)
   }
 
+  test("bm25Retrieval with one query ≡ the single-bag bm25 scores") {
+    val qs = Seq((100L, "cherry apple")).toDF("query_id", "qtext")
+    val got = Relevance.bm25Retrieval(corpus, qs, "text", "doc_id",
+      "query_id", "qtext", k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("bm25")).toMap
+    val ref = Relevance.bm25(corpus, "text", "doc_id",
+      Seq("cherry", "apple"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("bm25")).toMap
+    assert(got == ref, s"retrieval $got vs single-query $ref")
+  }
+
+  test("bm25Retrieval: per-query isolation, k bound, rank order") {
+    val qs = Seq((1L, "apple"), (2L, "durian")).toDF("query_id", "qtext")
+    val rows = Relevance.bm25Retrieval(corpus, qs, "text", "doc_id",
+      "query_id", "qtext", k = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("rank")))
+    // k=1: exactly one row per query; apple's best is doc 1 (tf=2),
+    // durian's only bearer is doc 3 — queries never leak into each other
+    assert(rows.toSet == Set((1L, 1L, 1), (2L, 3L, 1)))
+  }
+
   test("pmi: hand-computed windowed pair stats") {
     // doc1 [a,b,a] → pairs (a,b),(a,a),(a,b); doc2 [b,c] → (b,c)
     // npairs=4; unigrams a:2 b:2 c:1, ntok=5
