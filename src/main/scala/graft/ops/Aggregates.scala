@@ -504,23 +504,48 @@ object Aggregates {
     */
   def cmsHeavyKeysPortable(df: DataFrame, keyCol: String,
                            depth: Int = 4, width: Int = 256,
-                           k: Int = 5): DataFrame = {
-    val key = col(keyCol).cast("string")
-    val rows = df.filter(col(keyCol).isNotNull)
-    def bucketOf(keyc: Column): Column =
-      pmod(conv(substring(md5(concat(col("hrow").cast("string"), lit(":"),
-        keyc).cast("binary")), 1, 2), 16, 10).cast("int"), lit(width))
-    val cells = rows
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("hrow"), key.as("k"))
-      .select(col("hrow"), bucketOf(col("k")).as("bucket"))
+                           k: Int = 5): DataFrame =
+    cmsProbeTopK(cmsCells(df, keyCol, depth, width), df, keyCol,
+      depth, width, k)
+
+  /** CMS bucket of `key` under hash row `hrow`: first 2 md5-hex chars
+    * of "hrow:key" mod width — the portable hash the a20c/st12 oracles
+    * recompute.
+    */
+  def cmsBucket(hrow: Column, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(hrow.cast("string"), lit(":"),
+      key).cast("binary")), 1, 2), 16, 10).cast("int"), lit(width))
+
+  /** The CMS cell table (hrow, bucket, c) — a plain grouped count, so
+    * it runs unchanged over a STREAMING frame in complete mode: the
+    * sketch state is depth·width rows no matter how many events flow,
+    * which is the whole point of maintaining it in a stream (exact
+    * per-key counting = unbounded state). Mergeable by construction
+    * (counts sum), null keys dropped.
+    */
+  def cmsCells(df: DataFrame, keyCol: String,
+               depth: Int = 4, width: Int = 256): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("hrow"),
+        col(keyCol).cast("string").as("k"))
+      .select(col("hrow"), cmsBucket(col("hrow"), col("k"), width).as("bucket"))
       .groupBy(col("hrow"), col("bucket")).agg(count(lit(1)).as("c"))
-    val top = rows.groupBy(key.as("key"))
+
+  /** Probe finish: the top-`k` exact heavy keys of `df` with their CMS
+    * estimates read out of `cells` (min across hash rows) — exact and
+    * sketched counts side by side, the min-guarantee audit table.
+    */
+  def cmsProbeTopK(cells: DataFrame, df: DataFrame, keyCol: String,
+                   depth: Int = 4, width: Int = 256,
+                   k: Int = 5): DataFrame = {
+    val rows = df.filter(col(keyCol).isNotNull)
+    val top = rows.groupBy(col(keyCol).cast("string").as("key"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("key").asc).limit(k)
     val probes = top
       .select(col("key"), col("n_exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("hrow"))
-      .withColumn("bucket", bucketOf(col("key")))
+      .withColumn("bucket", cmsBucket(col("hrow"), col("key"), width))
     probes.join(broadcast(cells), Seq("hrow", "bucket"))
       .groupBy(col("key"), col("n_exact"))
       .agg(min(col("c")).as("n_cms"))

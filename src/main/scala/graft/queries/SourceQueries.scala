@@ -405,6 +405,28 @@ object SourceQueries extends QuerySet {
       graft.ops.Aggregates.hllEstimateFromRegisters(s.table(qn))
     }),
 
+    // Streaming heavy hitters at constant state (§2.6 × a20c): the
+    // count-min cell table maintained IN the stream — state is
+    // depth·width (= 1024) counter rows no matter how many events
+    // flow, where exact per-key streaming counts would grow with the
+    // key domain. The cell update is a plain grouped count (mergeable,
+    // complete mode); the top-k probe finish runs batch-side against
+    // the streamed cells. The oracle is the a20c recipe verbatim —
+    // streamed cells must equal batch cells bit-exactly.
+    "st12_stream_heavy_hitters" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st12_cms_sink"
+      val q = graft.ops.Aggregates.cmsCells(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d),
+        "user_id")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Aggregates.cmsProbeTopK(s.table(qn),
+        Tables.events(s, d), "user_id")
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -731,6 +753,29 @@ object SourceQueries extends QuerySet {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "st12_stream_heavy_hitters" ->
+      """WITH rws AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                      WHERE user_id IS NOT NULL),
+         cells AS (SELECT hrow,
+                     (instr('0123456789abcdef', substr(h,1,1))-1)*16 +
+                     (instr('0123456789abcdef', substr(h,2,1))-1) AS bucket,
+                     COUNT(*) AS c
+                   FROM (SELECT hrow,
+                           md5(CAST(hrow AS VARCHAR) || ':' || k) AS h
+                         FROM rws, (SELECT unnest(range(0,4)) AS hrow))
+                   GROUP BY 1,2),
+         top AS (SELECT k AS key, COUNT(*) AS n_exact FROM rws GROUP BY k
+                 ORDER BY n_exact DESC, key ASC LIMIT 5),
+         probes AS (SELECT key, n_exact, hrow,
+                      (instr('0123456789abcdef', substr(h,1,1))-1)*16 +
+                      (instr('0123456789abcdef', substr(h,2,1))-1) AS bucket
+                    FROM (SELECT key, n_exact, hrow,
+                            md5(CAST(hrow AS VARCHAR) || ':' || key) AS h
+                          FROM top, (SELECT unnest(range(0,4)) AS hrow)))
+         SELECT key, n_exact, MIN(c) AS n_cms
+         FROM probes JOIN cells USING (hrow, bucket)
+         GROUP BY key, n_exact
+         ORDER BY n_exact DESC, key ASC""",
     "st11_stream_distinct" ->
       """WITH r AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
                     FROM events WHERE user_id IS NOT NULL),

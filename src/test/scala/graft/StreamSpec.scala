@@ -49,6 +49,38 @@ class StreamSpec extends SparkSpec {
       batch.getDouble(batch.fieldIndex("hll_raw_est")))
   }
 
+  test("streaming CMS cells merge across micro-batches ≡ batch sketch") {
+    import graft.ops.Aggregates
+    val stream = MemoryStream[Long](spark)
+    val q = Aggregates.cmsCells(
+      stream.toDF().select((col("value") % 17).as("k")), "k")
+      .writeStream.format("memory").queryName("cms_merge_sink")
+      .outputMode("complete").start()
+    try {
+      // disjoint batches (counts SUM across batches — unlike the HLL
+      // register max, replaying a row would double-count; the driver's
+      // file source is exactly-once per file): cells must accumulate,
+      // not reset
+      stream.addData(1L to 400L: _*)
+      q.processAllAvailable()
+      stream.addData(401L to 900L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = (1L to 900L).toDF("value").select((col("value") % 17).as("k"))
+    val streamed = spark.table("cms_merge_sink")
+      .as[(Int, Int, Long)].collect().toSet
+    val batch = Aggregates.cmsCells(all, "k")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(streamed == batch)
+    // state bound: never more than depth × width cells
+    assert(streamed.size <= 4 * 256)
+    // probe finish over streamed cells: CMS estimate ≥ exact, always
+    val probed = Aggregates.cmsProbeTopK(spark.table("cms_merge_sink"),
+      all, "k").collect()
+    assert(probed.forall(r =>
+      r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact")))
+  }
+
   test("wire codec round trip + corrupt payload → dead letter") {
     val df = TransactionGen.batch(spark, 50, seed = 1)
     val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))
