@@ -10,13 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — schema, partition-local batched
   * processing, typed output shape. The codec ([[decodeBytes]]) is REAL
-  * for the uncompressed formats pure byte parsing can handle —
-  * [[Codecs.decodePpm]] (P6 raster images) and [[Codecs.decodeWavPcm16]]
-  * (RIFF/WAVE PCM-16 audio) — and falls back to a clearly-marked
-  * DETERMINISTIC STUB for compressed formats (JPEG/FLAC/H.264), whose
-  * codec libraries aren't in this container. Swapping the fallback for a
-  * real compressed-format codec is a one-function change; the dataflow
-  * (what a 1000-executor cluster actually exercises) is identical.
+  * for every format pure JVM parsing can handle: PPM, PNG, GIF, and
+  * baseline JPEG rasters ([[Codecs.decodeRaster]]), RIFF/WAVE PCM-16
+  * and FLAC audio ([[Codecs.decodeAudio]]). Only inter-frame video
+  * (H.264 et al.) falls back to the clearly-marked DETERMINISTIC STUB
+  * — swapping it for a real video codec is a one-function change; the
+  * dataflow (what a 1000-executor cluster exercises) is identical.
   *
   * Design: decode runs via `mapPartitions` on a typed Dataset — one JVM
   * codec context per partition (the expensive init a real codec needs),
@@ -59,13 +58,12 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
 
-  /** The codec dispatch: REAL decode for PPM, PNG and GIF images and
-    * PCM-16 WAV/FLAC audio (magic-byte sniff, see [[Codecs]]); anything
-    * else —
-    * which includes the remaining compressed formats — takes the
-    * documented deterministic stub ([[stubFeatures]]). A corrupt or
-    * truncated payload of a recognized format also falls back to the
-    * stub rather than throwing (the dead-letter stance).
+  /** The codec dispatch: REAL decode for PPM, PNG, GIF and baseline
+    * JPEG images and PCM-16 WAV/FLAC audio (magic-byte sniff, see
+    * [[Codecs]]); anything else — inter-frame video, essentially —
+    * takes the documented deterministic stub ([[stubFeatures]]). A
+    * corrupt or truncated payload of a recognized format also falls
+    * back to the stub rather than throwing (the dead-letter stance).
     */
   def decodeBytes(bytes: Array[Byte], dim: Int): Array[Float] =
     Codecs.decodeRaster(bytes).map(imageFeatures(_, dim))

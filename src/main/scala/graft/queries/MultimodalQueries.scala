@@ -83,6 +83,32 @@ object MultimodalQueries extends QuerySet {
       }).toDF("media_id", "bytes")
   }
 
+  /** 16×16 grayscale rasters, CONSTANT on each aligned 8×8 tile with
+    * even values, carried as REAL baseline JPEG at quality 50: every
+    * block quantizes to a DC-only spectrum whose level-shifted value
+    * is a multiple of qDC = 16, so the LOSSY codec is exact on
+    * exactly this family — the closed form survives the full
+    * DCT → quant → Huffman → parse → dequant → IDCT pipeline
+    * bit-for-bit (arbitrary-raster error is bounded in
+    * PipelineOpsSpec instead, where exactness is impossible).
+    */
+  private def testJpegMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map { id =>
+        val w = 16; val h = 16
+        val gray = new Array[Byte](w * h)
+        var p = 0
+        while (p < w * h) {
+          val b = ((p / w) / 8) * 2 + (p % w) / 8
+          gray(p) = (((id * 23 + b * 67) % 128) * 2).toByte
+          p += 1
+        }
+        (id, graft.ops.Codecs.encodeJpegGray(w, h, gray, quality = 50))
+      }.toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -164,6 +190,15 @@ object MultimodalQueries extends QuerySet {
         Multimodal.resizePixels(testGifMedia(s, d), 2))
         .orderBy(col("media_id"))),
 
+    // REAL LOSSY image codec, exact on its DC-stable family: baseline
+    // JPEG round trip on 8×8-tile-constant grayscale (see
+    // testJpegMedia) — entropy coding, marker walk, Huffman tables,
+    // dequant and IDCT all on the oracle's hash-exact signal even
+    // though JPEG in general cannot round-trip losslessly.
+    "mm11_jpeg_roundtrip" -> ((s, d) =>
+      Multimodal.decodeImageStats(testJpegMedia(s, d))
+        .orderBy(col("media_id"))),
+
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
     // samples from a closed form, encoded as a real RIFF/WAVE payload,
     // decoded back; header fields and exact sample statistics checked.
@@ -230,6 +265,20 @@ object MultimodalQueries extends QuerySet {
             CAST(MAX(LEAST((nf + 1) // 2, 8) * 2 - 2) AS INT) AS max_idx
           FROM (SELECT CAST(n_chars % 30 + 1 AS INT) AS nf
                 FROM documents WHERE doc_id % 3 = 2)""",
+    "mm11_jpeg_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         bl AS (SELECT id, r.range AS b
+                FROM ids CROSS JOIN range(0, 4) r),
+         s AS (SELECT id,
+                 SUM(((id * 23 + b * 67) % 128) * 2 * 64) AS v
+               FROM bl GROUP BY id)
+         SELECT id AS media_id,
+                CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                CAST(v AS BIGINT) AS r_sum,
+                CAST(v AS BIGINT) AS g_sum,
+                CAST(v AS BIGINT) AS b_sum
+         FROM s ORDER BY media_id""",
     "mm03_image_roundtrip" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),

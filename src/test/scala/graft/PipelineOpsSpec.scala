@@ -1246,6 +1246,69 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("jpeg: DC-exact round trip on block-constant gray, even values") {
+    import graft.ops.Codecs
+    // constant 8×8 tiles, even values, quality 50 (qDC = 16): every
+    // block is DC-only and 8·(v−128) ≡ 0 (mod 16), so the lossy codec
+    // is EXACT here — the mm11 oracle's premise
+    val w = 16; val h = 16
+    val blockVals = Array(40, 128, 200, 254)
+    val gray = Array.tabulate(w * h) { p =>
+      blockVals(((p / w) / 8) * 2 + (p % w) / 8).toByte
+    }
+    val enc = Codecs.encodeJpegGray(w, h, gray, quality = 50)
+    assert(Codecs.isJpeg(enc))
+    val dec = Codecs.decodeJpeg(enc).get
+    assert(dec.width == w && dec.height == h)
+    val maxErr = (0 until w * h)
+      .map(i => math.abs((dec.rgb(i * 3) & 0xFF) - (gray(i) & 0xFF))).max
+    assert(maxErr == 0, s"DC-exact premise violated: maxErr=$maxErr")
+    // gray replicates into all three channels
+    assert((0 until w * h).forall(i =>
+      dec.rgb(i * 3) == dec.rgb(i * 3 + 1) &&
+        dec.rgb(i * 3) == dec.rgb(i * 3 + 2)))
+  }
+
+  test("jpeg: bounded error on arbitrary color rasters, quality ordering") {
+    import graft.ops.Codecs
+    val w = 24; val h = 16
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    def err(q: Int): (Int, Int) = {
+      val enc = Codecs.encodeJpeg(w, h, rgb, quality = q)
+      val dec = Codecs.decodeJpeg(enc).get
+      assert(dec.width == w && dec.height == h)
+      val errs = (0 until w * h * 3)
+        .map(i => math.abs((dec.rgb(i) & 0xFF) - (rgb(i) & 0xFF)))
+      (errs.max, enc.length)
+    }
+    val (e95, s95) = err(95)
+    val (e50, s50) = err(50)
+    assert(e95 <= 40, s"q=95 max channel err $e95")
+    assert(s95 > s50, "higher quality must spend more bytes")
+    assert(e50 < 256 && e95 <= e50 + 40)
+    // odd (non-multiple-of-8) dims: edge-replication padding decodes
+    // back to the exact requested dims
+    val g2 = Array.tabulate(13 * 9)(i => ((i * 7) % 256).toByte)
+    val d2 = Codecs.decodeJpeg(Codecs.encodeJpegGray(13, 9, g2, 85)).get
+    assert(d2.width == 13 && d2.height == 9)
+  }
+
+  test("jpeg: malformed payloads are None, router dispatches by magic") {
+    import graft.ops.Codecs
+    val gray = Array.tabulate(64)(i => (i * 4).toByte)
+    val enc = Codecs.encodeJpegGray(8, 8, gray, 75)
+    assert(Codecs.decodeJpeg(java.util.Arrays.copyOf(enc,
+      enc.length / 2)).isEmpty, "truncated entropy data")
+    assert(Codecs.decodeJpeg(Array.fill[Byte](100)(0x55)).isEmpty)
+    assert(Codecs.decodeJpeg(Array[Byte](-1, -40, -1)).isEmpty, "bare SOI")
+    // flipping a DHT length byte must fail the parse, not throw
+    val bad = enc.clone()
+    bad(20) = (bad(20) ^ 0x7F).toByte
+    Codecs.decodeJpeg(bad) // any Option is fine; must not throw
+    assert(Codecs.decodeRaster(enc).exists(p => p.width == 8),
+      "decodeRaster must route JPEG by magic")
+  }
+
   test("setSimilarityJoin ≡ brute-force all-pairs (recall 1.0, no extras)") {
     // the prefix filter is a complete pruning: its output must be
     // hash-identical to the unfiltered all-pairs rule on word unigrams
