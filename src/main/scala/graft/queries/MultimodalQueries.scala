@@ -199,6 +199,15 @@ object MultimodalQueries extends QuerySet {
       Multimodal.decodeImageStats(testJpegMedia(s, d))
         .orderBy(col("media_id"))),
 
+    // JPEG → decode → 2×2 average-pool → PPM re-encode → decode: the
+    // lossy-in / lossless-out resize chain. Pooling within the
+    // constant 8×8 tiles is exact (each 2×2 window sits inside one
+    // tile), so the pooled closed form survives hash-exactly.
+    "mm12_jpeg_resize" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.resizePixels(testJpegMedia(s, d), 2))
+        .orderBy(col("media_id"))),
+
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
     // samples from a closed form, encoded as a real RIFF/WAVE payload,
     // decoded back; header fields and exact sample statistics checked.
@@ -275,6 +284,20 @@ object MultimodalQueries extends QuerySet {
                FROM bl GROUP BY id)
          SELECT id AS media_id,
                 CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+                CAST(v AS BIGINT) AS r_sum,
+                CAST(v AS BIGINT) AS g_sum,
+                CAST(v AS BIGINT) AS b_sum
+         FROM s ORDER BY media_id""",
+    "mm12_jpeg_resize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         bl AS (SELECT id, r.range AS b
+                FROM ids CROSS JOIN range(0, 4) r),
+         s AS (SELECT id,
+                 SUM(((id * 23 + b * 67) % 128) * 2 * 16) AS v
+               FROM bl GROUP BY id)
+         SELECT id AS media_id,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
                 CAST(v AS BIGINT) AS r_sum,
                 CAST(v AS BIGINT) AS g_sum,
                 CAST(v AS BIGINT) AS b_sum
