@@ -911,23 +911,39 @@ object Codecs {
     * limit — a production pipeline would quantize first; the engine's
     * closed-form test rasters are within it by construction).
     */
-  def encodeGif(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
-    require(rgb.length == width * height * 3, "rgb length mismatch")
-    // scan-order palette
+  def encodeGif(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeGifFrames(width, height, Seq(rgb))
+
+  /** Encode one or more full-size RGB frames as a multi-image GIF —
+    * the VIDEO writer: every frame is a complete replacement image at
+    * the origin (no inter-frame deltas), the shape [[decodeGifFrames]]
+    * renders independently. One GLOBAL palette spans all frames (≤256
+    * distinct colors total, scan order across frames); each frame gets
+    * its own image descriptor and an independent LZW stream.
+    */
+  def encodeGifFrames(width: Int, height: Int,
+                      framesRgb: Seq[Array[Byte]]): Array[Byte] = {
+    require(framesRgb.nonEmpty, "GIF encoder: at least one frame")
+    framesRgb.foreach(f =>
+      require(f.length == width * height * 3, "rgb length mismatch"))
+    // scan-order palette across ALL frames
     val palette = new java.util.LinkedHashMap[Integer, Integer]()
-    val indices = new Array[Int](width * height)
-    var p = 0
-    while (p < width * height) {
-      val c = ((rgb(p * 3) & 0xFF) << 16) | ((rgb(p * 3 + 1) & 0xFF) << 8) |
-        (rgb(p * 3 + 2) & 0xFF)
-      var idx = palette.get(c)
-      if (idx == null) {
-        idx = palette.size()
-        require(idx < 256, "GIF encoder: raster has > 256 distinct colors")
-        palette.put(c, idx)
+    val frameIndices = framesRgb.map { rgb =>
+      val indices = new Array[Int](width * height)
+      var p = 0
+      while (p < width * height) {
+        val c = ((rgb(p * 3) & 0xFF) << 16) |
+          ((rgb(p * 3 + 1) & 0xFF) << 8) | (rgb(p * 3 + 2) & 0xFF)
+        var idx = palette.get(c)
+        if (idx == null) {
+          idx = palette.size()
+          require(idx < 256, "GIF encoder: > 256 distinct colors")
+          palette.put(c, idx)
+        }
+        indices(p) = idx
+        p += 1
       }
-      indices(p) = idx
-      p += 1
+      indices
     }
     // table size 2^gctBits ≥ palette size; LZW min code size ≥ 2
     var gctBits = 2
@@ -945,61 +961,66 @@ object Codecs {
       u8(c >> 16); u8(c >> 8); u8(c); written += 1
     }
     while (written < (1 << gctBits)) { u8(0); u8(0); u8(0); written += 1 }
-    u8(0x2C); u16(0); u16(0); u16(width); u16(height); u8(0)
-    val minCode = gctBits
-    u8(minCode)
-    // LZW, LSB-first bit packing
-    val clear = 1 << minCode
-    val eoi = clear + 1
-    val data = new java.io.ByteArrayOutputStream()
-    var acc = 0L; var nbits = 0
-    var codeWidth = minCode + 1
-    var dict = new java.util.HashMap[Long, Integer]()
-    var nextCode = eoi + 1
-    // Width escalation follows the canonical (giflib) convention: the
-    // post-pack check reads the PRE-add nextCode, so the width grows
-    // one code later than the naive reading of the spec — the decoder
-    // mirrors this with a read counter that runs one ahead of its
-    // dictionary slot.
-    def emit(code: Int): Unit = {
-      acc |= code.toLong << nbits; nbits += codeWidth
-      while (nbits >= 8) { data.write((acc & 0xFF).toInt); acc >>= 8; nbits -= 8 }
-      if (nextCode >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
-    }
-    emit(clear)
-    if (indices.nonEmpty) {
-      var cur = indices(0)
-      var i = 1
-      while (i < indices.length) {
-        val k = indices(i)
-        val key = (cur.toLong << 8) | k
-        val hit = dict.get(key)
-        if (hit != null) cur = hit.intValue()
-        else {
-          emit(cur)
-          if (nextCode >= 4095) {
-            emit(clear)
-            dict = new java.util.HashMap[Long, Integer]()
-            nextCode = eoi + 1; codeWidth = minCode + 1
-          } else {
-            dict.put(key, nextCode); nextCode += 1
-          }
-          cur = k
+    for (indices <- frameIndices) {
+      u8(0x2C); u16(0); u16(0); u16(width); u16(height); u8(0)
+      val minCode = gctBits
+      u8(minCode)
+      // LZW, LSB-first bit packing
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val data = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      var codeWidth = minCode + 1
+      var dict = new java.util.HashMap[Long, Integer]()
+      var nextCode = eoi + 1
+      // Width escalation follows the canonical (giflib) convention: the
+      // post-pack check reads the PRE-add nextCode, so the width grows
+      // one code later than the naive reading of the spec — the decoder
+      // mirrors this with a read counter that runs one ahead of its
+      // dictionary slot.
+      def emit(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += codeWidth
+        while (nbits >= 8) {
+          data.write((acc & 0xFF).toInt); acc >>= 8; nbits -= 8
         }
-        i += 1
+        if (nextCode >= (1 << codeWidth) && codeWidth < 12) codeWidth += 1
       }
-      emit(cur)
+      emit(clear)
+      if (indices.nonEmpty) {
+        var cur = indices(0)
+        var i = 1
+        while (i < indices.length) {
+          val k = indices(i)
+          val key = (cur.toLong << 8) | k
+          val hit = dict.get(key)
+          if (hit != null) cur = hit.intValue()
+          else {
+            emit(cur)
+            if (nextCode >= 4095) {
+              emit(clear)
+              dict = new java.util.HashMap[Long, Integer]()
+              nextCode = eoi + 1; codeWidth = minCode + 1
+            } else {
+              dict.put(key, nextCode); nextCode += 1
+            }
+            cur = k
+          }
+          i += 1
+        }
+        emit(cur)
+      }
+      emit(eoi)
+      if (nbits > 0) data.write((acc & 0xFF).toInt)
+      // sub-block the code stream
+      val cs = data.toByteArray
+      var off = 0
+      while (off < cs.length) {
+        val n = math.min(255, cs.length - off)
+        u8(n); out.write(cs, off, n); off += n
+      }
+      u8(0) // image data terminator
     }
-    emit(eoi)
-    if (nbits > 0) data.write((acc & 0xFF).toInt)
-    // sub-block the code stream
-    val cs = data.toByteArray
-    var off = 0
-    while (off < cs.length) {
-      val n = math.min(255, cs.length - off)
-      u8(n); out.write(cs, off, n); off += n
-    }
-    u8(0); u8(0x3B)
+    u8(0x3B)
     out.toByteArray
   }
 
@@ -1007,8 +1028,24 @@ object Codecs {
     * RGB. Returns None on anything malformed — truncation, bad LZW
     * codes, missing color table — never throws.
     */
-  def decodeGif(bytes: Array[Byte]): Option[Ppm] = {
-    if (!isGif(bytes)) return None
+  def decodeGif(bytes: Array[Byte]): Option[Ppm] =
+    decodeGifFrames(bytes, maxFrames = 1).map(_.head)
+
+  /** Decode up to `maxFrames` frames of a (possibly animated) GIF —
+    * the engine's VIDEO surface: a multi-image GIF is a real, fully
+    * decodable frame container on pure JVM, where inter-frame codecs
+    * (H.264) stay stubbed. Each frame decodes independently at its own
+    * descriptor dims (no disposal compositing — the [[encodeGifFrames]]
+    * writer emits full-size replacement frames, the contract the frame
+    * stats are defined on). Stops cleanly at `maxFrames` without
+    * parsing the remainder, so first-frame probes stay cheap on long
+    * animations.
+    */
+  def decodeGifFrames(bytes: Array[Byte],
+                      maxFrames: Int = 1024): Option[Vector[Ppm]] = {
+    if (!isGif(bytes) || maxFrames <= 0) return None
+    val frames = Vector.newBuilder[Ppm]
+    var nFrames = 0
     try {
       var pos = 6
       def u8(): Int = { val v = bytes(pos) & 0xFF; pos += 1; v }
@@ -1025,7 +1062,8 @@ object Codecs {
       }
       while (pos < bytes.length) {
         (u8(): @annotation.switch) match {
-          case 0x3B => return None // trailer before any image
+          case 0x3B => // trailer: done (None when no image preceded it)
+            return if (nFrames > 0) Some(frames.result()) else None
           case 0x21 => // extension: label + sub-blocks
             u8()
             var n = u8()
@@ -1147,8 +1185,10 @@ object Codecs {
               rgb(q * 3 + 2) = c.toByte
               q += 1
             }
-            // screen vs image dims: single-frame contract is the image
-            return Some(Ppm(iw, ih, 255, rgb))
+            // screen vs image dims: per-frame contract is the image
+            frames += Ppm(iw, ih, 255, rgb)
+            nFrames += 1
+            if (nFrames >= maxFrames) return Some(frames.result())
           case _ => return None
         }
       }

@@ -203,6 +203,48 @@ object Multimodal {
       }.toDF("media_id", "bytes")
   }
 
+  /** Exact integer PER-FRAME pixel statistics through the real
+    * multi-frame GIF decoder — the VIDEO face of the image path:
+    * frame sampling (every `stride`-th frame, at most `maxFrames`
+    * sampled) runs on DECODED frames, not just descriptor metadata
+    * (that plan-only view is [[frameSamplePlan]]). The decoder is
+    * bounded to the last needed frame, so a long animation never
+    * decodes past the sample horizon; undecodable payloads yield one
+    * (-1, -1) dims row, counted not thrown. Scan-local mapPartitions,
+    * the [[decodeImageStats]] shape.
+    */
+  def decodeFrameStats(media: DataFrame, stride: Int,
+                       maxFrames: Int): DataFrame = {
+    require(stride >= 1 && maxFrames >= 1, "stride and maxFrames >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val decodeCap = (maxFrames - 1) * stride + 1
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Codecs.decodeGifFrames(bytes, decodeCap) match {
+            case Some(frames) =>
+              frames.zipWithIndex.collect {
+                case (p, i) if i % stride == 0 && i / stride < maxFrames =>
+                  var r = 0L; var g = 0L; var b = 0L
+                  val n = p.width * p.height
+                  var q = 0
+                  while (q < n) {
+                    r += p.rgb(q * 3) & 0xFF
+                    g += p.rgb(q * 3 + 1) & 0xFF
+                    b += p.rgb(q * 3 + 2) & 0xFF
+                    q += 1
+                  }
+                  (id, i, p.width, p.height, r, g, b)
+              }
+            case None => Seq((id, -1, -1, -1, -1L, -1L, -1L))
+          }
+        }
+      }.toDF("media_id", "frame_idx", "width", "height",
+        "r_sum", "g_sum", "b_sum")
+  }
+
   /** Exact integer sample statistics through the REAL audio decoders
     * (RIFF/WAVE or FLAC, sniffed by magic bytes) — the audio twin of
     * [[decodeImageStats]].

@@ -109,6 +109,33 @@ object MultimodalQueries extends QuerySet {
       }.toDF("media_id", "bytes")
   }
 
+  /** Animated GIFs as the VIDEO fixture: (id % 3 + 2) full-size 8×8
+    * frames per file, per-frame pixel formula alternating on frame
+    * parity (global palette stays ≤ 128 colors), one global color
+    * table, independent LZW stream per frame.
+    */
+  private def testVideoMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+      .map { id =>
+        val w = 8; val h = 8
+        val nf = (id % 3).toInt + 2
+        val frames = (0 until nf).map { f =>
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            rgb(p * 3) = ((id * 31 + p + (f % 2) * 101) % 256).toByte
+            rgb(p * 3 + 1) = ((id * 37 + p + (f % 2) * 59) % 256).toByte
+            rgb(p * 3 + 2) = ((id * 41 + p + (f % 2) * 29) % 256).toByte
+            p += 1
+          }
+          rgb
+        }
+        (id, graft.ops.Codecs.encodeGifFrames(w, h, frames))
+      }.toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
@@ -208,6 +235,16 @@ object MultimodalQueries extends QuerySet {
         Multimodal.resizePixels(testJpegMedia(s, d), 2))
         .orderBy(col("media_id"))),
 
+    // REAL video-as-frames: animated GIF decode with stride sampling
+    // ON DECODED PIXELS (mm02 samples descriptor metadata only) —
+    // every 2nd frame, cap 4, per-frame exact channel sums vs the
+    // per-(id, frame) closed form. The multi-image container, global
+    // palette, and per-frame LZW streams all sit on the oracle signal.
+    "mm13_video_frames" -> ((s, d) =>
+      Multimodal.decodeFrameStats(testVideoMedia(s, d),
+        stride = 2, maxFrames = 4)
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // REAL audio codec round trip (the WAV twin of mm03): PCM-16
     // samples from a closed form, encoded as a real RIFF/WAVE payload,
     // decoded back; header fields and exact sample statistics checked.
@@ -302,6 +339,24 @@ object MultimodalQueries extends QuerySet {
                 CAST(v AS BIGINT) AS g_sum,
                 CAST(v AS BIGINT) AS b_sum
          FROM s ORDER BY media_id""",
+    "mm13_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 3 + 2 AS nf
+                      FROM documents WHERE doc_id < 100),
+         fr AS (SELECT id, f.range AS f
+                FROM ids CROSS JOIN range(0, 4) f
+                WHERE f.range < nf AND f.range % 2 = 0
+                  AND f.range // 2 < 4),
+         px AS (SELECT id, f, r.range AS p
+                FROM fr CROSS JOIN range(0, 64) r)
+         SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST(SUM((id * 31 + p + (f % 2) * 101) % 256) AS BIGINT)
+                  AS r_sum,
+                CAST(SUM((id * 37 + p + (f % 2) * 59) % 256) AS BIGINT)
+                  AS g_sum,
+                CAST(SUM((id * 41 + p + (f % 2) * 29) % 256) AS BIGINT)
+                  AS b_sum
+         FROM px GROUP BY id, f ORDER BY media_id, frame_idx""",
     "mm03_image_roundtrip" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),

@@ -1246,6 +1246,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("gif frames: multi-frame round trip is pixel-exact, cap bounds") {
+    import graft.ops.Codecs
+    val w = 6; val h = 4
+    val frames = (0 until 5).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 3 + f * 50) % 200).toByte))
+    val enc = Codecs.encodeGifFrames(w, h, frames)
+    val dec = Codecs.decodeGifFrames(enc).get
+    assert(dec.size == 5)
+    dec.zip(frames).foreach { case (p, src) =>
+      assert(p.width == w && p.height == h)
+      assert(p.rgb.toSeq == src.toSeq, "frame must round-trip exactly")
+    }
+    // maxFrames stops the decode early with exactly that many frames
+    assert(Codecs.decodeGifFrames(enc, maxFrames = 2).get.size == 2)
+    // single-frame compat: decodeGif of an animation is frame 0
+    assert(Codecs.decodeGif(enc).get.rgb.toSeq == frames.head.toSeq)
+    // truncated mid-stream: None, never a partial frame set lie
+    assert(Codecs.decodeGifFrames(java.util.Arrays.copyOf(enc,
+      enc.length - 2), maxFrames = 10).isEmpty)
+  }
+
+  test("decodeFrameStats: stride sampling on decoded frames") {
+    import graft.ops.{Codecs, Multimodal}
+    val w = 4; val h = 4
+    val frames = (0 until 6).map(f =>
+      Array.fill[Byte](w * h * 3)((f * 10).toByte))
+    val media = Seq((7L, Codecs.encodeGifFrames(w, h, frames)))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.decodeFrameStats(media, stride = 2, maxFrames = 2)
+      .collect().map(r => (r.getAs[Int]("frame_idx"),
+        r.getAs[Long]("r_sum"))).toMap
+    // frames 0 and 2 sampled (stride 2, cap 2); frame 4 cut by the cap
+    assert(got == Map(0 -> 0L, 2 -> (20L * w * h)))
+    // corrupt payload → one counted (-1) row
+    val bad = Multimodal.decodeFrameStats(
+      Seq((9L, Array.fill[Byte](30)(3))).toDF("media_id", "bytes"),
+      stride = 1, maxFrames = 4).collect()
+    assert(bad.length == 1 && bad(0).getAs[Int]("width") == -1)
+  }
+
   test("jpeg: DC-exact round trip on block-constant gray, even values") {
     import graft.ops.Codecs
     // constant 8×8 tiles, even values, quality 50 (qDC = 16): every

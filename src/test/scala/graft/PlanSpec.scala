@@ -205,6 +205,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-6 operators keep their scale shapes") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // d14 prefix set-join: candidate generation is an equi-join on the
+    // prefix token — never an all-pairs fallback; the df-order join
+    // broadcasts the vocabulary-sized frequency table
+    val d14 = plan("d14_setjoin_prefix")
+    assert(d14.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      d14.collect { case j: CartesianProductExec => j }.isEmpty,
+      "d14 fell back to an all-pairs join")
+    assert(d14.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "d14 lost its broadcast df join")
+    // t22 retrieval: per-query top-k is the bounded TopKAgg heap, not
+    // a per-query window; the vocabulary prune is a broadcast semi-join
+    val t22 = plan("t22_bm25_retrieval")
+    assert(t22.collect { case w: WindowExec => w }.isEmpty,
+      "t22 plans a per-query WindowExec")
+    assert(t22.collect { case b: BroadcastHashJoinExec
+        if b.joinType.toString == "LeftSemi" => b }.nonEmpty,
+      "t22 vocabulary prune is not a broadcast semi-join")
+    // g05 PPR: same no-window/no-cartesian contract as g02
+    val g05 = plan("g05_ppr")
+    assert(g05.collect { case w: WindowExec => w }.isEmpty &&
+      g05.collect { case j: CartesianProductExec => j }.isEmpty,
+      "g05 lost the fixed-point join shape")
+    // sm11 A-ES: global top-k must be TakeOrdered (per-partition heaps),
+    // never a global Sort + Limit
+    val sm11 = plan("sm11_weighted_sample")
+    assert(sm11.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "sm11 weighted sample lost TakeOrderedAndProject")
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
