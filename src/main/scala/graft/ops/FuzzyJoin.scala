@@ -51,4 +51,47 @@ object FuzzyJoin {
       .withColumn("dist",
         levenshtein(col("term"), col("corrected")).cast("long"))
   }
+
+  /** ENTITY RESOLUTION: cluster near-identical name strings into
+    * canonical entities — the record-linkage pass that deduplicates
+    * "Acme Corp" / "Acme Corp." / "cme Corp" rows before any
+    * entity-keyed aggregation. Classic blocked shape:
+    *
+    *  1. block on the lowercased name's last `blockChars` characters
+    *     (typo noise concentrates at word starts — OCR drops, case,
+    *     honorifics — so a SUFFIX key survives the mutations a prefix
+    *     key would split; pair cost is Σ blockSize², bounded by the
+    *     key's selectivity, never n²);
+    *  2. verify candidates with the exact predicate (length delta
+    *     pre-filter, then `levenshtein ≤ maxDist` — the pre-filter is
+    *     a necessary condition, so it only prunes);
+    *  3. transitive closure over match pairs
+    *     ([[Dedup.connectedComponents]] min-label fixpoint) — A~B and
+    *     B~C bind A,C to one entity even at distance 2·maxDist, the
+    *     semantics record linkage wants;
+    *  4. every input row maps to `entity_id` = min id of its
+    *     component; unmatched rows map to themselves (total mapping).
+    *
+    * Output: (id, name, entity_id). Every stage is engine-portable
+    * (levenshtein is exact integer), so the d15 oracle replays
+    * blocking, verification, AND the closure in DuckDB.
+    */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+                      blockChars: Int = 8, maxDist: Int = 2): DataFrame = {
+    require(blockChars >= 1 && maxDist >= 1, "blockChars and maxDist >= 1")
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      lower(col(nameCol)).cast("string").as("name"))
+    val keyed = rows.withColumn("bk",
+      expr(s"right(name, $blockChars)"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id") &&
+          abs(length(col("a.name")) - length(col("b.name"))) <= maxDist &&
+          levenshtein(col("a.name"), col("b.name")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id"), col("component"))
+    rows.join(comps, Seq("id"), "left")
+      .select(col("id"), col("name"),
+        coalesce(col("component"), col("id")).as("entity_id"))
+  }
 }

@@ -87,6 +87,27 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Entity resolution: 3-token "entity names" plus first-char-dropped
+    // noisy twins resolve to canonical entities via suffix blocking +
+    // levenshtein verify + transitive closure — every noisy twin must
+    // land in its original's entity, and the whole pipeline (blocking,
+    // edit distance, min-label closure, total mapping) replays in
+    // DuckDB. Output = per-entity size and member checksum.
+    "d15_entity_resolution" -> ((s, d) => {
+      val base = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"),
+            1, 3), " ").as("name"))
+      val noisy = base.select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(name, 2)").as("name"))
+      graft.ops.FuzzyJoin.resolveEntities(base.union(noisy),
+        "doc_id", "name", blockChars = 8, maxDist = 2)
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("id_checksum"))
+        .orderBy(col("entity_id"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -724,6 +745,34 @@ object DedupQueries extends QuerySet {
                    FROM j WHERE jaccard >= 0.5)
           SELECT batch_id, corpus_id, jaccard FROM best WHERE rn = 1
           ORDER BY batch_id""",
+    "d15_entity_resolution" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id,
+                    list_aggregate(
+                      string_split_regex(trim(lower(text)), '\s+')[1:3],
+                      'string_agg', ' ') AS name
+                  FROM documents WHERE doc_id < 300),
+         ar AS (SELECT doc_id AS id, name FROM base
+                UNION ALL
+                SELECT doc_id + 1000000, substr(name, 2) FROM base),
+         k AS (SELECT id, name, right(name, 8) AS bk FROM ar),
+         pairs AS (SELECT a.id AS pa, b.id AS pb
+                   FROM k a JOIN k b ON a.bk = b.bk AND a.id < b.id
+                     AND abs(len(a.name) - len(b.name)) <= 2
+                     AND levenshtein(a.name, b.name) <= 2),
+         edges AS (SELECT pa AS a, pb AS b FROM pairs
+                   UNION SELECT pb, pa FROM pairs),
+         reach(id, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+         comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         mapped AS (SELECT ar.id,
+                      COALESCE(comp.component, ar.id) AS entity_id
+                    FROM ar LEFT JOIN comp ON ar.id = comp.id)
+         SELECT entity_id, COUNT(*) AS n_members,
+                CAST(SUM(id) AS BIGINT) AS id_checksum
+         FROM mapped GROUP BY entity_id ORDER BY entity_id""",
     "d14_setjoin_prefix" ->
       s"""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 400

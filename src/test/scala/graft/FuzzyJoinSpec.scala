@@ -31,6 +31,30 @@ class FuzzyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.toSeq == Seq(("abc~", "abcd", 1L)), got.mkString(","))
   }
 
+  test("resolveEntities: transitive closure, total mapping, min-id canon") {
+    // head-noise variants share the SUFFIX block and resolve; a
+    // trailing-char edit (11) changes the suffix key and deliberately
+    // stays out — the documented trade-off of suffix blocking (head
+    // noise is the common case); "zenith labs" is a singleton; case
+    // folds before matching; transitivity: 13 is dist 1 from 12 but
+    // dist 3 from 10, bound only through the chain
+    val rows = Seq(
+      (10L, "Acme Corporation"),
+      (11L, "acme corporatio"),   // trailing drop → different block
+      (12L, "me corporation"),    // leading drop: dist 2 to 10
+      (13L, "e corporation"),     // dist 1 to 12, dist 3 to 10 (chain)
+      (30L, "zenith labs")
+    ).toDF("rid", "nm")
+    val got = FuzzyJoin.resolveEntities(rows, "rid", "nm",
+      blockChars = 6, maxDist = 2)
+      .select($"id", $"entity_id").as[(Long, Long)].collect().toMap
+    assert(got(10L) == 10L && got(12L) == 10L && got(13L) == 10L,
+      s"closure must bind the chain incl. dist-3 ends: $got")
+    assert(got(11L) == 11L, "suffix blocking skips trailing edits")
+    assert(got(30L) == 30L, "singleton maps to itself")
+    assert(got.size == 5, "mapping is total")
+  }
+
   test("vocabulary side broadcasts (hash join, not nested loop)") {
     val terms = Seq("joi~", "scat").toDF("t")
     val df = FuzzyJoin.corrections(terms, "t", vocab, "w", maxDist = 1)
