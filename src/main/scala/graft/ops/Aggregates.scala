@@ -552,6 +552,38 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Quantile read-out from a (grp, bucket, c) equal-width histogram:
+    * for each q in `qs` (percent), the FIRST bucket whose cumulative
+    * count reaches ceil(q·N/100) — the integer first-rank rule (w07
+    * discipline, no interpolation), stated as `cum·100 ≥ N·q` so both
+    * engines compare integers. The histogram is sketch-sized (buckets
+    * × groups, never data-sized), so the cumulative triangle join is
+    * O(nb²) per group on a tiny frame — the batch-side collapse of
+    * the st13 STREAMING histogram, whose state stays bounded no
+    * matter how many events flow.
+    */
+  def histogramQuantiles(hist: DataFrame, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 100),
+      "quantiles are integer percents in [1, 100]")
+    // rename-based self-joins: a memory-sink view read three times
+    // carries identical attribute ids, so alias-qualified columns
+    // ("a.grp") fail to resolve — renamed columns cannot collide
+    val tot = hist.groupBy(col("grp").as("gt")).agg(sum(col("c")).as("n"))
+    val lhs = hist.select(col("grp"), col("bucket"))
+    val rhs = hist.select(col("grp").as("g2"), col("bucket").as("b2"),
+      col("c").as("c2"))
+    val cum = lhs.join(rhs,
+        col("grp") === col("g2") && col("b2") <= col("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("c2")).as("cum"))
+    val joined = cum.join(broadcast(tot), col("grp") === col("gt"))
+    qs.map { q =>
+      joined.filter(col("cum") * 100 >= col("n") * q)
+        .groupBy(col("grp")).agg(min(col("bucket")).as("bucket"))
+        .withColumn("q", lit(q))
+    }.reduce(_ unionByName _).select(col("grp"), col("q"), col("bucket"))
+  }
+
   /** Per-group z-score column WITHOUT a window: one grouped pass
     * collects exact decimal moment sums (count, Σx, Σx²), the tiny
     * per-group frame broadcasts back onto the rows, and the z column is

@@ -427,6 +427,30 @@ object SourceQueries extends QuerySet {
         Tables.events(s, d), "user_id")
     }),
 
+    // Streaming quantiles at constant state (§2.6 × a26): an
+    // equal-width histogram of the value column maintained IN the
+    // stream — state is ≤ 64 buckets per event type regardless of
+    // event count (exact streaming quantiles = unbounded state; the
+    // histogram is the classic bounded answer). The p50/p90/p99
+    // collapse runs batch-side on the sketch via the integer
+    // first-rank rule; DuckDB replays histogram AND rule bit-exactly.
+    "st13_stream_histogram" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st13_hist_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          least(greatest(floor(col("value") / 25).cast("int"), lit(0)),
+            lit(63)).as("bucket"))
+        .groupBy(col("grp"), col("bucket")).agg(count(lit(1)).as("c"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Aggregates.histogramQuantiles(s.table(qn), Seq(50, 90, 99))
+        .orderBy(col("grp"), col("q"))
+    }),
+
     // ORC round-trip: write the orders subset as ORC (Spark's second
     // built-in columnar format — its own predicate-pushdown and
     // encoding path), read it back, aggregate. The oracle states the
@@ -753,6 +777,25 @@ object SourceQueries extends QuerySet {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "st13_stream_histogram" ->
+      """WITH h AS (SELECT event_type AS grp,
+                      LEAST(GREATEST(CAST(floor(value / 25) AS INT), 0),
+                            63) AS bucket,
+                      COUNT(*) AS c
+                    FROM events WHERE value IS NOT NULL
+                    GROUP BY 1, 2),
+         t AS (SELECT grp, SUM(c) AS n FROM h GROUP BY grp),
+         cum AS (SELECT a.grp, a.bucket, SUM(b.c) AS cum
+                 FROM h a JOIN h b
+                   ON a.grp = b.grp AND b.bucket <= a.bucket
+                 GROUP BY a.grp, a.bucket),
+         j AS (SELECT cum.grp, cum.bucket, cum.cum, t.n
+               FROM cum JOIN t ON cum.grp = t.grp),
+         qs AS (SELECT unnest([50, 90, 99]) AS q)
+         SELECT grp, q, MIN(bucket) AS bucket
+         FROM j CROSS JOIN qs
+         WHERE cum * 100 >= n * q
+         GROUP BY grp, q ORDER BY grp, q""",
     "st12_stream_heavy_hitters" ->
       """WITH rws AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
                       WHERE user_id IS NOT NULL),

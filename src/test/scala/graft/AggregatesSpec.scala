@@ -16,6 +16,20 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("histogramQuantiles: integer first-rank rule on a hand histogram") {
+    import graft.ops.Aggregates
+    // grp a: buckets 0×5, 3×4, 9×1 (N=10): p50→0 (cum 5 ≥ 5),
+    // p90→3 (cum 9 ≥ 9), p99→9; grp z: single bucket 7 for all qs
+    val hist = Seq(
+      ("a", 0, 5L), ("a", 3, 4L), ("a", 9, 1L), ("z", 7, 2L)
+    ).toDF("grp", "bucket", "c")
+    val got = Aggregates.histogramQuantiles(hist, Seq(50, 90, 99))
+      .as[(String, Int, Int)].collect()
+      .map { case (g, q, b) => (g, q) -> b }.toMap
+    assert(got == Map(("a", 50) -> 0, ("a", 90) -> 3, ("a", 99) -> 9,
+      ("z", 50) -> 7, ("z", 90) -> 7, ("z", 99) -> 7))
+  }
+
   test("confusion counts tn/fp/fn/tp") {
     val r = Aggregates.confusionCounts(scored, "label", "pred").collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
