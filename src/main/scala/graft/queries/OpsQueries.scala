@@ -192,6 +192,23 @@ object OpsQueries extends QuerySet {
         .agg(count(lit(1)).as("n"), dsum(col("parsed")).as("sum_parsed"))
         .orderBy(col("event_type"))),
 
+    // Smoothed + leave-one-out target encoding (Micci-Barreca): the
+    // supervised categorical feature the reference's alphabetical
+    // label-encode can't provide. te is constant per category and loo
+    // takes at most two values (binary label), so the DISTINCT frame
+    // is category-sized and every double is division of exact integer
+    // sums — engine-identical.
+    "f19_target_encoding" -> ((s, d) => {
+      val df = Tables.events(s, d).select(col("event_type"),
+        // when/otherwise, not a bare cast: a null value must land in
+        // the ELSE 0 branch exactly like the oracle's CASE
+        when(col("value") > 50.0, 1).otherwise(0).as("y"))
+      graft.ops.Encodings.targetEncode(df, "event_type", "y", m = 20)
+        .select(col("event_type"), col("y"), col("te"), col("loo"))
+        .distinct()
+        .orderBy(col("event_type"), col("y"))
+    }),
+
     // F17: formatted string-ID synthesis.
     "f17_id_synthesis" -> ((s, d) =>
       Tables.customer(s, d)
@@ -444,6 +461,23 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "f19_target_encoding" ->
+      """WITH r AS (SELECT event_type,
+                      CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y
+                    FROM events),
+         s AS (SELECT event_type, COUNT(*) AS n_c, SUM(y) AS sum_c
+               FROM r GROUP BY event_type),
+         g AS (SELECT COUNT(*) AS n, SUM(y) AS sm FROM r)
+         SELECT DISTINCT r.event_type, r.y,
+                (CAST(s.sum_c AS DOUBLE)
+                 + 20.0 * (CAST(g.sm AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                  / (CAST(s.n_c AS DOUBLE) + 20.0) AS te,
+                CASE WHEN s.n_c > 1
+                     THEN CAST(s.sum_c - r.y AS DOUBLE)
+                          / CAST(s.n_c - 1 AS DOUBLE) END AS loo
+         FROM r JOIN s ON r.event_type IS NOT DISTINCT FROM s.event_type
+         CROSS JOIN g
+         ORDER BY r.event_type, y""",
     "f15_try_cast" ->
       s"""SELECT event_type, COUNT(*) AS n, ${sqlSum("parsed")} AS sum_parsed
           FROM (SELECT event_type,

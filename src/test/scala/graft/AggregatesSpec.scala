@@ -16,6 +16,22 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("targetEncode: smoothed + leave-one-out by hand") {
+    import graft.ops.Encodings
+    // cat a: y=[1,1,0] (n=3, Σ=2); cat b: y=[0] singleton. μ=2/4, m=2:
+    //   te(a) = (2 + 2·0.5)/(3+2) = 0.6; te(b) = (0+1)/3
+    //   loo(a, y=1) = (2−1)/2 = 0.5; loo(a, y=0) = 2/2 = 1.0; loo(b) null
+    val df = Seq(("a", 1), ("a", 1), ("a", 0), ("b", 0)).toDF("cat", "y")
+    val got = Encodings.targetEncode(df, "cat", "y", m = 2)
+      .select($"cat", $"y", $"te", $"loo").distinct()
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got(("a", 1)) == ((0.6, Some(0.5))))
+    assert(got(("a", 0)) == ((0.6, Some(1.0))))
+    assert(got(("b", 0))._1 == 1.0 / 3 && got(("b", 0))._2.isEmpty)
+  }
+
   test("histogramQuantiles: integer first-rank rule on a hand histogram") {
     import graft.ops.Aggregates
     // grp a: buckets 0×5, 3×4, 9×1 (N=10): p50→0 (cum 5 ≥ 5),
