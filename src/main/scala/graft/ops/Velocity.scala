@@ -54,4 +54,48 @@ object Velocity {
     */
   def burst(velNCol: String, threshold: Long): Column =
     col(velNCol) >= threshold
+
+  /** Per-entity EWMA of the value stream — the adaptive spending
+    * baseline an anomaly rule compares against (where [[trailing]]
+    * counts a hard window, the exponential average never forgets
+    * entirely and needs no window bookkeeping: one number per key).
+    *
+    * EWMA is sequential by nature (the fold is not associative), so
+    * it evaluates as ONE per-key fold over the key's time-ordered
+    * value array — a doc-bounded collect per entity (bounded by the
+    * entity's event count, this module's per-entity contract), never
+    * a global sort. The first value seeds the average (matching
+    * DuckDB's seedless `list_reduce`), then
+    * `ewma' = (1-α)·ewma + α·v` in event-time order, ties broken by
+    * the id column so the order is total.
+    *
+    * α must be the dyadic rational aNum/aDen with aDen a power of
+    * two (default 1/8): both α and 1-α are then EXACT doubles, and
+    * the fold — same multiplies, same adds, same order — is
+    * bit-identical across engines with no rounding step at all (the
+    * n10 covariance precedent: engine-exact floats, NO tolerance).
+    *
+    * Output: (key, n_events, ewma).
+    */
+  def ewmaFinal(df: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, valueCol: String,
+                aNum: Int = 1, aDen: Int = 8): DataFrame = {
+    require(aNum > 0 && aDen > 0 && aNum < aDen,
+      s"alpha must be a rational in (0,1): got $aNum/$aDen")
+    require((aDen & (aDen - 1)) == 0,
+      s"aDen must be a power of two so alpha is an exact double: $aDen")
+    val alpha = aNum.toDouble / aDen
+    val beta = 1.0 - alpha
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(idCol).as("i"), col(valueCol).cast("double").as("v")))),
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x.getField("v"))
+            .otherwise(acc * beta + lit(alpha) * x.getField("v")))
+          .as("ewma"))
+  }
 }

@@ -355,6 +355,33 @@ object SourceQueries extends QuerySet {
     // batch RANGE-frame oracle; cross-batch incrementality and tie
     // semantics are StreamSpec-gated with controlled MemoryStream
     // batches.
+    // Streaming EWMA baseline (§2.6 × w11): the per-entity adaptive
+    // average maintained in the stream — state is TWO numbers per
+    // entity, each batch continues the bit-exact dyadic-α fold, and
+    // the last emission per entity must equal the batch w11 fold
+    // exactly (same oracle SQL).
+    "st14_stream_ewma" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st14_ewma_sink"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamVelocity.ewmaStates(
+            src, "user_id", "ts_us", "event_id", "value")
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("user").as("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          max_by(col("ewma"), col("n")).as("ewma"))
+        .orderBy(col("user_id"))
+    }),
+
     "st10_stream_velocity" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "st10_velocity_sink"
@@ -760,6 +787,16 @@ object SourceQueries extends QuerySet {
                 CAST(MAX(n) AS BIGINT) AS max_events,
                 COUNT(DISTINCT user_id) AS n_users
          FROM g""",
+    "st14_stream_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_id IS NOT NULL AND value IS NOT NULL)
+         SELECT user_id, COUNT(*) AS n_events,
+                list_reduce(
+                  list(value ORDER BY t, event_id),
+                  (acc, x) -> acc * 0.875 + 0.125 * x) AS ewma
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "st10_stream_velocity" ->
       """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t
                     FROM events),

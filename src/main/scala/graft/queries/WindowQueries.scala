@@ -74,6 +74,18 @@ object WindowQueries extends QuerySet {
     // value sum in a RANGE frame) — the transaction-burst fraud signal.
     // One key exchange + per-key local sort; frame state is bounded by
     // per-entity rate × window span, never corpus size.
+    // Per-user EWMA spending baseline (α = 1/8 — dyadic, so the fold
+    // constants are exact doubles and the sequential fold is
+    // bit-identical cross-engine with NO rounding): one doc-bounded
+    // per-key fold in event-time order, ties broken by event_id.
+    "w11_ewma_baseline" -> ((s, d) =>
+      graft.ops.Velocity.ewmaFinal(
+        Tables.eventsMicros(s, d).select(col("user_id"),
+          col("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", aNum = 1, aDen = 8)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))),
+
     "w09_velocity" -> ((s, d) => {
       val ev = Tables.eventsMicros(s, d)
         .select(col("event_type"), col("user_id"),
@@ -160,6 +172,16 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w11_ewma_baseline" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_id IS NOT NULL AND value IS NOT NULL)
+         SELECT user_id, COUNT(*) AS n_events,
+                list_reduce(
+                  list(value ORDER BY t, event_id),
+                  (acc, x) -> acc * 0.875 + 0.125 * x) AS ewma
+         FROM e GROUP BY user_id ORDER BY user_id""",
     "w09_velocity" ->
       """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t,
                            CAST(value AS DECIMAL(18,2)) AS v FROM events),

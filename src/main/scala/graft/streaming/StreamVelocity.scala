@@ -43,6 +43,58 @@ object StreamVelocity {
   case class VelRow(user: Long, ts: Long, tag: String, velN: Int)
   case class VelState(times: Seq[Long])
 
+  case class EwmaEvent(user: Long, ts: Long, id: Long, v: Double)
+  case class EwmaRow(user: Long, n: Long, ewma: Double)
+  case class EwmaState(n: Long, ewma: Double)
+
+  /** Streaming per-entity EWMA baseline — `ops/Velocity.ewmaFinal`
+    * maintained IN the stream: state per entity is TWO numbers (count
+    * + current average), the minimal adaptive baseline a serving-time
+    * anomaly rule reads. Each micro-batch folds its rows in event-time
+    * order (ties by id — the batch op's total order) continuing from
+    * the carried state, so the arithmetic sequence is IDENTICAL to the
+    * batch fold and the final state is bit-equal (the dyadic-α
+    * contract; same cross-batch ordered-arrival stance as
+    * [[trailingCounts]]). One row per entity per batch carries the
+    * post-batch state; the LAST emission per entity (max n) is the
+    * final answer.
+    */
+  def ewmaStates(events: DataFrame, userCol: String, tsCol: String,
+                 idCol: String, valueCol: String,
+                 aNum: Int = 1, aDen: Int = 8): Dataset[EwmaRow] = {
+    require(aNum > 0 && aDen > 0 && aNum < aDen && (aDen & (aDen - 1)) == 0,
+      s"alpha must be dyadic in (0,1): got $aNum/$aDen")
+    val alpha = aNum.toDouble / aDen
+    val beta = 1.0 - alpha
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[EwmaEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EwmaEvent],
+         state: GroupState[EwmaState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+          var (n, e) = state.getOption
+            .map(s0 => (s0.n, s0.ewma)).getOrElse((0L, 0.0))
+          var i = 0
+          while (i < sorted.length) {
+            e = if (n == 0L) sorted(i).v else e * beta + alpha * sorted(i).v
+            n += 1
+            i += 1
+          }
+          state.update(EwmaState(n, e))
+          if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e))
+          else Iterator.empty
+      }
+  }
+
   /** Per-event trailing-window count (including the event itself and
     * its same-instant peers) over `(t − windowMicros, t]` — the same
     * inclusive bound as the batch `RANGE windowMicros−1 PRECEDING`

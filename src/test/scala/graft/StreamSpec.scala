@@ -81,6 +81,37 @@ class StreamSpec extends SparkSpec {
       r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact")))
   }
 
+  test("streaming EWMA continues the fold across batches ≡ batch, bit-exact") {
+    import graft.ops.Velocity
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(Long, Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user", "ts", "id", "v")
+    val q = StreamVelocity.ewmaStates(df, "user", "ts", "id", "v", 1, 4)
+      .toDF.writeStream.format("memory").queryName("ewma_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10L, 1L, 8.0), (1L, 20L, 2L, 16.0),
+        (2L, 5L, 3L, 1.0))
+      q.processAllAvailable()
+      stream.addData((1L, 30L, 4L, 24.0)) // per-key nondecreasing ts
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewma_sink").groupBy($"user")
+      .agg(max($"n").as("n"), max_by($"ewma", $"n").as("e"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val batch = Velocity.ewmaFinal(
+      Seq((1L, 10L, 1L, 8.0), (1L, 20L, 2L, 16.0), (1L, 30L, 4L, 24.0),
+        (2L, 5L, 3L, 1.0)).toDF("k", "t", "i", "v"),
+      "k", "t", "i", "v", 1, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    // == on the doubles deliberately: the fold sequence is identical,
+    // so the state crossing the batch boundary must be bit-equal
+    assert(streamed == batch)
+    assert(streamed(1L) == ((3L, 13.5)))
+  }
+
   test("wire codec round trip + corrupt payload → dead letter") {
     val df = TransactionGen.batch(spark, 50, seed = 1)
     val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))

@@ -35,6 +35,31 @@ class VelocitySpec extends SparkSpec {
     assert(out(1L) == ((2L, Some(2.0))))
   }
 
+  test("ewmaFinal: hand fold, tie order, key isolation, null drop") {
+    import graft.ops.Velocity
+    // key a, ts order [8, 16, 24] with α=1/4: 8 → 8·.75+16·.25=10 →
+    // 10·.75+24·.25=13.5; key b single value seeds itself; ts tie at
+    // t=5 resolved by id (id 1 before id 2); null value rows drop
+    val df = Seq(
+      (1L, 10L, 1L, 8.0), (1L, 20L, 2L, 16.0), (1L, 30L, 3L, 24.0),
+      (2L, 10L, 4L, 42.0),
+      (3L, 5L, 1L, 0.0), (3L, 5L, 2L, 8.0)
+    ).toDF("k", "t", "i", "v")
+      .union(Seq((4L, Option(1L), Option(5L), Option.empty[Double]))
+        .toDF("k", "t", "i", "v"))
+    val got = Velocity.ewmaFinal(df, "k", "t", "i", "v", 1, 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((3L, 13.5)))
+    assert(got(2L) == ((1L, 42.0)))
+    assert(got(3L) == ((2L, 0.0 * 0.75 + 0.25 * 8.0))) // tie: id 1 first
+    assert(!got.contains(4L), "all-null-value key drops entirely")
+    // non-dyadic alpha denominator rejected (exactness contract)
+    intercept[IllegalArgumentException] {
+      Velocity.ewmaFinal(df, "k", "t", "i", "v", 1, 10)
+    }
+  }
+
   test("burst flags at-or-above the threshold") {
     val df = Seq((1L, 0L, 1.0), (1L, 1L, 1.0), (1L, 2L, 1.0)).toDF("u", "t", "v")
     val flagged = Velocity.trailing(df, "u", "t", "v", H)
