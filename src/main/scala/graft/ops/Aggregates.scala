@@ -552,6 +552,43 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Benford's-law first-digit profile per group — the forensic
+    * accounting screen (fabricated amounts over-sample mid digits;
+    * organic multiplicative processes follow P(d) = log10(1 + 1/d)).
+    * Returns per (grp, digit): observed count, expected count, and the
+    * digit's χ² contribution (obs − exp)²/exp.
+    *
+    * Digit extraction is STRING-based on integer cents — `log10` on
+    * the raw double would mis-floor at power-of-ten boundaries
+    * (log10(100.0) can evaluate fractionally below 2), while the first
+    * character of a BIGINT's decimal rendering is exact in every
+    * engine. The only transcendental is the 9-constant expected-share
+    * table, identical in both engines' ln; χ² contributions round 6dp.
+    * One grouped count over (grp, digit) — scan-local digit compute,
+    * 9 rows per group out.
+    */
+  def benfordProfile(df: DataFrame, valueCol: String,
+                     groupCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol).as("grp"), digit.as("digit"))
+      .groupBy(col("grp"), col("digit"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = counts.groupBy(col("grp").as("gt")).agg(sum(col("obs")).as("n"))
+    counts.join(broadcast(tot), col("grp") === col("gt"))
+      .withColumn("expected",
+        col("n").cast("double")
+          * (log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            / log(lit(10.0))))
+      .select(col("grp"), col("digit"), col("obs"),
+        round(col("expected"), 6).as("expected"),
+        round((col("obs").cast("double") - col("expected"))
+          * (col("obs").cast("double") - col("expected"))
+          / col("expected"), 6).as("chi2_part"))
+  }
+
   /** Quantile read-out from a (grp, bucket, c) equal-width histogram:
     * for each q in `qs` (percent), the FIRST bucket whose cumulative
     * count reaches ceil(q·N/100) — the integer first-rank rule (w07

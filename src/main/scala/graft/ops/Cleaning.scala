@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Projection / filter / cleaning operators — SURVEY §2.2 P1-P10.
@@ -69,4 +69,25 @@ object Cleaning {
     */
   def missingColumns(df: DataFrame, required: Seq[String]): Seq[String] =
     required.filterNot(df.columns.contains)
+
+  /** Luhn checksum validity of a digit-string column — the mod-10
+    * check every card-number field passes before a fraud pipeline
+    * trusts it (ISO/IEC 7812; a single mistyped digit or adjacent
+    * transposition fails it). Pure integer column arithmetic —
+    * walking from the RIGHT, every second digit doubles (minus 9 when
+    * > 9) and the total must divide by 10 — as one scan-local
+    * `aggregate` HOF: no UDF, engine-exact, and the f21 oracle
+    * restates the identical fold in DuckDB.
+    */
+  def luhnValid(digitsCol: String): Column = expr(
+    s"""aggregate(
+          sequence(1, length($digitsCol)),
+          0,
+          (acc, i) -> acc + CASE
+            WHEN (length($digitsCol) - i) % 2 = 1 THEN
+              IF(CAST(substr($digitsCol, i, 1) AS INT) * 2 > 9,
+                 CAST(substr($digitsCol, i, 1) AS INT) * 2 - 9,
+                 CAST(substr($digitsCol, i, 1) AS INT) * 2)
+            ELSE CAST(substr($digitsCol, i, 1) AS INT) END
+        ) % 10 = 0""")
 }

@@ -209,6 +209,31 @@ object OpsQueries extends QuerySet {
         .orderBy(col("event_type"), col("y"))
     }),
 
+    // Benford's-law first-digit screen per event type (forensic
+    // accounting): string-extracted first digits of integer cents, the
+    // 9-constant log10 expected table, per-digit chi-square
+    // contributions rounded 6dp.
+    "a29_benford" -> ((s, d) =>
+      graft.ops.Aggregates.benfordProfile(
+        Tables.events(s, d), "value", "event_type")
+        .orderBy(col("grp"), col("digit"))),
+
+    // Luhn mod-10 card-number validation as a pure integer column
+    // fold: synthetic 12-digit PANs from event ids, per-type validity
+    // counts (~10% pass by construction).
+    "f21_luhn" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("pan",
+          lpad(((col("event_id") * 7919) % 1000000000000L).cast("string"),
+            12, "0"))
+        .withColumn("ok", graft.ops.Cleaning.luhnValid("pan"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("ok"), col("event_id"))).cast("long")
+            .as("valid_id_sum"))
+        .orderBy(col("event_type"))),
+
     // F17: formatted string-ID synthesis.
     "f17_id_synthesis" -> ((s, d) =>
       Tables.customer(s, d)
@@ -461,6 +486,53 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "a29_benford" ->
+      """WITH c AS (SELECT event_type AS grp,
+                      CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INT) AS digit
+                    FROM events WHERE value IS NOT NULL AND value > 0),
+         o AS (SELECT grp, digit, COUNT(*) AS obs FROM c GROUP BY 1, 2),
+         t AS (SELECT grp, SUM(obs) AS n FROM o GROUP BY grp)
+         SELECT o.grp, o.digit, o.obs,
+                round(CAST(t.n AS DOUBLE)
+                      * (ln(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                         / ln(10.0)), 6) AS expected,
+                round((CAST(o.obs AS DOUBLE)
+                       - CAST(t.n AS DOUBLE)
+                         * (ln(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                            / ln(10.0)))
+                      * (CAST(o.obs AS DOUBLE)
+                         - CAST(t.n AS DOUBLE)
+                           * (ln(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                              / ln(10.0)))
+                      / (CAST(t.n AS DOUBLE)
+                         * (ln(1.0 + 1.0 / CAST(o.digit AS DOUBLE))
+                            / ln(10.0))), 6) AS chi2_part
+         FROM o JOIN t ON o.grp = t.grp
+         ORDER BY o.grp, o.digit""",
+    "f21_luhn" ->
+      """WITH p AS (SELECT event_type, event_id,
+                      lpad(CAST((event_id * 7919) % 1000000000000
+                                AS VARCHAR), 12, '0') AS pan
+                    FROM events),
+         v AS (SELECT event_type, event_id,
+                 list_sum(list_transform(range(1, len(pan) + 1), i ->
+                   CASE WHEN (len(pan) - i) % 2 = 1 THEN
+                     CASE WHEN CAST(substr(pan, CAST(i AS INT), 1)
+                                    AS INT) * 2 > 9
+                          THEN CAST(substr(pan, CAST(i AS INT), 1)
+                                    AS INT) * 2 - 9
+                          ELSE CAST(substr(pan, CAST(i AS INT), 1)
+                                    AS INT) * 2 END
+                   ELSE CAST(substr(pan, CAST(i AS INT), 1) AS INT)
+                   END)) % 10 = 0 AS ok
+               FROM p)
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_valid,
+                CAST(SUM(CASE WHEN ok THEN event_id END) AS BIGINT)
+                  AS valid_id_sum
+         FROM v GROUP BY event_type ORDER BY event_type""",
     "f19_target_encoding" ->
       """WITH r AS (SELECT event_type,
                       CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y

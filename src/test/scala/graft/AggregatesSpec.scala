@@ -16,6 +16,38 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("luhnValid: known test vectors") {
+    import graft.ops.Cleaning
+    // 79927398713 is THE textbook valid Luhn string; single-digit edit
+    // and adjacent transposition must both fail; 16-digit Visa test PAN
+    val df = Seq("79927398713", "79927398710", "79927398173",
+      "4539148803436467", "4539148803436468")
+      .toDF("pan")
+    val got = df.withColumn("ok", Cleaning.luhnValid("pan"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("79927398713") && got("4539148803436467"))
+    assert(!got("79927398710") && !got("79927398173")
+      && !got("4539148803436468"))
+  }
+
+  test("benfordProfile: string digit extraction, hand expected values") {
+    import graft.ops.Aggregates
+    // cents strings: 100→"100" d=1, 19.99→"1999" d=1, 2.5→"250" d=2,
+    // 30→"3000" d=3; zero/negative/null rows drop
+    val df = Seq(("g", 1.00), ("g", 19.99), ("g", 2.50), ("g", 30.00),
+      ("g", 0.0), ("g", -5.0)).toDF("grp0", "v")
+      .union(Seq(("g", Option.empty[Double])).toDF("grp0", "v"))
+    val rows = Aggregates.benfordProfile(df, "v", "grp0")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    assert(rows(1)._1 == 2L && rows(2)._1 == 1L && rows(3)._1 == 1L)
+    val exp1 = 4.0 * (math.log(2.0) / math.log(10.0))
+    assert(approx(rows(1)._2, math.rint(exp1 * 1e6) / 1e6, 1e-9))
+    val chi1 = (2.0 - exp1) * (2.0 - exp1) / exp1
+    assert(approx(rows(1)._3, chi1, 1e-5))
+  }
+
   test("targetEncode: smoothed + leave-one-out by hand") {
     import graft.ops.Encodings
     // cat a: y=[1,1,0] (n=3, Σ=2); cat b: y=[0] singleton. μ=2/4, m=2:
