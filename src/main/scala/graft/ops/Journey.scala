@@ -114,4 +114,58 @@ object Journey {
           col("n_entities"), col("sum_lag_us"))
     }.reduce(_ unionByName _)
   }
+
+  /** Great-circle distance (km) between two (lat, lon) degree pairs —
+    * the haversine formula, mean Earth radius 6371 km. Plain column
+    * trig spelled identically in the w12 oracle; transcendental, so
+    * consumers round before comparing output (flags compare raw —
+    * the thresholds sit far from any data point's value).
+    */
+  def haversineKm(lat1: Column, lon1: Column,
+                  lat2: Column, lon2: Column): Column = {
+    val toRad = math.Pi / 180.0
+    val dLat = (lat2 - lat1) * toRad
+    val dLon = (lon2 - lon1) * toRad
+    val a = sin(dLat / 2) * sin(dLat / 2) +
+      cos(lat1 * toRad) * cos(lat2 * toRad) *
+        sin(dLon / 2) * sin(dLon / 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** Impossible-travel detection — the classic card-cloning rule: two
+    * consecutive events for one entity whose implied ground speed
+    * exceeds `maxKmh` (or that teleport: distinct locations at the
+    * same instant). Consecutive = (event-time, id) order within the
+    * entity, one key exchange + per-key lag window (the [[sessionize]]
+    * shape — window state is one row, partitioned by entity, never
+    * global).
+    *
+    * Input needs (entityCol, tsCol µs, idCol, latCol, lonCol).
+    * Output: one row per HOP (2nd..nth event of each entity) with
+    * `km` (haversine), `dt_us`, and `impossible` — flagged when
+    * km > 1 and (dt_us == 0 or speed > maxKmh). The km > 1 floor
+    * keeps same-location replays (km = 0) and sub-kilometer GPS
+    * jitter out of the alert set.
+    */
+  def impossibleTravel(df: DataFrame, entityCol: String, tsCol: String,
+                       idCol: String, latCol: String, lonCol: String,
+                       maxKmh: Double = 800.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val hops = df
+      .withColumn("__plat", lag(col(latCol), 1).over(w))
+      .withColumn("__plon", lag(col(lonCol), 1).over(w))
+      .withColumn("__pts", lag(col(tsCol), 1).over(w))
+      .filter(col("__pts").isNotNull)
+    val km = haversineKm(col("__plat"), col("__plon"),
+      col(latCol), col(lonCol))
+    hops
+      .withColumn("km", km)
+      .withColumn("dt_us", col(tsCol) - col("__pts"))
+      .withColumn("impossible",
+        col("km") > 1.0 && (col("dt_us") === 0L ||
+          col("km") / (col("dt_us").cast("double") / 3.6e9) > maxKmh))
+      .drop("__plat", "__plon", "__pts")
+  }
 }

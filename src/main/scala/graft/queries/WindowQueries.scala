@@ -74,6 +74,30 @@ object WindowQueries extends QuerySet {
     // value sum in a RANGE frame) — the transaction-burst fraud signal.
     // One key exchange + per-key local sort; frame state is bounded by
     // per-entity rate × window span, never corpus size.
+    // Impossible-travel detection (card cloning): consecutive events
+    // per user with implied ground speed > 800 km/h, locations derived
+    // deterministically from the props.k attribute on a half-degree
+    // grid. Haversine spelled identically on both sides; counts are
+    // integers, max distance rounds 6dp.
+    "w12_impossible_travel" -> ((s, d) => {
+      val ev = Tables.eventsMicros(s, d)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+        .withColumn("lat",
+          ((col("k") * 37) % 180 - 90).cast("double") + 0.5)
+        .withColumn("lon",
+          ((col("k") * 53) % 360 - 180).cast("double") + 0.5)
+      graft.ops.Journey.impossibleTravel(ev, "user_id", "ts_us",
+          "event_id", "lat", "lon", maxKmh = 800.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hops"),
+          sum(when(col("impossible"), 1L).otherwise(0L))
+            .as("n_impossible"),
+          round(max(col("km")), 6).as("max_km"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-user EWMA spending baseline (α = 1/8 — dyadic, so the fold
     // constants are exact doubles and the sequential fold is
     // bit-identical cross-engine with NO rounding): one doc-bounded
@@ -172,6 +196,39 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w12_impossible_travel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_us(ts) AS t,
+                      CAST(json_extract(props, '$.k') AS INT) AS k
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND json_extract(props, '$.k') IS NOT NULL),
+         l AS (SELECT *,
+                 CAST((k * 37) % 180 - 90 AS DOUBLE) + 0.5 AS lat,
+                 CAST((k * 53) % 360 - 180 AS DOUBLE) + 0.5 AS lon
+               FROM e),
+         h AS (SELECT event_type, t, lat, lon,
+                 lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                 lag(t) OVER w AS pt
+               FROM l
+               WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+         d AS (SELECT event_type, t - pt AS dt,
+                 2.0 * 6371.0 * asin(sqrt(
+                   sin(((lat - plat) * (pi() / 180.0)) / 2)
+                     * sin(((lat - plat) * (pi() / 180.0)) / 2)
+                   + cos(plat * (pi() / 180.0))
+                     * cos(lat * (pi() / 180.0))
+                     * sin(((lon - plon) * (pi() / 180.0)) / 2)
+                     * sin(((lon - plon) * (pi() / 180.0)) / 2))) AS km
+               FROM h WHERE pt IS NOT NULL)
+         SELECT event_type, COUNT(*) AS n_hops,
+                CAST(SUM(CASE WHEN km > 1.0 AND (dt = 0
+                                OR km / (CAST(dt AS DOUBLE)
+                                         / 3600000000.0) > 800.0)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_impossible,
+                round(MAX(km), 6) AS max_km
+         FROM d GROUP BY event_type ORDER BY event_type""",
     "w11_ewma_baseline" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
                     FROM events

@@ -8,6 +8,31 @@ class JourneySpec extends SparkSpec {
 
   private val DAY = 86400000000L
 
+  test("impossibleTravel: hand haversine, speed rule, teleport, jitter") {
+    import graft.ops.Journey
+    val HOUR = 3600000000L
+    val df = Seq(
+      // user 1: (0,0) → (0,90) in 1h = quarter circumference → flagged
+      (1L, 0L, 1L, 0.0, 0.0), (1L, HOUR, 2L, 0.0, 90.0),
+      // user 2: same-spot replay → km 0, never flagged
+      (2L, 0L, 3L, 10.0, 10.0), (2L, HOUR, 4L, 10.0, 10.0),
+      // user 3: distinct locations at the same instant → teleport flag
+      (3L, 0L, 5L, 0.0, 0.0), (3L, 0L, 6L, 50.0, 50.0),
+      // user 4: ~111 m GPS jitter in 1 s → under the 1 km floor
+      (4L, 0L, 7L, 0.0, 0.0), (4L, 1000000L, 8L, 0.0, 0.001)
+    ).toDF("u", "t", "i", "lat", "lon")
+    val got = Journey.impossibleTravel(df, "u", "t", "i", "lat", "lon")
+      .collect().map { r =>
+        r.getLong(0) -> (r.getAs[Double]("km"),
+          r.getAs[Boolean]("impossible"))
+      }.toMap
+    assert(got.size == 4, "one hop per 2-event user")
+    assert(approx(got(1L)._1, 6371.0 * math.Pi / 2, 1e-6) && got(1L)._2)
+    assert(got(2L)._1 == 0.0 && !got(2L)._2)
+    assert(got(3L)._2, "zero-dt teleport must flag")
+    assert(got(4L)._1 < 1.0 && !got(4L)._2)
+  }
+
   test("cohortRetention: hand-computed matrix, boundary lands in the later bucket") {
     // u1 first touch day 0, active days 0 and 2; u2 first touch day 1,
     // active day 1 twice (dedup to one) and day 2; u3 exactly at the
