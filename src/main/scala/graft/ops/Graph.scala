@@ -235,6 +235,41 @@ object Graph {
                            dampPct: Int = 85): DataFrame =
     personalizedPageRankCached(edges, seeds, iters, scale, dampPct).df
 
+  /** Common-neighbor link prediction — "which accounts will the ring
+    * connect next": every NON-adjacent pair at distance 2 scored by
+    * shared-neighbor count and neighbor-set Jaccard
+    * (cn / (deg(a) + deg(b) − cn)), top-k by (cn desc, a, b).
+    *
+    * Wedge generation is one middle-node equi-join of the symmetrized
+    * edge list (the g03 wedge shape — fan-out bounded by per-node
+    * degree; the co-attribute builder's super-node cap has already
+    * bounded the hubs), existing edges leave via an anti-join on the
+    * canonical u<v list, degrees attach by two node-keyed joins, and
+    * the top-k is TakeOrdered (per-partition heaps). `edges` must be
+    * canonical (u < v) as [[coAttributeEdges]] emits. All integers
+    * plus one exact division — the g06 oracle replays every stage.
+    */
+  def linkPrediction(edges: DataFrame, k: Int = 20): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sym = symmetrize(edges)
+    val s1 = sym.select(col("u").as("m"), col("v").as("a"))
+    val s2 = sym.select(col("u").as("m2"), col("v").as("b"))
+    val cand = s1.join(s2, col("m") === col("m2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    val nonAdj = cand.join(
+      edges.select(col("u").as("a"), col("v").as("b")),
+      Seq("a", "b"), "left_anti")
+    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    nonAdj
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        (col("cn").cast("double")
+          / (col("da") + col("db") - col("cn")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("cn").desc, col("a"), col("b")).limit(k)
+  }
+
   /** Per-node triangle membership counts — the local-density signal
     * (collusion rings are near-cliques; a bridge account that merely
     * connects rings sits in few triangles).

@@ -115,6 +115,35 @@ object Journey {
     }.reduce(_ unionByName _)
   }
 
+  /** First-order Markov transition matrix over an event-state column —
+    * the journey summary (what follows what) behind next-action
+    * prediction and anomalous-sequence scoring: per (prev_state,
+    * state) pair, the transition count and the row-normalized
+    * probability count/Σ_row. Consecutive = (event-time, id) order per
+    * entity (the [[sessionize]]/[[impossibleTravel]] lag shape — one
+    * key exchange, one-row window state); each entity's first event
+    * has no predecessor and drops. Counts are integers and the
+    * probability is one exact-integer division — engine-identical.
+    */
+  def transitionMatrix(df: DataFrame, entityCol: String, tsCol: String,
+                       idCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"),
+        col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("prev_state").as("__ps"))
+      .agg(sum(col("n")).as("__row_n"))
+    pairs.join(broadcast(rowTot), col("prev_state") === col("__ps"))
+      .select(col("prev_state"), col("state"), col("n"),
+        (col("n").cast("double") / col("__row_n").cast("double"))
+          .as("p"))
+  }
+
   /** Great-circle distance (km) between two (lat, lon) degree pairs —
     * the haversine formula, mean Earth radius 6371 km. Plain column
     * trig spelled identically in the w12 oracle; transcendental, so

@@ -245,6 +245,52 @@ object Multimodal {
         "r_sum", "g_sum", "b_sum")
   }
 
+  /** REAL audio downsampling — the audio twin of [[resizePixels]]:
+    * decode (WAV or FLAC by magic), average-pool every `factor`
+    * consecutive samples per channel (TRUNCATING integer division —
+    * JVM `/` and DuckDB's integer `//` both round toward zero, which
+    * matters on negative samples where a floor would differ by one),
+    * re-encode as WAV at rate/factor. Ragged tails truncate (the
+    * poolPpm contract);
+    * payloads shorter than one pool window or undecodable degrade to
+    * null bytes. Scan-local mapPartitions, no shuffle.
+    */
+  def resampleAudio(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          (id, Codecs.decodeAudio(bytes)
+            .filter(w => w.channels > 0 &&
+              w.samples.length / w.channels >= factor)
+            .map { w =>
+              val perCh = w.samples.length / w.channels
+              val outN = perCh / factor
+              val out = new Array[Short](outN * w.channels)
+              var c = 0
+              while (c < w.channels) {
+                var j = 0
+                while (j < outN) {
+                  var s = 0L
+                  var t = 0
+                  while (t < factor) {
+                    s += w.samples((j * factor + t) * w.channels + c)
+                    t += 1
+                  }
+                  out(j * w.channels + c) = (s / factor).toShort
+                  j += 1
+                }
+                c += 1
+              }
+              Codecs.encodeWavPcm16(w.sampleRate / factor, w.channels, out)
+            }.orNull)
+        }
+      }.toDF("media_id", "bytes")
+  }
+
   /** Exact integer sample statistics through the REAL audio decoders
     * (RIFF/WAVE or FLAC, sniffed by magic bytes) — the audio twin of
     * [[decodeImageStats]].

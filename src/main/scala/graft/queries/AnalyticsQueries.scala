@@ -137,6 +137,19 @@ object AnalyticsQueries extends QuerySet {
         .orderBy(col("session_size"))
     }),
 
+    // First-order event-type transition matrix per user journey: per
+    // (prev, cur) pair, count + row-normalized probability — integer
+    // counts, one exact division. Ties in the per-user order resolve
+    // by event_id on both sides.
+    "e05_transitions" -> ((s, d) =>
+      graft.ops.Journey.transitionMatrix(
+        Tables.eventsMicros(s, d)
+          .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type")
+        .orderBy(col("prev_state"), col("state"))),
+
     // Ordered conversion funnel view → click → purchase: stage i is
     // the earliest matching event at-or-after stage i-1's time; every
     // stage joins and aggregates on the SAME user key. Lags stay
@@ -154,6 +167,21 @@ object AnalyticsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "e05_transitions" ->
+      """WITH h AS (SELECT event_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id) AS prev
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (SELECT prev AS prev_state, event_type AS state,
+                 COUNT(*) AS n
+               FROM h WHERE prev IS NOT NULL GROUP BY 1, 2),
+         t AS (SELECT prev_state, SUM(n) AS row_n
+               FROM p GROUP BY prev_state)
+         SELECT p.prev_state, p.state, p.n,
+                CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE) AS p
+         FROM p JOIN t ON p.prev_state = t.prev_state
+         ORDER BY p.prev_state, p.state""",
     "e04_sessionize" ->
       """WITH d AS (
            SELECT user_id, epoch_us(ts) AS t,

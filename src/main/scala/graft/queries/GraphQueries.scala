@@ -55,6 +55,12 @@ object GraphQueries extends QuerySet {
         iters = 3)
         .orderBy(col("node"))),
 
+    // Common-neighbor link prediction: top-20 non-adjacent distance-2
+    // pairs by shared neighbors + neighbor-set Jaccard — integer
+    // counts, one exact division, deterministic (cn desc, a, b) order.
+    "g06_link_prediction" -> ((s, d) =>
+      graft.ops.Graph.linkPrediction(edges(s, d), k = 20)),
+
     // g04 runs with the RELIABLE checkpoint mode on, so the
     // file-checkpoint path (the 1000-executor fault-tolerance choice —
     // see Checkpoints) executes under the DuckDB oracle, not just in
@@ -158,6 +164,28 @@ object GraphQueries extends QuerySet {
                             + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT) AS r
                 FROM sn n LEFT JOIN c3 c ON n.node = c.node)
          SELECT node, r AS "rank" FROM r3 ORDER BY node""",
+
+    // wedge join minus existing edges; ORDER BY + LIMIT mirror the
+    // TakeOrdered (cn desc, a, b) rule exactly — all-integer ranking
+    "g06_link_prediction" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         cand AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
+                  FROM sym s1 JOIN sym s2
+                    ON s1.u = s2.u AND s1.v < s2.v
+                  GROUP BY 1, 2),
+         nonadj AS (SELECT c.a, c.b, c.cn
+                    FROM cand c LEFT JOIN e
+                      ON c.a = e.u AND c.b = e.v
+                    WHERE e.u IS NULL),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1)
+         SELECT n.a, n.b, n.cn,
+                CAST(n.cn AS DOUBLE)
+                  / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard
+         FROM nonadj n
+         JOIN deg da ON n.a = da.node
+         JOIN deg db ON n.b = db.node
+         ORDER BY n.cn DESC, n.a, n.b LIMIT 20""",
 
     // naive triple join: e is canonical (u < v) so each triangle
     // x<y<z appears exactly once; orientation-invariant counts

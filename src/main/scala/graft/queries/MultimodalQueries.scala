@@ -261,6 +261,24 @@ object MultimodalQueries extends QuerySet {
       Multimodal.decodeAudioStats(media).orderBy(col("media_id"))
     }),
 
+    // REAL audio resample: the mm04 WAV fixture decoded, average-
+    // pooled 4:1 per channel (floor division — exact on negative
+    // samples), re-encoded at rate/4, decoded again — pooled sample
+    // stats vs DuckDB grouping the closed form into 4-sample windows.
+    "mm14_audio_resample" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val n = 64
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7919 + k * 263) % 65536) - 32768).toShort)
+        (id, graft.ops.Codecs.encodeWavPcm16(16000, 1, samples))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeAudioStats(
+        Multimodal.resampleAudio(media, 4)).orderBy(col("media_id"))
+    }),
+
     // REAL COMPRESSED codec round trip: the mm04 closed-form samples
     // carried as actual FLAC — fixed predictors, Rice residuals,
     // CRC-8/16 — through the full decoder (STREAMINFO walk, frame
@@ -452,6 +470,23 @@ object MultimodalQueries extends QuerySet {
                 CAST(MIN(s) AS INT) AS min_sample,
                 CAST(MAX(s) AS INT) AS max_sample
          FROM sm GROUP BY id ORDER BY media_id""",
+    "mm14_audio_resample" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         sm AS (SELECT id, r.range AS k,
+                  (id * 7919 + r.range * 263) % 65536 - 32768 AS s
+                FROM ids CROSS JOIN range(0, 64) r),
+         g AS (SELECT id, k // 4 AS j, CAST(SUM(s) AS BIGINT) AS s4
+               FROM sm GROUP BY 1, 2),
+         p AS (SELECT id, j, s4 // 4 AS ps FROM g)
+         SELECT id AS media_id,
+                CAST(4000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(16 AS INT) AS n_samples,
+                CAST(SUM(ps) AS BIGINT) AS sum_samples,
+                CAST(MIN(ps) AS INT) AS min_sample,
+                CAST(MAX(ps) AS INT) AS max_sample
+         FROM p GROUP BY id ORDER BY media_id""",
     // lossless compression: the FLAC round trip must reproduce the
     // EXACT closed form the WAV twin states
     "mm08_flac_roundtrip" ->

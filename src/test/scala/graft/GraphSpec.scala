@@ -71,6 +71,21 @@ class GraphSpec extends SparkSpec {
     assert(ranks === Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("linkPrediction: wedge pairs, adjacency excluded, hand jaccard") {
+    // K3 {1,2,3} + pendant 3–4: non-adjacent distance-2 pairs are
+    // (1,4) and (2,4), each with cn=1 via node 3; deg(1)=2, deg(4)=1
+    // → jaccard = 1/(2+1−1) = 0.5. Adjacent pairs never appear.
+    val k3p = edgesDF((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    val got = Graph.linkPrediction(k3p, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set((1L, 4L), (2L, 4L)))
+    assert(got((1L, 4L)) == ((1L, 0.5)) && got((2L, 4L)) == ((1L, 0.5)))
+    // a complete graph has no distance-2 non-edges: empty prediction
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    assert(Graph.linkPrediction(edgesDF(k4: _*), 10).count() == 0)
+  }
+
   test("triangleCounts: 4-clique plus pendant edge") {
     // K4 on {1,2,3,4}: 4 triangles, each node in exactly 3;
     // pendant 5 (edge 4–5) is in none and absent from the output

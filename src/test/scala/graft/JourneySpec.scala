@@ -8,6 +8,24 @@ class JourneySpec extends SparkSpec {
 
   private val DAY = 86400000000L
 
+  test("transitionMatrix: hand counts, row normalization, tie order") {
+    import graft.ops.Journey
+    // user 1: A→B→A (ts order); user 2: A→B; first events drop.
+    // pairs: (A,B)×2, (B,A)×1; rows: A→{B:1.0}, B→{A:1.0}… with both
+    // users: (A,B) n=2 p=1.0, (B,A) n=1 p=1.0
+    val df = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "B"), (1L, 30L, 3L, "A"),
+      (2L, 10L, 4L, "A"), (2L, 20L, 5L, "B"),
+      // user 3: ts tie resolved by id: C(id 6) then D(id 7) → (C,D)
+      (3L, 5L, 6L, "C"), (3L, 5L, 7L, "D")
+    ).toDF("u", "t", "i", "s")
+    val got = Journey.transitionMatrix(df, "u", "t", "i", "s")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(("A", "B") -> ((2L, 1.0)), ("B", "A") -> ((1L, 1.0)),
+      ("C", "D") -> ((1L, 1.0))))
+  }
+
   test("impossibleTravel: hand haversine, speed rule, teleport, jitter") {
     import graft.ops.Journey
     val HOUR = 3600000000L

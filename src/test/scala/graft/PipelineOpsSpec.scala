@@ -1246,6 +1246,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("resampleAudio: truncating pooling on negatives, stereo, short clip") {
+    import graft.ops.{Codecs, Multimodal}
+    // mono [-7, -4, 4, 10] pooled 2:1: trunc(-11/2) = -5 (a floor
+    // would give -6 — DuckDB's integer // truncates toward zero, and
+    // the JVM matches), trunc(14/2) = 7
+    val mono = Codecs.encodeWavPcm16(8000, 1,
+      Array[Short](-7, -4, 4, 10))
+    // stereo interleaved L/R: L=[-7,-4] → -5, R=[100,101] → 100
+    val stereo = Codecs.encodeWavPcm16(8000, 2,
+      Array[Short](-7, 100, -4, 101))
+    val tiny = Codecs.encodeWavPcm16(8000, 1, Array[Short](3))
+    val media = Seq((1L, mono), (2L, stereo), (3L, tiny))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.resampleAudio(media, 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[Array[Byte]]("bytes"))).toMap
+    val w1 = Codecs.decodeWavPcm16(out(1L).get).get
+    assert(w1.sampleRate == 4000 && w1.samples.toSeq == Seq(-5, 7))
+    val w2 = Codecs.decodeWavPcm16(out(2L).get).get
+    assert(w2.channels == 2 && w2.samples.toSeq == Seq(-5, 100))
+    assert(out(3L).isEmpty, "clip shorter than one window degrades null")
+  }
+
   test("gif frames: multi-frame round trip is pixel-exact, cap bounds") {
     import graft.ops.Codecs
     val w = 6; val h = 4
