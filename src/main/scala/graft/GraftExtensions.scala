@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_mode"),
       info("graft_mode", "single-pass mode with pandas tie-break"),
       (exprs: Seq[Expression]) => ModeAgg(exprs.head)))
+    // plan-time safety interlock: unhinted cross joins fail loudly
+    // when spark.graft.failOnCartesian=true (see plans.CartesianGuard)
+    e.injectOptimizerRule(_ => graft.plans.CartesianGuard)
   }
 }

@@ -238,6 +238,29 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "sm11 weighted sample lost TakeOrderedAndProject")
   }
 
+  test("CartesianGuard: unhinted cross throws, hinted/equi/off pass") {
+    import graft.plans.CartesianGuard
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val a = spark.range(10).toDF("x")
+    val b = spark.range(10).toDF("y")
+    spark.conf.set(CartesianGuard.ConfKey, "true")
+    try {
+      val ex = intercept[IllegalStateException] {
+        CartesianGuard(a.crossJoin(b).queryExecution.optimizedPlan)
+      }
+      assert(ex.getMessage.contains("cartesian interlock"))
+      // the engine's contract form: broadcast-hinted small side passes
+      CartesianGuard(
+        a.crossJoin(bcast(b)).queryExecution.optimizedPlan)
+      // equi-joins never trip
+      CartesianGuard(a.join(b, a("x") === b("y"))
+        .queryExecution.optimizedPlan)
+      // interlock is opt-in: same bad plan passes with the conf off
+      spark.conf.set(CartesianGuard.ConfKey, "false")
+      CartesianGuard(a.crossJoin(b).queryExecution.optimizedPlan)
+    } finally spark.conf.unset(CartesianGuard.ConfKey)
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
