@@ -241,17 +241,29 @@ object Graph {
     * (cn / (deg(a) + deg(b) − cn)), top-k by (cn desc, a, b).
     *
     * Wedge generation is one middle-node equi-join of the symmetrized
-    * edge list (the g03 wedge shape — fan-out bounded by per-node
-    * degree; the co-attribute builder's super-node cap has already
-    * bounded the hubs), existing edges leave via an anti-join on the
-    * canonical u<v list, degrees attach by two node-keyed joins, and
-    * the top-k is TakeOrdered (per-partition heaps). `edges` must be
-    * canonical (u < v) as [[coAttributeEdges]] emits. All integers
-    * plus one exact division — the g06 oracle replays every stage.
+    * edge list; wedge volume is Σ_m deg(m)², so MIDDLE nodes above
+    * `maxMiddleDegree` are excluded — the hub-discount of
+    * Adamic-Adar taken to its scale conclusion: a shared celebrity
+    * hub carries almost no linkage signal (everyone shares it) while
+    * contributing deg² wedges, so past the cap it is dropped rather
+    * than down-weighted (the [[coAttributeEdges]] `maxAttrUsers`
+    * stance, one level up). Existing edges leave via an anti-join on
+    * the canonical u<v list, degrees attach by two node-keyed joins,
+    * and the top-k is TakeOrdered (per-partition heaps). `edges` must
+    * be canonical (u < v) as [[coAttributeEdges]] emits. All integers
+    * plus one exact division — the g06 oracle replays every stage
+    * including the cap.
     */
-  def linkPrediction(edges: DataFrame, k: Int = 20): DataFrame = {
+  def linkPrediction(edges: DataFrame, k: Int = 20,
+                     maxMiddleDegree: Int = Int.MaxValue): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val sym = symmetrize(edges)
+    require(maxMiddleDegree >= 1, "maxMiddleDegree must be >= 1")
+    val symAll = symmetrize(edges)
+    val degAll = symAll.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val okMiddles = degAll.filter(col("deg") <= maxMiddleDegree)
+      .select(col("node").as("m0"))
+    val sym = symAll.join(okMiddles, col("u") === col("m0"), "left_semi")
     val s1 = sym.select(col("u").as("m"), col("v").as("a"))
     val s2 = sym.select(col("u").as("m2"), col("v").as("b"))
     val cand = s1.join(s2, col("m") === col("m2") && col("a") < col("b"))
@@ -259,10 +271,11 @@ object Graph {
     val nonAdj = cand.join(
       edges.select(col("u").as("a"), col("v").as("b")),
       Seq("a", "b"), "left_anti")
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    // Jaccard denominators use TRUE degrees (hub neighbors still count
+    // toward |N(a) ∪ N(b)|; only the WEDGE role of hubs is capped)
     nonAdj
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(degAll.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(degAll.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"), col("cn"),
         (col("cn").cast("double")
           / (col("da") + col("db") - col("cn")).cast("double"))

@@ -58,8 +58,12 @@ object GraphQueries extends QuerySet {
     // Common-neighbor link prediction: top-20 non-adjacent distance-2
     // pairs by shared neighbors + neighbor-set Jaccard — integer
     // counts, one exact division, deterministic (cn desc, a, b) order.
+    // Middles capped at degree 60 (wedge volume is Σ deg², and a
+    // shared hub is weak linkage signal — the Adamic-Adar discount
+    // taken to exclusion); Jaccard denominators keep TRUE degrees.
     "g06_link_prediction" -> ((s, d) =>
-      graft.ops.Graph.linkPrediction(edges(s, d), k = 20)),
+      graft.ops.Graph.linkPrediction(edges(s, d), k = 20,
+        maxMiddleDegree = 60)),
 
     // g04 runs with the RELIABLE checkpoint mode on, so the
     // file-checkpoint path (the 1000-executor fault-tolerance choice —
@@ -170,15 +174,17 @@ object GraphQueries extends QuerySet {
     "g06_link_prediction" ->
       s"""$prelude,
          sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         sym2 AS (SELECT s.u, s.v FROM sym s
+                  JOIN deg d ON s.u = d.node WHERE d.deg <= 60),
          cand AS (SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cn
-                  FROM sym s1 JOIN sym s2
+                  FROM sym2 s1 JOIN sym2 s2
                     ON s1.u = s2.u AND s1.v < s2.v
                   GROUP BY 1, 2),
          nonadj AS (SELECT c.a, c.b, c.cn
                     FROM cand c LEFT JOIN e
                       ON c.a = e.u AND c.b = e.v
-                    WHERE e.u IS NULL),
-         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1)
+                    WHERE e.u IS NULL)
          SELECT n.a, n.b, n.cn,
                 CAST(n.cn AS DOUBLE)
                   / CAST(da.deg + db.deg - n.cn AS DOUBLE) AS jaccard

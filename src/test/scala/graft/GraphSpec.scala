@@ -84,6 +84,13 @@ class GraphSpec extends SparkSpec {
     // a complete graph has no distance-2 non-edges: empty prediction
     val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
     assert(Graph.linkPrediction(edgesDF(k4: _*), 10).count() == 0)
+    // middle-degree cap: a star hub (deg 3 > cap 2) stops carrying
+    // wedges, so the leaf pairs vanish; Jaccard keeps TRUE degrees
+    // when the middle survives the cap
+    val star = edgesDF((9L, 1L), (9L, 2L), (9L, 3L))
+    assert(Graph.linkPrediction(star, 10).count() == 3)
+    assert(Graph.linkPrediction(star, 10, maxMiddleDegree = 2)
+      .count() == 0)
   }
 
   test("triangleCounts: 4-clique plus pendant edge") {
