@@ -483,6 +483,29 @@ object SourceQueries extends QuerySet {
     // encoding path), read it back, aggregate. The oracle states the
     // same aggregate over the original parquet — identical rows prove
     // the format round-trips values exactly.
+    // Schema evolution across parquet generations (the 100-TB drift
+    // reality: a column added mid-corpus): generation 1 lacks
+    // o_orderstatus, generation 2 carries it; a mergeSchema read must
+    // unify the files, null-fill the missing column for gen-1 rows,
+    // and keep every value exact. The oracle restates the same
+    // generation split directly over orders.
+    "s11_schema_evolution" -> ((s, d) => {
+      val path = Tables.stageDir(s, "s11_evo")
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      base.filter(col("o_orderkey") % 2 === 0)
+        .drop("o_orderstatus")
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("gen"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy(col("gen"), col("o_orderstatus"))
+    }),
+
     "s07_orc_roundtrip" -> ((s, d) => {
       val path = Tables.stageDir(s, "s07_orc")
       Tables.orders(s, d)
@@ -748,6 +771,19 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s11_schema_evolution" ->
+      s"""WITH g AS (
+           SELECT 1 AS gen, o_orderkey, o_totalprice,
+                  CAST(NULL AS VARCHAR) AS o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT 2, o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT gen, o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                ${sqlSum("o_totalprice")} AS price_sum
+         FROM g GROUP BY gen, o_orderstatus
+         ORDER BY gen, o_orderstatus""",
     "s09_partitioned_scan" ->
       """SELECT lang, COUNT(*) AS n,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
