@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier as PURE DataFrame algebra —
+  * a trainable model whose training AND scoring replay completely in
+  * an external SQL engine, unlike the MLlib fits (whose RNG/quasi-
+  * Newton internals are oracle-proof and spec-gated). The canonical
+  * first model of every text-routing pipeline (language ID, topic
+  * routing, spam triage).
+  *
+  * Train (add-one smoothing): per class c, prior ln(n_c/N); per
+  * (class, term), likelihood ln((cnt + 1)/(tot_c + V)) over the
+  * TRAINING vocabulary V — two grouped aggregations over the token
+  * stream plus one vocabulary × class frame. Terms outside the
+  * training vocabulary are ignored at scoring time (the standard MNB
+  * convention, stated identically in the oracle).
+  *
+  * Score: explode test tokens (duplicates kept — term frequency IS
+  * the multinomial statistic), join the model on the term (the model
+  * broadcasts: |V|·|classes| rows, vocabulary-sized), and fold each
+  * (doc, class) score TERM-SORTED (the bm25 engine-exactness
+  * discipline). Every ln is rounded 9dp BEFORE summation, so the
+  * fold adds identical doubles in an identical order cross-engine and
+  * argmax cannot flip on a last-ulp difference; prediction tie-break
+  * is the smallest class name via min(struct(-score, class)).
+  *
+  * Scale shape: training is two grouped aggs (shuffle = token
+  * stream); scoring shuffles (doc, class) partial scores; no windows,
+  * no driver loops, no collect.
+  */
+object NaiveBayes {
+
+  private def toks(c: org.apache.spark.sql.Column) =
+    split(trim(lower(c)), "\\s+")
+
+  /** Train: returns (classModel, termModel).
+    * classModel: (cls, ln_prior_r) — ln(n_c/N) rounded 9dp.
+    * termModel: (cls, term, ln_p_r) — one row per (class, vocabulary
+    * term) including zero-count pairs (smoothed), ln rounded 9dp.
+    */
+  def train(docs: DataFrame, textCol: String,
+            labelCol: String): (DataFrame, DataFrame) = {
+    val labeled = docs.select(col(labelCol).cast("string").as("cls"),
+      toks(col(textCol)).as("toks"))
+    val nDocs = labeled.agg(count(lit(1)).as("n")).select(col("n"))
+    val classes = labeled.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val classModel = classes.crossJoin(broadcast(nDocs))
+      .select(col("cls"),
+        round(log(col("n_c").cast("double") / col("n").cast("double")), 9)
+          .as("ln_prior_r"))
+    val tokens = labeled.select(col("cls"), explode(col("toks")).as("term"))
+    val counts = tokens.groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = tokens.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
+    val vocab = tokens.select(col("term")).distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v")).select(col("v"))
+    val termModel = classes.select(col("cls"))
+      .crossJoin(vocab)
+      .join(counts, Seq("cls", "term"), "left")
+      .join(totals, Seq("cls"))
+      .crossJoin(broadcast(vSize))
+      .select(col("cls"), col("term"),
+        round(log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0)
+          / (col("tot").cast("double") + col("v").cast("double"))), 9)
+          .as("ln_p_r"))
+    (classModel, termModel)
+  }
+
+  /** Score + predict: each test doc gets its argmax class. Returns
+    * (id, cls) — `cls` the predicted class. Docs whose tokens all
+    * fall outside the training vocabulary score prior-only.
+    */
+  def predict(docs: DataFrame, textCol: String, idCol: String,
+              classModel: DataFrame, termModel: DataFrame): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(toks(col(textCol))).as("term"))
+    val perClass = tokens.join(broadcast(termModel), Seq("term"))
+      .groupBy(col("id"), col("cls"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("ln_p_r")))),
+        lit(0.0), (acc, x) => acc + x.getField("ln_p_r")).as("ll"))
+    // every doc scores EVERY class (prior-only when no vocab hits):
+    // right-join the class list, then add priors
+    val allPairs = docs.select(col(idCol).as("id"))
+      .crossJoin(broadcast(classModel))
+      .join(perClass, Seq("id", "cls"), "left")
+      .select(col("id"), col("cls"),
+        (coalesce(col("ll"), lit(0.0)) + col("ln_prior_r")).as("score"))
+    allPairs.groupBy(col("id"))
+      .agg(min(struct((-col("score")).as("ns"), col("cls"))).as("m"))
+      .select(col("id"), col("m.cls").as("cls"))
+  }
+}

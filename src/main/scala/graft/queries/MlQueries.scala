@@ -46,6 +46,28 @@ object MlQueries extends QuerySet {
       }
     }),
 
+    // Multinomial Naive Bayes — the TRAINED model that lives fully on
+    // the oracle (unlike the MLlib fits): even docs train a language
+    // classifier (priors + add-one term likelihoods), odd docs score
+    // through a term-sorted fold of 9dp-rounded log-probabilities, and
+    // the confusion matrix must hash-match DuckDB replaying training
+    // AND scoring end-to-end. (The synthetic corpus's only language
+    // signal is sparse seeded stopwords over a shared vocabulary, so
+    // absolute accuracy is dataset-limited ~1.8× chance; the gate here
+    // is train/score PARITY, with semantics spec-pinned on a hand
+    // fixture.)
+    "m15_naive_bayes" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val trainDf = docs.filter(col("doc_id") % 2 === 0)
+      val testDf = docs.filter(col("doc_id") % 2 === 1)
+      val (cm, tm) = graft.ops.NaiveBayes.train(trainDf, "text", "lang")
+      graft.ops.NaiveBayes.predict(testDf, "text", "doc_id", cm, tm)
+        .join(testDf.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("cls").as("pred"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
     // Isotonic (PAVA) probability calibration over the lineitem-derived
     // scored frame: calibrated probabilities per raw-probability band,
     // plus the calibration diagnostics before/after. MLlib fit →
@@ -64,5 +86,52 @@ object MlQueries extends QuerySet {
     })
   )
 
-  def oracle: Map[String, String] = Map()
+  def oracle: Map[String, String] = Map(
+    "m15_naive_bayes" ->
+      """WITH tr AS (SELECT lang AS cls,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                     FROM documents WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id AS id, lang,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 1),
+         nd AS (SELECT COUNT(*) AS n FROM tr),
+         cl AS (SELECT cls, COUNT(*) AS n_c FROM tr GROUP BY cls),
+         cm AS (SELECT cls,
+                  round(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                    AS lp
+                FROM cl CROSS JOIN nd),
+         tk AS (SELECT cls, unnest(toks) AS term FROM tr),
+         cnts AS (SELECT cls, term, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         tots AS (SELECT cls, COUNT(*) AS tot FROM tk GROUP BY cls),
+         voc AS (SELECT DISTINCT term FROM tk),
+         vs AS (SELECT COUNT(*) AS v FROM voc),
+         tm AS (SELECT c.cls, voc.term,
+                  round(ln((CAST(COALESCE(cn.cnt, 0) AS DOUBLE) + 1.0)
+                           / (CAST(t.tot AS DOUBLE)
+                              + CAST(vs.v AS DOUBLE))), 9) AS lpt
+                FROM (SELECT cls FROM cl) c
+                CROSS JOIN voc
+                LEFT JOIN cnts cn
+                  ON cn.cls = c.cls AND cn.term = voc.term
+                JOIN tots t ON t.cls = c.cls
+                CROSS JOIN vs),
+         ttok AS (SELECT id, unnest(toks) AS term FROM te),
+         pc AS (SELECT ttok.id, tm.cls,
+                  list_dot_product(list(tm.lpt ORDER BY tm.term),
+                    list_transform(list(tm.lpt ORDER BY tm.term),
+                      x -> CAST(1 AS DOUBLE))) AS ll
+                FROM ttok JOIN tm ON ttok.term = tm.term
+                GROUP BY ttok.id, tm.cls),
+         ap AS (SELECT te.id, te.lang, cm.cls,
+                  COALESCE(pc.ll, 0.0) + cm.lp AS score
+                FROM te CROSS JOIN cm
+                LEFT JOIN pc ON pc.id = te.id AND pc.cls = cm.cls),
+         pr AS (SELECT id, lang, cls, score,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY score DESC, cls) AS rn
+                FROM ap)
+         SELECT lang, cls AS pred, COUNT(*) AS n,
+                CAST(SUM(id) AS BIGINT) AS id_sum
+         FROM pr WHERE rn = 1
+         GROUP BY lang, pred ORDER BY lang, pred""")
 }

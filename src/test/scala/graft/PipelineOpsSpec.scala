@@ -1372,6 +1372,25 @@ class PipelineOpsSpec extends SparkSpec {
       "decodeRaster must route JPEG by magic")
   }
 
+  test("NaiveBayes: hand-computed model, OOV prior fallback, tie-break") {
+    import graft.ops.NaiveBayes
+    // train: A = "x x y", B = "z z"; V = {x,y,z}, totals A=3, B=2
+    //   p(x|A) = 3/6, p(y|A) = 2/6, p(z|B) = 3/5, p(x|B) = p(y|B) = 1/5
+    val train = Seq(("A", "x x y"), ("B", "z z")).toDF("lbl", "txt")
+    val (cm, tm) = NaiveBayes.train(train, "txt", "lbl")
+    val lp = tm.collect().map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(2)).toMap
+    assert(approx(lp(("A", "x")), math.rint(math.log(0.5) * 1e9) / 1e9))
+    assert(approx(lp(("B", "z")), math.rint(math.log(0.6) * 1e9) / 1e9))
+    assert(lp.size == 6, "every (class, vocab term) pair incl. zeros")
+    // "x y" → A (ln 1/6 beats ln 1/25); "z" → B; OOV "q" scores
+    // prior-only in both classes (equal priors) → smallest class A
+    val test = Seq((1L, "x y"), (2L, "z"), (3L, "q")).toDF("id0", "txt")
+    val pred = NaiveBayes.predict(test, "txt", "id0", cm, tm)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "A", 2L -> "B", 3L -> "A"))
+  }
+
   test("setSimilarityJoin ≡ brute-force all-pairs (recall 1.0, no extras)") {
     // the prefix filter is a complete pruning: its output must be
     // hash-identical to the unfiltered all-pairs rule on word unigrams
