@@ -264,4 +264,28 @@ object Layout {
       .partitionBy(partCols: _*)
       .parquet(path)
   }
+
+  /** Parquet write with a BLOOM FILTER on `bloomCol` — the layout for
+    * point-lookup columns whose values min-max statistics cannot
+    * prune (a high-cardinality id scattered across the value range:
+    * every row group's [min, max] spans the probe, but a bloom says
+    * "definitely not here" for most groups). `ndv` sizes the filter.
+    * Spark passes the options through to parquet-mr per column.
+    * Dictionary encoding is disabled on the SAME column: parquet-mr
+    * silently skips the bloom when every page stays dictionary-
+    * encoded (the dictionary is already an exact membership filter),
+    * and a true high-NDV id overflows the dictionary anyway — forcing
+    * it off makes the layout behave at test scale exactly as it would
+    * at production NDV. The s12 gate proves the filter is actually IN
+    * the footer (parquet-hadoop metadata API, LayoutSpec) and that
+    * values survive the rewrite exactly (oracle).
+    */
+  def writeBloomFiltered(df: DataFrame, path: String, bloomCol: String,
+                         ndv: Long = 100000L): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        ndv.toString)
+      .option(s"parquet.enable.dictionary#$bloomCol", "false")
+      .parquet(path)
 }

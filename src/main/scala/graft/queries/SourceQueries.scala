@@ -483,6 +483,27 @@ object SourceQueries extends QuerySet {
     // encoding path), read it back, aggregate. The oracle states the
     // same aggregate over the original parquet — identical rows prove
     // the format round-trips values exactly.
+    // Parquet bloom-filter layout: point-lookup ids are exactly what
+    // min-max row-group stats CANNOT prune (high-cardinality values
+    // span every group's range), so the write plants a bloom filter on
+    // o_custkey — LayoutSpec proves the filter is physically in the
+    // footer; this oracle proves values survive the rewrite exactly
+    // under point probes.
+    "s12_bloom_scan" -> ((s, d) => {
+      val path = Tables.stageDir(s, "s12_bloom")
+      graft.ops.Layout.writeBloomFiltered(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        path, "o_custkey", ndv = 20000L)
+      s.read.parquet(path)
+        .filter(col("o_custkey").isin(7L, 77L, 777L))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("key_sum"),
+          dsum(col("o_totalprice")).as("price_sum"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // Schema evolution across parquet generations (the 100-TB drift
     // reality: a column added mid-corpus): generation 1 lacks
     // o_orderstatus, generation 2 carries it; a mergeSchema read must
@@ -771,6 +792,12 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s12_bloom_scan" ->
+      s"""SELECT o_custkey, COUNT(*) AS n,
+                 CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                 ${sqlSum("o_totalprice")} AS price_sum
+          FROM orders WHERE o_custkey IN (7, 77, 777)
+          GROUP BY o_custkey ORDER BY o_custkey""",
     "s11_schema_evolution" ->
       s"""WITH g AS (
            SELECT 1 AS gen, o_orderkey, o_totalprice,

@@ -129,6 +129,34 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bloom-filtered write plants the filter in the parquet footer") {
+    import scala.jdk.CollectionConverters._
+    val dir = "/tmp/graft-layout-bloom"
+    val df = (1L to 5000L).map(i => (i, i * 31 % 977, i * 1.5))
+      .toDF("k", "probe", "v")
+    Layout.writeBloomFiltered(df.repartition(1), dir, "probe", ndv = 1000L)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val cols = rg.getColumns.asScala
+      val probe = cols.find(_.getPath.toDotString == "probe").get
+      val other = cols.find(_.getPath.toDotString == "k").get
+      assert(reader.readBloomFilter(probe) != null,
+        "bloom filter missing on the requested column")
+      assert(reader.readBloomFilter(other) == null,
+        "bloom filter must be per-column, not global")
+    } finally reader.close()
+    // values survive the rewrite exactly
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000 &&
+      back.agg(sum($"k")).head.getLong(0) == 5000L * 5001 / 2)
+  }
+
   test("zValue interleaves bits (hand-computed)") {
     // a-bits land at odd positions, b-bits at even: z(3,5) with 3 bits
     // → a=011 → bits 1,3; b=101 → bits 0,4 → 2+8+1+16 = 27
