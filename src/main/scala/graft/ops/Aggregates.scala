@@ -552,6 +552,49 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Cross-group QUANTILE NORMALIZATION — the distribution-matching
+    * transform (microarray heritage, now reward/score normalization):
+    * every group's values map onto the POOLED distribution at the
+    * same relative rank, so between-group scale/shape differences
+    * vanish while within-group order is preserved.
+    *
+    * Entirely on integer rank rules (the w08 discipline — no
+    * percentile interpolation anywhere): a row with peer-inclusive
+    * within-group rank r (ties share a rank; no arbitrary tie-break
+    * needed) maps to the global ⌈r·N/n_g⌉-th smallest value, read
+    * out by the first-rank rule (min v with global cum ≥ p).
+    *
+    * Windowless: within-group and global cumulative counts via
+    * [[bucketedPrefixSums]]; the lookup is a theta-join against the
+    * broadcast global DISTINCT-VALUE frame — the quantized-column
+    * contract (distinct values ≪ rows; a continuous column would make
+    * that frame corpus-sized, w08's documented boundary).
+    *
+    * Returns the MAPPING frame (grp, v, n, norm), distinct-value
+    * sized; join it back to rows for row-level normalization.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String,
+                        groupCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("grp"),
+      col(valueCol).as("v"))
+    val h = rows.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+    val hc = bucketedPrefixSums(h, "v", ascending = true, Seq("cnt"),
+      groupCols = Seq("grp"))
+    val ng = h.groupBy(col("grp").as("g2")).agg(sum(col("cnt")).as("n_g"))
+    val gh = rows.groupBy(col("v").as("gv")).agg(count(lit(1)).as("gcnt"))
+    val gc = bucketedPrefixSums(gh, "gv", ascending = true, Seq("gcnt"))
+      .select(col("gv"), col("cum_gcnt"))
+    val tot = rows.agg(count(lit(1)).as("n"))
+    val p = hc.join(ng, col("grp") <=> col("g2"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp"), col("v"), col("cnt"),
+        expr("(cum_cnt * n + n_g - 1) div n_g").as("p"))
+    p.join(broadcast(gc), col("cum_gcnt") >= col("p"))
+      .groupBy(col("grp"), col("v"), col("cnt"))
+      .agg(min(col("gv")).as("norm"))
+      .select(col("grp"), col("v"), col("cnt").as("n"), col("norm"))
+  }
+
   /** Benford's-law first-digit profile per group — the forensic
     * accounting screen (fabricated amounts over-sample mid digits;
     * organic multiplicative processes follow P(d) = log10(1 + 1/d)).

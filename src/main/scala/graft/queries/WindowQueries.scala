@@ -74,6 +74,17 @@ object WindowQueries extends QuerySet {
     // value sum in a RANGE frame) — the transaction-burst fraud signal.
     // One key exchange + per-key local sort; frame state is bounded by
     // per-entity rate × window span, never corpus size.
+    // Cross-group quantile normalization: per-returnflag quantity
+    // distributions mapped onto the pooled distribution by pure
+    // integer rank rules — the distribution-matching ML-prep
+    // transform, all engine-exact.
+    "w13_quantile_norm" -> ((s, d) =>
+      graft.ops.Aggregates.quantileNormalize(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty")),
+        "qty", "l_returnflag")
+        .orderBy(col("grp"), col("v"))),
+
     // Impossible-travel detection (card cloning): consecutive events
     // per user with implied ground speed > 800 km/h, locations derived
     // deterministically from the props.k attribute on a half-degree
@@ -196,6 +207,23 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "w13_quantile_norm" ->
+      """WITH r AS (SELECT l_returnflag AS grp,
+                      CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+         h AS (SELECT grp, v, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+         hc AS (SELECT grp, v, cnt,
+                  SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+                FROM h),
+         ng AS (SELECT grp, SUM(cnt) AS n_g FROM h GROUP BY grp),
+         gh AS (SELECT v AS gv, COUNT(*) AS gcnt FROM r GROUP BY 1),
+         gc AS (SELECT gv, SUM(gcnt) OVER (ORDER BY gv) AS gcum FROM gh),
+         tot AS (SELECT COUNT(*) AS n FROM r),
+         p AS (SELECT hc.grp, hc.v, hc.cnt,
+                 (hc.cum * tot.n + ng.n_g - 1) // ng.n_g AS p
+               FROM hc JOIN ng ON hc.grp = ng.grp CROSS JOIN tot)
+         SELECT p.grp, p.v, p.cnt AS n, MIN(gc.gv) AS norm
+         FROM p JOIN gc ON gc.gcum >= p.p
+         GROUP BY 1, 2, 3 ORDER BY grp, v""",
     "w12_impossible_travel" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                       epoch_us(ts) AS t,

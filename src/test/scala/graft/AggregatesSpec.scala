@@ -16,6 +16,26 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("quantileNormalize: hand-computed rank mapping, identity on one group") {
+    import graft.ops.Aggregates
+    // A = [1,2], B = [10,20,30]; pooled sorted = [1,2,10,20,30], N=5.
+    // A: r=1 → p=⌈5/2⌉=3 → 10; r=2 → p=5 → 30.
+    // B: r=1 → p=2 → 2; r=2 → p=4 → 20; r=3 → p=5 → 30.
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 10L), ("B", 20L),
+      ("B", 30L)).toDF("g", "x")
+    val got = Aggregates.quantileNormalize(df, "x", "g")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(("A", 1L) -> 10L, ("A", 2L) -> 30L,
+      ("B", 10L) -> 2L, ("B", 20L) -> 20L, ("B", 30L) -> 30L))
+    // single group: its distribution IS the pooled one → identity
+    val one = Seq(("z", 5L), ("z", 5L), ("z", 9L), ("z", 1L))
+      .toDF("g", "x")
+    val id = Aggregates.quantileNormalize(one, "x", "g")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(id == Map(5L -> 5L, 9L -> 9L, 1L -> 1L))
+  }
+
   test("luhnValid: known test vectors") {
     import graft.ops.Cleaning
     // 79927398713 is THE textbook valid Luhn string; single-digit edit
