@@ -245,6 +245,64 @@ object Multimodal {
         "r_sum", "g_sum", "b_sum")
   }
 
+  /** Per-channel HISTOGRAM EQUALIZATION — the classic contrast
+    * normalization a vision-data pipeline runs before feature
+    * extraction: each channel's value v maps to
+    * `(cdf(v) − cdf_min) · 255 div (n − cdf_min)` (the OpenCV
+    * convention with FLOOR division — pure integer, so the mm15
+    * oracle replays the mapping exactly; cdf_min is the cdf of the
+    * smallest present value). A constant channel (n == cdf_min) maps
+    * to 0. Decode by magic sniff, equalize, re-encode as PPM —
+    * scan-local mapPartitions, undecodable rows degrade to null.
+    */
+  def equalizePixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          (id, Codecs.decodeRaster(bytes).map { p =>
+            val n = p.width * p.height
+            val out = new Array[Byte](n * 3)
+            var c = 0
+            while (c < 3) {
+              val hist = new Array[Int](256)
+              var i = 0
+              while (i < n) { hist(p.rgb(i * 3 + c) & 0xFF) += 1; i += 1 }
+              val cdf = new Array[Int](256)
+              var acc = 0
+              var v = 0
+              while (v < 256) { acc += hist(v); cdf(v) = acc; v += 1 }
+              var cdfMin = 0
+              v = 0
+              var found = false
+              while (v < 256 && !found) {
+                if (hist(v) > 0) { cdfMin = cdf(v); found = true }
+                v += 1
+              }
+              val map = new Array[Byte](256)
+              v = 0
+              while (v < 256) {
+                map(v) =
+                  if (n == cdfMin) 0.toByte
+                  else (((cdf(v) - cdfMin).toLong * 255)
+                    / (n - cdfMin)).toByte
+                v += 1
+              }
+              i = 0
+              while (i < n) {
+                out(i * 3 + c) = map(p.rgb(i * 3 + c) & 0xFF)
+                i += 1
+              }
+              c += 1
+            }
+            Codecs.encodePpm(p.width, p.height, out)
+          }.orNull)
+        }
+      }.toDF("media_id", "bytes")
+  }
+
   /** REAL audio downsampling — the audio twin of [[resizePixels]]:
     * decode (WAV or FLAC by magic), average-pool every `factor`
     * consecutive samples per channel (TRUNCATING integer division —

@@ -235,6 +235,16 @@ object MultimodalQueries extends QuerySet {
         Multimodal.resizePixels(testJpegMedia(s, d), 2))
         .orderBy(col("media_id"))),
 
+    // Per-channel histogram equalization over the PNG fixture: decode
+    // → integer CDF mapping (OpenCV convention, floor div) → PPM
+    // re-encode → stats; the oracle rebuilds each image's per-channel
+    // histogram, CDF, and mapping from the pixel formula and sums the
+    // equalized values — pure integers end to end.
+    "mm15_equalize" -> ((s, d) =>
+      Multimodal.decodeImageStats(
+        Multimodal.equalizePixels(testPngMedia(s, d)))
+        .orderBy(col("media_id"))),
+
     // REAL video-as-frames: animated GIF decode with stride sampling
     // ON DECODED PIXELS (mm02 samples descriptor metadata only) —
     // every 2nd frame, cap 4, per-frame exact channel sums vs the
@@ -357,6 +367,35 @@ object MultimodalQueries extends QuerySet {
                 CAST(v AS BIGINT) AS g_sum,
                 CAST(v AS BIGINT) AS b_sum
          FROM s ORDER BY media_id""",
+    "mm15_equalize" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         px AS (SELECT id, r.range AS p
+                FROM ids CROSS JOIN range(0, 64) r),
+         lf AS (
+           SELECT id, 'r' AS ch, (id * 31 + p) % 256 AS v FROM px
+           UNION ALL SELECT id, 'g', (id * 37 + p) % 256 FROM px
+           UNION ALL SELECT id, 'b', (id * 41 + p) % 256 FROM px),
+         h AS (SELECT id, ch, v, COUNT(*) AS cnt FROM lf GROUP BY 1, 2, 3),
+         hc AS (SELECT id, ch, v, cnt,
+                  SUM(cnt) OVER (PARTITION BY id, ch ORDER BY v) AS cdf
+                FROM h),
+         mn AS (SELECT id, ch, MIN(cdf) AS cdfmin FROM hc GROUP BY 1, 2),
+         eq AS (SELECT hc.id, hc.ch, hc.cnt,
+                  CASE WHEN 64 = mn.cdfmin THEN 0
+                       ELSE ((hc.cdf - mn.cdfmin) * 255)
+                            // (64 - mn.cdfmin) END AS e
+                FROM hc JOIN mn
+                  ON hc.id = mn.id AND hc.ch = mn.ch)
+         SELECT id AS media_id,
+                CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+                CAST(SUM(CASE WHEN ch = 'r' THEN cnt * e END) AS BIGINT)
+                  AS r_sum,
+                CAST(SUM(CASE WHEN ch = 'g' THEN cnt * e END) AS BIGINT)
+                  AS g_sum,
+                CAST(SUM(CASE WHEN ch = 'b' THEN cnt * e END) AS BIGINT)
+                  AS b_sum
+         FROM eq GROUP BY id ORDER BY media_id""",
     "mm13_video_frames" ->
       """WITH ids AS (SELECT doc_id AS id, doc_id % 3 + 2 AS nf
                       FROM documents WHERE doc_id < 100),

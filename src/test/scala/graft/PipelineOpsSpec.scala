@@ -1246,6 +1246,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.filter($"jaccard" > 1.0 || $"jaccard" < 0.5).count() == 0)
   }
 
+  test("equalizePixels: hand CDF mapping, constant channel, full-range") {
+    import graft.ops.{Codecs, Multimodal}
+    // 2×2 gray-ish raster, channel r = [10, 10, 20, 30]: cdf_min = 2,
+    // map: 10→0, 20→(3−2)·255/(4−2)=127, 30→255; g constant → all 0;
+    // b already full-range [0, 85, 170, 255] maps to [0, 85, 170, 255]
+    val rgb = new Array[Byte](4 * 3)
+    val rs = Array(10, 10, 20, 30); val bs = Array(0, 85, 170, 255)
+    for (i <- 0 until 4) {
+      rgb(i * 3) = rs(i).toByte
+      rgb(i * 3 + 1) = 7.toByte
+      rgb(i * 3 + 2) = bs(i).toByte
+    }
+    val media = Seq((1L, Codecs.encodePpm(2, 2, rgb)))
+      .toDF("media_id", "bytes")
+    val out = Multimodal.equalizePixels(media).collect()(0)
+      .getAs[Array[Byte]]("bytes")
+    val p = Codecs.decodePpm(out).get
+    def ch(c: Int) = (0 until 4).map(i => p.rgb(i * 3 + c) & 0xFF)
+    assert(ch(0) == Seq(0, 0, 127, 255), s"r got ${ch(0)}")
+    assert(ch(1) == Seq(0, 0, 0, 0), "constant channel maps to 0")
+    // b: cdf = [1,2,3,4], cdf_min = 1 → (cdf−1)·255/3 = [0, 85, 170, 255]
+    assert(ch(2) == Seq(0, 85, 170, 255), s"b got ${ch(2)}")
+  }
+
   test("resampleAudio: truncating pooling on negatives, stereo, short clip") {
     import graft.ops.{Codecs, Multimodal}
     // mono [-7, -4, 4, 10] pooled 2:1: trunc(-11/2) = -5 (a floor
