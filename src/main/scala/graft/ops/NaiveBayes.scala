@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * convention, stated identically in the oracle).
   *
   * Score: explode test tokens (duplicates kept — term frequency IS
-  * the multinomial statistic), join the model on the term (the model
-  * broadcasts: |V|·|classes| rows, vocabulary-sized), and fold each
+  * the multinomial statistic), join the model on the term (AQE
+  * broadcasts the |V|·|classes| frame while it is small; no forced
+  * hint — a web-scale vocabulary must be allowed to shuffle), and
+  * fold each
   * (doc, class) score TERM-SORTED (the bm25 engine-exactness
   * discipline). Every ln is rounded 9dp BEFORE summation, so the
   * fold adds identical doubles in an identical order cross-engine and
@@ -77,7 +79,10 @@ object NaiveBayes {
               classModel: DataFrame, termModel: DataFrame): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(toks(col(textCol))).as("term"))
-    val perClass = tokens.join(broadcast(termModel), Seq("term"))
+    // no broadcast hint on the term model: |V|·|classes| grows with
+    // the corpus, and AQE will still broadcast it while it is small —
+    // forcing the hint would OOM the driver on a web-scale vocabulary
+    val perClass = tokens.join(termModel, Seq("term"))
       .groupBy(col("id"), col("cls"))
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("ln_p_r")))),
