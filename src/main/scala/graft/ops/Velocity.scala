@@ -77,6 +77,53 @@ object Velocity {
     *
     * Output: (key, n_events, ewma).
     */
+  /** Per-entity two-sided CUSUM changepoint detection (Page 1954) —
+    * the regime-shift alarm a drift-aware fraud pipeline runs per
+    * account: s⁺ accumulates upward drift max(0, s⁺ + (v − target)),
+    * s⁻ downward, an alarm fires when either side crosses `h`, and
+    * both sides reset (the standard restart). Returns per entity:
+    * event count, alarm count, and the final (s⁺, s⁻) state.
+    *
+    * ALL-INTEGER: values convert to exact cents (`round(v·100)`, the
+    * a29 recipe) and target/threshold are cent parameters, so every
+    * add/max/compare is exact integer arithmetic with NO float
+    * boundary anywhere — w14's oracle replays the fold bit-exactly.
+    * (A float CUSUM was tried first: DuckDB 1.0's `list_reduce`
+    * evaluated the shared alarm CASE inconsistently ACROSS struct
+    * accumulator fields on long lists, so the oracle packs the whole
+    * (sp, sn, alarms) state into ONE BIGINT with a SINGLE CASE per
+    * step — integers make the packing exact; Spark keeps the readable
+    * struct form, equal because integer math has no evaluation-order
+    * sensitivity.) Evaluation contract otherwise as [[ewmaFinal]]:
+    * one doc-bounded fold per key in (event-time, id) order.
+    */
+  def cusumFinal(df: DataFrame, keyCol: String, tsCol: String,
+                 idCol: String, valueCol: String,
+                 targetCents: Long, hCents: Long): DataFrame = {
+    require(hCents > 0, s"alarm threshold must be positive: got $hCents")
+    def step(acc: Column, v: Column): Column = {
+      val sp1 = greatest(lit(0L), acc.getField("sp") + (v - targetCents))
+      val sn1 = greatest(lit(0L), acc.getField("sn") - (v - targetCents))
+      val alarm = sp1 > hCents || sn1 > hCents
+      struct(
+        when(alarm, lit(0L)).otherwise(sp1).as("sp"),
+        when(alarm, lit(0L)).otherwise(sn1).as("sn"),
+        (acc.getField("al") + when(alarm, 1L).otherwise(0L)).as("al"))
+    }
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(idCol).as("i"),
+            round(col(valueCol) * 100).cast("long").as("v")))),
+          struct(lit(0L).as("sp"), lit(0L).as("sn"), lit(0L).as("al")),
+          (acc, x) => step(acc, x.getField("v"))).as("st"))
+      .select(col("key"), col("n_events"), col("st.al").as("alarms"),
+        col("st.sp").as("sp_cents"), col("st.sn").as("sn_cents"))
+  }
+
   def ewmaFinal(df: DataFrame, keyCol: String, tsCol: String,
                 idCol: String, valueCol: String,
                 aNum: Int = 1, aDen: Int = 8): DataFrame = {

@@ -109,6 +109,19 @@ object WindowQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // Per-user two-sided CUSUM changepoint alarms (target 50.00,
+    // h 200.00 — as exact integer cents): alarm counts plus the final
+    // (s+, s-) state, every add/max/compare exact integer arithmetic,
+    // bit-identical to the oracle's packed-state list_reduce.
+    "w14_cusum" -> ((s, d) =>
+      graft.ops.Velocity.cusumFinal(
+        Tables.eventsMicros(s, d).select(col("user_id"),
+          col("ts_us"), col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value",
+        targetCents = 5000L, hCents = 20000L)
+        .withColumnRenamed("key", "user_id")
+        .orderBy(col("user_id"))),
+
     // Per-user EWMA spending baseline (α = 1/8 — dyadic, so the fold
     // constants are exact doubles and the sequential fold is
     // bit-identical cross-engine with NO rounding): one doc-bounded
@@ -207,6 +220,46 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    // the packed-BIGINT fold: (sp, sn, alarms) in one integer with a
+    // SINGLE CASE per step — DuckDB 1.0's list_reduce mis-evaluated a
+    // shared CASE across struct fields on long lists; integer packing
+    // sidesteps it with zero precision loss (cents are exact)
+    "w14_cusum" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_id IS NOT NULL AND value IS NOT NULL),
+         f AS (SELECT user_id, COUNT(*) AS n_events,
+                 list_reduce(
+                   list_transform(list(v ORDER BY t, event_id), vv ->
+                     vv * 70368744177664 +
+                     CASE WHEN greatest(0, vv - 5000) > 20000
+                           OR greatest(0, 5000 - vv) > 20000
+                          THEN 1
+                          ELSE greatest(0, vv - 5000) * 536870912
+                               + greatest(0, 5000 - vv) * 4096 END),
+                   (acc, x) ->
+                     (x // 70368744177664) * 70368744177664 +
+                     CASE WHEN greatest(0, (acc // 536870912) % 131072
+                                  + (x // 70368744177664) - 5000) > 20000
+                           OR greatest(0, (acc // 4096) % 131072
+                                  - ((x // 70368744177664) - 5000))
+                              > 20000
+                          THEN acc % 4096 + 1
+                          ELSE greatest(0, (acc // 536870912) % 131072
+                                 + (x // 70368744177664) - 5000)
+                               * 536870912
+                               + greatest(0, (acc // 4096) % 131072
+                                 - ((x // 70368744177664) - 5000))
+                               * 4096
+                               + acc % 4096 END) AS st
+               FROM e GROUP BY user_id)
+         SELECT user_id, n_events,
+                CAST(st % 4096 AS BIGINT) AS alarms,
+                CAST((st // 536870912) % 131072 AS BIGINT) AS sp_cents,
+                CAST((st // 4096) % 131072 AS BIGINT) AS sn_cents
+         FROM f ORDER BY user_id""",
     "w13_quantile_norm" ->
       """WITH r AS (SELECT l_returnflag AS grp,
                       CAST(l_quantity AS BIGINT) AS v FROM lineitem),

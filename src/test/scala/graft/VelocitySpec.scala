@@ -35,6 +35,25 @@ class VelocitySpec extends SparkSpec {
     assert(out(1L) == ((2L, Some(2.0))))
   }
 
+  test("cusumFinal: hand fold, alarm reset, downward side, boundary strict") {
+    import graft.ops.Velocity
+    // key 1, target 10.00, h 5.00 (cents 1000/500): [12, 14, 11] →
+    // s+ 200, then 600 > 500 ALARM (reset), then 100; key 2 downward:
+    // [5, 4] → s- 500 (NOT > 500: the crossing is strict), then
+    // 1100 > 500 alarm and reset
+    val df = Seq(
+      (1L, 10L, 1L, 12.0), (1L, 20L, 2L, 14.0), (1L, 30L, 3L, 11.0),
+      (2L, 10L, 4L, 5.0), (2L, 20L, 5L, 4.0)
+    ).toDF("k", "t", "i", "v")
+    val got = Velocity.cusumFinal(df, "k", "t", "i", "v",
+      targetCents = 1000L, hCents = 500L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(1L) == ((3L, 1L, 100L, 0L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 0L, 0L)), s"got ${got(2L)}")
+  }
+
   test("ewmaFinal: hand fold, tie order, key isolation, null drop") {
     import graft.ops.Velocity
     // key a, ts order [8, 16, 24] with α=1/4: 8 → 8·.75+16·.25=10 →
