@@ -382,6 +382,35 @@ object SourceQueries extends QuerySet {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming CUSUM changepoint alarms (§2.6 × w14): four integers
+    // of state per entity, each batch continues the exact all-cents
+    // fold, and the last emission per entity must equal the batch w14
+    // result identically (same oracle SQL).
+    "st15_stream_cusum" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st15_cusum_sink"
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamVelocity.cusumStates(
+            src, "user_id", "ts_us", "event_id", "value",
+            targetCents = 5000L, hCents = 20000L)
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("user").as("user_id"))
+        .agg(max(col("n")).as("n_events"),
+          max_by(col("alarms"), col("n")).as("alarms"),
+          max_by(col("sp"), col("n")).as("sp_cents"),
+          max_by(col("sn"), col("n")).as("sn_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     "st10_stream_velocity" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "st10_velocity_sink"
@@ -877,6 +906,9 @@ object SourceQueries extends QuerySet {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
                 event_type, COUNT(*) AS cnt
          FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    // the streaming CUSUM must converge to the BATCH fold exactly —
+    // same oracle SQL as w14 by construction
+    "st15_stream_cusum" -> WindowQueries.oracle("w14_cusum"),
     "st13_stream_histogram" ->
       """WITH h AS (SELECT event_type AS grp,
                       LEAST(GREATEST(CAST(floor(value / 25) AS INT), 0),

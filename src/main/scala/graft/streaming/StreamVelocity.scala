@@ -95,6 +95,57 @@ object StreamVelocity {
       }
   }
 
+  case class CusumEvent(user: Long, ts: Long, id: Long, cents: Long)
+  case class CusumRow(user: Long, n: Long, alarms: Long,
+                      sp: Long, sn: Long)
+  case class CusumState(n: Long, sp: Long, sn: Long, al: Long)
+
+  /** Streaming two-sided CUSUM — `ops/Velocity.cusumFinal` maintained
+    * IN the stream: regime-shift alarms AT SERVING TIME with four
+    * integers of state per entity. All-integer cents arithmetic (the
+    * batch op's contract), so each micro-batch continues the exact
+    * fold and the last emission per entity equals the batch fold —
+    * not approximately, identically. Same cross-batch ordered-arrival
+    * stance as [[trailingCounts]].
+    */
+  def cusumStates(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, valueCol: String,
+                  targetCents: Long, hCents: Long): Dataset[CusumRow] = {
+    require(hCents > 0, "alarm threshold must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("id"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+      .as[CusumEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[CusumEvent],
+         state: GroupState[CusumState]) =>
+          val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          var i = 0
+          while (i < sorted.length) {
+            val d = sorted(i).cents - targetCents
+            val sp1 = math.max(0L, st.sp + d)
+            val sn1 = math.max(0L, st.sn - d)
+            st =
+              if (sp1 > hCents || sn1 > hCents)
+                CusumState(st.n + 1, 0L, 0L, st.al + 1)
+              else CusumState(st.n + 1, sp1, sn1, st.al)
+            i += 1
+          }
+          state.update(st)
+          if (sorted.nonEmpty)
+            Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn))
+          else Iterator.empty
+      }
+  }
+
   /** Per-event trailing-window count (including the event itself and
     * its same-instant peers) over `(t − windowMicros, t]` — the same
     * inclusive bound as the batch `RANGE windowMicros−1 PRECEDING`

@@ -112,6 +112,35 @@ class StreamSpec extends SparkSpec {
     assert(streamed(1L) == ((3L, 13.5)))
   }
 
+  test("streaming CUSUM continues the integer fold across batches ≡ batch") {
+    import graft.ops.Velocity
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(Long, Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user", "ts", "id", "v")
+    val q = StreamVelocity.cusumStates(df, "user", "ts", "id", "v",
+        targetCents = 1000L, hCents = 500L)
+      .toDF.writeStream.format("memory").queryName("cusum_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 10L, 1L, 12.0), (1L, 20L, 2L, 14.0))
+      q.processAllAvailable()
+      stream.addData((1L, 30L, 3L, 11.0)) // continues post-alarm state
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cusum_sink").groupBy($"user")
+      .agg(max($"n").as("n"), max_by($"alarms", $"n").as("al"),
+        max_by($"sp", $"n").as("sp"), max_by($"sn", $"n").as("sn"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val batch = Velocity.cusumFinal(
+      Seq((1L, 10L, 1L, 12.0), (1L, 20L, 2L, 14.0), (1L, 30L, 3L, 11.0))
+        .toDF("k", "t", "i", "v"), "k", "t", "i", "v", 1000L, 500L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == ((3L, 1L, 100L, 0L)))
+  }
+
   test("wire codec round trip + corrupt payload → dead letter") {
     val df = TransactionGen.batch(spark, 50, seed = 1)
     val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))
