@@ -209,6 +209,20 @@ object OpsQueries extends QuerySet {
         .orderBy(col("event_type"), col("y"))
     }),
 
+    // Declarative expectation suite over lineitem: six contracts
+    // (range, positivity, domain, date floor) evaluated in ONE
+    // aggregation pass — the qty_lt_30 rule is planted to fail so the
+    // violation counting is on the oracle signal, not just zeros.
+    "p14_expectations" -> ((s, d) =>
+      graft.ops.Expectations.check(Tables.lineitem(s, d), Seq(
+        "qty_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "disc_range" -> col("l_discount").between(0.0, 0.1),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "tax_nonneg" -> (col("l_tax") >= 0),
+        "qty_lt_30" -> (col("l_quantity") < 30)))
+        .orderBy(col("rule"))),
+
     // Benford's-law first-digit screen per event type (forensic
     // accounting): string-extracted first digits of integer cents, the
     // 9-constant log10 expected table, per-digit chi-square
@@ -486,6 +500,34 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "p14_expectations" ->
+      """WITH t AS (SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)
+                    THEN 1 ELSE 0 END) AS v_qty_range,
+           SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS v_price_positive,
+           SUM(CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 0.1,
+                                      FALSE)
+                    THEN 1 ELSE 0 END) AS v_disc_range,
+           SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A', 'N', 'R'),
+                                      FALSE)
+                    THEN 1 ELSE 0 END) AS v_flag_domain,
+           SUM(CASE WHEN NOT COALESCE(l_tax >= 0, FALSE)
+                    THEN 1 ELSE 0 END) AS v_tax_nonneg,
+           SUM(CASE WHEN NOT COALESCE(l_quantity < 30, FALSE)
+                    THEN 1 ELSE 0 END) AS v_qty_lt_30
+         FROM lineitem)
+         SELECT r.rule, r.violations, t.n_rows, r.violations = 0 AS pass
+         FROM t, (
+           SELECT 'qty_range' AS rule, (SELECT v_qty_range FROM t)
+                    AS violations
+           UNION ALL SELECT 'price_positive',
+                            (SELECT v_price_positive FROM t)
+           UNION ALL SELECT 'disc_range', (SELECT v_disc_range FROM t)
+           UNION ALL SELECT 'flag_domain', (SELECT v_flag_domain FROM t)
+           UNION ALL SELECT 'tax_nonneg', (SELECT v_tax_nonneg FROM t)
+           UNION ALL SELECT 'qty_lt_30', (SELECT v_qty_lt_30 FROM t)) r
+         ORDER BY r.rule""",
     "a29_benford" ->
       """WITH c AS (SELECT event_type AS grp,
                       CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)

@@ -16,6 +16,24 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("expectations: one-pass counts, null predicates are violations") {
+    import graft.ops.Expectations
+    val df = Seq((1, Option(5)), (2, Option(50)), (3, None))
+      .toDF("id", "x")
+    val got = Expectations.check(df, Seq(
+      "x_small" -> ($"x" < 10),   // null x → NULL predicate → violation
+      "id_pos" -> ($"id" > 0),
+      "never" -> lit(false)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got("x_small") == ((2L, 3L, false)), "50 fails, null counts too")
+    assert(got("id_pos") == ((0L, 3L, true)))
+    assert(got("never") == ((3L, 3L, false)))
+    intercept[IllegalArgumentException] {
+      Expectations.check(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("quantileNormalize: hand-computed rank mapping, identity on one group") {
     import graft.ops.Aggregates
     // A = [1,2], B = [10,20,30]; pooled sorted = [1,2,10,20,30], N=5.
