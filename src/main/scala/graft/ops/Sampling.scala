@@ -93,6 +93,38 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** [[weightedSample]] per stratum: the n heaviest-priority rows of
+    * EACH group (language quotas, per-domain caps — weighted). Ranking
+    * is the same A-ES priority; selection runs on the bounded
+    * mergeable [[graft.functions.TopKAgg]] heap — map-side size-n
+    * buffers per stratum, no per-group `row_number` window funneling a
+    * hot stratum through one reducer (the sm09/ANN-finisher
+    * discipline). Output: (group, id, rank), rank 1..n by
+    * (priority desc, id asc).
+    */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String,
+                             idCol: String, weightCol: String, n: Int,
+                             seed: Long = 42L,
+                             portable: Boolean = false): DataFrame = {
+    require(n > 0, s"n must be positive: got $n")
+    val v =
+      if (portable)
+        conv(substring(md5(col(idCol).cast("string").cast("binary")),
+          1, 13), 16, 10).cast("long")
+      else
+        xxhash64(col(idCol).cast("string"), lit(seed))
+          .bitwiseAND(lit((1L << 52) - 1))
+    val u = (v.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__pri", log(u) / col(weightCol).cast("double"))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(graft.functions.TopKAgg.topK(col("__pri"), col(idCol), n)
+        .as("__tk"))
+      .select(col("grp"), explode(col("__tk")).as("__e"))
+      .select(col("grp"), col("__e.id").as("id"),
+        col("__e.rank").as("rank"))
+  }
+
   /** Deterministic train/validation/test split assignment: each row's
     * bucket is a pure function of its id hash, so the split never leaks
     * rows across reruns, appends, repartitions, or engines (portable

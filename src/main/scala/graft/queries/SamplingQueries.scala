@@ -42,6 +42,17 @@ object SamplingQueries extends QuerySet {
         "doc_id", "n_chars", k = 300, portable = true)
         .orderBy(col("doc_id"))),
 
+    // Per-language weighted quota: the 15 heaviest-priority docs of
+    // EACH language under the A-ES char weighting — selection on the
+    // bounded TopKAgg heap (no per-stratum window), the oracle's
+    // ROW_NUMBER over the identically-rebuilt priorities must pick
+    // the same rows in the same order.
+    "sm12_weighted_stratified" -> ((s, d) =>
+      Sampling.weightedSamplePerGroup(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "lang", "doc_id", "n_chars", n = 15, portable = true)
+        .orderBy(col("grp"), col("rank"))),
+
     // ~20% deterministic corpus sample, per-lang survivor stats.
     "sm01_hash_sample" -> ((s, d) =>
       Sampling.hashSample(
@@ -168,6 +179,33 @@ object SamplingQueries extends QuerySet {
                 COUNT(*) AS n, MIN(t) AS min_ts, MAX(t) AS max_ts,
                 CAST(SUM(user_id) AS BIGINT) AS uid_checksum
          FROM v CROSS JOIN thr GROUP BY 1 ORDER BY 1""",
+    "sm12_weighted_stratified" ->
+      """WITH h AS (
+           SELECT doc_id, lang,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hx,
+                  n_chars
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         v AS (
+           SELECT doc_id, lang, n_chars,
+                  list_sum(list_transform(range(0, 13), i ->
+                    CAST(strpos('0123456789abcdef',
+                         substr(hx, CAST(i + 1 AS INT), 1)) - 1 AS BIGINT)
+                      * (CAST(1 AS BIGINT)
+                         << CAST(4 * (12 - i) AS INT)))) AS vv
+           FROM h),
+         p AS (
+           SELECT doc_id, lang,
+                  ln((CAST(vv AS DOUBLE) + 0.5) / 4503599627370496.0)
+                    / CAST(n_chars AS DOUBLE) AS pri
+           FROM v),
+         r AS (
+           SELECT lang AS grp, doc_id AS id,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY pri DESC, doc_id) AS rank
+           FROM p)
+         SELECT grp, id, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 15
+         ORDER BY grp, rank""",
     "sm11_weighted_sample" ->
       """WITH h AS (
            SELECT doc_id, lang, n_chars,

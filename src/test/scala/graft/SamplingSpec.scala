@@ -38,6 +38,23 @@ class SamplingSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("weightedSamplePerGroup ≡ per-stratum weightedSample, isolation") {
+    val rows = (1L to 600L).map(i => (i, s"g${i % 3}", 1L + (i % 11) * 5L))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "grp", "id", "w",
+        n = 20, portable = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+    // per-group equivalence with the global op applied to that stratum
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sampling.weightedSample(df.filter($"grp" === g),
+          "id", "w", k = 20, portable = true)
+        .select("id").as[Long].collect().toSet
+      assert(got(g) == solo, s"stratum $g diverged from the global op")
+    }
+    assert(got.values.map(_.size).toSeq.forall(_ == 20))
+  }
+
   test("weightedSample: heavy rows dominate, k≥n keeps all positives") {
     // 500 light rows (w=1) vs 50 heavy rows (w=1000): a k=50 sample
     // must be mostly heavy — inclusion odds scale with weight
