@@ -309,6 +309,24 @@ object MultimodalQueries extends QuerySet {
         (id, graft.ops.Codecs.encodeFlac(16000, 1, samples))
       }.toDF("media_id", "bytes")
       Multimodal.decodeAudioStats(media).orderBy(col("media_id"))
+    }),
+
+    // COMPRESSED-audio-in resample: the mm08 FLAC fixture through the
+    // full Rice/LPC decoder, then the mm14 pooling chain (truncating
+    // division) and a WAV re-encode — FLAC losslessness means the
+    // pooled closed form survives identically to the WAV-in case.
+    "mm16_flac_resample" -> ((s, d) => {
+      import s.implicits._
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val media = ids.map { id =>
+        val n = 64
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7919 + k * 263) % 65536) - 32768).toShort)
+        (id, graft.ops.Codecs.encodeFlac(16000, 1, samples))
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeAudioStats(
+        Multimodal.resampleAudio(media, 4)).orderBy(col("media_id"))
     })
   )
 
@@ -509,6 +527,24 @@ object MultimodalQueries extends QuerySet {
                 CAST(MIN(s) AS INT) AS min_sample,
                 CAST(MAX(s) AS INT) AS max_sample
          FROM sm GROUP BY id ORDER BY media_id""",
+    // FLAC in, same pooled closed form out (lossless front end)
+    "mm16_flac_resample" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+                      WHERE doc_id < 100),
+         sm AS (SELECT id, r.range AS k,
+                  (id * 7919 + r.range * 263) % 65536 - 32768 AS s
+                FROM ids CROSS JOIN range(0, 64) r),
+         g AS (SELECT id, k // 4 AS j, CAST(SUM(s) AS BIGINT) AS s4
+               FROM sm GROUP BY 1, 2),
+         p AS (SELECT id, j, s4 // 4 AS ps FROM g)
+         SELECT id AS media_id,
+                CAST(4000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(16 AS INT) AS n_samples,
+                CAST(SUM(ps) AS BIGINT) AS sum_samples,
+                CAST(MIN(ps) AS INT) AS min_sample,
+                CAST(MAX(ps) AS INT) AS max_sample
+         FROM p GROUP BY id ORDER BY media_id""",
     "mm14_audio_resample" ->
       """WITH ids AS (SELECT doc_id AS id FROM documents
                       WHERE doc_id < 100),
