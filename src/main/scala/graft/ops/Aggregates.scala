@@ -552,6 +552,50 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Concentration-of-value report per group: the share of total
+    * value held by the top pctNum/pctDen fraction of rows (the
+    * "top 1% of transactions carry X% of spend" screen — spend
+    * concentration is itself a fraud/abuse signal, and the table is
+    * the integer-exact cousin of a Gini curve point).
+    *
+    * All-integer on cents and the first-rank discipline: k =
+    * ⌈n·pct⌉ rows per group; the threshold value t is the largest
+    * cents with descending cumulative count ≥ k, and the top sum is
+    * Σ_{c>t} c·cnt + (k − count_{>t})·t — ties at the threshold take
+    * exactly as many rows as k needs, deterministically. Windowless
+    * ([[bucketedPrefixSums]] descending with both count and weighted
+    * prefix columns).
+    *
+    * Output: (grp, n, total_cents, k, top_cents).
+    */
+  def topShare(df: DataFrame, valueCol: String, groupCol: String,
+               pctNum: Int = 1, pctDen: Int = 100): DataFrame = {
+    require(pctNum > 0 && pctDen > 0 && pctNum <= pctDen,
+      s"share must be a rational in (0,1]: got $pctNum/$pctDen")
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val h = rows.groupBy(col("grp"), col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", col("c") * col("cnt"))
+    val hc = bucketedPrefixSums(h, "c", ascending = false,
+      Seq("cnt", "w"), groupCols = Seq("grp"))
+    val ng = h.groupBy(col("grp").as("g2"))
+      .agg(sum(col("cnt")).as("n"), sum(col("w")).as("total_cents"))
+    val withK = hc.join(ng, col("grp") <=> col("g2"))
+      .withColumn("k",
+        expr(s"(n * $pctNum + ($pctDen - 1)) div $pctDen"))
+    withK.filter(col("cum_cnt") >= col("k"))
+      .groupBy(col("grp"), col("n"), col("total_cents"), col("k"))
+      .agg(max_by(
+        struct(col("cum_cnt"), col("cnt"), col("cum_w"), col("w"),
+          col("c")), col("c")).as("t"))
+      .select(col("grp"), col("n"), col("total_cents"), col("k"),
+        ((col("t.cum_w") - col("t.w"))
+          + (col("k") - (col("t.cum_cnt") - col("t.cnt"))) * col("t.c"))
+          .as("top_cents"))
+  }
+
   /** Cross-group QUANTILE NORMALIZATION — the distribution-matching
     * transform (microarray heritage, now reward/score normalization):
     * every group's values map onto the POOLED distribution at the

@@ -223,6 +223,15 @@ object OpsQueries extends QuerySet {
         "qty_lt_30" -> (col("l_quantity") < 30)))
         .orderBy(col("rule"))),
 
+    // Concentration of spend: the top 1% of events per type and the
+    // exact share of total cents they carry — integer first-rank rule
+    // with deterministic tie handling at the threshold.
+    "a31_concentration" -> ((s, d) =>
+      graft.ops.Aggregates.topShare(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "value", "event_type", pctNum = 1, pctDen = 100)
+        .orderBy(col("grp"))),
+
     // Benford's-law first-digit screen per event type (forensic
     // accounting): string-extracted first digits of integer cents, the
     // 9-constant log10 expected table, per-digit chi-square
@@ -500,6 +509,34 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "a31_concentration" ->
+      """WITH r AS (SELECT event_type AS grp,
+                      CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL),
+         h AS (SELECT grp, c, COUNT(*) AS cnt, c * COUNT(*) AS w
+               FROM r GROUP BY grp, c),
+         hc AS (SELECT grp, c, cnt, w,
+                  SUM(cnt) OVER (PARTITION BY grp ORDER BY c DESC)
+                    AS cum_cnt,
+                  SUM(w) OVER (PARTITION BY grp ORDER BY c DESC)
+                    AS cum_w
+                FROM h),
+         ng AS (SELECT grp, SUM(cnt) AS n, SUM(w) AS total_cents
+                FROM h GROUP BY grp),
+         wk AS (SELECT hc.*, ng.n, ng.total_cents,
+                  (ng.n * 1 + 99) // 100 AS k
+                FROM hc JOIN ng ON hc.grp = ng.grp),
+         t AS (SELECT grp, n, total_cents, k,
+                 max_by(struct_pack(cum_cnt := cum_cnt, cnt := cnt,
+                                    cum_w := cum_w, w := w, c := c),
+                        c) AS t
+               FROM wk WHERE cum_cnt >= k
+               GROUP BY grp, n, total_cents, k)
+         SELECT grp, n, total_cents, k,
+                CAST((t.cum_w - t.w)
+                     + (k - (t.cum_cnt - t.cnt)) * t.c AS BIGINT)
+                  AS top_cents
+         FROM t ORDER BY grp""",
     "p14_expectations" ->
       """WITH t AS (SELECT COUNT(*) AS n_rows,
            SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)

@@ -16,6 +16,23 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("topShare: first-rank threshold, tie takes exactly k, hand values") {
+    import graft.ops.Aggregates
+    // group a: cents [100, 300, 300, 500, 900] (values /100). n=5,
+    // top 40% → k=2: threshold t = 500 (cum desc: 900→1, 500→2),
+    // top = 900 + 500 = 1400. group b: ties AT the threshold:
+    // [200, 200, 200, 800], k=⌈4·0.4⌉=2 → t=200? cum: 800→1,
+    // 200→4 ≥ 2 → t=200, above=1, top = 800 + (2−1)·200 = 1000.
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 3.0), ("a", 5.0),
+      ("a", 9.0), ("b", 2.0), ("b", 2.0), ("b", 2.0), ("b", 8.0))
+      .toDF("g", "v")
+    val got = Aggregates.topShare(df, "v", "g", pctNum = 2, pctDen = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((5L, 2100L, 2L, 1400L)), s"got ${got("a")}")
+    assert(got("b") == ((4L, 1400L, 2L, 1000L)), s"got ${got("b")}")
+  }
+
   test("expectations: one-pass counts, null predicates are violations") {
     import graft.ops.Expectations
     val df = Seq((1, Option(5)), (2, Option(50)), (3, None))
