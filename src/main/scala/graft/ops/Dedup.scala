@@ -940,6 +940,53 @@ object Dedup {
     * going quadratic. The count costs one pass over the (small, already
     * caller-filtered) candidate frame.
     */
+  /** MinHash ESTIMATOR CALIBRATION — the audit a sketch deployment
+    * owes its users: for every banded candidate pair, the signature
+    * agreement count (the estimator: E[matches/k] = true Jaccard)
+    * next to the EXACT overlap, aggregated per agreement level as
+    * pure integers (n_pairs, Σ|∩|, Σ|∪| — the mean true Jaccard per
+    * level is their ratio, computed by the reader, so no float sum
+    * order exists anywhere). Portable md5 mode, so the d16 oracle
+    * replays signatures, banding, candidates, agreement counts AND
+    * exact overlaps.
+    */
+  def minhashCalibration(df: DataFrame, textCol: String, idCol: String,
+                         shingleSize: Int = 3, numHashes: Int = 8,
+                         bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val prepared = df.select(col(idCol).as("id"),
+        shingles(TextAnalysis.tokens(lower(col(textCol))), shingleSize)
+          .as("sh"))
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes))
+    val banded = prepared.select(col("id"),
+        explode(bandKeysPortable(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(prepared.select(col("id").as("id_a"), col("sig").as("sa"),
+        col("sh").as("ha")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("sig").as("sb"),
+        col("sh").as("hb")), "id_b")
+      .select(
+        expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), " +
+          "0, (acc, v) -> acc + v)").as("matches"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long")
+          .as("inter"),
+        (size(col("ha")) + size(col("hb"))
+          - size(array_intersect(col("ha"), col("hb")))).cast("long")
+          .as("uni"))
+      .groupBy(col("matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("inter")).as("sum_inter"),
+        sum(col("uni")).as("sum_union"))
+  }
+
   // ---------- exact set-similarity join (prefix filtering) ----------
 
   /** EXACT Jaccard similarity join via prefix filtering (AllPairs /

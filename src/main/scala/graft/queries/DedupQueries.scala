@@ -108,6 +108,22 @@ object DedupQueries extends QuerySet {
         .orderBy(col("entity_id"))
     }),
 
+    // MinHash estimator calibration: per signature-agreement level,
+    // candidate-pair counts and EXACT overlap integer sums — the
+    // "does matches/k actually track Jaccard on THIS corpus" audit,
+    // fully replayed by DuckDB in portable mode.
+    "d16_minhash_calibration" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 300)
+      val mutated = docs
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("text",
+          expr("substring(text, instr(text, ' ') + 1)"))
+      Dedup.minhashCalibration(docs.union(mutated), "text", "doc_id",
+        shingleSize = 3, numHashes = 8, bands = 4)
+        .orderBy(col("matches"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -745,6 +761,43 @@ object DedupQueries extends QuerySet {
                    FROM j WHERE jaccard >= 0.5)
           SELECT batch_id, corpus_id, jaccard FROM best WHERE rn = 1
           ORDER BY batch_id""",
+    "d16_minhash_calibration" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   substr(text, instr(text, ' ') + 1) AS text
+            FROM documents WHERE doc_id < 300),
+          t AS (SELECT doc_id,
+                  string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM corpus),
+          s AS (SELECT doc_id, $sh3 AS sh FROM t),
+          sg AS (SELECT doc_id, sh,
+                   list_transform(range(0, 8), i ->
+                     list_aggregate(list_transform(sh,
+                       x -> md5(i::VARCHAR || ':' || x)), 'min')) AS sig
+                 FROM s),
+          b AS (SELECT doc_id, bb,
+                  md5(list_aggregate(sig[bb*2+1:bb*2+2],
+                                     'string_agg', ',')) AS bucket
+                FROM sg, (SELECT unnest(range(0, 4)) AS bb)),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+                   FROM b a JOIN b b2
+                     ON a.bb = b2.bb AND a.bucket = b2.bucket
+                       AND a.doc_id < b2.doc_id),
+          m AS (SELECT
+                  len(list_filter(range(1, 9),
+                    i -> x.sig[i] = y.sig[i])) AS matches,
+                  len(list_intersect(x.sh, y.sh)) AS inter,
+                  len(x.sh) + len(y.sh)
+                    - len(list_intersect(x.sh, y.sh)) AS uni
+                FROM cand
+                JOIN sg x ON x.doc_id = cand.id_a
+                JOIN sg y ON y.doc_id = cand.id_b)
+          SELECT CAST(matches AS INT) AS matches, COUNT(*) AS n_pairs,
+                 CAST(SUM(inter) AS BIGINT) AS sum_inter,
+                 CAST(SUM(uni) AS BIGINT) AS sum_union
+          FROM m GROUP BY 1 ORDER BY matches""",
     "d15_entity_resolution" ->
       """WITH RECURSIVE
          base AS (SELECT doc_id,

@@ -1396,6 +1396,30 @@ class PipelineOpsSpec extends SparkSpec {
       "decodeRaster must route JPEG by magic")
   }
 
+  test("minhashCalibration: identical docs at full agreement, monotone") {
+    import graft.ops.Dedup
+    val corpus = docs.select("doc_id", "text").filter($"doc_id" < 120)
+    val copies = corpus.select($"doc_id" + 100000 as "doc_id", $"text")
+    val cal = Dedup.minhashCalibration(corpus.union(copies),
+        "text", "doc_id")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every exact-copy pair bands together and agrees on all 8 slots;
+    // with only 8 hashes some near-dups also reach full agreement
+    // (P = J^8), so the level-8 mean is HIGH, not exactly 1
+    val (n8, i8, u8) = cal(8)
+    assert(n8 >= corpus.count(), "copy pairs must reach full agreement")
+    assert(i8.toDouble / u8 > 0.95, s"level-8 mean J ${i8.toDouble / u8}")
+    // the estimator tracks: mean true Jaccard is monotone in matches
+    val means = cal.toSeq.sortBy(_._1)
+      .map { case (m, (_, i, u)) => m -> i.toDouble / u }
+    means.sliding(2).foreach {
+      case Seq((m1, j1), (m2, j2)) =>
+        assert(j1 <= j2 + 0.05, s"calibration inverted: $m1:$j1 $m2:$j2")
+      case _ => ()
+    }
+  }
+
   test("NaiveBayes: hand-computed model, OOV prior fallback, tie-break") {
     import graft.ops.NaiveBayes
     // train: A = "x x y", B = "z z"; V = {x,y,z}, totals A=3, B=2
