@@ -163,6 +163,23 @@ object Relevance {
         lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as the PageRank of the word co-occurrence graph, a
+    * straight composition of two oracle-proven pieces: [[pmi]]'s
+    * windowed pair generation (scan-local, minPairs prunes the hapax
+    * tail) feeds [[Graph.pageRank]]'s integer fixed-point iteration
+    * (bit-identical across engines, string nodes work unchanged —
+    * every stage is key-generic). Top-k by (rank desc, token).
+    */
+  def textRank(df: DataFrame, textCol: String, idCol: String,
+               window: Int = 5, minPairs: Long = 40L, iters: Int = 3,
+               topK: Int = 20): DataFrame = {
+    val edges = pmi(df, textCol, idCol, window, minPairs)
+      .select(col("a").as("u"), col("b").as("v"))
+    Graph.pageRank(edges, iters = iters)
+      .orderBy(col("rank").desc, col("node")).limit(topK)
+  }
+
   /** Multi-query BM25 retrieval — [[bm25]] generalized from one
     * hardcoded term bag to a QUERY TABLE, the batch-retrieval shape a
     * RAG / targeted-selection pipeline runs: N queries × top-k docs in

@@ -81,6 +81,15 @@ object RelevanceQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // TextRank keywords: t21's co-occurrence pairs feed g02's integer
+    // fixed-point PageRank over string nodes — two oracle-proven
+    // modules composed, ranks bit-exact, top-20 by (rank desc, token).
+    "t24_textrank" -> ((s, d) =>
+      Relevance.textRank(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", "doc_id", window = 5, minPairs = 40L, iters = 3,
+        topK = 20)),
+
     // Grouped ROC AUC: one traversal scores both l_linestatus cohorts
     // (the fused multi-model evaluation path, oracle-gated).
     "a16c_auc_by_group" -> ((s, d) =>
@@ -182,6 +191,46 @@ object RelevanceQueries extends QuerySet {
            -- rank 9dp ties differently than Spark's raw-score sort
            SELECT doc_id, bm25 FROM agg
            ORDER BY bm25 DESC, doc_id ASC LIMIT 10)""",
+    // t21's pair CTE + g02's unrolled integer PageRank, string nodes
+    "t24_textrank" ->
+      """WITH base AS (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS t
+              FROM documents),
+         pos AS (SELECT doc_id, unnest(t) AS tok,
+                        generate_subscripts(t, 1) AS i FROM base),
+         pr0 AS (SELECT least(p1.tok, p2.tok) AS a,
+                        greatest(p1.tok, p2.tok) AS b
+                 FROM pos p1 JOIN pos p2
+                   ON p1.doc_id = p2.doc_id
+                     AND p2.i > p1.i AND p2.i <= p1.i + 5),
+         pc AS (SELECT a, b, COUNT(*) AS n_pair FROM pr0 GROUP BY a, b),
+         e AS (SELECT a AS u, b AS v FROM pc WHERE n_pair >= 40),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         c1 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r0 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r1 AS (SELECT d.node,
+                  CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+                    AS r
+                FROM deg d LEFT JOIN c1 c ON d.node = c.node),
+         c2 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r1 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r2 AS (SELECT d.node,
+                  CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+                    AS r
+                FROM deg d LEFT JOIN c2 c ON d.node = c.node),
+         c3 AS (SELECT s.v AS node, SUM(r.r // d.deg) AS m
+                FROM sym s JOIN r2 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r3 AS (SELECT d.node,
+                  CAST(150000 + (85 * COALESCE(c.m, 0)) // 100 AS BIGINT)
+                    AS r
+                FROM deg d LEFT JOIN c3 c ON d.node = c.node)
+         SELECT node, r AS "rank" FROM r3
+         ORDER BY r DESC, node LIMIT 20""",
     "t22_bm25_retrieval" ->
       """WITH base AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks

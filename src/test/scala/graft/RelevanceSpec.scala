@@ -87,6 +87,19 @@ class RelevanceSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 1L, 1), (2L, 3L, 1)))
   }
 
+  test("textRank: the hub token of a star co-occurrence graph ranks first") {
+    // "hub" co-occurs with every other token (window 1 adjacency);
+    // leaves only see the hub → star graph, center takes the most mass
+    val df = Seq((1L, "hub aa hub bb hub cc hub dd"))
+      .toDF("doc_id", "text")
+    val top = Relevance.textRank(df, "text", "doc_id",
+      window = 1, minPairs = 1L, iters = 3, topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head._1 == "hub", s"got ${top.toSeq}")
+    assert(top.tail.forall(_._2 < top.head._2),
+      "leaves must rank strictly below the hub")
+  }
+
   test("pmi: hand-computed windowed pair stats") {
     // doc1 [a,b,a] → pairs (a,b),(a,a),(a,b); doc2 [b,c] → (b,c)
     // npairs=4; unigrams a:2 b:2 c:1, ntok=5
