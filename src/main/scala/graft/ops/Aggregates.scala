@@ -552,6 +552,39 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Two-proportion A/B significance screen: the 2×2 contingency
+    * table (variant × converted) with its chi-square statistic — the
+    * experimentation readout every product pipeline ships. Counts are
+    * integers; expected cells and the statistic are ratios/sums of
+    * integer products spelled identically in the oracle (6dp round on
+    * the single emitted double). One aggregation pass (conditional
+    * sums), no pivot, no second scan.
+    */
+  def abTest(df: DataFrame, variantCol: String,
+             convertedCol: String): DataFrame = {
+    val v = col(variantCol)
+    val c = col(convertedCol)
+    val base = df.agg(
+      sum(when(v === 0 && c === 0, 1L).otherwise(0L)).as("a0n"),
+      sum(when(v === 0 && c === 1, 1L).otherwise(0L)).as("a0y"),
+      sum(when(v === 1 && c === 0, 1L).otherwise(0L)).as("a1n"),
+      sum(when(v === 1 && c === 1, 1L).otherwise(0L)).as("a1y"))
+    val n = col("a0n") + col("a0y") + col("a1n") + col("a1y")
+    def cell(obs: Column, rowTot: Column, colTot: Column): Column = {
+      val e = rowTot.cast("double") * colTot.cast("double") /
+        n.cast("double")
+      (obs.cast("double") - e) * (obs.cast("double") - e) / e
+    }
+    val r0 = col("a0n") + col("a0y")
+    val r1 = col("a1n") + col("a1y")
+    val cn = col("a0n") + col("a1n")
+    val cy = col("a0y") + col("a1y")
+    base.select(col("a0n"), col("a0y"), col("a1n"), col("a1y"),
+      round(cell(col("a0n"), r0, cn) + cell(col("a0y"), r0, cy)
+        + cell(col("a1n"), r1, cn) + cell(col("a1y"), r1, cy), 6)
+        .as("chi2"))
+  }
+
   /** Concentration-of-value report per group: the share of total
     * value held by the top pctNum/pctDen fraction of rows (the
     * "top 1% of transactions carry X% of spend" screen — spend

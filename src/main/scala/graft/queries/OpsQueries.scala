@@ -223,6 +223,15 @@ object OpsQueries extends QuerySet {
         "qty_lt_30" -> (col("l_quantity") < 30)))
         .orderBy(col("rule"))),
 
+    // A/B significance screen: even/odd users as variants, purchase
+    // as conversion — the 2x2 table with chi-square, one pass.
+    "a32_ab_test" -> ((s, d) =>
+      graft.ops.Aggregates.abTest(
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select((col("user_id") % 2).cast("int").as("variant"),
+            (col("event_type") === "purchase").cast("int").as("conv")),
+        "variant", "conv")),
+
     // Concentration of spend: the top 1% of events per type and the
     // exact share of total cents they carry — integer first-rank rule
     // with deterministic tie handling at the threshold.
@@ -509,6 +518,57 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "a32_ab_test" ->
+      """WITH s AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+                      CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                        AS conv
+                    FROM events WHERE user_id IS NOT NULL),
+         t AS (SELECT
+                 SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END)
+                   AS a0n,
+                 SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END)
+                   AS a0y,
+                 SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END)
+                   AS a1n,
+                 SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END)
+                   AS a1y
+               FROM s)
+         SELECT CAST(a0n AS BIGINT) AS a0n, CAST(a0y AS BIGINT) AS a0y,
+                CAST(a1n AS BIGINT) AS a1n, CAST(a1y AS BIGINT) AS a1y,
+                round(
+                  (CAST(a0n AS DOUBLE) - CAST(a0n+a0y AS DOUBLE)
+                     * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  * (CAST(a0n AS DOUBLE) - CAST(a0n+a0y AS DOUBLE)
+                     * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  / (CAST(a0n+a0y AS DOUBLE) * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                + (CAST(a0y AS DOUBLE) - CAST(a0n+a0y AS DOUBLE)
+                     * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  * (CAST(a0y AS DOUBLE) - CAST(a0n+a0y AS DOUBLE)
+                     * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  / (CAST(a0n+a0y AS DOUBLE) * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                + (CAST(a1n AS DOUBLE) - CAST(a1n+a1y AS DOUBLE)
+                     * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  * (CAST(a1n AS DOUBLE) - CAST(a1n+a1y AS DOUBLE)
+                     * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  / (CAST(a1n+a1y AS DOUBLE) * CAST(a0n+a1n AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                + (CAST(a1y AS DOUBLE) - CAST(a1n+a1y AS DOUBLE)
+                     * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  * (CAST(a1y AS DOUBLE) - CAST(a1n+a1y AS DOUBLE)
+                     * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE))
+                  / (CAST(a1n+a1y AS DOUBLE) * CAST(a0y+a1y AS DOUBLE)
+                     / CAST(a0n+a0y+a1n+a1y AS DOUBLE)), 6) AS chi2
+         FROM t""",
     "a31_concentration" ->
       """WITH r AS (SELECT event_type AS grp,
                       CAST(round(value * 100) AS BIGINT) AS c

@@ -16,6 +16,17 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("abTest: hand 2x2 chi-square") {
+    import graft.ops.Aggregates
+    // (10,10) vs (5,15): expected row*col/n → chi2 = 2.666667 at 6dp
+    val df = (Seq.fill(10)((0, 0)) ++ Seq.fill(10)((0, 1)) ++
+      Seq.fill(5)((1, 0)) ++ Seq.fill(15)((1, 1))).toDF("variant", "conv")
+    val r = Aggregates.abTest(df, "variant", "conv").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 10L, 5L, 15L)))
+    assert(r.getDouble(4) == 2.666667, s"chi2 ${r.getDouble(4)}")
+  }
+
   test("topShare: first-rank threshold, tie takes exactly k, hand values") {
     import graft.ops.Aggregates
     // group a: cents [100, 300, 300, 500, 900] (values /100). n=5,
