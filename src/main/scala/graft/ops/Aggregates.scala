@@ -552,6 +552,38 @@ object Aggregates {
       .orderBy(col("n_exact").desc, col("key").asc)
   }
 
+  /** Gini coefficient per group with an EXACT INTEGER numerator — the
+    * full inequality curve summary next to [[topShare]]'s single
+    * point: G = Σ_{i<j}(x_(j) − x_(i)) / (n·Σx). The pairwise-
+    * difference sum needs no pairs and no sort window: over the
+    * distinct-cents histogram, each value v contributes
+    * cnt_v · (v·cntBelow − sumBelow) (equal values contribute 0), with
+    * the strictly-below cumulative count/sum from one ascending
+    * [[bucketedPrefixSums]] pass — so the numerator is a plain integer
+    * and only the final ratio is a double (6dp).
+    *
+    * Output: (grp, n, total_cents, s_num, gini).
+    */
+  def gini(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        round(col(valueCol) * 100).cast("long").as("c"))
+    val h = rows.groupBy(col("grp"), col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", col("c") * col("cnt"))
+    val hc = bucketedPrefixSums(h, "c", ascending = true,
+      Seq("cnt", "w"), groupCols = Seq("grp"))
+    hc.withColumn("contrib",
+        col("cnt") * (col("c") * (col("cum_cnt") - col("cnt"))
+          - (col("cum_w") - col("w"))))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n"), sum(col("w")).as("total_cents"),
+        sum(col("contrib")).as("s_num"))
+      .withColumn("gini",
+        round(col("s_num").cast("double")
+          / (col("n").cast("double") * col("total_cents").cast("double")),
+          6))
+  }
+
   /** Two-proportion A/B significance screen: the 2×2 contingency
     * table (variant × converted) with its chi-square statistic — the
     * experimentation readout every product pipeline ships. Counts are

@@ -223,6 +223,14 @@ object OpsQueries extends QuerySet {
         "qty_lt_30" -> (col("l_quantity") < 30)))
         .orderBy(col("rule"))),
 
+    // Gini inequality of spend per event type: exact integer pairwise-
+    // difference numerator from the cents histogram, one double ratio.
+    "a33_gini" -> ((s, d) =>
+      graft.ops.Aggregates.gini(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "value", "event_type")
+        .orderBy(col("grp"))),
+
     // A/B significance screen: even/odd users as variants, purchase
     // as conversion — the 2x2 table with chi-square, one pass.
     "a32_ab_test" -> ((s, d) =>
@@ -518,6 +526,25 @@ object OpsQueries extends QuerySet {
            COUNT(*) AS n,
            CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1 ORDER BY key""",
+    "a33_gini" ->
+      """WITH r AS (SELECT event_type AS grp,
+                      CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events WHERE value IS NOT NULL),
+         h AS (SELECT grp, c, COUNT(*) AS cnt, c * COUNT(*) AS w
+               FROM r GROUP BY grp, c),
+         hc AS (SELECT grp, c, cnt, w,
+                  SUM(cnt) OVER (PARTITION BY grp ORDER BY c) AS cum_cnt,
+                  SUM(w) OVER (PARTITION BY grp ORDER BY c) AS cum_w
+                FROM h),
+         g AS (SELECT grp, SUM(cnt) AS n, SUM(w) AS total_cents,
+                 SUM(cnt * (c * (cum_cnt - cnt) - (cum_w - w))) AS s_num
+               FROM hc GROUP BY grp)
+         SELECT grp, n, CAST(total_cents AS BIGINT) AS total_cents,
+                CAST(s_num AS BIGINT) AS s_num,
+                round(CAST(s_num AS DOUBLE)
+                      / (CAST(n AS DOUBLE)
+                         * CAST(total_cents AS DOUBLE)), 6) AS gini
+         FROM g ORDER BY grp""",
     "a32_ab_test" ->
       """WITH s AS (SELECT CAST(user_id % 2 AS INT) AS variant,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END

@@ -16,6 +16,21 @@ class AggregatesSpec extends SparkSpec {
     (1, 0.9, 1), (1, 0.6, 1), (1, 0.4, 0), (0, 0.6, 1), (0, 0.2, 0)
   ).toDF("label", "proba", "pred")
 
+  test("gini: hand pair-difference sums, equality and max-inequality") {
+    import graft.ops.Aggregates
+    // [0, 1] (cents 0, 100): S = 100, n=2, total=100 → G = 0.5;
+    // constant group → S=0, G=0; [1,2,3] cents 100,200,300:
+    // S = (100)+(200)+(100) = 400, G = 400/(3·600) = 0.222222
+    val df = Seq(("m", 0.0), ("m", 1.0), ("k", 5.0), ("k", 5.0),
+      ("t", 1.0), ("t", 2.0), ("t", 3.0)).toDF("g", "v")
+    val got = Aggregates.gini(df, "v", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(got("m") == ((100L, 0.5)))
+    assert(got("k") == ((0L, 0.0)))
+    assert(got("t") == ((400L, 0.222222)), s"got ${got("t")}")
+  }
+
   test("abTest: hand 2x2 chi-square") {
     import graft.ops.Aggregates
     // (10,10) vs (5,15): expected row*col/n → chi2 = 2.666667 at 6dp
