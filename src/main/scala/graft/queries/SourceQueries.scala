@@ -483,6 +483,40 @@ object SourceQueries extends QuerySet {
         Tables.events(s, d), "user_id")
     }),
 
+    // Streaming Benford screen (§2.6 × a29): the (type, digit)
+    // observed-count table maintained IN the stream — state is ≤ 9
+    // rows per event type forever — with the expected/χ² collapse
+    // batch-side; the oracle is a29's recipe verbatim, so streamed
+    // counts must equal batch counts bit-exactly.
+    "st16_stream_benford" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st16_benford_sink"
+      val cents = round(col("value") * 100).cast("long")
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(col("event_type").as("grp"),
+          substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("grp"), col("digit")).agg(count(lit(1)).as("obs"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val counts = s.table(qn)
+      val tot = counts.groupBy(col("grp").as("gt"))
+        .agg(sum(col("obs")).as("n"))
+      counts.join(broadcast(tot), col("grp") === col("gt"))
+        .withColumn("expected",
+          col("n").cast("double")
+            * (log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+              / log(lit(10.0))))
+        .select(col("grp"), col("digit"), col("obs"),
+          round(col("expected"), 6).as("expected"),
+          round((col("obs").cast("double") - col("expected"))
+            * (col("obs").cast("double") - col("expected"))
+            / col("expected"), 6).as("chi2_part"))
+        .orderBy(col("grp"), col("digit"))
+    }),
+
     // Streaming quantiles at constant state (§2.6 × a26): an
     // equal-width histogram of the value column maintained IN the
     // stream — state is ≤ 64 buckets per event type regardless of
@@ -909,6 +943,8 @@ object SourceQueries extends QuerySet {
     // the streaming CUSUM must converge to the BATCH fold exactly —
     // same oracle SQL as w14 by construction
     "st15_stream_cusum" -> WindowQueries.oracle("w14_cusum"),
+    // streamed Benford counts must equal the a29 batch recipe verbatim
+    "st16_stream_benford" -> OpsQueries.oracle("a29_benford"),
     "st13_stream_histogram" ->
       """WITH h AS (SELECT event_type AS grp,
                       LEAST(GREATEST(CAST(floor(value / 25) AS INT), 0),
