@@ -196,4 +196,30 @@ object Models {
       .withColumn("__y", col(labelCol).cast("double"))
     ir.fit(prepared).transform(prepared).drop("__p", "__y")
   }
+
+  /** M9 scoring path as pure column algebra: apply a FIXED logistic
+    * model — coefficients as literals — appending `proba` (sigmoid of
+    * the linear term, 9dp-rounded: the m15/NaiveBayes cross-engine
+    * discipline, one transcendental `exp` absorbed by the rounding)
+    * and `pred` (proba ≥ 0.5). This is exactly what serving a trained
+    * LR model is (`FD/consumer.py:60-66` scores each event through
+    * stored coefficients); training stays MLlib/spec-gated, but the
+    * predict+probability semantics get a hash-exact oracle row because
+    * every op here is restatable in any engine.
+    *
+    * The linear term evaluates STRICTLY left-to-right in the given
+    * weight order (IEEE double addition is order-sensitive; the oracle
+    * must parenthesize identically), features cast to double first.
+    */
+  def scoreLogistic(df: DataFrame, weights: Seq[(String, Double)],
+                    intercept: Double, probaCol: String = "proba",
+                    predCol: String = "pred"): DataFrame = {
+    require(weights.nonEmpty, "at least one coefficient")
+    val z = weights.foldLeft(lit(intercept)) { case (acc, (c, w)) =>
+      acc + lit(w) * col(c).cast("double")
+    }
+    df.withColumn(probaCol,
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 9))
+      .withColumn(predCol, (col(probaCol) >= 0.5).cast("int"))
+  }
 }

@@ -723,8 +723,11 @@ object Aggregates {
                      groupCol: String): DataFrame = {
     val cents = round(col(valueCol) * 100).cast("long")
     val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    // gate on the ROUNDED cents, not the raw value: a value in
+    // (0, 0.005) rounds to 0 cents, whose "first digit" 0 would put
+    // log10(1 + 1/0) = ∞ into the expected-share table
     val counts = df
-      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .filter(col(valueCol).isNotNull && cents >= 1)
       .select(col(groupCol).as("grp"), digit.as("digit"))
       .groupBy(col("grp"), col("digit"))
       .agg(count(lit(1)).as("obs"))
@@ -835,16 +838,41 @@ object Aggregates {
     * BOTH rank selections — the median over values and the MAD over
     * the derived |v − med| histogram — evaluate as sequential
     * `aggregate()` folds inside ONE job, no second shuffle of data,
-    * no window anywhere. The per-group stats (one row per group,
-    * driver-bounded by the same contract as [[zscorePerGroup]]'s
-    * broadcast) re-enter the plan as a literal relation, so the
-    * returned frame is a plain scan + ONE broadcast hash join.
-    * `keepStats = true` retains `robust_med` / `robust_mad`.
+    * no window anywhere. The per-group stats stay a DATAFRAME
+    * end-to-end (never a driver collect, never a literal relation —
+    * at per-entity grouping 100 TB means millions of groups) and
+    * broadcast-join back onto the raw rows, so the returned frame is
+    * a plain scan + ONE broadcast hash join whose build side is the
+    * stats aggregation. `keepStats = true` retains `robust_med` /
+    * `robust_mad`.
     */
   def robustZscorePerGroupCached(df: DataFrame, groupCol: String,
                                  valueCol: String,
                                  zCol: String = "robust_z",
                                  keepStats: Boolean = false): Cached = {
+    // persisted so repeated actions on the scored frame run the
+    // stats aggregation once; release() drops it
+    val statsP = robustStats(df, groupCol, valueCol).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
+      statsP)
+    Cached(out, Seq(statsP))
+  }
+
+  /** [[robustZscorePerGroupCached]] without the persist — the stats
+    * frame is computed inside the scoring plan's broadcast exchange
+    * (once per action), so there is nothing to release.
+    */
+  def robustZscorePerGroup(df: DataFrame, groupCol: String,
+                           valueCol: String, zCol: String = "robust_z",
+                           keepStats: Boolean = false): DataFrame =
+    scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
+      robustStats(df, groupCol, valueCol))
+
+  /** `(__mg, __med, __mad)` per group — the exact lower-median /
+    * lower-MAD stats frame behind [[robustZscorePerGroup]]. */
+  private def robustStats(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
@@ -854,50 +882,35 @@ object Aggregates {
     val hist = counts.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("__v"), col("__cnt"))))
         .as("__h"))
-    // lower median of a sorted (v, cnt) array: smallest v whose
-    // cumulative count reaches target — one sequential fold
-    def lowerMedianOfArray(arr: Column, target: Column): Column =
-      aggregate(arr,
-        struct(lit(0L).as("c"), lit(null).cast("double").as("m")),
-        (acc, x) => struct(
-          (acc("c") + x("__cnt")).as("c"),
-          coalesce(acc("m"),
-            when(acc("c") + x("__cnt") >= target, x("__v"))).as("m")),
-        acc => acc("m"))
-    val stats = hist
+    hist
       .withColumn("__N",
         aggregate(col("__h"), lit(0L), (a, x) => a + x("__cnt")))
       .withColumn("__target", expr("(__N + 1) div 2"))
-      .withColumn("__med", lowerMedianOfArray(col("__h"), col("__target")))
+      .withColumn("__med",
+        lowerMedianOfHistArray(col("__h"), col("__target")))
       // the deviation histogram derives in-row: |v − med| re-sorted
       // (equal deviations need not merge — rank selection crosses the
       // same value either way)
-      .withColumn("__mad", lowerMedianOfArray(
+      .withColumn("__mad", lowerMedianOfHistArray(
         array_sort(transform(col("__h"), x => struct(
           abs(x("__v") - col("__med")).as("__v"),
           x("__cnt").as("__cnt")))),
         col("__target")))
-      .select(col(groupCol), col("__med"), col("__mad"))
-    val statsRows = stats.collect() // bounded: one row per group
-    val out = scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
-      statsRows, stats.schema(groupCol).dataType,
-      stats.schema("__med").dataType, stats.schema("__mad").dataType,
-      statsRows.map(r => r.get(0) -> r.get(2)).toMap)
-    Cached(out, Seq.empty)
+      .select(col(groupCol).as("__mg"), col("__med"), col("__mad"))
   }
 
-  /** [[robustZscorePerGroupCached]] with the backing released at once
-    * — safe, because the stats collects have already consumed it; the
-    * returned frame never re-reads it.
+  /** Lower median of a sorted (__v, __cnt) histogram array: smallest
+    * value whose cumulative count reaches target — one sequential fold.
     */
-  def robustZscorePerGroup(df: DataFrame, groupCol: String,
-                           valueCol: String, zCol: String = "robust_z",
-                           keepStats: Boolean = false): DataFrame = {
-    val c = robustZscorePerGroupCached(df, groupCol, valueCol, zCol,
-      keepStats)
-    c.release()
-    c.df
-  }
+  private def lowerMedianOfHistArray(arr: Column,
+                                     target: Column): Column =
+    aggregate(arr,
+      struct(lit(0L).as("c"), lit(null).cast("double").as("m")),
+      (acc, x) => struct(
+        (acc("c") + x("__cnt")).as("c"),
+        coalesce(acc("m"),
+          when(acc("c") + x("__cnt") >= target, x("__v"))).as("m")),
+      acc => acc("m"))
 
   /** Bounded-memory twin of [[robustZscorePerGroup]] — the 100-TB path
     * for CONTINUOUS value columns, mirroring `winsorize(approx = true)`.
@@ -923,49 +936,33 @@ object Aggregates {
                                  zCol: String = "robust_z",
                                  keepStats: Boolean = false,
                                  accuracy: Int = 10000): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val spark = df.sparkSession
     val vals = df.filter(col(valueCol).isNotNull)
-    val med = vals.groupBy(col(groupCol))
+    // the median frame is never collected: the MAD pass
+    // broadcast-joins it back onto the raw rows, and the median rides
+    // through that aggregation (max of a per-group constant) so the
+    // stats frame needs no second reference to `med` — everything is
+    // executor-side, group cardinality unbounded
+    val med = vals.groupBy(col(groupCol).as("__jg"))
       .agg(percentile_approx(col(valueCol), lit(0.5), lit(accuracy))
-        .as("__med"))
-    val medRows = med.collect() // bounded: one row per group
-    val medLocal = spark.createDataFrame(medRows.toSeq.asJava, med.schema)
-      .withColumnRenamed(groupCol, "__mg")
-    val mad = vals
-      .join(broadcast(medLocal), col(groupCol) <=> col("__mg"))
-      .groupBy(col(groupCol))
-      .agg(percentile_approx(abs(col(valueCol) - col("__med")),
-        lit(0.5), lit(accuracy)).as("__mad"))
-    val madByGroup = mad.collect().map(r => r.get(0) -> r.get(1)).toMap
-    scoreWithStats(df, groupCol, valueCol, zCol, keepStats,
-      medRows, med.schema(groupCol).dataType,
-      med.schema("__med").dataType, mad.schema("__mad").dataType,
-      madByGroup)
+        .as("__m"))
+    val stats = vals
+      .join(broadcast(med), col(groupCol) <=> col("__jg"))
+      .groupBy(col(groupCol).as("__mg"))
+      .agg(max(col("__m")).as("__med"),
+        percentile_approx(abs(col(valueCol) - col("__m")),
+          lit(0.5), lit(accuracy)).as("__mad"))
+    scoreWithStats(df, groupCol, valueCol, zCol, keepStats, stats)
   }
 
-  /** Shared tail of the exact/approx robust z-score: re-enter the
-    * driver-collected per-group stats as a literal broadcast table and
-    * score (see [[robustZscorePerGroupCached]] for why the collect).
+  /** Shared tail of the exact/approx robust z-score: broadcast-join
+    * the per-group stats frame `(__mg, __med, __mad)` onto the raw
+    * rows and score. The stats frame is a DataFrame, never driver
+    * rows — group cardinality is unbounded.
     */
   private def scoreWithStats(df: DataFrame, groupCol: String,
                              valueCol: String, zCol: String,
                              keepStats: Boolean,
-                             medRows: Array[org.apache.spark.sql.Row],
-                             groupType: org.apache.spark.sql.types.DataType,
-                             medType: org.apache.spark.sql.types.DataType,
-                             madType: org.apache.spark.sql.types.DataType,
-                             madByGroup: Map[Any, Any]): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType}
-    import scala.jdk.CollectionConverters._
-    val statsSchema = StructType(Seq(
-      StructField("__mg", groupType, nullable = true),
-      StructField("__med", medType, nullable = true),
-      StructField("__mad", madType, nullable = true)))
-    val statsRows = medRows.toSeq.map(r =>
-      Row(r.get(0), r.get(1), madByGroup.getOrElse(r.get(0), null)))
-    val stats = df.sparkSession.createDataFrame(statsRows.asJava, statsSchema)
+                             stats: DataFrame): DataFrame = {
     val scored = df.join(broadcast(stats), col(groupCol) <=> col("__mg"))
       .drop("__mg")
       .withColumn(zCol,

@@ -79,15 +79,25 @@ object Cleaning {
     * `aggregate` HOF: no UDF, engine-exact, and the f21 oracle
     * restates the identical fold in DuckDB.
     */
-  def luhnValid(digitsCol: String): Column = expr(
-    s"""aggregate(
-          sequence(1, length($digitsCol)),
-          0,
-          (acc, i) -> acc + CASE
-            WHEN (length($digitsCol) - i) % 2 = 1 THEN
-              IF(CAST(substr($digitsCol, i, 1) AS INT) * 2 > 9,
-                 CAST(substr($digitsCol, i, 1) AS INT) * 2 - 9,
-                 CAST(substr($digitsCol, i, 1) AS INT) * 2)
-            ELSE CAST(substr($digitsCol, i, 1) AS INT) END
-        ) % 10 = 0""")
+  def luhnValid(digitsCol: String): Column = luhnValid(col(digitsCol))
+
+  /** Column-typed form — the identifier never round-trips through SQL
+    * parsing, so qualified/special-character names (and any injection
+    * via a crafted name) are structurally impossible, and the digit is
+    * extracted ONCE per position (the old SQL-string fold re-ran the
+    * substr/CAST per branch of the doubled case).
+    */
+  def luhnValid(digits: Column): Column = {
+    val total = aggregate(
+      sequence(lit(1), length(digits)),
+      lit(0),
+      (acc, i) => {
+        val d = digits.substr(i, lit(1)).cast("int")
+        val doubled = d * 2
+        acc + when((length(digits) - i) % 2 === 1,
+          when(doubled > 9, doubled - 9).otherwise(doubled))
+          .otherwise(d)
+      })
+    total % 10 === 0
+  }
 }

@@ -25,6 +25,10 @@ object Codecs {
                        samples: Array[Short])
 
   private val MaxDim = 1 << 15 // 32768px per side caps w*h*3 under 4 GiB
+  // JPEG decode buffers are Int PLANES (4 B/px/component), not byte
+  // triples — a dedicated, tighter pixel budget: 64 Mpx × 3 × 4 B ≤
+  // 768 MiB of planes, bounded before any allocation in decodeScan
+  private val JpegMaxPixels = 1L << 26
 
   /** Parse a binary PPM (P6): `P6 <ws> w <ws> h <ws> maxval <single
     * ws> raw-rgb`. Comments (`#` to end-of-line) are legal whitespace
@@ -1782,6 +1786,18 @@ object Codecs {
     }
     val bw = (width + 7) / 8
     val bh = (height + 7) / 8
+    // Allocation guards BEFORE the Int planes materialize (MaxDim's
+    // 4 GiB budget assumed byte arrays; Int planes are 4×, and a
+    // crafted header claiming 32768²×3 would demand ~12 GiB and kill
+    // the executor with an uncatchable OOM instead of the documented
+    // dead-letter None):
+    // 1. dedicated pixel budget — nc × 4 B × JpegMaxPixels ≤ 768 MiB;
+    // 2. the entropy segment must be plausibly long enough to code
+    //    every MCU (≥ ~4 bits per block: DC code + EOB), so a tiny
+    //    payload cannot claim a huge raster.
+    val nBlocks = bw.toLong * bh * nc
+    if (bw.toLong * 8 * bh * 8 > JpegMaxPixels) return None
+    if ((bytes.length - start).toLong < nBlocks / 2) return None
     val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
     val r = new JBitReader(bytes, start)
     val dcPred = new Array[Int](nc)

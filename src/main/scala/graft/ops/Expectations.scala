@@ -30,13 +30,19 @@ object Expectations {
     require(rules.nonEmpty, "at least one expectation")
     require(rules.map(_._1).distinct.size == rules.size,
       "expectation names must be unique")
-    val aggs = count(lit(1)).as("__total") +: rules.map { case (n, p) =>
-      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$n")
-    }
+    // internal columns key by rule INDEX, not name — a rule named
+    // "price.positive" (dots, backticks, spaces are all legal in a
+    // human-readable rule name) must not have to survive a round-trip
+    // through column-identifier parsing; the name only ever appears
+    // as a string literal in the output struct
+    val aggs = count(lit(1)).as("__total") +:
+      rules.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L)).as(s"__v_$i")
+      }
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("__total").as("n_rows"),
-        explode(array(rules.map { case (n, _) =>
-          struct(lit(n).as("rule"), col(s"__v_$n").as("violations"))
+        explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+          struct(lit(n).as("rule"), col(s"__v_$i").as("violations"))
         }: _*)).as("r"))
       .select(col("r.rule").as("rule"), col("r.violations").as("violations"),
         col("n_rows"), (col("r.violations") === 0L).as("pass"))

@@ -28,11 +28,20 @@ object Sampling {
   private def xxKey(idCol: String, seed: Long): Column =
     pmod(xxhash64(col(idCol), lit(seed)), lit(M))
 
+  /** Portable digest input: `"<seed>:<id>"` — the seed participates in
+    * portable mode too (callers drawing two samples with two seeds get
+    * two different samples, same as XXH64 mode; any engine restates
+    * `md5(seed || ':' || id)`). Seed 42 is the suite's pinned default,
+    * so every oracle writes `md5('42:' || ...)`.
+    */
+  private def md5Input(idCol: String, seed: Long): Column =
+    concat(lit(s"$seed:"), col(idCol).cast("string")).cast("binary")
+
   /** 32-bit value of the first 8 md5-hex chars, as fixed-width hex text
     * (lexicographic order == numeric order).
     */
-  private def md5Key(idCol: String): Column =
-    substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+  private def md5Key(idCol: String, seed: Long): Column =
+    substring(md5(md5Input(idCol, seed)), 1, 8)
 
   private def md5Threshold(fraction: Double): String =
     f"${math.floor(fraction * 4294967296.0).toLong}%08x"
@@ -45,7 +54,7 @@ object Sampling {
     // compares lexicographically BELOW most keys) — short-circuit it
     if (fraction >= 1.0) df
     else if (portable)
-      df.filter(md5Key(idCol) < lit(md5Threshold(fraction)))
+      df.filter(md5Key(idCol, seed) < lit(md5Threshold(fraction)))
     else
       df.filter(xxKey(idCol, seed) < (fraction * M).toLong)
   }
@@ -80,7 +89,7 @@ object Sampling {
     require(k > 0, s"k must be positive: got $k")
     val v =
       if (portable)
-        conv(substring(md5(col(idCol).cast("string").cast("binary")),
+        conv(substring(md5(md5Input(idCol, seed)),
           1, 13), 16, 10).cast("long")
       else
         xxhash64(col(idCol).cast("string"), lit(seed))
@@ -109,7 +118,7 @@ object Sampling {
     require(n > 0, s"n must be positive: got $n")
     val v =
       if (portable)
-        conv(substring(md5(col(idCol).cast("string").cast("binary")),
+        conv(substring(md5(md5Input(idCol, seed)),
           1, 13), 16, 10).cast("long")
       else
         xxhash64(col(idCol).cast("string"), lit(seed))
@@ -143,7 +152,7 @@ object Sampling {
     val bounds = fractions.scanLeft(0.0)(_ + _._2).tail
       .map(_ / total).dropRight(1)
     val key =
-      if (portable) md5Key(idCol)
+      if (portable) md5Key(idCol, seed)
       else xxKey(idCol, seed)
     val assigned = fractions.init.zip(bounds).foldRight(
       lit(fractions.last._1)) { case (((name, _), hi), elseCol) =>
@@ -188,7 +197,7 @@ object Sampling {
     val k = weights.collect {
       case (s, w) if counts.contains(s) => counts(s) / w
     }.min
-    val key = if (portable) md5Key(idCol) else xxKey(idCol, seed)
+    val key = if (portable) md5Key(idCol, seed) else xxKey(idCol, seed)
     val cond = weights.toSeq.sortBy(_._1).flatMap { case (s, w) =>
       counts.get(s).map { n =>
         val f = k * w / n
@@ -261,7 +270,7 @@ object Sampling {
     // both modes key on fixed-width lowercase hex so the shard label
     // is a uniform prefix and lexicographic order == numeric order
     val key =
-      if (portable) md5(col(idCol).cast("string").cast("binary"))
+      if (portable) md5(md5Input(idCol, seed))
       else lpad(lower(hex(xxhash64(col(idCol), lit(seed)))), 16, "0")
     val keyed = df.withColumn("__key", key)
       .withColumn(shardCol, substring(col("__key"), 1, shardChars))
@@ -294,7 +303,7 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val key =
       if (portable)
-        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 12),
+        conv(substring(md5(md5Input(idCol, seed)), 1, 12),
           16, 10).cast("long")
       else pmod(xxhash64(col(idCol), lit(seed)), lit(1L << 48))
     val keyed = df.withColumn("__ord", key)
@@ -366,7 +375,7 @@ object Sampling {
   def stratifiedTake(df: DataFrame, strataCol: String, idCol: String,
                      n: Int, seed: Long = 42L,
                      portable: Boolean = false): DataFrame = {
-    val key = if (portable) md5Key(idCol) else xxKey(idCol, seed)
+    val key = if (portable) md5Key(idCol, seed) else xxKey(idCol, seed)
     val w = Window.partitionBy(col(strataCol)).orderBy(key, col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
@@ -399,7 +408,7 @@ object Sampling {
     // numeric value of the 32-bit md5 prefix: ordering ≡ md5Key's
     // fixed-width-hex lexicographic order (TopKAgg scores are numeric)
     val key =
-      if (portable) conv(md5Key(idCol), 16, 10).cast("long")
+      if (portable) conv(md5Key(idCol, seed), 16, 10).cast("long")
       else xxKey(idCol, seed)
     val kept = df.groupBy(col(strataCol))
       .agg(graft.functions.TopKAgg.topK(key, col(idCol), n,

@@ -622,9 +622,9 @@ object DedupQueries extends QuerySet {
                              COALESCE(comp.component, base.doc_id) AS grp
                       FROM base LEFT JOIN comp ON comp.id = base.doc_id),
           assigned AS (SELECT doc_id, grp,
-                         CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8)
+                         CASE WHEN substr(md5('42:' || CAST(grp AS VARCHAR)), 1, 8)
                                 < 'cccccccc' THEN 'train'
-                              WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 8)
+                              WHEN substr(md5('42:' || CAST(grp AS VARCHAR)), 1, 8)
                                 < 'e6666666' THEN 'val'
                               ELSE 'test' END AS split
                        FROM grouped)

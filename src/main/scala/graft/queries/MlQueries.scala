@@ -46,6 +46,32 @@ object MlQueries extends QuerySet {
       }
     }),
 
+    // M9 predict+probability on a FIXED literal-coefficient logistic
+    // model (the serving path: stored coefficients applied to each
+    // row, `FD/consumer.py:60-66`) — hash-exact against DuckDB
+    // replaying the identical left-to-right linear term, 9dp-rounded
+    // sigmoid, threshold, and banding. MLlib FITS stay spec-gated
+    // (m12); the scoring semantics land here as a green row. Sums run
+    // in DECIMAL(20,9) so addition order can't smear last bits.
+    "m12b_logistic_score" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      graft.ml.Models.scoreLogistic(feats,
+        Seq("x_qty" -> 0.08, "x_disc" -> -12.0, "x_tax" -> 6.5),
+        intercept = -2.0)
+        .groupBy(col("pred"),
+          floor(col("proba") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("proba")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+            .cast("double").as("proba_sum"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("pred"), col("band"))
+    }),
+
     // Multinomial Naive Bayes — the TRAINED model that lives fully on
     // the oracle (unlike the MLlib fits): even docs train a language
     // classifier (priors + add-one term likelihoods), odd docs score
@@ -87,6 +113,28 @@ object MlQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "m12b_logistic_score" ->
+      """WITH f AS (SELECT l_orderkey,
+                      CAST(l_quantity AS DOUBLE) AS x_qty,
+                      CAST(l_discount AS DOUBLE) AS x_disc,
+                      CAST(l_tax AS DOUBLE) AS x_tax
+                    FROM lineitem),
+         z AS (SELECT l_orderkey,
+                 (((-2.0) + (0.08 * x_qty)) + ((-12.0) * x_disc))
+                   + (6.5 * x_tax) AS z
+               FROM f),
+         p AS (SELECT l_orderkey,
+                 round(1.0 / (1.0 + exp(-z)), 9) AS proba
+               FROM z),
+         sc AS (SELECT l_orderkey, proba,
+                  CASE WHEN proba >= 0.5 THEN 1 ELSE 0 END AS pred
+                FROM p)
+         SELECT pred, CAST(floor(proba * 10) AS INT) AS band,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(proba AS DECIMAL(20,9))) AS DOUBLE)
+                  AS proba_sum,
+                CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM sc GROUP BY pred, band ORDER BY pred, band""",
     "m15_naive_bayes" ->
       """WITH tr AS (SELECT lang AS cls,
                        string_split_regex(trim(lower(text)), '\s+') AS toks

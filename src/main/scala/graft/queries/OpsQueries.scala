@@ -390,7 +390,7 @@ object OpsQueries extends QuerySet {
          kmv AS (SELECT COUNT(*) AS kmv_n, MAX(kh) AS kmv_kth FROM fr),
          ex AS (SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
                 WHERE user_id IS NOT NULL)
-         SELECT n_exact, hll_nonzero, hll_s,
+         SELECT n_exact, hll_nonzero, CAST(hll_s AS BIGINT) AS hll_s,
                 CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) *
                   CAST(1125899906842624 AS DOUBLE) / CAST(hll_s AS DOUBLE)
                   AS hll_raw_est,
@@ -539,7 +539,8 @@ object OpsQueries extends QuerySet {
          g AS (SELECT grp, SUM(cnt) AS n, SUM(w) AS total_cents,
                  SUM(cnt * (c * (cum_cnt - cnt) - (cum_w - w))) AS s_num
                FROM hc GROUP BY grp)
-         SELECT grp, n, CAST(total_cents AS BIGINT) AS total_cents,
+         SELECT grp, CAST(n AS BIGINT) AS n,
+                CAST(total_cents AS BIGINT) AS total_cents,
                 CAST(s_num AS BIGINT) AS s_num,
                 round(CAST(s_num AS DOUBLE)
                       / (CAST(n AS DOUBLE)
@@ -619,7 +620,9 @@ object OpsQueries extends QuerySet {
                         c) AS t
                FROM wk WHERE cum_cnt >= k
                GROUP BY grp, n, total_cents, k)
-         SELECT grp, n, total_cents, k,
+         SELECT grp, CAST(n AS BIGINT) AS n,
+                CAST(total_cents AS BIGINT) AS total_cents,
+                CAST(k AS BIGINT) AS k,
                 CAST((t.cum_w - t.w)
                      + (k - (t.cum_cnt - t.cnt)) * t.c AS BIGINT)
                   AS top_cents
@@ -641,7 +644,8 @@ object OpsQueries extends QuerySet {
            SUM(CASE WHEN NOT COALESCE(l_quantity < 30, FALSE)
                     THEN 1 ELSE 0 END) AS v_qty_lt_30
          FROM lineitem)
-         SELECT r.rule, r.violations, t.n_rows, r.violations = 0 AS pass
+         SELECT r.rule, CAST(r.violations AS BIGINT) AS violations,
+                t.n_rows, r.violations = 0 AS pass
          FROM t, (
            SELECT 'qty_range' AS rule, (SELECT v_qty_range FROM t)
                     AS violations
@@ -656,7 +660,8 @@ object OpsQueries extends QuerySet {
       """WITH c AS (SELECT event_type AS grp,
                       CAST(substr(CAST(CAST(round(value * 100) AS BIGINT)
                                        AS VARCHAR), 1, 1) AS INT) AS digit
-                    FROM events WHERE value IS NOT NULL AND value > 0),
+                    FROM events WHERE value IS NOT NULL
+                      AND CAST(round(value * 100) AS BIGINT) >= 1),
          o AS (SELECT grp, digit, COUNT(*) AS obs FROM c GROUP BY 1, 2),
          t AS (SELECT grp, SUM(obs) AS n FROM o GROUP BY grp)
          SELECT o.grp, o.digit, o.obs,

@@ -182,7 +182,7 @@ object SamplingQueries extends QuerySet {
     "sm12_weighted_stratified" ->
       """WITH h AS (
            SELECT doc_id, lang,
-                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hx,
+                  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13) AS hx,
                   n_chars
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
          v AS (
@@ -209,7 +209,7 @@ object SamplingQueries extends QuerySet {
     "sm11_weighted_sample" ->
       """WITH h AS (
            SELECT doc_id, lang, n_chars,
-                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hx
+                  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13) AS hx
            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
          v AS (
            SELECT doc_id, lang, n_chars,
@@ -230,14 +230,14 @@ object SamplingQueries extends QuerySet {
     "sm01_hash_sample" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM documents
-         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+         WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
          GROUP BY lang ORDER BY lang""",
     "sm02_stratified_take" ->
       """WITH r AS (
            SELECT lang, doc_id,
                   ROW_NUMBER() OVER (
                     PARTITION BY lang
-                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                    ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8),
                              doc_id) AS rn
            FROM documents)
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
@@ -248,7 +248,7 @@ object SamplingQueries extends QuerySet {
            SELECT source, doc_id,
                   ROW_NUMBER() OVER (
                     PARTITION BY source
-                    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                    ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8),
                              doc_id) AS rn
            FROM documents)
          SELECT source, doc_id FROM r WHERE rn <= 15
@@ -256,9 +256,9 @@ object SamplingQueries extends QuerySet {
     "sm03_split_assign" ->
       """SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM (SELECT doc_id,
-                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                 CASE WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                         < 'cccccccc' THEN 'train'
-                      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      WHEN substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
                         < 'e6666666' THEN 'val'
                       ELSE 'test' END AS split
                FROM documents)
@@ -274,7 +274,7 @@ object SamplingQueries extends QuerySet {
          sel AS (
            SELECT d.doc_id, d.lang
            FROM documents d JOIN fr ON d.lang = fr.src
-           WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           WHERE f >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
                  printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM sel GROUP BY lang ORDER BY lang""",
@@ -287,14 +287,14 @@ object SamplingQueries extends QuerySet {
          sel AS (
            SELECT d.doc_id, d.lang
            FROM documents d JOIN fr ON d.lang = fr.src
-           WHERE f >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           WHERE f >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) <
                  printf('%08x', CAST(floor(f * 4294967296.0) AS BIGINT)))
          SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
          FROM sel GROUP BY lang ORDER BY lang""",
     "sm08_budget_fill" ->
       """WITH t AS (SELECT doc_id, lang,
                       len(string_split_regex(trim(text), '\s+')) AS n_tok,
-                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS k
+                      substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 12) AS k
                     FROM documents),
          c AS (SELECT *, SUM(n_tok) OVER (ORDER BY k
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -305,10 +305,10 @@ object SamplingQueries extends QuerySet {
          FROM c WHERE cum <= 8000
          GROUP BY lang ORDER BY lang""",
     "sm07_shuffle_shards" ->
-      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+      """SELECT substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
                 CAST(ROW_NUMBER() OVER (
-                  PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  PARTITION BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                  ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
                   AS BIGINT) AS pos,
                 doc_id, lang
          FROM documents

@@ -494,7 +494,9 @@ object SourceQueries extends QuerySet {
       val cents = round(col("value") * 100).cast("long")
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
-        .filter(col("value").isNotNull && col("value") > 0)
+        // rounded-cents gate (a29 discipline): (0, 0.005) rounds to 0
+        // cents whose digit 0 would blow up the expected-share table
+        .filter(col("value").isNotNull && cents >= 1)
         .select(col("event_type").as("grp"),
           substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
         .groupBy(col("grp"), col("digit")).agg(count(lit(1)).as("obs"))
@@ -1002,7 +1004,8 @@ object SourceQueries extends QuerySet {
          hll AS (SELECT COUNT(*) AS nonzero,
                    SUM(1::BIGINT << (50 - r)::INT) AS sp FROM regs)
          SELECT nonzero AS hll_nonzero,
-                sp + (16 - nonzero) * (1::BIGINT << 50) AS hll_s,
+                CAST(sp + (16 - nonzero) * (1::BIGINT << 50) AS BIGINT)
+                  AS hll_s,
                 CAST(0.673 AS DOUBLE) * CAST(256 AS DOUBLE) *
                   CAST(1125899906842624 AS DOUBLE) /
                   CAST(sp + (16 - nonzero) * (1::BIGINT << 50) AS DOUBLE)

@@ -75,6 +75,14 @@ class AggregatesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Expectations.check(df, Seq("a" -> lit(true), "a" -> lit(false)))
     }
+    // rule names never round-trip through column-identifier parsing:
+    // dots, backticks, spaces are all legal in a human-readable name
+    val weird = Expectations.check(df, Seq(
+      "price.positive" -> ($"id" > 0),
+      "has `tick` and space" -> ($"x" < 10)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(weird == Map("price.positive" -> 0L,
+      "has `tick` and space" -> 2L))
   }
 
   test("quantileNormalize: hand-computed rank mapping, identity on one group") {

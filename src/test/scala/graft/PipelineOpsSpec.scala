@@ -1394,6 +1394,22 @@ class PipelineOpsSpec extends SparkSpec {
     Codecs.decodeJpeg(bad) // any Option is fine; must not throw
     assert(Codecs.decodeRaster(enc).exists(p => p.width == 8),
       "decodeRaster must route JPEG by magic")
+    // a crafted header claiming a huge raster over a tiny entropy
+    // segment must dead-letter (None) BEFORE the decoder allocates
+    // its Int planes (32767² × 4 B ≈ 4 GiB/component — an OOM here
+    // would kill the executor, violating the malformed→None contract)
+    val huge = enc.clone()
+    var sof = -1
+    var i = 2
+    while (sof < 0 && i < huge.length - 9) {
+      if ((huge(i) & 0xFF) == 0xFF && (huge(i + 1) & 0xFF) == 0xC0) sof = i
+      i += 1
+    }
+    assert(sof > 0, "test fixture: SOF0 not found")
+    huge(sof + 5) = 0x7F; huge(sof + 6) = 0xFF.toByte // height 32767
+    huge(sof + 7) = 0x7F; huge(sof + 8) = 0xFF.toByte // width 32767
+    assert(Codecs.decodeJpeg(huge).isEmpty,
+      "huge claimed dims over tiny entropy data must be None")
   }
 
   test("minhashCalibration: identical docs at full agreement, monotone") {

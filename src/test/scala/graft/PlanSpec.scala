@@ -153,6 +153,20 @@ class PlanSpec extends SparkSpec {
       assert(globals.isEmpty,
         s"$q plans a single-partition WindowExec: ${globals.headOption}")
     }
+    // robust z-score: the per-group stats must join back as a
+    // DataFrame (broadcast exchange), never re-enter as a driver
+    // LocalRelation — at per-entity group cardinality a collect +
+    // literal table funnels millions of stats rows through the driver
+    for (q <- Seq("w08_robust_zscore", "w08b_robust_zscore_approx")) {
+      val p = plan(q)
+      assert(p.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"$q scoring join is not a broadcast join")
+      val locals = p.collect {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }
+      assert(locals.isEmpty,
+        s"$q re-enters driver-collected stats as a LocalRelation")
+    }
     // snapshot diff: every exchange must carry digests, never document
     // text — the md5 projection has to happen inside each scan
     val u03 = plan("u03_snapshot_diff")

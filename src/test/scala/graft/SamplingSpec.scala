@@ -31,7 +31,7 @@ class SamplingSpec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expect = rows.map { case (id, w) =>
-      val v = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+      val v = java.lang.Long.parseLong(md5hex(s"42:$id").take(13), 16)
       val u = (v.toDouble + 0.5) / 4503599627370496.0
       (math.log(u) / w.toDouble, id)
     }.sortBy { case (p, id) => (-p, id) }.take(100).map(_._2).toSet
@@ -164,7 +164,7 @@ class SamplingSpec extends SparkSpec {
     // local reference: same md5-prefix order, same greedy rule
     def key(i: Long) = {
       val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(i.toString.getBytes("UTF-8"))
+        .digest(s"42:$i".getBytes("UTF-8"))
       d.map("%02x".format(_)).mkString.substring(0, 12)
     }
     val expected = (1L to 400L).map(i => (i, 10L + (i % 7)))
@@ -206,11 +206,18 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("different seeds draw different samples") {
-    val a = Sampling.hashSample(base, "id", 0.2, seed = 1L)
-      .select("id").as[Long].collect().toSet
-    val b = Sampling.hashSample(base, "id", 0.2, seed = 2L)
-      .select("id").as[Long].collect().toSet
-    assert(a != b)
+    // in BOTH modes — portable mode mixes the seed into the md5 input
+    // (md5(seed || ':' || id)), so requesting two seeds can never
+    // silently return the same sample twice
+    for (portable <- Seq(false, true)) {
+      val a = Sampling.hashSample(base, "id", 0.2, seed = 1L,
+          portable = portable)
+        .select("id").as[Long].collect().toSet
+      val b = Sampling.hashSample(base, "id", 0.2, seed = 2L,
+          portable = portable)
+        .select("id").as[Long].collect().toSet
+      assert(a != b, s"portable=$portable seeds drew identical samples")
+    }
   }
 
   test("stratifiedTake returns exactly min(n, |stratum|) per stratum") {

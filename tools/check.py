@@ -19,6 +19,22 @@ def norm(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
     return df.reset_index(drop=True)
 
+def dtype_family(dt):
+    """Coarse dtype family. int vs float is a REAL difference (the driver's
+    hash is type-sensitive: DuckDB SUM(BIGINT)->HUGEINT->float64 vs Spark
+    BIGINT hash-mismatches even when values agree), so int and float are
+    distinct families. Width within a family (int32 vs int64) is fine."""
+    k = getattr(dt, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"
+
 def cell_eq(a, b):
     if a is None and b is None:
         return True
@@ -27,13 +43,7 @@ def cell_eq(a, b):
             return True
         return a == b
     try:
-        if a == b:
-            return True
-    except Exception:
-        pass
-    # cross-type numeric compare (int32 vs int64, Decimal vs float)
-    try:
-        return float(a) == float(b)
+        return bool(a == b)
     except Exception:
         return False
 
@@ -68,6 +78,12 @@ def main(sf_dir, out_dir):
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                  if dtype_family(g[c].dtype) != dtype_family(e[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype family mismatch {dt_bad}")
             n_fail += 1
             continue
         bad = []
