@@ -16,8 +16,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // fall back to per-operator execution (compiled expressions, JIT-able)
       // for stages whose fused processNext would exceed HotSpot's 8000-byte
-      // JIT ceiling and run as interpreted bytecode (~50x slower)
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // JIT ceiling and run as interpreted bytecode (~50x slower).
+      // Env-overridable for the codegen A/B (SPARK_GRAFT_HUGE_LIMIT=65535
+      // restores Spark's default ceiling).
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "8000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional filter for profiling: SPARK_GRAFT_ONLY=q1,q2

@@ -72,6 +72,19 @@ object MlQueries extends QuerySet {
         .orderBy(col("pred"), col("band"))
     }),
 
+    // IRLS-trained logistic regression (3 Newton steps, pure DataFrame
+    // algebra): the model the reference serves, TRAINED hash-exactly —
+    // DuckDB replays all three iterations (7dp sigmoid, 9dp-rounded
+    // terms summed in DECIMAL, Cramer solve in fixed-order doubles)
+    // and must land on the identical coefficients AND scored summary.
+    "m16_logistic_irls" -> ((s, d) =>
+      graft.ml.LogisticIrls.trainSummary(
+        Tables.lineitem(s, d).select(
+          (col("l_returnflag") === "R").cast("int").as("y"),
+          col("l_quantity").as("x1"),
+          col("l_discount").as("x2")),
+        "y", "x1", "x2", iterations = 3)),
+
     // Multinomial Naive Bayes — the TRAINED model that lives fully on
     // the oracle (unlike the MLlib fits): even docs train a language
     // classifier (priors + add-one term likelihoods), odd docs score
@@ -112,7 +125,79 @@ object MlQueries extends QuerySet {
     })
   )
 
+  /** DuckDB restatement of [[graft.ml.LogisticIrls]]: the iteration
+    * CTEs are GENERATED so the cofactor expansions and term
+    * parenthesization can only ever be the Scala side's shape (a
+    * hand-transcribed 3×3 Cramer solve is a typo farm).
+    */
+  private def irlsOracleSql(iterations: Int): String = {
+    def det(m: Seq[String]): String = {
+      val Seq(m00, m01, m02, m10, m11, m12, m20, m21, m22) = m
+      s"(($m00 * (($m11 * $m22) - ($m12 * $m21))) - " +
+        s"($m01 * (($m10 * $m22) - ($m12 * $m20)))) + " +
+        s"($m02 * (($m10 * $m21) - ($m11 * $m20)))"
+    }
+    val dt = det(Seq("h00", "h01", "h02", "h01", "h11", "h12",
+      "h02", "h12", "h22"))
+    val dt0 = det(Seq("g0", "h01", "h02", "g1", "h11", "h12",
+      "g2", "h12", "h22"))
+    val dt1 = det(Seq("h00", "g0", "h02", "h01", "g1", "h12",
+      "h02", "g2", "h22"))
+    val dt2 = det(Seq("h00", "h01", "g0", "h01", "h11", "g1",
+      "h02", "h12", "g2"))
+    val pExpr =
+      "round(1.0 / (1.0 + exp(-((b0 + (b1 * x1)) + (b2 * x2)))), 7)"
+    def dec(e: String) = s"SUM(CAST(round($e, 9) AS DECIMAL(30,9)))"
+    val sums = s"""MAX(b0) AS pb0, MAX(b1) AS pb1, MAX(b2) AS pb2,
+           ${dec("y - p")} AS g0,
+           ${dec("(y - p) * x1")} AS g1,
+           ${dec("(y - p) * x2")} AS g2,
+           ${dec("p * (1.0 - p)")} AS h00,
+           ${dec("(p * (1.0 - p)) * x1")} AS h01,
+           ${dec("(p * (1.0 - p)) * x2")} AS h02,
+           ${dec("((p * (1.0 - p)) * x1) * x1")} AS h11,
+           ${dec("((p * (1.0 - p)) * x1) * x2")} AS h12,
+           ${dec("((p * (1.0 - p)) * x2) * x2")} AS h22"""
+    val iters = (1 to iterations).map { i =>
+      s"""e$i AS (SELECT y, x1, x2, b0, b1, b2, $pExpr AS p
+                 FROM f CROSS JOIN bet${i - 1}),
+         s$i AS (SELECT $sums FROM e$i),
+         d$i AS (SELECT pb0, pb1, pb2,
+                   CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+                   CAST(g2 AS DOUBLE) AS g2,
+                   CAST(h00 AS DOUBLE) AS h00,
+                   CAST(h01 AS DOUBLE) AS h01,
+                   CAST(h02 AS DOUBLE) AS h02,
+                   CAST(h11 AS DOUBLE) AS h11,
+                   CAST(h12 AS DOUBLE) AS h12,
+                   CAST(h22 AS DOUBLE) AS h22 FROM s$i),
+         bet$i AS (SELECT round(pb0 + (($dt0) / ($dt)), 9) AS b0,
+                          round(pb1 + (($dt1) / ($dt)), 9) AS b1,
+                          round(pb2 + (($dt2) / ($dt)), 9) AS b2
+                   FROM d$i)"""
+    }.mkString(",\n         ")
+    s"""WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0
+                            ELSE 0.0 END AS y,
+                     CAST(l_quantity AS DOUBLE) AS x1,
+                     CAST(l_discount AS DOUBLE) AS x2
+                   FROM lineitem),
+         bet0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                         CAST(0.0 AS DOUBLE) AS b1,
+                         CAST(0.0 AS DOUBLE) AS b2),
+         $iters,
+         ef AS (SELECT y, x1, x2, b0, b1, b2, $pExpr AS p
+                FROM f CROSS JOIN bet$iterations)
+         SELECT MAX(b0) AS b0, MAX(b1) AS b1, MAX(b2) AS b2,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pred_pos,
+                CAST(SUM(CAST(round(p, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                  AS proba_sum
+         FROM ef"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "m16_logistic_irls" -> irlsOracleSql(3),
     "m12b_logistic_score" ->
       """WITH f AS (SELECT l_orderkey,
                       CAST(l_quantity AS DOUBLE) AS x_qty,

@@ -190,4 +190,35 @@ class MLSpec extends SparkSpec {
       .as[(Double, Double)].collect().toMap
     assert(math.abs(id(0.9) - 0.9) < 1e-9 && math.abs(id(0.1) - 0.1) < 1e-9)
   }
+
+  test("IRLS logistic: signal direction, MLE balance, repartition-stable") {
+    import graft.ml.LogisticIrls
+    // y strongly increasing in x1, x2 pure noise: after 3 Newton steps
+    // b1 must be clearly positive and the model must reproduce the
+    // logistic-MLE balance property Σp ≈ Σy (exact at convergence,
+    // near-exact after 3 steps on a well-behaved separable-ish set)
+    val rows = (1 to 400).map { i =>
+      val x1 = (i % 20).toDouble
+      val y = if (x1 + (i % 7) * 0.5 > 11) 1 else 0
+      (y, x1, (i % 5).toDouble)
+    }
+    val df = rows.toDF("y", "x1", "x2")
+    val s = LogisticIrls.trainSummary(df, "y", "x1", "x2").collect()(0)
+    val (b1, n, probaSum) =
+      (s.getDouble(1), s.getLong(3), s.getDouble(5))
+    assert(b1 > 0.1, s"positive signal not learned: b1=$b1")
+    val ySum = rows.map(_._1).sum.toDouble
+    assert(math.abs(probaSum - ySum) / ySum < 0.02,
+      s"MLE balance violated: sum(p)=$probaSum vs sum(y)=$ySum")
+    assert(n == 400)
+    // the engineered property: betas are BIT-identical under
+    // repartitioning (every per-row term is 9dp-rounded then summed in
+    // exact decimal, so partition/merge order cannot smear last bits —
+    // the thing plain double sums cannot promise)
+    val b = LogisticIrls.train(df, "y", "x1", "x2").collect()(0)
+    val b2 = LogisticIrls.train(df.repartition(13), "y", "x1", "x2")
+      .collect()(0)
+    assert((0 to 2).forall(i => b.getDouble(i) == b2.getDouble(i)),
+      s"betas drifted under repartition: $b vs $b2")
+  }
 }
