@@ -142,6 +142,30 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"))
     }),
 
+    // Recall@10 audit: the portable IVF shortlist against exact brute
+    // force, per query — the acceptance metric every ANN index ships
+    // with. Both arms are the existing hash-green pipelines; the join
+    // and ratio are the only new algebra.
+    "n12_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, qs,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"))
+      val approx = graft.ops.Similarity.ivfTopKPortable(emb, qs,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qa"), col("vec_id").as("va"))
+      exact.join(approx,
+          col("query_id") === col("qa") && col("vec_id") === col("va"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall",
+          round(col("hits").cast("double") / col("k").cast("double"), 6))
+        .orderBy(col("query_id"))
+    }),
+
     // Portable IVF-style ANN (the n06b cone trick for n02): sign-cone
     // cells replace the KMeans quantizer, Hamming-to-query-bits probe
     // ranking replaces centroid distance, exact cosine re-ranks —
@@ -225,22 +249,7 @@ object SimilarityQueries extends QuerySet {
     """list_dot_product(a.v, b.v) /
        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 
-  def oracle: Map[String, String] = Map(
-    "n05_group_centroids" ->
-      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-          x AS (SELECT label, vec_id,
-                       CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
-                       unnest(v) AS val
-                FROM e),
-          g AS (SELECT label, pos, list(val ORDER BY vec_id) AS l,
-                       COUNT(*) AS n
-                FROM x GROUP BY label, pos)
-          SELECT label, pos,
-                 list_dot_product(l,
-                   list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
-          FROM g ORDER BY label, pos""",
-    "n01_brute_topk" ->
+  private val n01Sql =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
            scored AS (
@@ -256,7 +265,80 @@ object SimilarityQueries extends QuerySet {
                                        ORDER BY cos DESC, vec_id ASC) AS rank
              FROM scored)
           SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
-          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  private val n02bSql =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+         pl AS (SELECT j, list(CASE WHEN substr(
+                        md5('rp42_' || i || '_' || j), 1, 1)
+                        IN ('0','2','4','6','8','a','c','e')
+                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+               FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                    (SELECT unnest(range(0, 3)) AS j)
+               GROUP BY j),
+         cells AS (SELECT e.vec_id, e.v,
+                  sqrt(list_dot_product(e.v, e.v)) AS nv,
+                  CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) >= 0
+                        THEN (1 << pl.j) ELSE 0 END) AS INT) AS cell
+                FROM e, pl GROUP BY e.vec_id, e.v),
+         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq,
+                      cell AS qcell
+               FROM cells WHERE vec_id < 5),
+         probe AS (SELECT query_id, qv, nq, cell FROM (
+                  SELECT q.query_id, q.qv, q.nq,
+                    CAST(r.range AS INT) AS cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY bit_count(xor(q.qcell,
+                        CAST(r.range AS INT))), r.range) AS pr
+                  FROM q CROSS JOIN range(0, 8) r)
+                WHERE pr <= 3),
+         scored AS (SELECT p.query_id, c.vec_id,
+                  CASE WHEN c.nv * p.nq = 0 THEN 0.0
+                       ELSE list_dot_product(c.v, p.qv) / (c.nv * p.nq)
+                  END AS cos
+                FROM probe p JOIN cells c ON c.cell = p.cell
+                WHERE c.vec_id <> p.query_id),
+         ranked AS (SELECT query_id, vec_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored)
+         SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
+
+  def oracle: Map[String, String] = Map(
+    // recall@10 of the portable IVF pipeline against the exact
+    // brute-force oracle — the audit every ANN deployment runs; both
+    // arms reuse the n01/n02b recipes verbatim so this oracle can
+    // never drift from theirs.
+    "n12_ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, vec_id FROM ($n01Sql) t),
+         ap AS (SELECT query_id AS qa, vec_id AS va FROM ($n02bSql) t)
+         SELECT ex.query_id, COUNT(*) AS k,
+                CAST(SUM(CASE WHEN ap.va IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS hits,
+                round(CAST(SUM(CASE WHEN ap.va IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+         FROM ex LEFT JOIN ap
+           ON ap.qa = ex.query_id AND ap.va = ex.vec_id
+         GROUP BY ex.query_id ORDER BY ex.query_id""",
+    "n05_group_centroids" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+          x AS (SELECT label, vec_id,
+                       CAST(generate_subscripts(v, 1) - 1 AS INT) AS pos,
+                       unnest(v) AS val
+                FROM e),
+          g AS (SELECT label, pos, list(val ORDER BY vec_id) AS l,
+                       COUNT(*) AS n
+                FROM x GROUP BY label, pos)
+          SELECT label, pos,
+                 list_dot_product(l,
+                   list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
+          FROM g ORDER BY label, pos""",
+    "n01_brute_topk" -> n01Sql,
     "n07_quantized_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
@@ -389,45 +471,7 @@ object SimilarityQueries extends QuerySet {
                     JOIN e y ON y.vec_id = cand.id_b)
           SELECT id_a, id_b, cos FROM pairs
           WHERE cos >= 0.9 ORDER BY id_a, id_b""",
-    "n02b_ivf_portable" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-         d AS (SELECT len(v) AS dim FROM e LIMIT 1),
-         pl AS (SELECT j, list(CASE WHEN substr(
-                        md5('rp42_' || i || '_' || j), 1, 1)
-                        IN ('0','2','4','6','8','a','c','e')
-                      THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
-               FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
-                    (SELECT unnest(range(0, 3)) AS j)
-               GROUP BY j),
-         cells AS (SELECT e.vec_id, e.v,
-                  sqrt(list_dot_product(e.v, e.v)) AS nv,
-                  CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) >= 0
-                        THEN (1 << pl.j) ELSE 0 END) AS INT) AS cell
-                FROM e, pl GROUP BY e.vec_id, e.v),
-         q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq,
-                      cell AS qcell
-               FROM cells WHERE vec_id < 5),
-         probe AS (SELECT query_id, qv, nq, cell FROM (
-                  SELECT q.query_id, q.qv, q.nq,
-                    CAST(r.range AS INT) AS cell,
-                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                      ORDER BY bit_count(xor(q.qcell,
-                        CAST(r.range AS INT))), r.range) AS pr
-                  FROM q CROSS JOIN range(0, 8) r)
-                WHERE pr <= 3),
-         scored AS (SELECT p.query_id, c.vec_id,
-                  CASE WHEN c.nv * p.nq = 0 THEN 0.0
-                       ELSE list_dot_product(c.v, p.qv) / (c.nv * p.nq)
-                  END AS cos
-                FROM probe p JOIN cells c ON c.cell = p.cell
-                WHERE c.vec_id <> p.query_id),
-         ranked AS (SELECT query_id, vec_id, cos,
-                  ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, vec_id ASC) AS rank
-                FROM scored)
-         SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
-         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    "n02b_ivf_portable" -> n02bSql,
     "n08b_pq_portable" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
