@@ -393,6 +393,20 @@ object Dedup {
     val signed = Layout.fanOut(df).select(col(idCol).as("id"),
         simhash64(TextAnalysis.tokens(lower(col(textCol)))).as("sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inner = hammingNearDups64Cached(signed, maxHamming, maxBucket)
+    Cached(inner.df, signed +: inner.backing)
+  }
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature frame
+    * `(id, sim)` — the signal-agnostic tail shared by text SimHash
+    * ([[simhashNearDupsCached]]) and image dHash
+    * ([[Multimodal.dhashImages]]): 4×16-bit band chunks (pigeonhole:
+    * any pair at distance ≤ 3 shares a chunk), per-bucket cap +
+    * salting before the self-join, popcount verify. Output:
+    * (id_a, id_b, hamming).
+    */
+  def hammingNearDups64Cached(signed: DataFrame, maxHamming: Int = 3,
+                              maxBucket: Int = 10000): Cached = {
     val banded = signed.select(col("id"), col("sim"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -413,7 +427,7 @@ object Dedup {
         hamming(col("a.sim"), col("b.sim")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    Cached(pairs, Seq(signed, hot))
+    Cached(pairs, Seq(hot))
   }
 
   /** Engine-portable SimHash signature (md5 mode): a 32-bit signature

@@ -173,6 +173,56 @@ object Multimodal {
       }.toDF("media_id", "width", "height", "r_sum", "g_sum", "b_sum")
   }
 
+  /** 64-bit dHash (difference hash) per image — the standard
+    * perceptual-dedup signature for images at corpus scale (near-dup
+    * images survive re-encoding and small edits that break byte-level
+    * hashes). Pipeline per row, scan-local: decode the REAL container
+    * (PPM/PNG/GIF by magic) → average-pool by `poolFactor` → integer
+    * luma `(77R+150G+29B) >> 8` on the top-left 9×8 of the pooled
+    * grid → bit(y·8+x) = gray(x,y) > gray(x+1,y). Integer-exact
+    * end-to-end: no transcendental, no float — a DuckDB oracle can
+    * restate every bit, unlike DCT-based pHash. Images whose pooled
+    * grid is smaller than 9×8 (or undecodable payloads) drop, counted
+    * not thrown. Output `(id, sim)` feeds
+    * [[Dedup.hammingNearDups64Cached]] — the SAME banded Hamming
+    * machinery text SimHash uses, so image near-dup inherits its
+    * bucket caps and pigeonhole recall.
+    */
+  def dhashImages(media: DataFrame, poolFactor: Int = 2): DataFrame = {
+    require(poolFactor >= 1, "poolFactor must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Codecs.decodeRaster(bytes)
+            .filter(p => p.width >= poolFactor && p.height >= poolFactor)
+            .map(p => Codecs.poolPpm(p, poolFactor))
+            .filter(p => p.width >= 9 && p.height >= 8)
+            .map { p =>
+              def gray(x: Int, y: Int): Int = {
+                val i = (y * p.width + x) * 3
+                (77 * (p.rgb(i) & 0xFF) + 150 * (p.rgb(i + 1) & 0xFF) +
+                  29 * (p.rgb(i + 2) & 0xFF)) >> 8
+              }
+              var hash = 0L
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  if (gray(x, y) > gray(x + 1, y))
+                    hash |= 1L << (y * 8 + x)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, hash)
+            }
+        }
+      }.toDF("id", "sim")
+  }
+
   /** REAL pixel resize: decode (PPM or PNG) → average-pool by `factor`
     * → re-encode in the SAME container the payload arrived in
     * ([[Codecs.poolPpm]]); payloads that aren't a decodable raster pass

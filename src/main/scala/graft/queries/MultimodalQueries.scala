@@ -136,7 +136,59 @@ object MultimodalQueries extends QuerySet {
       }.toDF("media_id", "bytes")
   }
 
+  /** 18×16 rasters for the dHash near-dup query: pixels are a
+    * closed-form function of (base id, position); ids ≥ 100000 are
+    * TWINS of `id − 100000` with the top-left 2×2 block's blue channel
+    * +2 — a sub-pooling-cell edit a byte hash misses and a perceptual
+    * hash must survive. Blue's base range is capped at 249 so the +2
+    * can never wrap. The oracle restates this formula verbatim.
+    */
+  private def nearDupRaster(id: Long): Array[Byte] = {
+    val w = 18; val h = 16
+    val b0 = id % 100000
+    val twin = id >= 100000
+    val rgb = new Array[Byte](w * h * 3)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val i = (py * w + px) * 3
+        rgb(i) = ((b0 * 31 + px * 7 + py * 13) % 256).toByte
+        rgb(i + 1) = ((b0 * 37 + px * 11 + py * 3) % 256).toByte
+        val base = (b0 * 41 + px * 5 + py * 17) % 250
+        rgb(i + 2) =
+          (base + (if (twin && px < 2 && py < 2) 2 else 0)).toByte
+        px += 1
+      }
+      py += 1
+    }
+    graft.ops.Codecs.encodePpm(w, h, rgb)
+  }
+
+  private def nearDupMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 100).as[Long]
+    val twins = Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") < 50).as[Long].map(_ + 100000L)
+    base.union(twins).map(id => (id, nearDupRaster(id)))
+      .toDF("media_id", "bytes")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Image near-dup via 64-bit dHash + the SAME banded Hamming join
+    // text SimHash rides: 150 real PPM payloads (100 bases, 50
+    // perturbed twins) decode → pool 2× → 9×8 luma → dHash, pairs at
+    // Hamming ≤ 3 via 4×16-bit band buckets. Integer-exact
+    // end-to-end, so DuckDB replays pixels, pooling, luma, every hash
+    // bit, the band join AND the popcount verify.
+    "mm17_dhash_neardup" -> ((s, d) => {
+      val signed = Multimodal.dhashImages(nearDupMedia(s, d),
+        poolFactor = 2)
+      graft.ops.Dedup.hammingNearDups64Cached(signed, maxHamming = 3).df
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       val resized = Multimodal.withResizedDims(media, 256, 256)
@@ -333,7 +385,65 @@ object MultimodalQueries extends QuerySet {
   private val kindSql =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
+  /** DuckDB restatement of mm17: the [[nearDupRaster]] closed form,
+    * 2×2 floor-average pooling, integer luma, all 64 dHash bits, the
+    * 4×16-bit band join and the popcount verify. The pooled-channel
+    * SQL is GENERATED from the pixel formula so the raster generator
+    * and the oracle cannot drift.
+    */
+  private def dhashOracleSql: String = {
+    def px(chan: String, dx: Int, dy: Int): String = chan match {
+      case "r" => s"((b0*31 + (2*x+$dx)*7 + (2*y+$dy)*13) % 256)"
+      case "g" => s"((b0*37 + (2*x+$dx)*11 + (2*y+$dy)*3) % 256)"
+      case _ =>
+        s"(((b0*41 + (2*x+$dx)*5 + (2*y+$dy)*17) % 250)" +
+          s" + (CASE WHEN twin = 1 AND (2*x+$dx) < 2 AND (2*y+$dy) < 2" +
+          s" THEN 2 ELSE 0 END))"
+    }
+    def pooled(chan: String): String =
+      s"((${px(chan, 0, 0)} + ${px(chan, 1, 0)} + ${px(chan, 0, 1)}" +
+        s" + ${px(chan, 1, 1)}) // 4)"
+    s"""WITH imgs AS (SELECT doc_id AS id, doc_id AS b0, 0 AS twin
+                      FROM documents WHERE doc_id < 100
+                      UNION ALL
+                      SELECT doc_id + 100000, doc_id, 1
+                      FROM documents WHERE doc_id < 50),
+         cells AS (SELECT id, x, y,
+                     ((77 * ${pooled("r")} + 150 * ${pooled("g")}
+                       + 29 * ${pooled("b")}) // 256) AS gray
+                   FROM imgs,
+                        (SELECT unnest(range(0, 9)) AS x) xs,
+                        (SELECT unnest(range(0, 8)) AS y) ys),
+         bits AS (SELECT c1.id, (c1.y * 8 + c1.x) AS pos
+                  FROM cells c1 JOIN cells c2
+                    ON c2.id = c1.id AND c2.y = c1.y AND c2.x = c1.x + 1
+                  WHERE c1.x < 8 AND c1.gray > c2.gray),
+         hsum AS (SELECT i.id,
+                    COALESCE(SUM(1::HUGEINT << CAST(b.pos AS INT)),
+                             0::HUGEINT) AS u
+                  FROM imgs i LEFT JOIN bits b ON b.id = i.id
+                  GROUP BY i.id),
+         hashes AS (SELECT id,
+                      CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                                THEN u - 18446744073709551616::HUGEINT
+                                ELSE u END AS BIGINT) AS h
+                    FROM hsum),
+         bands AS (SELECT id, h, k,
+                     (h >> CAST(k * 16 AS INT)) & 65535 AS chunk
+                   FROM hashes,
+                        (SELECT unnest(range(0, 4)) AS k) ks),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.h AS ha, b.h AS hb
+                  FROM bands a JOIN bands b
+                    ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id)
+         SELECT id_a, id_b,
+                CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         ORDER BY id_a, id_b"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "mm17_dhash_neardup" -> dhashOracleSql,
     "mm01_decode_resize" ->
       s"""WITH m AS (
             SELECT $kindSql AS kind,

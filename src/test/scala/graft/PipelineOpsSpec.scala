@@ -1380,6 +1380,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d2.width == 13 && d2.height == 9)
   }
 
+  test("dhash: container-invariant, edit-tolerant, structure-sensitive") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    // a structured 18x16 raster with gradients + mod-wraps
+    def raster(seed: Long, inv: Boolean): Array[Byte] = {
+      val rgb = new Array[Byte](18 * 16 * 3)
+      for (py <- 0 until 16; px <- 0 until 18) {
+        val i = (py * 18 + px) * 3
+        val r = ((seed * 31 + px * 7 + py * 13) % 256).toInt
+        val g = ((seed * 37 + px * 11 + py * 3) % 256).toInt
+        val b = ((seed * 41 + px * 5 + py * 17) % 256).toInt
+        rgb(i) = (if (inv) 255 - r else r).toByte
+        rgb(i + 1) = (if (inv) 255 - g else g).toByte
+        rgb(i + 2) = (if (inv) 255 - b else b).toByte
+      }
+      rgb
+    }
+    def hashOf(media: (Long, Array[Byte])*): Map[Long, Long] =
+      Multimodal.dhashImages(media.toSeq.toDF("media_id", "bytes"), 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rgb = raster(7L, inv = false)
+    val asPpm = Codecs.encodePpm(18, 16, rgb)
+    val asPng = Codecs.encodePng(18, 16, 3, rgb)
+    // same pixels, different container → identical perceptual hash
+    // (the property a byte-level hash cannot give)
+    val h = hashOf(1L -> asPpm, 2L -> asPng)
+    assert(h(1L) == h(2L), "dhash differs across PPM/PNG containers")
+    // a sub-cell edit (one pooled block's blue +2) stays within the
+    // near-dup band; photometric inversion lands far away
+    val edited = rgb.clone()
+    for (p <- Seq(0, 1, 18, 19))
+      edited(p * 3 + 2) = ((edited(p * 3 + 2) & 0xFF) + 2).toByte
+    val inv = raster(7L, inv = true)
+    val h2 = hashOf(1L -> asPpm,
+      3L -> Codecs.encodePpm(18, 16, edited),
+      4L -> Codecs.encodePpm(18, 16, inv))
+    assert(java.lang.Long.bitCount(h2(1L) ^ h2(3L)) <= 3,
+      "small edit broke the perceptual hash")
+    assert(java.lang.Long.bitCount(h2(1L) ^ h2(4L)) > 16,
+      "inverted image unexpectedly near-dups the original")
+    // too-small and undecodable payloads drop, never throw
+    val tiny = Codecs.encodePpm(4, 4, new Array[Byte](48))
+    assert(hashOf(5L -> tiny, 6L -> "junk".getBytes).isEmpty)
+  }
+
   test("jpeg: malformed payloads are None, router dispatches by magic") {
     import graft.ops.Codecs
     val gray = Array.tabulate(64)(i => (i * 4).toByte)
