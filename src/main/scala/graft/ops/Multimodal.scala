@@ -223,6 +223,50 @@ object Multimodal {
       }.toDF("id", "sim")
   }
 
+  /** 64-bit audio fingerprint — [[dhashImages]]' twin for the audio
+    * modality (near-dup audio survives re-encoding/level tweaks that
+    * break byte hashes): decode the REAL container (WAV or FLAC by
+    * magic) → floor-mean the first 65 windows of `windowSize` samples
+    * → bit(i) = mean(i) > mean(i+1). Integer-exact end-to-end
+    * (`Math.floorDiv` matches SQL `//` on negative PCM values).
+    * Payloads too short for 65 windows, multi-channel, or undecodable
+    * drop, counted not thrown. Output `(id, sim)` feeds
+    * [[Dedup.hammingNearDups64Cached]] — the same banded machinery as
+    * text SimHash and image dHash, one near-dup engine for all three
+    * modalities.
+    */
+  def audioFingerprint(media: DataFrame, windowSize: Int = 4): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          Codecs.decodeAudio(bytes)
+            .filter(w => w.channels == 1 &&
+              w.samples.length >= windowSize * 65)
+            .map { w =>
+              val m = Array.tabulate(65) { wi =>
+                var s = 0L
+                var j = 0
+                while (j < windowSize) {
+                  s += w.samples(wi * windowSize + j); j += 1
+                }
+                Math.floorDiv(s, windowSize)
+              }
+              var hash = 0L
+              var i = 0
+              while (i < 64) {
+                if (m(i) > m(i + 1)) hash |= 1L << i
+                i += 1
+              }
+              (id, hash)
+            }
+        }
+      }.toDF("id", "sim")
+  }
+
   /** REAL pixel resize: decode (PPM or PNG) → average-pool by `factor`
     * → re-encode in the SAME container the payload arrived in
     * ([[Codecs.poolPpm]]); payloads that aren't a decodable raster pass

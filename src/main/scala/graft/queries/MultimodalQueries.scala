@@ -189,6 +189,77 @@ object MultimodalQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Audio near-dup via the 64-bit window fingerprint + the same
+    // banded Hamming join (one near-dup engine, three modalities):
+    // 150 payloads — 100 base signals, 50 amplitude-perturbed twins —
+    // encoded WAV for even ids and FLAC for odd (lossless, same PCM),
+    // so twins pair ACROSS containers and the whole decode → windows
+    // → bits → bands → popcount chain sits on the oracle.
+    "mm18_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+      val twins = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 50).as[Long].map(_ + 100000L)
+      val media = base.union(twins).map { id =>
+        val b0 = id % 100000
+        val twin = id >= 100000
+        // per-id sample step (7919 + (b0%101)*293 spans ~8k..37k vs the
+        // 65530 modulus) makes window means wrap pseudo-randomly, so
+        // distinct ids get decorrelated fingerprints; the 65530 cap
+        // keeps the +3 twin bump away from Short overflow
+        val step = 7919 + (b0 % 101) * 293
+        val samples = Array.tabulate(260) { k =>
+          val v = ((b0 * 104729 + k * step) % 65530) - 32768 +
+            (if (twin && k < 4) 3 else 0)
+          v.toShort
+        }
+        // twins take the OTHER container than their base (even-b0 base
+        // = WAV, its twin = FLAC, and vice versa), so every planted
+        // pair matches ACROSS containers — lossless PCM is the bridge
+        val asWav = (b0 % 2 == 0) != twin
+        val bytes =
+          if (asWav) graft.ops.Codecs.encodeWavPcm16(16000, 1, samples)
+          else graft.ops.Codecs.encodeFlac(16000, 1, samples)
+        (id, bytes)
+      }.toDF("media_id", "bytes")
+      val signed = Multimodal.audioFingerprint(media, windowSize = 4)
+      graft.ops.Dedup.hammingNearDups64Cached(signed, maxHamming = 3).df
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Streaming perceptual image dedup (§2.6 × mm17): payloads stream
+    // in REPLAYED (at-least-once, st04's union shape) plus the 50
+    // perturbed twins; dHash computes scan-locally INSIDE the stream
+    // (stateless mapPartitions decode), dropDuplicates on the hash is
+    // the stateful exactly-once collapse, and the surviving distinct
+    // fingerprints must equal the batch pipeline's — replay never
+    // double-counts, twins collapse onto their bases.
+    "st17_stream_image_dedup" -> ((s, d) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val qn = "st17_img_dedup_sink"
+      def ids = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") < 100).select(col("doc_id")).as[Long]
+      val media = ids.union(ids)
+        .flatMap { id =>
+          val base = Seq((id, nearDupRaster(id)))
+          if (id < 50) base :+ ((id + 100000L, nearDupRaster(id + 100000L)))
+          else base
+        }.toDF("media_id", "bytes")
+      val q = Multimodal.dhashImages(media, poolFactor = 2)
+        .dropDuplicates("sim")
+        .groupBy()
+        .agg(count(lit(1)).as("n_unique"),
+          expr("bit_xor(sim)").as("hash_xor"),
+          min(col("sim")).as("hash_min"), max(col("sim")).as("hash_max"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn)
+    }),
+
     "mm01_decode_resize" -> ((s, d) => {
       val media = Multimodal.fromDocuments(Tables.documents(s, d))
       val resized = Multimodal.withResizedDims(media, 256, 256)
@@ -391,7 +462,55 @@ object MultimodalQueries extends QuerySet {
     * SQL is GENERATED from the pixel formula so the raster generator
     * and the oracle cannot drift.
     */
-  private def dhashOracleSql: String = {
+  /** Shared oracle tail for the 64-bit Hamming near-dup queries
+    * (mm17 image dHash, mm18 audio fingerprint): expects CTEs
+    * `imgs(id, …)` and `bits(id, pos)`; packs bits into a signed
+    * BIGINT via HUGEINT two's complement, 4×16-bit band join,
+    * popcount verify at ≤ 3 — the SQL restatement of
+    * [[graft.ops.Dedup.hammingNearDups64Cached]].
+    */
+  /** hsum/hashes: pack a `bits(id, pos)` CTE into one signed BIGINT
+    * per id (HUGEINT two's complement; `imgs(id, …)` supplies the full
+    * id set so zero-bit payloads keep a row).
+    */
+  private val hashPackSql =
+    """hsum AS (SELECT i.id,
+                    COALESCE(SUM(1::HUGEINT << CAST(b.pos AS INT)),
+                             0::HUGEINT) AS u
+                  FROM imgs i LEFT JOIN bits b ON b.id = i.id
+                  GROUP BY i.id),
+         hashes AS (SELECT id,
+                      CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                                THEN u - 18446744073709551616::HUGEINT
+                                ELSE u END AS BIGINT) AS h
+                    FROM hsum)"""
+
+  /** 4×16-bit band join + popcount verify over `hashes(id, h)` — the
+    * SQL restatement of [[graft.ops.Dedup.hammingNearDups64Cached]].
+    */
+  private val bandPairSql =
+    """bands AS (SELECT id, h, k,
+                     (h >> CAST(k * 16 AS INT)) & 65535 AS chunk
+                   FROM hashes,
+                        (SELECT unnest(range(0, 4)) AS k) ks),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                    a.h AS ha, b.h AS hb
+                  FROM bands a JOIN bands b
+                    ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id)
+         SELECT id_a, id_b,
+                CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+         ORDER BY id_a, id_b"""
+
+  private val hammingTailSql = s"$hashPackSql,\n         $bandPairSql"
+
+  private def dhashOracleSql: String = dhashWithTail(hammingTailSql)
+
+  /** mm17's generator/pool/luma/bits prelude with a caller-chosen SQL
+    * tail (mm17 appends the band-pair machinery; st17 appends a
+    * distinct-hash collapse).
+    */
+  private def dhashWithTail(tail: String): String = {
     def px(chan: String, dx: Int, dy: Int): String = chan match {
       case "r" => s"((b0*31 + (2*x+$dx)*7 + (2*y+$dy)*13) % 256)"
       case "g" => s"((b0*37 + (2*x+$dx)*11 + (2*y+$dy)*3) % 256)"
@@ -418,32 +537,45 @@ object MultimodalQueries extends QuerySet {
                   FROM cells c1 JOIN cells c2
                     ON c2.id = c1.id AND c2.y = c1.y AND c2.x = c1.x + 1
                   WHERE c1.x < 8 AND c1.gray > c2.gray),
-         hsum AS (SELECT i.id,
-                    COALESCE(SUM(1::HUGEINT << CAST(b.pos AS INT)),
-                             0::HUGEINT) AS u
-                  FROM imgs i LEFT JOIN bits b ON b.id = i.id
-                  GROUP BY i.id),
-         hashes AS (SELECT id,
-                      CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-                                THEN u - 18446744073709551616::HUGEINT
-                                ELSE u END AS BIGINT) AS h
-                    FROM hsum),
-         bands AS (SELECT id, h, k,
-                     (h >> CAST(k * 16 AS INT)) & 65535 AS chunk
-                   FROM hashes,
-                        (SELECT unnest(range(0, 4)) AS k) ks),
-         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                    a.h AS ha, b.h AS hb
-                  FROM bands a JOIN bands b
-                    ON a.k = b.k AND a.chunk = b.chunk AND a.id < b.id)
-         SELECT id_a, id_b,
-                CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
-         FROM cand WHERE bit_count(xor(ha, hb)) <= 3
-         ORDER BY id_a, id_b"""
+         $tail"""
   }
 
   def oracle: Map[String, String] = Map(
     "mm17_dhash_neardup" -> dhashOracleSql,
+    // streaming must converge to the batch fingerprint set exactly:
+    // same generator prelude, collapsed to distinct-hash stats
+    "st17_stream_image_dedup" -> dhashWithTail(
+      s"""$hashPackSql,
+         dh AS (SELECT DISTINCT h FROM hashes)
+         SELECT COUNT(*) AS n_unique,
+                CAST(bit_xor(h) AS BIGINT) AS hash_xor,
+                MIN(h) AS hash_min, MAX(h) AS hash_max
+         FROM dh"""),
+    // the audio twin: same id layout, same banded tail; the PCM closed
+    // form mirrors the fixture (65530 cap keeps the twin bump away
+    // from Short overflow), floor-mean windows of 4 via `//`
+    // (DuckDB floors, matching Math.floorDiv on negative samples)
+    "mm18_audio_fingerprint" ->
+      s"""WITH imgs AS (SELECT doc_id AS id, doc_id AS b0, 0 AS twin
+                        FROM documents WHERE doc_id < 100
+                        UNION ALL
+                        SELECT doc_id + 100000, doc_id, 1
+                        FROM documents WHERE doc_id < 50),
+         sm AS (SELECT id, r.range AS k,
+                  ((b0 * 104729
+                    + r.range * (7919 + (b0 % 101) * 293)) % 65530
+                   - 32768
+                   + CASE WHEN twin = 1 AND r.range < 4
+                          THEN 3 ELSE 0 END) AS s
+                FROM imgs CROSS JOIN range(0, 260) r),
+         w AS (SELECT id, k // 4 AS wi,
+                 CAST(SUM(s) AS BIGINT) // 4 AS m
+               FROM sm GROUP BY 1, 2),
+         bits AS (SELECT w1.id, w1.wi AS pos
+                  FROM w w1 JOIN w w2
+                    ON w2.id = w1.id AND w2.wi = w1.wi + 1
+                  WHERE w1.wi < 64 AND w1.m > w2.m),
+         $hammingTailSql""",
     "mm01_decode_resize" ->
       s"""WITH m AS (
             SELECT $kindSql AS kind,

@@ -213,6 +213,22 @@ object OpsQueries extends QuerySet {
     // (range, positivity, domain, date floor) evaluated in ONE
     // aggregation pass — the qty_lt_30 rule is planted to fail so the
     // violation counting is on the oracle signal, not just zeros.
+    // Set-level privacy audit (k-anonymity + l-diversity) over the
+    // (event_type, source, hour) quasi-identifier: the release gate
+    // that catches what row-level PII redaction (t05) cannot — a
+    // combination of innocuous columns isolating a small user group.
+    // ONE grouped aggregation; output = the violating-group worklist.
+    "p15_privacy_audit" -> ((s, d) => {
+      val ev = Tables.eventsMicros(s, d)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("event_type"),
+          expr("(ts_us div 3600000000) % 24").as("hour"),
+          col("user_id"))
+      graft.ops.Privacy.violations(ev,
+        Seq("event_type", "hour"), "user_id", k = 70, l = 65)
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     "p14_expectations" -> ((s, d) =>
       graft.ops.Expectations.check(Tables.lineitem(s, d), Seq(
         "qty_range" -> col("l_quantity").between(1, 50),
@@ -627,6 +643,18 @@ object OpsQueries extends QuerySet {
                      + (k - (t.cum_cnt - t.cnt)) * t.c AS BIGINT)
                   AS top_cents
          FROM t ORDER BY grp""",
+    "p15_privacy_audit" ->
+      """WITH e AS (SELECT event_type,
+                      (epoch_us(ts) // 3600000000) % 24 AS hour, user_id
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (SELECT event_type, hour, COUNT(*) AS n,
+                 COUNT(DISTINCT user_id) AS ndv
+               FROM e GROUP BY 1, 2)
+         SELECT event_type, hour, n, ndv,
+                n < 70 AS k_violation, ndv < 65 AS l_violation
+         FROM g WHERE n < 70 OR ndv < 65
+         ORDER BY event_type, hour""",
     "p14_expectations" ->
       """WITH t AS (SELECT COUNT(*) AS n_rows,
            SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, FALSE)

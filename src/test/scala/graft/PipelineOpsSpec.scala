@@ -1380,6 +1380,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d2.width == 13 && d2.height == 9)
   }
 
+  test("privacy audit: hand-computed k/l violations and summary") {
+    import graft.ops.Privacy
+    import spark.implicits._
+    // group A: 3 rows, 3 sensitive values → violates k=4, passes l=2
+    // group B: 5 rows, 1 sensitive value  → passes k=4, violates l=2
+    // group C: 6 rows, 4 values           → passes both
+    // null sensitive values don't count toward diversity
+    val rows = Seq(
+      ("A", Option("s1")), ("A", Option("s2")), ("A", Option("s3")),
+      ("B", Option("x")), ("B", Option("x")), ("B", Option("x")),
+      ("B", Option("x")), ("B", None),
+      ("C", Option("a")), ("C", Option("b")), ("C", Option("c")),
+      ("C", Option("d")), ("C", Option("a")), ("C", Option("b")))
+      .toDF("quasi", "sensitive")
+    val audit = Privacy.audit(rows, Seq("quasi"), "sensitive", 4, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(audit("A") == ((3L, 3L, true, false)))
+    assert(audit("B") == ((5L, 1L, false, true)))
+    assert(audit("C") == ((6L, 4L, false, false)))
+    val v = Privacy.violations(rows, Seq("quasi"), "sensitive", 4, 2)
+      .collect().map(_.getString(0)).toSet
+    assert(v == Set("A", "B"))
+    val sm = Privacy.summary(rows, Seq("quasi"), "sensitive", 4, 2)
+      .collect()(0)
+    assert(sm.getLong(0) == 3 && sm.getLong(1) == 14)  // groups, rows
+    assert(sm.getLong(2) == 1 && sm.getLong(3) == 1)   // k, l violations
+    assert(sm.getLong(4) == 8)                         // rows at risk
+    assert(sm.getLong(5) == 3 && sm.getLong(6) == 1)   // min n, min ndv
+  }
+
+  test("audio fingerprint: WAV/FLAC invariant, drops short and stereo") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    val samples = Array.tabulate(260)(k =>
+      (((k * 9973 + 31) % 65530) - 32768).toShort)
+    def fp(media: (Long, Array[Byte])*): Map[Long, Long] =
+      Multimodal.audioFingerprint(media.toSeq.toDF("media_id", "bytes"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = fp(
+      1L -> Codecs.encodeWavPcm16(16000, 1, samples),
+      2L -> Codecs.encodeFlac(16000, 1, samples),
+      3L -> Codecs.encodeWavPcm16(16000, 1, samples.take(100)), // short
+      4L -> Codecs.encodeWavPcm16(16000, 2, samples),           // stereo
+      5L -> "not audio".getBytes)
+    assert(got.keySet == Set(1L, 2L),
+      s"short/stereo/undecodable should drop: ${got.keySet}")
+    assert(got(1L) == got(2L),
+      "lossless containers of the same PCM must fingerprint identically")
+  }
+
   test("dhash: container-invariant, edit-tolerant, structure-sensitive") {
     import graft.ops.{Codecs, Multimodal}
     import spark.implicits._
