@@ -166,6 +166,43 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"))
     }),
 
+    // Ranking-quality metrics for the ANN shortlist (the other half of
+    // the n12 audit): MRR and nDCG@10 of the portable IVF ranking,
+    // graded against the exact brute-force top-10 as the relevance
+    // set. Discounts are 9dp-rounded 1/log2(rank+1) summed in exact
+    // DECIMAL (the t09 transcendental stance), so both engines land on
+    // identical DCGs.
+    "n13_retrieval_metrics" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = graft.ops.Similarity.bruteForceTopK(emb, qs,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id").as("qe"), col("vec_id").as("ve"))
+      val approx = graft.ops.Similarity.ivfTopKPortable(emb, qs,
+        "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))
+      val disc = round(lit(1.0) / log2(col("rank").cast("double") + 1.0), 9)
+      val idcg = (1 to 10).map(i =>
+        round(lit(1.0) / log2(lit(i + 1.0)), 9).cast(DecimalType(20, 9)))
+        .reduce(_ + _).cast("double")
+      approx.join(exact,
+          col("query_id") === col("qe") && col("vec_id") === col("ve"),
+          "left")
+        .withColumn("rel", col("ve").isNotNull)
+        .groupBy(col("query_id"))
+        .agg(min(when(col("rel"), col("rank"))).as("first_hit_rank"),
+          sum(when(col("rel"), disc).otherwise(lit(0.0))
+            .cast(DecimalType(20, 9))).as("dcg_d"))
+        .select(col("query_id"), col("first_hit_rank"),
+          round(when(col("first_hit_rank").isNotNull,
+            lit(1.0) / col("first_hit_rank").cast("double"))
+            .otherwise(0.0), 6).as("rr"),
+          col("dcg_d").cast("double").as("dcg"),
+          round(col("dcg_d").cast("double") / idcg, 6).as("ndcg"))
+        .orderBy(col("query_id"))
+    }),
+
     // Portable IVF-style ANN (the n06b cone trick for n02): sign-cone
     // cells replace the KMeans quantizer, Hamming-to-query-bits probe
     // ranking replaces centroid distance, exact cosine re-ranks —
@@ -339,6 +376,32 @@ object SimilarityQueries extends QuerySet {
                    list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
           FROM g ORDER BY label, pos""",
     "n01_brute_topk" -> n01Sql,
+    "n13_retrieval_metrics" ->
+      s"""WITH ex AS (SELECT query_id, vec_id FROM ($n01Sql) t),
+         ap AS (SELECT query_id, vec_id, rank FROM ($n02bSql) t),
+         j AS (SELECT ap.query_id, ap.rank,
+                 CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+               FROM ap LEFT JOIN ex
+                 ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id),
+         g AS (SELECT query_id,
+                 MIN(CASE WHEN rel = 1 THEN rank END) AS first_hit_rank,
+                 SUM(CASE WHEN rel = 1
+                          THEN CAST(round(1.0 / log2(CAST(rank AS DOUBLE)
+                                                     + 1.0), 9)
+                               AS DECIMAL(20,9))
+                          ELSE CAST(0.0 AS DECIMAL(20,9)) END) AS dcg_d
+               FROM j GROUP BY query_id),
+         i AS (SELECT CAST(SUM(CAST(round(1.0 / log2(CAST(i AS DOUBLE)
+                                                     + 1.0), 9)
+                                    AS DECIMAL(20,9))) AS DOUBLE) AS idcg
+               FROM (SELECT unnest(range(1, 11)) AS i))
+         SELECT query_id, first_hit_rank,
+                round(CASE WHEN first_hit_rank IS NOT NULL
+                           THEN 1.0 / CAST(first_hit_rank AS DOUBLE)
+                           ELSE 0.0 END, 6) AS rr,
+                CAST(dcg_d AS DOUBLE) AS dcg,
+                round(CAST(dcg_d AS DOUBLE) / idcg, 6) AS ndcg
+         FROM g CROSS JOIN i ORDER BY query_id""",
     "n07_quantized_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings),
