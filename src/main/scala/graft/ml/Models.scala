@@ -199,7 +199,7 @@ object Models {
 
   /** M9 scoring path as pure column algebra: apply a FIXED logistic
     * model — coefficients as literals — appending `proba` (sigmoid of
-    * the linear term, 9dp-rounded: the m15/NaiveBayes cross-engine
+    * the linear term, 7dp-rounded: the m15/NaiveBayes cross-engine
     * discipline, one transcendental `exp` absorbed by the rounding)
     * and `pred` (proba ≥ 0.5). This is exactly what serving a trained
     * LR model is (`FD/consumer.py:60-66` scores each event through
@@ -218,8 +218,10 @@ object Models {
     val z = weights.foldLeft(lit(intercept)) { case (acc, (c, w)) =>
       acc + lit(w) * col(c).cast("double")
     }
+    // 7dp (the LogisticIrls margin): a 1-ulp cross-engine exp drift
+    // sits ~1e9 below the rounding boundary instead of ~1e7
     df.withColumn(probaCol,
-        round(lit(1.0) / (lit(1.0) + exp(-z)), 9))
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 7))
       .withColumn(predCol, (col(probaCol) >= 0.5).cast("int"))
   }
 }

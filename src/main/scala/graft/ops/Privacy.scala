@@ -32,12 +32,19 @@ object Privacy {
     * (`countDistinct` semantics).
     */
   def audit(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
-            k: Long, l: Long): DataFrame = {
+            k: Long, l: Long, approx: Boolean = false): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
     require(k >= 1 && l >= 1, "k and l must be >= 1")
+    // exact ndv shuffles (group, sensitive) pairs (the expand plan);
+    // approx = the 100-TB path — HLL++ sketches merge map-side at
+    // constant memory, and at rsd 0.01 a group within ±2% of the l
+    // bound deserves manual review anyway (the winsorize exact/approx
+    // twin discipline: same plan shape, contract difference documented)
+    val ndv =
+      if (approx) approx_count_distinct(col(sensitiveCol), 0.01)
+      else countDistinct(col(sensitiveCol))
     df.groupBy(quasiCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col(sensitiveCol)).as("ndv"))
+      .agg(count(lit(1)).as("n"), ndv.as("ndv"))
       .withColumn("k_violation", col("n") < k)
       .withColumn("l_violation", col("ndv") < l)
   }

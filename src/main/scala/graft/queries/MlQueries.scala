@@ -49,7 +49,7 @@ object MlQueries extends QuerySet {
     // M9 predict+probability on a FIXED literal-coefficient logistic
     // model (the serving path: stored coefficients applied to each
     // row, `FD/consumer.py:60-66`) — hash-exact against DuckDB
-    // replaying the identical left-to-right linear term, 9dp-rounded
+    // replaying the identical left-to-right linear term, 7dp-rounded
     // sigmoid, threshold, and banding. MLlib FITS stay spec-gated
     // (m12); the scoring semantics land here as a green row. Sums run
     // in DECIMAL(20,9) so addition order can't smear last bits.
@@ -209,7 +209,7 @@ object MlQueries extends QuerySet {
                    + (6.5 * x_tax) AS z
                FROM f),
          p AS (SELECT l_orderkey,
-                 round(1.0 / (1.0 + exp(-z)), 9) AS proba
+                 round(1.0 / (1.0 + exp(-z)), 7) AS proba
                FROM z),
          sc AS (SELECT l_orderkey, proba,
                   CASE WHEN proba >= 0.5 THEN 1 ELSE 0 END AS pred

@@ -1410,6 +1410,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sm.getLong(2) == 1 && sm.getLong(3) == 1)   // k, l violations
     assert(sm.getLong(4) == 8)                         // rows at risk
     assert(sm.getLong(5) == 3 && sm.getLong(6) == 1)   // min n, min ndv
+    // the 100-TB sketch path: HLL++ is exact at these cardinalities,
+    // so the approx audit must reproduce the exact one on the fixture
+    val approx = Privacy.audit(rows, Seq("quasi"), "sensitive", 4, 2,
+        approx = true)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+      .toMap
+    assert(approx == audit, s"approx ndv drifted on tiny groups: $approx")
   }
 
   test("audio fingerprint: WAV/FLAC invariant, drops short and stereo") {

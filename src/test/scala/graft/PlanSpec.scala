@@ -167,6 +167,17 @@ class PlanSpec extends SparkSpec {
       assert(locals.isEmpty,
         s"$q re-enters driver-collected stats as a LocalRelation")
     }
+    // perceptual near-dup (image + audio): the pair generation must be
+    // the banded equi-join, never an all-pairs fallback — the property
+    // that keeps fingerprint dedup viable at 10⁹ payloads
+    for (q <- Seq("mm17_dhash_neardup", "mm18_audio_fingerprint")) {
+      import org.apache.spark.sql.execution.joins.{
+        BroadcastNestedLoopJoinExec, CartesianProductExec}
+      val p = plan(q)
+      assert(p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+        p.collect { case j: CartesianProductExec => j }.isEmpty,
+        s"$q pairs via an all-pairs join")
+    }
     // snapshot diff: every exchange must carry digests, never document
     // text — the md5 projection has to happen inside each scan
     val u03 = plan("u03_snapshot_diff")
