@@ -1792,12 +1792,14 @@ object Codecs {
     // the executor with an uncatchable OOM instead of the documented
     // dead-letter None):
     // 1. dedicated pixel budget — nc × 4 B × JpegMaxPixels ≤ 768 MiB;
-    // 2. the entropy segment must be plausibly long enough to code
-    //    every MCU (≥ ~4 bits per block: DC code + EOB), so a tiny
-    //    payload cannot claim a huge raster.
+    // 2. the entropy segment must be long enough to code every MCU at
+    //    the spec-minimum 2 bits per block (a 1-bit DC-category-0 code
+    //    + a 1-bit EOB is the shortest legal baseline block), so a
+    //    tiny payload cannot claim a huge raster — while no valid
+    //    JPEG, however aggressively Huffman-optimized, can be rejected.
     val nBlocks = bw.toLong * bh * nc
     if (bw.toLong * 8 * bh * 8 > JpegMaxPixels) return None
-    if ((bytes.length - start).toLong < nBlocks / 2) return None
+    if ((bytes.length - start).toLong < nBlocks / 4) return None
     val planes = Array.fill(nc)(new Array[Int](bw * 8 * bh * 8))
     val r = new JBitReader(bytes, start)
     val dcPred = new Array[Int](nc)

@@ -226,9 +226,14 @@ object Multimodal {
   /** 64-bit audio fingerprint — [[dhashImages]]' twin for the audio
     * modality (near-dup audio survives re-encoding/level tweaks that
     * break byte hashes): decode the REAL container (WAV or FLAC by
-    * magic) → floor-mean the first 65 windows of `windowSize` samples
-    * → bit(i) = mean(i) > mean(i+1). Integer-exact end-to-end
-    * (`Math.floorDiv` matches SQL `//` on negative PCM values).
+    * magic) → window means over the first 65 windows of `windowSize`
+    * samples → bit(i) = mean(i) > mean(i+1). Integer-exact
+    * end-to-end: the mean divides TRUNCATING toward zero (JVM `/`),
+    * which is what DuckDB's `//` does on negative PCM sums (verified
+    * on 1.0.0: `-7 // 4 = -1`, NOT floor) and what [[resampleAudio]]
+    * already does — `Math.floorDiv` here would silently disagree with
+    * the oracle on any negative window sum that is not a multiple of
+    * `windowSize`.
     * Payloads too short for 65 windows, multi-channel, or undecodable
     * drop, counted not thrown. Output `(id, sim)` feeds
     * [[Dedup.hammingNearDups64Cached]] — the same banded machinery as
@@ -253,7 +258,7 @@ object Multimodal {
                 while (j < windowSize) {
                   s += w.samples(wi * windowSize + j); j += 1
                 }
-                Math.floorDiv(s, windowSize)
+                s / windowSize // truncating, = DuckDB `//`
               }
               var hash = 0L
               var i = 0

@@ -183,8 +183,13 @@ object MultimodalQueries extends QuerySet {
     // end-to-end, so DuckDB replays pixels, pooling, luma, every hash
     // bit, the band join AND the popcount verify.
     "mm17_dhash_neardup" -> ((s, d) => {
+      // persist the signatures: capBuckets' eager hot-key probe and
+      // the banded self-join would otherwise each re-run the whole
+      // decode→pool→hash pipeline (the dominant cost at scale) —
+      // the simhashNearDupsCached discipline
       val signed = Multimodal.dhashImages(nearDupMedia(s, d),
         poolFactor = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Dedup.hammingNearDups64Cached(signed, maxHamming = 3).df
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -224,6 +229,7 @@ object MultimodalQueries extends QuerySet {
         (id, bytes)
       }.toDF("media_id", "bytes")
       val signed = Multimodal.audioFingerprint(media, windowSize = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.Dedup.hammingNearDups64Cached(signed, maxHamming = 3).df
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -395,7 +401,8 @@ object MultimodalQueries extends QuerySet {
     }),
 
     // REAL audio resample: the mm04 WAV fixture decoded, average-
-    // pooled 4:1 per channel (floor division — exact on negative
+    // pooled 4:1 per channel (truncating division — JVM `/` and
+    // DuckDB `//` agree toward zero on negative
     // samples), re-encoded at rate/4, decoded again — pooled sample
     // stats vs DuckDB grouping the closed form into 4-sample windows.
     "mm14_audio_resample" -> ((s, d) => {
@@ -456,19 +463,6 @@ object MultimodalQueries extends QuerySet {
   private val kindSql =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
-  /** DuckDB restatement of mm17: the [[nearDupRaster]] closed form,
-    * 2×2 floor-average pooling, integer luma, all 64 dHash bits, the
-    * 4×16-bit band join and the popcount verify. The pooled-channel
-    * SQL is GENERATED from the pixel formula so the raster generator
-    * and the oracle cannot drift.
-    */
-  /** Shared oracle tail for the 64-bit Hamming near-dup queries
-    * (mm17 image dHash, mm18 audio fingerprint): expects CTEs
-    * `imgs(id, …)` and `bits(id, pos)`; packs bits into a signed
-    * BIGINT via HUGEINT two's complement, 4×16-bit band join,
-    * popcount verify at ≤ 3 — the SQL restatement of
-    * [[graft.ops.Dedup.hammingNearDups64Cached]].
-    */
   /** hsum/hashes: pack a `bits(id, pos)` CTE into one signed BIGINT
     * per id (HUGEINT two's complement; `imgs(id, …)` supplies the full
     * id set so zero-bit payloads keep a row).
@@ -553,8 +547,9 @@ object MultimodalQueries extends QuerySet {
          FROM dh"""),
     // the audio twin: same id layout, same banded tail; the PCM closed
     // form mirrors the fixture (65530 cap keeps the twin bump away
-    // from Short overflow), floor-mean windows of 4 via `//`
-    // (DuckDB floors, matching Math.floorDiv on negative samples)
+    // from Short overflow), window means of 4 via `//` — which
+    // TRUNCATES toward zero in DuckDB, matching the Scala side's
+    // JVM division (NOT floorDiv) on negative sums
     "mm18_audio_fingerprint" ->
       s"""WITH imgs AS (SELECT doc_id AS id, doc_id AS b0, 0 AS twin
                         FROM documents WHERE doc_id < 100

@@ -1438,6 +1438,20 @@ class PipelineOpsSpec extends SparkSpec {
       s"short/stereo/undecodable should drop: ${got.keySet}")
     assert(got(1L) == got(2L),
       "lossless containers of the same PCM must fingerprint identically")
+    // division semantics regression: window means must TRUNCATE toward
+    // zero (JVM `/`), matching DuckDB's `//` — floorDiv would shift
+    // negative non-multiple sums down by one and flip comparison bits
+    val neg = Array.tabulate(260)(k => (-(k % 37) * 3 - 1).toShort)
+    val handFp = {
+      val m = Array.tabulate(65) { wi =>
+        (0 until 4).map(j => neg(wi * 4 + j).toLong).sum / 4L // truncating
+      }
+      (0 until 64).foldLeft(0L)((h, i) =>
+        if (m(i) > m(i + 1)) h | (1L << i) else h)
+    }
+    val gotNeg = fp(9L -> Codecs.encodeWavPcm16(16000, 1, neg))
+    assert(gotNeg(9L) == handFp,
+      s"negative-sum window means diverged: ${gotNeg(9L)} vs $handFp")
   }
 
   test("dhash: container-invariant, edit-tolerant, structure-sensitive") {
