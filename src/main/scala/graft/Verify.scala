@@ -40,6 +40,10 @@ object Verify {
           Option(e.getMessage).getOrElse("")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent; drop any frames a query persisted and
+      // didn't release (mirrors Bench) so one leak can't pin memory for
+      // the remaining ~200 queries
+      spark.catalog.clearCache()
     }
     def q(s: String): String = Jsons.quote(s)
     val json = SparkEntry.oracleSql

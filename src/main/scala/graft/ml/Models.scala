@@ -220,8 +220,10 @@ object Models {
     }
     // 7dp (the LogisticIrls margin): a 1-ulp cross-engine exp drift
     // sits ~1e9 below the rounding boundary instead of ~1e7
+    // null-feature rows give proba NULL; `pred` must still be 0 (not
+    // NULL) to mirror the oracle's CASE WHEN ... THEN 1 ELSE 0
     df.withColumn(probaCol,
         round(lit(1.0) / (lit(1.0) + exp(-z)), 7))
-      .withColumn(predCol, (col(probaCol) >= 0.5).cast("int"))
+      .withColumn(predCol, when(col(probaCol) >= 0.5, 1).otherwise(0))
   }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * redaction strips direct identifiers, but a release is still
   * re-identifiable when a COMBINATION of quasi-identifiers (zip ×
   * birth date × gender in the classic Sweeney result; event type ×
-  * source × hour here) isolates a small group.
+  * hour-of-day here) isolates a small group.
   *
   *  - k-anonymity (Sweeney 2002): every quasi-identifier combination
   *    must describe ≥ k rows.

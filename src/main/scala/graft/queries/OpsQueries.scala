@@ -213,8 +213,18 @@ object OpsQueries extends QuerySet {
     // (range, positivity, domain, date floor) evaluated in ONE
     // aggregation pass — the qty_lt_30 rule is planted to fail so the
     // violation counting is on the oracle signal, not just zeros.
+    "p14_expectations" -> ((s, d) =>
+      graft.ops.Expectations.check(Tables.lineitem(s, d), Seq(
+        "qty_range" -> col("l_quantity").between(1, 50),
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "disc_range" -> col("l_discount").between(0.0, 0.1),
+        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "tax_nonneg" -> (col("l_tax") >= 0),
+        "qty_lt_30" -> (col("l_quantity") < 30)))
+        .orderBy(col("rule"))),
+
     // Set-level privacy audit (k-anonymity + l-diversity) over the
-    // (event_type, source, hour) quasi-identifier: the release gate
+    // (event_type, hour-of-day) quasi-identifier: the release gate
     // that catches what row-level PII redaction (t05) cannot — a
     // combination of innocuous columns isolating a small user group.
     // ONE grouped aggregation; output = the violating-group worklist.
@@ -228,16 +238,6 @@ object OpsQueries extends QuerySet {
         Seq("event_type", "hour"), "user_id", k = 70, l = 65)
         .orderBy(col("event_type"), col("hour"))
     }),
-
-    "p14_expectations" -> ((s, d) =>
-      graft.ops.Expectations.check(Tables.lineitem(s, d), Seq(
-        "qty_range" -> col("l_quantity").between(1, 50),
-        "price_positive" -> (col("l_extendedprice") > 0),
-        "disc_range" -> col("l_discount").between(0.0, 0.1),
-        "flag_domain" -> col("l_returnflag").isin("A", "N", "R"),
-        "tax_nonneg" -> (col("l_tax") >= 0),
-        "qty_lt_30" -> (col("l_quantity") < 30)))
-        .orderBy(col("rule"))),
 
     // Gini inequality of spend per event type: exact integer pairwise-
     // difference numerator from the cents histogram, one double ratio.
