@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multivariate anomaly screening — the unsupervised fraud filter the
+  * reference approximates with per-feature thresholds
+  * (`FD/consumer.py:60-66` scores one feature at a time; a stolen-card
+  * burst is only visible in the JOINT (amount, velocity) distribution).
+  *
+  * Mahalanobis distance² of each row from its group's centroid under
+  * the group's covariance: `m2 = (p-μ)ᵀ Σ⁻¹ (p-μ)`, the classic
+  * elliptic-envelope score. Under bivariate normality m2 ~ χ²(2), so
+  * `m2 > 13.8155` (the 99.9% quantile) is a principled outlier flag —
+  * unlike raw z-scores it is scale-free and catches points that are
+  * unremarkable per-axis but off the correlation ridge.
+  *
+  * Engine-exactness (the w08/m16 discipline): inputs are quantized to
+  * integers by the caller (cents, counts), the five moment sums
+  * accumulate as exact DECIMAL(38,0) — partition order cannot smear
+  * bits — and every double derivation (means, variances, covariance,
+  * determinant, quadratic form) is written with one fixed
+  * parenthesization that the DuckDB oracle mirrors term for term. The
+  * per-row score is 7dp-rounded before any cross-row aggregate.
+  *
+  * Scale shape: ONE grouped aggregation (six map-side-combined sums)
+  * builds the stats frame, which re-enters via broadcast join — group
+  * cardinality is unbounded, nothing touches the driver, scoring is
+  * scan-local. The same shape a 100-TB fit wants.
+  */
+object Anomaly {
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Per-group bivariate Mahalanobis². Appends `m2Col` (7dp-rounded,
+    * null when the group's covariance is singular, i.e. `det <= 0` —
+    * fewer than 3 rows or collinear features) plus the group stats
+    * (`__n`, `__mx`, `__my`, `__vx`, `__vy`, `__cxy`) when
+    * `keepStats`. `xCol`/`yCol` must be integer-valued (cast upstream:
+    * cents, counts) — that is what makes the moment sums exact.
+    */
+  def mahalanobis2PerGroup(df: DataFrame, groupCol: String,
+                           xCol: String, yCol: String,
+                           m2Col: String = "m2",
+                           keepStats: Boolean = false): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val xd = col(xCol).cast(dec38)
+    val yd = col(yCol).cast(dec38)
+    val stats = rows.groupBy(col(groupCol).as("__sg"))
+      .agg(count(lit(1)).as("__n"),
+        sum(xd).as("__sx"), sum(yd).as("__sy"),
+        sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"),
+        sum(xd * yd).as("__sxy"))
+      // biased (ML) covariance: vx = Sxx/n − mx², cxy = Sxy/n − mx·my.
+      // Each sum crosses decimal→double ONCE; everything after is a
+      // fixed-order double chain the oracle restates verbatim.
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__mx", col("__sx").cast("double") / col("__nd"))
+      .withColumn("__my", col("__sy").cast("double") / col("__nd"))
+      .withColumn("__vx",
+        col("__sxx").cast("double") / col("__nd") -
+          col("__mx") * col("__mx"))
+      .withColumn("__vy",
+        col("__syy").cast("double") / col("__nd") -
+          col("__my") * col("__my"))
+      .withColumn("__cxy",
+        col("__sxy").cast("double") / col("__nd") -
+          col("__mx") * col("__my"))
+      .withColumn("__det",
+        col("__vx") * col("__vy") - col("__cxy") * col("__cxy"))
+      .select(col("__sg"), col("__n"), col("__mx"), col("__my"),
+        col("__vx"), col("__vy"), col("__cxy"), col("__det"))
+    val dx = col(xCol).cast("double") - col("__mx")
+    val dy = col(yCol).cast("double") - col("__my")
+    // ((dx²·vy − 2·dx·dy·cxy) + dy²·vx) / det — the 2×2 inverse folded
+    // into the quadratic form; left-associative like the SQL twin
+    val m2 = (dx * dx * col("__vy") - lit(2.0) * dx * dy * col("__cxy")
+      + dy * dy * col("__vx")) / col("__det")
+    val scored = rows
+      .join(broadcast(stats), col(groupCol) <=> col("__sg"))
+      .withColumn(m2Col,
+        when(col("__det") > 0.0, round(m2, 7)))
+    if (keepStats) scored.drop("__sg", "__det")
+    else scored.drop("__sg", "__n", "__mx", "__my", "__vx", "__vy",
+      "__cxy", "__det")
+  }
+}

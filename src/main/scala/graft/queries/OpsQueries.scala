@@ -247,6 +247,31 @@ object OpsQueries extends QuerySet {
         "value", "event_type")
         .orderBy(col("grp"))),
 
+    // Bivariate Mahalanobis outlier screen per return flag: quantity ×
+    // price cents scored against the group's covariance ellipse. The
+    // whole chain — integer moment sums, 2×2 inverse folded into the
+    // quadratic form, χ²(2) 99.9% flag — sits on the oracle; output is
+    // the per-group audit row (stats + flag count + score profile).
+    "a34_mahalanobis" -> ((s, d) =>
+      graft.ops.Anomaly.mahalanobis2PerGroup(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("bigint").as("x"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "grp", "x", "y", keepStats = true)
+        .groupBy(col("grp"))
+        .agg(min(col("__n")).as("n"),
+          min(col("__mx")).as("mx"), min(col("__my")).as("my"),
+          min(col("__vx")).as("vx"), min(col("__vy")).as("vy"),
+          min(col("__cxy")).as("cxy"),
+          sum(when(col("m2") > 13.8155, 1L).otherwise(0L))
+            .as("n_flagged"),
+          (sum(col("m2").cast(
+              org.apache.spark.sql.types.DecimalType(38, 7)))
+            .cast("double") / count(lit(1)).cast("double"))
+            .as("mean_m2"),
+          max(col("m2")).as("max_m2"))
+        .orderBy(col("grp"))),
+
     // A/B significance screen: even/odd users as variants, purchase
     // as conversion — the 2x2 table with chi-square, one pass.
     "a32_ab_test" -> ((s, d) =>
@@ -562,6 +587,55 @@ object OpsQueries extends QuerySet {
                       / (CAST(n AS DOUBLE)
                          * CAST(total_cents AS DOUBLE)), 6) AS gini
          FROM g ORDER BY grp""",
+    "a34_mahalanobis" ->
+      """WITH src AS (SELECT l_returnflag AS grp,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         st AS (SELECT grp, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                FROM src GROUP BY grp),
+         mo AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                  CAST(sxx AS DOUBLE) AS sxxd,
+                  CAST(syy AS DOUBLE) AS syyd,
+                  CAST(sxy AS DOUBLE) AS sxyd
+                FROM st),
+         cv AS (SELECT grp, n, nd, mx, my,
+                  sxxd / nd - mx * mx AS vx,
+                  syyd / nd - my * my AS vy,
+                  sxyd / nd - mx * my AS cxy
+                FROM mo),
+         cd AS (SELECT grp, n, mx, my, vx, vy, cxy,
+                  vx * vy - cxy * cxy AS det
+                FROM cv),
+         sc AS (SELECT s.grp, c.n, c.mx, c.my, c.vx, c.vy, c.cxy,
+                  CASE WHEN c.det > 0 THEN
+                    round(((CAST(s.x AS DOUBLE) - c.mx)
+                             * (CAST(s.x AS DOUBLE) - c.mx) * c.vy
+                           - 2.0 * (CAST(s.x AS DOUBLE) - c.mx)
+                             * (CAST(s.y AS DOUBLE) - c.my) * c.cxy
+                           + (CAST(s.y AS DOUBLE) - c.my)
+                             * (CAST(s.y AS DOUBLE) - c.my) * c.vx)
+                          / c.det, 7)
+                  END AS m2
+                FROM src s JOIN cd c ON s.grp = c.grp)
+         SELECT grp, MIN(n) AS n, MIN(mx) AS mx, MIN(my) AS my,
+                MIN(vx) AS vx, MIN(vy) AS vy, MIN(cxy) AS cxy,
+                CAST(SUM(CASE WHEN m2 > 13.8155 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_flagged,
+                CAST(SUM(CAST(m2 AS DECIMAL(38,7))) AS DOUBLE)
+                  / CAST(COUNT(*) AS DOUBLE) AS mean_m2,
+                MAX(m2) AS max_m2
+         FROM sc GROUP BY grp ORDER BY grp""",
+
     "a32_ab_test" ->
       """WITH s AS (SELECT CAST(user_id % 2 AS INT) AS variant,
                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
