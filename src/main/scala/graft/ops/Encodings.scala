@@ -53,4 +53,47 @@ object Encodings {
             / (col("__n_c") - 1).cast("double")))
       .drop("__cat", "__n_c", "__sum_c", "__n", "__sum", "__y")
   }
+
+  /** Hashing-trick vectorizer (Weinberger et al. 2009; sklearn's
+    * FeatureHasher / Vowpal Wabbit's default encode): each categorical
+    * cell becomes the token `"col=value"`, hashed to one of 4096
+    * buckets — first 3 md5-hex chars, the [[Dsir]] bucket idiom, so an
+    * external SQL engine reproduces every assignment bit-for-bit —
+    * with a ±1 sign from the 4th hex digit's high bit. The signed
+    * trick makes colliding tokens cancel in expectation instead of
+    * biasing the bucket (the Weinberger inner-product guarantee).
+    *
+    * Why it matters at 100 TB: unlike label/one-hot/target encoding
+    * there is NO vocabulary job, no fit, no stats frame — the encode
+    * is stateless and scan-local, high-cardinality categoricals
+    * (user ids, URLs) cost the same as low, and train/serve skew is
+    * impossible because serving hashes exactly the same strings.
+    *
+    * Appends `outCol`: an array of (token, bucket, sign) structs, one
+    * per non-null categorical cell, in `catCols` order.
+    */
+  def featureHash(df: DataFrame, catCols: Seq[String],
+                  outCol: String = "fh"): DataFrame = {
+    require(catCols.nonEmpty, "at least one categorical column")
+    val feats = catCols.map { c =>
+      val tok = concat(lit(c + "="), col(c).cast("string"))
+      val h = md5(tok.cast("binary"))
+      when(col(c).isNotNull, struct(tok.as("token"),
+        substring(h, 1, 3).as("bucket"),
+        when(substring(h, 4, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1)
+          .otherwise(-1).as("sign")))
+    }
+    df.withColumn(outCol, filter(array(feats: _*), x => x.isNotNull))
+  }
+
+  /** [[featureHash]] in long form — one row per (row, feature) with
+    * `token`/`bucket`/`sign` columns, the shape a hashed design-matrix
+    * aggregation (column sums, gradient folds) consumes directly.
+    */
+  def featureHashLong(df: DataFrame, catCols: Seq[String]): DataFrame =
+    featureHash(df, catCols, "__fh")
+      .withColumn("__f", explode(col("__fh")))
+      .select((df.columns.map(col) :+ col("__f.token").as("token") :+
+        col("__f.bucket").as("bucket") :+ col("__f.sign").as("sign")): _*)
 }

@@ -209,6 +209,22 @@ object OpsQueries extends QuerySet {
         .orderBy(col("event_type"), col("y"))
     }),
 
+    // Hashing-trick encode of two customer categoricals into the 4096
+    // signed md5 buckets — vocabulary-free, so there is nothing to fit
+    // and nothing to drift. The per-bucket audit (pair count, distinct
+    // tokens, signed sum) pins every row's bucket AND sign assignment;
+    // n = |s| per bucket exactly when the bucket is collision-free.
+    "f20_feature_hash" -> ((s, d) =>
+      graft.ops.Encodings.featureHashLong(
+        Tables.customer(s, d).select(col("c_mktsegment").as("seg"),
+          col("c_nationkey").cast("bigint").as("nat")),
+        Seq("seg", "nat"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("token")).as("n_tok"),
+          sum(col("sign")).cast("bigint").as("s"))
+        .orderBy(col("bucket"))),
+
     // Declarative expectation suite over lineitem: six contracts
     // (range, positivity, domain, date floor) evaluated in ONE
     // aggregation pass — the qty_lt_30 rule is planted to fail so the
@@ -806,6 +822,23 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(CASE WHEN ok THEN event_id END) AS BIGINT)
                   AS valid_id_sum
          FROM v GROUP BY event_type ORDER BY event_type""",
+    "f20_feature_hash" ->
+      """WITH src AS (SELECT c_mktsegment AS seg,
+                        CAST(c_nationkey AS BIGINT) AS nat
+                      FROM customer),
+         toks AS (SELECT 'seg=' || seg AS token FROM src
+                  WHERE seg IS NOT NULL
+                  UNION ALL
+                  SELECT 'nat=' || CAST(nat AS VARCHAR) AS token FROM src
+                  WHERE nat IS NOT NULL),
+         f AS (SELECT token, substr(md5(token), 1, 3) AS bucket,
+                 CASE WHEN substr(md5(token), 4, 1) IN
+                   ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1
+                 END AS sign
+               FROM toks)
+         SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT token) AS n_tok,
+                CAST(SUM(sign) AS BIGINT) AS s
+         FROM f GROUP BY bucket ORDER BY bucket""",
     "f19_target_encoding" ->
       """WITH r AS (SELECT event_type,
                       CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS y

@@ -153,6 +153,28 @@ class AggregatesSpec extends SparkSpec {
     assert(got(("b", 0))._1 == 1.0 / 3 && got(("b", 0))._2.isEmpty)
   }
 
+  test("featureHash: md5 bucket + sign assignment, nulls skipped") {
+    import graft.ops.Encodings
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(("x", Some(7)), ("x", None), ("y", Some(7)))
+      .toDF("a", "b")
+    val long = Encodings.featureHashLong(df, Seq("a", "b"))
+      .select($"token", $"bucket", $"sign").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(long.length == 5) // 3 a-cells + 2 non-null b-cells
+    long.foreach { case (tok, bucket, sign) =>
+      val h = md5hex(tok)
+      assert(bucket == h.substring(0, 3), s"$tok bucket")
+      val expSign = if ("01234567".contains(h.charAt(3))) 1 else -1
+      assert(sign == expSign, s"$tok sign")
+    }
+    // identical tokens hash identically across rows
+    val b7 = long.filter(_._1 == "b=7").map(t => (t._2, t._3)).distinct
+    assert(b7.length == 1)
+  }
+
   test("histogramQuantiles: integer first-rank rule on a hand histogram") {
     import graft.ops.Aggregates
     // grp a: buckets 0×5, 3×4, 9×1 (N=10): p50→0 (cum 5 ≥ 5),
