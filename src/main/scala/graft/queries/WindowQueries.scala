@@ -113,6 +113,25 @@ object WindowQueries extends QuerySet {
     // h 200.00 — as exact integer cents): alarm counts plus the final
     // (s+, s-) state, every add/max/compare exact integer arithmetic,
     // bit-identical to the oracle's packed-state list_reduce.
+    // Classical trend/seasonal/residual decomposition of spend, all
+    // integer (truncated integer means — JVM div ≡ DuckDB //): daily
+    // trend per event type, hour-of-day seasonal index of the
+    // detrended cents, residual = the anomaly signal. The per-(type,
+    // hour) audit pins every component through the oracle.
+    "w15_seasonal_decomp" -> ((s, d) =>
+      graft.ops.Seasonal.decomposeDayHour(
+        Tables.eventsMicros(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "ts_us", "cents")
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          min(col("seasonal")).as("seasonal"),
+          sum(abs(col("resid"))).as("sum_abs_resid"),
+          max(abs(col("resid"))).as("max_abs_resid"))
+        .orderBy(col("event_type"), col("hour"))),
+
     "w14_cusum" -> ((s, d) =>
       graft.ops.Velocity.cusumFinal(
         Tables.eventsMicros(s, d).select(col("user_id"),
@@ -224,6 +243,31 @@ object WindowQueries extends QuerySet {
     // SINGLE CASE per step — DuckDB 1.0's list_reduce mis-evaluated a
     // shared CASE across struct fields on long lists; integer packing
     // sidesteps it with zero precision loss (cents are exact)
+    "w15_seasonal_decomp" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL),
+         r AS (SELECT g, t // 86400000000 AS day,
+                 (t // 3600000000) % 24 AS hour, v FROM e),
+         tr AS (SELECT g, day,
+                  CAST(SUM(v) // COUNT(*) AS BIGINT) AS trend
+                FROM r GROUP BY g, day),
+         dt AS (SELECT r.g, r.hour, r.v, tr.trend,
+                  r.v - tr.trend AS dev
+                FROM r JOIN tr ON r.g = tr.g AND r.day = tr.day),
+         se AS (SELECT g, hour,
+                  CAST(SUM(dev) // COUNT(*) AS BIGINT) AS seasonal
+                FROM dt GROUP BY g, hour)
+         SELECT dt.g AS event_type, dt.hour, COUNT(*) AS n,
+                MIN(se.seasonal) AS seasonal,
+                CAST(SUM(abs(dt.v - dt.trend - se.seasonal)) AS BIGINT)
+                  AS sum_abs_resid,
+                MAX(abs(dt.v - dt.trend - se.seasonal)) AS max_abs_resid
+         FROM dt JOIN se ON dt.g = se.g AND dt.hour = se.hour
+         GROUP BY dt.g, dt.hour ORDER BY dt.g, dt.hour""",
+
     "w14_cusum" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v
