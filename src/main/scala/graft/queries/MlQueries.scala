@@ -72,6 +72,27 @@ object MlQueries extends QuerySet {
         .orderBy(col("pred"), col("band"))
     }),
 
+    // Split-conformal prediction sets over the m12b serving path:
+    // hash-split calibration half supplies the (n+1)(1-alpha) rank of
+    // the inverse-probability nonconformity score, the serving half is
+    // audited for coverage and set-size distribution. Probabilities
+    // are 7dp-rounded so the whole procedure is exact integer
+    // arithmetic on the 1e7 grid — split, rank, sets, coverage all on
+    // the oracle.
+    "m18_conformal" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("int").as("label"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      val scored = graft.ml.Models.scoreLogistic(feats,
+        Seq("x_qty" -> 0.08, "x_disc" -> -12.0, "x_tax" -> 6.5),
+        intercept = -2.0)
+      graft.ops.Conformal.splitConformalAudit(scored, "label", "proba",
+        "l_orderkey")
+    }),
+
     // IRLS-trained logistic regression (3 Newton steps, pure DataFrame
     // algebra): the model the reference serves, TRAINED hash-exactly —
     // DuckDB replays all three iterations (7dp sigmoid, 9dp-rounded
@@ -220,6 +241,63 @@ object MlQueries extends QuerySet {
                   AS proba_sum,
                 CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
          FROM sc GROUP BY pred, band ORDER BY pred, band""",
+    "m18_conformal" ->
+      """WITH f AS (SELECT l_orderkey,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS label,
+                      CAST(l_quantity AS DOUBLE) AS x_qty,
+                      CAST(l_discount AS DOUBLE) AS x_disc,
+                      CAST(l_tax AS DOUBLE) AS x_tax
+                    FROM lineitem
+                    WHERE l_orderkey IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+         z AS (SELECT l_orderkey, label,
+                 (((-2.0) + (0.08 * x_qty)) + ((-12.0) * x_disc))
+                   + (6.5 * x_tax) AS z
+               FROM f),
+         p AS (SELECT l_orderkey, label,
+                 round(1.0 / (1.0 + exp(-z)), 7) AS proba
+               FROM z),
+         sy AS (SELECT label,
+                  substr(md5('42:' || CAST(l_orderkey AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7') AS cal,
+                  CAST(round((1.0 - proba) * 10000000.0) AS BIGINT) AS s1,
+                  CAST(round(proba * 10000000.0) AS BIGINT) AS s0,
+                  CASE WHEN label = 1
+                    THEN CAST(round((1.0 - proba) * 10000000.0) AS BIGINT)
+                    ELSE CAST(round(proba * 10000000.0) AS BIGINT)
+                  END AS syv
+                FROM p WHERE proba IS NOT NULL),
+         h AS (SELECT syv AS s7, COUNT(*) AS cnt FROM sy
+               WHERE cal GROUP BY syv),
+         cum AS (SELECT s7, cnt, SUM(cnt) OVER (ORDER BY s7) AS cum
+                 FROM h),
+         st AS (SELECT SUM(cnt) AS ncal FROM h),
+         st2 AS (SELECT ncal, ((ncal + 1) * 9 + 9) // 10 AS k FROM st),
+         q AS (SELECT st2.ncal, st2.k,
+                 COALESCE((SELECT MIN(s7) FROM cum
+                           WHERE cum >= st2.k), 10000000) AS q7
+               FROM st2)
+         SELECT CAST(q.ncal AS BIGINT) AS n_cal, CAST(q.k AS BIGINT) AS k,
+                CAST(q.q7 AS BIGINT) AS q7,
+                COUNT(*) AS n_test,
+                CAST(SUM(CASE WHEN t.syv <= q.q7 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_covered,
+                CAST(SUM(CASE WHEN
+                      (CASE WHEN t.s1 <= q.q7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN t.s0 <= q.q7 THEN 1 ELSE 0 END) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_set0,
+                CAST(SUM(CASE WHEN
+                      (CASE WHEN t.s1 <= q.q7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN t.s0 <= q.q7 THEN 1 ELSE 0 END) = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_set1,
+                CAST(SUM(CASE WHEN
+                      (CASE WHEN t.s1 <= q.q7 THEN 1 ELSE 0 END)
+                    + (CASE WHEN t.s0 <= q.q7 THEN 1 ELSE 0 END) = 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_set2
+         FROM sy t CROSS JOIN q WHERE NOT t.cal
+         GROUP BY q.ncal, q.k, q.q7""",
+
     "m15_naive_bayes" ->
       """WITH tr AS (SELECT lang AS cls,
                        string_split_regex(trim(lower(text)), '\s+') AS toks
