@@ -263,6 +263,23 @@ object OpsQueries extends QuerySet {
         "value", "event_type")
         .orderBy(col("grp"))),
 
+    // Mutual-information feature ranking against the return flag:
+    // four discrete candidate features scored in ONE melt + one
+    // (feature, value, label) count — marginals re-aggregate from the
+    // cell frame, each cell takes one 9dp-rounded ln back onto exact
+    // integer counts, so MI / entropies / symmetric uncertainty all
+    // sit on the oracle.
+    "a35_mutual_info" -> ((s, d) =>
+      graft.ops.FeatureSelect.mutualInfo(
+        Tables.lineitem(s, d).select(
+          col("l_quantity").cast("bigint").as("qty"),
+          round(col("l_discount") * 100).cast("bigint").as("disc"),
+          round(col("l_tax") * 100).cast("bigint").as("tax"),
+          col("l_linenumber").cast("bigint").as("line"),
+          col("l_returnflag").as("flag")),
+        Seq("qty", "disc", "tax", "line"), "flag")
+        .orderBy(col("feature"))),
+
     // Bivariate Mahalanobis outlier screen per return flag: quantity ×
     // price cents scored against the group's covariance ellipse. The
     // whole chain — integer moment sums, 2×2 inverse folded into the
@@ -603,6 +620,58 @@ object OpsQueries extends QuerySet {
                       / (CAST(n AS DOUBLE)
                          * CAST(total_cents AS DOUBLE)), 6) AS gini
          FROM g ORDER BY grp""",
+    "a35_mutual_info" ->
+      """WITH m AS (
+           SELECT 'qty' AS feature, CAST(l_quantity AS BIGINT) AS v,
+                  l_returnflag AS y FROM lineitem
+           UNION ALL
+           SELECT 'disc', CAST(round(l_discount * 100) AS BIGINT),
+                  l_returnflag FROM lineitem
+           UNION ALL
+           SELECT 'tax', CAST(round(l_tax * 100) AS BIGINT),
+                  l_returnflag FROM lineitem
+           UNION ALL
+           SELECT 'line', CAST(l_linenumber AS BIGINT),
+                  l_returnflag FROM lineitem),
+         c AS (SELECT feature, v, y, COUNT(*) AS n_vy
+               FROM m GROUP BY 1, 2, 3),
+         fv AS (SELECT feature, v, SUM(n_vy) AS n_v
+                FROM c GROUP BY 1, 2),
+         yy AS (SELECT y, SUM(n_vy) AS n_y FROM c
+                WHERE feature = 'qty' GROUP BY 1),
+         nn AS (SELECT SUM(n_vy) AS n FROM c WHERE feature = 'qty'),
+         t AS (SELECT c.feature, c.n_vy,
+                 round(ln((CAST(nn.n AS DOUBLE) * CAST(c.n_vy AS DOUBLE))
+                          / (CAST(fv.n_v AS DOUBLE)
+                             * CAST(yy.n_y AS DOUBLE))), 9) AS lr
+               FROM c
+               JOIN fv ON c.feature = fv.feature
+                      AND c.v IS NOT DISTINCT FROM fv.v
+               JOIN yy ON c.y IS NOT DISTINCT FROM yy.y
+               CROSS JOIN nn),
+         mi AS (SELECT feature,
+                  CAST(SUM(CAST(lr AS DECIMAL(11,9))
+                           * CAST(n_vy AS DECIMAL(20,0))) AS DOUBLE)
+                    / CAST((SELECT n FROM nn) AS DOUBLE) AS mi
+                FROM t GROUP BY feature),
+         hx AS (SELECT fv.feature, COUNT(*) AS n_values,
+                  - (CAST(SUM(CAST(round(ln(CAST(fv.n_v AS DOUBLE)
+                        / CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(11,9))
+                        * CAST(fv.n_v AS DECIMAL(20,0))) AS DOUBLE)
+                     / CAST((SELECT n FROM nn) AS DOUBLE)) AS hx
+                FROM fv CROSS JOIN nn GROUP BY fv.feature),
+         hy AS (SELECT
+                  - (CAST(SUM(CAST(round(ln(CAST(yy.n_y AS DOUBLE)
+                        / CAST(nn.n AS DOUBLE)), 9) AS DECIMAL(11,9))
+                        * CAST(yy.n_y AS DECIMAL(20,0))) AS DOUBLE)
+                     / CAST((SELECT n FROM nn) AS DOUBLE)) AS hy
+                FROM yy CROSS JOIN nn)
+         SELECT mi.feature, hx.n_values, mi.mi, hx.hx, hy.hy,
+                CASE WHEN hx.hx + hy.hy > 0
+                  THEN 2.0 * mi.mi / (hx.hx + hy.hy) END AS su
+         FROM mi JOIN hx ON mi.feature = hx.feature CROSS JOIN hy
+         ORDER BY mi.feature""",
+
     "a34_mahalanobis" ->
       """WITH src AS (SELECT l_returnflag AS grp,
                         CAST(l_quantity AS BIGINT) AS x,
