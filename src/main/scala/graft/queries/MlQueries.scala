@@ -93,6 +93,26 @@ object MlQueries extends QuerySet {
         "l_orderkey")
     }),
 
+    // Isotonic calibration (PAV) of the serving-path scores against
+    // the real label: per percent-bucket empirical fraud rate pooled
+    // to the best monotone fit. The engine runs the O(grid) PAV stack;
+    // the oracle computes the SAME function via the independent
+    // minimax closed form max_{j<=i} min_{k>=i} mean(j..k) — two
+    // algorithms, one answer, so a shared bug can't self-confirm.
+    "m19_isotonic" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        (col("l_returnflag") === "R").cast("int").as("label"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      val scored = graft.ml.Models.scoreLogistic(feats,
+        Seq("x_qty" -> 0.08, "x_disc" -> -12.0, "x_tax" -> 6.5),
+        intercept = -2.0)
+        .withColumn("bucket", floor(col("proba") * 100).cast("long"))
+      graft.ops.Calibrate.isotonicFit(scored, "bucket", "label")
+        .orderBy(col("score"))
+    }),
+
     // IRLS-trained logistic regression (3 Newton steps, pure DataFrame
     // algebra): the model the reference serves, TRAINED hash-exactly —
     // DuckDB replays all three iterations (7dp sigmoid, 9dp-rounded
@@ -241,6 +261,40 @@ object MlQueries extends QuerySet {
                   AS proba_sum,
                 CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
          FROM sc GROUP BY pred, band ORDER BY pred, band""",
+    "m19_isotonic" ->
+      """WITH f AS (SELECT
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                        AS label,
+                      CAST(l_quantity AS DOUBLE) AS x_qty,
+                      CAST(l_discount AS DOUBLE) AS x_disc,
+                      CAST(l_tax AS DOUBLE) AS x_tax
+                    FROM lineitem WHERE l_returnflag IS NOT NULL),
+         z AS (SELECT label,
+                 (((-2.0) + (0.08 * x_qty)) + ((-12.0) * x_disc))
+                   + (6.5 * x_tax) AS z
+               FROM f),
+         p AS (SELECT label,
+                 round(1.0 / (1.0 + exp(-z)), 7) AS proba
+               FROM z),
+         h AS (SELECT CAST(floor(proba * 100) AS BIGINT) AS score,
+                 COUNT(*) AS n, CAST(SUM(label) AS BIGINT) AS y
+               FROM p WHERE proba IS NOT NULL GROUP BY 1),
+         c AS (SELECT score, n, y,
+                 SUM(n) OVER (ORDER BY score) AS cn,
+                 SUM(y) OVER (ORDER BY score) AS cy
+               FROM h),
+         mm AS (SELECT a.score AS j, b.score AS k,
+                  CAST(b.cy - a.cy + a.y AS DOUBLE)
+                    / CAST(b.cn - a.cn + a.n AS DOUBLE) AS m
+                FROM c a JOIN c b ON a.score <= b.score),
+         tmin AS (SELECT j, k AS i,
+                    MIN(m) OVER (PARTITION BY j ORDER BY k DESC) AS t
+                  FROM mm),
+         fit AS (SELECT i, MAX(t) AS fitted FROM tmin GROUP BY i)
+         SELECT h.score, h.n, h.y, fit.fitted
+         FROM h JOIN fit ON h.score = fit.i
+         ORDER BY h.score""",
+
     "m18_conformal" ->
       """WITH f AS (SELECT l_orderkey,
                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
