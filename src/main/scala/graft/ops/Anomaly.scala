@@ -33,28 +33,22 @@ object Anomaly {
 
   private val dec38 = DecimalType(38, 0)
 
-  /** Per-group bivariate Mahalanobis². Appends `m2Col` (7dp-rounded,
-    * null when the group's covariance is singular, i.e. `det <= 0` —
-    * fewer than 3 rows or collinear features) plus the group stats
-    * (`__n`, `__mx`, `__my`, `__vx`, `__vy`, `__cxy`) when
-    * `keepStats`. `xCol`/`yCol` must be integer-valued (cast upstream:
-    * cents, counts) — that is what makes the moment sums exact.
+  /** Per-group exact-moment stats frame `(__sg, __n, __mx, __my,
+    * __vx, __vy, __cxy, __det)` — the shared front half of the
+    * Mahalanobis screen and the 2-d PCA. Biased (ML) covariance:
+    * vx = Sxx/n − mx², cxy = Sxy/n − mx·my. Each sum crosses
+    * decimal→double ONCE; everything after is a fixed-order double
+    * chain the oracle restates verbatim.
     */
-  def mahalanobis2PerGroup(df: DataFrame, groupCol: String,
-                           xCol: String, yCol: String,
-                           m2Col: String = "m2",
-                           keepStats: Boolean = false): DataFrame = {
-    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+  private def stats2(rows: DataFrame, groupCol: String,
+                     xCol: String, yCol: String): DataFrame = {
     val xd = col(xCol).cast(dec38)
     val yd = col(yCol).cast(dec38)
-    val stats = rows.groupBy(col(groupCol).as("__sg"))
+    rows.groupBy(col(groupCol).as("__sg"))
       .agg(count(lit(1)).as("__n"),
         sum(xd).as("__sx"), sum(yd).as("__sy"),
         sum(xd * xd).as("__sxx"), sum(yd * yd).as("__syy"),
         sum(xd * yd).as("__sxy"))
-      // biased (ML) covariance: vx = Sxx/n − mx², cxy = Sxy/n − mx·my.
-      // Each sum crosses decimal→double ONCE; everything after is a
-      // fixed-order double chain the oracle restates verbatim.
       .withColumn("__nd", col("__n").cast("double"))
       .withColumn("__mx", col("__sx").cast("double") / col("__nd"))
       .withColumn("__my", col("__sy").cast("double") / col("__nd"))
@@ -71,6 +65,21 @@ object Anomaly {
         col("__vx") * col("__vy") - col("__cxy") * col("__cxy"))
       .select(col("__sg"), col("__n"), col("__mx"), col("__my"),
         col("__vx"), col("__vy"), col("__cxy"), col("__det"))
+  }
+
+  /** Per-group bivariate Mahalanobis². Appends `m2Col` (7dp-rounded,
+    * null when the group's covariance is singular, i.e. `det <= 0` —
+    * fewer than 3 rows or collinear features) plus the group stats
+    * (`__n`, `__mx`, `__my`, `__vx`, `__vy`, `__cxy`) when
+    * `keepStats`. `xCol`/`yCol` must be integer-valued (cast upstream:
+    * cents, counts) — that is what makes the moment sums exact.
+    */
+  def mahalanobis2PerGroup(df: DataFrame, groupCol: String,
+                           xCol: String, yCol: String,
+                           m2Col: String = "m2",
+                           keepStats: Boolean = false): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val stats = stats2(rows, groupCol, xCol, yCol)
     val dx = col(xCol).cast("double") - col("__mx")
     val dy = col(yCol).cast("double") - col("__my")
     // ((dx²·vy − 2·dx·dy·cxy) + dy²·vx) / det — the 2×2 inverse folded
@@ -84,5 +93,74 @@ object Anomaly {
     if (keepStats) scored.drop("__sg", "__det")
     else scored.drop("__sg", "__n", "__mx", "__my", "__vx", "__vy",
       "__cxy", "__det")
+  }
+
+  /** Per-group 2-d PCA by the closed-form symmetric eigendecomposition
+    * — the correlation-ridge direction and how much of the joint
+    * variance it carries. For the 2×2 covariance the eigenpairs are
+    * exact algebra (λ = (tr ± √(df² + 4c²))/2, e₁ ∝ (c, λ₁−vx)), so
+    * unlike iterative PCA the whole thing — eigenvalues, variance
+    * explained, unit principal direction, and the per-row projection
+    * audit Σp₁²/n = λ₁ — sits on a hash-exact oracle. (Full d-dim PCA
+    * rides [[Similarity.covarianceMatrix]] + a driver eigensolver and
+    * stays spec-gated; this is the oracle-certified 2-d core.)
+    *
+    * Output per group: `n`, eigenvalues `l1 >= l2`, `evr` = l1/(l1+l2),
+    * the sign-canonical unit eigenvector (`e1x >= 0`), and the exact
+    * decimal sums of the integer-rounded squared projections on both axes
+    * (`p1sq_sum`/`n` ≈ l1 is the built-in self-audit).
+    *
+    * Scale shape: identical to the Mahalanobis screen — one 6-sum
+    * grouped agg, broadcast stats join, scan-local projection, one
+    * final per-group agg.
+    */
+  def pca2PerGroup(df: DataFrame, groupCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val stats = stats2(rows, groupCol, xCol, yCol)
+      .withColumn("__disc",
+        sqrt((col("__vx") - col("__vy")) * (col("__vx") - col("__vy"))
+          + lit(4.0) * col("__cxy") * col("__cxy")))
+      .withColumn("__l1",
+        (col("__vx") + col("__vy") + col("__disc")) / lit(2.0))
+      .withColumn("__l2",
+        (col("__vx") + col("__vy") - col("__disc")) / lit(2.0))
+      // eigenvector of λ₁: (cxy, λ₁ − vx), axis-aligned when cxy = 0
+      .withColumn("__rx",
+        when(col("__cxy") === 0.0,
+          when(col("__vx") >= col("__vy"), lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(col("__cxy")))
+      .withColumn("__ry",
+        when(col("__cxy") === 0.0,
+          when(col("__vx") >= col("__vy"), lit(0.0)).otherwise(lit(1.0)))
+          .otherwise(col("__l1") - col("__vx")))
+      .withColumn("__len",
+        sqrt(col("__rx") * col("__rx") + col("__ry") * col("__ry")))
+      // canonical sign: e1x > 0, or e1y > 0 on the vertical axis
+      .withColumn("__sgn",
+        when(col("__rx") < 0.0 ||
+          (col("__rx") === 0.0 && col("__ry") < 0.0), lit(-1.0))
+          .otherwise(lit(1.0)))
+      .withColumn("__e1x", col("__sgn") * col("__rx") / col("__len"))
+      .withColumn("__e1y", col("__sgn") * col("__ry") / col("__len"))
+    val p1 = (col(xCol).cast("double") - col("__mx")) * col("__e1x") +
+      (col(yCol).cast("double") - col("__my")) * col("__e1y")
+    val p2 = -(col(xCol).cast("double") - col("__mx")) * col("__e1y") +
+      (col(yCol).cast("double") - col("__my")) * col("__e1x")
+    rows
+      .join(broadcast(stats), col(groupCol) <=> col("__sg"))
+      // integer-rounded squares: scale-0 decimals convert to double in
+      // ONE correctly-rounded step on both engines (a scale-2 decimal
+      // would double-round in DuckDB at ~1e19 units and drift 1 ulp)
+      .withColumn("__p1sq", round(p1 * p1, 0).cast(DecimalType(38, 0)))
+      .withColumn("__p2sq", round(p2 * p2, 0).cast(DecimalType(38, 0)))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(min(col("__n")).as("n"),
+        min(col("__l1")).as("l1"), min(col("__l2")).as("l2"),
+        (min(col("__l1")) / (min(col("__l1")) + min(col("__l2"))))
+          .as("evr"),
+        min(col("__e1x")).as("e1x"), min(col("__e1y")).as("e1y"),
+        sum(col("__p1sq")).cast("double").as("p1sq_sum"),
+        sum(col("__p2sq")).cast("double").as("p2sq_sum"))
   }
 }

@@ -305,6 +305,19 @@ object OpsQueries extends QuerySet {
           max(col("m2")).as("max_m2"))
         .orderBy(col("grp"))),
 
+    // 2-d PCA of quantity × price cents per return flag: closed-form
+    // eigendecomposition of the same exact moment sums a34 rides —
+    // eigenvalues, variance-explained, sign-canonical principal
+    // direction, and the projection self-audit sum(p1^2)/n = l1, all
+    // on the oracle.
+    "a36_pca2" -> ((s, d) =>
+      graft.ops.Anomaly.pca2PerGroup(
+        Tables.lineitem(s, d).select(col("l_returnflag").as("grp"),
+          col("l_quantity").cast("bigint").as("x"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "grp", "x", "y")
+        .orderBy(col("grp"))),
+
     // A/B significance screen: even/odd users as variants, purchase
     // as conversion — the 2x2 table with chi-square, one pass.
     "a32_ab_test" -> ((s, d) =>
@@ -671,6 +684,76 @@ object OpsQueries extends QuerySet {
                   THEN 2.0 * mi.mi / (hx.hx + hy.hy) END AS su
          FROM mi JOIN hx ON mi.feature = hx.feature CROSS JOIN hy
          ORDER BY mi.feature""",
+
+    "a36_pca2" ->
+      """WITH src AS (SELECT l_returnflag AS grp,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         st AS (SELECT grp, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                FROM src GROUP BY grp),
+         mo AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                  CAST(sxx AS DOUBLE) AS sxxd,
+                  CAST(syy AS DOUBLE) AS syyd,
+                  CAST(sxy AS DOUBLE) AS sxyd
+                FROM st),
+         cv AS (SELECT grp, n, mx, my,
+                  sxxd / nd - mx * mx AS vx,
+                  syyd / nd - my * my AS vy,
+                  sxyd / nd - mx * my AS cxy
+                FROM mo),
+         eg AS (SELECT grp, n, mx, my, vx, vy, cxy,
+                  sqrt((vx - vy) * (vx - vy) + 4.0 * cxy * cxy) AS disc
+                FROM cv),
+         lm AS (SELECT grp, n, mx, my, vx, vy, cxy,
+                  (vx + vy + disc) / 2.0 AS l1,
+                  (vx + vy - disc) / 2.0 AS l2
+                FROM eg),
+         rv AS (SELECT grp, n, mx, my, l1, l2,
+                  CASE WHEN cxy = 0 THEN
+                    CASE WHEN vx >= vy THEN 1.0 ELSE 0.0 END
+                  ELSE cxy END AS rx,
+                  CASE WHEN cxy = 0 THEN
+                    CASE WHEN vx >= vy THEN 0.0 ELSE 1.0 END
+                  ELSE l1 - vx END AS ry
+                FROM lm),
+         ev AS (SELECT grp, n, mx, my, l1, l2,
+                  CASE WHEN rx < 0 OR (rx = 0 AND ry < 0)
+                    THEN -1.0 ELSE 1.0 END * rx
+                    / sqrt(rx * rx + ry * ry) AS e1x,
+                  CASE WHEN rx < 0 OR (rx = 0 AND ry < 0)
+                    THEN -1.0 ELSE 1.0 END * ry
+                    / sqrt(rx * rx + ry * ry) AS e1y
+                FROM rv),
+         pj AS (SELECT s.grp, e.n, e.l1, e.l2, e.e1x, e.e1y,
+                  CAST(round(
+                    ((CAST(s.x AS DOUBLE) - e.mx) * e.e1x
+                     + (CAST(s.y AS DOUBLE) - e.my) * e.e1y)
+                    * ((CAST(s.x AS DOUBLE) - e.mx) * e.e1x
+                       + (CAST(s.y AS DOUBLE) - e.my) * e.e1y), 0)
+                    AS DECIMAL(38,0)) AS p1sq,
+                  CAST(round(
+                    (-(CAST(s.x AS DOUBLE) - e.mx) * e.e1y
+                     + (CAST(s.y AS DOUBLE) - e.my) * e.e1x)
+                    * (-(CAST(s.x AS DOUBLE) - e.mx) * e.e1y
+                       + (CAST(s.y AS DOUBLE) - e.my) * e.e1x), 0)
+                    AS DECIMAL(38,0)) AS p2sq
+                FROM src s JOIN ev e ON s.grp = e.grp)
+         SELECT grp, MIN(n) AS n, MIN(l1) AS l1, MIN(l2) AS l2,
+                MIN(l1) / (MIN(l1) + MIN(l2)) AS evr,
+                MIN(e1x) AS e1x, MIN(e1y) AS e1y,
+                CAST(SUM(p1sq) AS DOUBLE) AS p1sq_sum,
+                CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
+         FROM pj GROUP BY grp ORDER BY grp""",
 
     "a34_mahalanobis" ->
       """WITH src AS (SELECT l_returnflag AS grp,

@@ -56,6 +56,41 @@ class AnomalySpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("pca2: a pure ridge puts all variance on the ridge direction") {
+    // points on y = 2x: e1 = (1,2)/sqrt(5), l2 = 0, evr = 1
+    val ridge2 = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
+      ("g", 3L, 6L)).toDF("grp", "x", "y")
+    val r = graft.ops.Anomaly.pca2PerGroup(ridge2, "grp", "x", "y")
+      .first()
+    assert(math.abs(r.getAs[Double]("l1") - 6.25) < 1e-12)
+    assert(math.abs(r.getAs[Double]("l2")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("evr") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e1x") - 1.0 / math.sqrt(5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("e1y") - 2.0 / math.sqrt(5)) < 1e-12)
+    // projection audit: sum of integer-rounded p1^2 ~ n*l1, p2 exactly 0
+    assert(math.abs(r.getAs[Double]("p1sq_sum") - 4 * 6.25) <= 2.0)
+    assert(r.getAs[Double]("p2sq_sum") == 0.0)
+  }
+
+  test("pca2: zero covariance takes the axis-aligned branch") {
+    val square = Seq(("g", 0L, 0L), ("g", 2L, 2L), ("g", 0L, 2L),
+      ("g", 2L, 0L), ("g", 1L, 1L)).toDF("grp", "x", "y")
+    val r = graft.ops.Anomaly.pca2PerGroup(square, "grp", "x", "y")
+      .first()
+    assert(r.getAs[Double]("e1x") == 1.0 && r.getAs[Double]("e1y") == 0.0)
+    assert(math.abs(r.getAs[Double]("evr") - 0.5) < 1e-12)
+  }
+
+  test("pca2: the principal direction is sign-canonical (e1x >= 0)") {
+    // a DOWNWARD ridge y = -2x would naively give e1 = (c, ...) with
+    // negative first component; canonicalization flips it
+    val down = Seq(("g", 0L, 0L), ("g", 1L, -2L), ("g", 2L, -4L),
+      ("g", 3L, -6L)).toDF("grp", "x", "y")
+    val r = graft.ops.Anomaly.pca2PerGroup(down, "grp", "x", "y").first()
+    assert(r.getAs[Double]("e1x") > 0)
+    assert(math.abs(r.getAs[Double]("e1y") + 2.0 / math.sqrt(5)) < 1e-12)
+  }
+
   test("null feature rows are excluded from stats and output") {
     val withNulls = ridge.union(Seq(("g", null.asInstanceOf[java.lang.Long],
       java.lang.Long.valueOf(5L))).toDF("grp", "x", "y"))
