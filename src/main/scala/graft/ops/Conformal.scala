@@ -63,11 +63,20 @@ object Conformal {
   def splitConformalAudit(df: DataFrame, labelCol: String,
                           probaCol: String, idCol: String,
                           alphaNum: Int = 1, alphaDen: Int = 10,
-                          seed: Long = 42L): DataFrame = {
-    require(alphaNum > 0 && alphaNum < alphaDen,
-      s"alpha must be in (0,1): $alphaNum/$alphaDen")
-    val rows = df
-      .filter(col(labelCol).isNotNull && col(probaCol).isNotNull &&
+                          seed: Long = 42L): DataFrame =
+    auditAgg(servingFlags(df,
+      calibrationStats(df, labelCol, probaCol, idCol, alphaNum,
+        alphaDen, seed),
+      labelCol, probaCol, idCol, seed))
+
+  /** Both per-class grid scores plus the calibration-split flag —
+    * stateless column algebra, so it applies identically to a batch
+    * frame and a stream.
+    */
+  private def withScores(df: DataFrame, labelCol: String,
+                         probaCol: String, idCol: String,
+                         seed: Long): DataFrame =
+    df.filter(col(labelCol).isNotNull && col(probaCol).isNotNull &&
         col(idCol).isNotNull)
       .withColumn("__cal", md5Cal(idCol, seed))
       // both per-class scores in grid units; __sy is the true-label one
@@ -77,8 +86,20 @@ object Conformal {
         round(col(probaCol) * lit(10000000.0)).cast("long"))
       .withColumn("__sy",
         when(col(labelCol) === 1, col("__s1")).otherwise(col("__s0")))
+
+  /** One-row calibration frame `(__ncal, __k, __q7)` from the
+    * hash-selected calibration half — the offline artifact a serving
+    * deployment broadcasts next to the model coefficients.
+    */
+  def calibrationStats(df: DataFrame, labelCol: String,
+                       probaCol: String, idCol: String,
+                       alphaNum: Int = 1, alphaDen: Int = 10,
+                       seed: Long = 42L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1): $alphaNum/$alphaDen")
     val keep = alphaDen - alphaNum
-    val stats = rows.filter(col("__cal"))
+    withScores(df, labelCol, probaCol, idCol, seed)
+      .filter(col("__cal"))
       .groupBy(col("__sy").as("__s7"))
       .agg(count(lit(1)).as("__cnt"))
       .agg(sort_array(collect_list(struct(col("__s7"), col("__cnt"))))
@@ -90,10 +111,28 @@ object Conformal {
       .withColumn("__q7",
         coalesce(kthOfHist(col("__h"), col("__k")), lit(Grid)))
       .select(col("__ncal"), col("__k"), col("__q7"))
-    rows.filter(!col("__cal"))
+  }
+
+  /** Serving half with per-row prediction-set flags (`__c1`, `__c0`,
+    * membership of the true label via `__sy <= __q7`) — `df` may be a
+    * STREAMING frame: the whole path is a stateless projection plus a
+    * stream-static broadcast join against the one-row stats frame,
+    * exactly how a deployed scorer consumes an offline calibration.
+    */
+  def servingFlags(df: DataFrame, stats: DataFrame, labelCol: String,
+                   probaCol: String, idCol: String,
+                   seed: Long = 42L): DataFrame =
+    withScores(df, labelCol, probaCol, idCol, seed)
+      .filter(!col("__cal"))
       .crossJoin(broadcast(stats))
       .withColumn("__c1", (col("__s1") <= col("__q7")).cast("int"))
       .withColumn("__c0", (col("__s0") <= col("__q7")).cast("int"))
+
+  /** The audit row over a flagged serving frame (batch, or a memory
+    * sink a streaming [[servingFlags]] filled).
+    */
+  def auditAgg(flagged: DataFrame): DataFrame =
+    flagged
       .agg(min(col("__ncal")).as("n_cal"), min(col("__k")).as("k"),
         min(col("__q7")).as("q7"),
         count(lit(1)).as("n_test"),
@@ -105,5 +144,4 @@ object Conformal {
           .as("n_set1"),
         sum(when(col("__c1") + col("__c0") === 2, 1L).otherwise(0L))
           .as("n_set2"))
-  }
 }

@@ -360,6 +360,46 @@ object SourceQueries extends QuerySet {
     // entity, each batch continues the bit-exact dyadic-α fold, and
     // the last emission per entity must equal the batch w11 fold
     // exactly (same oracle SQL).
+    // Streaming conformal serving (§2.6 × m18): the calibration
+    // quantile is computed OFFLINE from the batch table (the artifact
+    // a deployment ships next to the model coefficients), then the
+    // stream scores each arriving row and stamps its prediction-set
+    // flags via a stateless stream-static broadcast join — the audit
+    // over the sink must equal the batch m18 row identically (same
+    // oracle SQL).
+    "st18_stream_conformal" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val qn = "st18_conformal_sink"
+      val model = Seq("x_qty" -> 0.08, "x_disc" -> -12.0, "x_tax" -> 6.5)
+      def feats(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("l_orderkey"),
+        (col("l_returnflag") === "R").cast("int").as("label"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      val stats = graft.ops.Conformal.calibrationStats(
+        graft.ml.Models.scoreLogistic(
+          feats(s.read.parquet(s"$d/lineitem.parquet")), model,
+          intercept = -2.0),
+        "label", "proba", "l_orderkey")
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      val flags = graft.ops.Conformal.servingFlags(
+        graft.ml.Models.scoreLogistic(feats(src), model,
+          intercept = -2.0),
+        stats, "label", "proba", "l_orderkey")
+        .select(col("__ncal"), col("__k"), col("__q7"), col("__sy"),
+          col("__c1"), col("__c0"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = flags.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      graft.ops.Conformal.auditAgg(s.table(qn))
+    }),
+
     "st14_stream_ewma" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "st14_ewma_sink"
@@ -945,6 +985,7 @@ object SourceQueries extends QuerySet {
     // the streaming CUSUM must converge to the BATCH fold exactly —
     // same oracle SQL as w14 by construction
     "st15_stream_cusum" -> WindowQueries.oracle("w14_cusum"),
+    "st18_stream_conformal" -> MlQueries.oracle("m18_conformal"),
     // streamed Benford counts must equal the a29 batch recipe verbatim
     "st16_stream_benford" -> OpsQueries.oracle("a29_benford"),
     "st13_stream_histogram" ->
