@@ -61,4 +61,68 @@ object Seasonal {
         col(centsCol) - col("trend") - col("seasonal"))
       .drop("__dev")
   }
+
+  /** Seasonal-naive forecast with a residual-quantile band, scored as
+    * a true HOLDOUT BACKTEST: the last observed day is withheld, the
+    * decomposition fits on everything before it, and each (group,
+    * hour) cell of the held-out day is forecast as
+    * `trend(last train day) + seasonal(hour)` with a
+    * `[loPct, hiPct]` band from the train residual distribution
+    * (integer first-rank quantiles, [[Aggregates.histogramQuantiles]]).
+    *
+    * Output per (group, hour) observed in the holdout: `n_test`, the
+    * integer `forecast`, `lo`/`hi` band edges, the truncated-mean
+    * `actual`, `abs_err`, and the `covered` flag — everything BIGINT,
+    * hash-exact. Holdout cells whose hour never occurred in training
+    * are dropped (inner join; nothing to forecast from).
+    *
+    * Scale shape: [[decomposeDayHour]]'s aggs plus a per-group
+    * residual histogram (distinct residuals, not rows) and three tiny
+    * broadcast joins; the holdout day boundary is a one-row broadcast,
+    * never a driver value.
+    */
+  def forecastBacktest(df: DataFrame, groupCol: String, tsUsCol: String,
+                       centsCol: String, loPct: Int = 5,
+                       hiPct: Int = 95): DataFrame = {
+    val rows = df
+      .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .withColumn("day", expr(s"$tsUsCol div 86400000000"))
+      .withColumn("hour", expr(s"($tsUsCol div 3600000000) % 24"))
+    val dmax = rows.agg(max(col("day")).as("__dmax"))
+    val split = rows.crossJoin(broadcast(dmax))
+    val train = split.filter(col("day") < col("__dmax")).drop("__dmax")
+    val test = split.filter(col("day") === col("__dmax")).drop("__dmax")
+    val decomp = decomposeDayHour(train, groupCol, tsUsCol, centsCol)
+    val lastTrend = decomp.groupBy(col(groupCol).as("__tg"))
+      .agg(max_by(col("trend"), col("day")).as("__t_last"))
+    val seasonal = decomp.groupBy(col(groupCol).as("__sg"),
+        col("hour").as("__sh"))
+      .agg(min(col("seasonal")).as("__seasonal"))
+    val qs = Aggregates.histogramQuantiles(
+      decomp.groupBy(col(groupCol).as("grp"), col("resid").as("bucket"))
+        .agg(count(lit(1)).as("c")),
+      Seq(loPct, hiPct))
+    val qlo = qs.filter(col("q") === loPct)
+      .select(col("grp").as("__qg"), col("bucket").as("__qlo"))
+    val qhi = qs.filter(col("q") === hiPct)
+      .select(col("grp").as("__qg2"), col("bucket").as("__qhi"))
+    test.groupBy(col(groupCol), col("hour"))
+      .agg(count(lit(1)).as("n_test"), sum(col(centsCol)).as("__s"))
+      .withColumn("actual", expr("__s div n_test")).drop("__s")
+      .join(broadcast(lastTrend), col(groupCol) === col("__tg"))
+      .join(broadcast(seasonal), col(groupCol) === col("__sg") &&
+        col("hour") === col("__sh"))
+      .join(broadcast(qlo), col(groupCol) === col("__qg"))
+      .join(broadcast(qhi), col(groupCol) === col("__qg2"))
+      .withColumn("forecast", col("__t_last") + col("__seasonal"))
+      .withColumn("lo", col("forecast") + col("__qlo"))
+      .withColumn("hi", col("forecast") + col("__qhi"))
+      .withColumn("abs_err", abs(col("actual") - col("forecast")))
+      .withColumn("covered",
+        (col("actual") >= col("lo") && col("actual") <= col("hi"))
+          .cast("int"))
+      .drop("__tg", "__t_last", "__sg", "__sh", "__seasonal",
+        "__qg", "__qlo", "__qg2", "__qhi")
+  }
 }

@@ -132,6 +132,23 @@ object WindowQueries extends QuerySet {
           max(abs(col("resid"))).as("max_abs_resid"))
         .orderBy(col("event_type"), col("hour"))),
 
+    // Seasonal-naive forecast scored as a true holdout backtest: the
+    // last observed day is withheld, trend+seasonal fit on the rest,
+    // and every held-out (type, hour) cell gets an integer forecast,
+    // a residual-quantile band [p5, p95], the actual, and the
+    // coverage flag — all BIGINT, all on the oracle.
+    "w16_forecast_backtest" -> ((s, d) =>
+      graft.ops.Seasonal.forecastBacktest(
+        Tables.eventsMicros(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "ts_us", "cents")
+        .select(col("event_type"), col("hour"), col("n_test"),
+          col("forecast"), col("lo"), col("hi"), col("actual"),
+          col("abs_err"), col("covered"))
+        .orderBy(col("event_type"), col("hour"))),
+
     "w14_cusum" -> ((s, d) =>
       graft.ops.Velocity.cusumFinal(
         Tables.eventsMicros(s, d).select(col("user_id"),
@@ -243,6 +260,63 @@ object WindowQueries extends QuerySet {
     // SINGLE CASE per step — DuckDB 1.0's list_reduce mis-evaluated a
     // shared CASE across struct fields on long lists; integer packing
     // sidesteps it with zero precision loss (cents are exact)
+    "w16_forecast_backtest" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                      AND value IS NOT NULL),
+         r AS (SELECT g, t // 86400000000 AS day,
+                 (t // 3600000000) % 24 AS hour, v FROM e),
+         dm AS (SELECT MAX(day) AS dmax FROM r),
+         tnr AS (SELECT r.g, r.day, r.hour, r.v
+                 FROM r CROSS JOIN dm WHERE r.day < dm.dmax),
+         tst AS (SELECT r.g, r.hour, r.v
+                 FROM r CROSS JOIN dm WHERE r.day = dm.dmax),
+         tr AS (SELECT g, day,
+                  CAST(SUM(v) // COUNT(*) AS BIGINT) AS trend
+                FROM tnr GROUP BY g, day),
+         dt AS (SELECT tnr.g, tnr.hour, tnr.v, tr.trend,
+                  tnr.v - tr.trend AS dev
+                FROM tnr JOIN tr ON tnr.g = tr.g AND tnr.day = tr.day),
+         tl AS (SELECT tr.g, tr.trend AS t_last
+                FROM tr JOIN (SELECT g, MAX(day) AS md FROM tr
+                              GROUP BY g) m
+                  ON tr.g = m.g AND tr.day = m.md),
+         se AS (SELECT g, hour,
+                  CAST(SUM(dev) // COUNT(*) AS BIGINT) AS seasonal
+                FROM dt GROUP BY g, hour),
+         rs AS (SELECT dt.g, dt.v - dt.trend - se.seasonal AS resid
+                FROM dt JOIN se ON dt.g = se.g AND dt.hour = se.hour),
+         h AS (SELECT g, resid, COUNT(*) AS c FROM rs GROUP BY g, resid),
+         nn AS (SELECT g, SUM(c) AS n FROM h GROUP BY g),
+         cum AS (SELECT a.g, a.resid, SUM(b.c) AS cum
+                 FROM h a JOIN h b ON a.g = b.g AND b.resid <= a.resid
+                 GROUP BY a.g, a.resid),
+         ql AS (SELECT cum.g, MIN(cum.resid) AS qlo
+                FROM cum JOIN nn ON cum.g = nn.g
+                WHERE cum.cum * 100 >= nn.n * 5 GROUP BY cum.g),
+         qh AS (SELECT cum.g, MIN(cum.resid) AS qhi
+                FROM cum JOIN nn ON cum.g = nn.g
+                WHERE cum.cum * 100 >= nn.n * 95 GROUP BY cum.g),
+         ta AS (SELECT g, hour, COUNT(*) AS n_test,
+                  CAST(SUM(v) // COUNT(*) AS BIGINT) AS actual
+                FROM tst GROUP BY g, hour)
+         SELECT ta.g AS event_type, ta.hour, ta.n_test,
+                tl.t_last + se.seasonal AS forecast,
+                tl.t_last + se.seasonal + ql.qlo AS lo,
+                tl.t_last + se.seasonal + qh.qhi AS hi,
+                ta.actual,
+                abs(ta.actual - (tl.t_last + se.seasonal)) AS abs_err,
+                CASE WHEN ta.actual >= tl.t_last + se.seasonal + ql.qlo
+                      AND ta.actual <= tl.t_last + se.seasonal + qh.qhi
+                     THEN 1 ELSE 0 END AS covered
+         FROM ta JOIN tl ON ta.g = tl.g
+              JOIN se ON ta.g = se.g AND ta.hour = se.hour
+              JOIN ql ON ta.g = ql.g
+              JOIN qh ON ta.g = qh.g
+         ORDER BY ta.g, ta.hour""",
+
     "w15_seasonal_decomp" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v

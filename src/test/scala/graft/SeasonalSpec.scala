@@ -60,6 +60,36 @@ class SeasonalSpec extends SparkSpec {
     assert(out.agg(sum($"resid")).first().getLong(0) == 1L)
   }
 
+  test("backtest forecasts the held-out day from the last trend") {
+    // train days 0..2 at rising levels 100/200/300 with a +-10 hourly
+    // rhythm; holdout day 3 continues level 300 and the rhythm exactly,
+    // so forecast == actual, zero error, zero-width band, covered
+    val rows = (for {
+      day <- 0L to 3L; hour <- Seq(0L, 12L)
+      level = if (day == 3) 300L else (day + 1) * 100L
+    } yield ("g", ts(day, hour), level + (if (hour == 0) -10L else 10L)))
+      .toDF("g", "ts_us", "cents")
+    val out = graft.ops.Seasonal
+      .forecastBacktest(rows, "g", "ts_us", "cents")
+      .orderBy($"hour")
+      .select($"hour", $"forecast", $"lo", $"hi", $"actual",
+        $"abs_err", $"covered")
+      .as[(Long, Long, Long, Long, Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((0L, 290L, 290L, 290L, 290L, 0L, 1),
+      (12L, 310L, 310L, 310L, 310L, 0L, 1)))
+  }
+
+  test("backtest drops holdout hours never seen in training") {
+    val rows = (Seq(("g", ts(0, 0), 100L), ("g", ts(0, 12), 100L),
+      ("g", ts(1, 0), 100L), ("g", ts(1, 12), 100L),
+      ("g", ts(2, 0), 100L), ("g", ts(2, 5), 999L)))
+      .toDF("g", "ts_us", "cents")
+    val out = graft.ops.Seasonal
+      .forecastBacktest(rows, "g", "ts_us", "cents")
+    // holdout day 2: hour 0 forecastable, hour 5 unseen → dropped
+    assert(out.select($"hour").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("groups decompose independently; nulls drop") {
     val rows = Seq(
       ("a", ts(0, 0), 100L), ("a", ts(0, 1), 200L),
