@@ -68,7 +68,10 @@ object Seasonal {
     * hour) cell of the held-out day is forecast as
     * `trend(last train day) + seasonal(hour)` with a
     * `[loPct, hiPct]` band from the train residual distribution
-    * (integer first-rank quantiles, [[Aggregates.histogramQuantiles]]).
+    * (the integer first-rank quantile rule of
+    * [[Aggregates.histogramQuantiles]], computed as one sorted-
+    * histogram fold per group — cents-residuals have data-sized
+    * distinct counts, so the triangle-join form is off-limits here).
     *
     * Output per (group, hour) observed in the holdout: `n_test`, the
     * integer `forecast`, `lo`/`hi` band edges, the truncated-mean
@@ -99,22 +102,40 @@ object Seasonal {
     val seasonal = decomp.groupBy(col(groupCol).as("__sg"),
         col("hour").as("__sh"))
       .agg(min(col("seasonal")).as("__seasonal"))
-    val qs = Aggregates.histogramQuantiles(
-      decomp.groupBy(col(groupCol).as("grp"), col("resid").as("bucket"))
-        .agg(count(lit(1)).as("c")),
-      Seq(loPct, hiPct))
-    val qlo = qs.filter(col("q") === loPct)
-      .select(col("grp").as("__qg"), col("bucket").as("__qlo"))
-    val qhi = qs.filter(col("q") === hiPct)
-      .select(col("grp").as("__qg2"), col("bucket").as("__qhi"))
+    // residual quantiles by the same first-rank rule as
+    // Aggregates.histogramQuantiles (first bucket with cum·100 ≥ n·q)
+    // but via ONE sorted-histogram fold per group instead of its
+    // cumulative triangle join — distinct cents-residuals are
+    // data-sized, and the O(nb²) triangle was a 40× slowdown at sf0.1
+    def rankSelect(arr: org.apache.spark.sql.Column,
+                   n: org.apache.spark.sql.Column,
+                   q: Int): org.apache.spark.sql.Column =
+      aggregate(arr,
+        struct(lit(0L).as("c"), lit(null).cast("long").as("m")),
+        (acc, x) => struct(
+          (acc("c") + x("c")).as("c"),
+          coalesce(acc("m"),
+            when((acc("c") + x("c")) * 100 >= n * q, x("resid")))
+            .as("m")),
+        acc => acc("m"))
+    val qFrame = decomp
+      .groupBy(col(groupCol).as("__qg"), col("resid"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__qg"))
+      .agg(sort_array(collect_list(struct(col("resid"), col("c"))))
+        .as("__h"))
+      .withColumn("__n",
+        aggregate(col("__h"), lit(0L), (a, x) => a + x("c")))
+      .withColumn("__qlo", rankSelect(col("__h"), col("__n"), loPct))
+      .withColumn("__qhi", rankSelect(col("__h"), col("__n"), hiPct))
+      .select(col("__qg"), col("__qlo"), col("__qhi"))
     test.groupBy(col(groupCol), col("hour"))
       .agg(count(lit(1)).as("n_test"), sum(col(centsCol)).as("__s"))
       .withColumn("actual", expr("__s div n_test")).drop("__s")
       .join(broadcast(lastTrend), col(groupCol) === col("__tg"))
       .join(broadcast(seasonal), col(groupCol) === col("__sg") &&
         col("hour") === col("__sh"))
-      .join(broadcast(qlo), col(groupCol) === col("__qg"))
-      .join(broadcast(qhi), col(groupCol) === col("__qg2"))
+      .join(broadcast(qFrame), col(groupCol) === col("__qg"))
       .withColumn("forecast", col("__t_last") + col("__seasonal"))
       .withColumn("lo", col("forecast") + col("__qlo"))
       .withColumn("hi", col("forecast") + col("__qhi"))
@@ -123,6 +144,6 @@ object Seasonal {
         (col("actual") >= col("lo") && col("actual") <= col("hi"))
           .cast("int"))
       .drop("__tg", "__t_last", "__sg", "__sh", "__seasonal",
-        "__qg", "__qlo", "__qg2", "__qhi")
+        "__qg", "__qlo", "__qhi")
   }
 }
