@@ -46,14 +46,32 @@ object FeatureSelect {
     * contract; null is its own category).
     */
   def mutualInfo(df: DataFrame, featureCols: Seq[String],
-                 labelCol: String): DataFrame = {
+                 labelCol: String): DataFrame =
+    build(df, featureCols, labelCol, persist = false).df
+
+  /** [[mutualInfo]] with the (feature, value, label) cell frame
+    * persisted: the marginals and N all re-aggregate from it, so the
+    * plain form re-runs the melt scan four times — four full passes
+    * over the fact table at 100 TB, for a frame that is sketch-sized
+    * (Σ_f |X_f|·|Y| rows). Release after the consuming action.
+    */
+  def mutualInfoCached(df: DataFrame, featureCols: Seq[String],
+                       labelCol: String): Cached =
+    build(df, featureCols, labelCol, persist = true)
+
+  private def build(df: DataFrame, featureCols: Seq[String],
+                    labelCol: String, persist: Boolean): Cached = {
     require(featureCols.nonEmpty, "at least one feature column")
     val melted = df.select(explode(array(featureCols.map { f =>
       struct(lit(f).as("feature"), col(f).cast("string").as("v"),
         col(labelCol).cast("string").as("y"))
     }: _*)).as("m")).select(col("m.feature"), col("m.v"), col("m.y"))
-    val cells = melted.groupBy(col("feature"), col("v"), col("y"))
+    val cells0 = melted.groupBy(col("feature"), col("v"), col("y"))
       .agg(count(lit(1)).as("n_vy"))
+    val cells =
+      if (persist) cells0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cells0
     val fv = cells.groupBy(col("feature").as("__f1"), col("v").as("__v1"))
       .agg(sum(col("n_vy")).as("n_v"))
     // label marginal and N are label-only: identical for every feature
@@ -88,7 +106,7 @@ object FeatureSelect {
         round(log(col("n_y").cast("double") / col("n").cast("double")), 9)
           .cast(decLn) * col("n_y").cast(decN))
       .agg(sum(col("__hy_c")).as("__hy_s"), max(col("n")).as("__n2"))
-    miTerms.join(hxTerms, "feature").crossJoin(broadcast(hy))
+    val out = miTerms.join(hxTerms, "feature").crossJoin(broadcast(hy))
       .withColumn("mi",
         col("__mi_s").cast("double") / col("__n").cast("double"))
       .withColumn("hx",
@@ -100,5 +118,6 @@ object FeatureSelect {
           lit(2.0) * col("mi") / (col("hx") + col("hy"))))
       .select(col("feature"), col("n_values"), col("mi"), col("hx"),
         col("hy"), col("su"))
+    Cached(out, if (persist) Seq(cells) else Seq.empty)
   }
 }

@@ -86,7 +86,24 @@ object Seasonal {
     */
   def forecastBacktest(df: DataFrame, groupCol: String, tsUsCol: String,
                        centsCol: String, loPct: Int = 5,
-                       hiPct: Int = 95): DataFrame = {
+                       hiPct: Int = 95): DataFrame =
+    backtest(df, groupCol, tsUsCol, centsCol, loPct, hiPct,
+      persist = false).df
+
+  /** [[forecastBacktest]] with the decomposition frame persisted —
+    * lastTrend, seasonal, and the residual histogram all re-read it,
+    * so the plain form re-runs the trend join three times (three full
+    * scans at 100 TB). Release after the consuming action.
+    */
+  def forecastBacktestCached(df: DataFrame, groupCol: String,
+                             tsUsCol: String, centsCol: String,
+                             loPct: Int = 5, hiPct: Int = 95): Cached =
+    backtest(df, groupCol, tsUsCol, centsCol, loPct, hiPct,
+      persist = true)
+
+  private def backtest(df: DataFrame, groupCol: String, tsUsCol: String,
+                       centsCol: String, loPct: Int,
+                       hiPct: Int, persist: Boolean): Cached = {
     val rows = df
       .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull &&
         col(centsCol).isNotNull)
@@ -96,7 +113,11 @@ object Seasonal {
     val split = rows.crossJoin(broadcast(dmax))
     val train = split.filter(col("day") < col("__dmax")).drop("__dmax")
     val test = split.filter(col("day") === col("__dmax")).drop("__dmax")
-    val decomp = decomposeDayHour(train, groupCol, tsUsCol, centsCol)
+    val decomp0 = decomposeDayHour(train, groupCol, tsUsCol, centsCol)
+    val decomp =
+      if (persist) decomp0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else decomp0
     val lastTrend = decomp.groupBy(col(groupCol).as("__tg"))
       .agg(max_by(col("trend"), col("day")).as("__t_last"))
     val seasonal = decomp.groupBy(col(groupCol).as("__sg"),
@@ -129,7 +150,7 @@ object Seasonal {
       .withColumn("__qlo", rankSelect(col("__h"), col("__n"), loPct))
       .withColumn("__qhi", rankSelect(col("__h"), col("__n"), hiPct))
       .select(col("__qg"), col("__qlo"), col("__qhi"))
-    test.groupBy(col(groupCol), col("hour"))
+    val out = test.groupBy(col(groupCol), col("hour"))
       .agg(count(lit(1)).as("n_test"), sum(col(centsCol)).as("__s"))
       .withColumn("actual", expr("__s div n_test")).drop("__s")
       .join(broadcast(lastTrend), col(groupCol) === col("__tg"))
@@ -145,5 +166,6 @@ object Seasonal {
           .cast("int"))
       .drop("__tg", "__t_last", "__sg", "__sh", "__seasonal",
         "__qg", "__qlo", "__qhi")
+    Cached(out, if (persist) Seq(decomp) else Seq.empty)
   }
 }

@@ -270,14 +270,16 @@ object OpsQueries extends QuerySet {
     // integer counts, so MI / entropies / symmetric uncertainty all
     // sit on the oracle.
     "a35_mutual_info" -> ((s, d) =>
-      graft.ops.FeatureSelect.mutualInfo(
+      // Cached form: the cell frame feeds four downstream aggregations;
+      // Verify/Bench clear the cache after each query
+      graft.ops.FeatureSelect.mutualInfoCached(
         Tables.lineitem(s, d).select(
           col("l_quantity").cast("bigint").as("qty"),
           round(col("l_discount") * 100).cast("bigint").as("disc"),
           round(col("l_tax") * 100).cast("bigint").as("tax"),
           col("l_linenumber").cast("bigint").as("line"),
           col("l_returnflag").as("flag")),
-        Seq("qty", "disc", "tax", "line"), "flag")
+        Seq("qty", "disc", "tax", "line"), "flag").df
         .orderBy(col("feature"))),
 
     // Bivariate Mahalanobis outlier screen per return flag: quantity ×

@@ -70,10 +70,6 @@ object WindowQueries extends QuerySet {
             .as("n_outliers"))
         .orderBy(col("event_type"))),
 
-    // Trailing-1h velocity features per user (count + exact-decimal
-    // value sum in a RANGE frame) — the transaction-burst fraud signal.
-    // One key exchange + per-key local sort; frame state is bounded by
-    // per-entity rate × window span, never corpus size.
     // Cross-group quantile normalization: per-returnflag quantity
     // distributions mapped onto the pooled distribution by pure
     // integer rank rules — the distribution-matching ML-prep
@@ -109,10 +105,6 @@ object WindowQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
-    // Per-user two-sided CUSUM changepoint alarms (target 50.00,
-    // h 200.00 — as exact integer cents): alarm counts plus the final
-    // (s+, s-) state, every add/max/compare exact integer arithmetic,
-    // bit-identical to the oracle's packed-state list_reduce.
     // Classical trend/seasonal/residual decomposition of spend, all
     // integer (truncated integer means — JVM div ≡ DuckDB //): daily
     // trend per event type, hour-of-day seasonal index of the
@@ -138,17 +130,23 @@ object WindowQueries extends QuerySet {
     // a residual-quantile band [p5, p95], the actual, and the
     // coverage flag — all BIGINT, all on the oracle.
     "w16_forecast_backtest" -> ((s, d) =>
-      graft.ops.Seasonal.forecastBacktest(
+      // Cached form: three aggregations re-read the decomposition;
+      // Verify/Bench clear the cache after each query
+      graft.ops.Seasonal.forecastBacktestCached(
         Tables.eventsMicros(s, d)
           .filter(col("value").isNotNull)
           .select(col("event_type"), col("ts_us"),
             round(col("value") * 100).cast("bigint").as("cents")),
-        "event_type", "ts_us", "cents")
+        "event_type", "ts_us", "cents").df
         .select(col("event_type"), col("hour"), col("n_test"),
           col("forecast"), col("lo"), col("hi"), col("actual"),
           col("abs_err"), col("covered"))
         .orderBy(col("event_type"), col("hour"))),
 
+    // Per-user two-sided CUSUM changepoint alarms (target 50.00,
+    // h 200.00 — as exact integer cents): alarm counts plus the final
+    // (s+, s-) state, every add/max/compare exact integer arithmetic,
+    // bit-identical to the oracle's packed-state list_reduce.
     "w14_cusum" -> ((s, d) =>
       graft.ops.Velocity.cusumFinal(
         Tables.eventsMicros(s, d).select(col("user_id"),
