@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Blocked approximate-string matching — the spell-correction /
@@ -93,5 +94,99 @@ object FuzzyJoin {
     rows.join(comps, Seq("id"), "left")
       .select(col("id"), col("name"),
         coalesce(col("component"), col("id")).as("entity_id"))
+  }
+
+  /** FUZZY LOOKUP under an edit-distance bound, Ed-Join style (Xiao,
+    * Wang, Lin — "Ed-Join: an efficient algorithm for similarity joins
+    * with edit distance constraints", VLDB 2008): find every corpus
+    * string within `maxDist` edits of any probe string — the
+    * typo-tolerant decontamination / blocklist sweep that exact-match
+    * decontamination ([[Dedup.decontaminate]], d06/d09) misses when
+    * the benchmark text was lightly mutated in the crawl.
+    *
+    * Blocking is the q-gram PREFIX FILTER, not first-char or suffix
+    * heuristics (contrast [[corrections]]/[[resolveEntities]], whose
+    * blocking is a documented *contract* on the noise model — this one
+    * is exact): one edit changes the content of at most q overlapping
+    * q-grams, so ed(a,b) ≤ τ implies the gram multisets share ≥
+    * max(ga,gb) − qτ elements (Gravano et al.'s count filter), and two
+    * multisets with that much overlap must collide within their first
+    * qτ+1 grams under ANY shared total order (prefix principle —
+    * occurrences are tagged (gram, occ) so the multiset argument holds
+    * verbatim on sets). Ordering grams rarest-document-frequency-first
+    * makes those collisions scarce; every candidate is then verified
+    * with exact `levenshtein`, so the filter chain only prunes —
+    * false negatives are impossible and the DuckDB oracle can state
+    * the plain θ-join.
+    *
+    * Shape for 100 TB: NOTHING broadcasts and nothing is quadratic —
+    * signature generation is one narrow pass per side (grams explode
+    * q·|str| wide), the df table and the gram join are plain shuffle
+    * joins on the gram key, and the verify set is |collisions|, driven
+    * toward |true matches| by the rarest-first order. Corpus rows
+    * never meet each other; cost is independent of |corpus|² even when
+    * both sides are huge.
+    *
+    * Contract: strings shorter than q·(τ+1) have no usable count bound
+    * (max(ga,gb) − qτ ≤ 0) and are excluded from BOTH sides — callers
+    * wanting short-string matching should compare those directly.
+    *
+    * Output: (probe_id, corpus_id, dist) for every pair with
+    * `levenshtein ≤ maxDist`.
+    */
+  def editDistanceLookup(corpus: DataFrame, idCol: String, strCol: String,
+                         probes: DataFrame, pidCol: String, pstrCol: String,
+                         maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 1 && q >= 2, "maxDist >= 1 and q >= 2")
+    val minLen = q * (maxDist + 1)
+    val k = q * maxDist + 1
+    val c = corpus.select(col(idCol).cast("long").as("sid"),
+        col(strCol).cast("string").as("s"))
+      .filter(length(col("s")) >= minLen)
+    val p = probes.select(col(pidCol).cast("long").as("sid"),
+        col(pstrCol).cast("string").as("s"))
+      .filter(length(col("s")) >= minLen)
+
+    // (sid, gram, occ, pos): positional q-grams, occurrences tagged so
+    // duplicate grams stay distinct multiset elements.
+    def grams(side: DataFrame): DataFrame = {
+      val g = side
+        .withColumn("pos",
+          explode(sequence(lit(1), length(col("s")) - (q - 1))))
+        .withColumn("gram", col("s").substr(col("pos"), lit(q)))
+      g.withColumn("occ",
+        row_number().over(Window.partitionBy("sid", "gram").orderBy("pos")))
+    }
+    val cGrams = grams(c)
+    // Document frequency over the CORPUS defines the shared total order
+    // (dfreq asc, gram, occ) — rarest first. Probe grams absent from
+    // the corpus keep dfreq 0: sound (they sort first, and an absent
+    // gram can never collide anyway).
+    val dfreq = cGrams.select(col("sid"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("dfreq"))
+    def prefix(g: DataFrame): DataFrame =
+      g.join(dfreq, Seq("gram"), "left")
+        .na.fill(0L, Seq("dfreq"))
+        .groupBy(col("sid"))
+        .agg(slice(sort_array(collect_list(
+            struct(col("dfreq"), col("gram"), col("occ")))), 1, k)
+          .as("pref"))
+        .select(col("sid"), explode(col("pref")).as("pr"))
+        .select(col("sid"), col("pr.gram").as("gram"),
+          col("pr.occ").as("occ"))
+
+    val cand = prefix(grams(p)).as("pp")
+      .join(prefix(cGrams).as("cp"), Seq("gram", "occ"))
+      .select(col("pp.sid").as("probe_id"), col("cp.sid").as("corpus_id"))
+      .distinct()
+    cand
+      .join(p.select(col("sid").as("probe_id"), col("s").as("ps")),
+        Seq("probe_id"))
+      .join(c.select(col("sid").as("corpus_id"), col("s").as("cs")),
+        Seq("corpus_id"))
+      .filter(abs(length(col("ps")) - length(col("cs"))) <= maxDist &&
+        levenshtein(col("ps"), col("cs")) <= maxDist)
+      .select(col("probe_id"), col("corpus_id"),
+        levenshtein(col("ps"), col("cs")).cast("long").as("dist"))
   }
 }

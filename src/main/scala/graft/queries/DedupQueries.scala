@@ -124,6 +124,23 @@ object DedupQueries extends QuerySet {
         .orderBy(col("matches"))
     }),
 
+    // Typo-tolerant decontamination: probes are 40-char doc prefixes
+    // with one character deleted (a light crawl mutation); the Ed-Join
+    // q-gram prefix filter (rarest-corpus-gram order, occurrence-
+    // tagged) blocks candidates, exact levenshtein verifies. The
+    // oracle states the plain θ-join — the filter chain only prunes.
+    "d17_fuzzy_decontaminate" -> ((s, d) => {
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("str"))
+      val probes = corpus.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          concat(substring(col("str"), 1, 7),
+            expr("substring(str, 9)")).as("pstr"))
+      graft.ops.FuzzyJoin.editDistanceLookup(corpus, "doc_id", "str",
+          probes, "probe_id", "pstr", maxDist = 2, q = 3)
+        .orderBy(col("probe_id"), col("corpus_id"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -826,6 +843,18 @@ object DedupQueries extends QuerySet {
          SELECT entity_id, COUNT(*) AS n_members,
                 CAST(SUM(id) AS BIGINT) AS id_checksum
          FROM mapped GROUP BY entity_id ORDER BY entity_id""",
+    "d17_fuzzy_decontaminate" ->
+      """WITH c AS (SELECT doc_id, substr(text, 1, 40) AS str
+                    FROM documents),
+          p AS (SELECT doc_id AS probe_id,
+                       substr(str, 1, 7) || substr(str, 9) AS pstr
+                FROM c WHERE doc_id % 97 = 0)
+         SELECT p.probe_id, c.doc_id AS corpus_id,
+                CAST(levenshtein(p.pstr, c.str) AS BIGINT) AS dist
+         FROM p JOIN c
+           ON abs(length(p.pstr) - length(c.str)) <= 2
+          AND levenshtein(p.pstr, c.str) <= 2
+         ORDER BY probe_id, corpus_id""",
     "d14_setjoin_prefix" ->
       s"""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 400

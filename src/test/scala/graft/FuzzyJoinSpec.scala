@@ -55,6 +55,58 @@ class FuzzyJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(got.size == 5, "mapping is total")
   }
 
+  test("editDistanceLookup ≡ brute-force θ-join (no false negatives)") {
+    // Mutated copies of base sentences at distance 1–2 plus unrelated
+    // text; repeated-gram strings exercise the occurrence tagging (an
+    // untagged gram SET would under-count their multiset overlap).
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jump"),    // 1 deletion from 1
+      (3L, "the quick crown fox jumps"),   // 1 substitution from 1
+      (4L, "a completely different text"),
+      (5L, "aaaaaaaaaaaaaaaaaa"),          // repeated grams
+      (6L, "aaaaaaaaaaaaaaaabb"),          // dist 2 from 5
+      (7L, "zzzzzzzzzzzzzzzzzz")
+    ).toDF("cid", "cs")
+    val probes = Seq(
+      (101L, "the quick brown fox jumps"),
+      (105L, "aaaaaaaaaaaaaaaaaa")
+    ).toDF("pid", "ps")
+    val got = FuzzyJoin.editDistanceLookup(corpus, "cid", "cs",
+        probes, "pid", "ps", maxDist = 2, q = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = probes.as[(Long, String)].collect().flatMap { case (pid, ps) =>
+      corpus.as[(Long, String)].collect().flatMap { case (cid, cs) =>
+        val dMax = math.max(ps.length, cs.length)
+        val dp = Array.tabulate(ps.length + 1)(i => i)
+        var prev = 0
+        for (j <- 1 to cs.length) {
+          prev = dp(0); dp(0) = j
+          for (i <- 1 to ps.length) {
+            val t = dp(i)
+            dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+              prev + (if (ps(i - 1) == cs(j - 1)) 0 else 1))
+            prev = t
+          }
+        }
+        val d = dp(ps.length)
+        if (d <= 2) Some((pid, cid, d.toLong)) else None
+      }
+    }.toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(got.contains((105L, 6L, 2L)),
+      "repeated-gram pair must survive the tagged prefix filter")
+  }
+
+  test("editDistanceLookup excludes strings below the q(τ+1) contract") {
+    val corpus = Seq((1L, "abcdefghi"), (2L, "abc")).toDF("cid", "cs")
+    val probes = Seq((9L, "abcdefghi"), (8L, "ab")).toDF("pid", "ps")
+    val got = FuzzyJoin.editDistanceLookup(corpus, "cid", "cs",
+        probes, "pid", "ps", maxDist = 2, q = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((9L, 1L, 0L)), got.toString)
+  }
+
   test("vocabulary side broadcasts (hash join, not nested loop)") {
     val terms = Seq("joi~", "scat").toDF("t")
     val df = FuzzyJoin.corrections(terms, "t", vocab, "w", maxDist = 1)
