@@ -95,6 +95,45 @@ object Anomaly {
       "__cxy", "__det")
   }
 
+  /** Per-group simple linear regression (OLS) in closed form on the
+    * shared exact-moment machinery — the per-segment trend fit
+    * (price-per-unit curves, drift slopes) that sklearn's
+    * `LinearRegression` would do segment-by-segment on pandas frames.
+    * In biased-moment terms: slope = cxy/vx, intercept = my − slope·mx,
+    * r² = cxy²/(vx·vy), residual variance = vy − cxy²/vx — each a
+    * fixed-order double chain over the decimal-exact sums, so the whole
+    * fit is hash-exact under the oracle. Degenerate groups (vx = 0:
+    * constant x) yield null fit columns; r² additionally requires
+    * vy > 0.
+    *
+    * Scale shape: ONE grouped aggregation (six map-side-combined sums),
+    * nothing per-row re-enters — the cheapest possible fit at any group
+    * cardinality. `xCol`/`yCol` must be integer-valued (cents, counts).
+    *
+    * Output per group: (grp, n, slope, intercept, r2, resvar).
+    */
+  def olsPerGroup(df: DataFrame, groupCol: String,
+                  xCol: String, yCol: String): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    stats2(rows, groupCol, xCol, yCol)
+      .withColumn("__slope",
+        when(col("__vx") > 0.0, col("__cxy") / col("__vx")))
+      .withColumn("__icept",
+        when(col("__vx") > 0.0,
+          col("__my") - col("__slope") * col("__mx")))
+      .withColumn("__r2",
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          col("__cxy") * col("__cxy") / (col("__vx") * col("__vy"))))
+      .withColumn("__resvar",
+        when(col("__vx") > 0.0,
+          col("__vy") - col("__cxy") * col("__cxy") / col("__vx")))
+      .select(col("__sg").as("grp"), col("__n").as("n"),
+        round(col("__slope"), 7).as("slope"),
+        round(col("__icept"), 7).as("intercept"),
+        round(col("__r2"), 7).as("r2"),
+        round(col("__resvar"), 7).as("resvar"))
+  }
+
   /** Per-group 2-d PCA by the closed-form symmetric eigendecomposition
     * — the correlation-ridge direction and how much of the joint
     * variance it carries. For the 2×2 covariance the eigenpairs are

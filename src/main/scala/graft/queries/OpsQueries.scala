@@ -320,6 +320,18 @@ object OpsQueries extends QuerySet {
         "grp", "x", "y")
         .orderBy(col("grp"))),
 
+    // Per-segment OLS trend fit: price cents regressed on quantity per
+    // ship mode — closed-form slope/intercept/r²/residual variance on
+    // the same exact moment sums as a34/a36, one grouped agg, fully
+    // hash-checked.
+    "a38_linreg" -> ((s, d) =>
+      graft.ops.Anomaly.olsPerGroup(
+        Tables.lineitem(s, d).select(col("l_linestatus").as("grp"),
+          col("l_quantity").cast("bigint").as("x"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "grp", "x", "y")
+        .orderBy(col("grp"))),
+
     // A/B significance screen: even/odd users as variants, purchase
     // as conversion — the 2x2 table with chi-square, one pass.
     "a32_ab_test" -> ((s, d) =>
@@ -757,6 +769,44 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "a38_linreg" ->
+      """WITH src AS (SELECT l_linestatus AS grp,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         st AS (SELECT grp, COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                FROM src GROUP BY grp),
+         mo AS (SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                  CAST(sxx AS DOUBLE) AS sxxd,
+                  CAST(syy AS DOUBLE) AS syyd,
+                  CAST(sxy AS DOUBLE) AS sxyd
+                FROM st),
+         cv AS (SELECT grp, n, nd, mx, my,
+                  sxxd / nd - mx * mx AS vx,
+                  syyd / nd - my * my AS vy,
+                  sxyd / nd - mx * my AS cxy
+                FROM mo),
+         f AS (SELECT grp, n, mx, my, vx, vy, cxy,
+                 CASE WHEN vx > 0 THEN cxy / vx END AS slope
+               FROM cv)
+         SELECT grp, n,
+                round(slope, 7) AS slope,
+                round(CASE WHEN vx > 0 THEN my - slope * mx END, 7)
+                  AS intercept,
+                round(CASE WHEN vx > 0 AND vy > 0
+                           THEN cxy * cxy / (vx * vy) END, 7) AS r2,
+                round(CASE WHEN vx > 0
+                           THEN vy - cxy * cxy / vx END, 7) AS resvar
+         FROM f ORDER BY grp""",
     "a34_mahalanobis" ->
       """WITH src AS (SELECT l_returnflag AS grp,
                         CAST(l_quantity AS BIGINT) AS x,

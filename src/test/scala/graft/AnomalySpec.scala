@@ -91,6 +91,45 @@ class AnomalySpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("e1y") + 2.0 / math.sqrt(5)) < 1e-12)
   }
 
+  test("olsPerGroup recovers an exact line and flags degenerate x") {
+    // g1: exact y = 2x + 3 → slope 2, intercept 3, r² 1, resvar 0;
+    // g2: constant x → vx = 0 → all fit columns null
+    val rows = (Seq.tabulate(10)(i => ("g1", i.toLong, 2L * i + 3)) ++
+      Seq(("g2", 5L, 1L), ("g2", 5L, 9L))).toDF("grp", "x", "y")
+    val out = Anomaly.olsPerGroup(rows, "grp", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 10L)
+    assert(math.abs(g1.getDouble(2) - 2.0) < 1e-9, "slope")
+    assert(math.abs(g1.getDouble(3) - 3.0) < 1e-9, "intercept")
+    assert(math.abs(g1.getDouble(4) - 1.0) < 1e-9, "r2")
+    assert(math.abs(g1.getDouble(5)) < 1e-9, "resvar")
+    val g2 = out("g2")
+    assert(g2.isNullAt(2) && g2.isNullAt(3) && g2.isNullAt(4) &&
+      g2.isNullAt(5), "degenerate group must yield null fit")
+  }
+
+  test("olsPerGroup noisy fit matches the normal-equation solution") {
+    // y = 7x - 4 with a deterministic ±5 perturbation pattern
+    val pts = Seq.tabulate(25)(i =>
+      ("g", i.toLong, 7L * i - 4 + (i % 5) - 2))
+    val rows = pts.toDF("grp", "x", "y")
+    val n = pts.size.toDouble
+    val sx = pts.map(_._2.toDouble).sum
+    val sy = pts.map(_._3.toDouble).sum
+    val sxx = pts.map(p => p._2.toDouble * p._2).sum
+    val sxy = pts.map(p => p._2.toDouble * p._3).sum
+    val wantSlope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val wantIcept = sy / n - wantSlope * (sx / n)
+    val r = Anomaly.olsPerGroup(rows, "grp", "x", "y").first()
+    assert(math.abs(r.getDouble(2) - wantSlope) < 1e-6,
+      s"slope ${r.getDouble(2)} vs $wantSlope")
+    assert(math.abs(r.getDouble(3) - wantIcept) < 1e-6,
+      s"intercept ${r.getDouble(3)} vs $wantIcept")
+    assert(r.getDouble(4) > 0.99 && r.getDouble(4) < 1.0, "r2 near 1")
+    assert(r.getDouble(5) > 0.0, "nonzero residual variance")
+  }
+
   test("null feature rows are excluded from stats and output") {
     val withNulls = ridge.union(Seq(("g", null.asInstanceOf[java.lang.Long],
       java.lang.Long.valueOf(5L))).toDF("grp", "x", "y"))
