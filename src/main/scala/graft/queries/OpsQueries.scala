@@ -320,6 +320,21 @@ object OpsQueries extends QuerySet {
         "grp", "x", "y")
         .orderBy(col("grp"))),
 
+    // Market-basket association rules: orders as baskets, brands as
+    // items — Apriori frequent pairs with an integer support floor
+    // (1% of kept baskets), confidence both ways, lift. Baskets over
+    // 12 distinct brands are dropped by contract (oracle replays).
+    "a37_assoc_rules" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      graft.ops.Associations.rules(baskets, "l_orderkey", "p_brand",
+          minPctNum = 1L, minPctDen = 100L, maxBasket = 12)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // Per-segment OLS trend fit: price cents regressed on quantity per
     // ship mode — closed-form slope/intercept/r²/residual variance on
     // the same exact moment sums as a34/a36, one grouped agg, fully
@@ -769,6 +784,39 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "a37_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS itm
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE l_orderkey IS NOT NULL
+                       AND p_brand IS NOT NULL),
+          sz AS (SELECT bk FROM it GROUP BY bk HAVING COUNT(*) <= 12),
+          kept AS (SELECT it.bk, it.itm FROM it JOIN sz USING (bk)),
+          nb AS (SELECT COUNT(DISTINCT bk) AS n FROM kept),
+          supp AS (SELECT itm, COUNT(*) AS cnt FROM kept GROUP BY itm),
+          freq AS (SELECT itm, cnt FROM supp, nb
+                   WHERE cnt * 100 >= n * 1),
+          fi AS (SELECT kept.bk, kept.itm
+                 FROM kept JOIN freq USING (itm)),
+          pr AS (SELECT a.itm AS item_a, b.itm AS item_b,
+                   COUNT(*) AS n_pair
+                 FROM fi a JOIN fi b ON a.bk = b.bk AND a.itm < b.itm
+                 GROUP BY 1, 2),
+          q AS (SELECT item_a, item_b, n_pair, n FROM pr, nb
+                WHERE n_pair * 100 >= n * 1)
+         SELECT item_a, item_b,
+                CAST(sa.cnt AS BIGINT) AS n_a,
+                CAST(sb.cnt AS BIGINT) AS n_b,
+                CAST(n_pair AS BIGINT) AS n_pair,
+                round(CAST(n_pair AS DOUBLE) / CAST(sa.cnt AS DOUBLE), 7)
+                  AS conf_ab,
+                round(CAST(n_pair AS DOUBLE) / CAST(sb.cnt AS DOUBLE), 7)
+                  AS conf_ba,
+                round((CAST(n_pair AS DOUBLE) * CAST(n AS DOUBLE))
+                      / (CAST(sa.cnt AS DOUBLE) * CAST(sb.cnt AS DOUBLE)),
+                      7) AS lift
+         FROM q JOIN freq sa ON sa.itm = item_a
+                JOIN freq sb ON sb.itm = item_b
+         ORDER BY item_a, item_b""",
     "a38_linreg" ->
       """WITH src AS (SELECT l_linestatus AS grp,
                         CAST(l_quantity AS BIGINT) AS x,
