@@ -171,10 +171,15 @@ object Layout {
     * (`spark.sql.warehouse.dir`); buckets must match on both sides.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
-    df.write.mode("overwrite")
+                    buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
-      .format("parquet").saveAsTable(table)
+      .format("parquet")
+    // explicit location → external table (bucket spec still lives in
+    // the session catalog, so scans keep outputPartitioning and
+    // co-bucketed joins stay exchange-free); default = warehouse dir
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Range-partitioned parquet layout: `repartitionByRange` + partition
     * column directory layout so min/max pruning and partition pruning

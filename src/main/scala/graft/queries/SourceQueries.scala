@@ -690,6 +690,35 @@ object SourceQueries extends QuerySet {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Bucketed co-located join: both fact tables rewritten bucketed
+    // on the order key, then joined — the layout that makes the 100-TB
+    // fact-to-fact join exchange-free (each side's scan already carries
+    // the hash partitioning; PlanSpec pins zero Exchange on the join).
+    // Values must survive the bucketed rewrite exactly: the oracle is
+    // the same join over the RAW tables.
+    "s13_bucketed_join" -> ((s, d) => {
+      graft.ops.Layout.writeBucketed(
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        "graft_s13_orders", "o_orderkey", 16,
+        Some(Tables.stageDir(s, "s13_orders")))
+      graft.ops.Layout.writeBucketed(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice")),
+        "graft_s13_lineitem", "l_orderkey", 16,
+        Some(Tables.stageDir(s, "s13_lineitem")))
+      s.table("graft_s13_orders")
+        .join(s.table("graft_s13_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") % 10).as("cust_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("cust_band"))
+    }),
+
     // JSON-lines round-trip: the wire format of the reference's Kafka
     // messages (S1/S2) as a file source/sink — write, read with an
     // explicit schema (inference is the reference's bug surface, not
@@ -897,6 +926,14 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s13_bucketed_join" ->
+      s"""SELECT o_custkey % 10 AS cust_band, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+                 ${sqlSum("l_extendedprice")} AS sum_price,
+                 COUNT(DISTINCT o_orderkey) AS n_orders
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          GROUP BY 1 ORDER BY 1""",
     "s12_bloom_scan" ->
       s"""SELECT o_custkey, COUNT(*) AS n,
                  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,

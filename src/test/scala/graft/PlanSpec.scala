@@ -286,6 +286,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(CartesianGuard.ConfKey)
   }
 
+  test("s13: the co-bucketed fact join itself is exchange-free") {
+    // the bucketed layout must feed SortMergeJoin directly from the
+    // scans — no hashpartitioning Exchange may sit below the join
+    // (the groupBy above it still shuffles, which is fine). Broadcast
+    // is disabled to emulate the 100-TB case where neither fact side
+    // fits a broadcast — exactly the case bucketing exists for.
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p =
+      try plan("s13_bucketed_join")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    val joins = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no shuffled join found:\n$p")
+    val shufflesBelowJoin = joins.head.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shufflesBelowJoin.isEmpty,
+      s"bucketed join still exchanges its inputs:\n${joins.head}")
+  }
+
   test("compute-amplifying pipelines fan out past the single-file scan") {
     // e01's parse stage must not hang off a 1-partition scan: there is a
     // round-robin exchange between scan and the block kernel
