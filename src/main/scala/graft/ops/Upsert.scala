@@ -74,6 +74,49 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Mergeable per-key aggregate STATE `(keys…, n, sum_v, min_v,
+    * max_v)` over an integer-valued column — the materialized-view
+    * building block of [[mergeAggState]]. The sum accumulates as
+    * DECIMAL(38,0) so a 100-TB key's cents never overflow and
+    * partition order cannot smear bits.
+    */
+  def aggState(rows: DataFrame, keyCols: Seq[String],
+               valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val v = col(valueCol)
+    rows.filter(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sum_v"),
+        min(v).as("min_v"), max(v).as("max_v"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE for a grouped aggregate: fold a
+    * delta's [[aggState]] into the standing state without touching the
+    * already-aggregated history — the refresh a 100-TB rollup wants
+    * (re-aggregate the day's delta, merge states; never rescan the
+    * exabyte of settled partitions). count/sum/min/max are all
+    * mergeable, so the merge is a union + ONE map-side-combinable
+    * grouped aggregation; with both state tables bucketed on the key
+    * even that exchange disappears ([[Layout.writeBucketed]]).
+    *
+    * Insert-only deltas by contract: min/max are not invertible, so
+    * retractions require recomputing the affected keys (the standard
+    * IVM limitation); counts/sums alone could subtract, but this op
+    * keeps one uniform contract. The defining invariant —
+    * `mergeAggState(aggState(a), aggState(b)) ≡ aggState(a ∪ b)` — is
+    * what the u04 oracle states (merged state vs full recompute).
+    */
+  def mergeAggState(state: DataFrame, deltaState: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    state.unionByName(deltaState)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
   /** Corpus snapshot diff: classify every id across two snapshots as
     * `added` / `removed` / `changed` / `unchanged` by content digest —
     * the audit between crawl snapshots that decides what to re-embed,

@@ -72,6 +72,28 @@ object OpsQueries extends QuerySet {
         .orderBy(col("status"))
     }),
 
+    // Incremental materialized-aggregate refresh: the standing state
+    // (orders with o_orderkey % 3 != 0) absorbs the delta's state
+    // (the % 3 == 0 rows) by a pure state merge — never rescanning the
+    // "settled" rows. The oracle states the defining invariant: merged
+    // state ≡ full recompute over all rows.
+    "u04_incremental_agg" -> ((s, d) => {
+      val src = Tables.orders(s, d).select(col("o_orderkey"),
+        (col("o_custkey") % 1000).as("k"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      val standing = graft.ops.Upsert.aggState(
+        src.filter(col("o_orderkey") % 3 =!= 0), Seq("k"), "cents")
+      val delta = graft.ops.Upsert.aggState(
+        src.filter(col("o_orderkey") % 3 === 0), Seq("k"), "cents")
+      graft.ops.Upsert.mergeAggState(standing, delta, Seq("k"))
+        .select(col("k"), col("n"),
+          col("sum_v").cast("long").as("sum_cents"),
+          col("min_v").as("min_cents"), col("max_v").as("max_cents"),
+          round(col("sum_v").cast("double") / col("n").cast("double"), 2)
+            .as("avg_cents"))
+        .orderBy(col("k"))
+    }),
+
     // Type-2 SCD history from a change log: lineitem plays the change
     // stream (key = order, version = line number); each change's
     // validity interval closes at the next version, open = current.
@@ -575,6 +597,16 @@ object OpsQueries extends QuerySet {
          SELECT c_custkey, c_acctbal, CAST(version AS BIGINT) AS version
          FROM r WHERE rn = 1 AND NOT deleted AND c_custkey <= 200
          ORDER BY c_custkey""",
+    "u04_incremental_agg" ->
+      """WITH src AS (SELECT o_custkey % 1000 AS k,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                      FROM orders WHERE o_totalprice IS NOT NULL)
+         SELECT k, COUNT(*) AS n,
+                CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+                round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 2) AS avg_cents
+         FROM src GROUP BY k ORDER BY k""",
     "u02_scd2_intervals" ->
       s"""WITH log AS (
             SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS qty

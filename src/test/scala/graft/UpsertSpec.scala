@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Upsert
 
 /** Last-writer-wins upsert compaction: winner-per-key rule, tombstones,
@@ -81,5 +83,33 @@ class UpsertSpec extends SparkSpec {
       (1, 20L, Some(30L), false),
       (1, 30L, None, true),
       (2, 5L, None, true)))
+  }
+
+  test("mergeAggState(aggState(a), aggState(b)) ≡ aggState(a ∪ b)") {
+    val a = Seq(("x", 5L), ("x", -2L), ("y", 7L)).toDF("k", "v")
+    val b = Seq[(String, java.lang.Long)](("x", 100L), ("z", 1L),
+      ("y", -9L), ("y", null)).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("n"), col("sum_v").cast("long"),
+        col("min_v"), col("max_v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val merged = canon(Upsert.mergeAggState(
+      Upsert.aggState(a, Seq("k"), "v"),
+      Upsert.aggState(b, Seq("k"), "v"), Seq("k")))
+    val full = canon(Upsert.aggState(a.unionByName(b), Seq("k"), "v"))
+    assert(merged == full, s"merged=$merged full=$full")
+    assert(merged == Set(("x", 3L, 103L, -2L, 100L),
+      ("y", 2L, -2L, -9L, 7L), ("z", 1L, 1L, 1L, 1L)),
+      merged.toString)
+  }
+
+  test("mergeAggState: delta-only keys appear, state-only keys survive") {
+    val s0 = Upsert.aggState(Seq(("old", 4L)).toDF("k", "v"), Seq("k"), "v")
+    val d0 = Upsert.aggState(Seq(("new", 9L)).toDF("k", "v"), Seq("k"), "v")
+    val got = Upsert.mergeAggState(s0, d0, Seq("k"))
+      .select(col("k"), col("n")).as[(String, Long)].collect().toSet
+    assert(got == Set(("old", 1L), ("new", 1L)))
   }
 }
