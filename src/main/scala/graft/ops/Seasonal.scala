@@ -62,6 +62,72 @@ object Seasonal {
       .drop("__dev")
   }
 
+  /** Per-group AUTOCORRELATION of a daily count series at lags
+    * 1..maxLag — the "does yesterday predict today" diagnostic that
+    * decides whether [[forecastBacktest]]'s seasonal-naive model is
+    * even applicable, and the standard seasonality screen
+    * (Box–Jenkins identification step) over any per-entity series.
+    *
+    * Gap-exact: the series is the OBSERVED days only, and lag-k pairs
+    * are formed by calendar distance (day, day+k both observed), not
+    * row adjacency — a window `lag()` would silently pair across gaps.
+    * Pairing is one equi-join: the left side explodes k ∈ 1..maxLag
+    * and joins on (group, day+k), so no theta join and no per-lag
+    * rescan.
+    *
+    * Engine-exactness: all sums are integer (counts, their products,
+    * decimal(38,0) partials); the ACF assembles from them in one
+    * fixed-order double chain, 7dp-rounded —
+    * `acf_k = (P_k − μ·A_k − μ·B_k + n_k·μ²) / (SS − N·μ²)` with
+    * μ = S/N, where P/A/B sum over lag-k pairs and S/SS/N over the
+    * whole series. Groups with zero variance (constant series) yield
+    * null.
+    *
+    * Scale shape: the raw table collapses to (group, day) counts in
+    * ONE map-side-combinable agg; everything after runs on series
+    * rows (groups × days), which is always miniature relative to the
+    * input. Output per (group, k): `n_pairs`, `acf`.
+    */
+  def acfDaily(df: DataFrame, groupCol: String, tsUsCol: String,
+               maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag >= 1")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val series = df
+      .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull)
+      .withColumn("__day", expr(s"$tsUsCol div 86400000000"))
+      .groupBy(col(groupCol).as("__g"), col("__day"))
+      .agg(count(lit(1)).as("__x"))
+    val tot = series.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__N"),
+        sum(col("__x").cast(dec38)).as("__S"),
+        sum((col("__x") * col("__x")).cast(dec38)).as("__SS"))
+    val lags = series
+      .withColumn("__k",
+        explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__day2", col("__day") + col("__k"))
+    val pairs = lags.as("a")
+      .join(series.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__day2") === col("b.__day"))
+      .groupBy(col("a.__g").as("__g"), col("a.__k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("a.__x") * col("b.__x")).cast(dec38)).as("__P"),
+        sum(col("a.__x").cast(dec38)).as("__A"),
+        sum(col("b.__x").cast(dec38)).as("__B"))
+    pairs.join(tot, Seq("__g"))
+      .withColumn("__mu", col("__S").cast("double") / col("__N").cast("double"))
+      .withColumn("__den",
+        col("__SS").cast("double") -
+          col("__N").cast("double") * col("__mu") * col("__mu"))
+      .withColumn("acf",
+        when(col("__den") > 0.0,
+          round((col("__P").cast("double") -
+            col("__mu") * col("__A").cast("double") -
+            col("__mu") * col("__B").cast("double") +
+            col("n_pairs").cast("double") * col("__mu") * col("__mu"))
+            / col("__den"), 7)))
+      .select(col("__g").as("grp"), col("k"), col("n_pairs"), col("acf"))
+  }
+
   /** Seasonal-naive forecast with a residual-quantile band, scored as
     * a true HOLDOUT BACKTEST: the last observed day is withheld, the
     * decomposition fits on everything before it, and each (group,

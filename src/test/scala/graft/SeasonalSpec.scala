@@ -102,4 +102,36 @@ class SeasonalSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(trends == Map("a" -> 150L, "b" -> 9000L))
   }
+
+  private def dayRows(g: String, counts: Seq[(Int, Int)]) =
+    counts.flatMap { case (day, x) =>
+      (1 to x).map(i => (g, day * 86400000000L + i))
+    }
+
+  test("acfDaily matches the hand-computed ACF on an alternating series") {
+    // x = [3,1,3,1]: μ=2, den=4; acf1 = −3/4, acf2 = 2/4, acf3 = −1/4
+    val rows = dayRows("g", Seq(0 -> 3, 1 -> 1, 2 -> 3, 3 -> 1))
+      .toDF("g", "ts_us")
+    val got = Seasonal.acfDaily(rows, "g", "ts_us", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1) == ((3L, -0.75)), got.toString)
+    assert(got(2) == ((2L, 0.5)), got.toString)
+    assert(got(3) == ((1L, -0.25)), got.toString)
+  }
+
+  test("acfDaily pairs by calendar distance across gaps") {
+    // observed days 0,1,3 — lag1 has ONE pair (0,1), lag2 one (1,3),
+    // lag3 one (0,3); row-adjacency lag would wrongly pair (1,3) at k=1
+    val rows = dayRows("g", Seq(0 -> 2, 1 -> 4, 3 -> 6)).toDF("g", "ts_us")
+    val pairs = Seasonal.acfDaily(rows, "g", "ts_us", maxLag = 3)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(pairs == Map(1 -> 1L, 2 -> 1L, 3 -> 1L), pairs.toString)
+  }
+
+  test("acfDaily: constant series has no variance → null acf") {
+    val rows = dayRows("g", Seq(0 -> 5, 1 -> 5, 2 -> 5)).toDF("g", "ts_us")
+    val out = Seasonal.acfDaily(rows, "g", "ts_us", maxLag = 1).collect()
+    assert(out.length == 1 && out.head.isNullAt(3), out.mkString(","))
+  }
 }
