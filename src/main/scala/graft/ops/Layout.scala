@@ -181,6 +181,39 @@ object Layout {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Small-file COMPACTION PLAN: assign each file to an output bin of
+    * roughly `targetBytes` by greedy in-order packing within its
+    * partition group — the planning half of the compaction job every
+    * 100-TB table needs once streaming/incremental writes have littered
+    * it with kilobyte files (the execution half is a grouped rewrite of
+    * each bin, which is just `repartition` + write).
+    *
+    * Deterministic and engine-portable: files pack in `idCol` order and
+    * a file's bin is `floor(prefix_bytes / targetBytes)` — the running
+    * total BEFORE the file — so a file larger than the target closes
+    * its bin and oversized files land alone. One prefix-sum window per
+    * group (parallel across groups, never a global sort), so the plan
+    * costs a single shuffle over the file INVENTORY — metadata rows,
+    * not data.
+    *
+    * Output: input columns + `bin` (0-based within group).
+    */
+  def compactionPlan(files: DataFrame, groupCol: String, idCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "targetBytes >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    // integral div (not `/`, which is double division and loses
+    // exactness once prefix sums pass 2^52 on a real table)
+    files
+      .withColumn("__prefix",
+        coalesce(sum(col(bytesCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__prefix div ${targetBytes}L"))
+      .drop("__prefix")
+  }
+
   /** Range-partitioned parquet layout: `repartitionByRange` + partition
     * column directory layout so min/max pruning and partition pruning
     * both engage for range predicates.

@@ -719,6 +719,22 @@ object SourceQueries extends QuerySet {
         .orderBy(col("cust_band"))
     }),
 
+    // Small-file compaction plan over the documents inventory: greedy
+    // in-id-order packing into ~4000-byte bins per source, one prefix-
+    // sum window per group (metadata-sized input, never a global sort).
+    // Output is the per-bin manifest a rewrite job would execute.
+    "s14_compaction_plan" -> ((s, d) =>
+      graft.ops.Layout.compactionPlan(
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", targetBytes = 4000L)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_chars")).cast("long").as("bytes"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy(col("source"), col("bin"))),
+
     // JSON-lines round-trip: the wire format of the reference's Kafka
     // messages (S1/S2) as a file source/sink — write, read with an
     // explicit schema (inference is the reference's bug surface, not
@@ -926,6 +942,18 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s14_compaction_plan" ->
+      """WITH f AS (SELECT source, doc_id, n_chars,
+                      COALESCE(SUM(n_chars) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pre
+                    FROM documents)
+         SELECT source, CAST(pre // 4000 AS BIGINT) AS bin,
+                COUNT(*) AS n_files,
+                CAST(SUM(n_chars) AS BIGINT) AS bytes,
+                MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM f GROUP BY source, bin ORDER BY source, bin""",
     "s13_bucketed_join" ->
       s"""SELECT o_custkey % 10 AS cust_band, COUNT(*) AS n,
                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)

@@ -78,6 +78,20 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == 2000)
   }
 
+  test("compactionPlan packs greedily in id order, groups independent") {
+    val inv = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L), ("a", 3L, 1000L),
+      ("a", 4L, 1000L), ("a", 5L, 5000L), ("a", 6L, 100L),
+      ("b", 1L, 10L)).toDF("g", "fid", "bytes")
+    val got = Layout.compactionPlan(inv, "g", "fid", "bytes", 2500L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3))
+      .toMap
+    // prefixes (a): 0,1000,2000,3000,4000,9000 → bins 0,0,0,1,1,3
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 0L,
+      ("a", 4L) -> 1L, ("a", 5L) -> 1L, ("a", 6L) -> 3L,
+      ("b", 1L) -> 0L), got.toString)
+  }
+
   test("materializeBounded collects small aggregates, falls back above the cap") {
     // small side: becomes a local relation (no scan/exchange left)
     val small = (1L to 50L).map(i => (i % 5, i)).toDF("k", "v")
