@@ -197,4 +197,72 @@ object Journey {
           col("km") / (col("dt_us").cast("double") / 3.6e9) > maxKmh))
       .drop("__plat", "__plon", "__pts")
   }
+
+  /** GEO RADIUS SELF-JOIN: all point pairs within `radiusKm`
+    * great-circle km — the proximity pairing behind merchant-cluster
+    * fraud rings, "same physical location, different accounts", and
+    * POI conflation. Blocking is a 3-D CHORD GRID, not lat/lon tiles:
+    * each point embeds on the R=6371 km sphere
+    * (x,y,z) = R·(cosφcosλ, cosφsinλ, sinφ), and two points within
+    * haversine distance r have chord length ≤ c = 2R·sin(r/2R), so
+    * cubic cells of side c guarantee any qualifying pair sits within
+    * one cell step per axis. That single theorem replaces every
+    * lat/lon-tile pathology — no pole degeneracy, no antimeridian
+    * wrap, no per-band cos() widths — and floor() cell assignment
+    * preserves it regardless of floating-point ulps (both endpoints
+    * embed in the same engine). Every candidate is verified with the
+    * exact haversine predicate, so blocking only prunes and the
+    * DuckDB oracle states the plain θ-join.
+    *
+    * Scale shape: the left side explodes its 27-cell neighborhood
+    * (3 sequence explodes over id+cell+coords rows — metadata-wide,
+    * never payload), then ONE equi-join on the cell triple with
+    * `id_a < id_b`; each qualifying pair is emitted exactly once (a
+    * unique offset matches), so no distinct pass. Candidate volume is
+    * pairs-per-occupied-neighborhood, ~0.4% of the cross product at
+    * r = 500 km; dense-city hot cells compose with
+    * [[Layout.capBuckets]] upstream if a cell outgrows memory.
+    *
+    * Output: (pid_a, pid_b, km) with km 6dp-rounded, pid_a < pid_b.
+    */
+  def geoRadiusSelfJoin(points: DataFrame, idCol: String,
+                        latCol: String, lonCol: String,
+                        radiusKm: Double): DataFrame = {
+    require(radiusKm > 0.0, "radiusKm must be positive")
+    val earthR = 6371.0
+    val chord = 2.0 * earthR * math.sin(radiusKm / (2.0 * earthR))
+    val toRad = math.Pi / 180.0
+    val p = points
+      .filter(col(idCol).isNotNull && col(latCol).isNotNull &&
+        col(lonCol).isNotNull)
+      .select(col(idCol).as("__pid"),
+        col(latCol).cast("double").as("__lat"),
+        col(lonCol).cast("double").as("__lon"))
+      .withColumn("__cx", floor(
+        cos(col("__lat") * toRad) * cos(col("__lon") * toRad) * earthR
+          / chord).cast("long"))
+      .withColumn("__cy", floor(
+        cos(col("__lat") * toRad) * sin(col("__lon") * toRad) * earthR
+          / chord).cast("long"))
+      .withColumn("__cz", floor(
+        sin(col("__lat") * toRad) * earthR / chord).cast("long"))
+    val l27 = p
+      .withColumn("__ox", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__oy", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__oz", explode(sequence(lit(-1), lit(1))))
+      .select(col("__pid").as("__pa"), col("__lat").as("__la"),
+        col("__lon").as("__na"),
+        (col("__cx") + col("__ox")).as("__jx"),
+        (col("__cy") + col("__oy")).as("__jy"),
+        (col("__cz") + col("__oz")).as("__jz"))
+    val km = haversineKm(col("__la"), col("__na"),
+      col("__lat"), col("__lon"))
+    l27.join(p,
+        col("__jx") === col("__cx") && col("__jy") === col("__cy") &&
+          col("__jz") === col("__cz") && col("__pa") < col("__pid"))
+      .withColumn("__km", km)
+      .filter(col("__km") <= radiusKm)
+      .select(col("__pa").as("pid_a"), col("__pid").as("pid_b"),
+        round(col("__km"), 6).as("km"))
+  }
 }

@@ -54,6 +54,27 @@ object JoinQueries extends QuerySet {
           countDistinct(col("l_orderkey")).as("n_a"))
     }),
 
+    // Geo radius self-join: the ~2000 synthetic event locations (w12's
+    // lattice refined by user bucket) paired within 500 great-circle
+    // km via the 3-D chord grid — blocking only prunes (chord-cell
+    // theorem + exact haversine verify), so the oracle is the plain
+    // θ-join over all point pairs.
+    "j10_geo_radius_join" -> ((s, d) => {
+      val u = col("user_id") % 20
+      val pts = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+        .select((col("k") * 1000 + u).as("pid"),
+          (((col("k") * 37 + u * 13) % 180 - 90).cast("double") + 0.5)
+            .as("lat"),
+          (((col("k") * 53 + u * 29) % 360 - 180).cast("double") + 0.5)
+            .as("lon"))
+        .distinct()
+      graft.ops.Journey.geoRadiusSelfJoin(pts, "pid", "lat", "lon", 500.0)
+        .orderBy(col("pid_a"), col("pid_b"))
+    }),
+
     // Broadcast dimension join: fact scan stays shuffle-free.
     "j01_broadcast_join" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -168,6 +189,31 @@ object JoinQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "j10_geo_radius_join" ->
+      """WITH e AS (SELECT DISTINCT
+                      CAST(json_extract(props, '$.k') AS INT) AS k,
+                      user_id % 20 AS u
+                    FROM events
+                    WHERE json_extract(props, '$.k') IS NOT NULL
+                      AND user_id IS NOT NULL),
+         p AS (SELECT k * 1000 + u AS pid,
+                 CAST((k * 37 + u * 13) % 180 - 90 AS DOUBLE) + 0.5
+                   AS lat,
+                 CAST((k * 53 + u * 29) % 360 - 180 AS DOUBLE) + 0.5
+                   AS lon
+               FROM e),
+         d AS (SELECT a.pid AS pid_a, b.pid AS pid_b,
+                 2.0 * 6371.0 * asin(sqrt(
+                   sin(((b.lat - a.lat) * (pi() / 180.0)) / 2)
+                     * sin(((b.lat - a.lat) * (pi() / 180.0)) / 2)
+                   + cos(a.lat * (pi() / 180.0))
+                     * cos(b.lat * (pi() / 180.0))
+                     * sin(((b.lon - a.lon) * (pi() / 180.0)) / 2)
+                     * sin(((b.lon - a.lon) * (pi() / 180.0)) / 2)))
+                   AS km
+               FROM p a JOIN p b ON a.pid < b.pid)
+         SELECT pid_a, pid_b, round(km, 6) AS km
+         FROM d WHERE km <= 500.0 ORDER BY pid_a, pid_b""",
     "j08_asof_forward" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'purchase' AND user_id < 100),

@@ -144,4 +144,44 @@ class JourneySpec extends SparkSpec {
       .as[(Long, Long, Long)].head()
     assert(viaAssign === viaWindow)
   }
+
+  test("geoRadiusSelfJoin ≡ brute force, incl. pole and antimeridian") {
+    // near-pole pair (longitudes 180° apart but ~44 km over the top),
+    // antimeridian pair (±179.9°, ~22 km), a mid-latitude pair, and an
+    // isolated point — the three classic lat/lon-tile failure modes
+    // the chord grid must survive
+    val pts = Seq(
+      (1L, 89.9, 10.0), (2L, 89.9, -170.0),
+      (3L, 0.0, 179.9), (4L, 0.0, -179.9),
+      (5L, 0.0, 0.0), (6L, 1.0, 1.0),
+      (7L, -45.0, 100.0))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      val toRad = math.Pi / 180.0
+      val dLat = (b._2 - a._2) * toRad
+      val dLon = (b._3 - a._3) * toRad
+      val h = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(a._2 * toRad) * math.cos(b._2 * toRad) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      2.0 * 6371.0 * math.asin(math.sqrt(h))
+    }
+    val want = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d = hav(a, b) if d <= 300.0
+    } yield (a._1, b._1)).toSet
+    assert(want == Set((1L, 2L), (3L, 4L), (5L, 6L)), want.toString)
+    val got = Journey.geoRadiusSelfJoin(
+      pts.toDF("pid", "lat", "lon"), "pid", "lat", "lon", 300.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("geoRadiusSelfJoin at a tight radius keeps only the closest pair") {
+    // 3/4 are ~22 km apart; radius 25 keeps them, drops everything else
+    val pts = Seq((3L, 0.0, 179.9), (4L, 0.0, -179.9),
+      (5L, 0.0, 0.0), (6L, 1.0, 1.0)).toDF("pid", "lat", "lon")
+    val got = Journey.geoRadiusSelfJoin(pts, "pid", "lat", "lon", 25.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set((3L, 4L)), got.mkString(","))
+    assert(math.abs(got.head._2 - 22.24) < 0.1, got.head._2.toString)
+  }
 }
