@@ -70,6 +70,59 @@ object Graph {
     edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
 
+  /** Degree ASSORTATIVITY (Newman, "Assortative mixing in networks",
+    * PRL 2002): the Pearson correlation of endpoint degrees over every
+    * directed edge of the symmetrized graph — positive when hubs link
+    * hubs (social graphs), negative when hubs link leaves (fraud
+    * rings' star shapes, router topologies). The one-number structure
+    * screen that decides whether degree-capped blocking
+    * ([[coAttributeEdges]]' maxAttrUsers) will bite.
+    *
+    * Exactness: degrees are integer counts, the five moment sums
+    * accumulate as DECIMAL(38,0) (the [[Anomaly]] discipline), and the
+    * final correlation is one fixed-order double chain, 7dp-rounded —
+    * hash-exact under the oracle. Degenerate graphs (constant degree,
+    * e.g. a perfect ring) have zero variance and yield null.
+    *
+    * Scale shape: one grouped degree count + two shuffle joins of the
+    * edge list against the (node, degree) table, then a single global
+    * 6-sum aggregate — map-side combined, no windows, no driver math.
+    *
+    * Output (one row): `n_endpoints` (= 2·|edges|), `assortativity`.
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sym = symmetrize(edges)
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+    val pairs = sym
+      .join(deg.select(col("u"), col("__d").as("__dx")), Seq("u"))
+      .join(deg.select(col("u").as("v"), col("__d").as("__dy")), Seq("v"))
+      .select(col("__dx"), col("__dy"))
+    pairs
+      .agg(count(lit(1)).as("n_endpoints"),
+        sum(col("__dx").cast(dec38)).as("__sx"),
+        sum(col("__dy").cast(dec38)).as("__sy"),
+        sum((col("__dx") * col("__dx")).cast(dec38)).as("__sxx"),
+        sum((col("__dy") * col("__dy")).cast(dec38)).as("__syy"),
+        sum((col("__dx") * col("__dy")).cast(dec38)).as("__sxy"))
+      .withColumn("__nd", col("n_endpoints").cast("double"))
+      .withColumn("__mx", col("__sx").cast("double") / col("__nd"))
+      .withColumn("__my", col("__sy").cast("double") / col("__nd"))
+      .withColumn("__vx",
+        col("__sxx").cast("double") / col("__nd") -
+          col("__mx") * col("__mx"))
+      .withColumn("__vy",
+        col("__syy").cast("double") / col("__nd") -
+          col("__my") * col("__my"))
+      .withColumn("__cxy",
+        col("__sxy").cast("double") / col("__nd") -
+          col("__mx") * col("__my"))
+      .select(col("n_endpoints"),
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          round(col("__cxy") / sqrt(col("__vx") * col("__vy")), 7))
+          .as("assortativity"))
+  }
+
   /** Minimum-hop distance from a seed set, bounded at `maxHops` —
     * "every account within k hops of a confirmed-fraud account", the
     * blocklist-expansion query.

@@ -445,4 +445,71 @@ object TextAnalysis {
         .otherwise(transform(sequence(lit(0), size(grams) - w),
           j => array_min(slice(grams, j + 1, lit(w)))))))
   }
+
+  /** DISTINCTIVE TERMS per corpus slice — log-odds ratio with a flat
+    * Dirichlet prior, z-scored (Monroe, Colaresi & Quinn, "Fightin'
+    * Words", Political Analysis 2008): for each (group, token), how
+    * over-represented the token is in the group vs the REST of the
+    * corpus, normalized by its sampling variance. The keyness screen
+    * that tells a mixture designer what each source actually
+    * contributes — raw tf-idf overweights rare noise; the variance
+    * term here shrinks low-count flukes toward zero.
+    *
+    *   δ  = ln((y+α)/(nᵢ+Vα−y−α)) − ln((yᵣ+α)/(nᵣ+Vα−yᵣ−α))
+    *   σ² = 1/(y+α) + 1/(yᵣ+α),  z = δ/√σ²
+    *
+    * (y = group count, yᵣ = rest count, nᵢ/nᵣ = token totals, V =
+    * vocabulary size, α = 0.5 flat prior.)
+    *
+    * Engine-exactness: all counts integer; the two `ln`s are the only
+    * transcendentals and z is 7dp-rounded BEFORE ranking, with the
+    * token as tie-break, so 1-ulp ln drift can't flip an ordering the
+    * oracle sees. Scale shape: one (group, token) count off the scan,
+    * a token-keyed re-agg for globals joined back on the token key, a
+    * broadcast 1-row (V, n) frame, and the per-group top-k window over
+    * VOCABULARY-sized rows — the corpus itself is never re-shuffled.
+    *
+    * Output: (grp, token, y, z, rank) for the top `k` tokens per
+    * group by z.
+    */
+  def logOddsKeyness(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                     textCol: String,
+                     k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val alpha = 0.5
+    val grpTok = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("y"))
+    val tokTot = grpTok.groupBy(col("token"))
+      .agg(sum(col("y")).as("y_all"))
+    val grpTot = grpTok.groupBy(col("grp")).agg(sum(col("y")).as("n_i"))
+    val global = tokTot.agg(count(lit(1)).as("v_sz"),
+      sum(col("y_all")).as("n_all"))
+    val scored = grpTok
+      .join(tokTot, Seq("token"))
+      .join(grpTot, Seq("grp"))
+      .crossJoin(broadcast(global))
+      .withColumn("__yr", col("y_all") - col("y"))
+      .withColumn("__nr", col("n_all") - col("n_i"))
+      .withColumn("__va", col("v_sz").cast("double") * alpha)
+      .withColumn("__delta",
+        log((col("y").cast("double") + alpha) /
+          (col("n_i").cast("double") + col("__va") -
+            col("y").cast("double") - alpha)) -
+          log((col("__yr").cast("double") + alpha) /
+            (col("__nr").cast("double") + col("__va") -
+              col("__yr").cast("double") - alpha)))
+      .withColumn("__sig2",
+        lit(1.0) / (col("y").cast("double") + alpha) +
+          lit(1.0) / (col("__yr").cast("double") + alpha))
+      .withColumn("z", round(col("__delta") / sqrt(col("__sig2")), 7))
+    Aggregates.topKPerGroup(scored, "grp", "z", k, Seq("token"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("z").desc, col("token").asc)))
+      .select(col("grp"), col("token"), col("y"), col("z"), col("rank"))
+  }
 }

@@ -41,6 +41,12 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
 
+    // Newman degree assortativity of the co-attribute graph: Pearson
+    // over endpoint degrees of every directed edge — integer moment
+    // sums, one fixed-order double chain, hash-exact.
+    "g07_assortativity" -> ((s, d) =>
+      graft.ops.Graph.assortativity(edges(s, d))),
+
     "g03_triangles" -> ((s, d) =>
       graft.ops.Graph.triangleCounts(edges(s, d))
         .orderBy(col("node"))),
@@ -105,6 +111,39 @@ object GraphQueries extends QuerySet {
     "g01_coattr_edges" ->
       s"""$prelude
          SELECT u, v, shared FROM e ORDER BY u, v""",
+
+    "g07_assortativity" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+         pr AS (SELECT da.d AS x, db.d AS y
+                FROM sym JOIN deg da ON sym.u = da.u
+                         JOIN deg db ON sym.v = db.u),
+         st AS (SELECT COUNT(*) AS n,
+                  SUM(CAST(x AS HUGEINT)) AS sx,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+                  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+                FROM pr),
+         mo AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                  CAST(sxx AS DOUBLE) AS sxxd,
+                  CAST(syy AS DOUBLE) AS syyd,
+                  CAST(sxy AS DOUBLE) AS sxyd
+                FROM st),
+         cv AS (SELECT n,
+                  sxxd / nd - mx * mx AS vx,
+                  syyd / nd - my * my AS vy,
+                  sxyd / nd - mx * my AS cxy
+                FROM mo)
+         SELECT n AS n_endpoints,
+                CASE WHEN vx > 0 AND vy > 0
+                     THEN round(cxy / sqrt(vx * vy), 7)
+                END AS assortativity
+         FROM cv""",
 
     // 3 unrolled iterations of the integer fixed-point PageRank:
     // scale 10^6, damping 85%, base = 150000, every division a floor

@@ -22,6 +22,17 @@ object TextQueries extends QuerySet {
   private val enStop = TextAnalysis.langStopwords("en")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distinctive terms per source ("Fightin' Words" log-odds with a
+    // flat Dirichlet prior, z-scored): what each slice of the corpus
+    // over-represents vs the rest. z is 7dp-rounded before the per-
+    // group top-5 ranking so ln ulp drift cannot flip an ordering.
+    "t25_log_odds_keyness" -> ((s, d) =>
+      graft.ops.TextAnalysis.logOddsKeyness(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "source", "text", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("grp"), col("rank"))),
+
     // Spell correction / OCR cleanup: plant a deterministic typo (last
     // char → '~' on every 5th (doc_id+pos) token of length ≥ 4), then
     // recover it against the corpus's own vocabulary via the blocked
@@ -375,6 +386,39 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t25_log_odds_keyness" ->
+      """WITH gt AS (SELECT grp, tok AS token, COUNT(*) AS y
+                     FROM (SELECT source AS grp,
+                             unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS tok
+                           FROM documents
+                           WHERE source IS NOT NULL
+                             AND text IS NOT NULL)
+                     WHERE tok <> '' GROUP BY grp, tok),
+         tt AS (SELECT token, SUM(y) AS y_all FROM gt GROUP BY token),
+         gg AS (SELECT grp, SUM(y) AS n_i FROM gt GROUP BY grp),
+         gl AS (SELECT COUNT(*) AS v_sz, SUM(y_all) AS n_all FROM tt),
+         sc AS (SELECT gt.grp, gt.token, gt.y,
+                  tt.y_all - gt.y AS yr, gl.n_all - gg.n_i AS nr,
+                  CAST(gl.v_sz AS DOUBLE) * 0.5 AS va, gg.n_i
+                FROM gt JOIN tt USING (token) JOIN gg USING (grp), gl),
+         z AS (SELECT grp, token, y,
+                 round((ln((CAST(y AS DOUBLE) + 0.5)
+                         / (CAST(n_i AS DOUBLE) + va
+                            - CAST(y AS DOUBLE) - 0.5))
+                      - ln((CAST(yr AS DOUBLE) + 0.5)
+                         / (CAST(nr AS DOUBLE) + va
+                            - CAST(yr AS DOUBLE) - 0.5)))
+                     / sqrt(1.0 / (CAST(y AS DOUBLE) + 0.5)
+                          + 1.0 / (CAST(yr AS DOUBLE) + 0.5)), 7) AS z
+               FROM sc),
+         r AS (SELECT grp, token, y, z,
+                 ROW_NUMBER() OVER (PARTITION BY grp
+                                    ORDER BY z DESC, token) AS rank
+               FROM z)
+         SELECT grp, token, CAST(y AS BIGINT) AS y, z,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY grp, rank""",
     "t20_spell_correct" ->
       """WITH t AS (SELECT doc_id,
                       string_split_regex(trim(text), '\s+') AS toks

@@ -141,4 +141,27 @@ class GraphSpec extends SparkSpec {
       rmTree(new java.io.File(dir))
     }
   }
+
+  test("assortativity: star = -1, regular graph = null") {
+    // K1,3 star: hub degree 3 links only degree-1 leaves → perfectly
+    // disassortative
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = Graph.assortativity(star).first()
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0, r.toString)
+    // 4-cycle: every degree is 2 → zero variance → null
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("u", "v")
+    val r2 = Graph.assortativity(ring).first()
+    assert(r2.getLong(0) == 8L && r2.isNullAt(1), r2.toString)
+  }
+
+  test("assortativity matches a hand-computed mixed graph") {
+    // path 1-2-3 plus pendant 3-4: degrees 1,2,2,1
+    // directed endpoint pairs: (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+    // → x=[1,2,2,2,2,1], y=[2,1,2,2,1,2]: mx=my=5/3,
+    // vx=vy=2/9, cxy=(16/6)-(25/9)=-1/9 → r=-0.5
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = Graph.assortativity(g).first()
+    assert(math.abs(r.getDouble(1) + 0.5) < 1e-9, r.toString)
+  }
 }

@@ -1772,4 +1772,45 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double)].collect().map(_._1).toSet
     assert(top == Set(1L, 3L))
   }
+
+  test("logOddsKeyness: planted over-represented terms rank first") {
+    // symmetric corpus: g1 over-uses 'xx', g2 over-uses 'yy', 'cc' is
+    // shared background — z must be symmetric across the two groups
+    val docs = Seq(
+      ("g1", "xx xx xx cc"), ("g1", "xx cc"),
+      ("g2", "yy yy yy cc"), ("g2", "yy cc")).toDF("src", "text")
+    val out = TextAnalysis.logOddsKeyness(docs, "src", "text", k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getInt(4)))).toMap
+    assert(out(("g1", "xx"))._2 == 1, out.toString)   // top of g1
+    assert(out(("g2", "yy"))._2 == 1, out.toString)   // top of g2
+    assert(out(("g1", "xx"))._1 == out(("g2", "yy"))._1,
+      "symmetry: planted terms must score identically")
+    assert(out(("g1", "xx"))._1 > 0.0)
+    assert(!out.contains(("g1", "yy")),
+      "unobserved (group, token) pairs are not scored")
+    // background term: same |z| in both groups, below the planted term
+    assert(out(("g1", "cc"))._1 == out(("g2", "cc"))._1)
+    assert(out(("g1", "cc"))._1 < out(("g1", "xx"))._1)
+  }
+
+  test("logOddsKeyness matches the closed-form z on a tiny corpus") {
+    val docs = Seq(("a", "p p q"), ("b", "q q q")).toDF("src", "text")
+    // vocab {p,q}: V=2, va=1.0; token p in a: y=2, yr=0, n_i=3, nr=3
+    def z(y: Double, yr: Double, ni: Double, nr: Double) = {
+      val va = 1.0
+      val d = math.log((y + 0.5) / (ni + va - y - 0.5)) -
+        math.log((yr + 0.5) / (nr + va - yr - 0.5))
+      val s2 = 1.0 / (y + 0.5) + 1.0 / (yr + 0.5)
+      math.rint(d / math.sqrt(s2) * 1e7) / 1e7
+    }
+    val got = TextAnalysis.logOddsKeyness(docs, "src", "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(got(("a", "p")) - z(2, 0, 3, 3)) < 2e-7,
+      s"${got(("a", "p"))} vs ${z(2, 0, 3, 3)}")
+    assert(math.abs(got(("b", "q")) - z(3, 1, 3, 3)) < 2e-7,
+      s"${got(("b", "q"))} vs ${z(3, 1, 3, 3)}")
+  }
 }
