@@ -157,13 +157,19 @@ object FuzzyJoin {
       g.withColumn("occ",
         row_number().over(Window.partitionBy("sid", "gram").orderBy("pos")))
     }
-    val cGrams = grams(c)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // corpus strings re-enter at the verify stage; grams feed both the
+    // df table and the corpus prefix; dfreq joins against BOTH sides'
+    // grams — persist each once (Verify/Bench clear the cache per
+    // query)
+    val cGrams = grams(c).persist(lvl)
     // Document frequency over the CORPUS defines the shared total order
     // (dfreq asc, gram, occ) — rarest first. Probe grams absent from
     // the corpus keep dfreq 0: sound (they sort first, and an absent
     // gram can never collide anyway).
     val dfreq = cGrams.select(col("sid"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("dfreq"))
+      .persist(lvl)
     def prefix(g: DataFrame): DataFrame =
       g.join(dfreq, Seq("gram"), "left")
         .na.fill(0L, Seq("dfreq"))

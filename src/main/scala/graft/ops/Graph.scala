@@ -92,8 +92,12 @@ object Graph {
     */
   def assortativity(edges: DataFrame): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val sym = symmetrize(edges)
+    // sym feeds the degree count AND the pair join; deg joins twice —
+    // persist both or the (already expensive) edge derivation re-runs
+    // three times. Verify/Bench clear the cache per query.
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = sym
       .join(deg.select(col("u"), col("__d").as("__dx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("__d").as("__dy")), Seq("v"))

@@ -246,6 +246,9 @@ object Journey {
           / chord).cast("long"))
       .withColumn("__cz", floor(
         sin(col("__lat") * toRad) * earthR / chord).cast("long"))
+      // both join sides read p (27-offset left + plain right): persist
+      // or the upstream distinct + trig embedding runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l27 = p
       .withColumn("__ox", explode(sequence(lit(-1), lit(1))))
       .withColumn("__oy", explode(sequence(lit(-1), lit(1))))

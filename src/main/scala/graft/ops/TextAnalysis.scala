@@ -483,8 +483,13 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy(col("grp"), col("token"))
       .agg(count(lit(1)).as("y"))
+      // feeds the token totals, the group totals, and the scored join —
+      // persist or the corpus tokenization re-runs three times
+      // (Verify/Bench clear the cache per query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokTot = grpTok.groupBy(col("token"))
       .agg(sum(col("y")).as("y_all"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grpTot = grpTok.groupBy(col("grp")).agg(sum(col("y")).as("n_i"))
     val global = tokTot.agg(count(lit(1)).as("v_sz"),
       sum(col("y_all")).as("n_all"))
