@@ -40,8 +40,8 @@ object Anomaly {
     * decimal→double ONCE; everything after is a fixed-order double
     * chain the oracle restates verbatim.
     */
-  private def stats2(rows: DataFrame, groupCol: String,
-                     xCol: String, yCol: String): DataFrame = {
+  private[ops] def stats2(rows: DataFrame, groupCol: String,
+                          xCol: String, yCol: String): DataFrame = {
     val xd = col(xCol).cast(dec38)
     val yd = col(yCol).cast(dec38)
     rows.groupBy(col(groupCol).as("__sg"))

@@ -140,12 +140,15 @@ object FuzzyJoin {
     require(maxDist >= 1 && q >= 2, "maxDist >= 1 and q >= 2")
     val minLen = q * (maxDist + 1)
     val k = q * maxDist + 1
-    val c = corpus.select(col(idCol).cast("long").as("sid"),
+    // ids keep their caller type (a cast-to-long would silently null
+    // string ids and collapse the result to empty — the corrections/
+    // resolveEntities convention)
+    val c = corpus.select(col(idCol).as("sid"),
         col(strCol).cast("string").as("s"))
-      .filter(length(col("s")) >= minLen)
-    val p = probes.select(col(pidCol).cast("long").as("sid"),
+      .filter(col("sid").isNotNull && length(col("s")) >= minLen)
+    val p = probes.select(col(pidCol).as("sid"),
         col(pstrCol).cast("string").as("s"))
-      .filter(length(col("s")) >= minLen)
+      .filter(col("sid").isNotNull && length(col("s")) >= minLen)
 
     // (sid, gram, occ, pos): positional q-grams, occurrences tagged so
     // duplicate grams stay distinct multiset elements.
@@ -190,9 +193,11 @@ object FuzzyJoin {
         Seq("probe_id"))
       .join(c.select(col("sid").as("corpus_id"), col("s").as("cs")),
         Seq("corpus_id"))
-      .filter(abs(length(col("ps")) - length(col("cs"))) <= maxDist &&
-        levenshtein(col("ps"), col("cs")) <= maxDist)
-      .select(col("probe_id"), col("corpus_id"),
-        levenshtein(col("ps"), col("cs")).cast("long").as("dist"))
+      .filter(abs(length(col("ps")) - length(col("cs"))) <= maxDist)
+      // one DP evaluation per candidate: compute, then filter on it
+      .withColumn("dist",
+        levenshtein(col("ps"), col("cs")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("corpus_id"), col("dist"))
   }
 }

@@ -91,7 +91,6 @@ object Graph {
     * Output (one row): `n_endpoints` (= 2·|edges|), `assortativity`.
     */
   def assortativity(edges: DataFrame): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // sym feeds the degree count AND the pair join; deg joins twice —
     // persist both or the (already expensive) edge derivation re-runs
     // three times. Verify/Bench clear the cache per query.
@@ -101,27 +100,11 @@ object Graph {
     val pairs = sym
       .join(deg.select(col("u"), col("__d").as("__dx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("__d").as("__dy")), Seq("v"))
-      .select(col("__dx"), col("__dy"))
-    pairs
-      .agg(count(lit(1)).as("n_endpoints"),
-        sum(col("__dx").cast(dec38)).as("__sx"),
-        sum(col("__dy").cast(dec38)).as("__sy"),
-        sum((col("__dx") * col("__dx")).cast(dec38)).as("__sxx"),
-        sum((col("__dy") * col("__dy")).cast(dec38)).as("__syy"),
-        sum((col("__dx") * col("__dy")).cast(dec38)).as("__sxy"))
-      .withColumn("__nd", col("n_endpoints").cast("double"))
-      .withColumn("__mx", col("__sx").cast("double") / col("__nd"))
-      .withColumn("__my", col("__sy").cast("double") / col("__nd"))
-      .withColumn("__vx",
-        col("__sxx").cast("double") / col("__nd") -
-          col("__mx") * col("__mx"))
-      .withColumn("__vy",
-        col("__syy").cast("double") / col("__nd") -
-          col("__my") * col("__my"))
-      .withColumn("__cxy",
-        col("__sxy").cast("double") / col("__nd") -
-          col("__mx") * col("__my"))
-      .select(col("n_endpoints"),
+      .select(lit(1).as("__all"), col("__dx"), col("__dy"))
+    // one canonical spelling of the moment→covariance chain
+    // (Anomaly.stats2) — the oracle mirrors it term for term
+    Anomaly.stats2(pairs, "__all", "__dx", "__dy")
+      .select(col("__n").as("n_endpoints"),
         when(col("__vx") > 0.0 && col("__vy") > 0.0,
           round(col("__cxy") / sqrt(col("__vx") * col("__vy")), 7))
           .as("assortativity"))

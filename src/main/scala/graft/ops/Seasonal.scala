@@ -92,11 +92,15 @@ object Seasonal {
                maxLag: Int = 3): DataFrame = {
     require(maxLag >= 1, "maxLag >= 1")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // the series feeds the totals, the lag explode, and the pair
+    // join's build side — persist or the raw-table collapse re-runs
+    // three times (Verify/Bench clear the cache per query)
     val series = df
       .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull)
       .withColumn("__day", expr(s"$tsUsCol div 86400000000"))
       .groupBy(col(groupCol).as("__g"), col("__day"))
       .agg(count(lit(1)).as("__x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = series.groupBy(col("__g"))
       .agg(count(lit(1)).as("__N"),
         sum(col("__x").cast(dec38)).as("__S"),

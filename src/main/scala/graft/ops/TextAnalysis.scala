@@ -511,10 +511,14 @@ object TextAnalysis {
         lit(1.0) / (col("y").cast("double") + alpha) +
           lit(1.0) / (col("__yr").cast("double") + alpha))
       .withColumn("z", round(col("__delta") / sqrt(col("__sig2")), 7))
-    Aggregates.topKPerGroup(scored, "grp", "z", k, Seq("token"))
+    // one window ranks AND filters — a topKPerGroup pass would compute
+    // the identical row_number, drop it, and force a second window to
+    // re-derive the rank the output needs
+    scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
           .orderBy(col("z").desc, col("token").asc)))
+      .filter(col("rank") <= k)
       .select(col("grp"), col("token"), col("y"), col("z"), col("rank"))
   }
 }

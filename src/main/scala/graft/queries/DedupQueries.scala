@@ -128,7 +128,9 @@ object DedupQueries extends QuerySet {
     // with one character deleted (a light crawl mutation); the Ed-Join
     // q-gram prefix filter (rarest-corpus-gram order, occurrence-
     // tagged) blocks candidates, exact levenshtein verifies. The
-    // oracle states the plain θ-join — the filter chain only prunes.
+    // oracle states the plain θ-join — the filter chain only prunes —
+    // and replays the operator's length >= q(τ+1) = 9 exclusion
+    // contract (latent here: doc texts are all >= 48 chars).
     "d17_fuzzy_decontaminate" -> ((s, d) => {
       val corpus = Tables.documents(s, d)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("str"))
@@ -844,11 +846,13 @@ object DedupQueries extends QuerySet {
                 CAST(SUM(id) AS BIGINT) AS id_checksum
          FROM mapped GROUP BY entity_id ORDER BY entity_id""",
     "d17_fuzzy_decontaminate" ->
-      """WITH c AS (SELECT doc_id, substr(text, 1, 40) AS str
-                    FROM documents),
+      """WITH c0 AS (SELECT doc_id, substr(text, 1, 40) AS str
+                     FROM documents),
+          c AS (SELECT doc_id, str FROM c0 WHERE length(str) >= 9),
           p AS (SELECT doc_id AS probe_id,
                        substr(str, 1, 7) || substr(str, 9) AS pstr
-                FROM c WHERE doc_id % 97 = 0)
+                FROM c0 WHERE doc_id % 97 = 0
+                  AND length(substr(str, 1, 7) || substr(str, 9)) >= 9)
          SELECT p.probe_id, c.doc_id AS corpus_id,
                 CAST(levenshtein(p.pstr, c.str) AS BIGINT) AS dist
          FROM p JOIN c

@@ -129,16 +129,6 @@ object WindowQueries extends QuerySet {
     // and every held-out (type, hour) cell gets an integer forecast,
     // a residual-quantile band [p5, p95], the actual, and the
     // coverage flag — all BIGINT, all on the oracle.
-    // Daily-count autocorrelation per event type at lags 1..3 — the
-    // Box–Jenkins seasonality screen over the observed-day series,
-    // gap-exact (pairs by calendar distance, not row adjacency),
-    // integer sums + one fixed-order double chain.
-    "w17_acf" -> ((s, d) =>
-      graft.ops.Seasonal.acfDaily(
-        Tables.eventsMicros(s, d).select(col("event_type"), col("ts_us")),
-        "event_type", "ts_us", maxLag = 3)
-        .orderBy(col("grp"), col("k"))),
-
     "w16_forecast_backtest" -> ((s, d) =>
       // Cached form: three aggregations re-read the decomposition;
       // Verify/Bench clear the cache after each query
@@ -152,6 +142,16 @@ object WindowQueries extends QuerySet {
           col("forecast"), col("lo"), col("hi"), col("actual"),
           col("abs_err"), col("covered"))
         .orderBy(col("event_type"), col("hour"))),
+
+    // Daily-count autocorrelation per event type at lags 1..3 — the
+    // Box–Jenkins seasonality screen over the observed-day series,
+    // gap-exact (pairs by calendar distance, not row adjacency),
+    // integer sums + one fixed-order double chain.
+    "w17_acf" -> ((s, d) =>
+      graft.ops.Seasonal.acfDaily(
+        Tables.eventsMicros(s, d).select(col("event_type"), col("ts_us")),
+        "event_type", "ts_us", maxLag = 3)
+        .orderBy(col("grp"), col("k"))),
 
     // Per-user two-sided CUSUM changepoint alarms (target 50.00,
     // h 200.00 — as exact integer cents): alarm counts plus the final
@@ -264,43 +264,6 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
-    // the packed-BIGINT fold: (sp, sn, alarms) in one integer with a
-    "w17_acf" ->
-      """WITH e AS (SELECT event_type AS g,
-                      epoch_us(ts) // 86400000000 AS day
-                    FROM events
-                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
-         s AS (SELECT g, day, COUNT(*) AS x FROM e GROUP BY g, day),
-         t AS (SELECT g, COUNT(*) AS nn,
-                 SUM(CAST(x AS HUGEINT)) AS ss,
-                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sss
-               FROM s GROUP BY g),
-         l AS (SELECT s.g, s.day, s.x, kk.k
-               FROM s CROSS JOIN (VALUES (1), (2), (3)) kk(k)),
-         p AS (SELECT a.g, a.k, COUNT(*) AS n_pairs,
-                 SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS pp,
-                 SUM(CAST(a.x AS HUGEINT)) AS aa,
-                 SUM(CAST(b.x AS HUGEINT)) AS bb
-               FROM l a JOIN s b ON a.g = b.g AND a.day + a.k = b.day
-               GROUP BY a.g, a.k),
-         m AS (SELECT p.g, p.k, p.n_pairs, pp, aa, bb, nn, sss,
-                 CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mu
-               FROM p JOIN t ON p.g = t.g),
-         d AS (SELECT g, k, n_pairs, pp, aa, bb, mu,
-                 CAST(sss AS DOUBLE)
-                   - CAST(nn AS DOUBLE) * mu * mu AS den
-               FROM m)
-         SELECT g AS grp, k, CAST(n_pairs AS BIGINT) AS n_pairs,
-                CASE WHEN den > 0 THEN
-                  round((CAST(pp AS DOUBLE) - mu * CAST(aa AS DOUBLE)
-                         - mu * CAST(bb AS DOUBLE)
-                         + CAST(n_pairs AS DOUBLE) * mu * mu) / den, 7)
-                END AS acf
-         FROM d ORDER BY grp, k""",
-
-    // SINGLE CASE per step — DuckDB 1.0's list_reduce mis-evaluated a
-    // shared CASE across struct fields on long lists; integer packing
-    // sidesteps it with zero precision loss (cents are exact)
     "w16_forecast_backtest" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v
@@ -358,6 +321,39 @@ object WindowQueries extends QuerySet {
               JOIN qh ON ta.g = qh.g
          ORDER BY ta.g, ta.hour""",
 
+    "w17_acf" ->
+      """WITH e AS (SELECT event_type AS g,
+                      epoch_us(ts) // 86400000000 AS day
+                    FROM events
+                    WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         s AS (SELECT g, day, COUNT(*) AS x FROM e GROUP BY g, day),
+         t AS (SELECT g, COUNT(*) AS nn,
+                 SUM(CAST(x AS HUGEINT)) AS ss,
+                 SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sss
+               FROM s GROUP BY g),
+         l AS (SELECT s.g, s.day, s.x, kk.k
+               FROM s CROSS JOIN (VALUES (1), (2), (3)) kk(k)),
+         p AS (SELECT a.g, a.k, COUNT(*) AS n_pairs,
+                 SUM(CAST(a.x AS HUGEINT) * CAST(b.x AS HUGEINT)) AS pp,
+                 SUM(CAST(a.x AS HUGEINT)) AS aa,
+                 SUM(CAST(b.x AS HUGEINT)) AS bb
+               FROM l a JOIN s b ON a.g = b.g AND a.day + a.k = b.day
+               GROUP BY a.g, a.k),
+         m AS (SELECT p.g, p.k, p.n_pairs, pp, aa, bb, nn, sss,
+                 CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS mu
+               FROM p JOIN t ON p.g = t.g),
+         d AS (SELECT g, k, n_pairs, pp, aa, bb, mu,
+                 CAST(sss AS DOUBLE)
+                   - CAST(nn AS DOUBLE) * mu * mu AS den
+               FROM m)
+         SELECT g AS grp, k, CAST(n_pairs AS BIGINT) AS n_pairs,
+                CASE WHEN den > 0 THEN
+                  round((CAST(pp AS DOUBLE) - mu * CAST(aa AS DOUBLE)
+                         - mu * CAST(bb AS DOUBLE)
+                         + CAST(n_pairs AS DOUBLE) * mu * mu) / den, 7)
+                END AS acf
+         FROM d ORDER BY grp, k""",
+
     "w15_seasonal_decomp" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v
@@ -383,6 +379,10 @@ object WindowQueries extends QuerySet {
          FROM dt JOIN se ON dt.g = se.g AND dt.hour = se.hour
          GROUP BY dt.g, dt.hour ORDER BY dt.g, dt.hour""",
 
+    // the packed-BIGINT fold: (sp, sn, alarms) in one integer with a
+    // SINGLE CASE per step — DuckDB 1.0's list_reduce mis-evaluated a
+    // shared CASE across struct fields on long lists; integer packing
+    // sidesteps it with zero precision loss (cents are exact)
     "w14_cusum" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v
