@@ -13,6 +13,18 @@ import graft.ml.TrainingJob
 object MlQueries extends QuerySet {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hash-exact k-means (integer fixed-point Lloyd's, k=4, 3
+    // iterations, grid-midpoint init) over (quantity, price-cents) —
+    // the only clustering whose every iteration the DuckDB oracle
+    // replays bit-for-bit (MLlib KMeans stays spec-gated).
+    "m20_kmeans" -> ((s, d) =>
+      graft.ops.Clustering.kmeansExact2d(
+        Tables.lineitem(s, d).select(
+          col("l_quantity").cast("bigint").as("x"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "x", "y", k = 4, iters = 3)
+        .orderBy(col("j"))),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -238,6 +250,83 @@ object MlQueries extends QuerySet {
   }
 
   def oracle: Map[String, String] = Map(
+    // g02's unrolled-iteration discipline applied to clustering: init,
+    // three assign/update rounds, final assignment + inertia — every
+    // step exact integer arithmetic (div/`//` both truncate)
+    "m20_kmeans" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                      COUNT(*) AS w
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_extendedprice IS NOT NULL
+                    GROUP BY 1, 2),
+         b AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax,
+                      MIN(y) AS ymin, MAX(y) AS ymax FROM h),
+         c0 AS (SELECT t.j,
+                  xmin + ((2 * t.j + 1) * (xmax - xmin)) // 8 AS cx,
+                  ymin + ((2 * t.j + 1) * (ymax - ymin)) // 8 AS cy
+                FROM range(4) t(j), b),
+         a1 AS (SELECT * FROM (
+                  SELECT h.x, h.y, h.w, c.j,
+                    (h.x - c.cx) * (h.x - c.cx)
+                      + (h.y - c.cy) * (h.y - c.cy) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY h.x, h.y
+                                       ORDER BY (h.x - c.cx) * (h.x - c.cx)
+                                         + (h.y - c.cy) * (h.y - c.cy),
+                                         c.j) AS rn
+                  FROM h, c0 c) WHERE rn = 1),
+         c1 AS (SELECT j,
+                  CAST(SUM(CAST(x AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cx,
+                  CAST(SUM(CAST(y AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cy
+                FROM a1 GROUP BY j),
+         a2 AS (SELECT * FROM (
+                  SELECT h.x, h.y, h.w, c.j,
+                    (h.x - c.cx) * (h.x - c.cx)
+                      + (h.y - c.cy) * (h.y - c.cy) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY h.x, h.y
+                                       ORDER BY (h.x - c.cx) * (h.x - c.cx)
+                                         + (h.y - c.cy) * (h.y - c.cy),
+                                         c.j) AS rn
+                  FROM h, c1 c) WHERE rn = 1),
+         c2 AS (SELECT j,
+                  CAST(SUM(CAST(x AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cx,
+                  CAST(SUM(CAST(y AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cy
+                FROM a2 GROUP BY j),
+         a3 AS (SELECT * FROM (
+                  SELECT h.x, h.y, h.w, c.j,
+                    (h.x - c.cx) * (h.x - c.cx)
+                      + (h.y - c.cy) * (h.y - c.cy) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY h.x, h.y
+                                       ORDER BY (h.x - c.cx) * (h.x - c.cx)
+                                         + (h.y - c.cy) * (h.y - c.cy),
+                                         c.j) AS rn
+                  FROM h, c2 c) WHERE rn = 1),
+         c3 AS (SELECT j,
+                  CAST(SUM(CAST(x AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cx,
+                  CAST(SUM(CAST(y AS HUGEINT) * w) // SUM(w) AS BIGINT)
+                    AS cy
+                FROM a3 GROUP BY j),
+         a4 AS (SELECT * FROM (
+                  SELECT h.x, h.y, h.w, c.j,
+                    (h.x - c.cx) * (h.x - c.cx)
+                      + (h.y - c.cy) * (h.y - c.cy) AS d2,
+                    ROW_NUMBER() OVER (PARTITION BY h.x, h.y
+                                       ORDER BY (h.x - c.cx) * (h.x - c.cx)
+                                         + (h.y - c.cy) * (h.y - c.cy),
+                                         c.j) AS rn
+                  FROM h, c3 c) WHERE rn = 1)
+         SELECT a4.j, CAST(SUM(a4.w) AS BIGINT) AS n, c3.cx, c3.cy,
+                CAST(SUM(CAST(a4.d2 AS HUGEINT) * a4.w) AS DOUBLE)
+                  AS inertia
+         FROM a4 JOIN c3 ON a4.j = c3.j
+         GROUP BY a4.j, c3.cx, c3.cy
+         ORDER BY a4.j""",
     "m16_logistic_irls" -> irlsOracleSql(3),
     "m12b_logistic_score" ->
       """WITH f AS (SELECT l_orderkey,
