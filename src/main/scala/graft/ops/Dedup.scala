@@ -1091,4 +1091,71 @@ object Dedup {
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup coverage (the rolling-hash
+    * boundary idea of LBFS, Muthitacharoen et al. SOSP 2001, on word
+    * tokens): split every document at positions where the hash of the
+    * trailing `g`-token window lands in a 1/16 bucket, hash each
+    * chunk, and measure per document how much of it is duplicated
+    * elsewhere in the corpus. The property fixed-size blocking lacks:
+    * a local edit (an inserted prefix, a changed word) only perturbs
+    * chunks that overlap it — boundaries RE-SYNCHRONIZE right after,
+    * so the untouched tail still dedupes. [[lineDedup]] needs shared
+    * line structure; this needs only shared token runs.
+    *
+    * Engine-portable: the boundary predicate is
+    * `substr(md5(window), 1, 1) = '0'` (hex prefix, no int
+    * conversion — the md5-mode contract), chunk identity is the md5
+    * of the space-joined tokens, and every count is an integer, so
+    * the whole pipeline sits on a hash-exact oracle.
+    *
+    * Scale shape: one posexplode off the scan; two per-doc windows
+    * (lag for the rolling window, a prefix-sum for the chunk index —
+    * partitioned by doc, never global); one (doc, chunk) agg; one
+    * chunk-hash agg for corpus-wide sharing, joined back by chunk
+    * hash. Chunk hashes travel as 32-byte digests, never text.
+    *
+    * Output per doc: `(doc_id, n_toks, n_chunks, n_shared_chunks,
+    * shared_toks)` — a chunk is shared when its content hash appears
+    * in ≥ 2 DISTINCT documents.
+    */
+  def cdcChunkCoverage(df: DataFrame, idCol: String, textCol: String,
+                       g: Int = 3): DataFrame = {
+    require(g >= 2, "window must span at least 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+")))
+      .withColumnRenamed("col", "token")
+      .filter(col("token") =!= "")
+    val win = concat_ws(" ",
+      (g - 1 to 1 by -1).map(i => lag(col("token"), i, "").over(byPos)) :+
+        col("token"): _*)
+    val bounded = toks
+      .withColumn("__b",
+        when(substring(md5(win.cast("binary")), 1, 1) === "0", 1L)
+          .otherwise(0L))
+      .withColumn("chunk",
+        coalesce(sum(col("__b")).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = bounded
+      .groupBy(col("doc"), col("chunk"))
+      .agg(count(lit(1)).as("n_toks"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          s => s.getField("token"))).cast("binary")).as("chash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sharing = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc")).as("__docs"))
+    chunks.join(sharing, Seq("chash"))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(sum(col("n_toks")).as("n_toks"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L))
+          .as("n_shared_chunks"),
+        sum(when(col("__docs") >= 2, col("n_toks")).otherwise(0L))
+          .as("shared_toks"))
+  }
 }

@@ -143,6 +143,19 @@ object DedupQueries extends QuerySet {
         .orderBy(col("probe_id"), col("corpus_id"))
     }),
 
+    // Content-defined chunking dedup: every doc re-enters with a
+    // 3-token noise prefix; CDC boundaries re-synchronize right after
+    // the edit, so most of each copy's chunks dedupe against the
+    // original — the property fixed blocks and line dedup lack.
+    "d19_cdc_chunks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
+      val noisy = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("zq noise prefix "), col("text")).as("text"))
+      Dedup.cdcChunkCoverage(docs.union(noisy), "doc_id", "text", g = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact word-3-gram Jaccard pairs over a bounded subset — the
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
@@ -845,6 +858,49 @@ object DedupQueries extends QuerySet {
          SELECT entity_id, COUNT(*) AS n_members,
                 CAST(SUM(id) AS BIGINT) AS id_checksum
          FROM mapped GROUP BY entity_id ORDER BY entity_id""",
+    "d19_cdc_chunks" ->
+      """WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 300
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id,
+                   'zq noise prefix ' || text AS text
+            FROM documents WHERE doc_id < 300),
+         tk0 AS (SELECT doc, toks, generate_subscripts(toks, 1) AS i
+                 FROM (SELECT doc_id AS doc,
+                         string_split_regex(trim(lower(text)), '\s+')
+                           AS toks
+                       FROM corpus)),
+         tk AS (SELECT doc, toks[i] AS token, i AS pos
+                FROM tk0 WHERE toks[i] <> ''),
+         wn AS (SELECT doc, pos, token,
+                  concat_ws(' ',
+                    lag(token, 2, '') OVER w,
+                    lag(token, 1, '') OVER w,
+                    token) AS win
+                FROM tk WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+         bd AS (SELECT doc, pos, token,
+                  CASE WHEN substr(md5(win), 1, 1) = '0'
+                       THEN 1 ELSE 0 END AS b
+                FROM wn),
+         ch AS (SELECT doc, pos, token,
+                  COALESCE(SUM(b) OVER (PARTITION BY doc ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS chunk
+                FROM bd),
+         cs AS (SELECT doc, chunk, COUNT(*) AS n_toks,
+                  md5(string_agg(token, ' ' ORDER BY pos)) AS chash
+                FROM ch GROUP BY doc, chunk),
+         sh AS (SELECT chash, COUNT(DISTINCT doc) AS docs
+                FROM cs GROUP BY chash)
+         SELECT cs.doc AS doc_id,
+                CAST(SUM(cs.n_toks) AS BIGINT) AS n_toks,
+                COUNT(*) AS n_chunks,
+                CAST(SUM(CASE WHEN sh.docs >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_shared_chunks,
+                CAST(SUM(CASE WHEN sh.docs >= 2 THEN cs.n_toks
+                              ELSE 0 END) AS BIGINT) AS shared_toks
+         FROM cs JOIN sh ON cs.chash = sh.chash
+         GROUP BY cs.doc ORDER BY doc_id""",
     "d17_fuzzy_decontaminate" ->
       """WITH c0 AS (SELECT doc_id, substr(text, 1, 40) AS str
                      FROM documents),

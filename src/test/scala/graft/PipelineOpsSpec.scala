@@ -1773,6 +1773,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == Set(1L, 3L))
   }
 
+  test("cdcChunkCoverage: boundaries re-sync after a prefix edit") {
+    // 240-token deterministic text → ~15 chunks at the 1/16 boundary
+    // rate; the noisy copy shares every chunk after the first
+    // boundary; the unrelated doc shares nothing
+    val base = (1 to 240).map(i => s"w${i * 7 % 101}").mkString(" ")
+    val other = (1 to 240).map(i => s"q${i * 11 % 97}").mkString(" ")
+    val corpus = Seq((1L, base), (2L, s"zz yy $base"), (3L, other))
+      .toDF("id", "txt")
+    val got = Dedup.cdcChunkCoverage(corpus, "id", "txt", g = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // token totals are partitioned exactly into chunks
+    assert(got(1L)._1 == 240L && got(2L)._1 == 242L &&
+      got(3L)._1 == 240L, got.toString)
+    assert(got(1L)._2 > 5L, s"expected several chunks: ${got(1L)}")
+    // re-sync: most of the original's tokens dedupe against the copy
+    assert(got(1L)._4 > 120L,
+      s"re-synced tail should dominate: ${got(1L)}")
+    assert(got(2L)._4 > 120L, got(2L).toString)
+    // the edited head chunk differs → not everything is shared
+    assert(got(2L)._4 < got(2L)._1, got(2L).toString)
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0L,
+      s"unrelated doc shares nothing: ${got(3L)}")
+  }
+
   test("logOddsKeyness: planted over-represented terms rank first") {
     // symmetric corpus: g1 over-uses 'xx', g2 over-uses 'yy', 'cc' is
     // shared background — z must be symmetric across the two groups
