@@ -1144,6 +1144,57 @@ object Aggregates {
         }, 9).as("chi2_term"))
   }
 
+  /** CRAMÉR'S V — the general r×c categorical-association strength
+    * that [[abTest]]'s 2×2 chi-square specializes: χ² over the full
+    * contingency table of two categorical columns, normalized to
+    * [0, 1] by `sqrt(χ² / (n · min(r−1, c−1)))`. The "are these two
+    * labels related at all" screen (feature redundancy, leakage
+    * detection) at any cardinality.
+    *
+    * Exactness: every cell/marginal is an integer count; expected
+    * counts and χ² terms are one fixed-order double chain per OBSERVED
+    * cell, decimal-summed after 7dp rounding so partition order cannot
+    * smear the total (absent cells contribute obs=0 ⇒ term = e, and
+    * Σe over absent cells = n − Σe(observed) — algebraically folded in
+    * rather than materializing the dense table). Output rounds at 7dp.
+    *
+    * Scale shape: one (a, b) cell count, two marginal re-aggs joined
+    * back on their key, a broadcast 1-row total — cost bounded by
+    * DISTINCT label pairs, not rows. Output (one row): n, r, c, chi2,
+    * v.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val shape = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__r"),
+      countDistinct(col("__b")).as("__c"))
+    // per observed cell: (o−e)²/e − e; Σe over ALL cells is n, so
+    // χ² = Σ_observed((o−e)²/e − e) + n without densifying the table
+    val e = col("__ra").cast("double") * col("__cb").cast("double") /
+      col("__n").cast("double")
+    val term = (col("__o").cast("double") - e) *
+      (col("__o").cast("double") - e) / e - e
+    cells
+      .join(rowTot, Seq("__a")).join(colTot, Seq("__b"))
+      .crossJoin(broadcast(shape))
+      .select(col("__n"), col("__r"), col("__c"),
+        round(term, 7).cast(org.apache.spark.sql.types.DecimalType(38, 7)).as("__t"))
+      .groupBy(col("__n"), col("__r"), col("__c"))
+      .agg(sum(col("__t")).cast("double").as("__s"))
+      .select(col("__n").as("n"), col("__r").as("r"), col("__c").as("c"),
+        round(col("__s") + col("__n").cast("double"), 6).as("chi2"),
+        when(least(col("__r") - 1, col("__c") - 1) > 0,
+          round(sqrt((col("__s") + col("__n").cast("double")) /
+            (col("__n").cast("double") *
+              least(col("__r") - 1, col("__c") - 1).cast("double"))), 7))
+          .as("v"))
+  }
+
   /** Equi-depth (quantile) binning: assign every row to one of `k`
     * equal-population bins of `valueCol` and report each bin's value
     * range and occupancy — the feature-bucketization complement to

@@ -25,6 +25,17 @@ object MlQueries extends QuerySet {
         "x", "y", k = 4, iters = 3)
         .orderBy(col("j"))),
 
+    // Exactly-trained decision stump: best Gini split of return-flag-R
+    // on quantity, every candidate threshold scored from integer
+    // prefix sums, 9dp-rounded before the tie-broken argmin — the
+    // split-selection arithmetic of tree ensembles, oracle-pinned.
+    "m21_decision_stump" -> ((s, d) =>
+      graft.ops.Stump.train(
+        Tables.lineitem(s, d).select(
+          col("l_quantity").cast("bigint").as("x"),
+          (col("l_returnflag") === "R").cast("int").as("label")),
+        "x", "label")),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -250,6 +261,67 @@ object MlQueries extends QuerySet {
   }
 
   def oracle: Map[String, String] = Map(
+    "m21_decision_stump" ->
+      """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                      COUNT(*) AS cnt,
+                      SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS pos
+                    FROM lineitem
+                    WHERE l_quantity IS NOT NULL
+                      AND l_returnflag IS NOT NULL
+                    GROUP BY 1),
+         c AS (SELECT x, SUM(cnt) OVER w AS nl, SUM(pos) OVER w AS pl
+               FROM h WINDOW w AS (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         t AS (SELECT SUM(cnt) AS nn, SUM(pos) AS pp FROM h),
+         s AS (SELECT x, nl, pl, nn, pp,
+                 round((CAST(nl AS DOUBLE)
+                        * (1.0 - (CAST(pl AS DOUBLE)
+                                  / CAST(nl AS DOUBLE))
+                                 * (CAST(pl AS DOUBLE)
+                                    / CAST(nl AS DOUBLE))
+                               - (CAST(nl - pl AS DOUBLE)
+                                  / CAST(nl AS DOUBLE))
+                                 * (CAST(nl - pl AS DOUBLE)
+                                    / CAST(nl AS DOUBLE)))
+                        + CAST(nn - nl AS DOUBLE)
+                        * (1.0 - (CAST(pp - pl AS DOUBLE)
+                                  / CAST(nn - nl AS DOUBLE))
+                                 * (CAST(pp - pl AS DOUBLE)
+                                    / CAST(nn - nl AS DOUBLE))
+                               - (CAST((nn - nl) - (pp - pl) AS DOUBLE)
+                                  / CAST(nn - nl AS DOUBLE))
+                                 * (CAST((nn - nl) - (pp - pl) AS DOUBLE)
+                                    / CAST(nn - nl AS DOUBLE))))
+                       / CAST(nn AS DOUBLE), 9) AS wg
+               FROM c, t WHERE nl < nn),
+         b AS (SELECT * FROM s ORDER BY wg, x LIMIT 1),
+         f AS (SELECT x AS threshold, wg AS wgini,
+                 CAST(nn AS BIGINT) AS n, CAST(pp AS BIGINT) AS pos,
+                 CAST(nl AS BIGINT) AS n_left,
+                 CAST(pl AS BIGINT) AS pos_left,
+                 CASE WHEN pl * 2 > nl THEN 1 ELSE 0 END AS pred_left,
+                 CASE WHEN (pp - pl) * 2 > (nn - nl) THEN 1 ELSE 0 END
+                   AS pred_right
+               FROM b),
+         g AS (SELECT f.*,
+                 CAST(CASE WHEN pred_left = 1 THEN pos_left ELSE 0 END
+                   + CASE WHEN pred_right = 1 THEN pos - pos_left
+                          ELSE 0 END AS BIGINT) AS tp,
+                 CAST(CASE WHEN pred_left = 1 THEN n_left - pos_left
+                           ELSE 0 END
+                   + CASE WHEN pred_right = 1
+                          THEN (n - n_left) - (pos - pos_left)
+                          ELSE 0 END AS BIGINT) AS fp
+               FROM f)
+         SELECT threshold, wgini, n, pos, n_left, pos_left,
+                pred_left, pred_right, tp, fp,
+                CAST(pos - tp AS BIGINT) AS fn,
+                CAST(n - pos - fp AS BIGINT) AS tn,
+                round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 7)
+                  AS acc
+         FROM g""",
+
     // g02's unrolled-iteration discipline applied to clustering: init,
     // three assign/update rounds, final assignment + inertia — every
     // step exact integer arithmetic (div/`//` both truncate)

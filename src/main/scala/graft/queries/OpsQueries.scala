@@ -342,6 +342,16 @@ object OpsQueries extends QuerySet {
         "grp", "x", "y")
         .orderBy(col("grp"))),
 
+    // Cramér's V over the full return-flag × line-status contingency
+    // table — the general r×c association strength (a32's 2×2
+    // chi-square generalized), integer cells + one fixed-order double
+    // chain per observed cell, decimal-summed.
+    "a39_cramers_v" -> ((s, d) =>
+      graft.ops.Aggregates.cramersV(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_linestatus")),
+        "l_returnflag", "l_linestatus")),
+
     // Market-basket association rules: orders as baskets, brands as
     // items — Apriori frequent pairs with an integer support floor
     // (1% of kept baskets), confidence both ways, lift. Baskets over
@@ -816,6 +826,38 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "a39_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                          COUNT(*) AS o
+                        FROM lineitem
+                        WHERE l_returnflag IS NOT NULL
+                          AND l_linestatus IS NOT NULL
+                        GROUP BY 1, 2),
+         rt AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+         ct AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+         sh AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+                       COUNT(DISTINCT b) AS c
+                FROM cells),
+         t AS (SELECT n, r, c,
+                 CAST(round((CAST(o AS DOUBLE) - e)
+                            * (CAST(o AS DOUBLE) - e) / e - e, 7)
+                      AS DECIMAL(38,7)) AS tt
+               FROM (SELECT o,
+                       CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                         / CAST(n AS DOUBLE) AS e,
+                       n, r, c
+                     FROM cells JOIN rt USING (a) JOIN ct USING (b),
+                          sh))
+         SELECT CAST(n AS BIGINT) AS n, r, c,
+                round(CAST(SUM(tt) AS DOUBLE) + CAST(n AS DOUBLE), 6)
+                  AS chi2,
+                CASE WHEN LEAST(r - 1, c - 1) > 0 THEN
+                  round(sqrt((CAST(SUM(tt) AS DOUBLE)
+                              + CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE)
+                       * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 7)
+                END AS v
+         FROM t GROUP BY n, r, c""",
     "a37_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS itm
                      FROM lineitem JOIN part ON l_partkey = p_partkey

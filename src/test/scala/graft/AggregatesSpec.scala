@@ -554,4 +554,18 @@ class AggregatesSpec extends SparkSpec {
     // (p-q) and ln(p/q) always share sign → every PSI term is >= 0
     assert(rows.forall(_.getDouble(3) >= 0), rows.mkString(","))
   }
+
+  test("cramersV: identity mapping = 1, product table = 0, 1-col = null") {
+    import spark.implicits._
+    def v(rows: Seq[(String, String)]) =
+      graft.ops.Aggregates.cramersV(rows.toDF("a", "b"), "a", "b").first()
+    val ident = v(Seq.fill(5)(("x", "x")) ++ Seq.fill(3)(("y", "y")))
+    assert(ident.getDouble(4) == 1.0, ident.toString)
+    assert(math.abs(ident.getDouble(3) - 8.0) < 1e-5, "chi2 = n·min(r-1,c-1)")
+    val indep = v(for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 4 } yield (a, b))
+    assert(math.abs(indep.getDouble(4)) < 1e-6, indep.toString)
+    val degen = v(Seq(("x", "p"), ("x", "q"), ("x", "p")))
+    assert(degen.isNullAt(4), degen.toString)
+  }
 }
