@@ -74,13 +74,19 @@ object Clustering {
         col("__win.__j").as("__j"), col("__win.__d2").as("__d2"))
     for (_ <- 1 to iters) {
       val a = assigned(cent)
-      cent = a.groupBy(col("__j"))
-        .agg(sum(col("__w")).as("__n"),
-          sum((col("__x") * col("__w")).cast(dec38)).as("__sx"),
-          sum((col("__y") * col("__w")).cast(dec38)).as("__sy"))
-        .select(col("__j"),
-          expr("CAST(__sx div __n AS BIGINT)").as("__cx"),
-          expr("CAST(__sy div __n AS BIGINT)").as("__cy"))
+      // cut the iteration lineage: each centroid frame is exactly ≤ k
+      // rows, so it materializes to a LocalRelation (the e01
+      // materializeBounded contract) — without this, iteration i
+      // re-derives every previous assignment pass from scratch
+      cent = Layout.materializeBounded(
+        a.groupBy(col("__j"))
+          .agg(sum(col("__w")).as("__n"),
+            sum((col("__x") * col("__w")).cast(dec38)).as("__sx"),
+            sum((col("__y") * col("__w")).cast(dec38)).as("__sy"))
+          .select(col("__j"),
+            expr("CAST(__sx div __n AS BIGINT)").as("__cx"),
+            expr("CAST(__sy div __n AS BIGINT)").as("__cy")),
+        maxRows = k.toLong)
     }
     assigned(cent)
       .groupBy(col("__j").as("j"))
