@@ -198,6 +198,66 @@ object Journey {
       .drop("__plat", "__plon", "__pts")
   }
 
+  /** RFM SEGMENTATION — the classic recency/frequency/monetary
+    * customer scoring (direct-marketing practice since Hughes 1994):
+    * per entity, days since last activity, activity count, and total
+    * integer spend, each mapped to a 1–5 score by the EQUIDEPTH
+    * value-level rank rule (all rows sharing a metric value share a
+    * score — `1 + (first_rank − 1)·5 div N`, pure integer arithmetic,
+    * no percentile interpolation), recency reversed so 5 = most
+    * recent. The rule is the [[Aggregates.equidepthBins]] stance, so
+    * scores are engine-exact and a heavy value making its band
+    * oversized is reported, not hidden.
+    *
+    * Scale shape: one per-entity agg over the activity table, a
+    * broadcast 1-row anchor (global max day) and N, then per metric a
+    * DISTINCT-value rank frame ([[Aggregates.bucketedPrefixSums]] —
+    * no global window) joined back by value. Cost after the first agg
+    * is bounded by metric cardinality, not entities.
+    *
+    * Output per (r_score, f_score, m_score) cell: `n_entities`,
+    * `sum_cents` — the segment matrix a campaign targets from.
+    */
+  def rfmSegments(df: DataFrame, entityCol: String, tsUsCol: String,
+                  centsCol: String): DataFrame = {
+    val perEnt = df
+      .filter(col(entityCol).isNotNull && col(tsUsCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .select(col(entityCol).as("__e"),
+        expr(s"$tsUsCol div 86400000000").as("__day"),
+        col(centsCol).cast("long").as("__cents"))
+      .groupBy(col("__e"))
+      .agg(max(col("__day")).as("__last"), count(lit(1)).as("__f"),
+        sum(col("__cents")).as("__m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchor = perEnt.agg(max(col("__last")).as("__gmax"),
+      count(lit(1)).as("__N"))
+    val scored = perEnt.crossJoin(broadcast(anchor))
+      .withColumn("__r", col("__gmax") - col("__last"))
+    // integer `div` on the rank product — never true-division + cast,
+    // which would round instead of truncate and break oracle parity
+    def scoreExpr(metric: String): DataFrame = {
+      val vals = scored.groupBy(col(metric)).agg(count(lit(1)).as("__cnt"))
+      Aggregates.bucketedPrefixSums(vals, metric, ascending = true,
+          sumCols = Seq("__cnt"))
+        .crossJoin(broadcast(anchor.select(col("__N"))))
+        .withColumn("__fr", col("cum___cnt") - col("__cnt"))
+        .withColumn(s"__s$metric",
+          lit(1) + expr("(__fr * 5) div __N"))
+        .select(col(metric), col(s"__s$metric"))
+    }
+    scored
+      .join(broadcast(scoreExpr("__r")), Seq("__r"))
+      .join(broadcast(scoreExpr("__f")), Seq("__f"))
+      .join(broadcast(scoreExpr("__m")), Seq("__m"))
+      .select((lit(6) - col("__s__r")).as("r_score"),
+        col("__s__f").as("f_score"), col("__s__m").as("m_score"),
+        col("__m"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__m")).as("sum_cents"))
+  }
+
   /** GEO RADIUS SELF-JOIN: all point pairs within `radiusKm`
     * great-circle km — the proximity pairing behind merchant-cluster
     * fraud rings, "same physical location, different accounts", and

@@ -145,4 +145,43 @@ object Velocity {
             .otherwise(acc * beta + lit(alpha) * x.getField("v")))
           .as("ewma"))
   }
+
+  /** ROLLING ACTIVE-ENTITY COUNTS — the DAU/WAU/stickiness board
+    * metric: for every observed day, how many distinct entities were
+    * active that day (`dau`) and in the trailing `windowDays` window
+    * (`wau`), plus the stickiness ratio dau/wau.
+    *
+    * A sliding `countDistinct` window cannot merge partials, so the
+    * classic shape is inverted: each (entity, day) ACTIVITY FACT
+    * explodes its `windowDays` contribution days, and one grouped
+    * `countDistinct` per contribution day does the rest — map-side
+    * sets, no window anywhere, cost = facts × windowDays (facts are
+    * entity-day pairs, already collapsed from raw events). Days with
+    * zero activity of their own are not reported (a trailing window
+    * with no anchor day is a chart artifact, not a metric).
+    *
+    * Output per observed day: `(day, dau, wau, stickiness)` — counts
+    * exact, stickiness 7dp-rounded.
+    */
+  def rollingActives(df: DataFrame, entityCol: String, tsUsCol: String,
+                     windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays >= 1")
+    val facts = df
+      .filter(col(entityCol).isNotNull && col(tsUsCol).isNotNull)
+      .select(col(entityCol).as("__e"),
+        expr(s"$tsUsCol div 86400000000").as("__day"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contrib = facts
+      .withColumn("day",
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1))))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__e")).as("wau"))
+    val daily = facts.groupBy(col("__day").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    daily.join(contrib, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 7)
+          .as("stickiness"))
+  }
 }

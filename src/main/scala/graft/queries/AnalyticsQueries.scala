@@ -111,6 +111,17 @@ object AnalyticsQueries extends QuerySet {
     // Cohort retention: bucket each user by first-touch day, count
     // distinct users active per (cohort, day-offset) cell. Two key
     // exchanges (user, then cell), integer day arithmetic throughout.
+    // RFM segment matrix over event spend: per user recency /
+    // frequency / monetary, each scored 1–5 by the integer equidepth
+    // value-rank rule (recency reversed: 5 = most recent).
+    "e06_rfm" -> ((s, d) =>
+      graft.ops.Journey.rfmSegments(
+        Tables.eventsMicros(s, d).filter(col("value").isNotNull)
+          .select(col("user_id"), col("ts_us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "user_id", "ts_us", "cents")
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+
     "e02_cohort_retention" -> ((s, d) =>
       graft.ops.Journey.cohortRetention(
         Tables.eventsMicros(s, d)
@@ -167,6 +178,41 @@ object AnalyticsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "e06_rfm" ->
+      """WITH pe AS (SELECT user_id AS e,
+                       MAX(epoch_us(ts) // 86400000000) AS lastd,
+                       COUNT(*) AS f,
+                       SUM(CAST(round(value * 100) AS BIGINT)) AS m
+                     FROM events
+                     WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       AND value IS NOT NULL
+                     GROUP BY 1),
+         an AS (SELECT MAX(lastd) AS gmax, COUNT(*) AS nn FROM pe),
+         sc AS (SELECT e, gmax - lastd AS r, f, m, nn FROM pe, an),
+         rv AS (SELECT r, COUNT(*) AS cnt FROM sc GROUP BY r),
+         rr AS (SELECT r, 1 + ((SUM(cnt) OVER (ORDER BY r
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cnt) * 5) // nn AS s
+                FROM rv, an),
+         fv AS (SELECT f, COUNT(*) AS cnt FROM sc GROUP BY f),
+         fr AS (SELECT f, 1 + ((SUM(cnt) OVER (ORDER BY f
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cnt) * 5) // nn AS s
+                FROM fv, an),
+         mv AS (SELECT m, COUNT(*) AS cnt FROM sc GROUP BY m),
+         mr AS (SELECT m, 1 + ((SUM(cnt) OVER (ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - cnt) * 5) // nn AS s
+                FROM mv, an)
+         SELECT CAST(6 - rr.s AS BIGINT) AS r_score,
+                CAST(fr.s AS BIGINT) AS f_score,
+                CAST(mr.s AS BIGINT) AS m_score,
+                COUNT(*) AS n_entities,
+                CAST(SUM(sc.m) AS BIGINT) AS sum_cents
+         FROM sc JOIN rr ON sc.r = rr.r
+                 JOIN fr ON sc.f = fr.f
+                 JOIN mr ON sc.m = mr.m
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "e05_transitions" ->
       """WITH h AS (SELECT event_type,
                       lag(event_type) OVER (PARTITION BY user_id

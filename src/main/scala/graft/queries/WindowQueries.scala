@@ -153,6 +153,15 @@ object WindowQueries extends QuerySet {
         "event_type", "ts_us", maxLag = 3)
         .orderBy(col("grp"), col("k"))),
 
+    // Rolling 7-day active users per observed day (DAU/WAU/stickiness)
+    // — contribution-day explode + one grouped countDistinct instead
+    // of an unmergeable sliding-distinct window.
+    "w18_rolling_actives" -> ((s, d) =>
+      graft.ops.Velocity.rollingActives(
+        Tables.eventsMicros(s, d).select(col("user_id"), col("ts_us")),
+        "user_id", "ts_us", windowDays = 7)
+        .orderBy(col("day"))),
+
     // Per-user two-sided CUSUM changepoint alarms (target 50.00,
     // h 200.00 — as exact integer cents): alarm counts plus the final
     // (s+, s-) state, every add/max/compare exact integer arithmetic,
@@ -321,6 +330,20 @@ object WindowQueries extends QuerySet {
               JOIN qh ON ta.g = qh.g
          ORDER BY ta.g, ta.hour""",
 
+    "w18_rolling_actives" ->
+      """WITH f AS (SELECT DISTINCT user_id AS e,
+                      epoch_us(ts) // 86400000000 AS day
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         c AS (SELECT f.day + o.o AS day, f.e
+               FROM f CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o),
+         w AS (SELECT day, COUNT(DISTINCT e) AS wau FROM c GROUP BY day),
+         dly AS (SELECT day, COUNT(*) AS dau FROM f GROUP BY day)
+         SELECT dly.day, dly.dau, w.wau,
+                round(CAST(dly.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 7)
+                  AS stickiness
+         FROM dly JOIN w ON dly.day = w.day
+         ORDER BY dly.day""",
     "w17_acf" ->
       """WITH e AS (SELECT event_type AS g,
                       epoch_us(ts) // 86400000000 AS day

@@ -145,6 +145,25 @@ class JourneySpec extends SparkSpec {
     assert(viaAssign === viaWindow)
   }
 
+  test("rfmSegments: equidepth value scores, recency reversed, ties share") {
+    val us = 86400000000L
+    // five users, one purchase each on days 10..14, spend 100..500
+    // cents: recency/monetary fully distinct → scores 1..5; frequency
+    // all tied at 1 → everyone shares f_score 1
+    val ev = (0 until 5).map(i =>
+      (i.toLong, (10L + i) * us, (i + 1) * 100L)).toDF("u", "t", "cents")
+    val got = Journey.rfmSegments(ev, "u", "t", "cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // user i: day 10+i (recency rank i from most recent = 4-i),
+    // monetary rank i → m_score i+1; r_score = 6 - (1 + (4-i)) = i+1
+    assert(got.keySet == (1 to 5).map(i => (i.toLong, 1L, i.toLong)).toSet,
+      got.toString)
+    assert(got((5L, 1L, 5L)) == ((1L, 500L)), got.toString)
+    assert(got((1L, 1L, 1L)) == ((1L, 100L)), got.toString)
+  }
+
   test("geoRadiusSelfJoin ≡ brute force, incl. pole and antimeridian") {
     // near-pole pair (longitudes 180° apart but ~44 km over the top),
     // antimeridian pair (±179.9°, ~22 km), a mid-latitude pair, and an

@@ -127,4 +127,24 @@ class BootstrapSpec extends SparkSpec {
     val grand = a.sum / a.size
     assert(math.abs(grand - 150.5) < 15, s"grand=$grand")
   }
+
+  test("rollingActives: dau/wau over trailing windows, facts dedupe") {
+    val us = 86400000000L
+    // user 1 on days 0 and 2 (day-2 twice: must dedupe), user 3 on
+    // day 0 only, user 2 on day 2, user 4 far later on day 20
+    val ev = Seq((1L, 0L * us), (3L, 0L * us), (1L, 2L * us),
+      (1L, 2L * us + 5L), (2L, 2L * us), (4L, 20L * us))
+      .toDF("u", "t")
+    val got = Velocity.rollingActives(ev, "u", "t", windowDays = 7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only observed days are reported
+    assert(got.keySet == Set(0L, 2L, 20L), got.toString)
+    assert(got(0L) == ((2L, 2L, 1.0)), got.toString)
+    // day 2 window [-4, 2] sees users {1, 2, 3}
+    assert(got(2L)._1 == 2L && got(2L)._2 == 3L, got.toString)
+    assert(math.abs(got(2L)._3 - 2.0 / 3.0) < 1e-6)
+    // day 20 is beyond every earlier window
+    assert(got(20L) == ((1L, 1L, 1.0)), got.toString)
+  }
 }
