@@ -122,6 +122,59 @@ object AnalyticsQueries extends QuerySet {
         "user_id", "ts_us", "cents")
         .orderBy(col("r_score"), col("f_score"), col("m_score"))),
 
+    // Marketing attribution over the as-of machinery: each purchase
+    // credits its LAST view-touch within a 7-day lookback (and, for
+    // comparison, its FIRST touch inside the same window — forward
+    // as-of from the window start, validated ≤ purchase time);
+    // untouched purchases fall to 'direct'. Touches dedupe per (user,
+    // ts) by max event id; channel = props.k mod 3.
+    "e07_attribution" -> ((s, d) => {
+      val W = 7L * 86400000000L
+      val ev = Tables.eventsMicros(s, d)
+      val purchases = ev
+        .filter(col("event_type") === "purchase" &&
+          col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          round(col("value") * 100).cast("bigint").as("cents"))
+      val touches = ev
+        .filter(col("event_type") === "view" && col("user_id").isNotNull)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max_by(col("k"), col("event_id")).as("k"))
+        .select(col("user_id"), col("ts_us"),
+          concat(lit("ch"), col("k") % 3).as("channel"),
+          col("ts_us").as("tts"))
+      val lastT = graft.ops.AsOfJoin.backward(purchases, touches,
+          keyCol = "user_id", leftTime = "ts_us", rightTime = "ts_us",
+          rightValueCols = Seq("channel", "tts"))
+        .select(col("cents"),
+          when(col("asof_tts").isNotNull &&
+            col("ts_us") - col("asof_tts") <= W, col("asof_channel"))
+            .otherwise("direct").as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("last_n"),
+          sum(col("cents")).as("last_cents"))
+      val firstT = graft.ops.AsOfJoin.forward(
+          purchases.withColumn("ws", col("ts_us") - W), touches,
+          keyCol = "user_id", leftTime = "ws", rightTime = "ts_us",
+          rightValueCols = Seq("channel", "tts"))
+        .select(col("cents"),
+          when(col("asof_tts").isNotNull &&
+            col("asof_tts") <= col("ts_us"), col("asof_channel"))
+            .otherwise("direct").as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("first_n"),
+          sum(col("cents")).as("first_cents"))
+      lastT.join(firstT, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("last_n"), lit(0L)).as("last_n"),
+          coalesce(col("last_cents"), lit(0L)).as("last_cents"),
+          coalesce(col("first_n"), lit(0L)).as("first_n"),
+          coalesce(col("first_cents"), lit(0L)).as("first_cents"))
+        .orderBy(col("channel"))
+    }),
+
     "e02_cohort_retention" -> ((s, d) =>
       graft.ops.Journey.cohortRetention(
         Tables.eventsMicros(s, d)
@@ -178,6 +231,45 @@ object AnalyticsQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    "e07_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events
+                    WHERE event_type = 'purchase'
+                      AND user_id IS NOT NULL AND value IS NOT NULL),
+         tc AS (SELECT user_id, epoch_us(ts) AS t,
+                  'ch' || (arg_max(CAST(json_extract(props, '$.k')
+                                        AS INT), event_id) % 3)
+                    AS channel
+                FROM events
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                  AND json_extract(props, '$.k') IS NOT NULL
+                GROUP BY user_id, epoch_us(ts)),
+         lastj AS (SELECT p.event_id, p.cents,
+                     CASE WHEN tc.t IS NOT NULL
+                               AND p.t - tc.t <= 604800000000
+                          THEN tc.channel ELSE 'direct' END AS channel
+                   FROM p ASOF LEFT JOIN tc
+                     ON p.user_id = tc.user_id AND p.t >= tc.t),
+         firstj AS (SELECT p.event_id, p.cents,
+                      CASE WHEN tc.t IS NOT NULL AND tc.t <= p.t
+                           THEN tc.channel ELSE 'direct' END AS channel
+                    FROM p ASOF LEFT JOIN tc
+                      ON p.user_id = tc.user_id
+                     AND p.t - 604800000000 <= tc.t),
+         la AS (SELECT channel, COUNT(*) AS last_n,
+                  CAST(SUM(cents) AS BIGINT) AS last_cents
+                FROM lastj GROUP BY channel),
+         fa AS (SELECT channel, COUNT(*) AS first_n,
+                  CAST(SUM(cents) AS BIGINT) AS first_cents
+                FROM firstj GROUP BY channel)
+         SELECT COALESCE(la.channel, fa.channel) AS channel,
+                COALESCE(last_n, 0) AS last_n,
+                COALESCE(last_cents, 0) AS last_cents,
+                COALESCE(first_n, 0) AS first_n,
+                COALESCE(first_cents, 0) AS first_cents
+         FROM la FULL OUTER JOIN fa ON la.channel = fa.channel
+         ORDER BY channel""",
     "e06_rfm" ->
       """WITH pe AS (SELECT user_id AS e,
                        MAX(epoch_us(ts) // 86400000000) AS lastd,
