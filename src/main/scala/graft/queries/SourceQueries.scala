@@ -312,6 +312,72 @@ object SourceQueries extends QuerySet {
         .orderBy(col("gap_min"))
     }),
 
+    // Watermark LATE-DATA audit (§2.6): the odd-user half of the
+    // stream arrives one micro-batch AFTER the even-user half, so
+    // every odd-user event older than (max even-user event time −
+    // 10 min) targets an already-finalized 1-hour window and is
+    // DROPPED by the watermark; append mode additionally withholds
+    // windows the final watermark has not passed. The oracle replays
+    // BOTH rules in SQL (ms-floored watermark arithmetic, ≤ window
+    // end) — the exact accounting a deployment needs to trust its
+    // streaming counts.
+    "st19_stream_late_audit" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st19_in")
+      val ev = Tables.eventsMicros(s, d)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+        .select(col("ts_us"), col("user_id"))
+      def stageOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = s"$stage/__tmp_$name"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file under $tmp"))
+        val dest = new java.io.File(s"$stage/$name.parquet")
+        dest.delete()
+        require(part.renameTo(dest), s"rename failed: $dest")
+        require(dest.setLastModified(mtime), s"mtime failed: $dest")
+        new java.io.File(tmp).listFiles().foreach(_.delete())
+        new java.io.File(tmp).delete()
+      }
+      // mtimes force batch order. Three batches, because window state
+      // is only EVICTED at the end of a batch that runs with the
+      // advanced watermark: b0 (even users) advances it, b1 (the odd
+      // users' final hour — fresh rows) triggers the eviction sweep,
+      // b2 (the odd backlog) then hits finalized windows and drops.
+      // The hour boundary below is replayed by the oracle from the
+      // same MAX(even ts) aggregate.
+      val base = System.currentTimeMillis()
+      val even = ev.filter(col("user_id") % 2 === 0)
+      val odd = ev.filter(col("user_id") % 2 === 1)
+      val thrUs = even.agg(max(col("ts_us"))).first().getLong(0) /
+        3600000000L * 3600000000L
+      stageOne(even, "b0", base - 180000)
+      stageOne(odd.filter(col("ts_us") >= thrUs), "b1", base - 120000)
+      stageOne(odd.filter(col("ts_us") < thrUs), "b2", base - 60000)
+      val schema = s.read.parquet(s"$stage/b0.parquet").schema
+      val qn = "st19_late_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .withColumn("t", timestamp_micros(col("ts_us")))
+          .withWatermark("t", "10 minutes")
+          .groupBy(window(col("t"), "1 hour"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("user_id")).as("uid_sum"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .select(unix_timestamp(col("window.start")).as("ws"),
+          col("cnt"), col("uid_sum").cast("long").as("uid_sum"))
+        .orderBy(col("ws"))
+    }),
+
     // Streaming session windows (§2.6 × w03): the same 30-minute-gap
     // session aggregation, but built INCREMENTALLY — events arrive in
     // four separate micro-batches (maxFilesPerTrigger=1 over a 4-file
@@ -942,6 +1008,35 @@ object SourceQueries extends QuerySet {
             MIN(o_orderdate) AS min_date,
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // watermark replay: thr = the hour containing the last even-user
+    // event (the b0/b1/b2 staging boundary); wm2 = watermark in force
+    // when the odd backlog arrives (max of batches 0-1, ms-floored,
+    // minus the 10-min delay); wmf = final watermark that gates which
+    // windows append mode has emitted. A backlog row survives only if
+    // its window was not yet finalized (window end > wm2).
+    "st19_stream_late_audit" ->
+      """WITH e AS (SELECT epoch_us(ts) AS t, user_id AS u
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         thr AS (SELECT (MAX(t) // 3600000000) * 3600000000 AS h
+                 FROM e WHERE u % 2 = 0),
+         wm2 AS (SELECT (GREATEST(
+                    MAX(CASE WHEN u % 2 = 0 THEN t END),
+                    MAX(CASE WHEN u % 2 = 1
+                              AND t >= (SELECT h FROM thr) THEN t END))
+                   // 1000) - 600000 AS w
+                 FROM e),
+         wmf AS (SELECT (MAX(t) // 1000) - 600000 AS w FROM e),
+         kept AS (SELECT t, u FROM e, thr, wm2
+                  WHERE u % 2 = 0 OR t >= thr.h
+                     OR NOT (((t // 3600000000) + 1) * 3600000
+                             <= wm2.w)),
+         agg AS (SELECT (t // 3600000000) * 3600 AS ws,
+                   COUNT(*) AS cnt, CAST(SUM(u) AS BIGINT) AS uid_sum,
+                   ((t // 3600000000) + 1) * 3600000 AS we
+                 FROM kept GROUP BY 1, 4)
+         SELECT ws, cnt, uid_sum
+         FROM agg, wmf WHERE we <= wmf.w ORDER BY ws""",
     "s14_compaction_plan" ->
       """WITH f AS (SELECT source, doc_id, n_chars,
                       COALESCE(SUM(n_chars) OVER (
