@@ -1144,6 +1144,67 @@ object Aggregates {
         }, 9).as("chi2_term"))
   }
 
+  /** WELCH'S t — the unequal-variance two-sample location test
+    * statistic (Welch 1947), the correct default when two segments'
+    * spends have different spreads (Student's pooled t silently
+    * assumes equal variance). Reports the STATISTIC and the
+    * Welch–Satterthwaite degrees of freedom; the p-value needs the
+    * incomplete beta function and stays out of the oracle-exact
+    * surface (callers look t up against their preferred tail table).
+    *
+    * One pass: conditional integer moment sums for both groups
+    * (count, Σx, Σx² as DECIMAL(38,0) — `xCol` must be integer-valued:
+    * cents, counts), then a single fixed-order double chain for the
+    * unbiased variances, t, and dof, each 7dp-rounded. Groups with
+    * fewer than 2 rows yield null t/dof.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the scan —
+    * the cheapest possible two-sample test at any size.
+    */
+  def welchT(df: DataFrame, groupCol: String, xCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(xCol)
+    def side(g: String, tag: String) = Seq(
+      sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__n$tag"),
+      sum(when(col(groupCol) === g, x).otherwise(0L).cast(dec38))
+        .as(s"__s$tag"),
+      sum(when(col(groupCol) === g, x * x).otherwise(0L).cast(dec38))
+        .as(s"__q$tag"))
+    val sides = side(groupA, "a") ++ side(groupB, "b")
+    // when-guards, not bare division: ANSI mode hard-fails on a
+    // zero/one-row group's n or n−1 denominator
+    def m(tag: String) =
+      when(col(s"__n$tag") >= 1,
+        col(s"__s$tag").cast("double") / col(s"__n$tag").cast("double"))
+    // unbiased: v = (Σx² − n·m²) / (n − 1)
+    def v(tag: String) =
+      when(col(s"__n$tag") >= 2,
+        (col(s"__q$tag").cast("double") -
+          col(s"__n$tag").cast("double") * col(s"__m$tag") *
+            col(s"__m$tag")) /
+          (col(s"__n$tag") - 1).cast("double"))
+    df.filter(x.isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .agg(sides.head, sides.tail: _*)
+      .withColumn("__ma", m("a")).withColumn("__mb", m("b"))
+      .withColumn("__va", v("a")).withColumn("__vb", v("b"))
+      .withColumn("__wa", col("__va") / col("__na").cast("double"))
+      .withColumn("__wb", col("__vb") / col("__nb").cast("double"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__ma"), 7).as("mean_a"),
+        round(col("__mb"), 7).as("mean_b"),
+        when(col("__na") >= 2 && col("__nb") >= 2,
+          round((col("__ma") - col("__mb")) /
+            sqrt(col("__wa") + col("__wb")), 7)).as("t"),
+        when(col("__na") >= 2 && col("__nb") >= 2,
+          round((col("__wa") + col("__wb")) * (col("__wa") + col("__wb"))
+            / (col("__wa") * col("__wa") /
+                (col("__na") - 1).cast("double")
+              + col("__wb") * col("__wb") /
+                (col("__nb") - 1).cast("double")), 7)).as("dof"))
+  }
+
   /** CRAMÉR'S V — the general r×c categorical-association strength
     * that [[abTest]]'s 2×2 chi-square specializes: χ² over the full
     * contingency table of two categorical columns, normalized to

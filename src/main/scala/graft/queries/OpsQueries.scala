@@ -342,6 +342,17 @@ object OpsQueries extends QuerySet {
         "grp", "x", "y")
         .orderBy(col("grp"))),
 
+    // Welch's unequal-variance t statistic: purchase vs view spend
+    // cents, one conditional-moment pass, statistic + Satterthwaite
+    // dof (p-value left to tail tables — no incomplete beta in the
+    // oracle surface).
+    "a40_welch_t" -> ((s, d) =>
+      graft.ops.Aggregates.welchT(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "cents", groupA = "purchase", groupB = "view")),
+
     // Cramér's V over the full return-flag × line-status contingency
     // table — the general r×c association strength (a32's 2×2
     // chi-square generalized), integer cells + one fixed-order double
@@ -826,6 +837,53 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "a40_welch_t" ->
+      """WITH e AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events
+                    WHERE value IS NOT NULL
+                      AND (event_type = 'purchase'
+                           OR event_type = 'view')),
+         s AS (SELECT
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS na,
+                 SUM(CASE WHEN g = 'purchase' THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) AS sa,
+                 SUM(CASE WHEN g = 'purchase'
+                          THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                          ELSE 0 END) AS qa,
+                 SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS nb,
+                 SUM(CASE WHEN g = 'view' THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) AS sb,
+                 SUM(CASE WHEN g = 'view'
+                          THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                          ELSE 0 END) AS qb
+               FROM e),
+         m AS (SELECT na, nb, qa, qb,
+                 CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb
+               FROM s),
+         vv AS (SELECT na, nb, ma, mb,
+                  (CAST(qa AS DOUBLE)
+                   - CAST(na AS DOUBLE) * ma * ma)
+                    / CAST(na - 1 AS DOUBLE) AS va,
+                  (CAST(qb AS DOUBLE)
+                   - CAST(nb AS DOUBLE) * mb * mb)
+                    / CAST(nb - 1 AS DOUBLE) AS vb
+                FROM m),
+         w AS (SELECT na, nb, ma, mb,
+                 va / CAST(na AS DOUBLE) AS wa,
+                 vb / CAST(nb AS DOUBLE) AS wb
+               FROM vv)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                round(ma, 7) AS mean_a, round(mb, 7) AS mean_b,
+                CASE WHEN na >= 2 AND nb >= 2 THEN
+                  round((ma - mb) / sqrt(wa + wb), 7) END AS t,
+                CASE WHEN na >= 2 AND nb >= 2 THEN
+                  round((wa + wb) * (wa + wb)
+                        / (wa * wa / CAST(na - 1 AS DOUBLE)
+                           + wb * wb / CAST(nb - 1 AS DOUBLE)), 7)
+                END AS dof
+         FROM w""",
     "a39_cramers_v" ->
       """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
                           COUNT(*) AS o

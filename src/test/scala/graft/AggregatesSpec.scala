@@ -555,6 +555,34 @@ class AggregatesSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) >= 0), rows.mkString(","))
   }
 
+  test("welchT matches the closed form; dof sits in [min-1, n-2]") {
+    import spark.implicits._
+    val rows = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(10L, 20L).map(("b", _))).toDF("g", "x")
+    val r = graft.ops.Aggregates.welchT(rows, "g", "x", "a", "b").first()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 15.0)
+    val va = (30.0 - 4 * 2.5 * 2.5) / 3  // 5/3
+    val vb = (500.0 - 2 * 15.0 * 15.0) / 1  // 50
+    val wa = va / 4; val wb = vb / 2
+    val wantT = math.rint((2.5 - 15.0) / math.sqrt(wa + wb) * 1e7) / 1e7
+    val wantDof = math.rint((wa + wb) * (wa + wb) /
+      (wa * wa / 3 + wb * wb / 1) * 1e7) / 1e7
+    assert(math.abs(r.getDouble(4) - wantT) < 2e-7,
+      s"${r.getDouble(4)} vs $wantT")
+    assert(math.abs(r.getDouble(5) - wantDof) < 2e-7,
+      s"${r.getDouble(5)} vs $wantDof")
+    assert(r.getDouble(5) >= 1.0 && r.getDouble(5) <= 4.0,
+      "Welch dof bounds")
+  }
+
+  test("welchT: a singleton group yields null t and dof") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L), ("a", 5L), ("b", 9L)).toDF("g", "x")
+    val r = graft.ops.Aggregates.welchT(rows, "g", "x", "a", "b").first()
+    assert(r.isNullAt(4) && r.isNullAt(5), r.toString)
+  }
+
   test("cramersV: identity mapping = 1, product table = 0, 1-col = null") {
     import spark.implicits._
     def v(rows: Seq[(String, String)]) =
