@@ -1022,4 +1022,84 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` results from the relevance
+    * shortlist, each step maximizing `λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s)` — the diversity-aware rerank that keeps a RAG context
+    * window from filling with five near-copies of the same passage.
+    *
+    * Determinism/parity: relevance and pairwise similarity are the
+    * same raw-double cosine the n01 oracle already proves
+    * engine-exact (identical IEEE operation order on both sides), the
+    * λ mix uses the literal `(1 − λ)` double both engines compute
+    * identically, and every argmax tie-breaks to the lowest id — so
+    * all `k` greedy steps replay in unrolled SQL with no rounding.
+    *
+    * Scale shape: ONE broadcast-NL scan of the corpus builds the
+    * shortlist (the [[bruteForceTopK]] cost); everything after runs on
+    * `shortlistK²` pairwise sims and ≤ k-row selected frames
+    * (materialized via [[Layout.materializeBounded]] each step, so
+    * greedy iteration i never re-derives steps 1..i−1).
+    *
+    * Output: (pick 1..k, vec_id, rel, max_sim — null on the first
+    * pick, mmr).
+    */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, shortlistK: Int = 20, k: Int = 5,
+                lam: Double = 0.7): DataFrame = {
+    require(k >= 1 && shortlistK >= k, "need shortlistK >= k >= 1")
+    val mu = 1 - lam
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", norm(col("qv")))
+    val c = corpus.select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", norm(col("v")))
+    val shortlist = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rel",
+        when(col("nv") * col("nq") === 0, 0.0)
+          .otherwise(dot(col("v"), col("qv")) / (col("nv") * col("nq"))))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(shortlistK)
+      .select(col("vec_id"), col("v"), col("nv"), col("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sims = shortlist.as("a").join(shortlist.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        when(col("a.nv") * col("b.nv") === 0, 0.0)
+          .otherwise(dot(col("a.v"), col("b.v")) /
+            (col("a.nv") * col("b.nv"))).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var selected = Layout.materializeBounded(
+      shortlist.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(lit(1).as("pick"), col("vec_id"), col("rel"),
+          lit(null).cast("double").as("max_sim"),
+          round(col("rel"), 7).as("mmr")),
+      maxRows = k.toLong)
+    for (i <- 2 to k) {
+      val ms = sims
+        .join(selected.select(col("vec_id").as("ib")), Seq("ib"),
+          "left_semi")
+        .groupBy(col("ia").as("vec_id"))
+        .agg(max(col("sim")).as("max_sim"))
+      val chosen = shortlist
+        .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(ms, Seq("vec_id"))
+        // 7dp-rounded before the argmax: the λ-mix is the one spot
+        // where engine product/subtract order drifted a final ulp
+        .withColumn("mmr",
+          round(lit(lam) * col("rel") - lit(mu) * col("max_sim"), 7))
+        .agg(max_by(
+          struct(col("vec_id"), col("rel"), col("max_sim"), col("mmr")),
+          struct(col("mmr"), -col("vec_id"))).as("__w"))
+        .select(lit(i).as("pick"), col("__w.vec_id").as("vec_id"),
+          col("__w.rel").as("rel"), col("__w.max_sim").as("max_sim"),
+          col("__w.mmr").as("mmr"))
+      selected = Layout.materializeBounded(
+        selected.unionByName(chosen), maxRows = k.toLong)
+    }
+    selected
+  }
 }

@@ -34,6 +34,16 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MMR diversified rerank of query-0's top-20 shortlist: five
+    // greedy λ=0.7 picks, every step's argmax replayed by the
+    // unrolled oracle on the same raw-double cosines as n01.
+    "n14_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 0),
+          "vec_id", "embedding", shortlistK = 20, k = 5, lam = 0.7)
+        .orderBy(col("pick"))
+    }),
+
     // Int8 scalar-quantized ANN (SQ8): corpus-bounds quantization +
     // integer dot-product scoring. Every stage — per-dim bounds, codes,
     // scores, ranks — is exact integer or correctly-rounded double
@@ -286,6 +296,49 @@ object SimilarityQueries extends QuerySet {
     """list_dot_product(a.v, b.v) /
        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"""
 
+  // MMR: 4 mechanically-unrolled greedy steps after the seed pick;
+  // selected sets accumulate as UNION ALL of the prior step CTEs
+  private val n14Sql: String = {
+    def selSet(i: Int): String =
+      (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+    val steps = (2 to 5).map { i =>
+      s""",
+         m$i AS (SELECT s.ia AS vec_id, MAX(s.cos) AS ms
+                 FROM sims s WHERE s.ib IN (${selSet(i)})
+                 GROUP BY s.ia),
+         s$i AS (SELECT r.vec_id, r.rel, m.ms,
+                   round(0.7 * r.rel - (1 - 0.7) * m.ms, 7) AS mmr
+                 FROM rel r JOIN m$i m ON r.vec_id = m.vec_id
+                 WHERE r.vec_id NOT IN (${selSet(i)})
+                 ORDER BY mmr DESC, r.vec_id LIMIT 1)"""
+    }.mkString
+    val outs = (2 to 5).map(i =>
+      s"UNION ALL SELECT $i, vec_id, rel, ms, mmr FROM s$i").mkString("\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        q AS (SELECT v FROM e WHERE vec_id = 0),
+        rel AS (SELECT a.vec_id,
+                  CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                       ELSE $cosSql END AS rel
+                FROM e a, q b WHERE a.vec_id <> 0
+                ORDER BY rel DESC, a.vec_id LIMIT 20),
+        se AS (SELECT e.vec_id, e.v FROM e
+               JOIN rel ON e.vec_id = rel.vec_id),
+        sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                   CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                             sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                        ELSE $cosSql END AS cos
+                 FROM se a, se b WHERE a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, rel FROM rel
+               ORDER BY rel DESC, vec_id LIMIT 1)$steps
+        SELECT 1 AS pick, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
+               round(rel, 7) AS mmr
+        FROM s1
+        $outs
+        ORDER BY pick"""
+  }
+
   private val n01Sql =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                      FROM embeddings),
@@ -376,6 +429,7 @@ object SimilarityQueries extends QuerySet {
                    list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
           FROM g ORDER BY label, pos""",
     "n01_brute_topk" -> n01Sql,
+    "n14_mmr_rerank" -> n14Sql,
     "n13_retrieval_metrics" ->
       s"""WITH ex AS (SELECT query_id, vec_id FROM ($n01Sql) t),
          ap AS (SELECT query_id, vec_id, rank FROM ($n02bSql) t),

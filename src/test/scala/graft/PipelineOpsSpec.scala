@@ -1773,6 +1773,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == Set(1L, 3L))
   }
 
+  test("mmrRerank: diversity beats a redundant near-duplicate") {
+    // query [1,1]: b is the top hit, a is b's near-copy, c is
+    // orthogonal to both. Pure relevance would pick {b, a}; MMR at
+    // λ=0.5 must pick {b, c}.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),         // a: near-copy of b
+      (2L, Seq(0.999f, 0.02f)),      // b: best relevance
+      (3L, Seq(0.0f, 1.0f))          // c: diverse
+    ).toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(corpus, query, "vec_id", "embedding",
+        shortlistK = 3, k = 2, lam = 0.5)
+      .orderBy(col("pick")).collect().map(_.getLong(1)).toSeq
+    assert(picks == Seq(2L, 3L), picks.toString)
+    // and at λ=1 (pure relevance) the near-copy wins instead
+    val rel = Similarity.mmrRerank(corpus, query, "vec_id", "embedding",
+        shortlistK = 3, k = 2, lam = 1.0)
+      .orderBy(col("pick")).collect().map(_.getLong(1)).toSeq
+    assert(rel == Seq(2L, 1L), rel.toString)
+  }
+
   test("cdcChunkCoverage: boundaries re-sync after a prefix edit") {
     // 240-token deterministic text → ~15 chunks at the 1/16 boundary
     // rate; the noisy copy shares every chunk after the first
