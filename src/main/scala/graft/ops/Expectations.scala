@@ -23,6 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Expectations {
 
+  /** REFERENTIAL-INTEGRITY audit: one row per declared foreign key —
+    * total child rows, non-null keys, and ORPHANS (non-null keys with
+    * no parent). The join-safety check a warehouse runs before
+    * trusting any fact-to-dimension join: orphans silently vanish
+    * from inner joins and null out enrichments, and neither failure
+    * mode raises an error on its own.
+    *
+    * Shape: parent keys dedupe once, the child LEFT-joins them and
+    * one map-side-combinable agg counts — no row-level output, so the
+    * audit costs a semi-join regardless of child size. Null child
+    * keys are reported separately (a null FK is a modeling choice;
+    * an orphan is corruption).
+    */
+  def fkOrphans(child: DataFrame, childKey: String, parent: DataFrame,
+                parentKey: String, relation: String): DataFrame = {
+    val par = parent.select(col(parentKey).as("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(childKey).as("__k"))
+      .join(par, Seq("__k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L))
+          .as("n_nonnull"),
+        sum(when(col("__k").isNotNull && col("__hit").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_nonnull"), col("n_orphans"))
+  }
+
   /** Evaluate all `rules` in one pass. Output: one row per rule —
     * (rule, violations, n_rows, pass).
     */

@@ -446,6 +446,53 @@ object TextAnalysis {
           j => array_min(slice(grams, j + 1, lit(w)))))))
   }
 
+  /** TOKEN-DISTRIBUTION DIVERSITY per corpus slice: Shannon entropy
+    * of the token frequency distribution, type-token ratio, and
+    * normalized entropy H/ln(V) — the "is this source repetitive
+    * boilerplate or diverse prose" screen that complements
+    * [[logOddsKeyness]] (which says WHAT a slice over-represents;
+    * this says HOW concentrated it is overall). A crawl source whose
+    * normalized entropy collapses is template spam.
+    *
+    * Entropy terms are the one-transcendental-per-row discipline:
+    * each token's `−p·ln p` is 9dp-rounded, DECIMAL(38,9)-summed
+    * (partition order cannot smear bits), and only then surfaced as a
+    * double; `ttr` and `norm_entropy` are fixed-order chains rounded
+    * 7dp. Scale shape: one (group, token) count, one group re-agg —
+    * vocabulary-bounded after the first agg.
+    *
+    * Output per group: (grp, n_tokens, n_types, ttr, entropy,
+    * norm_entropy). Groups with one distinct token have ln(V) = 0 and
+    * null norm_entropy.
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val dec9 = org.apache.spark.sql.types.DecimalType(38, 9)
+    val grpTok = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("y"))
+    val tot = grpTok.groupBy(col("grp"))
+      .agg(sum(col("y")).as("__n"), count(lit(1)).as("__v"))
+    val p = col("y").cast("double") / col("__n").cast("double")
+    grpTok.join(tot, Seq("grp"))
+      .select(col("grp"), col("__n"), col("__v"),
+        round(-(p * log(p)), 9).cast(dec9).as("__h"))
+      .groupBy(col("grp"), col("__n"), col("__v"))
+      .agg(sum(col("__h")).cast("double").as("__H"))
+      .select(col("grp"), col("__n").as("n_tokens"),
+        col("__v").as("n_types"),
+        round(col("__v").cast("double") / col("__n").cast("double"), 7)
+          .as("ttr"),
+        col("__H").as("entropy"),
+        when(col("__v") > 1,
+          round(col("__H") / log(col("__v").cast("double")), 7))
+          .as("norm_entropy"))
+  }
+
   /** DISTINCTIVE TERMS per corpus slice — log-odds ratio with a flat
     * Dirichlet prior, z-scored (Monroe, Colaresi & Quinn, "Fightin'
     * Words", Political Analysis 2008): for each (group, token), how

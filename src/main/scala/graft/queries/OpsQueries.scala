@@ -251,6 +251,23 @@ object OpsQueries extends QuerySet {
     // (range, positivity, domain, date floor) evaluated in ONE
     // aggregation pass — the qty_lt_30 rule is planted to fail so the
     // violation counting is on the oracle signal, not just zeros.
+    // Referential-integrity audit over the star schema's declared FKs
+    // plus one deliberately broken relation (events.user_id →
+    // customer) whose orphan count is nonzero at every SF — the
+    // set-level contract p14's row-level suite scopes out.
+    "p17_fk_audit" -> ((s, d) => {
+      val E = graft.ops.Expectations
+      E.fkOrphans(Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem.order")
+        .unionByName(E.fkOrphans(Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem.part"))
+        .unionByName(E.fkOrphans(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey", "order.customer"))
+        .unionByName(E.fkOrphans(Tables.events(s, d), "user_id",
+          Tables.customer(s, d), "c_custkey", "event.user"))
+        .orderBy(col("relation"))
+    }),
+
     "p14_expectations" -> ((s, d) =>
       graft.ops.Expectations.check(Tables.lineitem(s, d), Seq(
         "qty_range" -> col("l_quantity").between(1, 50),
@@ -837,6 +854,43 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "p17_fk_audit" ->
+      """WITH a1 AS (SELECT 'lineitem.order' AS relation,
+                       COUNT(*) AS n_rows,
+                       COUNT(c.l_orderkey) AS n_nonnull,
+                       CAST(SUM(CASE WHEN c.l_orderkey IS NOT NULL
+                                      AND p.k IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_orphans
+                     FROM lineitem c LEFT JOIN
+                       (SELECT DISTINCT o_orderkey AS k FROM orders) p
+                       ON c.l_orderkey = p.k),
+         a2 AS (SELECT 'lineitem.part', COUNT(*),
+                  COUNT(c.l_partkey),
+                  CAST(SUM(CASE WHEN c.l_partkey IS NOT NULL
+                                 AND p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                FROM lineitem c LEFT JOIN
+                  (SELECT DISTINCT p_partkey AS k FROM part) p
+                  ON c.l_partkey = p.k),
+         a3 AS (SELECT 'order.customer', COUNT(*),
+                  COUNT(c.o_custkey),
+                  CAST(SUM(CASE WHEN c.o_custkey IS NOT NULL
+                                 AND p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                FROM orders c LEFT JOIN
+                  (SELECT DISTINCT c_custkey AS k FROM customer) p
+                  ON c.o_custkey = p.k),
+         a4 AS (SELECT 'event.user', COUNT(*),
+                  COUNT(c.user_id),
+                  CAST(SUM(CASE WHEN c.user_id IS NOT NULL
+                                 AND p.k IS NULL THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                FROM events c LEFT JOIN
+                  (SELECT DISTINCT c_custkey AS k FROM customer) p
+                  ON c.user_id = p.k)
+         SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
+         ORDER BY relation""",
     "a40_welch_t" ->
       """WITH e AS (SELECT event_type AS g,
                       CAST(round(value * 100) AS BIGINT) AS x

@@ -33,6 +33,15 @@ object TextQueries extends QuerySet {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy(col("grp"), col("rank"))),
 
+    // Corpus-diversity screen per source: Shannon entropy of the
+    // token distribution, type-token ratio, normalized entropy —
+    // template spam collapses all three.
+    "t26_token_entropy" -> ((s, d) =>
+      graft.ops.TextAnalysis.tokenEntropy(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "source", "text")
+        .orderBy(col("grp"))),
+
     // Spell correction / OCR cleanup: plant a deterministic typo (last
     // char → '~' on every 5th (doc_id+pos) token of length ≥ 4), then
     // recover it against the corpus's own vocabulary via the blocked
@@ -386,6 +395,32 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t26_token_entropy" ->
+      """WITH gt AS (SELECT grp, tok AS token, COUNT(*) AS y
+                     FROM (SELECT source AS grp,
+                             unnest(string_split_regex(
+                               trim(lower(text)), '\s+')) AS tok
+                           FROM documents
+                           WHERE source IS NOT NULL
+                             AND text IS NOT NULL)
+                     WHERE tok <> '' GROUP BY grp, tok),
+         tt AS (SELECT grp, SUM(y) AS n, COUNT(*) AS v
+                FROM gt GROUP BY grp),
+         h AS (SELECT gt.grp, tt.n, tt.v,
+                 CAST(round(-((CAST(y AS DOUBLE) / CAST(n AS DOUBLE))
+                              * ln(CAST(y AS DOUBLE)
+                                   / CAST(n AS DOUBLE))), 9)
+                      AS DECIMAL(38,9)) AS hh
+               FROM gt JOIN tt ON gt.grp = tt.grp),
+         e AS (SELECT grp, n, v, CAST(SUM(hh) AS DOUBLE) AS hsum
+               FROM h GROUP BY grp, n, v)
+         SELECT grp, CAST(n AS BIGINT) AS n_tokens, v AS n_types,
+                round(CAST(v AS DOUBLE) / CAST(n AS DOUBLE), 7) AS ttr,
+                hsum AS entropy,
+                CASE WHEN v > 1 THEN
+                  round(hsum / ln(CAST(v AS DOUBLE)), 7)
+                END AS norm_entropy
+         FROM e ORDER BY grp""",
     "t25_log_odds_keyness" ->
       """WITH gt AS (SELECT grp, tok AS token, COUNT(*) AS y
                      FROM (SELECT source AS grp,

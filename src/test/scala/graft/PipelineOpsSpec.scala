@@ -1773,6 +1773,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top == Set(1L, 3L))
   }
 
+  test("tokenEntropy: uniform = ln V (normalized 1), repeated = 0") {
+    val docs = Seq(
+      ("u", "a b c d"),          // uniform over 4 types
+      ("r", "x x x x"),          // one type, zero entropy
+      ("m", "a a a b")           // H = -(3/4·ln 3/4 + 1/4·ln 1/4)
+    ).toDF("src", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    val u = got("u")
+    assert(u._1 == 4L && u._2 == 4L && u._3 == 1.0)
+    assert(math.abs(u._4 - math.log(4.0)) < 1e-8, u.toString)
+    assert(math.abs(u._5 - 1.0) < 1e-8, "uniform → normalized 1")
+    val rr = got("r")
+    assert(rr._4 == 0.0 && rr._5.isNaN, "single type → H=0, norm null")
+    val m = got("m")
+    val want = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(m._4 - want) < 1e-8, s"${m._4} vs $want")
+  }
+
+  test("fkOrphans counts orphans and nulls separately") {
+    import graft.ops.Expectations
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq[java.lang.Long](1L, 1L, 2L, 9L, null)
+      .toDF("fk")
+    val r = Expectations.fkOrphans(child, "fk", parent, "pk", "c.p")
+      .first()
+    assert(r.getString(0) == "c.p")
+    assert(r.getLong(1) == 5L, "n_rows")
+    assert(r.getLong(2) == 4L, "n_nonnull excludes the null FK")
+    assert(r.getLong(3) == 1L, "only 9 is an orphan; null is not")
+  }
+
   test("mmrRerank: diversity beats a redundant near-duplicate") {
     // query [1,1]: b is the top hit, a is b's near-copy, c is
     // orthogonal to both. Pure relevance would pick {b, a}; MMR at
