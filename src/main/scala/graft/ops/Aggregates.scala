@@ -1144,6 +1144,55 @@ object Aggregates {
         }, 9).as("chi2_term"))
   }
 
+  /** KENDALL'S τ-b — the tie-corrected rank correlation (Kendall 1945)
+    * over two INTEGER-QUANTIZED ordinal columns: concordant minus
+    * discordant pair counts, normalized by the tie-adjusted pair
+    * totals. The monotone-association screen that Pearson ([[cramersV]]
+    * covers the categorical case, [[Anomaly.olsPerGroup]] the linear
+    * case) misses when the relationship is curved.
+    *
+    * Exact and domain-bounded: rows collapse to the (x, y) CELL
+    * HISTOGRAM, concordant/discordant counts come from one cell-pair
+    * θ-join (`a.x < b.x`, y compared both ways — cost |X|·|Y| squared,
+    * independent of row count; the caller quantizes to keep domains
+    * bounded, the same contract as [[equidepthBins]]), tie terms from
+    * the marginals, and τ-b is one fixed-order double chain, 7dp.
+    * Degenerate inputs (all ties on either axis) yield null.
+    *
+    * Output (one row): n, n_pairs, concordant, discordant, tau_b.
+    */
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairAgg = cells.as("a").join(cells.as("b"),
+        col("a.__x") < col("b.__x"))
+      .agg(
+        sum(when(col("a.__y") < col("b.__y"),
+          col("a.__c") * col("b.__c")).otherwise(0L)).as("__C"),
+        sum(when(col("a.__y") > col("b.__y"),
+          col("a.__c") * col("b.__c")).otherwise(0L)).as("__D"))
+    val xm = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__nx"))
+      .agg(sum(col("__nx")).as("__n"),
+        sum(expr("__nx * (__nx - 1) div 2")).as("__tx"))
+    val ym = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__ny"))
+      .agg(sum(expr("__ny * (__ny - 1) div 2")).as("__ty"))
+    pairAgg.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+      .withColumn("__n0", expr("__n * (__n - 1) div 2"))
+      .select(col("__n").as("n"), col("__n0").as("n_pairs"),
+        coalesce(col("__C"), lit(0L)).as("concordant"),
+        coalesce(col("__D"), lit(0L)).as("discordant"),
+        when(col("__n0") > col("__tx") && col("__n0") > col("__ty"),
+          round((coalesce(col("__C"), lit(0L)) -
+            coalesce(col("__D"), lit(0L))).cast("double") /
+            sqrt((col("__n0") - col("__tx")).cast("double") *
+              (col("__n0") - col("__ty")).cast("double")), 7))
+          .as("tau_b"))
+  }
+
   /** WELCH'S t — the unequal-variance two-sample location test
     * statistic (Welch 1947), the correct default when two segments'
     * spends have different spreads (Student's pooled t silently

@@ -359,6 +359,19 @@ object OpsQueries extends QuerySet {
         "grp", "x", "y")
         .orderBy(col("grp"))),
 
+    // Kendall τ-b rank correlation between quantity and the price
+    // megacent bucket — tie-corrected monotone association from the
+    // bounded cell histogram (cell-pair cost = domain², not rows²).
+    "a41_kendall_tau" -> ((s, d) =>
+      graft.ops.Aggregates.kendallTauB(
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull)
+          .select(col("l_quantity").cast("bigint").as("x"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+              " div 1000000").as("y")),
+        "x", "y")),
+
     // Welch's unequal-variance t statistic: purchase vs view spend
     // cents, one conditional-moment pass, statistic + Satterthwaite
     // dof (p-value left to tail tables — no incomplete beta in the
@@ -854,6 +867,36 @@ object OpsQueries extends QuerySet {
                 CAST(SUM(p2sq) AS DOUBLE) AS p2sq_sum
          FROM pj GROUP BY grp ORDER BY grp""",
 
+    "a41_kendall_tau" ->
+      """WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          // 1000000 AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         cells AS (SELECT x, y, COUNT(*) AS c FROM src GROUP BY x, y),
+         pr AS (SELECT
+                  SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)
+                    AS cc,
+                  SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
+                    AS dd
+                FROM cells a JOIN cells b ON a.x < b.x),
+         xm AS (SELECT SUM(nx) AS n, SUM(nx * (nx - 1) // 2) AS tx
+                FROM (SELECT SUM(c) AS nx FROM cells GROUP BY x)),
+         ym AS (SELECT SUM(ny * (ny - 1) // 2) AS ty
+                FROM (SELECT SUM(c) AS ny FROM cells GROUP BY y))
+         SELECT CAST(n AS BIGINT) AS n,
+                CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+                CAST(COALESCE(cc, 0) AS BIGINT) AS concordant,
+                CAST(COALESCE(dd, 0) AS BIGINT) AS discordant,
+                CASE WHEN n * (n - 1) // 2 > tx
+                      AND n * (n - 1) // 2 > ty THEN
+                  round(CAST(COALESCE(cc, 0) - COALESCE(dd, 0)
+                             AS DOUBLE)
+                    / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
+                           * CAST(n * (n - 1) // 2 - ty AS DOUBLE)), 7)
+                END AS tau_b
+         FROM pr, xm, ym""",
     "p17_fk_audit" ->
       """WITH a1 AS (SELECT 'lineitem.order' AS relation,
                        COUNT(*) AS n_rows,

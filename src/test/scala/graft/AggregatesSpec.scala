@@ -555,6 +555,27 @@ class AggregatesSpec extends SparkSpec {
     assert(rows.forall(_.getDouble(3) >= 0), rows.mkString(","))
   }
 
+  test("kendallTauB: monotone = 1, reversed = -1, ties match scipy") {
+    import spark.implicits._
+    def tau(rows: Seq[(Long, Long)]) =
+      graft.ops.Aggregates.kendallTauB(rows.toDF("x", "y"), "x", "y")
+        .first()
+    val up = tau(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(up.getDouble(4) == 1.0 && up.getLong(3) == 0L, up.toString)
+    val down = tau(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)))
+    assert(down.getDouble(4) == -1.0, down.toString)
+    // ties on both axes: x=[1,2,2,3], y=[1,3,2,2] → C=3, D=1,
+    // n0=6, tx=1 (the tied x=2 pair), ty=1 (tied y=2 pair),
+    // τ-b = (3−1)/√((6−1)(6−1)) = 0.4
+    val t = tau(Seq((1L, 1L), (2L, 3L), (2L, 2L), (3L, 2L)))
+    assert(t.getLong(1) == 6L && t.getLong(2) == 3L &&
+      t.getLong(3) == 1L, t.toString)
+    assert(math.abs(t.getDouble(4) - 0.4) < 1e-7, t.toString)
+    // all-tied axis → null
+    val degen = tau(Seq((1L, 5L), (2L, 5L), (3L, 5L)))
+    assert(degen.isNullAt(4), degen.toString)
+  }
+
   test("welchT matches the closed form; dof sits in [min-1, n-2]") {
     import spark.implicits._
     val rows = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
