@@ -41,6 +41,27 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
 
+    // Local clustering coefficient per node: 2·triangles/(d(d−1)) —
+    // triangles from g03's machinery joined to symmetrized degrees;
+    // how ring-like each account's neighborhood is. Degree-1 nodes
+    // have no closable wedge → null coefficient.
+    "g08_clustering_coeff" -> ((s, d) => {
+      val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = graft.ops.Graph.symmetrize(e)
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("degree"))
+      graft.ops.Graph.triangleCounts(e)
+        .join(deg, Seq("node"), "right")
+        .select(col("node"), col("degree"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("degree") >= 2,
+            round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+              .cast("double") /
+              (col("degree").cast("double") *
+                (col("degree") - 1).cast("double")), 7)).as("coeff"))
+        .orderBy(col("node"))
+    }),
+
     // Newman degree assortativity of the co-attribute graph: Pearson
     // over endpoint degrees of every directed edge — integer moment
     // sums, one fixed-order double chain, hash-exact.
@@ -234,6 +255,27 @@ object GraphQueries extends QuerySet {
 
     // naive triple join: e is canonical (u < v) so each triangle
     // x<y<z appears exactly once; orientation-invariant counts
+    "g08_clustering_coeff" ->
+      s"""$prelude,
+         tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                 FROM e a JOIN e b ON a.v = b.u
+                          JOIN e c ON c.u = a.u AND c.v = b.v),
+         tn AS (SELECT node, COUNT(*) AS triangles
+                FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+                GROUP BY node),
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS degree
+                 FROM sym GROUP BY u)
+         SELECT d.node, d.degree,
+                CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+                CASE WHEN d.degree >= 2 THEN
+                  round(2.0 * CAST(COALESCE(t.triangles, 0) AS DOUBLE)
+                    / (CAST(d.degree AS DOUBLE)
+                       * CAST(d.degree - 1 AS DOUBLE)), 7)
+                END AS coeff
+         FROM deg d LEFT JOIN tn t ON d.node = t.node
+         ORDER BY d.node""",
+
     "g03_triangles" ->
       s"""$prelude,
          tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
