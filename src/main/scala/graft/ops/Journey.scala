@@ -234,6 +234,8 @@ object Journey {
       count(lit(1)).as("__N"))
     val scored = perEnt.crossJoin(broadcast(anchor))
       .withColumn("__r", col("__gmax") - col("__last"))
+      // read by all three metric rank frames AND the final join chain
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // integer `div` on the rank product — never true-division + cast,
     // which would round instead of truncate and break oracle parity
     def scoreExpr(metric: String): DataFrame = {
