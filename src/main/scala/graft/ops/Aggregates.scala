@@ -1168,28 +1168,40 @@ object Aggregates {
         col(yCol).cast("long").as("__y"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // pair products and tie terms accumulate as DECIMAL(38,0): in
+    // long they pass 2^63 around n ~ 4e9 rows (ANSI hard-fail) while
+    // the oracle widens to HUGEINT; the int64 OUTPUT columns are the
+    // true contract bound (n_pairs fits long up to n ~ 4.3e9)
     val pairAgg = cells.as("a").join(cells.as("b"),
         col("a.__x") < col("b.__x"))
       .agg(
         sum(when(col("a.__y") < col("b.__y"),
-          col("a.__c") * col("b.__c")).otherwise(0L)).as("__C"),
+          col("a.__c").cast(dec38) * col("b.__c"))
+          .otherwise(lit(0).cast(dec38))).as("__C"),
         sum(when(col("a.__y") > col("b.__y"),
-          col("a.__c") * col("b.__c")).otherwise(0L)).as("__D"))
+          col("a.__c").cast(dec38) * col("b.__c"))
+          .otherwise(lit(0).cast(dec38))).as("__D"))
     val xm = cells.groupBy(col("__x")).agg(sum(col("__c")).as("__nx"))
       .agg(sum(col("__nx")).as("__n"),
-        sum(expr("__nx * (__nx - 1) div 2")).as("__tx"))
+        sum(expr("CAST(__nx AS DECIMAL(38,0)) * (__nx - 1)"))
+          .as("__tx2"))
     val ym = cells.groupBy(col("__y")).agg(sum(col("__c")).as("__ny"))
-      .agg(sum(expr("__ny * (__ny - 1) div 2")).as("__ty"))
+      .agg(sum(expr("CAST(__ny AS DECIMAL(38,0)) * (__ny - 1)"))
+        .as("__ty2"))
+    // doubled forms (n(n−1), nx(nx−1)) stay integral in decimal; the
+    // halves are exact because each product is even
     pairAgg.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
-      .withColumn("__n0", expr("__n * (__n - 1) div 2"))
-      .select(col("__n").as("n"), col("__n0").as("n_pairs"),
-        coalesce(col("__C"), lit(0L)).as("concordant"),
-        coalesce(col("__D"), lit(0L)).as("discordant"),
-        when(col("__n0") > col("__tx") && col("__n0") > col("__ty"),
-          round((coalesce(col("__C"), lit(0L)) -
-            coalesce(col("__D"), lit(0L))).cast("double") /
-            sqrt((col("__n0") - col("__tx")).cast("double") *
-              (col("__n0") - col("__ty")).cast("double")), 7))
+      .withColumn("__n02", expr("CAST(__n AS DECIMAL(38,0)) * (__n - 1)"))
+      .select(col("__n").as("n"),
+        expr("CAST(__n02 / 2 AS BIGINT)").as("n_pairs"),
+        coalesce(col("__C"), lit(0)).cast("long").as("concordant"),
+        coalesce(col("__D"), lit(0)).cast("long").as("discordant"),
+        when(col("__n02") > col("__tx2") && col("__n02") > col("__ty2"),
+          round(lit(2.0) * (coalesce(col("__C"), lit(0)) -
+            coalesce(col("__D"), lit(0))).cast("double") /
+            sqrt((col("__n02") - col("__tx2")).cast("double") *
+              (col("__n02") - col("__ty2")).cast("double")), 7))
           .as("tau_b"))
   }
 
@@ -1214,12 +1226,14 @@ object Aggregates {
              groupA: String, groupB: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val x = col(xCol)
+    // cast BEFORE the square: x*x in long overflows (ANSI hard-fail)
+    // past ~3e9 while the oracle's HUGEINT product is exact
     def side(g: String, tag: String) = Seq(
       sum(when(col(groupCol) === g, 1L).otherwise(0L)).as(s"__n$tag"),
       sum(when(col(groupCol) === g, x).otherwise(0L).cast(dec38))
         .as(s"__s$tag"),
-      sum(when(col(groupCol) === g, x * x).otherwise(0L).cast(dec38))
-        .as(s"__q$tag"))
+      sum(when(col(groupCol) === g, x.cast(dec38) * x.cast(dec38))
+        .otherwise(lit(0).cast(dec38))).as(s"__q$tag"))
     val sides = side(groupA, "a") ++ side(groupB, "b")
     // when-guards, not bare division: ANSI mode hard-fails on a
     // zero/one-row group's n or n−1 denominator
@@ -1241,8 +1255,10 @@ object Aggregates {
       .withColumn("__wa", col("__va") / col("__na").cast("double"))
       .withColumn("__wb", col("__vb") / col("__nb").cast("double"))
       .select(col("__na").as("n_a"), col("__nb").as("n_b"),
-        round(col("__ma"), 7).as("mean_a"),
-        round(col("__mb"), 7).as("mean_b"),
+        // 2dp, not 7: cents-scale means at ~1e7 exceed double's exact
+        // range at 7dp and flake the hash (the u04 lesson)
+        round(col("__ma"), 2).as("mean_a"),
+        round(col("__mb"), 2).as("mean_b"),
         when(col("__na") >= 2 && col("__nb") >= 2,
           round((col("__ma") - col("__mb")) /
             sqrt(col("__wa") + col("__wb")), 7)).as("t"),

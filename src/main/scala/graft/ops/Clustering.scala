@@ -81,8 +81,10 @@ object Clustering {
       cent = Layout.materializeBounded(
         a.groupBy(col("__j"))
           .agg(sum(col("__w")).as("__n"),
-            sum((col("__x") * col("__w")).cast(dec38)).as("__sx"),
-            sum((col("__y") * col("__w")).cast(dec38)).as("__sy"))
+            // cast BEFORE the multiply (the inertia rule below): x·w
+            // in long overflows past 2^63 at real feature magnitudes
+            sum(col("__x").cast(dec38) * col("__w")).as("__sx"),
+            sum(col("__y").cast(dec38) * col("__w")).as("__sy"))
           .select(col("__j"),
             expr("CAST(__sx div __n AS BIGINT)").as("__cx"),
             expr("CAST(__sy div __n AS BIGINT)").as("__cy")),

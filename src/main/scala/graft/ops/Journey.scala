@@ -248,10 +248,15 @@ object Journey {
           lit(1) + expr("(__fr * 5) div __N"))
         .select(col(metric), col(s"__s$metric"))
     }
+    // NO broadcast hints: recency (days) and frequency (counts) rank
+    // frames are domain-bounded, but MONETARY totals are near-unique
+    // per entity — a forced broadcast would collect an
+    // entity-cardinality frame to the driver at scale. AQE broadcasts
+    // the small ones on its own.
     scored
-      .join(broadcast(scoreExpr("__r")), Seq("__r"))
-      .join(broadcast(scoreExpr("__f")), Seq("__f"))
-      .join(broadcast(scoreExpr("__m")), Seq("__m"))
+      .join(scoreExpr("__r"), Seq("__r"))
+      .join(scoreExpr("__f"), Seq("__f"))
+      .join(scoreExpr("__m"), Seq("__m"))
       .select((lit(6) - col("__s__r")).as("r_score"),
         col("__s__f").as("f_score"), col("__s__m").as("m_score"),
         col("__m"))

@@ -1049,6 +1049,10 @@ object Similarity {
                 vecCol: String, shortlistK: Int = 20, k: Int = 5,
                 lam: Double = 0.7): DataFrame = {
     require(k >= 1 && shortlistK >= k, "need shortlistK >= k >= 1")
+    // one global greedy set is only meaningful for ONE query vector —
+    // with several, shortlist and picks would silently interleave
+    require(queries.limit(2).count() == 1,
+      "mmrRerank expects exactly one query row")
     val mu = 1 - lam
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
@@ -1097,6 +1101,10 @@ object Similarity {
         .select(lit(i).as("pick"), col("__w.vec_id").as("vec_id"),
           col("__w.rel").as("rel"), col("__w.max_sim").as("max_sim"),
           col("__w.mmr").as("mmr"))
+        // a drained candidate pool yields a null max_by row — drop it
+        // so a short shortlist returns FEWER picks (like the oracle's
+        // empty step CTEs), never phantom null ids
+        .filter(col("vec_id").isNotNull)
       selected = Layout.materializeBounded(
         selected.unionByName(chosen), maxRows = k.toLong)
     }

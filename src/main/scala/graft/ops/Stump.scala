@@ -36,6 +36,8 @@ object Stump {
       .groupBy(col(xCol).cast("long").as("__x"))
       .agg(count(lit(1)).as("__cnt"),
         sum(col(labelCol).cast("long")).as("__pos"))
+      // read by the prefix sums (twice internally) and the totals
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = Aggregates.bucketedPrefixSums(hist, "__x",
       ascending = true, sumCols = Seq("__cnt", "__pos"))
     val tot = hist.agg(sum(col("__cnt")).as("__N"),
@@ -60,6 +62,9 @@ object Stump {
         struct(col("__x"), col("__wg"), nL.as("__nl"), pL.as("__pl"),
           col("__N"), col("__P")),
         struct(col("__wg"), col("__x"))).as("__b"))
+      // degenerate inputs (empty, or one distinct x) have no valid
+      // split: emit ZERO rows like the oracle, not one all-null row
+      .filter(col("__b").isNotNull)
       .select(col("__b.__x").as("threshold"), col("__b.__wg").as("wgini"),
         col("__b.__N").as("n"), col("__b.__P").as("pos"),
         col("__b.__nl").as("n_left"), col("__b.__pl").as("pos_left"))

@@ -881,20 +881,20 @@ object OpsQueries extends QuerySet {
                   SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)
                     AS dd
                 FROM cells a JOIN cells b ON a.x < b.x),
-         xm AS (SELECT SUM(nx) AS n, SUM(nx * (nx - 1) // 2) AS tx
+         xm AS (SELECT SUM(nx) AS n, SUM(nx * (nx - 1)) AS tx2
                 FROM (SELECT SUM(c) AS nx FROM cells GROUP BY x)),
-         ym AS (SELECT SUM(ny * (ny - 1) // 2) AS ty
+         ym AS (SELECT SUM(ny * (ny - 1)) AS ty2
                 FROM (SELECT SUM(c) AS ny FROM cells GROUP BY y))
          SELECT CAST(n AS BIGINT) AS n,
                 CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
                 CAST(COALESCE(cc, 0) AS BIGINT) AS concordant,
                 CAST(COALESCE(dd, 0) AS BIGINT) AS discordant,
-                CASE WHEN n * (n - 1) // 2 > tx
-                      AND n * (n - 1) // 2 > ty THEN
-                  round(CAST(COALESCE(cc, 0) - COALESCE(dd, 0)
-                             AS DOUBLE)
-                    / sqrt(CAST(n * (n - 1) // 2 - tx AS DOUBLE)
-                           * CAST(n * (n - 1) // 2 - ty AS DOUBLE)), 7)
+                CASE WHEN n * (n - 1) > tx2
+                      AND n * (n - 1) > ty2 THEN
+                  round(2.0 * CAST(COALESCE(cc, 0) - COALESCE(dd, 0)
+                              AS DOUBLE)
+                    / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                           * CAST(n * (n - 1) - ty2 AS DOUBLE)), 7)
                 END AS tau_b
          FROM pr, xm, ym""",
     "p17_fk_audit" ->
@@ -972,7 +972,7 @@ object OpsQueries extends QuerySet {
                  vb / CAST(nb AS DOUBLE) AS wb
                FROM vv)
          SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-                round(ma, 7) AS mean_a, round(mb, 7) AS mean_b,
+                round(ma, 2) AS mean_a, round(mb, 2) AS mean_b,
                 CASE WHEN na >= 2 AND nb >= 2 THEN
                   round((ma - mb) / sqrt(wa + wb), 7) END AS t,
                 CASE WHEN na >= 2 AND nb >= 2 THEN

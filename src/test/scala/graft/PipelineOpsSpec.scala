@@ -1828,6 +1828,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rel == Seq(2L, 1L), rel.toString)
   }
 
+  test("mmrRerank: a drained pool returns fewer picks, no null rows") {
+    val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((99L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(corpus, query, "vec_id", "embedding",
+      shortlistK = 5, k = 5, lam = 0.5).collect()
+    assert(out.length == 2, out.mkString(","))
+    assert(out.forall(!_.isNullAt(1)), "no phantom null picks")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(corpus,
+        corpus, "vec_id", "embedding", 2, 2, 0.5).collect()
+    }
+  }
+
   test("cdcChunkCoverage: boundaries re-sync after a prefix edit") {
     // 240-token deterministic text → ~15 chunks at the 1/16 boundary
     // rate; the noisy copy shares every chunk after the first

@@ -19,6 +19,14 @@ class StumpSpec extends SparkSpec {
     assert(r.getAs[Double]("acc") == 1.0)
   }
 
+  test("degenerate inputs yield zero rows, not an all-null model") {
+    val one = Seq((5L, 1), (5L, 0), (5L, 1)).toDF("x", "label")
+    assert(Stump.train(one, "x", "label").count() == 0,
+      "single distinct x has no valid split")
+    val empty = Seq.empty[(Long, Int)].toDF("x", "label")
+    assert(Stump.train(empty, "x", "label").count() == 0)
+  }
+
   test("equal-impurity thresholds tie-break to the smallest x") {
     // all labels 0: every split has wg = 0 → threshold = min x
     val rows = Seq((5L, 0), (7L, 0), (9L, 0)).toDF("x", "label")
