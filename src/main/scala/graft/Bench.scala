@@ -21,6 +21,22 @@ object Bench {
       // restores Spark's default ceiling).
       .config("spark.sql.codegen.hugeMethodLimit",
         sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "8000"))
+      // the cartesian interlock is ON for every benched plan (mirrors
+      // Verify): an unhinted cross join fails loudly at plan time
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.plans.CartesianGuard.ConfKey, "true")
+      // env-overridable for the streaming state-store A/B
+      // (SPARK_GRAFT_STATESTORE=rocksdb swaps the provider for the
+      // 19-query st family; default = Spark's HDFS-backed in-memory
+      // provider)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        sys.env.get("SPARK_GRAFT_STATESTORE") match {
+          case Some("rocksdb") => "org.apache.spark.sql.execution." +
+            "streaming.state.RocksDBStateStoreProvider"
+          case Some(other) => other
+          case None => "org.apache.spark.sql.execution.streaming." +
+            "state.HDFSBackedStateStoreProvider"
+        })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional filter for profiling: SPARK_GRAFT_ONLY=q1,q2

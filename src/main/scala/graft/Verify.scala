@@ -23,6 +23,13 @@ object Verify {
       // for stages whose fused processNext would exceed HotSpot's 8000-byte
       // JIT ceiling and run as interpreted bytecode (~50x slower)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // the 100-TB cartesian interlock planning EVERY driver query:
+      // an unhinted cross join anywhere in the 249-query surface now
+      // fails at plan time instead of surviving local[32] and dying
+      // on a cluster (r7 verdict: "until then the interlock is a
+      // claim, not a gate")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config(graft.plans.CartesianGuard.ConfKey, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -60,20 +60,31 @@ object LogisticIrls {
     * the coefficients come back NaN — deterministically on both
     * engines (IEEE 0/0), never an exception. Callers owning messy
     * feature spaces should de-duplicate/center features first; the
-    * NaN row is the documented signal, not a crash.
+    * NaN row is the documented signal, not a crash. Rows with a null
+    * label or feature are DROPPED up front (the Anomaly/Stump/Conformal
+    * convention) — without the filter, sum() would silently skip their
+    * null terms while count() still counted them, so `n` and the
+    * moment sums would describe two different populations.
     */
   def train(df: DataFrame, labelCol: String, x1Col: String, x2Col: String,
             iterations: Int = 3): DataFrame = {
     require(iterations >= 1, "at least one Newton step")
-    val base = df.select(
-      col(labelCol).cast("double").as("y"),
-      col(x1Col).cast("double").as("x1"),
-      col(x2Col).cast("double").as("x2"))
+    val base = baseOf(df, labelCol, x1Col, x2Col)
     var beta = df.sparkSession.range(1).select(
       lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
     for (_ <- 1 to iterations) beta = step(base, beta)
     beta
   }
+
+  /** Shared train/score projection: one row set for n AND the sums. */
+  private def baseOf(df: DataFrame, labelCol: String, x1Col: String,
+                     x2Col: String): DataFrame =
+    df.filter(col(labelCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(
+        col(labelCol).cast("double").as("y"),
+        col(x1Col).cast("double").as("x1"),
+        col(x2Col).cast("double").as("x2"))
 
   private def sigmoid(z: Column): Column =
     round(lit(1.0) / (lit(1.0) + exp(-z)), 7)
@@ -139,10 +150,7 @@ object LogisticIrls {
   def trainSummary(df: DataFrame, labelCol: String, x1Col: String,
                    x2Col: String, iterations: Int = 3): DataFrame = {
     val beta = train(df, labelCol, x1Col, x2Col, iterations)
-    val base = df.select(
-      col(labelCol).cast("double").as("y"),
-      col(x1Col).cast("double").as("x1"),
-      col(x2Col).cast("double").as("x2"))
+    val base = baseOf(df, labelCol, x1Col, x2Col)
     val p = sigmoid(zOf)
     base.crossJoin(broadcast(beta))
       .agg(

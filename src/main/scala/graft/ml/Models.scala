@@ -86,8 +86,8 @@ object Models {
     val b = base.cache() // one row; evaluated once, read twice
     val out = graft.ops.Checkpoints.cut(
       Aggregates.binaryMetrics(b)
-        .crossJoin(b.select("log_loss"))
-        .crossJoin(Aggregates.rocAuc(s, "label", "proba")))
+        .crossJoin(broadcast(b.select("log_loss")))
+        .crossJoin(broadcast(Aggregates.rocAuc(s, "label", "proba"))))
     s.unpersist(blocking = false)
     b.unpersist(blocking = false)
     out

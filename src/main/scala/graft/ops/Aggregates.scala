@@ -491,7 +491,9 @@ object Aggregates {
               lit((1L << 48).toDouble))).as("kmv_est"))
     val exact = df.filter(col(keyCol).isNotNull)
       .agg(countDistinct(col(keyCol)).as("n_exact"))
-    exact.crossJoin(hllEst).crossJoin(kmv)
+    // 1-row frames; hinted so the CartesianGuard interlock sees the
+    // bounded-side contract
+    exact.crossJoin(broadcast(hllEst)).crossJoin(broadcast(kmv))
   }
 
   /** Engine-portable count-min sketch: `depth` md5-derived hash rows ×
@@ -1161,13 +1163,29 @@ object Aggregates {
     *
     * Output (one row): n, n_pairs, concordant, discordant, tau_b.
     */
-  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    kendallTauBImpl(df, xCol, yCol, persist = false).df
+
+  /** [[kendallTauB]] with the cell histogram persisted (it feeds both
+    * sides of the cell-pair θ-join and both marginals) and handed back
+    * for release — the form the bench queries run. The plain form is
+    * unhinted: leak-free, re-counting cells up to four times.
+    */
+  def kendallTauBCached(df: DataFrame, xCol: String,
+                        yCol: String): Cached =
+    kendallTauBImpl(df, xCol, yCol, persist = true)
+
+  private def kendallTauBImpl(df: DataFrame, xCol: String, yCol: String,
+                              persist: Boolean): Cached = {
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d =>
+        if (persist) d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d)
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // pair products and tie terms accumulate as DECIMAL(38,0): in
     // long they pass 2^63 around n ~ 4e9 rows (ANSI hard-fail) while
@@ -1191,7 +1209,7 @@ object Aggregates {
         .as("__ty2"))
     // doubled forms (n(n−1), nx(nx−1)) stay integral in decimal; the
     // halves are exact because each product is even
-    pairAgg.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
+    val out = pairAgg.crossJoin(broadcast(xm)).crossJoin(broadcast(ym))
       .withColumn("__n02", expr("CAST(__n AS DECIMAL(38,0)) * (__n - 1)"))
       .select(col("__n").as("n"),
         expr("CAST(__n02 / 2 AS BIGINT)").as("n_pairs"),
@@ -1203,6 +1221,7 @@ object Aggregates {
             sqrt((col("__n02") - col("__tx2")).cast("double") *
               (col("__n02") - col("__ty2")).cast("double")), 7))
           .as("tau_b"))
+    Cached(out, if (persist) Seq(cells) else Seq.empty)
   }
 
   /** WELCH'S t — the unequal-variance two-sample location test
@@ -1289,11 +1308,26 @@ object Aggregates {
     * DISTINCT label pairs, not rows. Output (one row): n, r, c, chi2,
     * v.
     */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    cramersVImpl(df, aCol, bCol, persist = false).df
+
+  /** [[cramersV]] with the contingency cells persisted (they feed both
+    * marginals, the shape frame, and the scored join) and handed back
+    * for release — the form the bench queries run. The plain form is
+    * unhinted: leak-free, re-counting cells up to four times.
+    */
+  def cramersVCached(df: DataFrame, aCol: String, bCol: String): Cached =
+    cramersVImpl(df, aCol, bCol, persist = true)
+
+  private def cramersVImpl(df: DataFrame, aCol: String, bCol: String,
+                           persist: Boolean): Cached = {
     val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
       .agg(count(lit(1)).as("__o"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d =>
+        if (persist) d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d)
     val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
     val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
     val shape = cells.agg(sum(col("__o")).as("__n"),
@@ -1305,7 +1339,7 @@ object Aggregates {
       col("__n").cast("double")
     val term = (col("__o").cast("double") - e) *
       (col("__o").cast("double") - e) / e - e
-    cells
+    val out = cells
       .join(rowTot, Seq("__a")).join(colTot, Seq("__b"))
       .crossJoin(broadcast(shape))
       .select(col("__n"), col("__r"), col("__c"),
@@ -1319,6 +1353,7 @@ object Aggregates {
             (col("__n").cast("double") *
               least(col("__r") - 1, col("__c") - 1).cast("double"))), 7))
           .as("v"))
+    Cached(out, if (persist) Seq(cells) else Seq.empty)
   }
 
   /** Equi-depth (quantile) binning: assign every row to one of `k`

@@ -87,7 +87,11 @@ object Anomaly {
     val m2 = (dx * dx * col("__vy") - lit(2.0) * dx * dy * col("__cxy")
       + dy * dy * col("__vx")) / col("__det")
     val scored = rows
-      .join(broadcast(stats), col(groupCol) <=> col("__sg"))
+      // unhinted: the stats frame has one row PER GROUP and group
+      // cardinality is unbounded here — a forced broadcast collects it
+      // to the driver (OOM/size-cap risk at 100 TB). AQE broadcasts
+      // anyway whenever the frame measures small at runtime.
+      .join(stats, col(groupCol) <=> col("__sg"))
       .withColumn(m2Col,
         when(col("__det") > 0.0, round(m2, 7)))
     if (keepStats) scored.drop("__sg", "__det")
@@ -187,7 +191,11 @@ object Anomaly {
     val p2 = -(col(xCol).cast("double") - col("__mx")) * col("__e1y") +
       (col(yCol).cast("double") - col("__my")) * col("__e1x")
     rows
-      .join(broadcast(stats), col(groupCol) <=> col("__sg"))
+      // unhinted: the stats frame has one row PER GROUP and group
+      // cardinality is unbounded here — a forced broadcast collects it
+      // to the driver (OOM/size-cap risk at 100 TB). AQE broadcasts
+      // anyway whenever the frame measures small at runtime.
+      .join(stats, col(groupCol) <=> col("__sg"))
       // integer-rounded squares: scale-0 decimals convert to double in
       // ONE correctly-rounded step on both engines (a scale-2 decimal
       // would double-round in DuckDB at ~1e19 units and drift 1 ulp)

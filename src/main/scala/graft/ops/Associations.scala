@@ -42,42 +42,66 @@ object Associations {
     * Output per qualifying pair (support ≥ minPctNum/minPctDen of kept
     * baskets, item_a < item_b): `(item_a, item_b, n_a, n_b, n_pair,
     * conf_ab, conf_ba, lift)`.
+    *
+    * UNHINTED plan — no persist, so intermediate frames recompute per
+    * consumer subtree (the distinct scan runs up to three times).
+    * Correct at any scale and leak-free for library callers; pipelines
+    * that will consume the result once should use [[rulesCached]] and
+    * `release()` after the action (the `robustZscorePerGroupCached`
+    * convention).
     */
   def rules(df: DataFrame, basketCol: String, itemCol: String,
             minPctNum: Long = 1L, minPctDen: Long = 100L,
-            maxBasket: Int = 12): DataFrame = {
+            maxBasket: Int = 12): DataFrame =
+    rulesImpl(df, basketCol, itemCol, minPctNum, minPctDen, maxBasket,
+      persist = false).df
+
+  /** [[rules]] with the multiply-read intermediates persisted and
+    * handed back for release — the form the bench queries run.
+    */
+  def rulesCached(df: DataFrame, basketCol: String, itemCol: String,
+                  minPctNum: Long = 1L, minPctDen: Long = 100L,
+                  maxBasket: Int = 12): Cached =
+    rulesImpl(df, basketCol, itemCol, minPctNum, minPctDen, maxBasket,
+      persist = true)
+
+  private def rulesImpl(df: DataFrame, basketCol: String, itemCol: String,
+                        minPctNum: Long, minPctDen: Long, maxBasket: Int,
+                        persist: Boolean): Cached = {
     require(minPctNum >= 1 && minPctDen >= minPctNum && maxBasket >= 2,
       "support floor must be a positive fraction and maxBasket >= 2")
-    val items = df
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame =
+      if (persist) {
+        val p = d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += p; p
+      } else d
+    val items = pin(df
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     // one basket-size agg serves both the size guard and the basket
     // total — no second distinct pass over the item rows
-    val sizesOk = items.groupBy(col("__bk")).agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBasket).select(col("__bk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // kept feeds the item supports and both sides of the pair
-    // self-join — persist or the distinct re-runs three times
-    // (Verify/Bench clear the cache per query)
-    val kept = items.join(sizesOk, Seq("__bk"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizesOk = pin(items.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBasket).select(col("__bk")))
+    // kept feeds the item supports and both sides of the pair self-join
+    val kept = pin(items.join(sizesOk, Seq("__bk"), "left_semi"))
     val nBaskets = sizesOk.agg(count(lit(1)).as("__nb"))
     val supp = kept.groupBy(col("__it")).agg(count(lit(1)).as("__cnt"))
     val freq = supp
       .crossJoin(broadcast(nBaskets))
       .filter(col("__cnt") * minPctDen >= col("__nb") * minPctNum)
       .select(col("__it"), col("__cnt"))
-    val fitems = kept.join(freq.select(col("__it")), Seq("__it"),
-      "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fitems = pin(kept.join(freq.select(col("__it")), Seq("__it"),
+      "left_semi"))
     val pairs = fitems.as("a")
       .join(fitems.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
       .groupBy(col("a.__it").as("item_a"), col("b.__it").as("item_b"))
       .agg(count(lit(1)).as("n_pair"))
-    pairs
+    val out = pairs
       .crossJoin(broadcast(nBaskets))
       .filter(col("n_pair") * minPctDen >= col("__nb") * minPctNum)
       .join(freq.select(col("__it").as("item_a"), col("__cnt").as("n_a")),
@@ -93,5 +117,6 @@ object Associations {
         round((col("n_pair").cast("double") * col("__nb").cast("double"))
             / (col("n_a").cast("double") * col("n_b").cast("double")), 7)
           .as("lift"))
+    Cached(out, pinned.toSeq)
   }
 }

@@ -54,9 +54,13 @@ object Calibrate {
         for (i <- buckets.indices) {
           var (s, n, y) = (i, buckets(i)._2, buckets(i)._3)
           // merge while the previous block's mean exceeds this one's:
-          // y_p/n_p > y/n  ⇔  y_p·n > y·n_p (exact integers)
+          // y_p/n_p > y/n  ⇔  y_p·n > y·n_p (exact integers). The
+          // cross-multiply is widened to BigInt: pooled Long counts
+          // pass 2^63 around y·n ~ 3e9² rows and a silent wrap would
+          // INVERT the monotone-merge decision; the stack is
+          // grid-sized, so the arbitrary-precision compare is free.
           while (stack.nonEmpty &&
-            stack.last._3 * n > y * stack.last._2) {
+            BigInt(stack.last._3) * n > BigInt(y) * stack.last._2) {
             val (ps, pn, py) = stack.remove(stack.length - 1)
             s = ps; n += pn; y += py
           }

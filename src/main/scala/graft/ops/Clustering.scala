@@ -40,7 +40,22 @@ import org.apache.spark.storage.StorageLevel
 object Clustering {
 
   def kmeansExact2d(df: DataFrame, xCol: String, yCol: String,
-                    k: Int, iters: Int): DataFrame = {
+                    k: Int, iters: Int): DataFrame =
+    kmeansExact2dImpl(df, xCol, yCol, k, iters, persist = false).df
+
+  /** [[kmeansExact2d]] with the distinct-value histogram persisted
+    * (every Lloyd iteration rescans it against the broadcast centroid
+    * frame) and handed back for release — the form the bench queries
+    * run. The plain form is unhinted: leak-free, re-deriving the
+    * histogram once per iteration (correct, `iters`× the scan cost).
+    */
+  def kmeansExact2dCached(df: DataFrame, xCol: String, yCol: String,
+                          k: Int, iters: Int): Cached =
+    kmeansExact2dImpl(df, xCol, yCol, k, iters, persist = true)
+
+  private def kmeansExact2dImpl(df: DataFrame, xCol: String, yCol: String,
+                                k: Int, iters: Int,
+                                persist: Boolean): Cached = {
     require(k >= 2 && iters >= 1, "k >= 2 and iters >= 1")
     val dec38 = DecimalType(38, 0)
     val hist = df
@@ -48,7 +63,8 @@ object Clustering {
       .select(col(xCol).cast("long").as("__x"),
         col(yCol).cast("long").as("__y"))
       .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(d =>
+        if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d)
     val bounds = hist.agg(min(col("__x")).as("__xmin"),
       max(col("__x")).as("__xmax"),
       min(col("__y")).as("__ymin"), max(col("__y")).as("__ymax"))
@@ -90,7 +106,7 @@ object Clustering {
             expr("CAST(__sy div __n AS BIGINT)").as("__cy")),
         maxRows = k.toLong)
     }
-    assigned(cent)
+    val out = assigned(cent)
       .groupBy(col("__j").as("j"))
       .agg(sum(col("__w")).as("n"),
         // cast BEFORE the multiply: d2·w can pass 2^63 (d2 ~ 1e14 ×
@@ -100,5 +116,6 @@ object Clustering {
       .join(broadcast(cent.select(col("__j").as("j"), col("__cx").as("cx"),
         col("__cy").as("cy"))), Seq("j"))
       .select(col("j"), col("n"), col("cx"), col("cy"), col("inertia"))
+    Cached(out, if (persist) Seq(hist) else Seq.empty)
   }
 }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.DecimalType
 /** Filter-method feature ranking by mutual information — "which
   * columns are worth giving the model?" answered before any model is
   * fit. The reference hand-picks its feature set
-  * (`FD/feature_engineering.py`); at 100-TB scale with hundreds of
+  * (`FD/features.py`, consumed at `FD/model.py:95`); at 100-TB scale
+  * with hundreds of
   * candidate columns the ranking itself must be a distributed
   * operator.
   *

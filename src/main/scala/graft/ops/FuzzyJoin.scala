@@ -136,7 +136,27 @@ object FuzzyJoin {
     */
   def editDistanceLookup(corpus: DataFrame, idCol: String, strCol: String,
                          probes: DataFrame, pidCol: String, pstrCol: String,
-                         maxDist: Int, q: Int = 3): DataFrame = {
+                         maxDist: Int, q: Int = 3): DataFrame =
+    editDistanceLookupImpl(corpus, idCol, strCol, probes, pidCol, pstrCol,
+      maxDist, q, persist = false).df
+
+  /** [[editDistanceLookup]] with the corpus gram/document-frequency
+    * frames persisted (they are read by both join sides) and handed
+    * back for release — the form the bench queries run. The plain form
+    * above is unhinted: leak-free, at the cost of recomputing the gram
+    * explode per consumer.
+    */
+  def editDistanceLookupCached(corpus: DataFrame, idCol: String,
+                               strCol: String, probes: DataFrame,
+                               pidCol: String, pstrCol: String,
+                               maxDist: Int, q: Int = 3): Cached =
+    editDistanceLookupImpl(corpus, idCol, strCol, probes, pidCol, pstrCol,
+      maxDist, q, persist = true)
+
+  private def editDistanceLookupImpl(
+      corpus: DataFrame, idCol: String, strCol: String,
+      probes: DataFrame, pidCol: String, pstrCol: String,
+      maxDist: Int, q: Int, persist: Boolean): Cached = {
     require(maxDist >= 1 && q >= 2, "maxDist >= 1 and q >= 2")
     val minLen = q * (maxDist + 1)
     val k = q * maxDist + 1
@@ -161,18 +181,18 @@ object FuzzyJoin {
         row_number().over(Window.partitionBy("sid", "gram").orderBy("pos")))
     }
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // corpus strings re-enter at the verify stage; grams feed both the
-    // df table and the corpus prefix; dfreq joins against BOTH sides'
-    // grams — persist each once (Verify/Bench clear the cache per
-    // query)
-    val cGrams = grams(c).persist(lvl)
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame =
+      if (persist) { val p = d.persist(lvl); pinned += p; p } else d
+    // corpus grams feed both the df table and the corpus prefix; dfreq
+    // joins against BOTH sides' grams — pinned once in the Cached form
+    val cGrams = pin(grams(c))
     // Document frequency over the CORPUS defines the shared total order
     // (dfreq asc, gram, occ) — rarest first. Probe grams absent from
     // the corpus keep dfreq 0: sound (they sort first, and an absent
     // gram can never collide anyway).
-    val dfreq = cGrams.select(col("sid"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("dfreq"))
-      .persist(lvl)
+    val dfreq = pin(cGrams.select(col("sid"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("dfreq")))
     def prefix(g: DataFrame): DataFrame =
       g.join(dfreq, Seq("gram"), "left")
         .na.fill(0L, Seq("dfreq"))
@@ -188,7 +208,7 @@ object FuzzyJoin {
       .join(prefix(cGrams).as("cp"), Seq("gram", "occ"))
       .select(col("pp.sid").as("probe_id"), col("cp.sid").as("corpus_id"))
       .distinct()
-    cand
+    val out = cand
       .join(p.select(col("sid").as("probe_id"), col("s").as("ps")),
         Seq("probe_id"))
       .join(c.select(col("sid").as("corpus_id"), col("s").as("cs")),
@@ -199,5 +219,6 @@ object FuzzyJoin {
         levenshtein(col("ps"), col("cs")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("probe_id"), col("corpus_id"), col("dist"))
+    Cached(out, pinned.toSeq)
   }
 }

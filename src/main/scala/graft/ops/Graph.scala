@@ -90,24 +90,36 @@ object Graph {
     *
     * Output (one row): `n_endpoints` (= 2·|edges|), `assortativity`.
     */
-  def assortativity(edges: DataFrame): DataFrame = {
-    // sym feeds the degree count AND the pair join; deg joins twice —
-    // persist both or the (already expensive) edge derivation re-runs
-    // three times. Verify/Bench clear the cache per query.
-    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("__d"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def assortativity(edges: DataFrame): DataFrame =
+    assortativityImpl(edges, persist = false).df
+
+  /** [[assortativity]] with the symmetrized edge list and degree table
+    * persisted (sym feeds the degree count AND the pair join; deg joins
+    * twice) and handed back for release — the form the bench queries
+    * run. The plain form is unhinted: leak-free, at the cost of
+    * re-deriving the edge list per consumer subtree.
+    */
+  def assortativityCached(edges: DataFrame): Cached =
+    assortativityImpl(edges, persist = true)
+
+  private def assortativityImpl(edges: DataFrame,
+                                persist: Boolean): Cached = {
+    def pin(d: DataFrame): DataFrame =
+      if (persist) d.persist(StorageLevel.MEMORY_AND_DISK) else d
+    val sym = pin(symmetrize(edges))
+    val deg = pin(sym.groupBy(col("u")).agg(count(lit(1)).as("__d")))
     val pairs = sym
       .join(deg.select(col("u"), col("__d").as("__dx")), Seq("u"))
       .join(deg.select(col("u").as("v"), col("__d").as("__dy")), Seq("v"))
       .select(lit(1).as("__all"), col("__dx"), col("__dy"))
     // one canonical spelling of the moment→covariance chain
     // (Anomaly.stats2) — the oracle mirrors it term for term
-    Anomaly.stats2(pairs, "__all", "__dx", "__dy")
+    val out = Anomaly.stats2(pairs, "__all", "__dx", "__dy")
       .select(col("__n").as("n_endpoints"),
         when(col("__vx") > 0.0 && col("__vy") > 0.0,
           round(col("__cxy") / sqrt(col("__vx") * col("__vy")), 7))
           .as("assortativity"))
+    Cached(out, if (persist) Seq(sym, deg) else Seq.empty)
   }
 
   /** Minimum-hop distance from a seed set, bounded at `maxHops` —

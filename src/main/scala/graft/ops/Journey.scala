@@ -219,8 +219,29 @@ object Journey {
     * `sum_cents` — the segment matrix a campaign targets from.
     */
   def rfmSegments(df: DataFrame, entityCol: String, tsUsCol: String,
-                  centsCol: String): DataFrame = {
-    val perEnt = df
+                  centsCol: String): DataFrame =
+    rfmSegmentsImpl(df, entityCol, tsUsCol, centsCol, persist = false).df
+
+  /** [[rfmSegments]] with the per-entity aggregate and scored frame
+    * persisted (read by all three metric rank frames AND the final
+    * join chain) and handed back for release — the form the bench
+    * queries run. The plain form is unhinted and leak-free.
+    */
+  def rfmSegmentsCached(df: DataFrame, entityCol: String, tsUsCol: String,
+                        centsCol: String): Cached =
+    rfmSegmentsImpl(df, entityCol, tsUsCol, centsCol, persist = true)
+
+  private def rfmSegmentsImpl(df: DataFrame, entityCol: String,
+                              tsUsCol: String, centsCol: String,
+                              persist: Boolean): Cached = {
+    val pinned = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(d: DataFrame): DataFrame =
+      if (persist) {
+        val p = d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += p; p
+      } else d
+    val perEnt = pin(df
       .filter(col(entityCol).isNotNull && col(tsUsCol).isNotNull &&
         col(centsCol).isNotNull)
       .select(col(entityCol).as("__e"),
@@ -228,14 +249,12 @@ object Journey {
         col(centsCol).cast("long").as("__cents"))
       .groupBy(col("__e"))
       .agg(max(col("__day")).as("__last"), count(lit(1)).as("__f"),
-        sum(col("__cents")).as("__m"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sum(col("__cents")).as("__m")))
     val anchor = perEnt.agg(max(col("__last")).as("__gmax"),
       count(lit(1)).as("__N"))
-    val scored = perEnt.crossJoin(broadcast(anchor))
-      .withColumn("__r", col("__gmax") - col("__last"))
-      // read by all three metric rank frames AND the final join chain
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // read by all three metric rank frames AND the final join chain
+    val scored = pin(perEnt.crossJoin(broadcast(anchor))
+      .withColumn("__r", col("__gmax") - col("__last")))
     // integer `div` on the rank product — never true-division + cast,
     // which would round instead of truncate and break oracle parity
     def scoreExpr(metric: String): DataFrame = {
@@ -253,7 +272,7 @@ object Journey {
     // per entity — a forced broadcast would collect an
     // entity-cardinality frame to the driver at scale. AQE broadcasts
     // the small ones on its own.
-    scored
+    val out = scored
       .join(scoreExpr("__r"), Seq("__r"))
       .join(scoreExpr("__f"), Seq("__f"))
       .join(scoreExpr("__m"), Seq("__m"))
@@ -263,6 +282,7 @@ object Journey {
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("n_entities"),
         sum(col("__m")).as("sum_cents"))
+    Cached(out, pinned.toSeq)
   }
 
   /** GEO RADIUS SELF-JOIN: all point pairs within `radiusKm`
@@ -294,7 +314,26 @@ object Journey {
     */
   def geoRadiusSelfJoin(points: DataFrame, idCol: String,
                         latCol: String, lonCol: String,
-                        radiusKm: Double): DataFrame = {
+                        radiusKm: Double): DataFrame =
+    geoRadiusSelfJoinImpl(points, idCol, latCol, lonCol, radiusKm,
+      persist = false).df
+
+  /** [[geoRadiusSelfJoin]] with the embedded point frame persisted
+    * (both join sides read it — 27-offset left and plain right) and
+    * handed back for release — the form the bench queries run. The
+    * plain form is unhinted: leak-free, re-running the trig embedding
+    * once per side.
+    */
+  def geoRadiusSelfJoinCached(points: DataFrame, idCol: String,
+                              latCol: String, lonCol: String,
+                              radiusKm: Double): Cached =
+    geoRadiusSelfJoinImpl(points, idCol, latCol, lonCol, radiusKm,
+      persist = true)
+
+  private def geoRadiusSelfJoinImpl(points: DataFrame, idCol: String,
+                                    latCol: String, lonCol: String,
+                                    radiusKm: Double,
+                                    persist: Boolean): Cached = {
     require(radiusKm > 0.0, "radiusKm must be positive")
     val earthR = 6371.0
     val chord = 2.0 * earthR * math.sin(radiusKm / (2.0 * earthR))
@@ -313,9 +352,10 @@ object Journey {
           / chord).cast("long"))
       .withColumn("__cz", floor(
         sin(col("__lat") * toRad) * earthR / chord).cast("long"))
-      // both join sides read p (27-offset left + plain right): persist
-      // or the upstream distinct + trig embedding runs twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d =>
+        if (persist) d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d)
     val l27 = p
       .withColumn("__ox", explode(sequence(lit(-1), lit(1))))
       .withColumn("__oy", explode(sequence(lit(-1), lit(1))))
@@ -327,12 +367,13 @@ object Journey {
         (col("__cz") + col("__oz")).as("__jz"))
     val km = haversineKm(col("__la"), col("__na"),
       col("__lat"), col("__lon"))
-    l27.join(p,
+    val out = l27.join(p,
         col("__jx") === col("__cx") && col("__jy") === col("__cy") &&
           col("__jz") === col("__cz") && col("__pa") < col("__pid"))
       .withColumn("__km", km)
       .filter(col("__km") <= radiusKm)
       .select(col("__pa").as("pid_a"), col("__pid").as("pid_b"),
         round(col("__km"), 6).as("km"))
+    Cached(out, if (persist) Seq(p) else Seq.empty)
   }
 }

@@ -41,9 +41,22 @@ object NaiveBayes {
     * classModel: (cls, ln_prior_r) — ln(n_c/N) rounded 9dp.
     * termModel: (cls, term, ln_p_r) — one row per (class, vocabulary
     * term) including zero-count pairs (smoothed), ln rounded 9dp.
+    *
+    * `minDf` (default 1 = off, oracle parity): prune terms appearing
+    * in fewer than `minDf` DOCUMENTS from the vocabulary before the
+    * class×vocab grid — standard NB practice (sklearn
+    * CountVectorizer's min_df) and the scale lever for the
+    * (class, term) likelihood frame: vocabulary grows ~Heaps-law with
+    * the corpus and the growth is ALL rare tail (hapax legomena), so a
+    * small floor caps the grid the way a37's basket cap bounds pair
+    * counts. With pruning on, token totals and smoothing V count only
+    * KEPT terms (the model stays a proper distribution over its own
+    * vocabulary); pruned terms behave exactly like unseen terms at
+    * scoring time (ignored).
     */
-  def train(docs: DataFrame, textCol: String,
-            labelCol: String): (DataFrame, DataFrame) = {
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            minDf: Int = 1): (DataFrame, DataFrame) = {
+    require(minDf >= 1, "minDf >= 1 (1 = no pruning)")
     val labeled = docs.select(col(labelCol).cast("string").as("cls"),
       toks(col(textCol)).as("toks"))
     val nDocs = labeled.agg(count(lit(1)).as("n")).select(col("n"))
@@ -53,13 +66,29 @@ object NaiveBayes {
       .select(col("cls"),
         round(log(col("n_c").cast("double") / col("n").cast("double")), 9)
           .as("ln_prior_r"))
-    val tokens = labeled.select(col("cls"), explode(col("toks")).as("term"))
+    val allTokens = labeled.select(col("cls"),
+      explode(col("toks")).as("term"))
+    // document frequency without a doc id: distinct terms PER ROW
+    // (array_distinct before the explode), then one grouped count —
+    // each (doc, term) incidence contributes exactly once
+    val vocabKept =
+      if (minDf <= 1) allTokens.select(col("term")).distinct()
+      else labeled
+        .select(explode(array_distinct(col("toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDf).select(col("term"))
+    val tokens =
+      if (minDf <= 1) allTokens
+      else allTokens.join(vocabKept, Seq("term"), "left_semi")
     val counts = tokens.groupBy(col("cls"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val totals = tokens.groupBy(col("cls")).agg(count(lit(1)).as("tot"))
-    val vocab = tokens.select(col("term")).distinct()
+    val vocab = vocabKept
     val vSize = vocab.agg(count(lit(1)).as("v")).select(col("v"))
-    val termModel = classes.select(col("cls"))
+    // class list × vocabulary dense grid: broadcast the CLASS side —
+    // it is the provably tiny one (label cardinality), while vocab is
+    // corpus-sized. Hinting also satisfies the CartesianGuard interlock.
+    val termModel = broadcast(classes.select(col("cls")))
       .crossJoin(vocab)
       .join(counts, Seq("cls", "term"), "left")
       .join(totals, Seq("cls"))

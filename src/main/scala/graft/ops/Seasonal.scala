@@ -89,18 +89,33 @@ object Seasonal {
     * input. Output per (group, k): `n_pairs`, `acf`.
     */
   def acfDaily(df: DataFrame, groupCol: String, tsUsCol: String,
-               maxLag: Int = 3): DataFrame = {
+               maxLag: Int = 3): DataFrame =
+    acfDailyImpl(df, groupCol, tsUsCol, maxLag, persist = false).df
+
+  /** [[acfDaily]] with the collapsed (group, day) series persisted (it
+    * feeds the totals, the lag explode, and the pair join's build side)
+    * and handed back for release — the form the bench queries run. The
+    * plain form is unhinted: leak-free, re-collapsing the raw table up
+    * to three times.
+    */
+  def acfDailyCached(df: DataFrame, groupCol: String, tsUsCol: String,
+                     maxLag: Int = 3): Cached =
+    acfDailyImpl(df, groupCol, tsUsCol, maxLag, persist = true)
+
+  private def acfDailyImpl(df: DataFrame, groupCol: String,
+                           tsUsCol: String, maxLag: Int,
+                           persist: Boolean): Cached = {
     require(maxLag >= 1, "maxLag >= 1")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    // the series feeds the totals, the lag explode, and the pair
-    // join's build side — persist or the raw-table collapse re-runs
-    // three times (Verify/Bench clear the cache per query)
-    val series = df
+    val series0 = df
       .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull)
       .withColumn("__day", expr(s"$tsUsCol div 86400000000"))
       .groupBy(col(groupCol).as("__g"), col("__day"))
       .agg(count(lit(1)).as("__x"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val series =
+      if (persist) series0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else series0
     val tot = series.groupBy(col("__g"))
       .agg(count(lit(1)).as("__N"),
         sum(col("__x").cast(dec38)).as("__S"),
@@ -117,7 +132,7 @@ object Seasonal {
         sum((col("a.__x") * col("b.__x")).cast(dec38)).as("__P"),
         sum(col("a.__x").cast(dec38)).as("__A"),
         sum(col("b.__x").cast(dec38)).as("__B"))
-    pairs.join(tot, Seq("__g"))
+    val out = pairs.join(tot, Seq("__g"))
       .withColumn("__mu", col("__S").cast("double") / col("__N").cast("double"))
       .withColumn("__den",
         col("__SS").cast("double") -
@@ -130,6 +145,7 @@ object Seasonal {
             col("n_pairs").cast("double") * col("__mu") * col("__mu"))
             / col("__den"), 7)))
       .select(col("__g").as("grp"), col("k"), col("n_pairs"), col("acf"))
+    Cached(out, if (persist) Seq(series) else Seq.empty)
   }
 
   /** Seasonal-naive forecast with a residual-quantile band, scored as
@@ -223,10 +239,15 @@ object Seasonal {
     val out = test.groupBy(col(groupCol), col("hour"))
       .agg(count(lit(1)).as("n_test"), sum(col(centsCol)).as("__s"))
       .withColumn("actual", expr("__s div n_test")).drop("__s")
-      .join(broadcast(lastTrend), col(groupCol) === col("__tg"))
-      .join(broadcast(seasonal), col(groupCol) === col("__sg") &&
+      // NO broadcast hints: lastTrend/seasonal/qFrame row counts equal
+      // group cardinality, which this op does not bound — a forced
+      // broadcast would collect an entity-cardinality frame to the
+      // driver at 100 TB (the rfmSegments convention). AQE still picks
+      // broadcast when the stats frames measure small at runtime.
+      .join(lastTrend, col(groupCol) === col("__tg"))
+      .join(seasonal, col(groupCol) === col("__sg") &&
         col("hour") === col("__sh"))
-      .join(broadcast(qFrame), col(groupCol) === col("__qg"))
+      .join(qFrame, col(groupCol) === col("__qg"))
       .withColumn("forecast", col("__t_last") + col("__seasonal"))
       .withColumn("lo", col("forecast") + col("__qlo"))
       .withColumn("hi", col("forecast") + col("__qhi"))

@@ -1049,14 +1049,21 @@ object Similarity {
                 vecCol: String, shortlistK: Int = 20, k: Int = 5,
                 lam: Double = 0.7): DataFrame = {
     require(k >= 1 && shortlistK >= k, "need shortlistK >= k >= 1")
-    // one global greedy set is only meaningful for ONE query vector —
-    // with several, shortlist and picks would silently interleave
-    require(queries.limit(2).count() == 1,
-      "mmrRerank expects exactly one query row")
     val mu = 1 - lam
-    val q = queries.select(col(idCol).as("query_id"),
+    val qProj = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("qv"))
       .withColumn("nq", norm(col("qv")))
+    // one global greedy set is only meaningful for ONE query vector —
+    // with several, shortlist and picks would silently interleave. ONE
+    // bounded (≤ 2 row) collect both validates the contract and pins
+    // the query as a LocalRelation, so the broadcast below never
+    // rescans the caller's frame — no separate count() job.
+    val qRows = qProj.limit(2).collect()
+    require(qRows.length == 1,
+      s"mmrRerank expects exactly one query row, saw ${qRows.length}" +
+        (if (qRows.length == 2) "+" else ""))
+    val q = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
     val c = corpus.select(col(idCol).as("vec_id"),
         asDouble(col(vecCol)).as("v"))
       .withColumn("nv", norm(col("v")))
@@ -1095,9 +1102,13 @@ object Similarity {
         // where engine product/subtract order drifted a final ulp
         .withColumn("mmr",
           round(lit(lam) * col("rel") - lit(mu) * col("max_sim"), 7))
-        .agg(max_by(
+        // argmax with lowest-id tie-break via min_by over (−mmr, id):
+        // negating the DOUBLE score (not the id) keeps the tie-break
+        // valid for ANY orderable id type — unary minus on a string id
+        // would yield null (nondeterministic ties) or fail under ANSI
+        .agg(min_by(
           struct(col("vec_id"), col("rel"), col("max_sim"), col("mmr")),
-          struct(col("mmr"), -col("vec_id"))).as("__w"))
+          struct((-col("mmr")).as("__negmmr"), col("vec_id"))).as("__w"))
         .select(lit(i).as("pick"), col("__w.vec_id").as("vec_id"),
           col("__w.rel").as("rel"), col("__w.max_sim").as("max_sim"),
           col("__w.mmr").as("mmr"))
@@ -1108,6 +1119,13 @@ object Similarity {
       selected = Layout.materializeBounded(
         selected.unionByName(chosen), maxRows = k.toLong)
     }
+    // the greedy loop is EAGER (each step materializes ≤ k rows to a
+    // LocalRelation), so by now shortlist/sims have served every read
+    // they will ever get — unpersist here instead of leaking them to
+    // the harness's clearCache (the Cached-handle convention is for
+    // LAZY results; an eager op can just clean up after itself)
+    shortlist.unpersist(blocking = false)
+    sims.unpersist(blocking = false)
     selected
   }
 }

@@ -30,14 +30,28 @@ import org.apache.spark.sql.functions._
   */
 object Stump {
 
-  def train(df: DataFrame, xCol: String, labelCol: String): DataFrame = {
+  def train(df: DataFrame, xCol: String, labelCol: String): DataFrame =
+    trainImpl(df, xCol, labelCol, persist = false).df
+
+  /** [[train]] with the value histogram persisted (read by the prefix
+    * sums — twice internally — and the totals) and handed back for
+    * release — the form the bench queries run. The plain form is
+    * unhinted: leak-free, re-scanning the input per consumer.
+    */
+  def trainCached(df: DataFrame, xCol: String, labelCol: String): Cached =
+    trainImpl(df, xCol, labelCol, persist = true)
+
+  private def trainImpl(df: DataFrame, xCol: String, labelCol: String,
+                        persist: Boolean): Cached = {
     val hist = df
       .filter(col(xCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(xCol).cast("long").as("__x"))
       .agg(count(lit(1)).as("__cnt"),
         sum(col(labelCol).cast("long")).as("__pos"))
-      // read by the prefix sums (twice internally) and the totals
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(d =>
+        if (persist) d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d)
     val cum = Aggregates.bucketedPrefixSums(hist, "__x",
       ascending = true, sumCols = Seq("__cnt", "__pos"))
     val tot = hist.agg(sum(col("__cnt")).as("__N"),
@@ -70,7 +84,7 @@ object Stump {
         col("__b.__nl").as("n_left"), col("__b.__pl").as("pos_left"))
     // per-side majority (ties -> negative), training confusion from
     // the same integer counts — no second data pass
-    best
+    val out = best
       .withColumn("pred_left",
         (col("pos_left") * 2 > col("n_left")).cast("int"))
       .withColumn("pred_right",
@@ -91,5 +105,6 @@ object Stump {
       .withColumn("acc",
         round((col("tp") + col("tn")).cast("double") /
           col("n").cast("double"), 7))
+    Cached(out, if (persist) Seq(hist) else Seq.empty)
   }
 }

@@ -521,22 +521,42 @@ object TextAnalysis {
     */
   def logOddsKeyness(df: org.apache.spark.sql.DataFrame, groupCol: String,
                      textCol: String,
-                     k: Int = 5): org.apache.spark.sql.DataFrame = {
+                     k: Int = 5): org.apache.spark.sql.DataFrame =
+    logOddsKeynessImpl(df, groupCol, textCol, k, persist = false).df
+
+  /** [[logOddsKeyness]] with the (group, token) counts and token
+    * totals persisted (they feed the totals, the globals, and the
+    * scored join) and handed back for release — the form the bench
+    * queries run. The plain form is unhinted: leak-free, re-tokenizing
+    * the corpus up to three times.
+    */
+  def logOddsKeynessCached(df: org.apache.spark.sql.DataFrame,
+                           groupCol: String, textCol: String,
+                           k: Int = 5): Cached =
+    logOddsKeynessImpl(df, groupCol, textCol, k, persist = true)
+
+  private def logOddsKeynessImpl(df: org.apache.spark.sql.DataFrame,
+                                 groupCol: String, textCol: String,
+                                 k: Int, persist: Boolean): Cached = {
     val alpha = 0.5
-    val grpTok = df
+    val pinned =
+      scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+    def pin(d: org.apache.spark.sql.DataFrame) =
+      if (persist) {
+        val p = d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += p; p
+      } else d
+    val grpTok = pin(df
       .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
       .select(col(groupCol).as("grp"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("grp"), col("token"))
-      .agg(count(lit(1)).as("y"))
-      // feeds the token totals, the group totals, and the scored join —
-      // persist or the corpus tokenization re-runs three times
-      // (Verify/Bench clear the cache per query)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tokTot = grpTok.groupBy(col("token"))
-      .agg(sum(col("y")).as("y_all"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("y")))
+    val tokTot = pin(grpTok.groupBy(col("token"))
+      .agg(sum(col("y")).as("y_all")))
     val grpTot = grpTok.groupBy(col("grp")).agg(sum(col("y")).as("n_i"))
     val global = tokTot.agg(count(lit(1)).as("v_sz"),
       sum(col("y_all")).as("n_all"))
@@ -561,11 +581,12 @@ object TextAnalysis {
     // one window ranks AND filters — a topKPerGroup pass would compute
     // the identical row_number, drop it, and force a second window to
     // re-derive the rank the output needs
-    scored
+    val out = scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
           .orderBy(col("z").desc, col("token").asc)))
       .filter(col("rank") <= k)
       .select(col("grp"), col("token"), col("y"), col("z"), col("rank"))
+    Cached(out, pinned.toSeq)
   }
 }

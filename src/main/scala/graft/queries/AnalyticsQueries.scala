@@ -105,7 +105,10 @@ object AnalyticsQueries extends QuerySet {
       val fraudAvg = fraudPairs.agg(
         sum(col("amt_dec")).cast("double").as("sum_fraud_amount"))
 
-      metrics.crossJoin(modeLoc).crossJoin(modeType).crossJoin(fraudAvg)
+      // each side is ≤ 1 row; the hints make that contract explicit to
+      // the CartesianGuard interlock (Verify/Bench plan with it on)
+      metrics.crossJoin(broadcast(modeLoc))
+        .crossJoin(broadcast(modeType)).crossJoin(broadcast(fraudAvg))
     }),
 
     // Cohort retention: bucket each user by first-touch day, count
@@ -115,12 +118,12 @@ object AnalyticsQueries extends QuerySet {
     // frequency / monetary, each scored 1–5 by the integer equidepth
     // value-rank rule (recency reversed: 5 = most recent).
     "e06_rfm" -> ((s, d) =>
-      graft.ops.Journey.rfmSegments(
+      graft.ops.Journey.rfmSegmentsCached(
         Tables.eventsMicros(s, d).filter(col("value").isNotNull)
           .select(col("user_id"), col("ts_us"),
             round(col("value") * 100).cast("bigint").as("cents")),
         "user_id", "ts_us", "cents")
-        .orderBy(col("r_score"), col("f_score"), col("m_score"))),
+        .df.orderBy(col("r_score"), col("f_score"), col("m_score"))),
 
     // Marketing attribution over the as-of machinery: each purchase
     // credits its LAST view-touch within a 7-day lookback (and, for

@@ -138,9 +138,9 @@ object DedupQueries extends QuerySet {
         .select(col("doc_id").as("probe_id"),
           concat(substring(col("str"), 1, 7),
             expr("substring(str, 9)")).as("pstr"))
-      graft.ops.FuzzyJoin.editDistanceLookup(corpus, "doc_id", "str",
+      graft.ops.FuzzyJoin.editDistanceLookupCached(corpus, "doc_id", "str",
           probes, "probe_id", "pstr", maxDist = 2, q = 3)
-        .orderBy(col("probe_id"), col("corpus_id"))
+        .df.orderBy(col("probe_id"), col("corpus_id"))
     }),
 
     // Content-defined chunking dedup: every doc re-enters with a

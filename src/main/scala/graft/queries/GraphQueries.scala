@@ -66,7 +66,7 @@ object GraphQueries extends QuerySet {
     // over endpoint degrees of every directed edge — integer moment
     // sums, one fixed-order double chain, hash-exact.
     "g07_assortativity" -> ((s, d) =>
-      graft.ops.Graph.assortativity(edges(s, d))),
+      graft.ops.Graph.assortativityCached(edges(s, d)).df),
 
     "g03_triangles" -> ((s, d) =>
       graft.ops.Graph.triangleCounts(edges(s, d))

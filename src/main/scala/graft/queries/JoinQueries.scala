@@ -71,8 +71,9 @@ object JoinQueries extends QuerySet {
           (((col("k") * 53 + u * 29) % 360 - 180).cast("double") + 0.5)
             .as("lon"))
         .distinct()
-      graft.ops.Journey.geoRadiusSelfJoin(pts, "pid", "lat", "lon", 500.0)
-        .orderBy(col("pid_a"), col("pid_b"))
+      graft.ops.Journey.geoRadiusSelfJoinCached(pts, "pid", "lat", "lon",
+          500.0)
+        .df.orderBy(col("pid_a"), col("pid_b"))
     }),
 
     // Broadcast dimension join: fact scan stays shuffle-free.
@@ -93,7 +94,7 @@ object JoinQueries extends QuerySet {
         "left_semi").agg(count(lit(1)).as("n_with"))
       val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"),
         "left_anti").agg(count(lit(1)).as("n_without"))
-      withOrders.crossJoin(withoutOrders)
+      withOrders.crossJoin(broadcast(withoutOrders))
     }),
 
     // Set operations: INTERSECT / EXCEPT / UNION over key sets.
@@ -102,8 +103,10 @@ object JoinQueries extends QuerySet {
       val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
         .select(col("c_custkey").as("k")).distinct()
       a.intersect(b).agg(count(lit(1)).as("n_intersect"))
-        .crossJoin(a.except(b).agg(count(lit(1)).as("n_except")))
-        .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+        .crossJoin(broadcast(
+          a.except(b).agg(count(lit(1)).as("n_except"))))
+        .crossJoin(broadcast(
+          a.union(b).distinct().agg(count(lit(1)).as("n_union"))))
     }),
 
     // Backward as-of join (point-in-time feature join): every purchase

@@ -18,23 +18,23 @@ object MlQueries extends QuerySet {
     // the only clustering whose every iteration the DuckDB oracle
     // replays bit-for-bit (MLlib KMeans stays spec-gated).
     "m20_kmeans" -> ((s, d) =>
-      graft.ops.Clustering.kmeansExact2d(
+      graft.ops.Clustering.kmeansExact2dCached(
         Tables.lineitem(s, d).select(
           col("l_quantity").cast("bigint").as("x"),
           round(col("l_extendedprice") * 100).cast("bigint").as("y")),
         "x", "y", k = 4, iters = 3)
-        .orderBy(col("j"))),
+        .df.orderBy(col("j"))),
 
     // Exactly-trained decision stump: best Gini split of return-flag-R
     // on quantity, every candidate threshold scored from integer
     // prefix sums, 9dp-rounded before the tie-broken argmin — the
     // split-selection arithmetic of tree ensembles, oracle-pinned.
     "m21_decision_stump" -> ((s, d) =>
-      graft.ops.Stump.train(
+      graft.ops.Stump.trainCached(
         Tables.lineitem(s, d).select(
           col("l_quantity").cast("bigint").as("x"),
           (col("l_returnflag") === "R").cast("int").as("label")),
-        "x", "label")),
+        "x", "label").df),
 
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
@@ -164,6 +164,26 @@ object MlQueries extends QuerySet {
       val trainDf = docs.filter(col("doc_id") % 2 === 0)
       val testDf = docs.filter(col("doc_id") % 2 === 1)
       val (cm, tm) = graft.ops.NaiveBayes.train(trainDf, "text", "lang")
+      graft.ops.NaiveBayes.predict(testDf, "text", "doc_id", cm, tm)
+        .join(testDf.select(col("doc_id").as("id"), col("lang")), "id")
+        .groupBy(col("lang"), col("cls").as("pred"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    // m15 with the document-frequency floor ON (minDf = 2): hapax
+    // terms leave the vocabulary before the class×vocab grid, the
+    // standard NB scale lever — vocabulary growth under corpus growth
+    // is all rare tail, so the (class, term) likelihood frame stops
+    // tracking Heaps-law vocab inflation (m15's 0.70 exponent driver).
+    // The oracle replays the df floor, pruned totals and smoothing V,
+    // and the identical scoring fold.
+    "m15b_naive_bayes_mindf" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val trainDf = docs.filter(col("doc_id") % 2 === 0)
+      val testDf = docs.filter(col("doc_id") % 2 === 1)
+      val (cm, tm) = graft.ops.NaiveBayes.train(trainDf, "text", "lang",
+        minDf = 2)
       graft.ops.NaiveBayes.predict(testDf, "text", "doc_id", cm, tm)
         .join(testDf.select(col("doc_id").as("id"), col("lang")), "id")
         .groupBy(col("lang"), col("cls").as("pred"))
@@ -530,6 +550,57 @@ object MlQueries extends QuerySet {
          cnts AS (SELECT cls, term, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
          tots AS (SELECT cls, COUNT(*) AS tot FROM tk GROUP BY cls),
          voc AS (SELECT DISTINCT term FROM tk),
+         vs AS (SELECT COUNT(*) AS v FROM voc),
+         tm AS (SELECT c.cls, voc.term,
+                  round(ln((CAST(COALESCE(cn.cnt, 0) AS DOUBLE) + 1.0)
+                           / (CAST(t.tot AS DOUBLE)
+                              + CAST(vs.v AS DOUBLE))), 9) AS lpt
+                FROM (SELECT cls FROM cl) c
+                CROSS JOIN voc
+                LEFT JOIN cnts cn
+                  ON cn.cls = c.cls AND cn.term = voc.term
+                JOIN tots t ON t.cls = c.cls
+                CROSS JOIN vs),
+         ttok AS (SELECT id, unnest(toks) AS term FROM te),
+         pc AS (SELECT ttok.id, tm.cls,
+                  list_dot_product(list(tm.lpt ORDER BY tm.term),
+                    list_transform(list(tm.lpt ORDER BY tm.term),
+                      x -> CAST(1 AS DOUBLE))) AS ll
+                FROM ttok JOIN tm ON ttok.term = tm.term
+                GROUP BY ttok.id, tm.cls),
+         ap AS (SELECT te.id, te.lang, cm.cls,
+                  COALESCE(pc.ll, 0.0) + cm.lp AS score
+                FROM te CROSS JOIN cm
+                LEFT JOIN pc ON pc.id = te.id AND pc.cls = cm.cls),
+         pr AS (SELECT id, lang, cls, score,
+                  ROW_NUMBER() OVER (PARTITION BY id
+                    ORDER BY score DESC, cls) AS rn
+                FROM ap)
+         SELECT lang, cls AS pred, COUNT(*) AS n,
+                CAST(SUM(id) AS BIGINT) AS id_sum
+         FROM pr WHERE rn = 1
+         GROUP BY lang, pred ORDER BY lang, pred""",
+    "m15b_naive_bayes_mindf" ->
+      """WITH tr AS (SELECT lang AS cls,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                     FROM documents WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id AS id, lang,
+                  string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 1),
+         nd AS (SELECT COUNT(*) AS n FROM tr),
+         cl AS (SELECT cls, COUNT(*) AS n_c FROM tr GROUP BY cls),
+         cm AS (SELECT cls,
+                  round(ln(CAST(n_c AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                    AS lp
+                FROM cl CROSS JOIN nd),
+         docf AS (SELECT term, COUNT(*) AS df FROM
+                    (SELECT unnest(list_distinct(toks)) AS term FROM tr)
+                  GROUP BY term),
+         voc AS (SELECT term FROM docf WHERE df >= 2),
+         tk0 AS (SELECT cls, unnest(toks) AS term FROM tr),
+         tk AS (SELECT tk0.cls, tk0.term FROM tk0 JOIN voc USING (term)),
+         cnts AS (SELECT cls, term, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+         tots AS (SELECT cls, COUNT(*) AS tot FROM tk GROUP BY cls),
          vs AS (SELECT COUNT(*) AS v FROM voc),
          tm AS (SELECT c.cls, voc.term,
                   round(ln((CAST(COALESCE(cn.cnt, 0) AS DOUBLE) + 1.0)

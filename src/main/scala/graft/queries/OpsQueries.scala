@@ -363,14 +363,14 @@ object OpsQueries extends QuerySet {
     // megacent bucket — tie-corrected monotone association from the
     // bounded cell histogram (cell-pair cost = domain², not rows²).
     "a41_kendall_tau" -> ((s, d) =>
-      graft.ops.Aggregates.kendallTauB(
+      graft.ops.Aggregates.kendallTauBCached(
         Tables.lineitem(s, d)
           .filter(col("l_quantity").isNotNull &&
             col("l_extendedprice").isNotNull)
           .select(col("l_quantity").cast("bigint").as("x"),
             expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
               " div 1000000").as("y")),
-        "x", "y")),
+        "x", "y").df),
 
     // Welch's unequal-variance t statistic: purchase vs view spend
     // cents, one conditional-moment pass, statistic + Satterthwaite
@@ -388,10 +388,10 @@ object OpsQueries extends QuerySet {
     // chi-square generalized), integer cells + one fixed-order double
     // chain per observed cell, decimal-summed.
     "a39_cramers_v" -> ((s, d) =>
-      graft.ops.Aggregates.cramersV(
+      graft.ops.Aggregates.cramersVCached(
         Tables.lineitem(s, d).select(col("l_returnflag"),
           col("l_linestatus")),
-        "l_returnflag", "l_linestatus")),
+        "l_returnflag", "l_linestatus").df),
 
     // Market-basket association rules: orders as baskets, brands as
     // items — Apriori frequent pairs with an integer support floor
@@ -403,9 +403,9 @@ object OpsQueries extends QuerySet {
         .join(broadcast(Tables.part(s, d)
             .select(col("p_partkey"), col("p_brand"))),
           col("l_partkey") === col("p_partkey"))
-      graft.ops.Associations.rules(baskets, "l_orderkey", "p_brand",
+      graft.ops.Associations.rulesCached(baskets, "l_orderkey", "p_brand",
           minPctNum = 1L, minPctDen = 100L, maxBasket = 12)
-        .orderBy(col("item_a"), col("item_b"))
+        .df.orderBy(col("item_a"), col("item_b"))
     }),
 
     // Per-segment OLS trend fit: price cents regressed on quantity per

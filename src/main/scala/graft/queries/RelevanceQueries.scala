@@ -81,6 +81,26 @@ object RelevanceQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // t22 with the query set FIXED to base-corpus doc ids (< 10^7 —
+    // ScaleUp shifts copy k's ids by k·10^7, so scale-up corpora grow
+    // ONLY the document axis here). At any shipped sf this is
+    // identical to t22 (all ids < 10^7); on a scale probe it decouples
+    // the two growth axes t22 deliberately couples, isolating
+    // per-query retrieval cost from query-count growth.
+    "t22b_bm25_fixed_queries" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val qs = docs.filter(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 10000000L)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"),
+            1, 5), " ").as("qtext"))
+      Relevance.bm25Retrieval(docs, qs, "text", "doc_id",
+        "query_id", "qtext", k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("bm25"), 9).as("bm25"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // TextRank keywords: t21's co-occurrence pairs feed g02's integer
     // fixed-point PageRank over string nodes — two oracle-proven
     // modules composed, ranks bit-exact, top-20 by (rank desc, token).
@@ -240,6 +260,42 @@ object RelevanceQueries extends QuerySet {
          stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
          qs AS (SELECT doc_id AS query_id, list_distinct(toks[1:5]) AS qt
                 FROM base WHERE doc_id % 97 = 0),
+         qterms AS (SELECT query_id, unnest(qt) AS term FROM qs),
+         vocab AS (SELECT DISTINCT term FROM qterms),
+         t AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+         tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+                FROM t JOIN vocab USING (term)
+                GROUP BY doc_id, dl, term),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+                  ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1) /
+                    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         agg AS (
+           SELECT q.query_id, s.doc_id,
+                  list_dot_product(list(s.score ORDER BY s.term),
+                    list_transform(list(s.score ORDER BY s.term),
+                      x -> CAST(1 AS DOUBLE))) AS bm25
+           FROM sc s JOIN qterms q ON s.term = q.term
+           GROUP BY q.query_id, s.doc_id),
+         rk AS (
+           SELECT query_id, doc_id, bm25,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY bm25 DESC, doc_id) AS rank
+           FROM agg)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id,
+                round(bm25, 9) AS bm25
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank""",
+    "t22b_bm25_fixed_queries" ->
+      """WITH base AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         b2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl
+                FROM base),
+         stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM b2),
+         qs AS (SELECT doc_id AS query_id, list_distinct(toks[1:5]) AS qt
+                FROM base WHERE doc_id % 97 = 0 AND doc_id < 10000000),
          qterms AS (SELECT query_id, unnest(qt) AS term FROM qs),
          vocab AS (SELECT DISTINCT term FROM qterms),
          t AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),

@@ -27,10 +27,10 @@ object TextQueries extends QuerySet {
     // over-represents vs the rest. z is 7dp-rounded before the per-
     // group top-5 ranking so ln ulp drift cannot flip an ordering.
     "t25_log_odds_keyness" -> ((s, d) =>
-      graft.ops.TextAnalysis.logOddsKeyness(
+      graft.ops.TextAnalysis.logOddsKeynessCached(
         Tables.documents(s, d).select(col("source"), col("text")),
         "source", "text", k = 5)
-        .withColumn("rank", col("rank").cast("long"))
+        .df.withColumn("rank", col("rank").cast("long"))
         .orderBy(col("grp"), col("rank"))),
 
     // Corpus-diversity screen per source: Shannon entropy of the

@@ -148,10 +148,10 @@ object WindowQueries extends QuerySet {
     // gap-exact (pairs by calendar distance, not row adjacency),
     // integer sums + one fixed-order double chain.
     "w17_acf" -> ((s, d) =>
-      graft.ops.Seasonal.acfDaily(
+      graft.ops.Seasonal.acfDailyCached(
         Tables.eventsMicros(s, d).select(col("event_type"), col("ts_us")),
         "event_type", "ts_us", maxLag = 3)
-        .orderBy(col("grp"), col("k"))),
+        .df.orderBy(col("grp"), col("k"))),
 
     // Rolling 7-day active users per observed day (DAU/WAU/stickiness)
     // — contribution-day explode + one grouped countDistinct instead

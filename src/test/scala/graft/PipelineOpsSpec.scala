@@ -1574,6 +1574,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pred == Map(1L -> "A", 2L -> "B", 3L -> "A"))
   }
 
+  test("NaiveBayes minDf: hapax pruned, totals/V shrink, default exact") {
+    import graft.ops.NaiveBayes
+    // x appears in docs 1 and 2 (df 2), y only in doc 1, z only in
+    // doc 3 (df 1 each — hapax ACROSS DOCS even though z repeats
+    // within its doc: the floor is DOCUMENT frequency, not term count)
+    val train = Seq(("A", "x x y"), ("A", "x"), ("B", "z z"))
+      .toDF("lbl", "txt")
+    val (_, tmPruned) = NaiveBayes.train(train, "txt", "lbl", minDf = 2)
+    val kept = tmPruned.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // only df>=2 terms survive the floor; B has NO kept tokens, so its
+    // grid row drops with the inner totals join (a class with an empty
+    // kept vocabulary scores prior-only, like an all-OOV doc)
+    assert(kept.keySet == Set(("A", "x")),
+      s"only df>=2 terms with a nonempty class survive, got ${kept.keySet}")
+    // pruned totals: A's kept tokens = x,x,x (y dropped), V = 1
+    //   p(x|A) = (3+1)/(3+1) = 1 → ln = 0
+    assert(approx(kept(("A", "x")), math.rint(math.log(1.0) * 1e9) / 1e9))
+    // minDf = 1 (default) must be bit-identical to the pre-floor model
+    val (cm1, tm1) = NaiveBayes.train(train, "txt", "lbl")
+    val (cm1b, tm1b) = NaiveBayes.train(train, "txt", "lbl", minDf = 1)
+    assert(tm1.collect().toSet == tm1b.collect().toSet &&
+      cm1.collect().toSet == cm1b.collect().toSet)
+  }
+
   test("setSimilarityJoin ≡ brute-force all-pairs (recall 1.0, no extras)") {
     // the prefix filter is a complete pruning: its output must be
     // hash-identical to the unfiltered all-pairs rule on word unigrams
