@@ -191,8 +191,13 @@ object Relevance {
     * of query count until the final per-(query, doc) fold. Per-doc
     * term scores are computed once and fanned out to the queries that
     * contain the term (broadcast — query terms are tiny next to the
-    * corpus). The per-(query, doc) sum folds term-sorted (the [[bm25]]
-    * engine-exactness contract) and the per-query top-k runs on the
+    * corpus). The per-(query, doc) sum is round(score,7) → DECIMAL —
+    * order-independent and exact, so it runs as a plain codegen'd
+    * spillable HashAggregate. (The original term-sorted collect_list
+    * fold achieved determinism by ORDERING the double adds, but its
+    * per-group object state OOM'd the ObjectHashAggregate at the 50×
+    * asymptote probe — unbounded group payloads don't spill the way a
+    * fixed-width decimal sum does.) The per-query top-k runs on the
     * bounded mergeable [[graft.functions.TopKAgg]] heap — no
     * `row_number` window funneling a query's whole candidate set
     * through one reducer (the ANN-finisher discipline).
@@ -230,9 +235,8 @@ object Relevance {
             lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
     val perDoc = scored.join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("score")))),
-        lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+      .agg(sum(round(col("score"), 7).cast("decimal(27,7)"))
+        .cast("double").as("bm25"))
     perDoc.groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topK(col("bm25"), col("doc_id"), k)
         .as("__tk"))

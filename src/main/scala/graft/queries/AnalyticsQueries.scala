@@ -39,15 +39,17 @@ object AnalyticsQueries extends QuerySet {
         probability = (col("o_custkey") % 10000) / 10000.0)
 
       // S7/F13-F16: parse every block back into typed fields.
-      // codegen-stage split: format+filter+parse fused with the typed
-      // projections and the partial aggregate generates a processNext
-      // past HotSpot's 8000-byte JIT ceiling — the fused stage would run
-      // interpreted (~50× slower). A narrow exchange of the parsed map
-      // caps each stage under the limit so the whole path stays JIT'd.
+      // codegen-stage split: format+filter+parse fused with the partial
+      // aggregate generates a processNext past HotSpot's 8000-byte JIT
+      // ceiling — the fused stage would run interpreted (~50× slower).
+      // An exchange caps each stage under the limit so the whole path
+      // stays JIT'd — and it shuffles the SIX typed columns (~50 B/row),
+      // not the parsed map (~300 B/row): projections and the null-drop
+      // run before the exchange, so at the 50× probe scale the shuffle
+      // writes 6× fewer bytes for the same stage split.
       val parsed = o.select(block.as("block"))
         .transform(b => Cleaning.validBlocks(b, "block"))
         .select(LogGrammar.parseBlock(col("block")).as("m"))
-        .repartition(s.sparkContext.defaultParallelism)
         .select(
           LogGrammar.actualOf(col("m")).as("actual_fraud"),
           LogGrammar.predictedOf(col("m")).as("predicted_fraud"),
@@ -56,7 +58,8 @@ object AnalyticsQueries extends QuerySet {
           col("m").getItem("location").as("location"),
           col("m").getItem("type").as("typ"))
       val clean = Cleaning.dropNulls(parsed,
-        Seq("actual_fraud", "predicted_fraud", "probability"))
+          Seq("actual_fraud", "predicted_fraud", "probability"))
+        .repartition(s.sparkContext.defaultParallelism)
 
       // Four consumers (live metrics, two fraud modes, fraud amount sum)
       // all derive from ONE map-side-combining pre-aggregation keyed by

@@ -63,7 +63,10 @@ object JoinQueries extends QuerySet {
       val u = col("user_id") % 20
       val pts = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        // k is LONG: the 50x asymptote probe grows k proportionally, and
+        // k*1000 / k*53 in int arithmetic wrap past 2^31 (observed
+        // ARITHMETIC_OVERFLOW under ANSI at 50x of sf0.1).
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .filter(col("k").isNotNull)
         .select((col("k") * 1000 + u).as("pid"),
           (((col("k") * 37 + u * 13) % 180 - 90).cast("double") + 0.5)
@@ -194,7 +197,7 @@ object JoinQueries extends QuerySet {
   def oracle: Map[String, String] = Map(
     "j10_geo_radius_join" ->
       """WITH e AS (SELECT DISTINCT
-                      CAST(json_extract(props, '$.k') AS INT) AS k,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k,
                       user_id % 20 AS u
                     FROM events
                     WHERE json_extract(props, '$.k') IS NOT NULL

@@ -67,7 +67,8 @@ object RelevanceQueries extends QuerySet {
     // all queries through the inverted-index join, top-5 docs per
     // query via the bounded TopKAgg heap. Each query's own source doc
     // should surface at/near rank 1 — and the oracle replays postings,
-    // idf, term-sorted fold, and ranking verbatim.
+    // idf, the round(·,7)→DECIMAL per-(query,doc) sum, and ranking
+    // verbatim.
     "t22_bm25_retrieval" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val qs = docs.filter(col("doc_id") % 97 === 0)
@@ -274,9 +275,8 @@ object RelevanceQueries extends QuerySet {
            FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
          agg AS (
            SELECT q.query_id, s.doc_id,
-                  list_dot_product(list(s.score ORDER BY s.term),
-                    list_transform(list(s.score ORDER BY s.term),
-                      x -> CAST(1 AS DOUBLE))) AS bm25
+                  CAST(SUM(CAST(round(s.score, 7) AS DECIMAL(27,7)))
+                    AS DOUBLE) AS bm25
            FROM sc s JOIN qterms q ON s.term = q.term
            GROUP BY q.query_id, s.doc_id),
          rk AS (
@@ -310,9 +310,8 @@ object RelevanceQueries extends QuerySet {
            FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
          agg AS (
            SELECT q.query_id, s.doc_id,
-                  list_dot_product(list(s.score ORDER BY s.term),
-                    list_transform(list(s.score ORDER BY s.term),
-                      x -> CAST(1 AS DOUBLE))) AS bm25
+                  CAST(SUM(CAST(round(s.score, 7) AS DECIMAL(27,7)))
+                    AS DOUBLE) AS bm25
            FROM sc s JOIN qterms q ON s.term = q.term
            GROUP BY q.query_id, s.doc_id),
          rk AS (

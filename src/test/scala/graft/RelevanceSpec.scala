@@ -73,7 +73,14 @@ class RelevanceSpec extends SparkSpec {
       Seq("cherry", "apple"))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Double]("bm25")).toMap
-    assert(got == ref, s"retrieval $got vs single-query $ref")
+    // retrieval sums round(score,7) per term (the spillable decimal
+    // HashAggregate contract), so it matches the raw fold to 1e-6 with
+    // ≤ a handful of query terms, not bit-exactly
+    assert(got.keySet == ref.keySet, s"retrieval $got vs single-query $ref")
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - ref(id)) < 1e-6,
+        s"doc $id: retrieval $v vs single-query ${ref(id)}")
+    }
   }
 
   test("bm25Retrieval: per-query isolation, k bound, rank order") {
