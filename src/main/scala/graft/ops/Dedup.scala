@@ -1158,4 +1158,39 @@ object Dedup {
         sum(when(col("__docs") >= 2, col("n_toks")).otherwise(0L))
           .as("shared_toks"))
   }
+
+  /** Per-document n-GRAM NOVELTY: the fraction of a doc's distinct
+    * word shingles whose FIRST owner (lowest doc id corpus-wide) is the
+    * doc itself — the data-mixing signal "how much of this document is
+    * new text vs. recombination of what the corpus already has". A
+    * boilerplate or template page scores near 0; genuinely new prose
+    * scores near 1. The deterministic min-id ownership rule makes the
+    * whole pipeline engine-portable (no hashes), unlike the
+    * minhash/simhash near-dup family.
+    *
+    * Scale shape: explode to (doc, shingle) once, ONE shingle-keyed
+    * aggregate for first owners, join back on the SAME shingle key (the
+    * exchange is reused — no second shuffle of the postings), then a
+    * doc-keyed count/sum. Cost ∝ total shingle volume; no pair space
+    * anywhere, so factor-sized duplicate cliques (the d02 probe
+    * artifact) cost linear, not quadratic.
+    */
+  def ngramNovelty(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val ex = Layout.fanOut(df)
+      .filter(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(shinglesComposable(toks, n)).as("g"))
+    val firstOwner = ex.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_id"))
+    ex.join(firstOwner, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_first"))
+      .withColumn("novelty",
+        round(col("n_first").cast("double") / col("n_sh").cast("double"),
+          7))
+  }
 }

@@ -380,4 +380,47 @@ object Graph {
     // release after the consuming action (recompute-safe if early)
     Cached(counts, Seq(oriented))
   }
+
+  /** k-CORE decomposition, fixed-iteration form: `iters` synchronous
+    * peels of every node whose current degree is below `k` — the
+    * standard "dense ring extraction" pass a fraud or community
+    * pipeline runs before expensive per-ring analytics (a fraud ring
+    * is a dense near-clique; the periphery of incidental co-attribute
+    * collisions peels away). After enough iterations this converges to
+    * the classic k-core; the iteration count is part of the contract
+    * (like [[pageRank]]'s) so the oracle can unroll the peels as
+    * chained CTEs and match bit-for-bit — integer degrees only, no
+    * floating point anywhere.
+    *
+    * Returns (node, deg): every node still carrying an edge after the
+    * last peel, with its degree in the surviving subgraph. Per
+    * iteration the plan is one degree aggregate plus two semi-joins of
+    * the edge list against the (shrinking, usually broadcast-able
+    * under AQE) kept-node frame — no all-pairs anything; lineage is
+    * cut every `checkpointEvery` rounds ([[Checkpoints.cut]]) so
+    * iteration i does not re-derive 1..i−1.
+    */
+  def kCoreCached(edges: DataFrame, k: Int, iters: Int,
+                  checkpointEvery: Int = 5): Cached = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym0 = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    var sym = sym0
+    for (i <- 1 to iters) {
+      val keep = sym.groupBy(col("u").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("node"))
+      sym = sym
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+      if (i % checkpointEvery == 0 && i < iters) sym = Checkpoints.cut(sym)
+    }
+    val out = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    Cached(out, Seq(sym0))
+  }
+
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame =
+    kCoreCached(edges, k, iters).df
 }

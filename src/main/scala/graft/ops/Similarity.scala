@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1127,5 +1127,136 @@ object Similarity {
     shortlist.unpersist(blocking = false)
     sims.unpersist(blocking = false)
     selected
+  }
+
+  /** Brute-force NEAREST-by-L2 top-k, the metric twin of
+    * [[bruteForceTopK]]: score = −‖v−q‖² expanded to
+    * −(v·v + q·q − 2 v·q) with the self-dots computed once per
+    * row/query, so the shared (score desc, id asc) top-k finisher
+    * means nearest-first. The expansion's expression tree is fixed so
+    * an oracle computing the same three dot products reproduces the
+    * double bit-for-bit.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = Layout.fanOut(corpus).select(col(idCol).as("vec_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nv2", dot(col("v"), col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq2", dot(col("qv"), col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("negl2",
+        -(col("nv2") + col("nq2") - lit(2.0) * dot(col("v"), col("qv"))))
+    topKFinish(scored, "negl2", k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * N ranked retrieval runs: score(q,d) = Σ_runs 1/(k0 + rank). The
+    * standard hybrid-retrieval merge (BM25 ⊕ ANN) — rank-based, so
+    * incomparable score scales fuse without calibration. `runs` is the
+    * UNION of the per-run (query, id, rank) triples; contributions are
+    * round(·,9)→DECIMAL so the per-(query,id) sum is order-independent
+    * and engine-exact (the t22 discipline), and the per-query top-k
+    * runs on the bounded mergeable [[graft.functions.TopKAgg]] heap.
+    * Output: (query_id, vec_id, rrf, rank), rank 1..topK by
+    * (rrf desc, id asc).
+    */
+  def rrfFuse(runs: DataFrame, qCol: String, idCol: String,
+              rankCol: String, k0: Int = 60, topK: Int = 10): DataFrame = {
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val contrib = runs.select(col(qCol).as("query_id"),
+      col(idCol).as("vec_id"),
+      round(lit(1.0) / (lit(k0) + col(rankCol)), 9)
+        .cast("decimal(18,9)").as("__c"))
+    val fused = contrib.groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("__c")).cast("double").as("rrf"))
+    topKFinish(fused, "rrf", topK)
+  }
+
+  /** Greedy k-CENTER CORESET (farthest-point traversal, the 2-approx
+    * of Gonzalez 1985): seed at the lowest id, then k−1 times pick the
+    * point FARTHEST (squared L2) from its nearest already-chosen
+    * center — the diverse-subset selection a training-data pipeline
+    * runs to cover an embedding space with a small budget (the
+    * coverage-first complement of [[mmrRerank]]'s relevance-first
+    * greedy). Returns (pick 1..k, id, d2) with d2 = the squared
+    * distance that won the pick (NULL for the seed), rounded to 9dp
+    * for output only — the argmax itself runs on the raw doubles,
+    * whose expression tree (v·v + c·c − 2 v·c, min over centers) an
+    * oracle reproduces bit-for-bit.
+    *
+    * Scale shape: the candidate frame persists once and each of the
+    * k−1 steps is ONE distributed pass — candidates × broadcast(≤k
+    * chosen centers) → per-candidate min distance → a single min_by
+    * argmax (ties to the lowest id; the ordering struct negates only
+    * the DOUBLE distance, so ids keep their caller type). Nothing
+    * corpus-sized ever reaches the driver; each step collects exactly
+    * one row.
+    */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val cand = Layout.fanOut(df)
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv2", dot(col("v"), col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idField = cand.schema("vec_id")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pick",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      idField.copy(name = "vec_id"),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.DoubleType)))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val centers = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Seq[Double], Double)] // (id, vec, selfdot)
+    val seedAgg = cand
+      .agg(min_by(struct(col("vec_id"), col("v"), col("nv2")),
+        col("vec_id"))).head()
+    if (!seedAgg.isNullAt(0)) {
+      val s0 = seedAgg.getStruct(0)
+      picks += Row(1, s0.get(0), null)
+      centers += ((s0.get(0), s0.getSeq[Double](1), s0.getDouble(2)))
+      var step = 2
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val centersDf = spark.createDataFrame(
+          java.util.Arrays.asList(centers.toSeq.map(c =>
+            Row(c._2, c._3)): _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cv",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)),
+            org.apache.spark.sql.types.StructField("cn2",
+              org.apache.spark.sql.types.DoubleType))))
+        val chosenIds = centers.toSeq.map(_._1)
+        val md = cand.filter(!col("vec_id").isin(chosenIds: _*))
+          .join(broadcast(centersDf))
+          .withColumn("dist",
+            col("nv2") + col("cn2") - lit(2.0) * dot(col("v"), col("cv")))
+          .groupBy(col("vec_id"))
+          .agg(min(col("dist")).as("md"), first(col("v")).as("v"),
+            first(col("nv2")).as("nv2"))
+        val winAgg = md.agg(min_by(
+          struct(col("vec_id"), col("v"), col("nv2"), col("md")),
+          struct((-col("md")).as("nm"), col("vec_id")))).head()
+        if (winAgg.isNullAt(0)) exhausted = true
+        else {
+          val w = winAgg.getStruct(0)
+          picks += Row(step, w.get(0),
+            BigDecimal(w.getDouble(3))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          centers += ((w.get(0), w.getSeq[Double](1), w.getDouble(2)))
+          step += 1
+        }
+      }
+    }
+    cand.unpersist(blocking = false)
+    spark.createDataFrame(java.util.Arrays.asList(picks.toSeq: _*),
+      outSchema)
   }
 }

@@ -41,6 +41,14 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
 
+    // k-core ring extraction: 3 synchronous peels of degree-<3 nodes
+    // over the co-attribute graph — the dense-ring pre-filter before
+    // per-ring analytics. Integer degrees only; the oracle unrolls
+    // each peel as a CTE stage exactly like g02's iterations.
+    "g09_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(edges(s, d), k = 3, iters = 3)
+        .orderBy(col("node"))),
+
     // Local clustering coefficient per node: 2·triangles/(d(d−1)) —
     // triangles from g03's machinery joined to symmetrized degrees;
     // how ring-like each account's neighborhood is. Degree-1 nodes
@@ -252,6 +260,25 @@ object GraphQueries extends QuerySet {
          JOIN deg da ON n.a = da.node
          JOIN deg db ON n.b = db.node
          ORDER BY n.cn DESC, n.a, n.b LIMIT 20""",
+
+    "g09_kcore" ->
+      s"""$prelude,
+         sym0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                  FROM e),
+         d1 AS (SELECT u AS node, COUNT(*) AS deg FROM sym0 GROUP BY 1),
+         k1 AS (SELECT node FROM d1 WHERE deg >= 3),
+         s1 AS (SELECT s.u, s.v FROM sym0 s
+                JOIN k1 a ON s.u = a.node JOIN k1 b ON s.v = b.node),
+         d2 AS (SELECT u AS node, COUNT(*) AS deg FROM s1 GROUP BY 1),
+         k2 AS (SELECT node FROM d2 WHERE deg >= 3),
+         s2 AS (SELECT s.u, s.v FROM s1 s
+                JOIN k2 a ON s.u = a.node JOIN k2 b ON s.v = b.node),
+         d3 AS (SELECT u AS node, COUNT(*) AS deg FROM s2 GROUP BY 1),
+         k3 AS (SELECT node FROM d3 WHERE deg >= 3),
+         s3 AS (SELECT s.u, s.v FROM s2 s
+                JOIN k3 a ON s.u = a.node JOIN k3 b ON s.v = b.node),
+         d4 AS (SELECT u AS node, COUNT(*) AS deg FROM s3 GROUP BY 1)
+         SELECT node, deg FROM d4 ORDER BY node""",
 
     // naive triple join: e is canonical (u < v) so each triangle
     // x<y<z appears exactly once; orientation-invariant counts

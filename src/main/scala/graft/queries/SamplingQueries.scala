@@ -42,6 +42,18 @@ object SamplingQueries extends QuerySet {
         "doc_id", "n_chars", k = 300, portable = true)
         .orderBy(col("doc_id"))),
 
+    // Greedy k-center coreset (farthest-point traversal) over the
+    // first 200 embeddings: seed at the lowest id, then 4 picks of the
+    // point farthest (squared L2) from its nearest chosen center —
+    // diverse-subset selection under a budget. The oracle unrolls each
+    // greedy step as a CTE (the n14 discipline) on the same raw-double
+    // distance tree.
+    "sm13_kcenter_coreset" -> ((s, d) =>
+      graft.ops.Similarity.kCenterCoreset(
+        Tables.embeddings(s, d).filter(col("vec_id") < 200),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("pick"))),
+
     // Per-language weighted quota: the 15 heaviest-priority docs of
     // EACH language under the A-ES char weighting — selection on the
     // bounded TopKAgg heap (no per-stratum window), the oracle's
@@ -179,6 +191,59 @@ object SamplingQueries extends QuerySet {
                 COUNT(*) AS n, MIN(t) AS min_ts, MAX(t) AS max_ts,
                 CAST(SUM(user_id) AS BIGINT) AS uid_checksum
          FROM v CROSS JOIN thr GROUP BY 1 ORDER BY 1""",
+    "sm13_kcenter_coreset" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 200),
+         p1 AS (SELECT vec_id, v FROM e
+                WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         d2 AS (SELECT a.vec_id,
+                  MIN(list_dot_product(a.v, a.v)
+                      + list_dot_product(c.v, c.v)
+                      - 2.0 * list_dot_product(a.v, c.v)) AS md
+                FROM e a, (SELECT v FROM p1) c
+                WHERE a.vec_id NOT IN (SELECT vec_id FROM p1)
+                GROUP BY a.vec_id),
+         p2 AS (SELECT d.vec_id, e.v, d.md
+                FROM d2 d JOIN e ON e.vec_id = d.vec_id
+                ORDER BY d.md DESC, d.vec_id LIMIT 1),
+         d3 AS (SELECT a.vec_id,
+                  MIN(list_dot_product(a.v, a.v)
+                      + list_dot_product(c.v, c.v)
+                      - 2.0 * list_dot_product(a.v, c.v)) AS md
+                FROM e a, (SELECT v FROM p1 UNION ALL SELECT v FROM p2) c
+                WHERE a.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+                GROUP BY a.vec_id),
+         p3 AS (SELECT d.vec_id, e.v, d.md
+                FROM d3 d JOIN e ON e.vec_id = d.vec_id
+                ORDER BY d.md DESC, d.vec_id LIMIT 1),
+         d4 AS (SELECT a.vec_id,
+                  MIN(list_dot_product(a.v, a.v)
+                      + list_dot_product(c.v, c.v)
+                      - 2.0 * list_dot_product(a.v, c.v)) AS md
+                FROM e a, (SELECT v FROM p1 UNION ALL SELECT v FROM p2 UNION ALL SELECT v FROM p3) c
+                WHERE a.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+                GROUP BY a.vec_id),
+         p4 AS (SELECT d.vec_id, e.v, d.md
+                FROM d4 d JOIN e ON e.vec_id = d.vec_id
+                ORDER BY d.md DESC, d.vec_id LIMIT 1),
+         d5 AS (SELECT a.vec_id,
+                  MIN(list_dot_product(a.v, a.v)
+                      + list_dot_product(c.v, c.v)
+                      - 2.0 * list_dot_product(a.v, c.v)) AS md
+                FROM e a, (SELECT v FROM p1 UNION ALL SELECT v FROM p2 UNION ALL SELECT v FROM p3 UNION ALL SELECT v FROM p4) c
+                WHERE a.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+                GROUP BY a.vec_id),
+         p5 AS (SELECT d.vec_id, e.v, d.md
+                FROM d5 d JOIN e ON e.vec_id = d.vec_id
+                ORDER BY d.md DESC, d.vec_id LIMIT 1)
+         SELECT CAST(1 AS INT) AS pick, vec_id,
+                CAST(NULL AS DOUBLE) AS d2 FROM p1
+         UNION ALL SELECT CAST(2 AS INT), vec_id, round(md, 9) FROM p2
+         UNION ALL SELECT CAST(3 AS INT), vec_id, round(md, 9) FROM p3
+         UNION ALL SELECT CAST(4 AS INT), vec_id, round(md, 9) FROM p4
+         UNION ALL SELECT CAST(5 AS INT), vec_id, round(md, 9) FROM p5
+         ORDER BY pick""",
+
     "sm12_weighted_stratified" ->
       """WITH h AS (
            SELECT doc_id, lang,

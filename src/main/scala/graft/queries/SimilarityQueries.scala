@@ -34,6 +34,27 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Reciprocal-rank fusion of two retrieval runs over the SAME five
+    // queries — cosine top-10 (the n01 run) ⊕ L2-nearest top-10 — the
+    // hybrid-retrieval merge a RAG stack runs when lexical and dense
+    // rankings disagree. Rank-only inputs make the fusion integer-
+    // derived: contributions are round(1/(60+rank),9)→DECIMAL, so the
+    // oracle replays both runs' ROW_NUMBER ranks and the fused sum
+    // exactly.
+    "n15_rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      val runA = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
+        k = 10).select("query_id", "vec_id", "rank")
+      val runB = Similarity.bruteForceTopKL2(emb, qs, "vec_id", "embedding",
+        k = 10).select("query_id", "vec_id", "rank")
+      Similarity.rrfFuse(runA.unionByName(runB), "query_id", "vec_id",
+          "rank", k0 = 60, topK = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("rrf"), 9).as("rrf"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -298,6 +319,49 @@ object SimilarityQueries extends QuerySet {
 
   // MMR: 4 mechanically-unrolled greedy steps after the seed pick;
   // selected sets accumulate as UNION ALL of the prior step CTEs
+  private val n15Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+         sca AS (
+           SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+                  CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+                       ELSE $cosSql END AS cos
+           FROM e a, e b
+           WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id),
+         rka AS (
+           SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM sca),
+         scb AS (
+           SELECT b.vec_id AS query_id, a.vec_id AS vec_id,
+                  -(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                    - 2.0 * list_dot_product(a.v, b.v)) AS negl2
+           FROM e a, e b
+           WHERE b.vec_id < 5 AND a.vec_id <> b.vec_id),
+         rkb AS (
+           SELECT query_id, vec_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY negl2 DESC, vec_id ASC) AS rank
+           FROM scb),
+         runs AS (SELECT query_id, vec_id, rank FROM rka WHERE rank <= 10
+                  UNION ALL
+                  SELECT query_id, vec_id, rank FROM rkb WHERE rank <= 10),
+         fused AS (
+           SELECT query_id, vec_id,
+                  CAST(SUM(CAST(round(1.0 / (60 + rank), 9)
+                    AS DECIMAL(18,9))) AS DOUBLE) AS rrf
+           FROM runs GROUP BY query_id, vec_id),
+         rk AS (
+           SELECT query_id, vec_id, rrf,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, vec_id ASC) AS rank
+           FROM fused)
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+               round(rrf, 9) AS rrf
+        FROM rk WHERE rank <= 10 ORDER BY query_id, rank"""
+
   private val n14Sql: String = {
     def selSet(i: Int): String =
       (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
@@ -430,6 +494,7 @@ object SimilarityQueries extends QuerySet {
           FROM g ORDER BY label, pos""",
     "n01_brute_topk" -> n01Sql,
     "n14_mmr_rerank" -> n14Sql,
+    "n15_rrf_fusion" -> n15Sql,
     "n13_retrieval_metrics" ->
       s"""WITH ex AS (SELECT query_id, vec_id FROM ($n01Sql) t),
          ap AS (SELECT query_id, vec_id, rank FROM ($n02bSql) t),

@@ -33,6 +33,16 @@ object TextQueries extends QuerySet {
         .df.withColumn("rank", col("rank").cast("long"))
         .orderBy(col("grp"), col("rank"))),
 
+    // Per-doc n-gram novelty: fraction of the doc's distinct 3-shingles
+    // first owned (min doc_id corpus-wide) by the doc itself — the
+    // "new text vs recombination" mixing signal. Min-id ownership is
+    // hash-free, so the whole pipeline is oracle-exact.
+    "t27_ngram_novelty" -> ((s, d) =>
+      graft.ops.Dedup.ngramNovelty(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "text", "doc_id", n = 3)
+        .orderBy(col("doc_id"))),
+
     // Corpus-diversity screen per source: Shannon entropy of the
     // token distribution, type-token ratio, normalized entropy —
     // template spam collapses all three.
@@ -286,6 +296,27 @@ object TextQueries extends QuerySet {
           min(col("seq_offset")).as("first_offset"))
         .orderBy(col("seq_id"))),
 
+    // Pareto-frontier curation: the documents not dominated on the
+    // (chars, distinct tokens, longest token) triple — "best in at
+    // least one trade-off direction", the multi-criteria keep-rule a
+    // curation pass applies where a single quality score would
+    // collapse the trade-off. Integer metrics end to end, so the
+    // NOT-EXISTS oracle is exact; the engine runs the two-pass
+    // pivot-prune + bounded broadcast exact check (ops/Skyline.scala),
+    // not the oracle's all-pairs scan.
+    "c03_pareto_docs" -> ((s, d) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val m = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          size(array_distinct(toks)).cast("long").as("dtok"),
+          array_max(transform(toks, t => length(t))).cast("long")
+            .as("wmax"))
+      graft.ops.Skyline.skyline(m, "doc_id", Seq("len", "dtok", "wmax"))
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end curation funnel — the composed pipeline a training-data
     // job actually runs, with per-stage survivor counts: exact dedup
     // (keep min-id per text) → Gopher quality battery → percentile
@@ -395,6 +426,31 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    "t27_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+                    string_split_regex(trim(lower(text)), '\s+') AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+         s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3
+                   THEN [list_aggregate(toks, 'string_agg', ' ')]
+                   ELSE list_transform(range(0, len(toks) - 2),
+                          i -> list_aggregate(toks[i+1:i+3],
+                                              'string_agg', ' '))
+                 END) AS sh
+               FROM t),
+         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         fo AS (SELECT g, min(doc_id) AS first_id FROM ex GROUP BY g),
+         pd AS (SELECT e.doc_id, COUNT(*) AS n_sh,
+                  SUM(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END)
+                    AS n_first
+                FROM ex e JOIN fo f ON e.g = f.g GROUP BY e.doc_id)
+         SELECT doc_id, CAST(n_sh AS BIGINT) AS n_sh,
+                CAST(n_first AS BIGINT) AS n_first,
+                round(CAST(n_first AS DOUBLE) / CAST(n_sh AS DOUBLE), 7)
+                  AS novelty
+         FROM pd ORDER BY doc_id""",
+
     "t26_token_entropy" ->
       """WITH gt AS (SELECT grp, tok AS token, COUNT(*) AS y
                      FROM (SELECT source AS grp,
@@ -743,6 +799,24 @@ object TextQueries extends QuerySet {
               END AS r
             FROM (SELECT lang, $ltoksSql AS toks FROM documents))
           GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "c03_pareto_docs" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS len,
+                  CAST(len(list_distinct(string_split_regex(
+                    trim(lower(text)), '\s+'))) AS BIGINT) AS dtok,
+                  CAST(list_max(list_transform(string_split_regex(
+                    trim(lower(text)), '\s+'), t -> len(t)))
+                    AS BIGINT) AS wmax
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0)
+         SELECT doc_id, len, dtok, wmax FROM m p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM m q
+           WHERE q.len >= p.len AND q.dtok >= p.dtok AND q.wmax >= p.wmax
+             AND (q.len > p.len OR q.dtok > p.dtok OR q.wmax > p.wmax))
+         ORDER BY doc_id""",
+
     "c01_curation_funnel" ->
       s"""WITH deduped AS (
             SELECT doc_id, text FROM documents

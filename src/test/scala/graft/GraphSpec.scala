@@ -164,4 +164,21 @@ class GraphSpec extends SparkSpec {
     val r = Graph.assortativity(g).first()
     assert(math.abs(r.getDouble(1) + 0.5) < 1e-9, r.toString)
   }
+
+  test("kCore: peel cascade exposes layers until the 2-core triangle") {
+    // triangle 1-2-3 with a tail 3-4-5: peel 5 (deg 1), then 4
+    val e = edgesDF((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val after1 = Graph.kCore(e, k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // one peel: 5 gone; 4 still holds its (now dangling) edge to 3
+    assert(after1 === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    val after2 = Graph.kCore(e, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(after2 === Set((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: k above the densest core empties the graph") {
+    val e = edgesDF((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(Graph.kCore(e, k = 3, iters = 2).count() === 0L)
+  }
 }
