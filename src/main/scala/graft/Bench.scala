@@ -22,9 +22,14 @@ object Bench {
       .config("spark.sql.codegen.hugeMethodLimit",
         sys.env.getOrElse("SPARK_GRAFT_HUGE_LIMIT", "8000"))
       // the cartesian interlock is ON for every benched plan (mirrors
-      // Verify): an unhinted cross join fails loudly at plan time
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config(graft.plans.CartesianGuard.ConfKey, "true")
+      // Verify): an unhinted cross join fails loudly at plan time.
+      // SPARK_GRAFT_EXTENSIONS=none drops the injection entirely — the
+      // knob exists to A/B the interlock's own planning cost
+      .config("spark.sql.extensions",
+        sys.env.getOrElse("SPARK_GRAFT_EXTENSIONS", "graft.GraftExtensions")
+          match { case "none" => "" case e => e })
+      .config(graft.plans.CartesianGuard.ConfKey,
+        sys.env.getOrElse("SPARK_GRAFT_FAIL_CARTESIAN", "true"))
       // env-overridable for the streaming state-store A/B
       // (SPARK_GRAFT_STATESTORE=rocksdb swaps the provider for the
       // 19-query st family; default = Spark's HDFS-backed in-memory

@@ -406,21 +406,42 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val sym0 = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     var sym = sym0
+    // every level fans out (keep feeds TWO semi-joins; sym feeds the
+    // degree agg AND the filtered edge set), so an unpersisted loop
+    // recomputes level i−1 three times per level — ~3^iters total
+    // (measured: g09 11.3 s at sf0.1). Lazy persists are NOT enough:
+    // the two semi-joins plan as broadcast subtrees whose exchanges
+    // execute as concurrent jobs that RACE to materialize a lazily
+    // cached keep (the e01 lesson) — measured 5.4 s. Each level's keep
+    // therefore goes through materializeBounded (eager count → the
+    // node list lands in a LocalRelation both joins read for free, and
+    // the count itself populates the previous sym's cache before any
+    // concurrent consumer sees it); the surviving edge set persists
+    // for the next level.
+    val backing = scala.collection.mutable.ArrayBuffer[DataFrame](sym0)
     for (i <- 1 to iters) {
-      val keep = sym.groupBy(col("u").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select(col("node"))
+      val keep = Layout.materializeBounded(
+        sym.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("node")))
       sym = sym
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      backing += sym
       if (i % checkpointEvery == 0 && i < iters) sym = Checkpoints.cut(sym)
     }
     val out = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("deg"))
-    Cached(out, Seq(sym0))
+    Cached(out, backing.toSeq)
   }
 
+  /** One-shot-session convenience over [[kCoreCached]] (the
+    * [[minhashNearDups]] convention): the per-level persisted frames
+    * live until `clearCache()`/session end — long-lived callers use
+    * [[kCoreCached]] and `.release()`.
+    */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame =
     kCoreCached(edges, k, iters).df
 }
