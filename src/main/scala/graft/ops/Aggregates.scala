@@ -1395,4 +1395,65 @@ object Aggregates {
   /** A18: distinct-class count (`FD/evaluation.py:149`). */
   def distinctClasses(df: DataFrame, labelCol: String): Long =
     df.agg(countDistinct(col(labelCol))).first().getLong(0)
+
+  /** MANN–WHITNEY U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation — the nonparametric complement of [[welchT]]: "do
+    * the two groups' value DISTRIBUTIONS differ in location", no
+    * normality assumption, robust to the heavy tails that make a
+    * cents-spend t-test fragile.
+    *
+    * Layout: ranks come from the DISTINCT-VALUE histogram (the
+    * [[kendallTauB]]/[[equidepthBins]] contract — cost ∝ value
+    * cardinality, not rows), with the cumulative count computed by
+    * [[bucketedPrefixSums]] so no single-partition window ever runs.
+    * All rank arithmetic is DOUBLED-rank integers (lo+hi = 2·avgrank),
+    * summed in DECIMAL(38,0) — exact at any count, no decimal division
+    * anywhere — and the final z is one fixed-order double chain, 7dp:
+    *
+    *   U₁ = R₁ − n₁(n₁+1)/2,  z = (U₁ − n₁n₂/2) / σ,
+    *   σ² = n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1)))
+    *
+    * Output (one row): n_a, n_b, u1 (exact .5 grid, 1dp), z (7dp,
+    * null when a group is empty, n < 2, or every value ties).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, xCol: String,
+                   groupA: String, groupB: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h = df
+      .filter(col(xCol).isNotNull &&
+        (col(groupCol) === groupA || col(groupCol) === groupB))
+      .groupBy(col(xCol).as("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("ta"))
+    val ranked = bucketedPrefixSums(h, "v", ascending = true, Seq("t"))
+      .withColumn("hi", col("cum_t"))
+      .withColumn("lo", col("hi") - col("t") + 1)
+    val agg = ranked.agg(
+      sum(col("t")).as("n"),
+      sum(col("ta")).as("na"),
+      // doubled rank-sum of group A: ta · (lo + hi) — decimal, exact
+      sum(col("ta").cast(dec38) * (col("lo") + col("hi")).cast(dec38))
+        .as("r1x2"),
+      // tie term Σ(t³ − t), decimal before the cube (welchT lesson)
+      sum(col("t").cast(dec38) * col("t").cast(dec38) *
+        col("t").cast(dec38) - col("t").cast(dec38)).as("ties"))
+    agg
+      .withColumn("nb", col("n") - col("na"))
+      // U₁ from doubled ranks: (2R₁ − 2·n₁(n₁+1)/2) / 2, integer-exact
+      .withColumn("u1d",
+        (col("r1x2") - col("na").cast(dec38) *
+          (col("na") + 1).cast(dec38)).cast("double") / 2.0)
+      .withColumn("sig2",
+        when(col("n") >= 2,
+          col("na").cast("double") * col("nb").cast("double") / 12.0 *
+            ((col("n") + 1).cast("double") -
+              col("ties").cast("double") /
+                (col("n").cast("double") * (col("n") - 1).cast("double")))))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") >= 1, round(col("u1d"), 1)).as("u1"),
+        when(col("na") >= 1 && col("nb") >= 1 && col("sig2") > 0,
+          round((col("u1d") -
+            col("na").cast("double") * col("nb").cast("double") / 2.0) /
+            sqrt(col("sig2")), 7)).as("z"))
+  }
 }

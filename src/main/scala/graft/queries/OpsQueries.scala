@@ -372,6 +372,17 @@ object OpsQueries extends QuerySet {
               " div 1000000").as("y")),
         "x", "y").df),
 
+    // Mann-Whitney U (rank-sum) on the same purchase-vs-view spend:
+    // the nonparametric complement of a40 — ranks from the bounded
+    // distinct-cents histogram via bucketedPrefixSums (no global
+    // window), doubled-rank integer arithmetic, tie-corrected z.
+    "a42_mann_whitney" -> ((s, d) =>
+      graft.ops.Aggregates.mannWhitneyU(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "cents", groupA = "purchase", groupB = "view")),
+
     // Welch's unequal-variance t statistic: purchase vs view spend
     // cents, one conditional-moment pass, statistic + Satterthwaite
     // dof (p-value left to tail tables — no incomplete beta in the
@@ -934,6 +945,45 @@ object OpsQueries extends QuerySet {
          SELECT * FROM a1 UNION ALL SELECT * FROM a2
          UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
          ORDER BY relation""",
+    "a42_mann_whitney" ->
+      """WITH e AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE value IS NOT NULL
+                      AND (event_type = 'purchase'
+                           OR event_type = 'view')),
+         h AS (SELECT v, COUNT(*) AS t,
+                 SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ta
+               FROM e GROUP BY v),
+         r AS (SELECT v, t, ta,
+                 SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+               FROM h),
+         r2 AS (SELECT *, hi - t + 1 AS lo FROM r),
+         a AS (SELECT SUM(t) AS n, SUM(ta) AS na,
+                 SUM(CAST(ta AS HUGEINT) * CAST(lo + hi AS HUGEINT))
+                   AS r1x2,
+                 SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                     * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS ties
+               FROM r2),
+         b AS (SELECT na, n - na AS nb,
+                 CAST(r1x2 - CAST(na AS HUGEINT)
+                   * CAST(na + 1 AS HUGEINT) AS DOUBLE) / 2.0 AS u1d,
+                 CASE WHEN n >= 2 THEN
+                   CAST(na AS DOUBLE) * CAST(n - na AS DOUBLE) / 12.0 *
+                     (CAST(n + 1 AS DOUBLE) -
+                       CAST(ties AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                 END AS sig2
+               FROM a)
+         SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                CASE WHEN na >= 1 THEN round(u1d, 1) END AS u1,
+                CASE WHEN na >= 1 AND nb >= 1 AND sig2 > 0 THEN
+                  round((u1d - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                    / 2.0) / sqrt(sig2), 7)
+                END AS z
+         FROM b""",
+
     "a40_welch_t" ->
       """WITH e AS (SELECT event_type AS g,
                       CAST(round(value * 100) AS BIGINT) AS x

@@ -617,4 +617,32 @@ class AggregatesSpec extends SparkSpec {
     val degen = v(Seq(("x", "p"), ("x", "q"), ("x", "p")))
     assert(degen.isNullAt(4), degen.toString)
   }
+
+  test("mannWhitneyU: hand-computed ranks, ties, and z") {
+    import spark.implicits._
+    // A=[1,3,3], B=[2,3]: ranks 1,2,(3+4+5)/3=4 -> R1=1+4+4=9,
+    // U1=9-6=3, mu=3 -> z=0; ties term 3^3-3=24
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 3L), ("b", 2L), ("b", 3L))
+      .toDF("g", "x")
+    val r = graft.ops.Aggregates.mannWhitneyU(df, "g", "x", "a", "b")
+      .head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("u1") === 3.0)
+    assert(r.getAs[Double]("z") === 0.0)
+    // no ties, full separation: A=[10,20] above B=[1,2] -> U1=4,
+    // sigma^2=(4/12)*5=5/3, z=2/sqrt(5/3)
+    val df2 = Seq(("a", 10L), ("a", 20L), ("b", 1L), ("b", 2L))
+      .toDF("g", "x")
+    val r2 = graft.ops.Aggregates.mannWhitneyU(df2, "g", "x", "a", "b")
+      .head()
+    assert(r2.getAs[Double]("u1") === 4.0)
+    assert(approx(r2.getAs[Double]("z"),
+      BigDecimal(2.0 / math.sqrt(5.0 / 3.0))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // degenerate: all values tie -> sig2 = 0 -> z null
+    val df3 = Seq(("a", 5L), ("b", 5L)).toDF("g", "x")
+    val r3 = graft.ops.Aggregates.mannWhitneyU(df3, "g", "x", "a", "b")
+      .head()
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+  }
 }
