@@ -444,4 +444,82 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame =
     kCoreCached(edges, k, iters).df
+
+  /** Multi-class LABEL SPREADING, integer fixed-point — the
+    * semi-supervised step after the structural ops: known account
+    * labels (fraud typologies, risk tiers) diffuse through the
+    * co-attribute graph and every reached node takes the argmax-mass
+    * label. Mechanically this is [[personalizedPageRank]] run once per
+    * class, but the class masses ride as PARALLEL COLUMNS of one rank
+    * frame, so k classes cost exactly one edge join per iteration, not
+    * k. Same integer fixed-point contract (BIGINT masses scaled by
+    * `scale`, floor divisions on non-negatives, bit-identical across
+    * engines; the oracle unrolls iterations as chained CTEs with one
+    * sum per class):
+    *
+    *   m⁰_c(v)   = scale·[seed(v) = c]
+    *   mⁱ⁺¹_c(v) = [seed(v)=c]·base + d·Σ_{u~v} mⁱ_c(u) div deg(u)
+    *
+    * `seeds` must expose (node, cls) with cls in [0, numClasses);
+    * conflicting seed rows resolve to the smallest class. Seeds
+    * outside the edge set are ignored (the [[personalizedPageRank]]
+    * stance). Output: (node, m0..m{k−1}, label) — label = smallest
+    * class index attaining the max mass, null when no mass reached
+    * the node.
+    */
+  def labelSpreadCached(edges: DataFrame, seeds: DataFrame,
+                        numClasses: Int, iters: Int = 2,
+                        scale: Long = 1000000L, dampPct: Int = 85,
+                        checkpointEvery: Int = 5): Cached = {
+    require(numClasses >= 2 && numClasses <= 16,
+      s"numClasses in [2,16], got $numClasses")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = deg
+      .join(seeds.groupBy(col("node"))
+        .agg(min(col("cls")).as("cls")), Seq("node"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * (100 - dampPct) / 100
+    val ks = 0 until numClasses
+    var ranks = nodes.select(
+      (col("node") +: ks.map(c =>
+        when(col("cls") === c, scale).otherwise(0L).as(s"m$c"))): _*)
+    for (i <- 1 to iters) {
+      val contribs = ranks
+        .join(nodes.select(col("node"), col("deg")), Seq("node"))
+        .selectExpr(("node AS u" +:
+          ks.map(c => s"m$c div deg AS c$c")): _*)
+      val incoming = sym.join(contribs, Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("c0")).as("s0"),
+          ks.tail.map(c => sum(col(s"c$c")).as(s"s$c")): _*)
+      ranks = nodes.select(col("node"), col("cls"))
+        .join(incoming, Seq("node"), "left")
+        .selectExpr(("node" +: ks.map(c =>
+          s"CASE WHEN cls = $c THEN CAST($base AS BIGINT) " +
+            s"ELSE CAST(0 AS BIGINT) END + " +
+            s"($dampPct * coalesce(s$c, CAST(0 AS BIGINT))) div 100 " +
+            s"AS m$c")): _*)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = Checkpoints.cut(ranks)
+    }
+    // argmax with smallest-index ties: fold ascending, replace only on
+    // a STRICTLY greater mass
+    val (lblCol, _) = ks.tail.foldLeft((lit(0), col("m0"))) {
+      case ((bi, bm), c) =>
+        (when(col(s"m$c") > bm, lit(c)).otherwise(bi),
+          greatest(bm, col(s"m$c")))
+    }
+    val allZero = ks.map(c => col(s"m$c") === 0L).reduce(_ && _)
+    val out = ranks.withColumn("label",
+      when(allZero, lit(null)).otherwise(lblCol).cast("int"))
+    Cached(out, Seq(sym, nodes))
+  }
+
+  def labelSpread(edges: DataFrame, seeds: DataFrame, numClasses: Int,
+                  iters: Int = 2, scale: Long = 1000000L,
+                  dampPct: Int = 85): DataFrame =
+    labelSpreadCached(edges, seeds, numClasses, iters, scale, dampPct).df
 }

@@ -41,6 +41,20 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
 
+    // Semi-supervised label spreading: three fraud-typology seed
+    // classes (user_id % 3 on the % 37 seed set) diffuse two integer
+    // fixed-point rounds through the co-attribute graph in ONE edge
+    // pass per round (class masses ride as parallel columns); label =
+    // argmax mass, ties to the smallest class, null where no mass
+    // arrives.
+    "g10_label_spread" -> ((s, d) =>
+      graft.ops.Graph.labelSpread(edges(s, d),
+        Tables.events(s, d).filter(col("user_id") % 37 === 0)
+          .select(col("user_id").as("node"),
+            (col("user_id") % 3).cast("int").as("cls")).distinct(),
+        numClasses = 3, iters = 2)
+        .orderBy(col("node"))),
+
     // k-core ring extraction: 3 synchronous peels of degree-<3 nodes
     // over the co-attribute graph — the dense-ring pre-filter before
     // per-ring analytics. Integer degrees only; the oracle unrolls
@@ -260,6 +274,52 @@ object GraphQueries extends QuerySet {
          JOIN deg da ON n.a = da.node
          JOIN deg db ON n.b = db.node
          ORDER BY n.cn DESC, n.a, n.b LIMIT 20""",
+
+    "g10_label_spread" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+         sd AS (SELECT node, MIN(cls) AS cls FROM (
+                  SELECT DISTINCT user_id AS node,
+                         CAST(user_id % 3 AS INT) AS cls
+                  FROM events
+                  WHERE user_id IS NOT NULL AND user_id % 37 = 0)
+                GROUP BY node),
+         nd AS (SELECT d.node, d.deg, s.cls
+                FROM deg d LEFT JOIN sd s ON d.node = s.node),
+         r0 AS (SELECT node, cls,
+              CAST(CASE WHEN cls = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS m0,
+              CAST(CASE WHEN cls = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS m1,
+              CAST(CASE WHEN cls = 2 THEN 1000000 ELSE 0 END AS BIGINT) AS m2
+                FROM nd),
+         c1 AS (SELECT s.v AS node, SUM(r.m0 // d.deg) AS s0, SUM(r.m1 // d.deg) AS s1, SUM(r.m2 // d.deg) AS s2
+                FROM sym s JOIN r0 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r1 AS (SELECT n.node, n.cls,
+              CAST(CASE WHEN n.cls = 0 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s0, 0)) // 100 AS BIGINT) AS m0,
+              CAST(CASE WHEN n.cls = 1 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s1, 0)) // 100 AS BIGINT) AS m1,
+              CAST(CASE WHEN n.cls = 2 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s2, 0)) // 100 AS BIGINT) AS m2
+                FROM nd n LEFT JOIN c1 c ON n.node = c.node),
+         c2 AS (SELECT s.v AS node, SUM(r.m0 // d.deg) AS s0, SUM(r.m1 // d.deg) AS s1, SUM(r.m2 // d.deg) AS s2
+                FROM sym s JOIN r1 r ON s.u = r.node
+                           JOIN deg d ON s.u = d.node GROUP BY 1),
+         r2 AS (SELECT n.node, n.cls,
+              CAST(CASE WHEN n.cls = 0 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s0, 0)) // 100 AS BIGINT) AS m0,
+              CAST(CASE WHEN n.cls = 1 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s1, 0)) // 100 AS BIGINT) AS m1,
+              CAST(CASE WHEN n.cls = 2 THEN 150000 ELSE 0 END
+                   + (85 * COALESCE(c.s2, 0)) // 100 AS BIGINT) AS m2
+                FROM nd n LEFT JOIN c2 c ON n.node = c.node)
+         SELECT node, m0, m1, m2,
+                CAST(CASE WHEN m0 = 0 AND m1 = 0 AND m2 = 0 THEN NULL
+                     WHEN m0 >= m1 AND m0 >= m2 THEN 0
+                     WHEN m1 >= m2 THEN 1 ELSE 2 END AS INT) AS label
+         FROM r2 ORDER BY node""",
 
     "g09_kcore" ->
       s"""$prelude,

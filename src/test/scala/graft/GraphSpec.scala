@@ -181,4 +181,32 @@ class GraphSpec extends SparkSpec {
     val e = edgesDF((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     assert(Graph.kCore(e, k = 3, iters = 2).count() === 0L)
   }
+
+  test("labelSpread: hand-traced two-class diffusion on a path") {
+    // path 1-2-3, seed 1 -> class 0, seed 3 -> class 1 (class 2 unused)
+    // iter1: node2 gets 850000 of each; iter2: node1 m0=511250
+    // m1=361250 (label 0), node2 127500/127500 (tie -> 0), node3
+    // mirror (label 1)
+    val e = edgesDF((1L, 2L), (2L, 3L))
+    val seeds = Seq((1L, 0), (3L, 1)).toDF("node", "cls")
+    val got = Graph.labelSpread(e, seeds, numClasses = 3, iters = 2)
+      .orderBy("node")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(r.fieldIndex("label"))))
+    assert(got.toSeq === Seq(
+      (1L, 511250L, 361250L, 0),
+      (2L, 127500L, 127500L, 0),
+      (3L, 361250L, 511250L, 1)))
+  }
+
+  test("labelSpread: unreached nodes stay unlabeled (null)") {
+    // two components; seeds only in the first
+    val e = edgesDF((1L, 2L), (3L, 4L))
+    val seeds = Seq((1L, 0)).toDF("node", "cls")
+    val rows = Graph.labelSpread(e, seeds, numClasses = 2, iters = 2)
+      .orderBy("node").collect()
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("label")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("label")))
+    assert(rows(3).isNullAt(rows(3).fieldIndex("label")))
+  }
 }
