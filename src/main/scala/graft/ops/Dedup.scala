@@ -1193,4 +1193,68 @@ object Dedup {
         round(col("n_first").cast("double") / col("n_sh").cast("double"),
           7))
   }
+
+  /** Asymmetric CONTAINMENT join: directed pairs (a, b) with
+    * |Sa ∩ Sb| ≥ ⌈τ·|Sa|⌉ — "a is (mostly) contained in b". This is
+    * the near-dup rule Jaccard cannot express: a quote, excerpt, or
+    * wrapped re-post shares nearly ALL of ITS shingles with the
+    * container while J stays low because the container is larger —
+    * so [[setSimilarityJoin]]/[[minhashNearDups]] never fire.
+    *
+    * Prefix filter, asymmetric form (the R-S overlap-join variant of
+    * the d14 machinery): the required overlap o = ⌈τ·|Sa|⌉ depends
+    * only on the CONTAINED side, so only a prunes to a prefix
+    * (|Sa| − o + 1 tokens in global (df, tok) order — a total order,
+    * which the pigeonhole losslessness proof needs) while the
+    * container side indexes every token. Size prune: C(a→b) ≤
+    * |Sb|/|Sa|, so nb·tauDen ≥ na·tauNum rides the join condition.
+    * Verify is exact-integer cross-multiplication; no float boundary
+    * anywhere (⌈τ·n⌉ = (n·num + den − 1) div den).
+    *
+    * Output: (id_a, id_b, inter, n_a, containment) for every directed
+    * qualifying pair, containment = inter/n_a at 7dp — hash-identical
+    * to the brute all-pairs rule on the same shingle sets, at
+    * prefix-join cost.
+    */
+  def containmentJoin(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3,
+                      tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
+    val docs = df.select(col(idCol).as("id"),
+      shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
+    val e = docs.select(col("id"), explode(col("toks")).as("tok"))
+    val dfreq = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ordered = e.join(broadcast(dfreq), "tok")
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("df"), col("tok")))),
+        x => x("tok")).as("otoks"))
+      .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
+    // ⌈τ·na⌉ via integer ceiling; prefix keeps na − o + 1 tokens
+    val o = ((col("n") * tauNum + (tauDen - 1)).cast("long") / tauDen)
+      .cast("long")
+    val prefixed = ordered.select(col("id").as("id_a"),
+      col("n").as("na"),
+      explode(slice(col("otoks"), lit(1),
+        (col("n") - o.cast("int") + 1))).as("tok"))
+    val full = ordered.select(col("id").as("id_b"), col("n").as("nb"),
+      explode(col("otoks")).as("tok"))
+    val cand = prefixed.join(full,
+        prefixed("tok") === full("tok") &&
+          col("id_a") =!= col("id_b") &&
+          col("nb") * tauDen >= col("na") * tauNum)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long")
+          .as("inter"),
+        size(col("ta")).cast("long").as("n_a"))
+      .filter(col("inter") * tauDen >= col("n_a") * tauNum)
+      .withColumn("containment",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 7))
+  }
 }

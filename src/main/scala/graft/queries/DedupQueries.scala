@@ -75,6 +75,25 @@ object DedupQueries extends QuerySet {
     // verify. Planted first-word-dropped copies must all pair with
     // their originals; the oracle replays df → order → prefix →
     // candidates → verify stage-for-stage in DuckDB.
+    // Asymmetric containment: planted 20-token excerpts (quote-like
+    // re-posts, doc_id + 3000000) are >= 4/5-contained in their source
+    // docs while their JACCARD stays far below any near-dup threshold
+    // — the rule d02/d14 structurally cannot fire on. Prefix-filtered
+    // R-S join (only the contained side prunes), integer-exact verify,
+    // brute theta-join oracle.
+    "d20_containment" -> ((s, d) => {
+      val base = Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") < 150)
+      val excerpts = base
+        .withColumn("doc_id", col("doc_id") + 3000000)
+        .withColumn("text",
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"),
+            1, 20), " "))
+      Dedup.containmentJoin(base.unionByName(excerpts), "text", "doc_id",
+        n = 3, tauNum = 4, tauDen = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d14_setjoin_prefix" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
         .filter(col("doc_id") < 400)
@@ -915,6 +934,29 @@ object DedupQueries extends QuerySet {
            ON abs(length(p.pstr) - length(c.str)) <= 2
           AND levenshtein(p.pstr, c.str) <= 2
          ORDER BY probe_id, corpus_id""",
+    "d20_containment" ->
+      s"""WITH t AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 150),
+          x AS (SELECT doc_id + 3000000 AS doc_id,
+                  list_aggregate(string_split_regex(trim(lower(text)),
+                    '\\s+')[1:20], 'string_agg', ' ') AS text
+                FROM t),
+          u AS (SELECT doc_id, text FROM t
+                UNION ALL SELECT doc_id, text FROM x),
+          tk AS (SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\\s+') AS toks
+                 FROM u),
+          s AS (SELECT doc_id, $sh3 AS sh FROM tk)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(a.sh) AS BIGINT) AS n_a,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(a.sh) AS DOUBLE), 7) AS containment
+          FROM s a, s b
+          WHERE a.doc_id <> b.doc_id
+            AND len(list_intersect(a.sh, b.sh)) * 5 >= len(a.sh) * 4
+          ORDER BY id_a, id_b""",
+
     "d14_setjoin_prefix" ->
       s"""WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 400

@@ -1933,4 +1933,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(got(("b", "q")) - z(3, 1, 3, 3)) < 2e-7,
       s"${got(("b", "q"))} vs ${z(3, 1, 3, 3)}")
   }
+
+  test("containmentJoin: finds the excerpt jaccard structurally misses") {
+    import spark.implicits._
+    // a = first 5 words of b: C(a->b) = 3/3 = 1.0 while J = 3/10 —
+    // below any near-dup threshold; and the reverse direction fails
+    // the containment bar (3/10 < 4/5)
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.containmentJoin(docs, "text", "doc_id",
+        n = 3, tauNum = 4, tauDen = 5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("containment")))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+    val j = graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.8)
+    assert(j.count() === 0L)
+  }
 }
