@@ -698,6 +698,27 @@ object SourceQueries extends QuerySet {
         .orderBy(col("gen"), col("o_orderstatus"))
     }),
 
+    // CSV round-trip (S5 under the oracle, completing the s07/s08
+    // format family): orders staged as headered CSV, read back with
+    // the EXPLICIT schema (the S5 contract — no inference pass), same
+    // aggregate as s07. Doubles survive the text round-trip bit-exactly
+    // (Spark prints shortest-roundtrip representations); dates travel
+    // as ISO strings.
+    "s15_csv_roundtrip" -> ((s, d) => {
+      val path = Tables.stageDir(s, "s15_csv")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus"))
+      src.write.mode("overwrite").option("header", "true").csv(path)
+      s.read.schema(src.schema).option("header", "true").csv(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "s07_orc_roundtrip" -> ((s, d) => {
       val path = Tables.stageDir(s, "s07_orc")
       Tables.orders(s, d)
@@ -1017,6 +1038,12 @@ object SourceQueries extends QuerySet {
                 CAST(SUM(click_id) AS BIGINT) AS click_checksum,
                 CAST(SUM(purchase_id) AS BIGINT) AS purchase_checksum
          FROM j GROUP BY 1 ORDER BY 1""",
+    "s15_csv_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            MIN(o_orderdate) AS min_date,
+            MAX(o_orderkey) AS max_key
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s07_orc_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,
