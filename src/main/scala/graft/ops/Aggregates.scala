@@ -199,8 +199,18 @@ object Aggregates {
   def bucketedPrefixSums(df: DataFrame, orderCol: String, ascending: Boolean,
                          sumCols: Seq[String], buckets: Int = 1024,
                          groupCols: Seq[String] = Nil): DataFrame = {
-    val key = if (ascending) col(orderCol) else -col(orderCol)
-    val keyed = df.withColumn("__k", key.cast("double"))
+    // __k (double) drives only BUCKET ASSIGNMENT — round-to-nearest is
+    // monotone, and two distinct keys that collide in double land in the
+    // same bucket, so bucketing stays order-consistent at any magnitude.
+    // The within-bucket window orders by the NATIVE key (__ko): an
+    // integral order column above 2^53 would collide in the double cast
+    // and make rank assignment order-dependent (Mann-Whitney consumer).
+    val keyNative = col(orderCol)
+    val keyed = df
+      .withColumn("__ko", keyNative)
+      .withColumn("__k",
+        if (ascending) keyNative.cast("double")
+        else -keyNative.cast("double"))
     val gcols = groupCols.map(col)
     // per-group bucketing range; the stats frame is one row per group
     // (tiny for the model-comparison use) and broadcasts either way
@@ -233,7 +243,7 @@ object Aggregates {
             lit(buckets - 1L))))
       .drop("__mn", "__mx")
     val localW = Window.partitionBy((gcols :+ col("__bkt")): _*)
-      .orderBy(col("__k"))
+      .orderBy(if (ascending) col("__ko").asc else col("__ko").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sumCols.foldLeft(bucketed) { (d, c) =>
       d.withColumn(s"__loc_$c", sum(col(c)).over(localW))

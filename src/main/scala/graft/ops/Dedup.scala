@@ -1231,9 +1231,11 @@ object Dedup {
         sort_array(collect_list(struct(col("df"), col("tok")))),
         x => x("tok")).as("otoks"))
       .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
-    // ⌈τ·na⌉ via integer ceiling; prefix keeps na − o + 1 tokens
-    val o = ((col("n") * tauNum + (tauDen - 1)).cast("long") / tauDen)
-      .cast("long")
+    // ⌈τ·na⌉ via INTEGRAL ceiling-division (`div`, not `/`: Spark's
+    // `/` is true double division, which only matches the exact-integer
+    // contract while n·tauNum < 2^53 — `div` has no such bound)
+    val o = expr(s"(n * cast($tauNum as bigint) + ${tauDen - 1}) " +
+      s"div cast($tauDen as bigint)")
     val prefixed = ordered.select(col("id").as("id_a"),
       col("n").as("na"),
       explode(slice(col("otoks"), lit(1),

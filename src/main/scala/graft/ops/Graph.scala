@@ -425,6 +425,11 @@ object Graph {
           .agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("node")))
+      // materializeBounded's >maxRows fallback returns the PERSISTED
+      // frame (not a LocalRelation); track it so release() can unpin
+      // it — otherwise one node-cardinality cache entry leaks per peel
+      // exactly at the large-graph scale this op targets
+      if (keep.storageLevel != StorageLevel.NONE) backing += keep
       sym = sym
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
