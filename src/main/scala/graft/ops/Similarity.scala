@@ -1187,23 +1187,33 @@ object Similarity {
     * whose expression tree (v·v + c·c − 2 v·c, min over centers) an
     * oracle reproduces bit-for-bit.
     *
-    * Scale shape: the candidate frame persists once and each of the
-    * k−1 steps is ONE distributed pass — candidates × broadcast(≤k
-    * chosen centers) → per-candidate min distance → a single min_by
-    * argmax (ties to the lowest id; the ordering struct negates only
-    * the DOUBLE distance, so ids keep their caller type). Nothing
+    * Scale shape: INCREMENTAL running-min state. A persisted
+    * (vec_id, v, nv2, md) frame carries each point's distance to its
+    * nearest chosen center; every step joins it against ONLY the
+    * NEWEST center (one broadcast row), folds `least(md, d_new)`, and
+    * takes a single min_by argmax (ties to the lowest id; the ordering
+    * struct negates only the DOUBLE distance, so ids keep their caller
+    * type). Total work is O(n·k) dot products — the classic
+    * farthest-point form — not the O(n·k²) of rejoining all chosen
+    * centers each pass; lineage is cut every `checkpointEvery` picks
+    * ([[Checkpoints.cut]]) so pass i never re-derives passes 1..i−1.
+    * Parity is untouched: min over a set of fixed-order doubles ≡ the
+    * running `least` of the same doubles, bit for bit. Nothing
     * corpus-sized ever reaches the driver; each step collects exactly
-    * one row.
+    * one row (inherent to greedy k-center).
     */
   def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, checkpointEvery: Int = 5): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = df.sparkSession
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val cand = Layout.fanOut(df)
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nv2", dot(col("v"), col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(disk)
     val idField = cand.schema("vec_id")
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("pick",
@@ -1211,49 +1221,67 @@ object Similarity {
       idField.copy(name = "vec_id"),
       org.apache.spark.sql.types.StructField("d2",
         org.apache.spark.sql.types.DoubleType)))
+    val centerSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.types.StructField("cn2",
+        org.apache.spark.sql.types.DoubleType)))
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
-    val centers = scala.collection.mutable.ArrayBuffer
-      .empty[(Any, Seq[Double], Double)] // (id, vec, selfdot)
     val seedAgg = cand
       .agg(min_by(struct(col("vec_id"), col("v"), col("nv2")),
         col("vec_id"))).head()
     if (!seedAgg.isNullAt(0)) {
       val s0 = seedAgg.getStruct(0)
       picks += Row(1, s0.get(0), null)
-      centers += ((s0.get(0), s0.getSeq[Double](1), s0.getDouble(2)))
+      // newest center rides as a 1-row LocalRelation each pass
+      var newId: Any = s0.get(0)
+      var newCenter = spark.createDataFrame(
+        java.util.Arrays.asList(Row(s0.getSeq[Double](1),
+          s0.getDouble(2))), centerSchema)
+      // running-min state; null md = "no center scored yet" (pass 1)
+      var state = cand.withColumn("md", lit(null).cast("double"))
+      var prevPersisted: DataFrame = null
       var step = 2
       var exhausted = false
       while (step <= k && !exhausted) {
-        val centersDf = spark.createDataFrame(
-          java.util.Arrays.asList(centers.toSeq.map(c =>
-            Row(c._2, c._3)): _*),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cv",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType)),
-            org.apache.spark.sql.types.StructField("cn2",
-              org.apache.spark.sql.types.DoubleType))))
-        val chosenIds = centers.toSeq.map(_._1)
-        val md = cand.filter(!col("vec_id").isin(chosenIds: _*))
-          .join(broadcast(centersDf))
-          .withColumn("dist",
+        val next = state
+          .filter(col("vec_id") =!= lit(newId))
+          .crossJoin(broadcast(newCenter))
+          .withColumn("dnew",
             col("nv2") + col("cn2") - lit(2.0) * dot(col("v"), col("cv")))
-          .groupBy(col("vec_id"))
-          .agg(min(col("dist")).as("md"), first(col("v")).as("v"),
-            first(col("nv2")).as("nv2"))
-        val winAgg = md.agg(min_by(
+          // least(null, d) = d, so pass 1 seeds the state; thereafter
+          // the running least equals min-over-all-centers bit for bit
+          .withColumn("md", least(col("md"), col("dnew")))
+          .select(col("vec_id"), col("v"), col("nv2"), col("md"))
+          .persist(disk)
+        // the argmax head() materializes `next`; only then drop the
+        // previous state so no consumer ever re-derives it
+        val winAgg = next.agg(min_by(
           struct(col("vec_id"), col("v"), col("nv2"), col("md")),
           struct((-col("md")).as("nm"), col("vec_id")))).head()
-        if (winAgg.isNullAt(0)) exhausted = true
+        if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
+        if (winAgg.isNullAt(0)) { exhausted = true; prevPersisted = next }
         else {
           val w = winAgg.getStruct(0)
           picks += Row(step, w.get(0),
             BigDecimal(w.getDouble(3))
               .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          centers += ((w.get(0), w.getSeq[Double](1), w.getDouble(2)))
+          newId = w.get(0)
+          newCenter = spark.createDataFrame(
+            java.util.Arrays.asList(Row(w.getSeq[Double](1),
+              w.getDouble(2))), centerSchema)
+          state =
+            if ((step - 1) % checkpointEvery == 0) {
+              val cut = Checkpoints.cut(next)
+              next.unpersist(blocking = false)
+              prevPersisted = null
+              cut
+            } else { prevPersisted = next; next }
           step += 1
         }
       }
+      if (prevPersisted != null) prevPersisted.unpersist(blocking = false)
     }
     cand.unpersist(blocking = false)
     spark.createDataFrame(java.util.Arrays.asList(picks.toSeq: _*),
