@@ -1036,27 +1036,42 @@ object Dedup {
     * the pairs with J ≥ tauNum/tauDen — hash-identical to the brute
     * all-pairs [[ngramJaccardPairs]] rule on the same shingle sets, at
     * prefix-join cost. The d14 oracle replays every stage in DuckDB.
+    *
+    * `broadcastVocab`: the document-frequency table is VOCABULARY-
+    * sized — bounded by the token domain at the shipped scales, but
+    * growing ~linearly with a web-scale corpus. Default `true` keeps
+    * the skew-proof broadcast (a stopword's fan-out meets a 1-row
+    * build side); pass `false` at 100-TB vocabularies to let AQE plan
+    * the df join instead (the [[decontaminate]]
+    * `broadcastBlocklist = false` escape pattern — a shuffle join
+    * keyed on the token, where AQE's skew-join split absorbs the
+    * stopword buckets).
     */
   def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3,
-                        tauNum: Int = 3, tauDen: Int = 5): DataFrame = {
+                        tauNum: Int = 3, tauDen: Int = 5,
+                        broadcastVocab: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
     val docs = df.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
     // toks are distinct per doc, so count(*) IS the document frequency.
-    val dfreq = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = e.join(broadcast(dfreq), "tok")
+    val dfreqRaw = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreqRaw) else dfreqRaw
+    val ordered = e.join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(transform(
         sort_array(collect_list(struct(col("df"), col("tok")))),
         x => x("tok")).as("otoks"))
       .select(col("id"), col("otoks"), size(col("otoks")).as("n"))
+    // ⌈τ·n⌉ via integral `div` (not `/`: double division breaks the
+    // exact-integer contract past 2^53 — the d20 advice fix)
+    val oMin = expr(s"(n * cast($tauNum as bigint) + ${tauDen - 1}) " +
+      s"div cast($tauDen as bigint)")
     val prefixed = ordered.select(col("id"), col("n"),
       explode(slice(col("otoks"), lit(1),
-        (col("n") - ((col("n") * tauNum + (tauDen - 1))
-          .cast("long") / tauDen).cast("long").cast("int") + 1)))
+        (col("n") - oMin.cast("int") + 1)))
         .as("tok"))
     val cand = prefixed.as("a").join(prefixed.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
@@ -1215,17 +1230,23 @@ object Dedup {
     * qualifying pair, containment = inter/n_a at 7dp — hash-identical
     * to the brute all-pairs rule on the same shingle sets, at
     * prefix-join cost.
+    *
+    * `broadcastVocab`: see [[setSimilarityJoin]] — default keeps the
+    * skew-proof df broadcast; `false` lets AQE shuffle-plan a
+    * 100-TB-scale shingle vocabulary instead.
     */
   def containmentJoin(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3,
-                      tauNum: Int = 4, tauDen: Int = 5): DataFrame = {
+                      tauNum: Int = 4, tauDen: Int = 5,
+                      broadcastVocab: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
     val docs = df.select(col(idCol).as("id"),
       shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
-    val dfreq = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ordered = e.join(broadcast(dfreq), "tok")
+    val dfreqRaw = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreqRaw) else dfreqRaw
+    val ordered = e.join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(transform(
         sort_array(collect_list(struct(col("df"), col("tok")))),

@@ -1635,6 +1635,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("broadcastVocab=false: AQE-planned df join, identical pairs") {
+    // the 100-TB escape knob must change only the PLAN (shuffle join on
+    // the vocab instead of the skew-proof broadcast), never the rows —
+    // for both prefix-filter ops sharing the df-ordering machinery
+    val corpus = docs.select("doc_id", "text").filter($"doc_id" < 120)
+    val bcast = Dedup.setSimilarityJoin(corpus, "text", "doc_id", 3, 3, 5)
+      .select($"id_a", $"id_b", $"inter", $"uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val shuffled = Dedup.setSimilarityJoin(corpus, "text", "doc_id", 3, 3, 5,
+        broadcastVocab = false)
+      .select($"id_a", $"id_b", $"inter", $"uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(bcast == shuffled)
+    val cb = Dedup.containmentJoin(corpus, "text", "doc_id", 3, 4, 5)
+      .select($"id_a", $"id_b", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    val cs = Dedup.containmentJoin(corpus, "text", "doc_id", 3, 4, 5,
+        broadcastVocab = false)
+      .select($"id_a", $"id_b", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(cb == cs)
+  }
+
   test("bpePairCounts matches a hand-computed pair table") {
     // words: "aa"×1, "ab"×2 → pairs (a,a):1, (a,</w>):1, (a,b):2, (b,</w>):2
     val got = TextAnalysis.bpePairCounts(
