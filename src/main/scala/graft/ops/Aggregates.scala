@@ -287,11 +287,27 @@ object Aggregates {
     * bit for bit. Returns null when only one class is present (the
     * reference guards this case, `FD/evaluation.py:148-151`).
     */
-  def rocAuc(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
-    val perP = df
-      .select(col(probaCol).as("p"), col(labelCol).cast("double").as("y"))
+  def rocAuc(df: DataFrame, labelCol: String, probaCol: String): DataFrame =
+    rocAucFromHist(scoreHistogram(df, labelCol, probaCol))
+
+  /** The per-distinct-score histogram (p, cnt, pos) every ranking
+    * metric in this file reduces to — cnt/pos as integer-valued
+    * DOUBLES (counts are exact in double far past any real corpus).
+    * This is the BOUNDED state a streaming evaluator maintains (st20):
+    * rows ∝ score cardinality, never row count; [[rocAucFromHist]] /
+    * [[prCurveFromHist]] / [[thresholdBattery]] then collapse it
+    * batch-side to the same bits as the row-frame spellings.
+    */
+  def scoreHistogram(df: DataFrame, labelCol: String,
+                     probaCol: String): DataFrame =
+    df.select(col(probaCol).as("p"), col(labelCol).cast("double").as("y"))
       .groupBy(col("p"))
       .agg(count(lit(1)).cast("double").as("cnt"), sum(col("y")).as("pos"))
+
+  /** [[rocAuc]] over a prebuilt [[scoreHistogram]] frame. Totals come
+    * from the histogram's grouped sums — integer-valued doubles, so
+    * bit-identical to summing the raw rows. */
+  def rocAucFromHist(perP: DataFrame): DataFrame = {
     val cum = bucketedPrefixSums(perP, "p", ascending = true, Seq("cnt"))
     // min-rank of the tie group = cum_cnt - cnt + 1, so the shared
     // average rank = min-rank + (cnt-1)/2 = cum_cnt - cnt + (cnt+1)/2
@@ -338,11 +354,11 @@ object Aggregates {
     * at score ≥ threshold. Same parallel prefix-sum plan as [[rocAuc]].
     */
   def rocCurve(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
-    val y = col(labelCol).cast("double")
-    val perTh = df.groupBy(col(probaCol).as("th"))
-      .agg(sum(y).as("pos"), sum(lit(1) - y).as("neg"))
-    val totals = df.agg(sum(y).as("total_pos"),
-      sum(lit(1) - y).as("total_neg"))
+    val perP = scoreHistogram(df, labelCol, probaCol)
+    val perTh = perP.select(col("p").as("th"), col("pos"),
+      (col("cnt") - col("pos")).as("neg"))
+    val totals = perTh.agg(sum(col("pos")).as("total_pos"),
+      sum(col("neg")).as("total_neg"))
     bucketedPrefixSums(perTh, "th", ascending = false, Seq("pos", "neg"))
       .crossJoin(broadcast(totals))
       .select(col("th").as("threshold"),
@@ -354,16 +370,23 @@ object Aggregates {
     * threshold, descending, cumulative precision / recall / F1 (F1 null
     * when precision+recall = 0, mirroring the numpy NaN row).
     */
-  def prCurve(df: DataFrame, labelCol: String, probaCol: String): DataFrame = {
-    val y = col(labelCol).cast("double")
-    val perTh = df.groupBy(col(probaCol).as("th"))
-      .agg(sum(y).as("pos"), sum(lit(1) - y).as("neg"))
-    val totals = df.agg(sum(y).as("total_pos"))
+  def prCurve(df: DataFrame, labelCol: String, probaCol: String): DataFrame =
+    prCurveFromHist(scoreHistogram(df, labelCol, probaCol))
+
+  /** [[prCurve]] over a prebuilt [[scoreHistogram]] frame. */
+  def prCurveFromHist(perP: DataFrame): DataFrame = {
+    val perTh = perP.select(col("p").as("th"), col("pos"),
+      (col("cnt") - col("pos")).as("neg"))
+    val totals = perTh.agg(sum(col("pos")).as("total_pos"))
     bucketedPrefixSums(perTh, "th", ascending = false, Seq("pos", "neg"))
       .crossJoin(broadcast(totals))
       .withColumn("precision",
         col("cum_pos") / (col("cum_pos") + col("cum_neg")))
-      .withColumn("recall", col("cum_pos") / col("total_pos"))
+      // ANSI guard: a zero-positive stream makes total_pos = 0 and
+      // Spark 4 ANSI raises DIVIDE_BY_ZERO even for doubles — null
+      // recall nulls f1, which the optimal-threshold filter drops
+      .withColumn("recall",
+        when(col("total_pos") > 0, col("cum_pos") / col("total_pos")))
       .withColumn("f1",
         when(col("precision") + col("recall") === 0, lit(null))
           .otherwise(lit(2) * col("precision") * col("recall") /
@@ -379,11 +402,64 @@ object Aggregates {
     * NaN-skipping tie-break: highest F1, then lowest threshold.
     */
   def optimalThreshold(df: DataFrame, labelCol: String, probaCol: String): DataFrame =
-    prCurve(df, labelCol, probaCol)
-      .filter(col("f1").isNotNull)
+    optimalThresholdFromHist(scoreHistogram(df, labelCol, probaCol))
+
+  /** [[optimalThreshold]] over a prebuilt [[scoreHistogram]] frame.
+    * The NaN guard covers the zero-positive stream: recall = 0/0
+    * propagates NaN through f1, and Spark sorts NaN ABOVE every
+    * double — without the filter a single-class input would "win"
+    * with a NaN best_f1 instead of returning no threshold. */
+  def optimalThresholdFromHist(perP: DataFrame): DataFrame =
+    prCurveFromHist(perP)
+      .filter(col("f1").isNotNull && !isnan(col("f1")))
       .orderBy(col("f1").desc, col("threshold").asc)
       .limit(1)
       .select(col("threshold").as("optimal_threshold"), col("f1").as("best_f1"))
+
+  /** The full `FD/evaluation.py:97-179` dashboard-tick battery from ONE
+    * bounded [[scoreHistogram]]: PR-optimal threshold (A17), the
+    * threshold-ADJUSTED confusion metrics the reference reports —
+    * precision/recall at `proba >= t_opt` with sklearn's
+    * `zero_division = 0`, accuracy as a percentage, the adjusted
+    * positive count — and rank-sum ROC AUC (A16). Every input to a
+    * division is an integer-valued double (exact), every division is a
+    * single fixed-order expression, so an oracle replaying the same
+    * algebra over the same histogram matches bit for bit. Returns one
+    * row; EMPTY when no threshold has precision+recall > 0 (a
+    * single-class stream — the reference's NaN-argmax corner, which
+    * its own dashboard never reaches either).
+    */
+  def thresholdBattery(perP: DataFrame): DataFrame = {
+    val opt = optimalThresholdFromHist(perP)
+    val auc = rocAucFromHist(perP)
+    perP.crossJoin(broadcast(opt))
+      .agg(
+        sum(when(col("p") >= col("optimal_threshold"), col("pos"))
+          .otherwise(0.0)).as("tp"),
+        sum(when(col("p") >= col("optimal_threshold"),
+          col("cnt") - col("pos")).otherwise(0.0)).as("fp"),
+        sum(col("cnt")).as("n"),
+        sum(col("pos")).as("total_pos"),
+        // the cross join replicates opt's single row; first() reads it
+        // back without a second join
+        first(col("optimal_threshold")).as("optimal_threshold"),
+        first(col("best_f1")).as("best_f1"))
+      // a global agg over the empty single-class cross join still emits
+      // one (all-null) row — drop it to honor the empty-result contract
+      .filter(col("optimal_threshold").isNotNull)
+      .crossJoin(broadcast(auc))
+      .select(
+        col("optimal_threshold"), col("best_f1"), col("roc_auc"),
+        when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp") / (col("tp") + col("fp")))
+          .as("precision_adj"),
+        when(col("total_pos") === 0, 0.0)
+          .otherwise(col("tp") / col("total_pos")).as("recall_adj"),
+        ((col("tp") + (col("n") - col("total_pos") - col("fp")))
+          / col("n") * 100).as("accuracy_adj"),
+        (col("tp") + col("fp")).cast("long")
+          .as("predicted_adjusted_total"))
+  }
 
   /** Exact top-k values by frequency in two passes at sketch memory: a
     * mergeable Misra–Gries pass (`functions/MisraGriesAgg`) proposes

@@ -16,29 +16,87 @@ import graft.ops.{Cleaning, LogGrammar}
 object AnalyticsQueries extends QuerySet {
   import Parity._
 
+  /** The §3.3 synth+parse pipeline (S6 render → S7/F13-F16 parse →
+    * P6 clean) as a frame transform — STATELESS column expressions
+    * only, so the same code runs the batch read path (e01) and the
+    * streaming one (st20).
+    *
+    * Synthesizes actual/predicted/probability so they disagree
+    * (accuracy < 100) — actual from custkey, prediction from status.
+    */
+  private def parsedBlocks(o: DataFrame): DataFrame = {
+    val block = LogGrammar.formatBlock(
+      txnId = concat(lit("TXN"), col("o_orderkey")),
+      custId = concat(lit("CUST"), col("o_custkey")),
+      amount = round(col("o_totalprice"), 2),
+      typ = col("o_orderpriority"),
+      merchant = concat(lit("MERC"), col("o_custkey") % 1000),
+      location = concat(lit("LOC"), col("o_custkey") % 50),
+      device = concat(lit("DEV"), col("o_orderkey") % 900),
+      date = date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      time = lit("12:00:00"),
+      prediction = (col("o_orderstatus") === "F").cast("int"),
+      actual = (col("o_custkey") % 3 === 0).cast("int"),
+      probability = (col("o_custkey") % 10000) / 10000.0)
+    val parsed = o.select(block.as("block"))
+      .transform(b => Cleaning.validBlocks(b, "block"))
+      .select(LogGrammar.parseBlock(col("block")).as("m"))
+      .select(
+        LogGrammar.actualOf(col("m")).as("actual_fraud"),
+        LogGrammar.predictedOf(col("m")).as("predicted_fraud"),
+        LogGrammar.probabilityOf(col("m")).as("probability"),
+        LogGrammar.amountOf(col("m")).as("amount"),
+        col("m").getItem("location").as("location"),
+        col("m").getItem("type").as("typ"))
+    Cleaning.dropNulls(parsed,
+      Seq("actual_fraud", "predicted_fraud", "probability"))
+  }
+
+  /** The §3.3 battery over the bounded (location, typ, actual,
+    * predicted) pre-aggregation — A2/A3/A4/A12 live metrics plus the
+    * P7/A5/A4 fraud-pattern row — shared by the batch (e01) and
+    * streaming (st20) read paths. Decimal partial sums keep the
+    * money/probability totals exact, so results are bit-identical to
+    * direct aggregation over the row frame.
+    */
+  private def evalBattery(preAgg: DataFrame): DataFrame = {
+    // A2/A3/A4/A12: the live-metrics aggregate
+    val metrics = preAgg.agg(
+      sum(col("cnt")).as("total_transactions"),
+      sum(col("actual_fraud") * col("cnt")).as("actual_fraud_total"),
+      sum(col("predicted_fraud") * col("cnt")).as("predicted_fraud_total"),
+      (sum(col("prob_dec")).cast("double") / sum(col("cnt")))
+        .as("avg_probability"),
+      (sum(when(col("actual_fraud") === col("predicted_fraud"),
+          col("cnt").cast("double")).otherwise(0.0)) /
+        sum(col("cnt")) * 100).as("accuracy"))
+
+    // P7 + A5 (mode, pandas tie-break) + A4: fraud-pattern mining
+    val fraudPairs = Cleaning.filterFraud(preAgg, "actual_fraud")
+    val modeLoc = fraudPairs.groupBy(col("location"))
+      .agg(sum(col("cnt")).as("count"))
+      .orderBy(col("count").desc, col("location").asc).limit(1)
+      .select(col("location").as("common_fraud_location"))
+    val modeType = fraudPairs.groupBy(col("typ"))
+      .agg(sum(col("cnt")).as("count"))
+      .orderBy(col("count").desc, col("typ").asc).limit(1)
+      .select(col("typ").as("common_fraud_type"))
+    val fraudAvg = fraudPairs.agg(
+      sum(col("amt_dec")).cast("double").as("sum_fraud_amount"))
+
+    // each side is ≤ 1 row; the hints make that contract explicit to
+    // the CartesianGuard interlock (Verify/Bench plan with it on)
+    metrics.crossJoin(broadcast(modeLoc))
+      .crossJoin(broadcast(modeType)).crossJoin(broadcast(fraudAvg))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e01_eval_metrics" -> ((s, d) => {
       // single-file scan → one task; the format→parse round trip is the
       // most compute-amplifying pipeline in the suite, so fan the narrow
       // order rows across cores first (no-op on a split scan)
       val o = graft.ops.Layout.fanOut(Tables.orders(s, d))
-      // synthesize actual/predicted/probability so they disagree
-      // (accuracy < 100) — actual from custkey, prediction from status
-      val block = LogGrammar.formatBlock(
-        txnId = concat(lit("TXN"), col("o_orderkey")),
-        custId = concat(lit("CUST"), col("o_custkey")),
-        amount = round(col("o_totalprice"), 2),
-        typ = col("o_orderpriority"),
-        merchant = concat(lit("MERC"), col("o_custkey") % 1000),
-        location = concat(lit("LOC"), col("o_custkey") % 50),
-        device = concat(lit("DEV"), col("o_orderkey") % 900),
-        date = date_format(col("o_orderdate"), "yyyy-MM-dd"),
-        time = lit("12:00:00"),
-        prediction = (col("o_orderstatus") === "F").cast("int"),
-        actual = (col("o_custkey") % 3 === 0).cast("int"),
-        probability = (col("o_custkey") % 10000) / 10000.0)
 
-      // S7/F13-F16: parse every block back into typed fields.
       // codegen-stage split: format+filter+parse fused with the partial
       // aggregate generates a processNext past HotSpot's 8000-byte JIT
       // ceiling — the fused stage would run interpreted (~50× slower).
@@ -47,18 +105,7 @@ object AnalyticsQueries extends QuerySet {
       // not the parsed map (~300 B/row): projections and the null-drop
       // run before the exchange, so at the 50× probe scale the shuffle
       // writes 6× fewer bytes for the same stage split.
-      val parsed = o.select(block.as("block"))
-        .transform(b => Cleaning.validBlocks(b, "block"))
-        .select(LogGrammar.parseBlock(col("block")).as("m"))
-        .select(
-          LogGrammar.actualOf(col("m")).as("actual_fraud"),
-          LogGrammar.predictedOf(col("m")).as("predicted_fraud"),
-          LogGrammar.probabilityOf(col("m")).as("probability"),
-          LogGrammar.amountOf(col("m")).as("amount"),
-          col("m").getItem("location").as("location"),
-          col("m").getItem("type").as("typ"))
-      val clean = Cleaning.dropNulls(parsed,
-          Seq("actual_fraud", "predicted_fraud", "probability"))
+      val clean = parsedBlocks(o)
         .repartition(s.sparkContext.defaultParallelism)
 
       // Four consumers (live metrics, two fraud modes, fraud amount sum)
@@ -83,35 +130,49 @@ object AnalyticsQueries extends QuerySet {
         .agg(count(lit(1)).as("cnt"),
           sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
           sum(dec(col("amount"))).as("amt_dec")))
+      evalBattery(preAgg)
+    }),
 
-      // A2/A3/A4/A12: the live-metrics aggregate
-      val metrics = preAgg.agg(
-        sum(col("cnt")).as("total_transactions"),
-        sum(col("actual_fraud") * col("cnt")).as("actual_fraud_total"),
-        sum(col("predicted_fraud") * col("cnt")).as("predicted_fraud_total"),
-        (sum(col("prob_dec")).cast("double") / sum(col("cnt")))
-          .as("avg_probability"),
-        (sum(when(col("actual_fraud") === col("predicted_fraud"),
-            col("cnt").cast("double")).otherwise(0.0)) /
-          sum(col("cnt")) * 100).as("accuracy"))
-
-      // P7 + A5 (mode, pandas tie-break) + A4: fraud-pattern mining
-      val fraudPairs = Cleaning.filterFraud(preAgg, "actual_fraud")
-      val modeLoc = fraudPairs.groupBy(col("location"))
-        .agg(sum(col("cnt")).as("count"))
-        .orderBy(col("count").desc, col("location").asc).limit(1)
-        .select(col("location").as("common_fraud_location"))
-      val modeType = fraudPairs.groupBy(col("typ"))
-        .agg(sum(col("cnt")).as("count"))
-        .orderBy(col("count").desc, col("typ").asc).limit(1)
-        .select(col("typ").as("common_fraud_type"))
-      val fraudAvg = fraudPairs.agg(
-        sum(col("amt_dec")).cast("double").as("sum_fraud_amount"))
-
-      // each side is ≤ 1 row; the hints make that contract explicit to
-      // the CartesianGuard interlock (Verify/Bench plan with it on)
-      metrics.crossJoin(broadcast(modeLoc))
-        .crossJoin(broadcast(modeType)).crossJoin(broadcast(fraudAvg))
+    // §2.6 × §3.3 — the dashboard tick as a STREAMING query (the r8
+    // verdict's st20 mandate): the reference re-reads the whole
+    // consumer log per tick (`FD/evaluation.py:102-104`); here the
+    // parsed-block stream maintains TWO domain-bounded complete-mode
+    // states — the (location, typ, actual, predicted) pre-agg
+    // (≤ |loc|×|typ|×4 ≈ 1000 rows) and the per-distinct-probability
+    // label histogram (the a17b PR-curve state, ≤ 10000 thresholds × 2
+    // — score cardinality, never row count) — and the tick itself is a
+    // batch collapse of those sinks: e01's live-metrics/fraud-pattern
+    // row PLUS the reference's threshold-search battery
+    // (`FD/evaluation.py:90-146`: PR-optimal threshold, adjusted
+    // precision/recall/accuracy, rank-sum ROC AUC). Incremental cost
+    // per tick is the sink size, independent of corpus size; the
+    // oracle restates the whole lifecycle over orders, so streamed
+    // counts must reproduce the batch answer bit for bit.
+    "st20_stream_eval_metrics" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+      val qn1 = "st20_preagg_sink"
+      val q1 = parsedBlocks(src)
+        .groupBy(col("location"), col("typ"),
+          col("actual_fraud"), col("predicted_fraud"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
+          sum(dec(col("amount"))).as("amt_dec"))
+        .writeStream.format("memory").queryName(qn1)
+        .outputMode("complete").start()
+      try q1.processAllAvailable() finally q1.stop()
+      val qn2 = "st20_hist_sink"
+      val q2 = parsedBlocks(src)
+        .groupBy(col("probability").as("p"))
+        .agg(count(lit(1)).cast("double").as("cnt"),
+          sum(col("actual_fraud").cast("double")).as("pos"))
+        .writeStream.format("memory").queryName(qn2)
+        .outputMode("complete").start()
+      try q2.processAllAvailable() finally q2.stop()
+      evalBattery(s.table(qn1))
+        .crossJoin(broadcast(
+          graft.ops.Aggregates.thresholdBattery(s.table(qn2))))
     }),
 
     // Cohort retention: bucket each user by first-touch day, count
@@ -383,34 +444,103 @@ object AnalyticsQueries extends QuerySet {
                   CAST(SUM(st - pt) AS BIGINT) FROM s2)
          ORDER BY stage_idx""",
     "e01_eval_metrics" ->
-      s"""WITH base AS (
-            SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS actual_fraud,
-                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS predicted_fraud,
-                   (o_custkey % 10000) / 10000.0 AS probability,
-                   ROUND(o_totalprice, 2) AS amount,
-                   'LOC' || CAST(o_custkey % 50 AS VARCHAR) AS location,
-                   o_orderpriority AS typ
-            FROM orders),
-          metrics AS (
-            SELECT COUNT(*) AS total_transactions,
-                   CAST(SUM(actual_fraud) AS BIGINT) AS actual_fraud_total,
-                   CAST(SUM(predicted_fraud) AS BIGINT) AS predicted_fraud_total,
-                   CAST(SUM(CAST(probability AS DECIMAL(18,6))) AS DOUBLE) /
-                     COUNT(*) AS avg_probability,
-                   AVG(CASE WHEN actual_fraud = predicted_fraud
-                            THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
+      s"""$lifecycleCtes
+          SELECT * FROM metrics, mode_loc, mode_type, fraud_avg""",
+    // e01's lifecycle plus the threshold-search battery: PR-optimal
+    // threshold (the a17 recipe over base), the adjusted confusion
+    // metrics at proba >= t_opt, and the a16 rank-sum ROC AUC — every
+    // division a single fixed-order expression over integer-valued
+    // doubles, matching the Spark battery bit for bit.
+    "st20_stream_eval_metrics" ->
+      s"""$lifecycleCtes,
+          perth AS (
+            SELECT probability AS th,
+                   CAST(SUM(CAST(actual_fraud AS DOUBLE)) AS DOUBLE) AS pos,
+                   CAST(SUM(1 - CAST(actual_fraud AS DOUBLE)) AS DOUBLE) AS neg
+            FROM base GROUP BY probability),
+          totals AS (
+            SELECT CAST(SUM(pos) AS DOUBLE) AS total_pos,
+                   CAST(SUM(pos + neg) AS DOUBLE) AS n
+            FROM perth),
+          curve AS (
+            SELECT th,
+              SUM(pos) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+              SUM(neg) OVER (ORDER BY th DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+              total_pos
+            FROM perth CROSS JOIN totals),
+          f AS (
+            SELECT th, tp / (tp + fp) AS prec, tp / total_pos AS rec
+            FROM curve),
+          opt AS (
+            SELECT th AS optimal_threshold,
+                   2 * prec * rec / (prec + rec) AS best_f1
+            FROM f WHERE prec + rec <> 0
+            ORDER BY 2 * prec * rec / (prec + rec) DESC, th ASC LIMIT 1),
+          adj AS (
+            SELECT
+              CAST(SUM(CASE WHEN th >= optimal_threshold
+                            THEN pos ELSE 0 END) AS DOUBLE) AS tp,
+              CAST(SUM(CASE WHEN th >= optimal_threshold
+                            THEN neg ELSE 0 END) AS DOUBLE) AS fp
+            FROM perth CROSS JOIN opt),
+          ranked AS (
+            SELECT CAST(actual_fraud AS DOUBLE) AS y,
+                   RANK() OVER (ORDER BY probability) +
+                     (COUNT(*) OVER (PARTITION BY probability) - 1) / 2.0
+                     AS r
             FROM base),
-          mode_loc AS (
-            SELECT location AS common_fraud_location FROM base
-            WHERE actual_fraud = 1
-            GROUP BY location ORDER BY COUNT(*) DESC, location ASC LIMIT 1),
-          mode_type AS (
-            SELECT typ AS common_fraud_type FROM base
-            WHERE actual_fraud = 1
-            GROUP BY typ ORDER BY COUNT(*) DESC, typ ASC LIMIT 1),
-          fraud_avg AS (
-            SELECT ${sqlSum("amount")} AS sum_fraud_amount
-            FROM base WHERE actual_fraud = 1)
-          SELECT * FROM metrics, mode_loc, mode_type, fraud_avg"""
+          auc AS (
+            SELECT CASE WHEN SUM(y) = 0 OR SUM(1 - y) = 0 THEN NULL
+                        ELSE (SUM(CASE WHEN y = 1 THEN r ELSE 0.0 END) -
+                              SUM(y) * (SUM(y) + 1) / 2.0) /
+                             (SUM(y) * SUM(1 - y))
+                   END AS roc_auc
+            FROM ranked),
+          battery AS (
+            SELECT optimal_threshold, best_f1, roc_auc,
+                   CASE WHEN tp + fp = 0 THEN 0.0
+                        ELSE tp / (tp + fp) END AS precision_adj,
+                   CASE WHEN total_pos = 0 THEN 0.0
+                        ELSE tp / total_pos END AS recall_adj,
+                   (tp + (n - total_pos - fp)) / n * 100 AS accuracy_adj,
+                   CAST(tp + fp AS BIGINT) AS predicted_adjusted_total
+            FROM adj CROSS JOIN opt CROSS JOIN totals CROSS JOIN auc)
+          SELECT * FROM metrics, mode_loc, mode_type, fraud_avg, battery"""
   )
+
+  /** The shared §3.3 lifecycle CTE block: the synthesized base frame
+    * plus the live-metrics / fraud-pattern consumers — e01's oracle
+    * verbatim; st20 appends the threshold-battery CTEs.
+    */
+  private def lifecycleCtes: String =
+    s"""WITH base AS (
+          SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE 0 END AS actual_fraud,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS predicted_fraud,
+                 (o_custkey % 10000) / 10000.0 AS probability,
+                 ROUND(o_totalprice, 2) AS amount,
+                 'LOC' || CAST(o_custkey % 50 AS VARCHAR) AS location,
+                 o_orderpriority AS typ
+          FROM orders),
+        metrics AS (
+          SELECT COUNT(*) AS total_transactions,
+                 CAST(SUM(actual_fraud) AS BIGINT) AS actual_fraud_total,
+                 CAST(SUM(predicted_fraud) AS BIGINT) AS predicted_fraud_total,
+                 CAST(SUM(CAST(probability AS DECIMAL(18,6))) AS DOUBLE) /
+                   COUNT(*) AS avg_probability,
+                 AVG(CASE WHEN actual_fraud = predicted_fraud
+                          THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
+          FROM base),
+        mode_loc AS (
+          SELECT location AS common_fraud_location FROM base
+          WHERE actual_fraud = 1
+          GROUP BY location ORDER BY COUNT(*) DESC, location ASC LIMIT 1),
+        mode_type AS (
+          SELECT typ AS common_fraud_type FROM base
+          WHERE actual_fraud = 1
+          GROUP BY typ ORDER BY COUNT(*) DESC, typ ASC LIMIT 1),
+        fraud_avg AS (
+          SELECT ${sqlSum("amount")} AS sum_fraud_amount
+          FROM base WHERE actual_fraud = 1)"""
 }

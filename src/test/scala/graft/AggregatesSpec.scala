@@ -257,6 +257,29 @@ class AggregatesSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("best_f1"), 6.0 / 7))
   }
 
+  test("thresholdBattery: adjusted confusion metrics at the PR-optimal th") {
+    // thresholds desc: 0.9 → f1 .5; 0.8 → 2/3; 0.3 → 4/7; 0.2 → .75 (max)
+    val rows = Seq((1, 0.9), (0, 0.8), (1, 0.8), (0, 0.3), (1, 0.2))
+      .toDF("label", "proba")
+    val hist = Aggregates.scoreHistogram(rows, "label", "proba")
+    val r = Aggregates.thresholdBattery(hist).collect()(0)
+    assert(approx(r.getAs[Double]("optimal_threshold"), 0.2))
+    assert(approx(r.getAs[Double]("best_f1"), 0.75))
+    // at th=0.2 everything is predicted positive: tp=3 fp=2 tn=0 fn=0
+    assert(approx(r.getAs[Double]("precision_adj"), 0.6))
+    assert(approx(r.getAs[Double]("recall_adj"), 1.0))
+    assert(approx(r.getAs[Double]("accuracy_adj"), 60.0))
+    assert(r.getAs[Long]("predicted_adjusted_total") == 5L)
+    // rank-sum AUC with the 0.8 tie: R1 = 1 + 3.5 + 5 → U1 = 3.5 → 7/12
+    assert(approx(r.getAs[Double]("roc_auc"), 3.5 / 6))
+  }
+
+  test("thresholdBattery: empty on single-class input") {
+    val one = Seq((0, 0.9), (0, 0.2)).toDF("label", "proba")
+    val hist = Aggregates.scoreHistogram(one, "label", "proba")
+    assert(Aggregates.thresholdBattery(hist).count() == 0)
+  }
+
   test("log loss matches direct computation") {
     val expected = -(math.log(0.9) + math.log(0.6) + math.log(0.4) +
       math.log(1 - 0.6) + math.log(1 - 0.2)) / 5
