@@ -12,6 +12,26 @@ import graft.ml.TrainingJob
   */
 object MlQueries extends QuerySet {
 
+  /** m12c's fixed ensemble — ONE literal structure feeds both the
+    * Spark scorer and the generated oracle SQL, so the two sides
+    * cannot diverge. Shapes chosen to split the lineitem feature
+    * ranges (quantity 1-50, discount 0-0.1, tax 0-0.08) into mixed
+    * positive/negative margins.
+    */
+  private val gbtLiteralTrees: Seq[(Double, graft.ml.TreeScorer.TreeNode)] = {
+    import graft.ml.TreeScorer.{Branch, Leaf}
+    Seq(
+      1.0 -> Branch("x_qty", 24.0,
+        Branch("x_disc", 0.05, Leaf(-0.6), Leaf(0.4)),
+        Branch("x_tax", 0.04, Leaf(0.1), Leaf(0.7))),
+      0.5 -> Branch("x_disc", 0.07,
+        Branch("x_qty", 12.0, Leaf(-0.8), Leaf(-0.1)),
+        Leaf(0.9)),
+      0.25 -> Branch("x_tax", 0.02,
+        Leaf(-0.3),
+        Branch("x_qty", 40.0, Leaf(0.2), Leaf(0.55))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Hash-exact k-means (integer fixed-point Lloyd's, k=4, 3
     // iterations, grid-midpoint init) over (quantity, price-cents) —
@@ -85,6 +105,34 @@ object MlQueries extends QuerySet {
       graft.ml.Models.scoreLogistic(feats,
         Seq("x_qty" -> 0.08, "x_disc" -> -12.0, "x_tax" -> 6.5),
         intercept = -2.0)
+        .groupBy(col("pred"),
+          floor(col("proba") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("proba")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+            .cast("double").as("proba_sum"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("pred"), col("band"))
+    }),
+
+    // M9 serving for TREE ensembles on a FIXED literal split table —
+    // the m12b pattern applied to trees (the r8 verdict's m12c
+    // mandate): a 3-tree GBT with hand-set splits/leaf margins scores
+    // every lineitem row through nested CASE expressions, margin folds
+    // left-to-right in tree order (MLlib's ddot), probability is the
+    // 7dp binary-logloss link. The oracle SQL is GENERATED from the
+    // same tree literals (TreeScorer.marginSql — one source, two
+    // engines), and MLSpec's parity gate proves the scorer reproduces
+    // a real fitted GBTClassificationModel's margins to <=1e-12 (BLAS
+    // may vectorize MLlib's ensemble sum), so this green row covers
+    // the production GBT serving path.
+    "m12c_tree_score" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      graft.ml.TreeScorer.scoreGbt(feats, gbtLiteralTrees)
         .groupBy(col("pred"),
           floor(col("proba") * 10).cast("int").as("band"))
         .agg(count(lit(1)).as("n"),
@@ -420,6 +468,27 @@ object MlQueries extends QuerySet {
          GROUP BY a4.j, c3.cx, c3.cy
          ORDER BY a4.j""",
     "m16_logistic_irls" -> irlsOracleSql(3),
+    "m12c_tree_score" ->
+      s"""WITH f AS (SELECT l_orderkey,
+                      CAST(l_quantity AS DOUBLE) AS x_qty,
+                      CAST(l_discount AS DOUBLE) AS x_disc,
+                      CAST(l_tax AS DOUBLE) AS x_tax
+                    FROM lineitem),
+         z AS (SELECT l_orderkey,
+                 ${graft.ml.TreeScorer.marginSql(gbtLiteralTrees)} AS margin
+               FROM f),
+         p AS (SELECT l_orderkey,
+                 ${graft.ml.TreeScorer.gbtProbaSql("margin")} AS proba
+               FROM z),
+         sc AS (SELECT l_orderkey, proba,
+                  CASE WHEN proba >= 0.5 THEN 1 ELSE 0 END AS pred
+                FROM p)
+         SELECT pred, CAST(floor(proba * 10) AS INT) AS band,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(proba AS DECIMAL(20,9))) AS DOUBLE)
+                  AS proba_sum,
+                CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM sc GROUP BY pred, band ORDER BY pred, band""",
     "m12b_logistic_score" ->
       """WITH f AS (SELECT l_orderkey,
                       CAST(l_quantity AS DOUBLE) AS x_qty,

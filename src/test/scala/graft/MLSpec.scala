@@ -150,6 +150,51 @@ class MLSpec extends SparkSpec {
     s.unpersist(blocking = false)
   }
 
+  test("m12c parity: fixed-structure TreeScorer ≡ fitted GBT serving path") {
+    // extends the M8 gate from the METRIC path to the SERVING path:
+    // extract a really-fitted GBTClassificationModel's split tables and
+    // replay them through the pure-column TreeScorer. Margins agree to
+    // BLAS-vectorization ulps (MLlib's ddot may reorder the ensemble
+    // sum when a native BLAS is loaded — measured 1-2 ulps here — so
+    // exact bit-parity is pinned engine-side by the m12c oracle, and
+    // THIS gate pins the scorer ≡ MLlib serving to ≤1e-12 relative).
+    val df = (1 to 800).map { i =>
+      val x1 = (i % 50).toDouble
+      val x2 = ((i * 7) % 100) / 1000.0
+      val x3 = ((i * 13) % 80) / 1000.0
+      (i.toLong, x1, x2, x3, if (i % 50 < 25) 1 else 0)
+    }.toDF("id", "x1", "x2", "x3", "label")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2", "x3")).setOutputCol("features")
+      .transform(df)
+    val gbt = new org.apache.spark.ml.classification.GBTClassifier()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setSeed(42).setMaxIter(5).setMaxDepth(3).fit(assembled)
+    val trees = graft.ml.TreeScorer.fromGbt(gbt, Seq("x1", "x2", "x3"))
+    assert(trees.length == 5 && trees.head._1 == 1.0)
+    val twin = graft.ml.TreeScorer.scoreGbt(df, trees)
+      .select(col("id"), col("margin"), col("proba"), col("pred"))
+    val mllib = gbt.transform(assembled).select(col("id"),
+      element_at(org.apache.spark.ml.functions
+        .vector_to_array(col("rawPrediction")), 2).as("margin_ml"),
+      element_at(org.apache.spark.ml.functions
+        .vector_to_array(col("probability")), 2).as("proba_ml"),
+      col("prediction").cast("int").as("pred_ml"))
+    val rows = twin.join(mllib, "id").collect()
+    assert(rows.length == 800)
+    rows.foreach { r =>
+      val (m, mMl) = (r.getAs[Double]("margin"), r.getAs[Double]("margin_ml"))
+      assert(math.abs(m - mMl) <= 1e-12 * math.max(1.0, math.abs(mMl)),
+        s"margin drift at id ${r.getAs[Long]("id")}: $m vs $mMl")
+      val (p, pMl) = (r.getAs[Double]("proba"), r.getAs[Double]("proba_ml"))
+      assert(math.abs(p - pMl) <= 5.01e-8, // 7dp rounding of the same link
+        s"proba drift: $p vs $pMl")
+      if (math.abs(pMl - 0.5) > 1e-6)
+        assert(r.getAs[Int]("pred") == r.getAs[Int]("pred_ml"),
+          s"pred drift at proba $pMl")
+    }
+  }
+
   test("M10: feature importances expose amount as a top signal") {
     val pre = FeaturePipeline.preprocess(raw)
       .withColumn("label", col("Is_Fraud").cast("int"))
