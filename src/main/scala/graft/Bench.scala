@@ -62,20 +62,44 @@ object Bench {
     // that turned 13 broken queries into fake sub-0.1s "wins" in r4.
     // Failures carry an err string into the JSON and fail the run.
     val errs = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to reps; (name, fn) <- names) {
-      // each pass evicts the previous pass's lazy caches so a rep pays
-      // its own materialization, not a prior rep's
+    // CANARY (r8 verdict #1): the committed r8 record was taken on a
+    // drifting host (A/A of identical code 1.13-1.16x apart), which
+    // made 16 per-query "regressions" unadjudicable from artifacts
+    // alone. A fixed reference query (a02) now runs at the start,
+    // middle and end of EVERY rep pass; its samples ship in the JSON
+    // so any cross-round comparison can divide host speed out
+    // (time_r9/canary_r9 vs time_r8/canary_r8) and an intra-run drift
+    // (canary spread) is visible without an A/A rerun.
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryFn = SparkEntry.queries.get("a02_grouped_agg")
+    def runCanary(): Unit = canaryFn.foreach { fn =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        best.updateWith(name)(prev => Some(prev.fold(sec)(math.min(_, sec))))
-      } catch { case e: Throwable =>
-        errs(name) = e.getClass.getSimpleName + ": " +
-          Option(e.getMessage).getOrElse("").linesIterator
-            .take(1).mkString.take(200)
+      try { fn(spark, sfDir).count()
+        canarySamples += (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => () }
+    }
+    val mid = names.size / 2
+    for (_ <- 1 to reps) {
+      runCanary()
+      for (((name, fn), i) <- names.zipWithIndex) {
+        if (i == mid && mid > 0) runCanary()
+        // each pass evicts the previous pass's lazy caches so a rep
+        // pays its own materialization, not a prior rep's
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          best.updateWith(name)(prev =>
+            Some(prev.fold(sec)(math.min(_, sec))))
+        } catch { case e: Throwable =>
+          errs(name) = e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").linesIterator
+              .take(1).mkString.take(200)
+        }
       }
+      runCanary()
     }
     def jstr(s: String): String = Jsons.quote(s)
     // value -1 marks a query with zero successful reps
@@ -93,9 +117,23 @@ object Bench {
     val flakyJson = flaky.map(n => jstr(n) + ":" + jstr(errs(n)))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val canSorted = canarySamples.toSeq.sorted
+    val canMedian = if (canSorted.isEmpty) -1.0
+      else canSorted(canSorted.size / 2)
+    // per-query times in canary units (raw / canary median): divide two
+    // rounds' normalized values to compare code speed with host speed
+    // factored out. Spread (max/min canary sample) flags intra-run drift.
+    val canSpread = if (canSorted.isEmpty || canSorted.head <= 0) -1.0
+      else math.rint(canSorted.last / canSorted.head * 1000) / 1000
+    val qsNorm = results.map { case (k, v) =>
+      jstr(k) + ":" + (if (v < 0 || canMedian <= 0) -1.0
+        else math.rint(v / canMedian * 1000) / 1000)
+    }.mkString("{", ",", "}")
+    val canJson = canarySamples
+      .map(v => math.rint(v * 1000) / 1000).mkString("[", ",", "]")
     // n_failed makes a shrunken headline total impossible to misread as
     // a clean run — failed queries carry -1 and are excluded from it
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$qs,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${names.size},"n_failed":${failed.size},"queries":$qs,"canary_median":$canMedian,"canary_spread":$canSpread,"canary_samples":$canJson,"queries_norm":$qsNorm,"errors":$errJson,"flaky":$flakyJson,"sf":"$sfDir","reps":$reps,"load_avg_before":$loadBefore,"load_avg_after":${systemLoad()},"cpus":$cpus}"""
     println(json)
     // the driver's stdout capture can truncate a long tail, hiding
     // per-query regressions; persist the same JSON line to the repo
