@@ -152,24 +152,34 @@ object AnalyticsQueries extends QuerySet {
       val schema = s.read.parquet(s"$d/orders.parquet").schema
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "orders.parquet").parquet(d)
+      // streaming state-partition sizing (the st07 rule): both states
+      // are domain-bounded (~1k / ~20k rows), so 2 partitions, not 32
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       val qn1 = "st20_preagg_sink"
-      val q1 = parsedBlocks(src)
-        .groupBy(col("location"), col("typ"),
-          col("actual_fraud"), col("predicted_fraud"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
-          sum(dec(col("amount"))).as("amt_dec"))
-        .writeStream.format("memory").queryName(qn1)
-        .outputMode("complete").start()
-      try q1.processAllAvailable() finally q1.stop()
       val qn2 = "st20_hist_sink"
-      val q2 = parsedBlocks(src)
-        .groupBy(col("probability").as("p"))
-        .agg(count(lit(1)).cast("double").as("cnt"),
-          sum(col("actual_fraud").cast("double")).as("pos"))
-        .writeStream.format("memory").queryName(qn2)
-        .outputMode("complete").start()
-      try q2.processAllAvailable() finally q2.stop()
+      // the two states run as CONCURRENT queries over the same source —
+      // the production shape (one app, N stateful consumers of one
+      // topic), and at bench time the two parse passes overlap instead
+      // of serializing (11.0 → 6.5 s at sf0.1)
+      try {
+        val q1 = parsedBlocks(src)
+          .groupBy(col("location"), col("typ"),
+            col("actual_fraud"), col("predicted_fraud"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("probability").cast("decimal(18,6)")).as("prob_dec"),
+            sum(dec(col("amount"))).as("amt_dec"))
+          .writeStream.format("memory").queryName(qn1)
+          .outputMode("complete").start()
+        val q2 = parsedBlocks(src)
+          .groupBy(col("probability").as("p"))
+          .agg(count(lit(1)).cast("double").as("cnt"),
+            sum(col("actual_fraud").cast("double")).as("pos"))
+          .writeStream.format("memory").queryName(qn2)
+          .outputMode("complete").start()
+        try { q1.processAllAvailable(); q2.processAllAvailable() }
+        finally { q1.stop(); q2.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       evalBattery(s.table(qn1))
         .crossJoin(broadcast(
           graft.ops.Aggregates.thresholdBattery(s.table(qn2))))

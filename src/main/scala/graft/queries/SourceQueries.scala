@@ -211,9 +211,13 @@ object SourceQueries extends QuerySet {
       // not the batch-analytics default — 32 partitions here means 128
       // store commits per batch for kilobytes of state. On a real
       // cluster this knob scales with executor count; sizing it
-      // deliberately is the point.
+      // deliberately is the point. Round-9 A/B at sf0.1 (canary-
+      // controlled, BENCHNOTES_r9): 8→4→2 partitions took st07
+      // 3.58→3.32→2.58 s and st08 7.71→6.10→5.00 s — the store-commit
+      // floor halves with the partition count while results are
+      // partition-independent (all 20 st oracles re-verified green).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.Attribution.intervalJoin(
             clicks, purchases, keyCol = "user_id",
@@ -279,7 +283,7 @@ object SourceQueries extends QuerySet {
       // state-partition sizing: see st07 — the outer join pays the
       // four-store commit cost on EVERY one of its three micro-batches
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.Attribution.intervalJoin(
             clicks, purchases, keyCol = "user_id",
@@ -359,7 +363,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(s"$stage/b0.parquet").schema
       val qn = "st19_late_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -395,7 +399,7 @@ object SourceQueries extends QuerySet {
       val qn = "st09_session_sink"
       // state-partition sizing: see st07
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -457,7 +461,7 @@ object SourceQueries extends QuerySet {
         .select(col("__ncal"), col("__k"), col("__q7"), col("__sy"),
           col("__c1"), col("__c0"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = flags.writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
@@ -473,7 +477,7 @@ object SourceQueries extends QuerySet {
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.StreamVelocity.ewmaStates(
             src, "user_id", "ts_us", "event_id", "value")
@@ -499,7 +503,7 @@ object SourceQueries extends QuerySet {
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.StreamVelocity.cusumStates(
             src, "user_id", "ts_us", "event_id", "value",
@@ -525,7 +529,7 @@ object SourceQueries extends QuerySet {
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       // state-partition sizing: see st07
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
         val q = graft.streaming.StreamVelocity.trailingCounts(
             src, "user_id", "ts_us", "event_type",
