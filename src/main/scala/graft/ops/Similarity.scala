@@ -1152,6 +1152,63 @@ object Similarity {
     topKFinish(scored, "negl2", k)
   }
 
+  /** LOCAL OUTLIER FACTOR (Breunig et al., SIGMOD 2000) over an
+    * embedding column: per point, LOF = mean over its k nearest
+    * neighbors of lrd(o)/lrd(p), where lrd = k / Σ reach-dist and
+    * reach-dist(p,o) = max(k-distance(o), d(p,o)) — the density-ratio
+    * outlier score the fraud literature reaches for when a global
+    * threshold (w08's z-scores) misses locally-sparse regions.
+    *
+    * Exactness: kNN reuses [[bruteForceTopKL2]]'s raw-double distance
+    * ordering (negl2 desc, id asc — the n01-proven parity axis);
+    * reach distances are round(·,7)→DECIMAL before the per-point sum
+    * (order-free), lrd/LOF ratios are 7dp fixed-order doubles summed
+    * in DECIMAL. Division guards satisfy ANSI (coincident-point
+    * degeneracy yields null lrd, not an error).
+    *
+    * Scale shape: exact LOF is O(n²) — `points` must be a bounded
+    * candidate set (the n01 contract: the query side broadcasts). The
+    * 100-TB path swaps the kNN stage for the LSH-bucketed (n04) or
+    * IVF (n02) candidate frame — the reach/lrd/ratio algebra consumes
+    * any (p, o, d2) neighbor frame unchanged.
+    *
+    * Output per point: `vec_id`, `kdist`, `lrd`, `lof` (7dp).
+    */
+  def lofOutliers(points: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val knn = bruteForceTopKL2(points, points, idCol, vecCol, k)
+      .select(col("query_id").as("p"), col("vec_id").as("o"),
+        (-col("negl2")).as("d2"))
+    val kd = knn.groupBy(col("p").as("kp")).agg(max(col("d2")).as("kd2"))
+    val reach = knn.join(broadcast(kd), col("o") === col("kp"))
+      .withColumn("reach",
+        round(sqrt(greatest(col("kd2"), col("d2"))), 7)
+          .cast("decimal(27,7)"))
+    val sums = reach.groupBy(col("p")).agg(sum(col("reach")).as("rsum"))
+    val ratio = knn
+      .join(broadcast(sums.select(col("p").as("sp"),
+        col("rsum").as("sum_p"))), col("p") === col("sp"))
+      .join(broadcast(sums.select(col("p").as("so"),
+        col("rsum").as("sum_o"))), col("o") === col("so"))
+      .withColumn("r",
+        when(col("sum_o").cast("double") > 0,
+          round(col("sum_p").cast("double") /
+            col("sum_o").cast("double"), 7))
+          .cast("decimal(27,7)"))
+    val lof = ratio.groupBy(col("p")).agg(sum(col("r")).as("sum_r"))
+    lof.join(broadcast(kd), col("p") === col("kp"))
+      .join(broadcast(sums.select(col("p").as("sq"),
+        col("rsum").as("rsum"))), col("p") === col("sq"))
+      .select(col("p").as("vec_id"),
+        round(sqrt(col("kd2")), 7).as("kdist"),
+        when(col("rsum").cast("double") > 0,
+          round(lit(k.toDouble) / col("rsum").cast("double"), 7))
+          .as("lrd"),
+        round(col("sum_r").cast("double") / lit(k.toDouble), 7)
+          .as("lof"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
     * N ranked retrieval runs: score(q,d) = Σ_runs 1/(k0 + rank). The
     * standard hybrid-retrieval merge (BM25 ⊕ ANN) — rank-based, so

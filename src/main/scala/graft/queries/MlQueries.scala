@@ -56,6 +56,24 @@ object MlQueries extends QuerySet {
           (col("l_returnflag") === "R").cast("int").as("label")),
         "x", "label").df),
 
+    // Gradient-boosted stumps with logistic loss — the XGBoost
+    // exact-greedy split (gain = GL²/(HL+λ) + GR²/(HR+λ) − G²/(H+λ))
+    // TRAINED hash-exactly over the 2-feature histogram: three rounds
+    // of margin → 7dp sigmoid → 9dp decimal g/h sums → prefix-summed
+    // gain argmax → leaf weights, each replayed by DuckDB from the
+    // same generated arithmetic. Narrows the engine's one substituted
+    // model family (reference FD/model.py:119 trains xgboost, offline
+    // here): MLlib GBT stays the production fit (m12, spec-gated),
+    // the boosting ARITHMETIC itself is oracle-pinned.
+    "m22_boosted_stumps" -> ((s, d) =>
+      graft.ops.Boost.trainStumpsCached(
+        Tables.lineitem(s, d).select(
+          (col("l_returnflag") === "R").cast("int").as("y"),
+          col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100).cast("long").as("x2")),
+        "y", Seq("x1", "x2"), rounds = 3)
+        .df.orderBy(col("boost_round"))),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -328,7 +346,98 @@ object MlQueries extends QuerySet {
          FROM ef"""
   }
 
+  /** DuckDB restatement of [[graft.ops.Boost.trainStumps]]: generated
+    * per round like [[irlsOracleSql]] so the gain/weight
+    * parenthesization can only ever be the Scala side's shape. Cell
+    * g/h are 9dp-rounded into DECIMAL before every cross-cell sum
+    * (grouped, prefix and total alike), the gain/weights are 9dp
+    * fixed-order doubles tie-broken on (feat, v), the margin re-rounds
+    * to 9dp per step, and the confusion reads `margin >= 0`.
+    */
+  private def boostOracleSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { t =>
+      s"""e$t AS (SELECT x1, x2, cnt, pos, margin,
+                   round(1.0 / (1.0 + exp(-margin)), 7) AS p
+                 FROM h${t - 1}),
+         g$t AS (SELECT x1, x2, cnt, pos, margin,
+                   CAST(round(cnt * p - pos, 9) AS DECIMAL(30,9)) AS g,
+                   CAST(round((cnt * p) * (1.0 - p), 9)
+                        AS DECIMAL(30,9)) AS hh
+                 FROM e$t),
+         t$t AS (SELECT SUM(g) AS tg, SUM(hh) AS th, SUM(cnt) AS tc
+                 FROM g$t),
+         pa$t AS (SELECT x1 AS v, SUM(g) AS fg, SUM(hh) AS fh,
+                    SUM(cnt) AS fc FROM g$t GROUP BY 1),
+         ca$t AS (SELECT 'x1' AS feat, v, SUM(fg) OVER w AS gl,
+                    SUM(fh) OVER w AS hl, SUM(fc) OVER w AS cl
+                  FROM pa$t WINDOW w AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pb$t AS (SELECT x2 AS v, SUM(g) AS fg, SUM(hh) AS fh,
+                    SUM(cnt) AS fc FROM g$t GROUP BY 1),
+         cb$t AS (SELECT 'x2' AS feat, v, SUM(fg) OVER w AS gl,
+                    SUM(fh) OVER w AS hl, SUM(fc) OVER w AS cl
+                  FROM pb$t WINDOW w AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b$t AS (SELECT feat, v,
+                   round(((gl2 * gl2) / (hl2 + 1.0)
+                          + (gr2 * gr2) / (hr2 + 1.0))
+                         - ((tg2 * tg2) / (th2 + 1.0)), 9) AS gain,
+                   round(-(gl2) / (hl2 + 1.0), 9) AS wl,
+                   round(-(gr2) / (hr2 + 1.0), 9) AS wr
+                 FROM (SELECT feat, v,
+                         CAST(gl AS DOUBLE) AS gl2,
+                         CAST(hl AS DOUBLE) AS hl2,
+                         CAST(tg AS DOUBLE) AS tg2,
+                         CAST(th AS DOUBLE) AS th2,
+                         CAST(tg AS DOUBLE) - CAST(gl AS DOUBLE) AS gr2,
+                         CAST(th AS DOUBLE) - CAST(hl AS DOUBLE) AS hr2
+                       FROM (SELECT * FROM ca$t
+                             UNION ALL SELECT * FROM cb$t)
+                       CROSS JOIN t$t WHERE cl < tc)),
+         w$t AS (SELECT * FROM b$t ORDER BY gain DESC, feat, v LIMIT 1),
+         h$t AS (SELECT c.x1, c.x2, c.cnt, c.pos,
+                   round(c.margin + 0.3 * (CASE WHEN w.feat = 'x1'
+                       THEN (CASE WHEN c.x1 <= w.v THEN w.wl
+                             ELSE w.wr END)
+                       ELSE (CASE WHEN c.x2 <= w.v THEN w.wl
+                             ELSE w.wr END) END), 9) AS margin
+                 FROM h${t - 1} c CROSS JOIN w$t w),
+         m$t AS (SELECT $t AS boost_round, w.feat, w.v AS threshold,
+                   w.gain, w.wl AS w_left, w.wr AS w_right,
+                   cf.tp, cf.fp, cf.fn, cf.tn,
+                   round(CAST(cf.tp + cf.tn AS DOUBLE)
+                         / CAST(cf.tp + cf.fp + cf.fn + cf.tn
+                                AS DOUBLE), 7) AS acc
+                 FROM w$t w CROSS JOIN (
+                   SELECT CAST(SUM(CASE WHEN margin >= 0 THEN pos
+                                        ELSE 0 END) AS BIGINT) AS tp,
+                          CAST(SUM(CASE WHEN margin >= 0 THEN cnt - pos
+                                        ELSE 0 END) AS BIGINT) AS fp,
+                          CAST(SUM(CASE WHEN margin < 0 THEN pos
+                                        ELSE 0 END) AS BIGINT) AS fn,
+                          CAST(SUM(CASE WHEN margin < 0 THEN cnt - pos
+                                        ELSE 0 END) AS BIGINT) AS tn
+                   FROM h$t) cf)"""
+    }.mkString(",\n         ")
+    val unions = (1 to rounds).map(t => s"SELECT * FROM m$t")
+      .mkString(" UNION ALL ")
+    s"""WITH h0 AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                      COUNT(*) AS cnt,
+                      SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                               ELSE 0 END) AS pos,
+                      CAST(0.0 AS DOUBLE) AS margin
+                    FROM lineitem
+                    WHERE l_returnflag IS NOT NULL
+                      AND l_quantity IS NOT NULL
+                      AND l_discount IS NOT NULL
+                    GROUP BY 1, 2),
+         $iters
+         SELECT * FROM ($unions) ORDER BY boost_round"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "m22_boosted_stumps" -> boostOracleSql(3),
     "m21_decision_stump" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                       COUNT(*) AS cnt,

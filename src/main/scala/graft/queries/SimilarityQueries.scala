@@ -55,6 +55,17 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Local Outlier Factor over a bounded embedding slice: exact kNN
+    // (the n01 broadcast-NL parity axis), reach-distances 7dp→DECIMAL,
+    // lrd/LOF density ratios fixed-order — the locally-adaptive
+    // anomaly score, fully replayed by DuckDB. The 100-TB path feeds
+    // the same reach/lrd algebra from the n02/n04 candidate frames.
+    "n16_lof" -> ((s, d) =>
+      Similarity.lofOutliers(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("vec_id"))),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -493,6 +504,45 @@ object SimilarityQueries extends QuerySet {
                    list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
           FROM g ORDER BY label, pos""",
     "n01_brute_topk" -> n01Sql,
+
+    // n16: the kNN stage replays bruteForceTopKL2's literal negl2
+    // ordering (desc, id asc), then reach/lrd/LOF in the same
+    // 7dp→DECIMAL→double chain as the engine
+    "n16_lof" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings WHERE vec_id < 300),
+         sc AS (SELECT b.vec_id AS p, a.vec_id AS o,
+                  -(list_dot_product(a.v, a.v)
+                    + list_dot_product(b.v, b.v)
+                    - 2.0 * list_dot_product(a.v, b.v)) AS negl2
+                FROM e a, e b WHERE a.vec_id <> b.vec_id),
+         rk AS (SELECT p, o, negl2,
+                  ROW_NUMBER() OVER (PARTITION BY p
+                                     ORDER BY negl2 DESC, o ASC) AS rank
+                FROM sc),
+         knn AS (SELECT p, o, -(negl2) AS d2 FROM rk WHERE rank <= 5),
+         kd AS (SELECT p AS kp, MAX(d2) AS kd2 FROM knn GROUP BY 1),
+         rch AS (SELECT knn.p,
+                   CAST(round(sqrt(greatest(kd.kd2, knn.d2)), 7)
+                        AS DECIMAL(27,7)) AS reach
+                 FROM knn JOIN kd ON knn.o = kd.kp),
+         sm AS (SELECT p, SUM(reach) AS rsum FROM rch GROUP BY 1),
+         rt AS (SELECT k.p,
+                  CASE WHEN CAST(so.rsum AS DOUBLE) > 0
+                       THEN CAST(round(CAST(sp.rsum AS DOUBLE)
+                                       / CAST(so.rsum AS DOUBLE), 7)
+                                 AS DECIMAL(27,7)) END AS r
+                FROM knn k JOIN sm sp ON k.p = sp.p
+                           JOIN sm so ON k.o = so.p),
+         lf AS (SELECT p, SUM(r) AS sum_r FROM rt GROUP BY 1)
+         SELECT lf.p AS vec_id,
+                round(sqrt(kd.kd2), 7) AS kdist,
+                CASE WHEN CAST(sm.rsum AS DOUBLE) > 0
+                     THEN round(5.0 / CAST(sm.rsum AS DOUBLE), 7)
+                END AS lrd,
+                round(CAST(lf.sum_r AS DOUBLE) / 5.0, 7) AS lof
+         FROM lf JOIN kd ON lf.p = kd.kp JOIN sm ON lf.p = sm.p
+         ORDER BY vec_id""",
     "n14_mmr_rerank" -> n14Sql,
     "n15_rrf_fusion" -> n15Sql,
     "n13_retrieval_metrics" ->

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Boost
+
+/** Gradient-boosted stumps: exact round-1 XGBoost gain/weight
+  * arithmetic on a hand-computed fixture, monotone margin behavior,
+  * degenerate-input contract. Engine↔oracle parity lives on m22.
+  */
+class BoostSpec extends SparkSpec {
+  import spark.implicits._
+
+  // perfectly separable on x1; x2 constant (never a valid split)
+  lazy val toy = Seq(
+    (0, 1L, 7L), (0, 1L, 7L), (0, 1L, 7L),
+    (1, 2L, 7L), (1, 2L, 7L), (1, 2L, 7L)
+  ).toDF("y", "x1", "x2")
+
+  test("round 1 reproduces the hand-computed gain and leaf weights") {
+    // p = 0.5 everywhere: cell(x1=1): g = 1.5, h = 0.75; cell(x1=2):
+    // g = -1.5, h = 0.75. Split x1<=1: gain = 2.25/1.75 + 2.25/1.75
+    // - 0/2.5 = 2.571428571(4); w_left = -1.5/1.75 = -0.857142857
+    val r = Boost.trainStumps(toy, "y", Seq("x1", "x2"), rounds = 1)
+      .first()
+    assert(r.getAs[String]("feat") == "x1", s"feat: $r")
+    assert(r.getAs[Long]("threshold") == 1L)
+    assert(math.abs(r.getAs[Double]("gain") - 2.571428571) < 1e-8)
+    assert(math.abs(r.getAs[Double]("w_left") + 0.857142857) < 1e-8)
+    assert(math.abs(r.getAs[Double]("w_right") - 0.857142857) < 1e-8)
+    assert(r.getAs[Long]("tp") == 3L && r.getAs[Long]("tn") == 3L &&
+      r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Double]("acc") == 1.0)
+  }
+
+  test("later rounds keep the separable fixture at perfect accuracy " +
+    "and emit one row per round") {
+    val out = Boost.trainStumps(toy, "y", Seq("x1", "x2"), rounds = 3)
+      .orderBy("boost_round").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Int]("boost_round")).toSeq == Seq(1, 2, 3))
+    out.foreach { r =>
+      assert(r.getAs[Double]("acc") == 1.0, s"round $r")
+      // margins move apart, so every leaf keeps pushing the same way
+      assert(r.getAs[Double]("w_left") < 0 &&
+        r.getAs[Double]("w_right") > 0, s"round $r")
+    }
+  }
+
+  test("a real second feature can win a later round") {
+    // x1 separates 4/6 rows; x2 separates the remaining 2 — boosting
+    // should pick x1 first (bigger gain), then lean on x2
+    val mixed = Seq(
+      (1, 10L, 0L), (1, 10L, 0L), (1, 10L, 5L), (0, 1L, 5L),
+      (0, 1L, 0L), (1, 1L, 0L), (0, 10L, 5L), (0, 1L, 5L)
+    ).toDF("y", "x1", "x2")
+    val out = Boost.trainStumps(mixed, "y", Seq("x1", "x2"), rounds = 4)
+      .orderBy("boost_round").collect()
+    assert(out.length == 4)
+    assert(out.head.getAs[String]("feat") == "x1")
+    assert(out.map(_.getAs[String]("feat")).toSet == Set("x1", "x2"),
+      "both features should participate across rounds")
+  }
+
+  test("degenerate inputs yield zero rows with the full schema") {
+    val one = Seq((1, 5L, 5L), (0, 5L, 5L)).toDF("y", "x1", "x2")
+    val out = Boost.trainStumps(one, "y", Seq("x1", "x2"))
+    assert(out.count() == 0, "single distinct cell has no valid split")
+    assert(out.columns.toSeq == Seq("boost_round", "feat", "threshold",
+      "gain", "w_left", "w_right", "tp", "fp", "fn", "tn", "acc"))
+    val empty = Seq.empty[(Int, Long, Long)].toDF("y", "x1", "x2")
+    assert(Boost.trainStumps(empty, "y", Seq("x1", "x2")).count() == 0)
+  }
+}
