@@ -1502,6 +1502,80 @@ object Aggregates {
     * Output (one row): n_a, n_b, u1 (exact .5 grid, 1dp), z (7dp,
     * null when a group is empty, n < 2, or every value ties).
     */
+  /** SPEARMAN rank correlation ρ with tie midranks — the monotone-
+    * association complement of [[kendallTauB]]: same question ("does y
+    * rise with x"), but Pearson-on-ranks instead of pair concordance,
+    * so it reads on the familiar [−1, 1] correlation scale and costs
+    * one rank pass per variable instead of a cell-pair join.
+    *
+    * Layout: per-variable midranks come from the DISTINCT-VALUE
+    * histogram (+[[bucketedPrefixSums]] — cost ∝ value cardinality, no
+    * global window), carried as DOUBLED ranks lo+hi = 2·midrank so
+    * they stay integers; the joint frame is the (x, y) PAIR histogram
+    * (cost ∝ pair cardinality), each pair joined to both rank tables.
+    * The five weighted moment sums accumulate as DECIMAL(38,0) — exact
+    * while n·(2n)² stays under 10³⁸, i.e. to ~10¹² rows — and ρ is the
+    * one fixed-order double chain [[Anomaly.stats2]] uses (doubling
+    * both ranks scales covariance and both variances by 4, leaving ρ
+    * untouched). Output (one row): n, rho (7dp, null when either
+    * variable is constant).
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    spearmanRhoImpl(df, xCol, yCol, persist = false).df
+
+  /** [[spearmanRho]] with the pair histogram persisted (it feeds both
+    * rank histograms AND the joint join) and handed back for release —
+    * the form the bench queries run ([[kendallTauBCached]] stance).
+    */
+  def spearmanRhoCached(df: DataFrame, xCol: String,
+                        yCol: String): Cached =
+    spearmanRhoImpl(df, xCol, yCol, persist = true)
+
+  private def spearmanRhoImpl(df: DataFrame, xCol: String, yCol: String,
+                              persist: Boolean): Cached = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pairs = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .transform(d =>
+        if (persist) d.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else d)
+    def ranks2(c: String): DataFrame = {
+      val h = pairs.groupBy(col(c)).agg(sum(col("__c")).as("__t"))
+      bucketedPrefixSums(h, c, ascending = true, Seq("__t"))
+        // doubled midrank: lo + hi = (hi − t + 1) + hi
+        .select(col(c), (col("cum___t") * 2 - col("__t") + 1).as(s"__r$c"))
+    }
+    val joined = pairs
+      .join(ranks2("__x"), Seq("__x"))
+      .join(ranks2("__y"), Seq("__y"))
+    val cd = col("__c").cast(dec38)
+    val rx = col("__r__x").cast(dec38)
+    val ry = col("__r__y").cast(dec38)
+    val agg = joined.agg(
+      sum(col("__c")).as("__n"),
+      sum(cd * rx).as("__sx"), sum(cd * ry).as("__sy"),
+      sum(cd * rx * rx).as("__sxx"), sum(cd * ry * ry).as("__syy"),
+      sum(cd * rx * ry).as("__sxy"))
+    val out = agg
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__mx", col("__sx").cast("double") / col("__nd"))
+      .withColumn("__my", col("__sy").cast("double") / col("__nd"))
+      .withColumn("__vx", col("__sxx").cast("double") / col("__nd") -
+        col("__mx") * col("__mx"))
+      .withColumn("__vy", col("__syy").cast("double") / col("__nd") -
+        col("__my") * col("__my"))
+      .withColumn("__cxy", col("__sxy").cast("double") / col("__nd") -
+        col("__mx") * col("__my"))
+      .select(col("__n").as("n"),
+        when(col("__vx") > 0.0 && col("__vy") > 0.0,
+          round(col("__cxy") / sqrt(col("__vx") * col("__vy")), 7))
+          .as("rho"))
+    Cached(out, if (persist) Seq(pairs) else Seq.empty)
+  }
+
   def mannWhitneyU(df: DataFrame, groupCol: String, xCol: String,
                    groupA: String, groupB: String): DataFrame = {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)

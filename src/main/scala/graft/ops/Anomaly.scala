@@ -138,6 +138,79 @@ object Anomaly {
         round(col("__resvar"), 7).as("resvar"))
   }
 
+  /** Per-group TWO-FEATURE RIDGE regression in closed form — the
+    * multi-feature step past [[olsPerGroup]]'s single slope, with the
+    * L2 penalty that keeps the fit stable when the two features are
+    * collinear (exactly the regime where plain OLS' 2×2 solve blows
+    * up). Minimizes Σ(y − b0 − b1·x1 − b2·x2)² + λ(b1² + b2²) —
+    * intercept unpenalized, the standard parameterization — via the
+    * explicit 2×2 solve on CENTERED sums:
+    *
+    *   det = (S11+λ)(S22+λ) − S12²
+    *   b1  = ((S22+λ)·S1y − S12·S2y) / det
+    *   b2  = ((S11+λ)·S2y − S12·S1y) / det,  b0 = ȳ − b1·x̄1 − b2·x̄2
+    *
+    * Exactness: the nine raw moment sums accumulate as DECIMAL(38,0)
+    * (inputs must be integer-valued — cents, counts), centered sums
+    * are one fixed-order double chain (Sab = sab − sa·sb/n), and the
+    * solve is pure double algebra replayed term-for-term by the
+    * oracle; 7dp-rounded outputs. λ = 0 degrades to exact 2-feature
+    * OLS; det ≤ 0 (degenerate: constant features at λ = 0) yields
+    * null coefficients.
+    *
+    * Scale shape: ONE grouped aggregation (nine map-side-combined
+    * sums), nothing per-row re-enters — [[olsPerGroup]]'s cost at any
+    * group cardinality.
+    *
+    * Output per group: (grp, n, b1, b2, b0).
+    */
+  def ridge2PerGroup(df: DataFrame, groupCol: String, x1Col: String,
+                     x2Col: String, yCol: String,
+                     lambda: Double): DataFrame = {
+    require(lambda >= 0.0, s"lambda must be >= 0, got $lambda")
+    val rows = df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+      col(yCol).isNotNull)
+    val x1 = col(x1Col).cast(dec38)
+    val x2 = col(x2Col).cast(dec38)
+    val y = col(yCol).cast(dec38)
+    val agg = rows.groupBy(col(groupCol).as("__sg"))
+      .agg(count(lit(1)).as("__n"),
+        sum(x1).as("__s1"), sum(x2).as("__s2"), sum(y).as("__sy"),
+        sum(x1 * x1).as("__s11"), sum(x2 * x2).as("__s22"),
+        sum(x1 * x2).as("__s12"),
+        sum(x1 * y).as("__s1y"), sum(x2 * y).as("__s2y"))
+    val nd = col("__n").cast("double")
+    def c(sab: String, sa: String, sb: String) =
+      col(sab).cast("double") -
+        col(sa).cast("double") * col(sb).cast("double") / nd
+    agg
+      .withColumn("__c11", c("__s11", "__s1", "__s1"))
+      .withColumn("__c22", c("__s22", "__s2", "__s2"))
+      .withColumn("__c12", c("__s12", "__s1", "__s2"))
+      .withColumn("__c1y", c("__s1y", "__s1", "__sy"))
+      .withColumn("__c2y", c("__s2y", "__s2", "__sy"))
+      .withColumn("__det",
+        (col("__c11") + lambda) * (col("__c22") + lambda) -
+          col("__c12") * col("__c12"))
+      .withColumn("__b1",
+        when(col("__det") > 0.0,
+          ((col("__c22") + lambda) * col("__c1y") -
+            col("__c12") * col("__c2y")) / col("__det")))
+      .withColumn("__b2",
+        when(col("__det") > 0.0,
+          ((col("__c11") + lambda) * col("__c2y") -
+            col("__c12") * col("__c1y")) / col("__det")))
+      .withColumn("__b0",
+        when(col("__det") > 0.0,
+          col("__sy").cast("double") / nd -
+            col("__b1") * (col("__s1").cast("double") / nd) -
+            col("__b2") * (col("__s2").cast("double") / nd)))
+      .select(col("__sg").as("grp"), col("__n").as("n"),
+        round(col("__b1"), 7).as("b1"),
+        round(col("__b2"), 7).as("b2"),
+        round(col("__b0"), 7).as("b0"))
+  }
+
   /** Per-group 2-d PCA by the closed-form symmetric eigendecomposition
     * — the correlation-ridge direction and how much of the joint
     * variance it carries. For the 2×2 covariance the eigenpairs are

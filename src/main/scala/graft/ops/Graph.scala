@@ -527,4 +527,120 @@ object Graph {
                   iters: Int = 2, scale: Long = 1000000L,
                   dampPct: Int = 85): DataFrame =
     labelSpreadCached(edges, seeds, numClasses, iters, scale, dampPct).df
+
+  /** CONNECTED COMPONENTS, fixed-round min-label propagation with
+    * pointer jumping — the partitioner every dedup/entity pipeline
+    * needs ("which records belong to the same ring/cluster") and the
+    * one structural query the family still lacked: [[kCoreCached]]
+    * finds the dense part, this names the parts.
+    *
+    * Each round is (a) a PROPAGATE step — every node takes the min of
+    * its own label and its neighbors' labels (one edge join + min
+    * aggregate + left join, the [[pageRankCached]] plan shape) — then
+    * (b) a POINTER-JUMP step — every node replaces its label by its
+    * label's label (one node-keyed self-join of the label frame).
+    * Plain propagation needs diameter rounds to converge — a 100-TB
+    * chain-shaped component would take thousands of passes — while
+    * jumping doubles the reached distance per round (the
+    * Shiloach-Vishkin / Kiveris-et-al "star contraction" idea in its
+    * simplest form), so `rounds` ≥ log₂(diameter) suffices. Labels are
+    * node ids and every step is integer min — bit-identical on any
+    * engine, so the oracle unrolls the rounds as chained CTEs and the
+    * round count is part of the contract (the [[pageRank]] stance).
+    * The jump join is total: a label is always the id of some node in
+    * the same component, and the label frame covers every node.
+    *
+    * Node universe = nodes carrying at least one edge (the [[pageRank]]
+    * stance). Output (node, component); `component` = the component's
+    * min node id once converged.
+    */
+  def connectedComponentsCached(edges: DataFrame, rounds: Int,
+                                checkpointEvery: Int = 3): Cached = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = nodes.withColumn("lbl", col("node"))
+    for (i <- 1 to rounds) {
+      val nbrMin = sym
+        .join(lbl.select(col("node").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(min(col("lbl")).as("nl"))
+      val prop = lbl.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      lbl = prop.as("a")
+        .join(prop.select(col("node").as("lbl"), col("lbl").as("l2")).as("b"),
+          Seq("lbl"))
+        .select(col("node"), col("l2").as("lbl"))
+      if (i % checkpointEvery == 0 && i < rounds) lbl = Checkpoints.cut(lbl)
+    }
+    Cached(lbl.select(col("node"), col("lbl").as("component")),
+      Seq(sym, nodes))
+  }
+
+  def connectedComponents(edges: DataFrame, rounds: Int): DataFrame =
+    connectedComponentsCached(edges, rounds).df
+
+  /** Weighted single-source(-set) shortest paths, fixed-round
+    * Bellman-Ford — the cost-aware counterpart of [[khopReach]]: hops
+    * treat a 3-events-shared device link and a 500-events-shared one
+    * alike, while an investigation wants "cheapest association chain
+    * to a known-bad account". Edge weight = `weightExpr` of the edge
+    * row (integer; stronger association should map to LOWER cost).
+    *
+    * Per round, EVERY settled node relaxes its out-edges (one edge
+    * join + min aggregate + left join — dense Bellman-Ford, the
+    * [[pageRankCached]] plan shape; a frontier-delta form would touch
+    * fewer edges late in convergence but makes the round semantics
+    * state-dependent, and the full-relaxation round is what the oracle
+    * can unroll as one CTE). `rounds` bounds path LENGTH (edges), so
+    * after r rounds dist(v) = min cost over paths of ≤ r edges — a
+    * meaningful quantity in itself ("cheapest association within 3
+    * links"), converging to true shortest-path cost once r reaches the
+    * weighted-path diameter. All-integer min-plus arithmetic:
+    * bit-identical on any engine.
+    *
+    * Seeds outside the edge set are ignored ([[personalizedPageRank]]
+    * stance). Output (node, dist): reached nodes only, dist 0 for
+    * seeds.
+    */
+  def shortestPathsCached(edges: DataFrame, seeds: DataFrame,
+                          weightExpr: org.apache.spark.sql.Column,
+                          rounds: Int,
+                          checkpointEvery: Int = 3): Cached = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wEdges = edges.select(col("u"), col("v"),
+      weightExpr.cast("bigint").as("w"))
+    val sym = wEdges.select(col("u"), col("v"), col("w"))
+      .union(wEdges.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes
+      .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1)),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s") === 1, lit(0L)).otherwise(lit(null)).cast("bigint")
+          .as("dist"))
+    for (i <- 1 to rounds) {
+      val relaxed = sym
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("u"), col("dist")), Seq("u"))
+        .groupBy(col("v").as("node"))
+        .agg(min(col("dist") + col("w")).as("cand"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          when(col("dist").isNull, col("cand"))
+            .when(col("cand").isNull, col("dist"))
+            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+      if (i % checkpointEvery == 0 && i < rounds) dist = Checkpoints.cut(dist)
+    }
+    Cached(dist.filter(col("dist").isNotNull), Seq(sym, nodes))
+  }
+
+  def shortestPaths(edges: DataFrame, seeds: DataFrame,
+                    weightExpr: org.apache.spark.sql.Column,
+                    rounds: Int): DataFrame =
+    shortestPathsCached(edges, seeds, weightExpr, rounds).df
 }

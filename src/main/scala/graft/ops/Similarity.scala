@@ -1209,6 +1209,50 @@ object Similarity {
           .as("lof"))
   }
 
+  /** k-NEAREST-NEIGHBOR majority-vote classification over an embedding
+    * column — the zero-training baseline every embedding-quality audit
+    * starts from ("do the learned vectors separate the classes"), and
+    * the label-transfer step of weak supervision (label the unlabeled
+    * split from its nearest labeled neighbors). The kNN stage reuses
+    * [[bruteForceTopKL2]]'s literal ordering (negl2 desc, id asc — the
+    * n01-proven parity axis); the vote is a per-(query, label) count
+    * with ties to the SMALLEST label (the [[labelSpreadCached]] argmax
+    * convention), all integers — no float boundary anywhere past the
+    * distance ordering itself.
+    *
+    * Scale shape: the query side broadcasts (the n01 contract — bounded
+    * query set); the 100-TB path swaps the kNN stage for the IVF (n02)
+    * or LSH (n04) candidate frame, the vote algebra consumes any
+    * (query_id, vec_id, rank) neighbor frame unchanged via the
+    * labeled corpus join.
+    *
+    * Output per query: (query_id, true_label, pred_label, votes) —
+    * `votes` = the winning label's neighbor count, `true_label` = the
+    * query row's own label when `queries` carries `labelCol` (audit
+    * column; the classification error rate is one avg away).
+    */
+  def knnVote(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val knn = bruteForceTopKL2(corpus, queries, idCol, vecCol, k)
+    val voted = knn
+      .join(corpus.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__nl")), Seq("vec_id"))
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      // per-query argmax, ties to the smallest label: one mergeable
+      // max_by on the (votes, -label) ordering pair — no window
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("__votes"),
+        (-col("__nl")).as("__negl"), col("__nl").as("lbl"))).as("__w"))
+      .select(col("query_id"), col("__w.lbl").as("pred_label"),
+        col("__w.__votes").as("votes"))
+    voted.join(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("votes"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
     * N ranked retrieval runs: score(q,d) = Σ_runs 1/(k0 + rank). The
     * standard hybrid-retrieval merge (BM25 ⊕ ANN) — rank-based, so

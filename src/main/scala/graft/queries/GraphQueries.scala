@@ -55,6 +55,26 @@ object GraphQueries extends QuerySet {
         numClasses = 3, iters = 2)
         .orderBy(col("node"))),
 
+    // Connected components: 3 rounds of min-label propagation +
+    // pointer jumping (each round = one edge join + one label
+    // self-join; jumping doubles reached distance per round, the
+    // log-diameter trick plain propagation lacks). All-integer min
+    // arithmetic; the oracle unrolls the rounds as chained CTEs, and
+    // the round count is part of the contract (the g02 stance).
+    "g11_components" -> ((s, d) =>
+      graft.ops.Graph.connectedComponents(edges(s, d), rounds = 3)
+        .orderBy(col("node"))),
+
+    // Weighted shortest paths from the fraud-seed set: 3 unrolled
+    // Bellman-Ford rounds over edge cost 1000 div shared (stronger
+    // co-attribute association = cheaper link), so dist = min cost
+    // over association chains of <= 3 links — all-integer min-plus,
+    // unreached nodes absent (the g05 zero-mass stance).
+    "g12_shortest_paths" -> ((s, d) =>
+      graft.ops.Graph.shortestPaths(edges(s, d), seeds(s, d),
+        expr("1000 div shared"), rounds = 3)
+        .orderBy(col("node"))),
+
     // k-core ring extraction: 3 synchronous peels of degree-<3 nodes
     // over the co-attribute graph — the dense-ring pre-filter before
     // per-ring analytics. Integer degrees only; the oracle unrolls
@@ -320,6 +340,71 @@ object GraphQueries extends QuerySet {
                      WHEN m0 >= m1 AND m0 >= m2 THEN 0
                      WHEN m1 >= m2 THEN 1 ELSE 2 END AS INT) AS label
          FROM r2 ORDER BY node""",
+
+    // 3 unrolled rounds of min-label propagation, each followed by a
+    // pointer jump (label := label's label) — bit-identical integer
+    // min arithmetic
+    "g11_components" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         r0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym),
+         m1 AS (SELECT s.v AS node, MIN(r.lbl) AS nl
+                FROM sym s JOIN r0 r ON s.u = r.node GROUP BY 1),
+         p1 AS (SELECT r.node, LEAST(r.lbl, COALESCE(m.nl, r.lbl)) AS lbl
+                FROM r0 r LEFT JOIN m1 m ON r.node = m.node),
+         j1 AS (SELECT a.node, b.lbl FROM p1 a JOIN p1 b ON a.lbl = b.node),
+         m2 AS (SELECT s.v AS node, MIN(r.lbl) AS nl
+                FROM sym s JOIN j1 r ON s.u = r.node GROUP BY 1),
+         p2 AS (SELECT r.node, LEAST(r.lbl, COALESCE(m.nl, r.lbl)) AS lbl
+                FROM j1 r LEFT JOIN m2 m ON r.node = m.node),
+         j2 AS (SELECT a.node, b.lbl FROM p2 a JOIN p2 b ON a.lbl = b.node),
+         m3 AS (SELECT s.v AS node, MIN(r.lbl) AS nl
+                FROM sym s JOIN j2 r ON s.u = r.node GROUP BY 1),
+         p3 AS (SELECT r.node, LEAST(r.lbl, COALESCE(m.nl, r.lbl)) AS lbl
+                FROM j2 r LEFT JOIN m3 m ON r.node = m.node),
+         j3 AS (SELECT a.node, b.lbl FROM p3 a JOIN p3 b ON a.lbl = b.node)
+         SELECT node, lbl AS component FROM j3 ORDER BY node""",
+
+    // 3 unrolled Bellman-Ford rounds, integer min-plus over cost
+    // 1000 // shared; NULL dist = unreached, filtered at the end
+    "g12_shortest_paths" ->
+      s"""$prelude,
+         sym AS (SELECT u, v, 1000 // shared AS w FROM e
+                 UNION ALL SELECT v AS u, u AS v, 1000 // shared FROM e),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         seeds AS (SELECT DISTINCT user_id AS node FROM events
+                   WHERE user_id % 37 = 0),
+         d0 AS (SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL
+                            THEN CAST(0 AS BIGINT) END AS dist
+                FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         u1 AS (SELECT s.v AS node, MIN(d.dist + s.w) AS cand
+                FROM sym s JOIN d0 d ON s.u = d.node
+                WHERE d.dist IS NOT NULL GROUP BY 1),
+         d1 AS (SELECT d.node,
+                       CASE WHEN d.dist IS NULL THEN u.cand
+                            WHEN u.cand IS NULL THEN d.dist
+                            ELSE LEAST(d.dist, u.cand) END AS dist
+                FROM d0 d LEFT JOIN u1 u ON d.node = u.node),
+         u2 AS (SELECT s.v AS node, MIN(d.dist + s.w) AS cand
+                FROM sym s JOIN d1 d ON s.u = d.node
+                WHERE d.dist IS NOT NULL GROUP BY 1),
+         d2 AS (SELECT d.node,
+                       CASE WHEN d.dist IS NULL THEN u.cand
+                            WHEN u.cand IS NULL THEN d.dist
+                            ELSE LEAST(d.dist, u.cand) END AS dist
+                FROM d1 d LEFT JOIN u2 u ON d.node = u.node),
+         u3 AS (SELECT s.v AS node, MIN(d.dist + s.w) AS cand
+                FROM sym s JOIN d2 d ON s.u = d.node
+                WHERE d.dist IS NOT NULL GROUP BY 1),
+         d3 AS (SELECT d.node,
+                       CASE WHEN d.dist IS NULL THEN u.cand
+                            WHEN u.cand IS NULL THEN d.dist
+                            ELSE LEAST(d.dist, u.cand) END AS dist
+                FROM d2 d LEFT JOIN u3 u ON d.node = u.node)
+         SELECT node, dist FROM d3 WHERE dist IS NOT NULL
+         ORDER BY node""",
 
     "g09_kcore" ->
       s"""$prelude,

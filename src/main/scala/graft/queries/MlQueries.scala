@@ -74,6 +74,20 @@ object MlQueries extends QuerySet {
         "y", Seq("x1", "x2"), rounds = 3)
         .df.orderBy(col("boost_round"))),
 
+    // Two-feature ridge regression per line status: price cents on
+    // quantity + discount cents, closed-form 2×2 solve on centered
+    // DECIMAL-exact moments, λ=1000 L2 penalty on the slopes
+    // (intercept free) — the multi-feature, collinearity-stable step
+    // past a38's single-slope OLS, one 9-sum grouped aggregation.
+    "m24_ridge2" -> ((s, d) =>
+      graft.ops.Anomaly.ridge2PerGroup(
+        Tables.lineitem(s, d).select(col("l_linestatus").as("g"),
+          col("l_quantity").cast("bigint").as("x1"),
+          round(col("l_discount") * 100).cast("bigint").as("x2"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "g", "x1", "x2", "y", lambda = 1000.0)
+        .orderBy(col("grp"))),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -438,6 +452,58 @@ object MlQueries extends QuerySet {
 
   def oracle: Map[String, String] = Map(
     "m22_boosted_stumps" -> boostOracleSql(3),
+
+    // replay ridge2PerGroup: HUGEINT raw moments, centered sums as
+    // the identical sab - sa*sb/n double chain, explicit 2x2 solve
+    "m24_ridge2" ->
+      """WITH src AS (SELECT l_linestatus AS g,
+                        CAST(l_quantity AS BIGINT) AS x1,
+                        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_discount IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         st AS (SELECT g, COUNT(*) AS n,
+                  SUM(CAST(x1 AS HUGEINT)) AS s1,
+                  SUM(CAST(x2 AS HUGEINT)) AS s2,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y
+                FROM src GROUP BY g),
+         ce AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+                  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+                  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+                  CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+                  CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+                  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                  CAST(sy AS DOUBLE) AS syd
+                FROM st),
+         sv AS (SELECT g, n, nd, s1d, s2d, syd,
+                  (c11 + 1000.0) * (c22 + 1000.0) - c12 * c12 AS det,
+                  c11, c22, c12, c1y, c2y
+                FROM ce),
+         bb AS (SELECT g, n, nd, s1d, s2d, syd, det,
+                  CASE WHEN det > 0 THEN
+                    ((c22 + 1000.0) * c1y - c12 * c2y) / det END AS b1,
+                  CASE WHEN det > 0 THEN
+                    ((c11 + 1000.0) * c2y - c12 * c1y) / det END AS b2
+                FROM sv)
+         SELECT g AS grp, n,
+                round(b1, 7) AS b1, round(b2, 7) AS b2,
+                CASE WHEN det > 0 THEN
+                  round(syd / nd - b1 * (s1d / nd) - b2 * (s2d / nd), 7)
+                END AS b0
+         FROM bb ORDER BY grp""",
     "m21_decision_stump" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                       COUNT(*) AS cnt,

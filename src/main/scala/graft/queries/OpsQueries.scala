@@ -372,6 +372,20 @@ object OpsQueries extends QuerySet {
               " div 1000000").as("y")),
         "x", "y").df),
 
+    // Spearman rank correlation of quantity vs price cents: Pearson
+    // on tie-midranks, ranks from the distinct-value histogram via
+    // bucketedPrefixSums (no global window), doubled-rank integer
+    // moments in DECIMAL(38,0), one fixed-order double chain — the
+    // [-1,1]-scaled complement of a41's concordance count.
+    "a43_spearman" -> ((s, d) =>
+      graft.ops.Aggregates.spearmanRhoCached(
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull)
+          .select(col("l_quantity").cast("bigint").as("x"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y")),
+        "x", "y").df),
+
     // Mann-Whitney U (rank-sum) on the same purchase-vs-view spend:
     // the nonparametric complement of a40 — ranks from the bounded
     // distinct-cents histogram via bucketedPrefixSums (no global
@@ -945,6 +959,56 @@ object OpsQueries extends QuerySet {
          SELECT * FROM a1 UNION ALL SELECT * FROM a2
          UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4
          ORDER BY relation""",
+    "a43_spearman" ->
+      """WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         pr AS (SELECT x, y, COUNT(*) AS c FROM src GROUP BY 1, 2),
+         hx AS (SELECT x, SUM(c) AS t FROM pr GROUP BY 1),
+         rx AS (SELECT x,
+                  2 * SUM(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - t + 1 AS rx2
+                FROM hx),
+         hy AS (SELECT y, SUM(c) AS t FROM pr GROUP BY 1),
+         ry AS (SELECT y,
+                  2 * SUM(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - t + 1 AS ry2
+                FROM hy),
+         j AS (SELECT p.c, r1.rx2, r2.ry2
+               FROM pr p JOIN rx r1 ON p.x = r1.x
+                         JOIN ry r2 ON p.y = r2.y),
+         a AS (SELECT SUM(c) AS n,
+                 SUM(CAST(c AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sx,
+                 SUM(CAST(c AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sy,
+                 SUM(CAST(c AS HUGEINT) * CAST(rx2 AS HUGEINT)
+                     * CAST(rx2 AS HUGEINT)) AS sxx,
+                 SUM(CAST(c AS HUGEINT) * CAST(ry2 AS HUGEINT)
+                     * CAST(ry2 AS HUGEINT)) AS syy,
+                 SUM(CAST(c AS HUGEINT) * CAST(rx2 AS HUGEINT)
+                     * CAST(ry2 AS HUGEINT)) AS sxy
+               FROM j),
+         m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                 CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+               FROM a),
+         cv AS (SELECT n,
+                  sxxd / nd - mx * mx AS vx,
+                  syyd / nd - my * my AS vy,
+                  sxyd / nd - mx * my AS cxy
+                FROM m)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN vx > 0 AND vy > 0
+                     THEN round(cxy / sqrt(vx * vy), 7)
+                END AS rho
+         FROM cv""",
+
     "a42_mann_whitney" ->
       """WITH e AS (SELECT event_type AS g,
                       CAST(round(value * 100) AS BIGINT) AS v

@@ -66,6 +66,17 @@ object SimilarityQueries extends QuerySet {
         "vec_id", "embedding", k = 5)
         .orderBy(col("vec_id"))),
 
+    // kNN majority-vote classification of the first 20 vectors from
+    // their 5 nearest labeled neighbors (L2, the n01-proven negl2
+    // desc / id asc ordering) — the zero-training embedding-quality
+    // audit. Vote = integer count argmax, ties to the smallest label.
+    "n17_knn_vote" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnVote(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -504,6 +515,34 @@ object SimilarityQueries extends QuerySet {
                    list_transform(l, y -> CAST(1 AS DOUBLE))) / n AS mean
           FROM g ORDER BY label, pos""",
     "n01_brute_topk" -> n01Sql,
+
+    // n17: kNN replay on the same negl2 ordering, then the vote as a
+    // per-query ROW_NUMBER over (votes DESC, label ASC)
+    "n17_knn_vote" ->
+      """WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+         q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 20),
+         sc AS (SELECT q.vec_id AS query_id, c.vec_id, c.label AS nl,
+                  -(list_dot_product(c.v, c.v)
+                    + list_dot_product(q.v, q.v)
+                    - 2.0 * list_dot_product(c.v, q.v)) AS negl2
+                FROM e c, q WHERE c.vec_id <> q.vec_id),
+         rk AS (SELECT query_id, nl,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY negl2 DESC, vec_id ASC)
+                    AS rank
+                FROM sc),
+         vt AS (SELECT query_id, nl, COUNT(*) AS votes
+                FROM rk WHERE rank <= 5 GROUP BY 1, 2),
+         wn AS (SELECT query_id, nl, votes,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, nl ASC) AS r
+                FROM vt)
+         SELECT w.query_id, q.label AS true_label,
+                w.nl AS pred_label, w.votes
+         FROM wn w JOIN q ON w.query_id = q.vec_id
+         WHERE w.r = 1 ORDER BY w.query_id""",
 
     // n16: the kNN stage replays bruteForceTopKL2's literal negl2
     // ordering (desc, id asc), then reach/lrd/LOF in the same

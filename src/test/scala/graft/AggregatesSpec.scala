@@ -668,4 +668,25 @@ class AggregatesSpec extends SparkSpec {
       .head()
     assert(r3.isNullAt(r3.fieldIndex("z")))
   }
+
+  test("spearmanRho: classic no-tie formula, tie midranks, " +
+       "constant guard") {
+    // no ties: rho = 1 - 6*sum(d^2)/(n(n^2-1)) = 1 - 6*4/120 = 0.8
+    val df = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))
+      .toDF("x", "y")
+    val r = graft.ops.Aggregates.spearmanRho(df, "x", "y").head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approx(r.getAs[Double]("rho"), 0.8))
+    // ties in x: midranks [1.5, 1.5, 3] vs [1, 2, 3]:
+    // cov = 0.5, vx = 0.5, vy = 2/3 -> rho = 0.5/sqrt(1/3)
+    val df2 = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val r2 = graft.ops.Aggregates.spearmanRho(df2, "x", "y").head()
+    assert(approx(r2.getAs[Double]("rho"),
+      BigDecimal(0.5 / math.sqrt(1.0 / 3.0))
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // constant x -> zero rank variance -> null
+    val df3 = Seq((7L, 1L), (7L, 2L)).toDF("x", "y")
+    val r3 = graft.ops.Aggregates.spearmanRho(df3, "x", "y").head()
+    assert(r3.isNullAt(r3.fieldIndex("rho")))
+  }
 }

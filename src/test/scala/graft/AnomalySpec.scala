@@ -136,4 +136,37 @@ class AnomalySpec extends SparkSpec {
     val out = Anomaly.mahalanobis2PerGroup(withNulls, "grp", "x", "y")
     assert(out.count() == 42) // the null-x row dropped
   }
+
+  // exact plane y = 2*x1 + 3*x2 + 1 on four non-collinear points
+  lazy val plane = Seq(("g", 1L, 0L, 3L), ("g", 0L, 1L, 4L),
+    ("g", 1L, 1L, 6L), ("g", 2L, 1L, 8L)).toDF("grp", "x1", "x2", "y")
+
+  test("ridge2: lambda = 0 recovers the exact OLS plane") {
+    val r = Anomaly.ridge2PerGroup(plane, "grp", "x1", "x2", "y",
+      lambda = 0.0).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(math.abs(r.getAs[Double]("b1") - 2.0) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("b2") - 3.0) < 1e-9, r.toString)
+    assert(math.abs(r.getAs[Double]("b0") - 1.0) < 1e-9, r.toString)
+  }
+
+  test("ridge2: the penalty shrinks slopes toward zero") {
+    val r = Anomaly.ridge2PerGroup(plane, "grp", "x1", "x2", "y",
+      lambda = 1.5).head()
+    val (b1, b2) = (r.getAs[Double]("b1"), r.getAs[Double]("b2"))
+    assert(b1 > 0.0 && b1 < 2.0, s"b1 shrunk: $b1")
+    assert(b2 > 0.0 && b2 < 3.0, s"b2 shrunk: $b2")
+  }
+
+  test("ridge2: constant feature at lambda = 0 nulls out, " +
+       "lambda > 0 regularizes it") {
+    val degen = Seq(("g", 5L, 0L, 3L), ("g", 5L, 1L, 4L),
+      ("g", 5L, 2L, 5L)).toDF("grp", "x1", "x2", "y")
+    val r0 = Anomaly.ridge2PerGroup(degen, "grp", "x1", "x2", "y",
+      lambda = 0.0).head()
+    assert(r0.isNullAt(r0.fieldIndex("b1")), r0.toString)
+    val r1 = Anomaly.ridge2PerGroup(degen, "grp", "x1", "x2", "y",
+      lambda = 10.0).head()
+    assert(!r1.isNullAt(r1.fieldIndex("b1")), r1.toString)
+  }
 }

@@ -209,4 +209,44 @@ class GraphSpec extends SparkSpec {
     assert(rows(2).isNullAt(rows(2).fieldIndex("label")))
     assert(rows(3).isNullAt(rows(3).fieldIndex("label")))
   }
+
+  test("connectedComponents: pointer jumping labels a chain in " +
+       "log rounds") {
+    // path 1-2-...-8 (diameter 7) plus disjoint pair 20-21: plain
+    // propagation needs 7 rounds; propagate+jump converges in 3
+    val chain = (1L to 7L).map(i => (i, i + 1)) :+ (20L, 21L)
+    val got = Graph.connectedComponents(edgesDF(chain: _*), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = (1L to 8L).map(_ -> 1L).toMap ++
+      Map(20L -> 20L, 21L -> 20L)
+    assert(got === want)
+    // 1 round reaches distance 2 (one propagate + one jump), not 7:
+    // prop gives node 8 label 7, the jump replaces it by 7's
+    // propagated label 6
+    val partial = Graph.connectedComponents(edgesDF(chain: _*), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(8L) === 6L)
+  }
+
+  test("shortestPaths: Bellman-Ford relaxes through the cheap detour") {
+    // 1->3 direct costs 10; 1->2->3 costs 2+2=4; seed {1}
+    val e = Seq((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 10L))
+      .toDF("u", "v", "w")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = Graph.shortestPaths(e, seeds, col("w"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+    // one round only: the direct edge wins (detour needs 2 relaxations)
+    val r1 = Graph.shortestPaths(e, seeds, col("w"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
+
+  test("shortestPaths: unreached component absent, isolated seed ignored") {
+    val e = Seq((1L, 2L, 5L), (3L, 4L, 5L)).toDF("u", "v", "w")
+    val seeds = Seq(1L, 99L).toDF("node") // 99 carries no edges
+    val got = Graph.shortestPaths(e, seeds, col("w"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 5L))
+  }
 }

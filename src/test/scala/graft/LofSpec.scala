@@ -46,4 +46,30 @@ class LofSpec extends SparkSpec {
     out.foreach(r => assert(r.isNullAt(r.fieldIndex("lrd")),
       s"zero reach-sum must null out, got $r"))
   }
+
+  // two 1-d clusters with distinct labels
+  lazy val labeled = Seq(
+    (0L, Seq(0.0f), 0), (1L, Seq(1.0f), 0), (2L, Seq(2.0f), 0),
+    (3L, Seq(10.0f), 1), (4L, Seq(11.0f), 1), (5L, Seq(12.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnVote: majority label wins, true label rides along") {
+    val qs = labeled.filter($"vec_id" === 0L || $"vec_id" === 5L)
+    val out = Similarity.knnVote(labeled, qs, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    // q0's 3-NN = {1, 2, 3}: labels {0, 0, 1} -> pred 0, 2 votes
+    assert(out(0L) === ((0, 0, 2L)))
+    // q5's 3-NN = {4, 3, 2}: labels {1, 1, 0} -> pred 1, 2 votes
+    assert(out(5L) === ((1, 1, 2L)))
+  }
+
+  test("knnVote: a 2-2 split breaks the tie to the smallest label") {
+    val qs = labeled.filter($"vec_id" === 2L)
+    // q2 at 2.0: 4-NN = {1, 0, 3, 4} -> labels {0, 0, 1, 1}
+    val r = Similarity.knnVote(labeled, qs, "vec_id", "embedding",
+      "label", k = 4).head()
+    assert(r.getInt(2) === 0 && r.getLong(3) === 2L, r.toString)
+  }
 }
