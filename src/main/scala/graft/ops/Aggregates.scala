@@ -114,6 +114,30 @@ object Aggregates {
       .toIndexedSeq: _*)
   }
 
+  /** COHEN'S KAPPA from the one-row confusion frame — chance-corrected
+    * agreement, the metric the battery still lacked: accuracy rewards
+    * a majority-class rubber stamp, MCC is correlation-shaped; κ reads
+    * directly as "agreement beyond chance" ((p_o − p_e)/(1 − p_e) with
+    * p_e from the marginal products), the standard for label-quality
+    * audits between two annotators (here: label vs prediction — for
+    * binary single-rater-pair data κ and MCC differ unless marginals
+    * match, which is exactly the imbalance signal). Same fixed-order
+    * double arithmetic over the four integer counts as
+    * [[binaryMetrics]]; κ null when p_e = 1 (a degenerate constant
+    * pair, where agreement beyond chance is undefined).
+    */
+  def cohensKappa(confusion: DataFrame): DataFrame = {
+    val tn = col("tn").cast("double"); val fp = col("fp").cast("double")
+    val fn = col("fn").cast("double"); val tp = col("tp").cast("double")
+    val n = tn + fp + fn + tp
+    val po = (tp + tn) / n
+    val pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    confusion.select(
+      (col("tn") + col("fp") + col("fn") + col("tp")).as("n"),
+      round(po, 7).as("po"), round(pe, 7).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 7)).as("kappa"))
+  }
+
   /** Per-class classification-report rows (`FD/model.py:136-139` —
     * sklearn `classification_report`'s per-class block): one row per
     * class with precision / recall / F1 / support, from the same one-row
@@ -1615,5 +1639,66 @@ object Aggregates {
           round((col("u1d") -
             col("na").cast("double") * col("nb").cast("double") / 2.0) /
             sqrt(col("sig2")), 7)).as("z"))
+  }
+
+  /** KRUSKAL–WALLIS H with tie correction — [[mannWhitneyU]] extended
+    * past two groups: "do ANY of the k groups' value distributions
+    * differ in location", the one-shot screen that replaces k·(k−1)/2
+    * pairwise U tests (and their multiple-comparison inflation) when a
+    * drift monitor watches many segments at once.
+    *
+    *   H = 12/(N(N+1)) · Σᵢ Rᵢ²/nᵢ − 3(N+1),
+    *   H' = H / (1 − Σ(t³−t)/(N³−N))
+    *
+    * Layout: pooled midranks from the DISTINCT-VALUE histogram via
+    * [[bucketedPrefixSums]] (the [[mannWhitneyU]] contract — cost ∝
+    * value cardinality, no global window), per-(value, group) counts
+    * joined back so every group's DOUBLED rank sum R2ᵢ = Σ c·(lo+hi)
+    * accumulates as DECIMAL(38,0), exact. The per-group term
+    * R2ᵢ²/(4nᵢ) is a fixed-order double chain on those exact integers
+    * — bit-identical in any engine — cast to DECIMAL(38,7) so the
+    * cross-group sum is order-free, and the final H/H' is one double
+    * chain, 7dp. Output (one row): n, k, h (tie-corrected; null when
+    * k < 2 or every value ties).
+    */
+  def kruskalWallisH(df: DataFrame, groupCol: String,
+                     xCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val hg = df
+      .filter(col(xCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(xCol).as("v"), col(groupCol).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val perV = hg.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val ranked = bucketedPrefixSums(perV, "v", ascending = true, Seq("t"))
+      .withColumn("hi", col("cum_t"))
+      .withColumn("lo", col("hi") - col("t") + 1)
+      .select(col("v"), (col("lo") + col("hi")).as("r2"))
+    val perG = hg.join(ranked, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("c")).as("ni"),
+        sum(col("c").cast(dec38) * col("r2").cast(dec38)).as("r2i"))
+      // R2ᵢ²/(4nᵢ): exact-integer inputs, one fixed-order double
+      // chain, decimal-cast so the k-row sum below is order-free
+      .withColumn("__z",
+        round(col("r2i").cast("double") * col("r2i").cast("double") /
+          (lit(4.0) * col("ni").cast("double")), 7)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 7)))
+    val ties = perV.agg(
+      sum(col("t").cast(dec38) * col("t").cast(dec38) *
+        col("t").cast(dec38) - col("t").cast(dec38)).as("ties"))
+    val agg = perG.agg(
+      sum(col("ni")).as("n"), count(lit(1)).as("k"),
+      sum(col("__z")).cast("double").as("s"))
+    agg.crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("h",
+        lit(12.0) / (col("nd") * (col("nd") + 1.0)) * col("s") -
+          lit(3.0) * (col("nd") + 1.0))
+      .withColumn("corr",
+        lit(1.0) - col("ties").cast("double") /
+          (col("nd") * col("nd") * col("nd") - col("nd")))
+      .select(col("n"), col("k"),
+        when(col("k") >= 2 && col("corr") > 0.0,
+          round(col("h") / col("corr"), 7)).as("h"))
   }
 }

@@ -39,6 +39,13 @@ object MetricsQueries extends QuerySet {
     "a12_accuracy" -> ((s, d) =>
       Aggregates.accuracy(scored(s, d), "label", "pred")),
 
+    // Cohen's kappa on the same label/pred pair: chance-corrected
+    // agreement from the four confusion counts — the imbalance-aware
+    // companion to a12's raw accuracy and a11's MCC.
+    "a45_cohens_kappa" -> ((s, d) =>
+      Aggregates.cohensKappa(
+        Aggregates.confusionCounts(scored(s, d), "label", "pred"))),
+
     // Per-class classification-report rows (FD/model.py:136-139).
     "a11b_class_report" -> ((s, d) =>
       Aggregates.classReport(
@@ -277,6 +284,38 @@ object MetricsQueries extends QuerySet {
     "a12_accuracy" ->
       s"""SELECT AVG(CASE WHEN label = pred THEN 1.0 ELSE 0.0 END) * 100 AS accuracy
           FROM ($scoredSql)""",
+
+    // kappa replay: the identical (po - pe)/(1 - pe) double chain
+    // over the four BIGINT confusion counts
+    "a45_cohens_kappa" ->
+      s"""WITH cm AS (
+            SELECT
+              CAST(SUM(CASE WHEN label=0 AND pred=0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tn,
+              CAST(SUM(CASE WHEN label=0 AND pred=1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fp,
+              CAST(SUM(CASE WHEN label=1 AND pred=0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn,
+              CAST(SUM(CASE WHEN label=1 AND pred=1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp
+            FROM ($scoredSql)),
+          d AS (SELECT tn, fp, fn, tp,
+                  CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)
+                    + CAST(fn AS DOUBLE) + CAST(tp AS DOUBLE) AS n
+                FROM cm),
+          m AS (SELECT tn + fp + fn + tp AS n_int,
+                  (CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) / n AS po,
+                  ((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                     * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                   + (CAST(fn AS DOUBLE) + CAST(tn AS DOUBLE))
+                     * (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE)))
+                    / (n * n) AS pe
+                FROM d)
+          SELECT CAST(n_int AS BIGINT) AS n,
+                 round(po, 7) AS po, round(pe, 7) AS pe,
+                 CASE WHEN pe < 1.0
+                      THEN round((po - pe) / (1.0 - pe), 7) END AS kappa
+          FROM m""",
     "a11b_class_report" ->
       s"""WITH cm AS (
             SELECT

@@ -397,6 +397,18 @@ object OpsQueries extends QuerySet {
             round(col("value") * 100).cast("bigint").as("cents")),
         "event_type", "cents", groupA = "purchase", groupB = "view")),
 
+    // Kruskal-Wallis H across ALL event types' spend distributions:
+    // the k-group one-shot screen replacing pairwise U tests — pooled
+    // midranks from the distinct-cents histogram (bucketedPrefixSums,
+    // no global window), doubled-rank DECIMAL sums per group,
+    // tie-corrected H in one fixed-order double chain.
+    "a44_kruskal_wallis" -> ((s, d) =>
+      graft.ops.Aggregates.kruskalWallisH(
+        Tables.events(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "cents")),
+
     // Welch's unequal-variance t statistic: purchase vs view spend
     // cents, one conditional-moment pass, statistic + Satterthwaite
     // dof (p-value left to tail tables — no incomplete beta in the
@@ -1047,6 +1059,47 @@ object OpsQueries extends QuerySet {
                     / 2.0) / sqrt(sig2), 7)
                 END AS z
          FROM b""",
+
+    "a44_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE value IS NOT NULL
+                      AND event_type IS NOT NULL),
+         hg AS (SELECT v, g, COUNT(*) AS c FROM e GROUP BY v, g),
+         pv AS (SELECT v, SUM(c) AS t FROM hg GROUP BY v),
+         r AS (SELECT v, t,
+                 SUM(t) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+               FROM pv),
+         r2 AS (SELECT v, (hi - t + 1) + hi AS r2 FROM r),
+         pg AS (SELECT hg.g, SUM(hg.c) AS ni,
+                  SUM(CAST(hg.c AS HUGEINT) * CAST(r2.r2 AS HUGEINT))
+                    AS r2i
+                FROM hg JOIN r2 ON hg.v = r2.v GROUP BY hg.g),
+         z AS (SELECT g, ni, r2i,
+                 CAST(round(CAST(r2i AS DOUBLE) * CAST(r2i AS DOUBLE)
+                      / (4.0 * CAST(ni AS DOUBLE)), 7)
+                      AS DECIMAL(38,7)) AS zz
+               FROM pg),
+         tt AS (SELECT SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                           * CAST(t AS HUGEINT) - CAST(t AS HUGEINT))
+                  AS ties
+                FROM pv),
+         ag AS (SELECT SUM(ni) AS n, COUNT(*) AS k,
+                  CAST(SUM(zz) AS DOUBLE) AS s
+                FROM z),
+         fin AS (SELECT n, k, s, CAST(n AS DOUBLE) AS nd,
+                   CAST(tt.ties AS DOUBLE) AS tiesd
+                 FROM ag, tt)
+         SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+                CASE WHEN k >= 2
+                      AND 1.0 - tiesd / (nd * nd * nd - nd) > 0
+                     THEN round((12.0 / (nd * (nd + 1.0)) * s
+                                 - 3.0 * (nd + 1.0))
+                            / (1.0 - tiesd / (nd * nd * nd - nd)), 7)
+                END AS h
+         FROM fin""",
 
     "a40_welch_t" ->
       """WITH e AS (SELECT event_type AS g,

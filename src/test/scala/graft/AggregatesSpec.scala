@@ -689,4 +689,41 @@ class AggregatesSpec extends SparkSpec {
     val r3 = graft.ops.Aggregates.spearmanRho(df3, "x", "y").head()
     assert(r3.isNullAt(r3.fieldIndex("rho")))
   }
+
+  test("kruskalWallisH: hand-computed 2-group H, tie correction, " +
+       "degenerate guards") {
+    // a=[1,2], b=[3,4]: ranks 1..4, R_a=3, R_b=7,
+    // H = 12/20 * (9/2 + 49/2) - 15 = 2.4, no ties
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "x")
+    val r = graft.ops.Aggregates.kruskalWallisH(df, "g", "x").head()
+    assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("k") === 2L)
+    assert(approx(r.getAs[Double]("h"), 2.4))
+    // every value ties -> correction hits 0 -> null
+    val df2 = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "x")
+    val r2 = graft.ops.Aggregates.kruskalWallisH(df2, "g", "x").head()
+    assert(r2.isNullAt(r2.fieldIndex("h")))
+    // single group -> k < 2 -> null
+    val df3 = Seq(("a", 1L), ("a", 2L)).toDF("g", "x")
+    val r3 = graft.ops.Aggregates.kruskalWallisH(df3, "g", "x").head()
+    assert(r3.isNullAt(r3.fieldIndex("h")))
+  }
+
+  test("cohensKappa: hand-computed agreement, degenerate constant pair") {
+    // tn=40 fp=10 fn=20 tp=30: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(40)((0, 0)) ++ Seq.fill(10)((0, 1)) ++
+      Seq.fill(20)((1, 0)) ++ Seq.fill(30)((1, 1))
+    val cm = graft.ops.Aggregates.confusionCounts(
+      rows.toDF("label", "pred"), "label", "pred")
+    val r = graft.ops.Aggregates.cohensKappa(cm).head()
+    assert(r.getAs[Long]("n") === 100L)
+    assert(approx(r.getAs[Double]("po"), 0.7))
+    assert(approx(r.getAs[Double]("pe"), 0.5))
+    assert(approx(r.getAs[Double]("kappa"), 0.4))
+    // constant pair: pe = 1 -> kappa undefined (null)
+    val cm2 = graft.ops.Aggregates.confusionCounts(
+      Seq((1, 1), (1, 1)).toDF("label", "pred"), "label", "pred")
+    val r2 = graft.ops.Aggregates.cohensKappa(cm2).head()
+    assert(r2.isNullAt(r2.fieldIndex("kappa")))
+  }
 }
