@@ -157,7 +157,7 @@ def cell_eq(a, b):
     except Exception:
         return False
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, emit_json=None):
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
@@ -166,12 +166,36 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    # record one driver-format entry per query so --survey8 can run on
+    # a LOCAL verify (the section-8 block regenerates in-round instead
+    # of waiting for the next CORRECTNESS_r0N.json). Dumped queries
+    # with no oracle SQL are the deliberate rows-only set.
+    record = {}
+    if emit_json:
+        for name in sorted(os.listdir(out_dir)):
+            if name.endswith(".json"):
+                continue
+            if os.path.isdir(os.path.join(out_dir, name)) \
+                    and name not in oracle:
+                n = len(con.execute(
+                    "SELECT * FROM read_parquet(?)",
+                    [os.path.join(out_dir, name, "*.parquet")]).fetchdf())
+                record[name] = {"rows_match": n > 0, "schema_match": None,
+                                "hash_match": None, "spark_rows": n,
+                                "oracle_rows": None, "err": "no_oracle"}
+    def rec(name, ok, g_rows=None, o_rows=None, err=None):
+        record[name] = {
+            "rows_match": ok or (g_rows is not None and g_rows == o_rows),
+            "schema_match": ok if err is None else False,
+            "hash_match": ok, "spark_rows": g_rows, "oracle_rows": o_rows,
+            "err": err}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
         res_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not res_glob:
             print(f"FAIL {name}: no result parquet")
+            rec(name, False, err="no result parquet")
             n_fail += 1
             continue
         try:
@@ -180,21 +204,25 @@ def main(sf_dir, out_dir):
             exp = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            rec(name, False, err=str(e)[:200])
             n_fail += 1
             continue
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(e.columns)}")
+            rec(name, False, len(g), len(e), err="column mismatch")
             n_fail += 1
             continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            rec(name, False, len(g), len(e), err="row count mismatch")
             n_fail += 1
             continue
         dt_bad = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
                   if dtype_family(g[c].dtype) != dtype_family(e[c].dtype)]
         if dt_bad:
             print(f"FAIL {name}: dtype family mismatch {dt_bad}")
+            rec(name, False, len(g), len(e), err="dtype family mismatch")
             n_fail += 1
             continue
         bad = []
@@ -207,14 +235,21 @@ def main(sf_dir, out_dir):
         # pandas NaN for nulls: treat NaN==NaN above
         if bad:
             print(f"FAIL {name}: {len(bad)} cell diffs, first: {bad[:3]}")
+            rec(name, False, len(g), len(e), err="hash mismatch")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
+            rec(name, True, len(g), len(e))
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
+    if emit_json:
+        with open(emit_json, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {emit_json} ({len(record)} entries)")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
     if sys.argv[1] == "--survey8":
         sys.exit(survey8(sys.argv[2]))
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
