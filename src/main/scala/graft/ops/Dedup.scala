@@ -1050,11 +1050,25 @@ object Dedup {
   def setSimilarityJoin(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3,
                         tauNum: Int = 3, tauDen: Int = 5,
-                        broadcastVocab: Boolean = true): DataFrame = {
+                        broadcastVocab: Boolean = true,
+                        hashTokens: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
+    // hashTokens: replace every string shingle by its xxhash64 — the
+    // 100-TB shuffle-byte knob. The prefix filter only needs SOME
+    // total order on tokens ((df, hash) works as well as (df, string))
+    // and the verify counts set intersections, which hashing preserves
+    // exactly up to 64-bit collisions (expected collisions ≈ v²/2⁶⁵ —
+    // ~0.05 across a 10⁹-shingle vocabulary, each worth at most ±1 on
+    // one pair's overlap count). Measured at the 50× probe: the
+    // exploded (id, shingle-string) corpus is ~5× the hashed one in
+    // shuffle bytes — the difference between fitting the sandbox disk
+    // and ENOSPC. Default false: the shipped-scale oracle contract
+    // stays string-exact.
+    val toksRaw = shingles(TextAnalysis.tokens(lower(col(textCol))), n)
     val docs = df.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
+      (if (hashTokens) transform(toksRaw, t => xxhash64(t))
+       else toksRaw).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
     // toks are distinct per doc, so count(*) IS the document frequency.
     val dfreqRaw = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -1238,11 +1252,16 @@ object Dedup {
   def containmentJoin(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3,
                       tauNum: Int = 4, tauDen: Int = 5,
-                      broadcastVocab: Boolean = true): DataFrame = {
+                      broadcastVocab: Boolean = true,
+                      hashTokens: Boolean = false): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"threshold must be a rational in (0,1]: got $tauNum/$tauDen")
+    // hashTokens: see [[setSimilarityJoin]] — same shuffle-byte knob,
+    // same any-total-order/exact-intersection argument
+    val toksRaw = shingles(TextAnalysis.tokens(lower(col(textCol))), n)
     val docs = df.select(col(idCol).as("id"),
-      shingles(TextAnalysis.tokens(lower(col(textCol))), n).as("toks"))
+      (if (hashTokens) transform(toksRaw, t => xxhash64(t))
+       else toksRaw).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
     val dfreqRaw = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val dfreq = if (broadcastVocab) broadcast(dfreqRaw) else dfreqRaw

@@ -1656,6 +1656,18 @@ class PipelineOpsSpec extends SparkSpec {
       .select($"id_a", $"id_b", $"inter").as[(Long, Long, Long)]
       .collect().toSet
     assert(cb == cs)
+    // hashTokens: any total order prefixes losslessly and xxhash64
+    // preserves set intersections — identical pairs AND counts
+    val hset = Dedup.setSimilarityJoin(corpus, "text", "doc_id", 3, 3, 5,
+        hashTokens = true)
+      .select($"id_a", $"id_b", $"inter", $"uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(hset == bcast)
+    val ch = Dedup.containmentJoin(corpus, "text", "doc_id", 3, 4, 5,
+        hashTokens = true)
+      .select($"id_a", $"id_b", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(ch == cb)
   }
 
   test("bpePairCounts matches a hand-computed pair table") {
