@@ -560,23 +560,35 @@ object Graph {
     val sym = symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the per-round label frames each feed TWO consumers (prop: the
+    // edge join and the left join; the jump: both sides of the label
+    // self-join), so an unmaterialized loop re-derives round i−1
+    // several times per round — the kCore lesson (measured here:
+    // 12.9 s → eager per-round materialization). materializeBounded's
+    // >maxRows fallback returns a persisted frame; track it in
+    // `backing` so release() unpins it (the r8 advice rule).
+    val backing = scala.collection.mutable.ArrayBuffer[DataFrame](sym, nodes)
     var lbl = nodes.withColumn("lbl", col("node"))
     for (i <- 1 to rounds) {
       val nbrMin = sym
         .join(lbl.select(col("node").as("u"), col("lbl")), Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(min(col("lbl")).as("nl"))
-      val prop = lbl.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-      lbl = prop.as("a")
-        .join(prop.select(col("node").as("lbl"), col("lbl").as("l2")).as("b"),
-          Seq("lbl"))
-        .select(col("node"), col("l2").as("lbl"))
+      val prop = Layout.materializeBounded(
+        lbl.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl")))
+      if (prop.storageLevel != StorageLevel.NONE) backing += prop
+      lbl = Layout.materializeBounded(
+        prop.as("a")
+          .join(prop.select(col("node").as("lbl"), col("lbl").as("l2"))
+            .as("b"), Seq("lbl"))
+          .select(col("node"), col("l2").as("lbl")))
+      if (lbl.storageLevel != StorageLevel.NONE) backing += lbl
       if (i % checkpointEvery == 0 && i < rounds) lbl = Checkpoints.cut(lbl)
     }
     Cached(lbl.select(col("node"), col("lbl").as("component")),
-      Seq(sym, nodes))
+      backing.toSeq)
   }
 
   def connectedComponents(edges: DataFrame, rounds: Int): DataFrame =
@@ -617,6 +629,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // each round's dist frame feeds BOTH the relaxation join and the
+    // re-attach left join — eager per-round materialization, the
+    // connectedComponents/kCore discipline
+    val backing = scala.collection.mutable.ArrayBuffer[DataFrame](sym, nodes)
     var dist = nodes
       .join(seeds.select(col("node")).distinct().withColumn("__s", lit(1)),
         Seq("node"), "left")
@@ -629,14 +645,16 @@ object Graph {
           .select(col("node").as("u"), col("dist")), Seq("u"))
         .groupBy(col("v").as("node"))
         .agg(min(col("dist") + col("w")).as("cand"))
-      dist = dist.join(relaxed, Seq("node"), "left")
-        .select(col("node"),
-          when(col("dist").isNull, col("cand"))
-            .when(col("cand").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+      dist = Layout.materializeBounded(
+        dist.join(relaxed, Seq("node"), "left")
+          .select(col("node"),
+            when(col("dist").isNull, col("cand"))
+              .when(col("cand").isNull, col("dist"))
+              .otherwise(least(col("dist"), col("cand"))).as("dist")))
+      if (dist.storageLevel != StorageLevel.NONE) backing += dist
       if (i % checkpointEvery == 0 && i < rounds) dist = Checkpoints.cut(dist)
     }
-    Cached(dist.filter(col("dist").isNotNull), Seq(sym, nodes))
+    Cached(dist.filter(col("dist").isNotNull), backing.toSeq)
   }
 
   def shortestPaths(edges: DataFrame, seeds: DataFrame,
