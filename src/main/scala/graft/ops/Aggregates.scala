@@ -708,11 +708,20 @@ object Aggregates {
              convertedCol: String): DataFrame = {
     val v = col(variantCol)
     val c = col(convertedCol)
-    val base = df.agg(
+    abTestFromCounts(df.agg(
       sum(when(v === 0 && c === 0, 1L).otherwise(0L)).as("a0n"),
       sum(when(v === 0 && c === 1, 1L).otherwise(0L)).as("a0y"),
       sum(when(v === 1 && c === 0, 1L).otherwise(0L)).as("a1n"),
-      sum(when(v === 1 && c === 1, 1L).otherwise(0L)).as("a1y"))
+      sum(when(v === 1 && c === 1, 1L).otherwise(0L)).as("a1y")))
+  }
+
+  /** [[abTest]]'s χ² collapse exposed for pre-aggregated inputs — the
+    * streaming twin (st21) maintains the 2×2 cell counts as bounded
+    * complete-mode state and feeds them here, so stream and batch
+    * share one arithmetic spelling. `base` must be one row with
+    * columns a0n, a0y, a1n, a1y.
+    */
+  def abTestFromCounts(base: DataFrame): DataFrame = {
     val n = col("a0n") + col("a0y") + col("a1n") + col("a1y")
     def cell(obs: Column, rowTot: Column, colTot: Column): Column = {
       val e = rowTot.cast("double") * colTot.cast("double") /
@@ -1639,6 +1648,59 @@ object Aggregates {
           round((col("u1d") -
             col("na").cast("double") * col("nb").cast("double") / 2.0) /
             sqrt(col("sig2")), 7)).as("z"))
+  }
+
+  /** THEIL–SEN robust regression (median of pairwise slopes; Sen 1968)
+    * on the [[kendallTauB]] cell-histogram discipline — the trend fit
+    * a single spend-spike cannot drag, where [[graft.ops.Anomaly]]'s
+    * OLS moves with every outlier. Slopes are taken between DISTINCT
+    * (x, y) cells weighted by count products (pair space = domain²,
+    * not rows² — the columns must be bounded-domain, the a41
+    * contract); equal-x pairs carry no slope (the standard rule).
+    *
+    * Exactness: each slope is one IEEE division of exact integer
+    * differences (bit-identical on any engine), the weighted LOWER
+    * median (first value whose ascending cumulative weight reaches
+    * ⌈W/2⌉ — the w08 integer rank rule, no interpolation) comes off
+    * [[bucketedPrefixSums]] over the distinct-slope histogram, and the
+    * intercept is the weighted lower median of 9dp-rounded residuals
+    * y − slope·x over the same cells. No driver round-trip: the
+    * 1-row slope frame re-enters by broadcast crossJoin.
+    *
+    * Output (one row): n, w_pairs, slope, intercept.
+    */
+  def theilSen(df: DataFrame, xCol: String, yCol: String): Cached = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.__x") < col("b.__x"))
+      .select(((col("b.__y") - col("a.__y")).cast("double") /
+        (col("b.__x") - col("a.__x")).cast("double")).as("__s"),
+        (col("a.__c") * col("b.__c")).as("__w"))
+    val slopes = pairs.groupBy(col("__s")).agg(sum(col("__w")).as("__w"))
+    val cum = bucketedPrefixSums(slopes, "__s", ascending = true,
+      Seq("__w"))
+    val wTot = slopes.agg(sum(col("__w")).as("__wtot"))
+    val slopeRow = cum.crossJoin(broadcast(wTot))
+      .filter(col("cum___w") >= expr("(__wtot + 1) div 2"))
+      .agg(min(col("__s")).as("__slope"), min(col("__wtot")).as("__wtot"))
+    val resid = cells.crossJoin(broadcast(slopeRow))
+      .select(round(col("__y").cast("double") -
+        col("__slope") * col("__x").cast("double"), 9).as("__r"),
+        col("__c"))
+      .groupBy(col("__r")).agg(sum(col("__c")).as("__c"))
+    val rCum = bucketedPrefixSums(resid, "__r", ascending = true,
+      Seq("__c"))
+    val nTot = resid.agg(sum(col("__c")).as("__ntot"))
+    val icptRow = rCum.crossJoin(broadcast(nTot))
+      .filter(col("cum___c") >= expr("(__ntot + 1) div 2"))
+      .agg(min(col("__r")).as("__icept"), min(col("__ntot")).as("__ntot"))
+    val out = icptRow.crossJoin(broadcast(slopeRow))
+      .select(col("__ntot").as("n"), col("__wtot").as("w_pairs"),
+        col("__slope").as("slope"), col("__icept").as("intercept"))
+    Cached(out, Seq(cells))
   }
 
   /** KRUSKAL–WALLIS H with tie correction — [[mannWhitneyU]] extended

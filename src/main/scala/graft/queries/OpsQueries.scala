@@ -397,6 +397,21 @@ object OpsQueries extends QuerySet {
             round(col("value") * 100).cast("bigint").as("cents")),
         "event_type", "cents", groupA = "purchase", groupB = "view")),
 
+    // Theil-Sen robust regression of price megacents on quantity:
+    // weighted lower-median of distinct-cell pair slopes (domain²
+    // pair space, the a41 discipline), intercept = weighted lower
+    // median of 9dp residuals — the trend fit outliers cannot drag,
+    // vs a38's OLS that moves with every spike.
+    "a46_theil_sen" -> ((s, d) =>
+      graft.ops.Aggregates.theilSen(
+        Tables.lineitem(s, d)
+          .filter(col("l_quantity").isNotNull &&
+            col("l_extendedprice").isNotNull)
+          .select(col("l_quantity").cast("bigint").as("x"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)" +
+              " div 1000000").as("y")),
+        "x", "y").df),
+
     // Kruskal-Wallis H across ALL event types' spend distributions:
     // the k-group one-shot screen replacing pairwise U tests — pooled
     // midranks from the distinct-cents histogram (bucketedPrefixSums,
@@ -1059,6 +1074,45 @@ object OpsQueries extends QuerySet {
                     / 2.0) / sqrt(sig2), 7)
                 END AS z
          FROM b""",
+
+    "a46_theil_sen" ->
+      """WITH src AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice * 100) AS BIGINT)
+                          // 1000000 AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         cells AS (SELECT x, y, COUNT(*) AS c FROM src GROUP BY x, y),
+         pr AS (SELECT CAST(b.y - a.y AS DOUBLE)
+                         / CAST(b.x - a.x AS DOUBLE) AS s,
+                       a.c * b.c AS w
+                FROM cells a JOIN cells b ON a.x < b.x),
+         sl AS (SELECT s, SUM(w) AS w FROM pr GROUP BY s),
+         sc AS (SELECT s, w,
+                  SUM(w) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cw
+                FROM sl),
+         wt AS (SELECT SUM(w) AS wtot FROM sl),
+         sm AS (SELECT MIN(s) AS slope, MIN(wtot) AS wtot
+                FROM sc, wt WHERE cw >= (wtot + 1) // 2),
+         rs AS (SELECT round(CAST(cl.y AS DOUBLE)
+                             - sm.slope * CAST(cl.x AS DOUBLE), 9) AS r,
+                       cl.c
+                FROM cells cl, sm),
+         rg AS (SELECT r, SUM(c) AS c FROM rs GROUP BY r),
+         rc AS (SELECT r, c,
+                  SUM(c) OVER (ORDER BY r
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cc
+                FROM rg),
+         nt AS (SELECT SUM(c) AS ntot FROM rg),
+         im AS (SELECT MIN(r) AS intercept, MIN(ntot) AS ntot
+                FROM rc, nt WHERE cc >= (ntot + 1) // 2)
+         SELECT CAST(im.ntot AS BIGINT) AS n,
+                CAST(sm.wtot AS BIGINT) AS w_pairs,
+                sm.slope AS slope, im.intercept AS intercept
+         FROM im, sm""",
 
     "a44_kruskal_wallis" ->
       """WITH e AS (SELECT event_type AS g,

@@ -598,6 +598,36 @@ object SourceQueries extends QuerySet {
     // rows per event type forever — with the expected/χ² collapse
     // batch-side; the oracle is a29's recipe verbatim, so streamed
     // counts must equal batch counts bit-exactly.
+    // Streaming A/B significance: the 2×2 (variant, conv) cell counts
+    // as complete-mode state — FOUR rows forever, the smallest state
+    // in the st family after st01 — collapsed batch-side through the
+    // same abTestFromCounts χ² spelling a32 uses, so streamed counts
+    // ≡ batch bit-for-bit under a32's oracle.
+    "st21_stream_ab_test" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st21_ab_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("user_id").isNotNull)
+        .select((col("user_id") % 2).cast("int").as("variant"),
+          (col("event_type") === "purchase").cast("int").as("conv"))
+        .groupBy(col("variant"), col("conv"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val cells = s.table(qn)
+      graft.ops.Aggregates.abTestFromCounts(cells.agg(
+        sum(when(col("variant") === 0 && col("conv") === 0, col("cnt"))
+          .otherwise(0L)).as("a0n"),
+        sum(when(col("variant") === 0 && col("conv") === 1, col("cnt"))
+          .otherwise(0L)).as("a0y"),
+        sum(when(col("variant") === 1 && col("conv") === 0, col("cnt"))
+          .otherwise(0L)).as("a1n"),
+        sum(when(col("variant") === 1 && col("conv") === 1, col("cnt"))
+          .otherwise(0L)).as("a1y")))
+    }),
+
     "st16_stream_benford" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "st16_benford_sink"
@@ -1194,6 +1224,7 @@ object SourceQueries extends QuerySet {
     "st18_stream_conformal" -> MlQueries.oracle("m18_conformal"),
     // streamed Benford counts must equal the a29 batch recipe verbatim
     "st16_stream_benford" -> OpsQueries.oracle("a29_benford"),
+    "st21_stream_ab_test" -> OpsQueries.oracle("a32_ab_test"),
     "st13_stream_histogram" ->
       """WITH h AS (SELECT event_type AS grp,
                       LEAST(GREATEST(CAST(floor(value / 25) AS INT), 0),

@@ -709,6 +709,24 @@ class AggregatesSpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("h")))
   }
 
+  test("theilSen: outlier-proof slope, lower-median rule, weights") {
+    // y = 2x + 1 with one wild outlier: pair slopes sorted
+    // [2, 2, 2, 33, 48.5, 95], W=6, lower-median rank 3 -> slope 2;
+    // residuals y - 2x = [1, 1, 1, 94], N=4, rank 2 -> intercept 1
+    val df = Seq((0L, 1L), (1L, 3L), (2L, 5L), (3L, 100L)).toDF("x", "y")
+    val r = graft.ops.Aggregates.theilSen(df, "x", "y").df.head()
+    assert(r.getAs[Long]("w_pairs") === 6L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    // duplicate rows act as cell weights: doubling the (1,3) row
+    // gives slope-2 pairs weight 5 of W=9, so the rank-5 lower
+    // median stays 2 (hand cum: 2->5, 33->6, 48.5->8, 95->9)
+    val dfW = df.union(Seq((1L, 3L)).toDF("x", "y"))
+    val rw = graft.ops.Aggregates.theilSen(dfW, "x", "y").df.head()
+    assert(rw.getAs[Long]("w_pairs") === 9L)
+    assert(rw.getAs[Double]("slope") === 2.0)
+  }
+
   test("cohensKappa: hand-computed agreement, degenerate constant pair") {
     // tn=40 fp=10 fn=20 tp=30: po=0.7, pe=0.5, kappa=0.4
     val rows = Seq.fill(40)((0, 0)) ++ Seq.fill(10)((0, 1)) ++
