@@ -1679,18 +1679,27 @@ object Aggregates {
       .select(((col("b.__y") - col("a.__y")).cast("double") /
         (col("b.__x") - col("a.__x")).cast("double")).as("__s"),
         (col("a.__c") * col("b.__c")).as("__w"))
+    // slopes feeds the prefix-sum machinery (2 subtrees) AND the
+    // total — persisted, or the cells² pair join re-executes per
+    // consumer; the 1-row slope frame goes through materializeBounded
+    // so its two downstream crossJoins read a LocalRelation instead of
+    // re-deriving the whole selection (the g11/kCore discipline)
     val slopes = pairs.groupBy(col("__s")).agg(sum(col("__w")).as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = bucketedPrefixSums(slopes, "__s", ascending = true,
       Seq("__w"))
     val wTot = slopes.agg(sum(col("__w")).as("__wtot"))
-    val slopeRow = cum.crossJoin(broadcast(wTot))
-      .filter(col("cum___w") >= expr("(__wtot + 1) div 2"))
-      .agg(min(col("__s")).as("__slope"), min(col("__wtot")).as("__wtot"))
+    val slopeRow = Layout.materializeBounded(
+      cum.crossJoin(broadcast(wTot))
+        .filter(col("cum___w") >= expr("(__wtot + 1) div 2"))
+        .agg(min(col("__s")).as("__slope"),
+          min(col("__wtot")).as("__wtot")))
     val resid = cells.crossJoin(broadcast(slopeRow))
       .select(round(col("__y").cast("double") -
         col("__slope") * col("__x").cast("double"), 9).as("__r"),
         col("__c"))
       .groupBy(col("__r")).agg(sum(col("__c")).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rCum = bucketedPrefixSums(resid, "__r", ascending = true,
       Seq("__c"))
     val nTot = resid.agg(sum(col("__c")).as("__ntot"))
@@ -1700,7 +1709,10 @@ object Aggregates {
     val out = icptRow.crossJoin(broadcast(slopeRow))
       .select(col("__ntot").as("n"), col("__wtot").as("w_pairs"),
         col("__slope").as("slope"), col("__icept").as("intercept"))
-    Cached(out, Seq(cells))
+    val backing = scala.collection.mutable.ArrayBuffer(cells, slopes, resid)
+    if (slopeRow.storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE) backing += slopeRow
+    Cached(out, backing.toSeq)
   }
 
   /** KRUSKAL–WALLIS H with tie correction — [[mannWhitneyU]] extended
