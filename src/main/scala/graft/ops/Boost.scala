@@ -105,8 +105,14 @@ object Boost {
       val lam = lit(lambda)
       val scored = perFeat.crossJoin(broadcast(tot))
         .filter(col("__cl") < col("__tc")) // max value: right side empty
+        // gain rounds at 7dp, not the 9dp of g/h/weights: the gain is
+        // a three-term double chain whose value can sit within an ulp
+        // of a .5e-9 boundary, where Spark's exact BigDecimal HALF_UP
+        // and DuckDB's scaled-multiply round() disagree (observed once
+        // at sf0.001: 0.686135906 vs ...905). 7dp drops the boundary
+        // probability 100× and is ample split-selection resolution.
         .withColumn("__gain", round((gl * gl) / (hl + lam)
-          + (gr * gr) / (hr + lam) - (g * g) / (h + lam), 9))
+          + (gr * gr) / (hr + lam) - (g * g) / (h + lam), 7))
         .withColumn("__wl", round(-gl / (hl + lam), 9))
         .withColumn("__wr", round(-gr / (hr + lam), 9))
         .agg(min_by(

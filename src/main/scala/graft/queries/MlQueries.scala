@@ -395,7 +395,7 @@ object MlQueries extends QuerySet {
          b$t AS (SELECT feat, v,
                    round(((gl2 * gl2) / (hl2 + 1.0)
                           + (gr2 * gr2) / (hr2 + 1.0))
-                         - ((tg2 * tg2) / (th2 + 1.0)), 9) AS gain,
+                         - ((tg2 * tg2) / (th2 + 1.0)), 7) AS gain,
                    round(-(gl2) / (hl2 + 1.0), 9) AS wl,
                    round(-(gr2) / (hr2 + 1.0), 9) AS wr
                  FROM (SELECT feat, v,

@@ -23,7 +23,7 @@ class BoostSpec extends SparkSpec {
       .first()
     assert(r.getAs[String]("feat") == "x1", s"feat: $r")
     assert(r.getAs[Long]("threshold") == 1L)
-    assert(math.abs(r.getAs[Double]("gain") - 2.571428571) < 1e-8)
+    assert(math.abs(r.getAs[Double]("gain") - 2.571428571) < 1e-6)
     assert(math.abs(r.getAs[Double]("w_left") + 0.857142857) < 1e-8)
     assert(math.abs(r.getAs[Double]("w_right") - 0.857142857) < 1e-8)
     assert(r.getAs[Long]("tp") == 3L && r.getAs[Long]("tn") == 3L &&
