@@ -1129,6 +1129,62 @@ object Similarity {
     selected
   }
 
+  /** Engine-portable IVF candidate kNN by L2 — [[ivfTopKPortable]]'s
+    * cell machinery (md5-Rademacher sign-cone cells, Hamming-nearest
+    * nprobe probing) finished with [[bruteForceTopKL2]]'s exact
+    * −‖v−q‖² scoring instead of cosine. This is the 100-TB kNN stage
+    * for the metric consumers ([[lofFromKnn]], [[knnVoteFromKnn]]):
+    * the corpus joins on the cell key (scan prunes to ~nprobe/2^nPlanes
+    * of the data), the finisher is the bounded mergeable top-k, and
+    * every stage replays in DuckDB — same hash-oracle status as n02b.
+    * With `nprobe = 1 << nPlanes` every cell is probed and the result
+    * is EXACTLY [[bruteForceTopKL2]] (the LofSpec recall-1.0 gate).
+    * Output: (query_id, vec_id, negl2, rank).
+    */
+  def ivfTopKL2Portable(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        nPlanes: Int = 3, nprobe: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 16, "nPlanes must be in [1,16]")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val planes = projectionSigns(dim, nPlanes, seed)
+    val nCells = 1 << nPlanes
+    def cellOf(v: Column): Column = (0 until nPlanes).map { j =>
+      when(dot(v, typedLit(planes(j).toSeq)) >= 0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    val c = Layout.fanOut(corpus)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv2", dot(col("v"), col("v")))
+      .withColumn("cell", cellOf(col("v")))
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("qv"))
+      .withColumn("nq2", dot(col("qv"), col("qv")))
+      .withColumn("qcell", cellOf(col("qv")))
+    val cells = corpus.sparkSession.range(nCells)
+      .select(col("id").cast("int").as("cell"))
+    // bounded by queries × 2^nPlanes rows (both broadcast-small) —
+    // the same window-bound argument as ivfTopKPortable's probe rank
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(cells))
+      .withColumn("ham", bit_count(col("qcell").bitwiseXOR(col("cell"))))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("nq2"), col("cell"))
+    // no broadcast hint on probed: unlike the cosine variant (n01
+    // contract — bounded query set), the metric consumers run this
+    // SELF-kNN with queries = corpus, so probed is n·nprobe rows. AQE
+    // broadcasts it at audit sizes and keeps the cell equi-join
+    // shuffled-hash at corpus scale; a forced broadcast here would be
+    // the 8 GB wall the lofFromKnn factoring exists to avoid.
+    val scored = c.join(probed, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("negl2",
+        -(col("nv2") + col("nq2") - lit(2.0) * dot(col("v"), col("qv"))))
+    topKFinish(scored, "negl2", k)
+  }
+
   /** Brute-force NEAREST-by-L2 top-k, the metric twin of
     * [[bruteForceTopK]]: score = −‖v−q‖² expanded to
     * −(v·v + q·q − 2 v·q) with the self-dots computed once per
@@ -1168,38 +1224,67 @@ object Similarity {
     *
     * Scale shape: exact LOF is O(n²) — `points` must be a bounded
     * candidate set (the n01 contract: the query side broadcasts). The
-    * 100-TB path swaps the kNN stage for the LSH-bucketed (n04) or
-    * IVF (n02) candidate frame — the reach/lrd/ratio algebra consumes
-    * any (p, o, d2) neighbor frame unchanged.
+    * 100-TB path is [[lofFromKnn]]: swap the kNN stage for the
+    * IVF-bucketed candidate frame ([[ivfTopKL2Portable]], n16b) — the
+    * reach/lrd/ratio algebra consumes any (p, o, d2) neighbor frame
+    * unchanged.
     *
     * Output per point: `vec_id`, `kdist`, `lrd`, `lof` (7dp).
     */
   def lofOutliers(points: DataFrame, idCol: String, vecCol: String,
-                  k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val knn = bruteForceTopKL2(points, points, idCol, vecCol, k)
+                  k: Int): DataFrame =
+    lofFromKnn(bruteForceTopKL2(points, points, idCol, vecCol, k)
       .select(col("query_id").as("p"), col("vec_id").as("o"),
-        (-col("negl2")).as("d2"))
+        (-col("negl2")).as("d2")), k)
+
+  /** [[lofOutliers]]'s reach/lrd/ratio algebra factored over ANY
+    * precomputed kNN frame — the r9-verdict mandate that turns the
+    * "100-TB path" from documentation into an API. `knn` carries one
+    * row per (point p, neighbor o) with `d2` = squared L2 distance,
+    * exactly k neighbors per point (the top-k contract); the algebra
+    * computes k-distance, reach-distance, lrd, and the LOF ratio from
+    * that frame alone — no access to the vectors.
+    *
+    * Contract: LOF is defined over ONE point set, so every id
+    * appearing as a neighbor `o` must also appear as a query `p`
+    * (self-kNN shape); a neighbor with no own k-distance would
+    * silently shrink its reach sum through the inner join. When the
+    * frame comes from an ANN index ([[ivfTopKL2Portable]]), the
+    * k-distances are the index's approximate ones — the standard
+    * approximate-LOF semantics; at `nprobe = 2^nPlanes` (recall 1.0)
+    * the result is bit-equal to [[lofOutliers]] (LofSpec gate).
+    *
+    * Scale shape: three self-joins on point ids (broadcast when the
+    * per-point aggregates are bounded; hash otherwise) over a frame of
+    * n·k rows — linear in the corpus once the kNN stage is sublinear,
+    * which is what kills the exact form's n² term (SCALEPROBE §r10).
+    */
+  def lofFromKnn(knn: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the per-point aggregate frames (kd, sums) are O(n) rows — no
+    // broadcast hints: AQE converts these equi-joins to broadcast at
+    // audit sizes and keeps them shuffled-hash at corpus scale (a
+    // forced broadcast here would be the 8 GB wall at 100 TB)
     val kd = knn.groupBy(col("p").as("kp")).agg(max(col("d2")).as("kd2"))
-    val reach = knn.join(broadcast(kd), col("o") === col("kp"))
+    val reach = knn.join(kd, col("o") === col("kp"))
       .withColumn("reach",
         round(sqrt(greatest(col("kd2"), col("d2"))), 7)
           .cast("decimal(27,7)"))
     val sums = reach.groupBy(col("p")).agg(sum(col("reach")).as("rsum"))
     val ratio = knn
-      .join(broadcast(sums.select(col("p").as("sp"),
-        col("rsum").as("sum_p"))), col("p") === col("sp"))
-      .join(broadcast(sums.select(col("p").as("so"),
-        col("rsum").as("sum_o"))), col("o") === col("so"))
+      .join(sums.select(col("p").as("sp"),
+        col("rsum").as("sum_p")), col("p") === col("sp"))
+      .join(sums.select(col("p").as("so"),
+        col("rsum").as("sum_o")), col("o") === col("so"))
       .withColumn("r",
         when(col("sum_o").cast("double") > 0,
           round(col("sum_p").cast("double") /
             col("sum_o").cast("double"), 7))
           .cast("decimal(27,7)"))
     val lof = ratio.groupBy(col("p")).agg(sum(col("r")).as("sum_r"))
-    lof.join(broadcast(kd), col("p") === col("kp"))
-      .join(broadcast(sums.select(col("p").as("sq"),
-        col("rsum").as("rsum"))), col("p") === col("sq"))
+    lof.join(kd, col("p") === col("kp"))
+      .join(sums.select(col("p").as("sq"),
+        col("rsum").as("rsum")), col("p") === col("sq"))
       .select(col("p").as("vec_id"),
         round(sqrt(col("kd2")), 7).as("kdist"),
         when(col("rsum").cast("double") > 0,
@@ -1221,10 +1306,10 @@ object Similarity {
     * distance ordering itself.
     *
     * Scale shape: the query side broadcasts (the n01 contract — bounded
-    * query set); the 100-TB path swaps the kNN stage for the IVF (n02)
-    * or LSH (n04) candidate frame, the vote algebra consumes any
-    * (query_id, vec_id, rank) neighbor frame unchanged via the
-    * labeled corpus join.
+    * query set); the 100-TB path is [[knnVoteFromKnn]] — swap the kNN
+    * stage for the IVF candidate frame ([[ivfTopKL2Portable]], n17b),
+    * the vote algebra consumes any (query_id, vec_id) neighbor frame
+    * unchanged via the labeled corpus join.
     *
     * Output per query: (query_id, true_label, pred_label, votes) —
     * `votes` = the winning label's neighbor count, `true_label` = the
@@ -1234,8 +1319,24 @@ object Similarity {
   def knnVote(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, labelCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val knn = bruteForceTopKL2(corpus, queries, idCol, vecCol, k)
-    val voted = knn
+    knnVoteFromKnn(bruteForceTopKL2(corpus, queries, idCol, vecCol, k),
+      corpus, queries, idCol, labelCol)
+  }
+
+  /** [[knnVote]]'s vote algebra factored over ANY precomputed neighbor
+    * frame (the [[lofFromKnn]] companion): `knn` carries one row per
+    * (query_id, vec_id) neighbor pair — from [[bruteForceTopKL2]],
+    * [[ivfTopKL2Portable]], or any external index dump. The vote joins
+    * the labeled corpus on the neighbor id, counts per (query, label),
+    * and takes one mergeable max_by argmax (ties to the smallest
+    * label) — no window, no access to the vectors. Scale shape: two
+    * hash aggregations + two equi-joins over n·k rows — linear once
+    * the kNN stage is sublinear.
+    */
+  def knnVoteFromKnn(knn: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, idCol: String,
+                     labelCol: String): DataFrame = {
+    val voted = knn.select(col("query_id"), col("vec_id"))
       .join(corpus.select(col(idCol).as("vec_id"),
         col(labelCol).as("__nl")), Seq("vec_id"))
       .groupBy(col("query_id"), col("__nl"))

@@ -58,13 +58,31 @@ object SimilarityQueries extends QuerySet {
     // Local Outlier Factor over a bounded embedding slice: exact kNN
     // (the n01 broadcast-NL parity axis), reach-distances 7dp→DECIMAL,
     // lrd/LOF density ratios fixed-order — the locally-adaptive
-    // anomaly score, fully replayed by DuckDB. The 100-TB path feeds
-    // the same reach/lrd algebra from the n02/n04 candidate frames.
+    // anomaly score, fully replayed by DuckDB. The 100-TB path is
+    // n16b: the same reach/lrd algebra fed from the IVF candidate
+    // frame via lofFromKnn.
     "n16_lof" -> ((s, d) =>
       Similarity.lofOutliers(
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
         "vec_id", "embedding", k = 5)
         .orderBy(col("vec_id"))),
+
+    // ANN-fed LOF — the 100-TB composition as an API, not prose: the
+    // kNN stage is the portable IVF-L2 index (sign-cone cells, nprobe
+    // Hamming-nearest probing — the n02b machinery with exact −‖v−q‖²
+    // scoring), lofFromKnn consumes its (p, o, d2) frame unchanged.
+    // Approximate-LOF semantics (k-distances are the index's); every
+    // stage — cells, probe ranks, L2 scores, reach/lrd/ratio — replays
+    // in DuckDB, so the SCALE path itself is hash-checked. LofSpec
+    // gates ANN-fed ≡ exact at nprobe = 2^nPlanes (recall 1.0).
+    "n16b_lof_ann" -> ((s, d) => {
+      val pts = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val knn = Similarity.ivfTopKL2Portable(pts, pts,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id").as("p"), col("vec_id").as("o"),
+          (-col("negl2")).as("d2"))
+      Similarity.lofFromKnn(knn, k = 5).orderBy(col("vec_id"))
+    }),
 
     // kNN majority-vote classification of the first 20 vectors from
     // their 5 nearest labeled neighbors (L2, the n01-proven negl2
@@ -74,6 +92,19 @@ object SimilarityQueries extends QuerySet {
       val emb = Tables.embeddings(s, d)
       Similarity.knnVote(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // ANN-fed kNN vote (the n16b composition applied to n17): the
+    // IVF-L2 candidate frame feeds knnVoteFromKnn's vote algebra —
+    // label transfer whose kNN stage prunes to nprobe/2^nPlanes of
+    // the corpus. Hash-checked end to end like n16b.
+    "n17b_knn_vote_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val knn = Similarity.ivfTopKL2Portable(emb, qs,
+        "vec_id", "embedding", k = 5)
+      Similarity.knnVoteFromKnn(knn, emb, qs, "vec_id", "label")
         .orderBy(col("query_id"))
     }),
 
@@ -483,6 +514,51 @@ object SimilarityQueries extends QuerySet {
          SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""
 
+  /** Shared CTE prefix replaying [[Similarity.ivfTopKL2Portable]]
+    * (nPlanes=3, nprobe=3, seed=42, k=5): the n02b sign-cone cell
+    * machinery with exact −‖v−q‖² scoring. Ends at a `knn` CTE of
+    * (query_id, vec_id, negl2) — callers append their consumer CTEs
+    * to the same WITH list (LOF algebra for n16b, the vote for n17b),
+    * so the index replay can never drift between the two oracles.
+    */
+  private def ivfL2KnnSql(corpusWhere: String, queryWhere: String): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings $corpusWhere),
+       d AS (SELECT len(v) AS dim FROM e LIMIT 1),
+       pl AS (SELECT j, list(CASE WHEN substr(
+                      md5('rp42_' || i || '_' || j), 1, 1)
+                      IN ('0','2','4','6','8','a','c','e')
+                    THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+             FROM (SELECT unnest(range(0, (SELECT dim FROM d))) AS i),
+                  (SELECT unnest(range(0, 3)) AS j)
+             GROUP BY j),
+       cl AS (SELECT e.vec_id, e.v,
+                list_dot_product(e.v, e.v) AS nv2,
+                CAST(SUM(CASE WHEN list_dot_product(e.v, pl.sv) >= 0
+                      THEN (1 << pl.j) ELSE 0 END) AS INT) AS cell
+              FROM e, pl GROUP BY e.vec_id, e.v),
+       q AS (SELECT vec_id AS query_id, v AS qv, nv2 AS nq2,
+                    cell AS qcell
+             FROM cl $queryWhere),
+       probe AS (SELECT query_id, qv, nq2, cell FROM (
+                SELECT q.query_id, q.qv, q.nq2,
+                  CAST(r.range AS INT) AS cell,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY bit_count(xor(q.qcell,
+                      CAST(r.range AS INT))), r.range) AS pr
+                FROM q CROSS JOIN range(0, 8) r)
+              WHERE pr <= 3),
+       sc AS (SELECT p.query_id, c.vec_id,
+                -(c.nv2 + p.nq2
+                  - 2.0 * list_dot_product(c.v, p.qv)) AS negl2
+              FROM probe p JOIN cl c ON c.cell = p.cell
+              WHERE c.vec_id <> p.query_id),
+       rk AS (SELECT query_id, vec_id, negl2,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY negl2 DESC, vec_id ASC) AS rank
+              FROM sc),
+       knn AS (SELECT query_id, vec_id, negl2 FROM rk WHERE rank <= 5)"""
+
   def oracle: Map[String, String] = Map(
     // recall@10 of the portable IVF pipeline against the exact
     // brute-force oracle — the audit every ANN deployment runs; both
@@ -582,6 +658,51 @@ object SimilarityQueries extends QuerySet {
                 round(CAST(lf.sum_r AS DOUBLE) / 5.0, 7) AS lof
          FROM lf JOIN kd ON lf.p = kd.kp JOIN sm ON lf.p = sm.p
          ORDER BY vec_id""",
+    // n16b: the IVF-L2 index replay (shared prefix) feeding the SAME
+    // reach/lrd/LOF tail as n16 — the hash check covers the whole
+    // scale path, index included
+    "n16b_lof_ann" ->
+      s"""${ivfL2KnnSql("WHERE vec_id < 300", "")},
+         nn AS (SELECT query_id AS p, vec_id AS o, -(negl2) AS d2
+                FROM knn),
+         kd AS (SELECT p AS kp, MAX(d2) AS kd2 FROM nn GROUP BY 1),
+         rch AS (SELECT nn.p,
+                   CAST(round(sqrt(greatest(kd.kd2, nn.d2)), 7)
+                        AS DECIMAL(27,7)) AS reach
+                 FROM nn JOIN kd ON nn.o = kd.kp),
+         sm AS (SELECT p, SUM(reach) AS rsum FROM rch GROUP BY 1),
+         rt AS (SELECT k.p,
+                  CASE WHEN CAST(so.rsum AS DOUBLE) > 0
+                       THEN CAST(round(CAST(sp.rsum AS DOUBLE)
+                                       / CAST(so.rsum AS DOUBLE), 7)
+                                 AS DECIMAL(27,7)) END AS r
+                FROM nn k JOIN sm sp ON k.p = sp.p
+                           JOIN sm so ON k.o = so.p),
+         lf AS (SELECT p, SUM(r) AS sum_r FROM rt GROUP BY 1)
+         SELECT lf.p AS vec_id,
+                round(sqrt(kd.kd2), 7) AS kdist,
+                CASE WHEN CAST(sm.rsum AS DOUBLE) > 0
+                     THEN round(5.0 / CAST(sm.rsum AS DOUBLE), 7)
+                END AS lrd,
+                round(CAST(lf.sum_r AS DOUBLE) / 5.0, 7) AS lof
+         FROM lf JOIN kd ON lf.p = kd.kp JOIN sm ON lf.p = sm.p
+         ORDER BY vec_id""",
+
+    // n17b: the same index replay feeding the n17 vote tail
+    "n17b_knn_vote_ann" ->
+      s"""${ivfL2KnnSql("", "WHERE vec_id < 20")},
+         vt AS (SELECT k.query_id, e.label AS nl, COUNT(*) AS votes
+                FROM knn k JOIN e ON k.vec_id = e.vec_id
+                GROUP BY 1, 2),
+         wn AS (SELECT query_id, nl, votes,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, nl ASC) AS r
+                FROM vt)
+         SELECT w.query_id, e.label AS true_label,
+                w.nl AS pred_label, w.votes
+         FROM wn w JOIN e ON w.query_id = e.vec_id
+         WHERE w.r = 1 ORDER BY w.query_id""",
+
     "n14_mmr_rerank" -> n14Sql,
     "n15_rrf_fusion" -> n15Sql,
     "n13_retrieval_metrics" ->

@@ -65,6 +65,50 @@ class LofSpec extends SparkSpec {
     assert(out(5L) === ((1, 1, 2L)))
   }
 
+  test("ANN-fed LOF ≡ exact LOF when the index recall is 1.0") {
+    // nprobe = 2^nPlanes probes every cell, so ivfTopKL2Portable's
+    // scored set is exactly bruteForceTopKL2's — lofFromKnn must then
+    // be bit-equal to lofOutliers (the n16b contract)
+    val knn = Similarity.ivfTopKL2Portable(pts, pts, "vec_id",
+        "embedding", k = 2, nPlanes = 3, nprobe = 8)
+      .select($"query_id".as("p"), $"vec_id".as("o"),
+        (-$"negl2").as("d2"))
+    val ann = Similarity.lofFromKnn(knn, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("kdist"), r.getAs[Any]("lrd"),
+          r.getAs[Double]("lof"))).toMap
+    val exact = Similarity.lofOutliers(pts, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("kdist"), r.getAs[Any]("lrd"),
+          r.getAs[Double]("lof"))).toMap
+    assert(ann === exact)
+  }
+
+  test("ANN-fed LOF at partial probe still ranks the outlier first") {
+    val knn = Similarity.ivfTopKL2Portable(pts, pts, "vec_id",
+        "embedding", k = 2, nPlanes = 3, nprobe = 3)
+      .select($"query_id".as("p"), $"vec_id".as("o"),
+        (-$"negl2").as("d2"))
+    val out = Similarity.lofFromKnn(knn, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("lof")).toMap
+    assert(out.nonEmpty && out.maxBy(_._2)._1 == 5L, s"got $out")
+  }
+
+  test("ANN-fed knnVote ≡ exact knnVote at full probe") {
+    val qs = labeled.filter($"vec_id" < 6L)
+    val knn = Similarity.ivfTopKL2Portable(labeled, qs, "vec_id",
+      "embedding", k = 3, nPlanes = 3, nprobe = 8)
+    val ann = Similarity.knnVoteFromKnn(knn, labeled, qs,
+        "vec_id", "label")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val exact = Similarity.knnVote(labeled, qs, "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(ann === exact)
+  }
+
   test("knnVote: a 2-2 split breaks the tie to the smallest label") {
     val qs = labeled.filter($"vec_id" === 2L)
     // q2 at 2.0: 4-NN = {1, 0, 3, 4} -> labels {0, 0, 1, 1}
