@@ -1265,6 +1265,33 @@ object Aggregates {
         }, 9).as("chi2_term"))
   }
 
+  /** Runtime enforcement of the domain² pair-join contract shared by
+    * [[kendallTauB]] and [[theilSen]]: both θ-join the (x, y) cell
+    * histogram against itself, so cost is quadratic in the CELL count
+    * — constant under row-count scale-up only when the columns are
+    * integer-quantized (cents, buckets, grades — the a41/a46
+    * contract). A continuous DOUBLE column silently makes cells ≈ rows
+    * and the join rows². The doc line was the only guard until r10
+    * (r9 verdict "what's wrong #2"); this counts the cells (one cheap
+    * aggregate that eagerly pins an already-persisted histogram — the
+    * materializeBounded discipline) and REFUSES to plan the quadratic
+    * join past `maxCells`, the [[graft.ops.Layout]] `maxFrontier` /
+    * `maxBucket` refusal pattern.
+    */
+  private def requireBoundedCells(cells: DataFrame, maxCells: Int,
+                                  op: String): Unit = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val n = cells.count()
+    require(n <= maxCells,
+      s"$op: $n distinct (x, y) cells exceeds maxCells=$maxCells. " +
+        "The pairwise stage is quadratic in the CELL count, so these " +
+        "ops contract on QUANTIZED bounded-domain columns (cast to " +
+        "cents/buckets/grades first — the kendallTauB/theilSen " +
+        "quantization contract); a continuous DOUBLE column makes " +
+        "cells ~ rows and the join rows^2. Quantize the column, or " +
+        "raise maxCells deliberately after costing cells^2/2 pairs.")
+  }
+
   /** KENDALL'S τ-b — the tie-corrected rank correlation (Kendall 1945)
     * over two INTEGER-QUANTIZED ordinal columns: concordant minus
     * discordant pair counts, normalized by the tie-adjusted pair
@@ -1276,26 +1303,28 @@ object Aggregates {
     * HISTOGRAM, concordant/discordant counts come from one cell-pair
     * θ-join (`a.x < b.x`, y compared both ways — cost |X|·|Y| squared,
     * independent of row count; the caller quantizes to keep domains
-    * bounded, the same contract as [[equidepthBins]]), tie terms from
+    * bounded, the same contract as [[equidepthBins]], enforced at
+    * runtime by [[requireBoundedCells]] via `maxCells`), tie terms from
     * the marginals, and τ-b is one fixed-order double chain, 7dp.
     * Degenerate inputs (all ties on either axis) yield null.
     *
     * Output (one row): n, n_pairs, concordant, discordant, tau_b.
     */
-  def kendallTauB(df: DataFrame, xCol: String, yCol: String): DataFrame =
-    kendallTauBImpl(df, xCol, yCol, persist = false).df
+  def kendallTauB(df: DataFrame, xCol: String, yCol: String,
+                  maxCells: Int = 8192): DataFrame =
+    kendallTauBImpl(df, xCol, yCol, persist = false, maxCells).df
 
   /** [[kendallTauB]] with the cell histogram persisted (it feeds both
     * sides of the cell-pair θ-join and both marginals) and handed back
     * for release — the form the bench queries run. The plain form is
     * unhinted: leak-free, re-counting cells up to four times.
     */
-  def kendallTauBCached(df: DataFrame, xCol: String,
-                        yCol: String): Cached =
-    kendallTauBImpl(df, xCol, yCol, persist = true)
+  def kendallTauBCached(df: DataFrame, xCol: String, yCol: String,
+                        maxCells: Int = 8192): Cached =
+    kendallTauBImpl(df, xCol, yCol, persist = true, maxCells)
 
   private def kendallTauBImpl(df: DataFrame, xCol: String, yCol: String,
-                              persist: Boolean): Cached = {
+                              persist: Boolean, maxCells: Int): Cached = {
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).cast("long").as("__x"),
@@ -1305,6 +1334,7 @@ object Aggregates {
         if (persist) d.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         else d)
+    requireBoundedCells(cells, maxCells, "kendallTauB")
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // pair products and tie terms accumulate as DECIMAL(38,0): in
     // long they pass 2^63 around n ~ 4e9 rows (ANSI hard-fail) while
@@ -1656,7 +1686,8 @@ object Aggregates {
     * OLS moves with every outlier. Slopes are taken between DISTINCT
     * (x, y) cells weighted by count products (pair space = domain²,
     * not rows² — the columns must be bounded-domain, the a41
-    * contract); equal-x pairs carry no slope (the standard rule).
+    * contract, enforced at runtime by [[requireBoundedCells]] via
+    * `maxCells`); equal-x pairs carry no slope (the standard rule).
     *
     * Exactness: each slope is one IEEE division of exact integer
     * differences (bit-identical on any engine), the weighted LOWER
@@ -1669,11 +1700,13 @@ object Aggregates {
     *
     * Output (one row): n, w_pairs, slope, intercept.
     */
-  def theilSen(df: DataFrame, xCol: String, yCol: String): Cached = {
+  def theilSen(df: DataFrame, xCol: String, yCol: String,
+               maxCells: Int = 8192): Cached = {
     val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    requireBoundedCells(cells, maxCells, "theilSen")
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.__x") < col("b.__x"))
       .select(((col("b.__y") - col("a.__y")).cast("double") /
@@ -1733,16 +1766,22 @@ object Aggregates {
     * — bit-identical in any engine — cast to DECIMAL(38,7) so the
     * cross-group sum is order-free, and the final H/H' is one double
     * chain, 7dp. Output (one row): n, k, h (tie-corrected; null when
-    * k < 2 or every value ties).
+    * k < 2 or every value ties). Returns [[Cached]]: hg feeds perV and
+    * perG, perV feeds ranked and ties — persisted so the source scan
+    * and group-bys run once per consumer set (the theilSen/a46
+    * multi-consumer discipline), handed back for release.
     */
   def kruskalWallisH(df: DataFrame, groupCol: String,
-                     xCol: String): DataFrame = {
+                     xCol: String): Cached = {
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val hg = df
       .filter(col(xCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(xCol).as("v"), col(groupCol).as("g"))
       .agg(count(lit(1)).as("c"))
+      .persist(disk)
     val perV = hg.groupBy(col("v")).agg(sum(col("c")).as("t"))
+      .persist(disk)
     val ranked = bucketedPrefixSums(perV, "v", ascending = true, Seq("t"))
       .withColumn("hi", col("cum_t"))
       .withColumn("lo", col("hi") - col("t") + 1)
@@ -1763,7 +1802,7 @@ object Aggregates {
     val agg = perG.agg(
       sum(col("ni")).as("n"), count(lit(1)).as("k"),
       sum(col("__z")).cast("double").as("s"))
-    agg.crossJoin(broadcast(ties))
+    val out = agg.crossJoin(broadcast(ties))
       .withColumn("nd", col("n").cast("double"))
       .withColumn("h",
         lit(12.0) / (col("nd") * (col("nd") + 1.0)) * col("s") -
@@ -1774,5 +1813,6 @@ object Aggregates {
       .select(col("n"), col("k"),
         when(col("k") >= 2 && col("corr") > 0.0,
           round(col("h") / col("corr"), 7)).as("h"))
+    Cached(out, Seq(hg, perV))
   }
 }

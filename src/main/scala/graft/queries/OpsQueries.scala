@@ -422,7 +422,7 @@ object OpsQueries extends QuerySet {
         Tables.events(s, d).filter(col("value").isNotNull)
           .select(col("event_type"),
             round(col("value") * 100).cast("bigint").as("cents")),
-        "event_type", "cents")),
+        "event_type", "cents").df),
 
     // Welch's unequal-variance t statistic: purchase vs view spend
     // cents, one conditional-moment pass, statistic + Satterthwaite

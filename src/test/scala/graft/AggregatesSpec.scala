@@ -696,16 +696,16 @@ class AggregatesSpec extends SparkSpec {
     // H = 12/20 * (9/2 + 49/2) - 15 = 2.4, no ties
     val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
       .toDF("g", "x")
-    val r = graft.ops.Aggregates.kruskalWallisH(df, "g", "x").head()
+    val r = graft.ops.Aggregates.kruskalWallisH(df, "g", "x").df.head()
     assert(r.getAs[Long]("n") === 4L && r.getAs[Long]("k") === 2L)
     assert(approx(r.getAs[Double]("h"), 2.4))
     // every value ties -> correction hits 0 -> null
     val df2 = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("g", "x")
-    val r2 = graft.ops.Aggregates.kruskalWallisH(df2, "g", "x").head()
+    val r2 = graft.ops.Aggregates.kruskalWallisH(df2, "g", "x").df.head()
     assert(r2.isNullAt(r2.fieldIndex("h")))
     // single group -> k < 2 -> null
     val df3 = Seq(("a", 1L), ("a", 2L)).toDF("g", "x")
-    val r3 = graft.ops.Aggregates.kruskalWallisH(df3, "g", "x").head()
+    val r3 = graft.ops.Aggregates.kruskalWallisH(df3, "g", "x").df.head()
     assert(r3.isNullAt(r3.fieldIndex("h")))
   }
 
@@ -725,6 +725,30 @@ class AggregatesSpec extends SparkSpec {
     val rw = graft.ops.Aggregates.theilSen(dfW, "x", "y").df.head()
     assert(rw.getAs[Long]("w_pairs") === 9L)
     assert(rw.getAs[Double]("slope") === 2.0)
+  }
+
+  test("theilSen/kendallTauB refuse an unquantized (cells > maxCells) " +
+      "input, naming the quantization contract") {
+    // a continuous-style column: every row its own cell, so the pair
+    // join would be rows² — the guard must refuse BEFORE planning it
+    val wide = (1L to 50L).map(i => (i, i * 7 + 3)).toDF("x", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Aggregates.theilSen(wide, "x", "y", maxCells = 10).df
+        .head()
+    }
+    assert(e1.getMessage.contains("quantization contract"),
+      e1.getMessage)
+    assert(e1.getMessage.contains("maxCells=10"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.Aggregates.kendallTauB(wide, "x", "y", maxCells = 10)
+        .head()
+    }
+    assert(e2.getMessage.contains("quantization contract"),
+      e2.getMessage)
+    // quantized inputs (few distinct cells) pass under the same cap
+    val q = wide.select((col("x") % 3).as("x"), (col("y") % 2).as("y"))
+    assert(graft.ops.Aggregates.theilSen(q, "x", "y", maxCells = 10)
+      .df.count() === 1L)
   }
 
   test("cohensKappa: hand-computed agreement, degenerate constant pair") {
