@@ -122,4 +122,66 @@ object TreeScorer {
     model.trees.zip(model.treeWeights).map { case (t, w) =>
       w -> fromMllib(t.rootNode, featNames)
     }.toSeq
+
+  // ---------- random-forest serving (m12d) ----------
+
+  /** Score a frame through a fixed random-forest CLASSIFICATION
+    * ensemble (binary): each tree's leaf literal is its P(class 1)
+    * vote — the per-leaf class-count normalization
+    * `RandomForestClassificationModel.predictRaw` performs per tree —
+    * and the ensemble folds the votes STRICTLY left-to-right from 0.0
+    * in tree order (predictRaw's loop). Appends `vote_sum` (raw, for
+    * the MLSpec parity gate), `probaCol` = round(vote_sum/numTrees, 7)
+    * — MLlib's `normalize(votes)` for the binary case — and `predCol`
+    * = argmax with MLlib's tie rule (equal votes → class 0, so the
+    * threshold is STRICT `> 0.5`, unlike the logistic/GBT `≥`).
+    * Same scale shape as [[scoreGbt]]: one codegen'd stateless
+    * projection, no shuffle.
+    */
+  def scoreRf(df: DataFrame, trees: Seq[TreeNode],
+              probaCol: String = "proba",
+              predCol: String = "pred"): DataFrame = {
+    require(trees.nonEmpty, "at least one tree")
+    df.withColumn("vote_sum",
+        trees.foldLeft(lit(0.0))((acc, t) => acc + treeCol(t)))
+      .withColumn(probaCol,
+        round(col("vote_sum") / lit(trees.size.toDouble), 7))
+      .withColumn(predCol, when(col(probaCol) > 0.5, 1).otherwise(0))
+  }
+
+  /** [[scoreRf]]'s vote-sum oracle twin, parenthesized identically. */
+  def rfVoteSql(trees: Seq[TreeNode]): String =
+    trees.foldLeft("(0.0)")((acc, t) => s"($acc + ${treeSql(t)})")
+
+  /** SQL for the 7dp RF probability over a `vote_sum` column. */
+  def rfProbaSql(voteExpr: String, numTrees: Int): String =
+    s"round($voteExpr / ${numTrees}.0, 7)"
+
+  /** Extract a fitted binary RF classifier as fixed probability-vote
+    * trees: leaf value = stats(1)/Σstats — the per-tree normalization
+    * inside `predictRaw` (zero-total leaves vote 0.0, matching its
+    * `total != 0` guard). Split extraction shares [[fromMllib]]'s
+    * continuous-split contract.
+    */
+  def fromRf(
+      model: org.apache.spark.ml.classification.RandomForestClassificationModel,
+      featNames: Seq[String]): Seq[TreeNode] = {
+    require(model.numClasses == 2,
+      s"binary forests only, got ${model.numClasses} classes")
+    def conv(node: org.apache.spark.ml.tree.Node): TreeNode = node match {
+      case l: org.apache.spark.ml.tree.LeafNode =>
+        val stats = org.apache.spark.ml.graft.TreeBridge.leafStats(l)
+        val total = stats.sum
+        Leaf(if (total != 0.0) stats(1) / total else 0.0)
+      case b: org.apache.spark.ml.tree.InternalNode => b.split match {
+        case cs: org.apache.spark.ml.tree.ContinuousSplit =>
+          Branch(featNames(cs.featureIndex), cs.threshold,
+            conv(b.leftChild), conv(b.rightChild))
+        case other =>
+          throw new IllegalArgumentException(
+            s"only continuous splits are extractable, got $other")
+      }
+    }
+    model.trees.map(t => conv(t.rootNode)).toSeq
+  }
 }

@@ -32,6 +32,25 @@ object MlQueries extends QuerySet {
         Branch("x_qty", 40.0, Leaf(0.2), Leaf(0.55))))
   }
 
+  /** m12d's fixed forest — leaf literals are P(class 1) VOTES in
+    * [0, 1] (the per-tree normalized class counts an RF leaf carries),
+    * shaped so the 3-tree mean crosses 0.5 in both directions across
+    * the lineitem feature ranges.
+    */
+  private val rfLiteralTrees: Seq[graft.ml.TreeScorer.TreeNode] = {
+    import graft.ml.TreeScorer.{Branch, Leaf}
+    Seq(
+      Branch("x_qty", 24.0,
+        Branch("x_disc", 0.05, Leaf(0.2), Leaf(0.7)),
+        Branch("x_tax", 0.04, Leaf(0.55), Leaf(0.9))),
+      Branch("x_disc", 0.07,
+        Branch("x_qty", 12.0, Leaf(0.1), Leaf(0.45)),
+        Leaf(0.95)),
+      Branch("x_tax", 0.02,
+        Leaf(0.35),
+        Branch("x_qty", 40.0, Leaf(0.6), Leaf(0.8))))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Hash-exact k-means (integer fixed-point Lloyd's, k=4, 3
     // iterations, grid-midpoint init) over (quantity, price-cents) —
@@ -165,6 +184,32 @@ object MlQueries extends QuerySet {
         col("l_discount").cast("double").as("x_disc"),
         col("l_tax").cast("double").as("x_tax"))
       graft.ml.TreeScorer.scoreGbt(feats, gbtLiteralTrees)
+        .groupBy(col("pred"),
+          floor(col("proba") * 10).cast("int").as("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("proba")
+            .cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+            .cast("double").as("proba_sum"),
+          sum(col("l_orderkey")).as("key_sum"))
+        .orderBy(col("pred"), col("band"))
+    }),
+
+    // M9 serving for RANDOM FORESTS on a fixed literal vote table —
+    // the last MLlib production path without a hash-green twin (r9
+    // verdict mandate #5): each tree's leaf is its P(class 1) vote,
+    // proba = 7dp mean of the left-to-right vote fold (MLlib
+    // predictRaw's loop + normalize), pred = argmax with ties to
+    // class 0 (strict > 0.5). Oracle generated from the SAME tree
+    // literals (rfVoteSql); MLSpec's gate proves the scorer ≡ a
+    // really-fitted RandomForestClassificationModel ≤1e-12. With m12b
+    // (LR) and m12c (GBT) this completes M6–M8 serving coverage.
+    "m12d_rf_score" -> ((s, d) => {
+      val feats = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("double").as("x_qty"),
+        col("l_discount").cast("double").as("x_disc"),
+        col("l_tax").cast("double").as("x_tax"))
+      graft.ml.TreeScorer.scoreRf(feats, rfLiteralTrees)
         .groupBy(col("pred"),
           floor(col("proba") * 10).cast("int").as("band"))
         .agg(count(lit(1)).as("n"),
@@ -657,6 +702,28 @@ object MlQueries extends QuerySet {
                FROM z),
          sc AS (SELECT l_orderkey, proba,
                   CASE WHEN proba >= 0.5 THEN 1 ELSE 0 END AS pred
+                FROM p)
+         SELECT pred, CAST(floor(proba * 10) AS INT) AS band,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(proba AS DECIMAL(20,9))) AS DOUBLE)
+                  AS proba_sum,
+                CAST(SUM(l_orderkey) AS BIGINT) AS key_sum
+         FROM sc GROUP BY pred, band ORDER BY pred, band""",
+    "m12d_rf_score" ->
+      s"""WITH f AS (SELECT l_orderkey,
+                      CAST(l_quantity AS DOUBLE) AS x_qty,
+                      CAST(l_discount AS DOUBLE) AS x_disc,
+                      CAST(l_tax AS DOUBLE) AS x_tax
+                    FROM lineitem),
+         z AS (SELECT l_orderkey,
+                 ${graft.ml.TreeScorer.rfVoteSql(rfLiteralTrees)}
+                   AS vote_sum
+               FROM f),
+         p AS (SELECT l_orderkey,
+                 ${graft.ml.TreeScorer.rfProbaSql("vote_sum", 3)} AS proba
+               FROM z),
+         sc AS (SELECT l_orderkey, proba,
+                  CASE WHEN proba > 0.5 THEN 1 ELSE 0 END AS pred
                 FROM p)
          SELECT pred, CAST(floor(proba * 10) AS INT) AS band,
                 COUNT(*) AS n,

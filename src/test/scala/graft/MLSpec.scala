@@ -195,6 +195,51 @@ class MLSpec extends SparkSpec {
     }
   }
 
+  test("m12d parity: fixed-structure scoreRf ≡ fitted RF serving path") {
+    // the m12c gate applied to forests: extract a really-fitted
+    // RandomForestClassificationModel's per-leaf class votes
+    // (TreeBridge.leafStats normalized — predictRaw's per-tree rule)
+    // and replay them through the pure-column scorer. vote_sum must
+    // match rawPrediction(1) to ≤1e-12 relative, proba the 7dp
+    // rounding of probability(1), pred the argmax away from the tie.
+    val df = (1 to 800).map { i =>
+      val x1 = (i % 50).toDouble
+      val x2 = ((i * 7) % 100) / 1000.0
+      val x3 = ((i * 13) % 80) / 1000.0
+      (i.toLong, x1, x2, x3, if (i % 50 < 25) 1 else 0)
+    }.toDF("id", "x1", "x2", "x3", "label")
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("x1", "x2", "x3")).setOutputCol("features")
+      .transform(df)
+    val rf = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setSeed(42).setNumTrees(5).setMaxDepth(3).fit(assembled)
+    val trees = graft.ml.TreeScorer.fromRf(rf, Seq("x1", "x2", "x3"))
+    assert(trees.length == 5)
+    val twin = graft.ml.TreeScorer.scoreRf(df, trees)
+      .select(col("id"), col("vote_sum"), col("proba"), col("pred"))
+    val mllib = rf.transform(assembled).select(col("id"),
+      element_at(org.apache.spark.ml.functions
+        .vector_to_array(col("rawPrediction")), 2).as("votes_ml"),
+      element_at(org.apache.spark.ml.functions
+        .vector_to_array(col("probability")), 2).as("proba_ml"),
+      col("prediction").cast("int").as("pred_ml"))
+    val rows = twin.join(mllib, "id").collect()
+    assert(rows.length == 800)
+    rows.foreach { r =>
+      val (v, vMl) =
+        (r.getAs[Double]("vote_sum"), r.getAs[Double]("votes_ml"))
+      assert(math.abs(v - vMl) <= 1e-12 * math.max(1.0, math.abs(vMl)),
+        s"vote drift at id ${r.getAs[Long]("id")}: $v vs $vMl")
+      val (p, pMl) = (r.getAs[Double]("proba"), r.getAs[Double]("proba_ml"))
+      assert(math.abs(p - pMl) <= 5.01e-8, // 7dp rounding of votes/n
+        s"proba drift: $p vs $pMl")
+      if (math.abs(pMl - 0.5) > 1e-6)
+        assert(r.getAs[Int]("pred") == r.getAs[Int]("pred_ml"),
+          s"pred drift at proba $pMl")
+    }
+  }
+
   test("M10: feature importances expose amount as a top signal") {
     val pre = FeaturePipeline.preprocess(raw)
       .withColumn("label", col("Is_Fraud").cast("int"))
