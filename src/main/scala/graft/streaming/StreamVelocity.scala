@@ -36,16 +36,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * that SPAN a batch boundary therefore under-count the earlier batch's
   * side by design; stage boundaries on range-partitioned time (or rely
   * on a single batch) for exact batch equivalence.
+  *
+  * VIOLATION VISIBILITY (r9 verdict mandate #6): the ordered-arrival
+  * assumption is now detected, not just documented. Every state
+  * carries the per-key event-time HIGH-WATER MARK across batches; a
+  * row arriving with ts strictly below it is an out-of-order arrival
+  * (the st19 late-audit shape applied to the state family), counted in
+  * the `ooo` column every emission carries. The documented
+  * as-of-arrival semantics still apply to the values — nothing is
+  * retracted or reordered — but a production monitor alarming on
+  * `ooo > 0` sees a violated assumption instead of silently-shifted
+  * numbers. Within one batch the event-time sort makes order moot, so
+  * only cross-batch regressions count — exactly the assumption's
+  * scope.
   */
 object StreamVelocity {
 
   case class TaggedEvent(user: Long, ts: Long, tag: String)
-  case class VelRow(user: Long, ts: Long, tag: String, velN: Int)
-  case class VelState(times: Seq[Long])
+  case class VelRow(user: Long, ts: Long, tag: String, velN: Int,
+                    ooo: Long)
+  case class VelState(times: Seq[Long], hwm: Long, ooo: Long)
 
   case class EwmaEvent(user: Long, ts: Long, id: Long, v: Double)
-  case class EwmaRow(user: Long, n: Long, ewma: Double)
-  case class EwmaState(n: Long, ewma: Double)
+  case class EwmaRow(user: Long, n: Long, ewma: Double, ooo: Long)
+  case class EwmaState(n: Long, ewma: Double, hwm: Long, ooo: Long)
+
+  /** Out-of-order arrivals in this batch: rows with event time
+    * strictly below the key's cross-batch high-water mark. `sorted`
+    * is the batch's event-time-ascending array, so one binary-search-
+    * style scan of the prefix suffices — but the array is small and a
+    * simple count is clearer.
+    */
+  private def countOoo(tss: Array[Long], hwm: Long): Long =
+    tss.count(_ < hwm).toLong
 
   /** Streaming per-entity EWMA baseline — `ops/Velocity.ewmaFinal`
     * maintained IN the stream: state per entity is TWO numbers (count
@@ -81,24 +104,30 @@ object StreamVelocity {
         (user: Long, rows: Iterator[EwmaEvent],
          state: GroupState[EwmaState]) =>
           val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
-          var (n, e) = state.getOption
-            .map(s0 => (s0.n, s0.ewma)).getOrElse((0L, 0.0))
+          val s0 = state.getOption.getOrElse(
+            EwmaState(0L, 0.0, Long.MinValue, 0L))
+          var (n, e) = (s0.n, s0.ewma)
+          val ooo = s0.ooo + countOoo(sorted.map(_.ts), s0.hwm)
+          val hwm =
+            if (sorted.isEmpty) s0.hwm
+            else math.max(s0.hwm, sorted.last.ts)
           var i = 0
           while (i < sorted.length) {
             e = if (n == 0L) sorted(i).v else e * beta + alpha * sorted(i).v
             n += 1
             i += 1
           }
-          state.update(EwmaState(n, e))
-          if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e))
+          state.update(EwmaState(n, e, hwm, ooo))
+          if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
           else Iterator.empty
       }
   }
 
   case class CusumEvent(user: Long, ts: Long, id: Long, cents: Long)
   case class CusumRow(user: Long, n: Long, alarms: Long,
-                      sp: Long, sn: Long)
-  case class CusumState(n: Long, sp: Long, sn: Long, al: Long)
+                      sp: Long, sn: Long, ooo: Long)
+  case class CusumState(n: Long, sp: Long, sn: Long, al: Long,
+                        hwm: Long, ooo: Long)
 
   /** Streaming two-sided CUSUM — `ops/Velocity.cusumFinal` maintained
     * IN the stream: regime-shift alarms AT SERVING TIME with four
@@ -127,7 +156,12 @@ object StreamVelocity {
         (user: Long, rows: Iterator[CusumEvent],
          state: GroupState[CusumState]) =>
           val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
-          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, Long.MinValue, 0L))
+          val ooo = st.ooo + countOoo(sorted.map(_.ts), st.hwm)
+          val hwm =
+            if (sorted.isEmpty) st.hwm
+            else math.max(st.hwm, sorted.last.ts)
           var i = 0
           while (i < sorted.length) {
             val d = sorted(i).cents - targetCents
@@ -135,13 +169,13 @@ object StreamVelocity {
             val sn1 = math.max(0L, st.sn - d)
             st =
               if (sp1 > hCents || sn1 > hCents)
-                CusumState(st.n + 1, 0L, 0L, st.al + 1)
-              else CusumState(st.n + 1, sp1, sn1, st.al)
+                CusumState(st.n + 1, 0L, 0L, st.al + 1, hwm, ooo)
+              else CusumState(st.n + 1, sp1, sn1, st.al, hwm, ooo)
             i += 1
           }
-          state.update(st)
+          state.update(st.copy(hwm = hwm, ooo = ooo))
           if (sorted.nonEmpty)
-            Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn))
+            Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn, ooo))
           else Iterator.empty
       }
   }
@@ -171,11 +205,16 @@ object StreamVelocity {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[TaggedEvent],
          state: GroupState[VelState]) =>
-          var times = state.getOption.map(_.times.toVector)
-            .getOrElse(Vector.empty[Long])
+          val s0 = state.getOption.getOrElse(
+            VelState(Vector.empty[Long], Long.MinValue, 0L))
+          var times = s0.times.toVector
           // batch rows carry no arrival order — event-time order is the
           // deterministic processing order (tag tie-break for stability)
           val sorted = rows.toArray.sortBy(r => (r.ts, r.tag))
+          val ooo = s0.ooo + countOoo(sorted.map(_.ts), s0.hwm)
+          val hwm =
+            if (sorted.isEmpty) s0.hwm
+            else math.max(s0.hwm, sorted.last.ts)
           val out = Vector.newBuilder[VelRow]
           var i = 0
           while (i < sorted.length) {
@@ -189,12 +228,12 @@ object StreamVelocity {
             val n = times.length
             var k = i
             while (k < j) {
-              out += VelRow(user, sorted(k).ts, sorted(k).tag, n)
+              out += VelRow(user, sorted(k).ts, sorted(k).tag, n, ooo)
               k += 1
             }
             i = j
           }
-          state.update(VelState(times))
+          state.update(VelState(times, hwm, ooo))
           out.result().iterator
       }
   }

@@ -141,6 +141,58 @@ class StreamSpec extends SparkSpec {
     assert(streamed(1L) == ((3L, 1L, 100L, 0L)))
   }
 
+  test("out-of-order arrivals fire the ooo counter; values stay " +
+      "as-of-arrival (r9 mandate #6)") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val df = stream.toDF().toDF("user", "ts", "tag")
+    val q = StreamVelocity.trailingCounts(df, "user", "ts", "tag",
+        windowMicros = 100L)
+      .toDF.writeStream.format("memory").queryName("ooo_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 50L, "a"), (1L, 60L, "b"), (2L, 10L, "x"))
+      q.processAllAvailable()
+      // batch 2: ts=40 < key 1's high-water mark 60 → 1 violation;
+      // key 2 stays ordered
+      stream.addData((1L, 40L, "c"), (2L, 20L, "y"))
+      q.processAllAvailable()
+      // batch 3: two more regressions for key 1 → counter accumulates
+      stream.addData((1L, 30L, "d"), (1L, 35L, "e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ooo_sink").collect()
+      .map(r => (r.getAs[Long]("user"), r.getAs[Long]("ts")) ->
+        (r.getAs[Int]("velN"), r.getAs[Long]("ooo"))).toMap
+    // batch 1: in-order, counter 0
+    assert(rows((1L, 50L)) == ((1, 0L)) && rows((1L, 60L)) == ((2, 0L)))
+    assert(rows((2L, 10L)) == ((1, 0L)))
+    // batch 2: the late event still gets its documented as-of-arrival
+    // count (50 and 60 sit inside (−60, 40] → no; window 100 → 50, 60
+    // both > 40−100 → count 3), and the violation is visible
+    assert(rows((1L, 40L)) == ((3, 1L)), rows.toString)
+    assert(rows((2L, 20L)) == ((2, 0L)))
+    // batch 3: both rows below hwm 60 → cumulative counter 3
+    assert(rows((1L, 30L))._2 == 3L && rows((1L, 35L))._2 == 3L)
+
+    // ewma/cusum carry the same counter
+    val s2 = MemoryStream[(Long, Long, Long, Double)](spark)
+    val q2 = StreamVelocity.ewmaStates(
+        s2.toDF().toDF("user", "ts", "id", "v"), "user", "ts", "id", "v",
+        1, 4)
+      .toDF.writeStream.format("memory").queryName("ooo_ewma_sink")
+      .outputMode("append").start()
+    try {
+      s2.addData((1L, 100L, 1L, 8.0))
+      q2.processAllAvailable()
+      s2.addData((1L, 90L, 2L, 16.0)) // regression
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val e = spark.table("ooo_ewma_sink").orderBy($"n").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("ooo")))
+    assert(e.toSeq == Seq((1L, 0L), (2L, 1L)), e.mkString(","))
+  }
+
   test("wire codec round trip + corrupt payload → dead letter") {
     val df = TransactionGen.batch(spark, 50, seed = 1)
     val decoded = WireFormat.decodeFrame(WireFormat.encodeFrame(df))
@@ -542,7 +594,7 @@ class StreamSpec extends SparkSpec {
       stream.addData((1L, 20L, "a"))
       q.processAllAvailable()
       val got = spark.table(qn)
-        .as[(Long, Long, String, Int)].collect()
+        .as[(Long, Long, String, Int, Long)].collect()
         .map(r => (r._1, r._2, r._3) -> r._4).toMap
       assert(got === Map(
         (1L, 0L, "a") -> 1,   // alone
