@@ -1067,7 +1067,13 @@ object Dedup {
     // stays string-exact.
     val toksRaw = shingles(TextAnalysis.tokens(lower(col(textCol))), n)
     val docs = df.select(col(idCol).as("id"),
-      (if (hashTokens) transform(toksRaw, t => xxhash64(t))
+      // array_distinct AFTER hashing: a within-doc collision between
+      // two DISTINCT shingles would duplicate a hashed token and break
+      // the "toks are distinct per doc" invariant the df count and
+      // overlap counts rest on (the collision math above covers only
+      // cross-doc pairs). Cheap: bounded per document.
+      (if (hashTokens)
+         array_distinct(transform(toksRaw, t => xxhash64(t)))
        else toksRaw).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
     // toks are distinct per doc, so count(*) IS the document frequency.
@@ -1260,7 +1266,13 @@ object Dedup {
     // same any-total-order/exact-intersection argument
     val toksRaw = shingles(TextAnalysis.tokens(lower(col(textCol))), n)
     val docs = df.select(col(idCol).as("id"),
-      (if (hashTokens) transform(toksRaw, t => xxhash64(t))
+      // array_distinct AFTER hashing: a within-doc collision between
+      // two DISTINCT shingles would duplicate a hashed token and break
+      // the "toks are distinct per doc" invariant the df count and
+      // overlap counts rest on (the collision math above covers only
+      // cross-doc pairs). Cheap: bounded per document.
+      (if (hashTokens)
+         array_distinct(transform(toksRaw, t => xxhash64(t)))
        else toksRaw).as("toks"))
     val e = docs.select(col("id"), explode(col("toks")).as("tok"))
     val dfreqRaw = e.groupBy(col("tok")).agg(count(lit(1)).as("df"))

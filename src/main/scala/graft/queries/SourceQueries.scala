@@ -593,11 +593,6 @@ object SourceQueries extends QuerySet {
         Tables.events(s, d), "user_id")
     }),
 
-    // Streaming Benford screen (§2.6 × a29): the (type, digit)
-    // observed-count table maintained IN the stream — state is ≤ 9
-    // rows per event type forever — with the expected/χ² collapse
-    // batch-side; the oracle is a29's recipe verbatim, so streamed
-    // counts must equal batch counts bit-exactly.
     // Streaming A/B significance: the 2×2 (variant, conv) cell counts
     // as complete-mode state — FOUR rows forever, the smallest state
     // in the st family after st01 — collapsed batch-side through the
@@ -628,6 +623,11 @@ object SourceQueries extends QuerySet {
           .otherwise(0L)).as("a1y")))
     }),
 
+    // Streaming Benford screen (§2.6 × a29): the (type, digit)
+    // observed-count table maintained IN the stream — state is ≤ 9
+    // rows per event type forever — with the expected/χ² collapse
+    // batch-side; the oracle is a29's recipe verbatim, so streamed
+    // counts must equal batch counts bit-exactly.
     "st16_stream_benford" -> ((s, d) => {
       val schema = s.read.parquet(s"$d/events.parquet").schema
       val qn = "st16_benford_sink"

@@ -3,11 +3,24 @@
 
 Usage: python3 tools/check.py <sfDir> <outDir>
        python3 tools/check.py --survey8 <CORRECTNESS_r0N.json>
+       python3 tools/check.py --bench-diff <benchA.json> <benchB.json> \
+           [threshold=1.3]
 
 The first form reads each <outDir>/<name> parquet (written by
 graft.Verify), runs the matching SQL from <outDir>/oracle_sql.json in
 DuckDB against the sfDir tables, sorts columns by name + rows by all
 columns, and compares values.
+
+The third form compares two committed bench records CANARY-NORMALIZED
+(each query's seconds divided by its run's interleaved-a02 canary
+median), so the judge and builder read drift vs regression from the
+tool instead of BENCHNOTES prose: raw deltas on this box carry ±15%
+host weather (A/A-measured), normalized deltas >1.3x are real. Exits
+nonzero if any normalized regression is flagged. Verified against the
+r7->r8->r9 history: r7->r8's 97 raw regressions collapse to 8
+normalized (m16/st01 = the verdict's accepted planning-cost residuals,
+m12 = fixed in r9); r8->r9 shows 260 common, 0.84x raw, 0 flagged —
+the r9 verdict's numbers.
 
 The second form emits SURVEY.md section 8's taxonomy block (header
 counts + the rows-only table) straight from the driver's correctness
@@ -120,6 +133,59 @@ def survey8(json_path):
         return 1
     return 1 if (broken or partial) else 0
 
+def bench_diff(path_a, path_b, threshold=1.3):
+    """Canary-normalized comparison of two Bench records (r9 verdict
+    mandate #4): raw per-query seconds on this box drift up to ~1.17x
+    between identical-code runs (A/A-measured, BENCHNOTES_r8), so raw
+    deltas conflate host weather with regressions. Dividing each
+    query's time by the run's interleaved-canary median (a02 runs
+    spliced through the suite) cancels the shared host factor; only
+    NORMALIZED deltas > threshold are flagged as regressions. Records
+    before r9 carry no canary_median — fall back to their single
+    a02_grouped_agg time (the same query, sampled once)."""
+    def load(p):
+        with open(p) as f:
+            d = json.load(f)
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]  # driver-wrapped BENCH_r0N.json form
+        q = {k: v for k, v in d.get("queries", {}).items() if v > 0}
+        canary = d.get("canary_median") or q.get("a02_grouped_agg")
+        if not q or not canary:
+            raise SystemExit(f"{p}: no usable queries/canary "
+                             "(driver-truncated record? use the "
+                             "committed bench_summary.json)")
+        return q, canary
+    qa, ca = load(path_a)
+    qb, cb = load(path_b)
+    common = sorted(set(qa) & set(qb))
+    raw_a = sum(qa[k] for k in common)
+    raw_b = sum(qb[k] for k in common)
+    print(f"canary A = {ca:.3f}s, canary B = {cb:.3f}s "
+          f"(host factor B/A = {cb / ca:.3f})")
+    print(f"common queries: {len(common)}  "
+          f"(only-A: {len(set(qa) - set(qb))}, "
+          f"only-B: {len(set(qb) - set(qa))})")
+    print(f"raw common total: {raw_a:.1f}s -> {raw_b:.1f}s "
+          f"= {raw_b / raw_a:.2f}x")
+    print(f"normalized common total: "
+          f"{(raw_b / cb) / (raw_a / ca):.2f}x")
+    flagged = []     # normalized regression — real
+    absorbed = []    # raw-only regression — host drift, vanishes
+    for k in common:
+        raw = qb[k] / qa[k]
+        norm = (qb[k] / cb) / (qa[k] / ca)
+        if norm > threshold:
+            flagged.append((norm, raw, k))
+        elif raw > threshold:
+            absorbed.append((norm, raw, k))
+    print(f"raw>={threshold}x but normalized<{threshold}x "
+          f"(drift, vanish under the canary): {len(absorbed)}")
+    print(f"normalized regressions >{threshold}x: {len(flagged)}")
+    for norm, raw, k in sorted(flagged, reverse=True):
+        print(f"  REGRESSED {k}: {norm:.2f}x normalized "
+              f"({raw:.2f}x raw, {qa[k]:.2f}s -> {qb[k]:.2f}s)")
+    return 1 if flagged else 0
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -180,13 +246,19 @@ def main(sf_dir, out_dir, emit_json=None):
                 n = len(con.execute(
                     "SELECT * FROM read_parquet(?)",
                     [os.path.join(out_dir, name, "*.parquet")]).fetchdf())
-                record[name] = {"rows_match": n > 0, "schema_match": None,
+                # rows_match is UNKNOWN for a rows-only dump (no oracle
+                # row count to compare against) — recording n > 0 here
+                # misreported a legitimately-empty result as unhealthy
+                record[name] = {"rows_match": None, "schema_match": None,
                                 "hash_match": None, "spark_rows": n,
                                 "oracle_rows": None, "err": "no_oracle"}
     def rec(name, ok, g_rows=None, o_rows=None, err=None):
+        # schema_match reflects only the column/dtype stages: a hash
+        # (cell-diff) failure has, by construction, already passed the
+        # column-name, row-count, and dtype-family gates
         record[name] = {
             "rows_match": ok or (g_rows is not None and g_rows == o_rows),
-            "schema_match": ok if err is None else False,
+            "schema_match": ok or err == "hash mismatch",
             "hash_match": ok, "spark_rows": g_rows, "oracle_rows": o_rows,
             "err": err}
     n_pass = n_fail = 0
@@ -251,5 +323,9 @@ def main(sf_dir, out_dir, emit_json=None):
 if __name__ == "__main__":
     if sys.argv[1] == "--survey8":
         sys.exit(survey8(sys.argv[2]))
+    if sys.argv[1] == "--bench-diff":
+        sys.exit(bench_diff(sys.argv[2], sys.argv[3],
+                            float(sys.argv[4]) if len(sys.argv) > 4
+                            else 1.3))
     sys.exit(main(sys.argv[1], sys.argv[2],
                   sys.argv[3] if len(sys.argv) > 3 else None))
