@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Uncapped scale probe for the LOF family (r9 verdict mandate #1's
+  * "10× probe row showing the quadratic term gone"): the n16/n16b
+  * driver queries pin their input to `vec_id < 300` so the brute
+  * oracle twin stays feasible — their probe curves would measure
+  * parquet pushdown, not the kNN stage. This tool runs LOF over the
+  * FULL embeddings table of a (possibly ScaleUp'd) sf dir in both
+  * forms:
+  *
+  *   - `exact`: [[Similarity.lofOutliers]] — the O(n²) brute kNN.
+  *   - `ann`:   [[Similarity.lofFromKnn]] fed by
+  *     [[Similarity.ivfTopKL2Portable]] — the n16b composition.
+  *
+  * The ANN arm takes `nPlanes` as an argument because the asymptotic
+  * claim needs the cell count to GROW with the corpus (a real IVF
+  * deployment sizes its cell count to the corpus, n/cells ≈ constant):
+  * with fixed cells the candidate join is a constant-FACTOR reduction
+  * of n², with n-proportional cells it is O(n · nprobe · cellsize) —
+  * linear. Pass nPlanes ≈ log₂(n / 150) per scale.
+  *
+  * Usage: runMain graft.tools.LofProbe <sfDir> exact|ann [nPlanes]
+  */
+object LofProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = args(1)
+    val nPlanes = if (args.length > 2) args(2).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nIn = emb.count() // warm the scan
+    def onePass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = mode match {
+        case "exact" =>
+          Similarity.lofOutliers(emb, "vec_id", "embedding", k = 5)
+        case "ann" =>
+          val knn = Similarity.ivfTopKL2Portable(emb, emb,
+              "vec_id", "embedding", k = 5, nPlanes = nPlanes, nprobe = 3)
+            .select(col("query_id").as("p"), col("vec_id").as("o"),
+              (-col("negl2")).as("d2"))
+          Similarity.lofFromKnn(knn, k = 5)
+        case other => sys.error(s"mode must be exact|ann, got $other")
+      }
+      val n = out.count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // reps=2 best-of (the probe protocol); the first rep doubles as
+    // codegen warmup
+    val runs = Seq(onePass(), onePass())
+    val (secs, nOut) = runs.minBy(_._1)
+    println(f"""{"probe":"lof","dir":"$dir","mode":"$mode",""" +
+      f""""n_planes":$nPlanes,"n_in":$nIn,"n_out":$nOut,""" +
+      f""""secs":$secs%.2f}""")
+    spark.stop()
+  }
+}

@@ -52,8 +52,9 @@ ROWS_ONLY_META = {
     "m12_train_metrics": (
         "MLlib LR/RF/GBT fits",
         "m12b_logistic_score (fixed-beta serving), "
-        "m12c_tree_score (fixed-structure GBT serving)",
-        "MLSpec (M8 metric-parity + m12c serving-parity gates)"),
+        "m12c_tree_score (fixed-structure GBT serving), "
+        "m12d_rf_score (fixed-vote RF serving)",
+        "MLSpec (M8 metric-parity + m12c/m12d serving-parity gates)"),
     "m13_isotonic": (
         "MLlib IsotonicRegression",
         "m19_isotonic (from-scratch PAV, oracle-green)",
