@@ -1161,23 +1161,35 @@ object Similarity {
         asDouble(col(vecCol)).as("qv"))
       .withColumn("nq2", dot(col("qv"), col("qv")))
       .withColumn("qcell", cellOf(col("qv")))
-    val cells = corpus.sparkSession.range(nCells)
+    val spark = corpus.sparkSession
+    val cells = spark.range(nCells)
       .select(col("id").cast("int").as("cell"))
-    // bounded by queries × 2^nPlanes rows (both broadcast-small) —
-    // the same window-bound argument as ivfTopKPortable's probe rank
-    val probeW = Window.partitionBy(col("query_id"))
+    // Hamming probe ranking depends only on the QUERY'S CELL, not the
+    // query — so rank once per (qcell, cell) pair: a 4^nPlanes-row
+    // table (bounded by the plane budget; the nPlanes ≤ 16 require
+    // above caps it, and practical self-kNN sizes cells ∝ corpus/150
+    // so this stays ≪ corpus). The r10 probe measured the per-QUERY
+    // form (q × cells through a window, each row dragging the 64-dim
+    // vector) going quadratic at 50× — 51M heavy rows through one
+    // shuffle; this form is n-independent. Selection is identical:
+    // row_number over (ham asc, cell asc) per qcell ≡ per query.
+    val probeW = Window.partitionBy(col("qcell"))
       .orderBy(col("ham").asc, col("cell").asc)
-    val probed = q.crossJoin(broadcast(cells))
+    val cellProbes = spark.range(nCells)
+      .select(col("id").cast("int").as("qcell"))
+      .crossJoin(broadcast(cells))
       .withColumn("ham", bit_count(col("qcell").bitwiseXOR(col("cell"))))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("nq2"), col("cell"))
+      .select(col("qcell"), col("cell"))
     // no broadcast hint on probed: unlike the cosine variant (n01
     // contract — bounded query set), the metric consumers run this
     // SELF-kNN with queries = corpus, so probed is n·nprobe rows. AQE
     // broadcasts it at audit sizes and keeps the cell equi-join
     // shuffled-hash at corpus scale; a forced broadcast here would be
     // the 8 GB wall the lofFromKnn factoring exists to avoid.
+    val probed = q.join(broadcast(cellProbes), "qcell")
+      .select(col("query_id"), col("qv"), col("nq2"), col("cell"))
     val scored = c.join(probed, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("negl2",
@@ -1292,6 +1304,88 @@ object Similarity {
           .as("lrd"),
         round(col("sum_r").cast("double") / lit(k.toDouble), 7)
           .as("lof"))
+  }
+
+  /** DBSCAN density clustering (Ester et al., KDD 1996) over an
+    * embedding column — the cluster notion that finds arbitrarily-
+    * shaped dense regions and calls sparse points NOISE, where k-means
+    * (m20) forces every point into a sphere: core points have at least
+    * `minPts` points (self included) within √eps2, clusters are the
+    * connected components of the core-core neighbor graph, border
+    * points attach to a core neighbor, everything else is noise
+    * (cluster = null).
+    *
+    * Decomposition — every stage an existing oracle-proven primitive:
+    * the eps-neighbor pairs are the [[bruteForceTopKL2]] distance
+    * expansion with a threshold instead of a top-k (the n03
+    * bounded-subset contract: the point set broadcasts, so this exact
+    * form is for bounded candidate sets; the scale path generates the
+    * pair frame with the banded machinery — [[cosineNearDupsLSH]] /
+    * [[ivfTopKL2Portable]] cells — exactly like n16b swaps the kNN
+    * stage); components run [[graft.ops.Graph.connectedComponentsCached]]
+    * (pointer jumping — `rounds` ≥ log₂ of the core-graph diameter for
+    * full convergence, the g11 contract, and the oracle replays the
+    * SAME fixed rounds so parity holds regardless); border assignment
+    * is one min-label join. `eps2` is the SQUARED radius and compares
+    * raw-double d2 ≤ literal — no sqrt, no rounding boundary anywhere.
+    * Cluster ids are the min core id of each component (deterministic;
+    * borders take the min over their core neighbors' labels).
+    *
+    * Output per input point: (vec_id, n_nb, is_core, cluster) —
+    * n_nb = eps-neighbors excluding self, cluster null ⟺ noise.
+    */
+  def dbscanCached(points: DataFrame, idCol: String, vecCol: String,
+                   eps2: Double, minPts: Int,
+                   rounds: Int = 3): graft.ops.Cached = {
+    require(eps2 > 0, s"eps2 must be positive, got $eps2")
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pts = Layout.fanOut(points)
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv2", dot(col("v"), col("v")))
+      .persist(disk)
+    val q = pts.select(col("vec_id").as("p"), col("v").as("vp"),
+      col("nv2").as("np2"))
+    // nbrs feeds deg, the core-core edge join, and border assignment
+    val nbrs = pts.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("p"))
+      .withColumn("d2",
+        col("nv2") + col("np2") - lit(2.0) * dot(col("v"), col("vp")))
+      .filter(col("d2") <= lit(eps2))
+      .select(col("p"), col("vec_id").as("o"))
+      .persist(disk)
+    val deg = nbrs.groupBy(col("p")).agg(count(lit(1)).as("n_nb"))
+      .persist(disk)
+    val core = deg.filter(col("n_nb") >= minPts - 1)
+      .select(col("p").as("node"))
+    val coreEdges = nbrs
+      .join(core.select(col("node").as("p")), Seq("p"))
+      .join(core.select(col("node").as("o")), Seq("o"))
+      .select(col("p").as("u"), col("o").as("v"))
+    val comp = graft.ops.Graph.connectedComponentsCached(coreEdges, rounds)
+    // a core point with only border neighbors has no core edge and is
+    // absent from comp — it seeds its own cluster (coalesce to self)
+    val coreLbl = core.join(comp.df, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("lbl"))
+      .persist(disk)
+    val borderLbl = nbrs
+      .join(coreLbl.select(col("node").as("o"), col("lbl")), Seq("o"))
+      .groupBy(col("p")).agg(min(col("lbl")).as("blbl"))
+    val out = pts.select(col("vec_id"))
+      .join(deg.select(col("p").as("vec_id"), col("n_nb")),
+        Seq("vec_id"), "left")
+      .join(coreLbl.select(col("node").as("vec_id"),
+        col("lbl").as("clbl")), Seq("vec_id"), "left")
+      .join(borderLbl.select(col("p").as("vec_id"), col("blbl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_nb"), lit(0L)).as("n_nb"),
+        col("clbl").isNotNull.as("is_core"),
+        coalesce(col("clbl"), col("blbl")).as("cluster"))
+    graft.ops.Cached(out,
+      Seq(pts, nbrs, deg, coreLbl) ++ comp.backing)
   }
 
   /** k-NEAREST-NEIGHBOR majority-vote classification over an embedding

@@ -108,6 +108,20 @@ object SimilarityQueries extends QuerySet {
         .orderBy(col("query_id"))
     }),
 
+    // DBSCAN density clustering over the n16 slice: eps-neighbor
+    // pairs from the raw-double d2 ≤ 1.3 threshold (no sqrt, no
+    // rounding boundary), core rule n_nb ≥ minPts−1, clusters = 3
+    // pointer-jumping rounds over the core-core graph (the g11
+    // machinery), borders take the min core-neighbor label, noise is
+    // null — every stage replayed by DuckDB including the unrolled
+    // rounds. The scale path swaps the pair stage for the banded
+    // frames (n04b/n02b cells), exactly n16b's composition.
+    "n18_dbscan" -> ((s, d) =>
+      Similarity.dbscanCached(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", eps2 = 1.3, minPts = 3)
+        .df.orderBy(col("vec_id"))),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -559,7 +573,54 @@ object SimilarityQueries extends QuerySet {
               FROM sc),
        knn AS (SELECT query_id, vec_id, negl2 FROM rk WHERE rank <= 5)"""
 
+  /** n18's oracle: pair threshold + degree + core rule + the SAME
+    * unrolled pointer-jumping rounds as the g11 oracle (m/p/j CTEs per
+    * round) + border min-label join. Generated from the same (eps2,
+    * minPts, rounds) literals the engine query passes.
+    */
+  private def dbscanSql(eps2: Double, minPts: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = if (i == 1) "r0" else s"j${i - 1}"
+      s""",
+         m$i AS (SELECT s.v AS node, MIN(r.lbl) AS nl
+                FROM sym s JOIN $prev r ON s.u = r.node GROUP BY 1),
+         p$i AS (SELECT r.node, LEAST(r.lbl, COALESCE(m.nl, r.lbl)) AS lbl
+                FROM $prev r LEFT JOIN m$i m ON r.node = m.node),
+         j$i AS (SELECT a.node, b.lbl FROM p$i a JOIN p$i b
+                 ON a.lbl = b.node)"""
+    }.mkString
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 300),
+       en AS (SELECT vec_id, v, list_dot_product(v, v) AS nv2 FROM e),
+       pr AS (SELECT b.vec_id AS p, a.vec_id AS o
+              FROM en a, en b
+              WHERE a.vec_id <> b.vec_id
+                AND a.nv2 + b.nv2
+                    - 2.0 * list_dot_product(a.v, b.v) <= $eps2),
+       deg AS (SELECT p, COUNT(*) AS n_nb FROM pr GROUP BY 1),
+       core AS (SELECT p AS node FROM deg WHERE n_nb >= ${minPts - 1}),
+       ce AS (SELECT pr.p AS u, pr.o AS v FROM pr
+              JOIN core c1 ON pr.p = c1.node
+              JOIN core c2 ON pr.o = c2.node),
+       sym AS (SELECT u, v FROM ce
+               UNION ALL SELECT v AS u, u AS v FROM ce),
+       r0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)$roundCtes,
+       cl AS (SELECT c.node, COALESCE(j$rounds.lbl, c.node) AS lbl
+              FROM core c LEFT JOIN j$rounds ON j$rounds.node = c.node),
+       bd AS (SELECT pr.p, MIN(cl.lbl) AS blbl
+              FROM pr JOIN cl ON pr.o = cl.node GROUP BY 1)
+       SELECT en.vec_id,
+              COALESCE(deg.n_nb, 0) AS n_nb,
+              cl.node IS NOT NULL AS is_core,
+              COALESCE(cl.lbl, bd.blbl) AS cluster
+       FROM en LEFT JOIN deg ON en.vec_id = deg.p
+               LEFT JOIN cl ON en.vec_id = cl.node
+               LEFT JOIN bd ON en.vec_id = bd.p
+       ORDER BY vec_id"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "n18_dbscan" -> dbscanSql(1.3, 3, 3),
     // recall@10 of the portable IVF pipeline against the exact
     // brute-force oracle — the audit every ANN deployment runs; both
     // arms reuse the n01/n02b recipes verbatim so this oracle can

@@ -109,6 +109,55 @@ class LofSpec extends SparkSpec {
     assert(ann === exact)
   }
 
+  test("dbscan: planted clusters separate, border attaches, noise null") {
+    // two tight 1-d clusters (0,1,2) and (10,11,12), a border point at
+    // 3.5 (within eps of 2 only — not core at minPts=3 since it has
+    // one neighbor), and an isolated noise point at 50
+    val pts = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(2.0f)),
+      (3L, Seq(3.5f)),
+      (10L, Seq(10.0f)), (11L, Seq(11.0f)), (12L, Seq(12.0f)),
+      (50L, Seq(50.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dbscanCached(pts, "vec_id", "embedding",
+        eps2 = 4.5, minPts = 3) // eps ≈ 2.12: adjacent + next-adjacent
+      .df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got.size == 8)
+    // cluster ids are the min core id of each component
+    assert(got(0L) == ((2L, true, Some(0L))))  // sees 1, 2
+    assert(got(1L) == ((2L, true, Some(0L))))  // sees 0, 2 (3.5 is 2.5 off)
+    assert(got(2L) == ((3L, true, Some(0L))))  // sees 0, 1, 3.5
+    // border: 1 neighbor (vec 2) → not core, attaches to cluster 0
+    assert(got(3L) == ((1L, false, Some(0L))))
+    assert(got(10L) == ((2L, true, Some(10L))))
+    assert(got(11L) == ((2L, true, Some(10L))))
+    assert(got(12L) == ((2L, true, Some(10L))))
+    // noise: no neighbors, no cluster
+    assert(got(50L) == ((0L, false, None)))
+  }
+
+  test("dbscan: a core point with only border neighbors seeds itself") {
+    // hub at 0 with three spokes at ±1.4, 1.5: spokes see only the hub
+    // (pairwise spoke distances > eps) → hub is core with no core
+    // neighbors → coalesces to its own id
+    val pts = Seq(
+      (5L, Seq(0.0f)), (1L, Seq(1.4f)), (2L, Seq(-1.4f)),
+      (3L, Seq(0.0f, 1.4f).take(1))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dbscanCached(
+        pts.filter($"vec_id" =!= 3L), "vec_id", "embedding",
+        eps2 = 2.0, minPts = 3)
+      .df.collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // hub 5: two neighbors → core; spokes: one neighbor each → border
+    assert(got(5L) == ((true, Some(5L))))
+    assert(got(1L) == ((false, Some(5L))))
+    assert(got(2L) == ((false, Some(5L))))
+  }
+
   test("knnVote: a 2-2 split breaks the tie to the smallest label") {
     val qs = labeled.filter($"vec_id" === 2L)
     // q2 at 2.0: 4-NN = {1, 0, 3, 4} -> labels {0, 0, 1, 1}
