@@ -103,19 +103,35 @@ object Smote {
       .filter(col("__bn") <= maxBucketCandidates)
       .drop("__bn")
 
-    // candidates via bucket equi-join; exact top-k by squared distance
+    // candidates via bucket equi-join: up to numTables × cap rows PER
+    // POINT to find k neighbors. The r10 probe measured the original
+    // shape (dropDuplicates + a sort-based per-id window, each
+    // shuffling that full volume) at e(10) = 1.31 superlinear; this is
+    // the topKFinish discipline instead — dedup is a hash agg (d2 is
+    // identical across tables, so min(d2) IS the value; map-side
+    // partials collapse same-pair rows before the shuffle) and the
+    // top-k is the bounded mergeable TopKAgg heap (≤ k rows per point
+    // per partition ship; no sort). Ordering rule unchanged:
+    // score = −d2 desc, tie nbr_id asc ≡ (d2 asc, nbr_id asc).
+    // Candidate rows carry only (id, nbr_id, d2) — the neighbor
+    // vector re-joins from `base` over the n·k result, not the
+    // n·tables·cap candidate volume.
     val cand = bucketed.as("a").join(candPool.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") =!= col("b.__id"))
       .select(col("a.__id").as("id"), col("b.__id").as("nbr_id"),
-        col("b.__fv").as("nbr_fv"),
         (col("a.__n2") - lit(2.0) * ArrayMath.dot(col("a.__fv"), col("b.__fv"))
           + col("b.__n2")).as("d2"))
-      .dropDuplicates("id", "nbr_id")
-    val w = Window.partitionBy(col("id")).orderBy(col("d2").asc,
-      col("nbr_id").asc)
-    val knn = cand.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+      .groupBy(col("id"), col("nbr_id")).agg(min(col("d2")).as("d2"))
+    val knn = cand
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAgg.topK(-col("d2"), col("nbr_id"), k)
+        .as("__tk"))
+      .select(col("id"), explode(col("__tk")).as("__e"))
+      .select(col("id"), col("__e.id").as("__nbr"),
+        col("__e.rank").as("__rn"))
+      .join(base.select(col("__id").as("__nbr"),
+        col("__fv").as("nbr_fv")), Seq("__nbr"))
       .select(col("id"), col("__rn"), col("nbr_fv"))
 
     // integer + bernoulli-fractional copies per source row (explode)
