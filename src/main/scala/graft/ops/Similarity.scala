@@ -1338,7 +1338,6 @@ object Similarity {
                    eps2: Double, minPts: Int,
                    rounds: Int = 3): graft.ops.Cached = {
     require(eps2 > 0, s"eps2 must be positive, got $eps2")
-    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pts = Layout.fanOut(points)
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
@@ -1347,19 +1346,43 @@ object Similarity {
       .persist(disk)
     val q = pts.select(col("vec_id").as("p"), col("v").as("vp"),
       col("nv2").as("np2"))
-    // nbrs feeds deg, the core-core edge join, and border assignment
     val nbrs = pts.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("p"))
       .withColumn("d2",
         col("nv2") + col("np2") - lit(2.0) * dot(col("v"), col("vp")))
       .filter(col("d2") <= lit(eps2))
       .select(col("p"), col("vec_id").as("o"))
-      .persist(disk)
-    val deg = nbrs.groupBy(col("p")).agg(count(lit(1)).as("n_nb"))
+    val inner = dbscanFromPairs(nbrs, pts.select(col("vec_id")),
+      minPts, rounds)
+    graft.ops.Cached(inner.df, pts +: inner.backing)
+  }
+
+  /** [[dbscanCached]]'s core/component/border algebra factored over
+    * ANY precomputed eps-neighbor pair frame (the [[lofFromKnn]]
+    * companion): `nbrs` carries one DIRECTED row per ordered
+    * (p, o) pair within eps — from the exact bounded-subset scan, the
+    * banded LSH/IVF candidate frames, or an external radius index —
+    * and `allPoints` the full point-id universe (isolated points have
+    * no pair row but still need a noise verdict). Everything past the
+    * pair stage — degree, core rule, pointer-jumping components,
+    * border min-label, noise — runs from those two frames alone, no
+    * access to the vectors. When the pair frame comes from an
+    * approximate index the semantics are approximate-DBSCAN (recall
+    * misses can demote cores or split clusters — the standard
+    * trade); with the exact pair frame this IS [[dbscanCached]]
+    * (LofSpec gate).
+    */
+  def dbscanFromPairs(nbrs: DataFrame, allPoints: DataFrame,
+                      minPts: Int, rounds: Int = 3): graft.ops.Cached = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // nbrs feeds deg, the core-core edge join, and border assignment
+    val pairs = nbrs.select(col("p"), col("o")).persist(disk)
+    val deg = pairs.groupBy(col("p")).agg(count(lit(1)).as("n_nb"))
       .persist(disk)
     val core = deg.filter(col("n_nb") >= minPts - 1)
       .select(col("p").as("node"))
-    val coreEdges = nbrs
+    val coreEdges = pairs
       .join(core.select(col("node").as("p")), Seq("p"))
       .join(core.select(col("node").as("o")), Seq("o"))
       .select(col("p").as("u"), col("o").as("v"))
@@ -1370,10 +1393,11 @@ object Similarity {
       .select(col("node"),
         coalesce(col("component"), col("node")).as("lbl"))
       .persist(disk)
-    val borderLbl = nbrs
+    val borderLbl = pairs
       .join(coreLbl.select(col("node").as("o"), col("lbl")), Seq("o"))
       .groupBy(col("p")).agg(min(col("lbl")).as("blbl"))
-    val out = pts.select(col("vec_id"))
+    val out = allPoints.select(allPoints.columns.head)
+      .toDF("vec_id")
       .join(deg.select(col("p").as("vec_id"), col("n_nb")),
         Seq("vec_id"), "left")
       .join(coreLbl.select(col("node").as("vec_id"),
@@ -1385,7 +1409,7 @@ object Similarity {
         col("clbl").isNotNull.as("is_core"),
         coalesce(col("clbl"), col("blbl")).as("cluster"))
     graft.ops.Cached(out,
-      Seq(pts, nbrs, deg, coreLbl) ++ comp.backing)
+      Seq(pairs, deg, coreLbl) ++ comp.backing)
   }
 
   /** k-NEAREST-NEIGHBOR majority-vote classification over an embedding

@@ -138,6 +138,32 @@ class LofSpec extends SparkSpec {
     assert(got(50L) == ((0L, false, None)))
   }
 
+  test("dbscanFromPairs over the exact pair frame ≡ dbscanCached") {
+    // the factored algebra (the lofFromKnn companion) must reproduce
+    // the fused form exactly when fed the same eps-pairs — the gate
+    // that lets an LSH/IVF pair frame swap in at scale
+    val pts8 = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(2.0f)),
+      (3L, Seq(3.5f)), (10L, Seq(10.0f)), (11L, Seq(11.0f)),
+      (12L, Seq(12.0f)), (50L, Seq(50.0f))
+    ).toDF("vec_id", "embedding")
+    val fused = Similarity.dbscanCached(pts8, "vec_id", "embedding",
+        eps2 = 4.5, minPts = 3)
+      .df.collect().map(_.toSeq).toSet
+    // independent exact pair frame (both directions, d2 <= eps2)
+    val rows = pts8.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).head.toDouble)
+    val pairRows = for {
+      (p, vp) <- rows; (o, vo) <- rows
+      if p != o && (vp - vo) * (vp - vo) <= 4.5
+    } yield (p, o)
+    val nbrs = pairRows.toSeq.toDF("p", "o")
+    val factored = Similarity.dbscanFromPairs(nbrs,
+        pts8.select($"vec_id"), minPts = 3)
+      .df.collect().map(_.toSeq).toSet
+    assert(factored === fused)
+  }
+
   test("dbscan: a core point with only border neighbors seeds itself") {
     // hub at 0 with three spokes at ±1.4, 1.5: spokes see only the hub
     // (pairwise spoke distances > eps) → hub is core with no core
