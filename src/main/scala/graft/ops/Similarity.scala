@@ -1145,7 +1145,12 @@ object Similarity {
                         idCol: String, vecCol: String, k: Int,
                         nPlanes: Int = 3, nprobe: Int = 3,
                         seed: Long = 42L): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 16, "nPlanes must be in [1,16]")
+    // ≤ 12 (not the cosine variant's 16): the per-(qcell, cell) probe
+    // table below is 4^nPlanes rows — 16.8M at 12 (fine through one
+    // window), 4.3G at 16 (not a "bounded" table by any argument).
+    // 2^12 cells at ~150 points/cell already serves a ~600k-point
+    // candidate set; corpus-scale deployments shard above that.
+    require(nPlanes >= 1 && nPlanes <= 12, "nPlanes must be in [1,12]")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = projectionSigns(dim, nPlanes, seed)
     val nCells = 1 << nPlanes

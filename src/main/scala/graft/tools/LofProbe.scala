@@ -13,9 +13,14 @@ import graft.ops.Similarity
   * FULL embeddings table of a (possibly ScaleUp'd) sf dir in both
   * forms:
   *
-  *   - `exact`: [[Similarity.lofOutliers]] — the O(n²) brute kNN.
-  *   - `ann`:   [[Similarity.lofFromKnn]] fed by
+  *   - `exact`:  [[Similarity.lofOutliers]] — the O(n²) brute kNN.
+  *   - `ann`:    [[Similarity.lofFromKnn]] fed by
   *     [[Similarity.ivfTopKL2Portable]] — the n16b composition.
+  *   - `dbscan`: [[Similarity.dbscanFromPairs]] fed by the SAME ANN
+  *     kNN frame filtered to d2 ≤ eps2 — approximate DBSCAN at scale
+  *     (eps-neighbors capped at k per point; with minPts ≤ k the core
+  *     rule is exact over the recalled pairs). eps2 = 1.3, minPts = 3,
+  *     k = 10 — the n18 parameters over the full corpus.
   *
   * The ANN arm takes `nPlanes` as an argument because the asymptotic
   * claim needs the cell count to GROW with the corpus (a real IVF
@@ -54,7 +59,16 @@ object LofProbe {
             .select(col("query_id").as("p"), col("vec_id").as("o"),
               (-col("negl2")).as("d2"))
           Similarity.lofFromKnn(knn, k = 5)
-        case other => sys.error(s"mode must be exact|ann, got $other")
+        case "dbscan" =>
+          val pairs = Similarity.ivfTopKL2Portable(emb, emb,
+              "vec_id", "embedding", k = 10, nPlanes = nPlanes,
+              nprobe = 3)
+            .filter(-col("negl2") <= 1.3)
+            .select(col("query_id").as("p"), col("vec_id").as("o"))
+          Similarity.dbscanFromPairs(pairs,
+            emb.select(col("vec_id")), minPts = 3).df
+        case other =>
+          sys.error(s"mode must be exact|ann|dbscan, got $other")
       }
       val n = out.count()
       ((System.nanoTime() - t0) / 1e9, n)
