@@ -107,6 +107,37 @@ object MlQueries extends QuerySet {
         "g", "x1", "x2", "y", lambda = 1000.0)
         .orderBy(col("grp"))),
 
+    // Single-pass 4-fold cross-validated ridge: the m24 features fit
+    // globally under the CV protocol — per-fold sums once, each fold's
+    // training moments by COMPLEMENT subtraction (total − fold), then
+    // one scan-local held-out scoring pass. Two scans regardless of k
+    // (the naive protocol's k refits collapse to algebra on a 4-row
+    // frame); folds are the portable md5-digit hash, engine-stable.
+    "m25_kfold_ridge2" -> ((s, d) =>
+      graft.ops.CrossVal.kFoldRidge2(
+        Tables.lineitem(s, d).select(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("id"),
+          col("l_quantity").cast("bigint").as("x1"),
+          round(col("l_discount") * 100).cast("bigint").as("x2"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "id", "x1", "x2", "y", k = 4, lambda = 1000.0)),
+
+    // Exact leave-one-out influence under the global ridge fit — the
+    // data-valuation frontier: closed-form hat leverage (no n refits),
+    // LOO residual e/(1−h), Cook-style influence h·e²/(1−h)², top-20
+    // rows a label-noise audit reads first. One stats row broadcast,
+    // scan-local algebra, TakeOrdered frontier.
+    "m26_loo_influence" -> ((s, d) =>
+      graft.ops.CrossVal.looInfluenceRidge2(
+        Tables.lineitem(s, d).select(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("id"),
+          col("l_quantity").cast("bigint").as("x1"),
+          round(col("l_discount") * 100).cast("bigint").as("x2"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("y")),
+        "id", "x1", "x2", "y", lambda = 1000.0, topK = 20)),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -549,6 +580,153 @@ object MlQueries extends QuerySet {
                   round(syd / nd - b1 * (s1d / nd) - b2 * (s2d / nd), 7)
                 END AS b0
          FROM bb ORDER BY grp""",
+
+    // replay kFoldRidge2: md5-digit folds, HUGEINT per-fold moments,
+    // complement (total − fold) training sums, the m24 solve chain per
+    // fold, then held-out residuals squared/summed as exact DECIMAL
+    "m25_kfold_ridge2" ->
+      """WITH src AS (SELECT CAST(l_orderkey AS VARCHAR) || ':' ||
+                        CAST(l_linenumber AS VARCHAR) AS id,
+                        CAST(l_quantity AS BIGINT) AS x1,
+                        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_discount IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         fr AS (SELECT *,
+                  (instr('0123456789abcdef',
+                         substr(md5('cv:' || id), 1, 1)) - 1) % 4 AS fold
+                FROM src),
+         pf AS (SELECT fold, COUNT(*) AS n,
+                  SUM(CAST(x1 AS HUGEINT)) AS s1,
+                  SUM(CAST(x2 AS HUGEINT)) AS s2,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y
+                FROM fr GROUP BY fold),
+         tot AS (SELECT SUM(n) AS tn, SUM(s1) AS t1, SUM(s2) AS t2,
+                   SUM(sy) AS ty, SUM(s11) AS t11, SUM(s22) AS t22,
+                   SUM(s12) AS t12, SUM(s1y) AS t1y, SUM(s2y) AS t2y
+                 FROM pf),
+         cm AS (SELECT fold, n AS n_test, tn - n AS ntr,
+                  t1 - s1 AS s1, t2 - s2 AS s2, ty - sy AS sy,
+                  t11 - s11 AS s11, t22 - s22 AS s22, t12 - s12 AS s12,
+                  t1y - s1y AS s1y, t2y - s2y AS s2y
+                FROM pf, tot),
+         ce AS (SELECT fold, n_test, ntr, CAST(ntr AS DOUBLE) AS nd,
+                  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(ntr AS DOUBLE) AS c11,
+                  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(ntr AS DOUBLE) AS c22,
+                  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(ntr AS DOUBLE) AS c12,
+                  CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(ntr AS DOUBLE) AS c1y,
+                  CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(ntr AS DOUBLE) AS c2y,
+                  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                  CAST(sy AS DOUBLE) AS syd
+                FROM cm),
+         sv AS (SELECT *, (c11 + 1000.0) * (c22 + 1000.0) - c12 * c12
+                  AS det FROM ce),
+         bb AS (SELECT fold, n_test, ntr, nd, s1d, s2d, syd, det,
+                  round(CASE WHEN det > 0 THEN
+                    ((c22 + 1000.0) * c1y - c12 * c2y) / det END, 7) AS b1,
+                  round(CASE WHEN det > 0 THEN
+                    ((c11 + 1000.0) * c2y - c12 * c1y) / det END, 7) AS b2
+                FROM sv),
+         b3 AS (SELECT fold, n_test, ntr, det, b1, b2,
+                  round(CASE WHEN det > 0 THEN
+                    syd / nd - b1 * (s1d / nd) - b2 * (s2d / nd)
+                  END, 7) AS b0
+                FROM bb),
+         sc AS (SELECT f.fold AS fold,
+                  CAST(CAST(f.y AS DOUBLE) -
+                    (b.b0 + b.b1 * CAST(f.x1 AS DOUBLE) +
+                     b.b2 * CAST(f.x2 AS DOUBLE)) AS DECIMAL(19,7)) AS e
+                FROM fr f JOIN b3 b ON f.fold = b.fold),
+         ag AS (SELECT fold, SUM(e * e) AS ssq FROM sc GROUP BY fold)
+         SELECT b.fold AS fold, CAST(b.ntr AS BIGINT) AS n_train,
+                CAST(b.n_test AS BIGINT) AS n_test, b.b1, b.b2, b.b0,
+                round(CAST(ag.ssq AS DOUBLE) /
+                      CAST(b.n_test AS DOUBLE), 2) AS mse
+         FROM b3 b JOIN ag ON b.fold = ag.fold
+         ORDER BY fold""",
+
+    // replay looInfluenceRidge2: one global 9-moment row, the rounded
+    // m24 solve, per-row hat leverage quadratic form term-for-term,
+    // exact-decimal residual, Cook-style influence, top-20 frontier
+    "m26_loo_influence" ->
+      """WITH src AS (SELECT CAST(l_orderkey AS VARCHAR) || ':' ||
+                        CAST(l_linenumber AS VARCHAR) AS id,
+                        CAST(l_quantity AS BIGINT) AS x1,
+                        CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem
+                      WHERE l_quantity IS NOT NULL
+                        AND l_discount IS NOT NULL
+                        AND l_extendedprice IS NOT NULL),
+         st AS (SELECT COUNT(*) AS n,
+                  SUM(CAST(x1 AS HUGEINT)) AS s1,
+                  SUM(CAST(x2 AS HUGEINT)) AS s2,
+                  SUM(CAST(y AS HUGEINT)) AS sy,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS s11,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s22,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS s12,
+                  SUM(CAST(x1 AS HUGEINT) * CAST(y AS HUGEINT)) AS s1y,
+                  SUM(CAST(x2 AS HUGEINT) * CAST(y AS HUGEINT)) AS s2y
+                FROM src),
+         ce AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+                  CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS c11,
+                  CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c22,
+                  CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS c12,
+                  CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c1y,
+                  CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS c2y,
+                  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS xb1,
+                  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS xb2,
+                  CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                  CAST(sy AS DOUBLE) AS syd
+                FROM st),
+         sv AS (SELECT *, (c11 + 1000.0) * (c22 + 1000.0) - c12 * c12
+                  AS det FROM ce),
+         bb AS (SELECT *,
+                  round(CASE WHEN det > 0 THEN
+                    ((c22 + 1000.0) * c1y - c12 * c2y) / det END, 7) AS b1,
+                  round(CASE WHEN det > 0 THEN
+                    ((c11 + 1000.0) * c2y - c12 * c1y) / det END, 7) AS b2
+                FROM sv),
+         b3 AS (SELECT *,
+                  round(CASE WHEN det > 0 THEN
+                    syd / nd - b1 * (s1d / nd) - b2 * (s2d / nd)
+                  END, 7) AS b0
+                FROM bb),
+         sc AS (SELECT s.id AS id,
+                  round(1.0 / b.nd +
+                    ((CAST(s.x1 AS DOUBLE) - b.xb1)
+                       * (CAST(s.x1 AS DOUBLE) - b.xb1) * (b.c22 + 1000.0)
+                     - 2.0 * (CAST(s.x1 AS DOUBLE) - b.xb1)
+                       * (CAST(s.x2 AS DOUBLE) - b.xb2) * b.c12
+                     + (CAST(s.x2 AS DOUBLE) - b.xb2)
+                       * (CAST(s.x2 AS DOUBLE) - b.xb2) * (b.c11 + 1000.0))
+                    / b.det, 7) AS h,
+                  round(CAST(s.y AS DOUBLE) -
+                    (b.b0 + b.b1 * CAST(s.x1 AS DOUBLE) +
+                     b.b2 * CAST(s.x2 AS DOUBLE)), 7) AS e
+                FROM src s, b3 b WHERE b.det > 0)
+         SELECT id, e AS resid, h AS leverage,
+                round(e / (1.0 - h), 2) AS loo_resid,
+                round(h * e * e / ((1.0 - h) * (1.0 - h)), 2) AS influence
+         FROM sc
+         ORDER BY influence DESC, id ASC LIMIT 20""",
     "m21_decision_stump" ->
       """WITH h AS (SELECT CAST(l_quantity AS BIGINT) AS x,
                       COUNT(*) AS cnt,
