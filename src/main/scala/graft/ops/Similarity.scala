@@ -309,6 +309,98 @@ object Similarity {
           (col("si") / col("n")) * (col("sj") / col("n"))).as("cov"))
   }
 
+  /** Top principal component by POWER ITERATION over a covariance cell
+    * frame — the dimensionality-reduction step an embedding pipeline
+    * runs before indexing (PCA-whiten → SQ8/PQ compress better, ANN
+    * recall per byte rises; Jégou et al. 2011 §IV.A motivates exactly
+    * this pre-rotation). Factored like [[lofFromKnn]]: the ALGEBRA
+    * takes any `(i, j, cov)` upper-triangle frame, so the hash-exact
+    * twin feeds it from [[covarianceMatrixOrdered]] while the 100-TB
+    * path feeds the same iteration from [[covarianceMatrix]] — the
+    * corpus-sized work (one scan to dim²/2 cells) happens BEFORE this
+    * operator; everything here is bounded by dim², never by rows.
+    *
+    * Determinism: cells are 7dp-rounded into exact decimals; each
+    * round's matvec sums `round(c·v, 7)` as DECIMAL(27,7) (order-free,
+    * exact), the norm is one sqrt over an exact decimal sum of squares,
+    * and the refreshed vector re-rounds to 7dp — so both engines walk
+    * the identical orbit and the oracle replays every round as a CTE
+    * pair. v₀ = 0.1234567 uniform — nonzero projection on any dominant
+    * eigenvector not exactly ⟂ to 1 (the standard seeding caveat; a
+    * zero-overlap start is measure-zero and surfaces as
+    * non-convergence in the spec gate, not silent corruption), and
+    * deliberately FULL-MANTISSA: a dyadic seed like 1/√64 = 0.125
+    * makes round 1's products c/8, parking one cell in eight exactly
+    * on the .5e-8 rounding boundary where HALF_UP (Spark) and
+    * round-half-even (DuckDB) split — measured, not hypothetical. A
+    * 7-digit seed coprime to 10⁷ leaves one boundary residue in 10⁷
+    * (the suite-wide accepted risk class). The magnitude is arbitrary:
+    * round 1's normalization rescales any uniform seed to the same
+    * unit vector. The
+    * eigenvector's SIGN is whatever the orbit converges to — callers
+    * needing a canonical sign flip on a fixed loading.
+    *
+    * Output: one row per dimension `(i, loading)` plus the Rayleigh
+    * eigenvalue `l1` and variance-explained ratio `evr = l1/trace`
+    * (constant columns — the frame is dim rows, self-contained).
+    *
+    * Scale shape: `rounds` joins + 64-row aggregations over a
+    * LOCAL-RELATION cell frame ([[Layout.materializeBounded]] pins the
+    * dim²/2 cells once) — driver-bounded algebra, zero corpus scans.
+    */
+  /** Power-iteration seed — full 7-digit mantissa, coprime to 10⁷ (see
+    * the [[pcaPowerFromCov]] boundary note); the oracle generator reads
+    * the same constant.
+    */
+  val PcaSeed: Double = 0.1234567
+
+  def pcaPowerFromCov(cov: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds in [1,32], got $rounds")
+    val spark = cov.sparkSession
+    val c7 = round(col("cov"), 7)
+    val upper = cov.select(col("i"), col("j"), c7.as("c"))
+    val full = upper.union(
+      cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), c7.as("c")))
+    // dim² cells max — 64-dim embeddings = 2,080 upper cells; the 1<<20
+    // bound admits dim ≤ ~1448 before falling back to a persisted frame
+    val cells = Layout.materializeBounded(full, maxRows = 1L << 20)
+    val dim = cells.agg(max(col("i"))).first().getInt(0) + 1
+    val v0 = spark.createDataFrame(
+      (0 until dim).map(i => (i, PcaSeed))).toDF("vi", "vl")
+    def matvec(v: DataFrame): DataFrame =
+      cells.join(v, cells("j") === v("vi"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("c") * col("vl"), 7).cast("decimal(27,7)"))
+          .as("w"))
+    def normalize(w: DataFrame): DataFrame = {
+      val nrm = w.agg(sqrt(sum((col("w").cast("decimal(18,7)") *
+        col("w").cast("decimal(18,7)"))).cast("double")).as("nrm"))
+      w.crossJoin(broadcast(nrm))
+        .select(col("i").as("vi"),
+          round(col("w").cast("double") / col("nrm"), 7).as("vl"))
+    }
+    // pin each round's dim-row vector as a local relation: the norm
+    // branch and the next matvec both read it, and without the cut the
+    // two-consumer plan doubles per round (2^rounds nodes)
+    val vFinal = (1 to rounds).foldLeft(v0)((v, _) =>
+      Layout.materializeBounded(normalize(
+        Layout.materializeBounded(matvec(v), maxRows = 1L << 20)),
+        maxRows = 1L << 20))
+    val wFinal = matvec(vFinal)
+    // Rayleigh quotient v'Cv on the unit-norm v: exact decimal sum of
+    // 7dp-rounded per-dimension products
+    val l1f = vFinal.join(wFinal, vFinal("vi") === wFinal("i"))
+      .agg(sum(round(col("vl") * col("w").cast("double"), 7)
+        .cast("decimal(18,7)")).cast("double").as("l1"))
+    val trace = cells.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast("decimal(18,7)")).cast("double").as("tr"))
+    vFinal.crossJoin(broadcast(l1f)).crossJoin(broadcast(trace))
+      .select(col("vi").as("i"), col("vl").as("loading"),
+        col("l1"), round(col("l1") / col("tr"), 7).as("evr"))
+      .orderBy(col("i"))
+  }
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

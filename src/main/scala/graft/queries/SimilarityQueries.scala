@@ -122,6 +122,20 @@ object SimilarityQueries extends QuerySet {
         "vec_id", "embedding", eps2 = 1.3, minPts = 3)
         .df.orderBy(col("vec_id"))),
 
+    // Top principal component of the n10 covariance by 8 rounds of
+    // power iteration — the PCA pre-rotation an embedding pipeline
+    // runs before SQ8/PQ compression. Factored like n16b: the
+    // iteration algebra takes ANY (i,j,cov) frame; the hash-exact twin
+    // feeds it from covarianceMatrixOrdered, the 100-TB path from the
+    // one-scan covarianceMatrix. Every round is a matvec CTE pair the
+    // oracle unrolls; all cross-dimension sums are exact decimals.
+    "n19_pca_power" -> ((s, d) =>
+      Similarity.pcaPowerFromCov(
+        Similarity.covarianceMatrixOrdered(
+          Tables.embeddings(s, d).filter(col("vec_id") < 200),
+          "vec_id", "embedding"),
+        rounds = 8)),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -619,8 +633,77 @@ object SimilarityQueries extends QuerySet {
        ORDER BY vec_id"""
   }
 
+  /** n19's oracle: the n10 ordered-covariance CTE, 7dp cell rounding,
+    * then `rounds` unrolled matvec/normalize CTE pairs mirroring
+    * [[graft.ops.Similarity.pcaPowerFromCov]] term-for-term — exact
+    * DECIMAL cross-dimension sums, one sqrt and one division per
+    * round. Generated from the same (dim, rounds, cap) literals the
+    * engine query passes.
+    */
+  private def pcaSql(dim: Int, rounds: Int, cap: Int): String = {
+    val v00 = Similarity.PcaSeed
+    // AS MATERIALIZED everywhere a CTE is read twice: DuckDB inlines
+    // plain CTEs per REFERENCE, and each round reads w$i twice (matvec
+    // + norm subquery) — inlined, the cov chain re-executes 2^rounds
+    // times and the oracle runs for minutes instead of milliseconds
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"v${i - 1}"
+      s""",
+          w$i AS MATERIALIZED (SELECT c.i AS i,
+                   SUM(CAST(round(c.c * v.vl, 7) AS DECIMAL(27,7))) AS w
+                 FROM fc c JOIN $prev v ON c.j = v.vi GROUP BY c.i),
+          v$i AS MATERIALIZED (SELECT w.i AS vi,
+                   round(CAST(w.w AS DOUBLE) / n.nrm, 7) AS vl
+                 FROM w$i w,
+                   (SELECT sqrt(CAST(SUM(CAST(w AS DECIMAL(18,7)) *
+                      CAST(w AS DECIMAL(18,7))) AS DOUBLE)) AS nrm
+                    FROM w$i) n)"""
+    }.mkString
+    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < $cap),
+          idx AS (SELECT unnest(range(0, $dim)) AS i),
+          cell AS (SELECT a.i AS i, b.i AS j, e.vec_id,
+                          e.v[a.i + 1] * e.v[b.i + 1] AS p
+                   FROM e, idx a, idx b WHERE b.i >= a.i),
+          g AS (SELECT i, j, COUNT(*) AS n,
+                       list_dot_product(list(p ORDER BY vec_id),
+                         list_transform(list(p ORDER BY vec_id),
+                           y -> CAST(1 AS DOUBLE))) AS sxy
+                FROM cell GROUP BY i, j),
+          mx AS MATERIALIZED (SELECT pos,
+                        list_dot_product(list(x ORDER BY vec_id),
+                          list_transform(list(x ORDER BY vec_id),
+                            y -> CAST(1 AS DOUBLE))) AS s
+                 FROM (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,
+                              unnest(v) AS x FROM e)
+                 GROUP BY pos),
+          cv AS MATERIALIZED (SELECT CAST(g.i AS INT) AS i,
+                   CAST(g.j AS INT) AS j,
+                   round(g.sxy / g.n - (mi.s / g.n) * (mj.s / g.n), 7) AS c
+                 FROM g JOIN mx mi ON mi.pos = g.i
+                        JOIN mx mj ON mj.pos = g.j),
+          fc AS MATERIALIZED (SELECT i, j, c FROM cv
+                 UNION ALL
+                 SELECT j AS i, i AS j, c FROM cv WHERE i <> j),
+          v0 AS (SELECT CAST(unnest(range(0, $dim)) AS INT) AS vi,
+                   CAST($v00 AS DOUBLE) AS vl)$roundCtes,
+          wf AS (SELECT c.i AS i,
+                   SUM(CAST(round(c.c * v.vl, 7) AS DECIMAL(27,7))) AS w
+                 FROM fc c JOIN v$rounds v ON c.j = v.vi GROUP BY c.i),
+          l1 AS (SELECT CAST(SUM(CAST(round(v.vl * CAST(w.w AS DOUBLE), 7)
+                   AS DECIMAL(18,7))) AS DOUBLE) AS l1
+                 FROM v$rounds v JOIN wf w ON v.vi = w.i),
+          tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(18,7))) AS DOUBLE) AS tr
+                 FROM fc WHERE i = j)
+          SELECT v.vi AS i, v.vl AS loading, l1.l1 AS l1,
+                 round(l1.l1 / tr.tr, 7) AS evr
+          FROM v$rounds v, l1, tr ORDER BY i"""
+  }
+
   def oracle: Map[String, String] = Map(
     "n18_dbscan" -> dbscanSql(1.3, 3, 3),
+    "n19_pca_power" -> pcaSql(64, 8, 200),
     // recall@10 of the portable IVF pipeline against the exact
     // brute-force oracle — the audit every ANN deployment runs; both
     // arms reuse the n01/n02b recipes verbatim so this oracle can
