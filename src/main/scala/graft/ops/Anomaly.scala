@@ -283,4 +283,78 @@ object Anomaly {
         sum(col("__p1sq")).cast("double").as("p1sq_sum"),
         sum(col("__p2sq")).cast("double").as("p2sq_sum"))
   }
+
+  /** HALF-SPACE-TREE anomaly mass (Tan, Ting & Liu, IJCAI 2011) — the
+    * unsupervised density screen that scores a row by how many
+    * training rows share its leaf across an ensemble of random-split
+    * trees: sparse leaves = anomalies. Two deliberate divergences from
+    * the randomized paper, both in the service of the hash oracle:
+    * the per-node feature is a fixed ROTATION (tree t splits feature
+    * (t+d) mod p at depth d) instead of a random draw, and every split
+    * is the node range's MIDPOINT (the paper's work-space bisection,
+    * made deterministic). Midpoint bisection on a fixed feature
+    * sequence collapses to closed form: feature f used M times in tree
+    * t contributes its M leading "binary digits", so the leaf id is a
+    * per-feature integer cell — computed in PURE INTEGER arithmetic
+    * (`((x − min)·2^M) div (max − min + 1)`), no float, no rounding
+    * boundary anywhere in the operator.
+    *
+    * Output: the `topK` LOWEST-mass rows `(id, m0.., score)` — score =
+    * Σ_t leafMass_t(x), the audit frontier — ties broken on id.
+    *
+    * Scale shape: one min/max aggregation (broadcast 1 row), one
+    * grouped count bounded by trees·2^depth leaves (broadcast), one
+    * scan-local scoring pass, TakeOrdered frontier. Nothing per-row
+    * shuffles; the mass tables are the only state — the same
+    * constant-memory property the paper exploits for streams.
+    */
+  def halfSpaceMass(df: DataFrame, idCol: String, features: Seq[String],
+                    depth: Int = 7, topK: Int = 20): DataFrame = {
+    val p = features.length
+    require(p >= 2, s"need >= 2 features, got $p")
+    require(depth >= p && depth <= 20, s"depth in [$p,20], got $depth")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val rows = df
+      .filter(features.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).cast("string").as("__id") +:
+        features.zipWithIndex.map { case (f, i) =>
+          col(f).cast("long").as(s"__x$i") }: _*)
+    val aggs = features.indices.flatMap(i => Seq(
+      min(col(s"__x$i")).as(s"__mn$i"),
+      max(col(s"__x$i")).as(s"__mx$i")))
+    val mm = rows.agg(aggs.head, aggs.tail: _*)
+    // uses(t)(f) = how often tree t splits feature f in `depth` levels
+    def uses(t: Int, f: Int): Int =
+      (0 until depth).count(d => (t + d) % p == f)
+    // leaf id of tree t: per-feature integer cells composed in the
+    // tree's rotation order (bijective with the bit-interleaved path)
+    def leafExpr(t: Int): Column =
+      (0 until p).map(k => (t + k) % p).foldLeft(lit(0L)) { (acc, f) =>
+        val m = uses(t, f)
+        val cell = expr(s"((__x$f - __mn$f) * ${1L << m}) div " +
+          s"(__mx$f - __mn$f + 1)")
+        acc * lit(1L << m) + cell
+      }
+    val trees = features.indices
+    val leaves = rows.crossJoin(broadcast(mm))
+      .select(col("__id") +:
+        trees.map(t => leafExpr(t).as(s"__leaf$t")): _*)
+    val leavesP = leaves.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one mass table per tree, each bounded by 2^depth rows
+    val massed = trees.foldLeft(leavesP.toDF()) { (acc, t) =>
+      val mass = leavesP.groupBy(col(s"__leaf$t"))
+        .agg(count(lit(1)).as(s"m$t"))
+      acc.join(broadcast(mass), Seq(s"__leaf$t"))
+    }
+    val out = massed
+      .withColumn("score", trees.map(t => col(s"m$t")).reduce(_ + _))
+      .select(col("__id").as("id") +:
+        trees.map(t => col(s"m$t")) :+ col("score"): _*)
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(topK)
+    val pinned = Layout.materializeBounded(out, maxRows = 1000000L)
+    leavesP.unpersist(blocking = false)
+    pinned
+  }
 }

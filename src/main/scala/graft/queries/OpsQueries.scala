@@ -412,6 +412,22 @@ object OpsQueries extends QuerySet {
               " div 1000000").as("y")),
         "x", "y").df),
 
+    // Half-space-tree anomaly mass over (quantity, discount cents,
+    // price cents): 3 rotation trees × depth 7, midpoint bisection in
+    // PURE INTEGER arithmetic (no float anywhere), leaf-mass tables
+    // bounded by 2^depth, lowest-mass top-20 frontier — the joint-
+    // density screen the reference's per-feature thresholds
+    // (FD/consumer.py:60-66) cannot express.
+    "a47_hstree_mass" -> ((s, d) =>
+      graft.ops.Anomaly.halfSpaceMass(
+        Tables.lineitem(s, d).select(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")).as("id"),
+          col("l_quantity").cast("bigint").as("x0"),
+          round(col("l_discount") * 100).cast("bigint").as("x1"),
+          round(col("l_extendedprice") * 100).cast("bigint").as("x2")),
+        "id", Seq("x0", "x1", "x2"), depth = 7, topK = 20)),
+
     // Kruskal-Wallis H across ALL event types' spend distributions:
     // the k-group one-shot screen replacing pairwise U tests — pooled
     // midranks from the distinct-cents histogram (bucketedPrefixSums,
@@ -608,7 +624,53 @@ object OpsQueries extends QuerySet {
         .orderBy(col("topic")))
   )
 
+  /** a47's oracle: the same rotation/uses literals as
+    * [[graft.ops.Anomaly.halfSpaceMass]], integer cells via DuckDB's
+    * truncating `//` (≡ Spark `div` on the nonnegative operands), one
+    * mass CTE per tree, lowest-score frontier. MATERIALIZED where a
+    * CTE is read more than once (DuckDB inlines per reference).
+    */
+  private def hstreeSql(depth: Int, topK: Int): String = {
+    val p = 3
+    def uses(t: Int, f: Int): Int =
+      (0 until depth).count(d => (t + d) % p == f)
+    def leafSql(t: Int): String =
+      (0 until p).map(k => (t + k) % p)
+        .foldLeft("CAST(0 AS BIGINT)") { (acc, f) =>
+          val m = uses(t, f)
+          s"(($acc) * ${1L << m} + " +
+            s"((x$f - mn$f) * ${1L << m}) // (mx$f - mn$f + 1))"
+        }
+    s"""WITH src AS MATERIALIZED (SELECT
+             CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR) AS id,
+             CAST(l_quantity AS BIGINT) AS x0,
+             CAST(round(l_discount * 100) AS BIGINT) AS x1,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x2
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_extendedprice IS NOT NULL),
+       mm AS (SELECT MIN(x0) AS mn0, MAX(x0) AS mx0,
+                     MIN(x1) AS mn1, MAX(x1) AS mx1,
+                     MIN(x2) AS mn2, MAX(x2) AS mx2 FROM src),
+       lv AS MATERIALIZED (SELECT id,
+               ${leafSql(0)} AS leaf0,
+               ${leafSql(1)} AS leaf1,
+               ${leafSql(2)} AS leaf2
+             FROM src, mm),
+       g0 AS (SELECT leaf0, COUNT(*) AS m0 FROM lv GROUP BY 1),
+       g1 AS (SELECT leaf1, COUNT(*) AS m1 FROM lv GROUP BY 1),
+       g2 AS (SELECT leaf2, COUNT(*) AS m2 FROM lv GROUP BY 1)
+       SELECT lv.id AS id, CAST(g0.m0 AS BIGINT) AS m0,
+              CAST(g1.m1 AS BIGINT) AS m1, CAST(g2.m2 AS BIGINT) AS m2,
+              CAST(g0.m0 + g1.m1 + g2.m2 AS BIGINT) AS score
+       FROM lv JOIN g0 USING (leaf0) JOIN g1 USING (leaf1)
+               JOIN g2 USING (leaf2)
+       ORDER BY score ASC, id ASC LIMIT $topK"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "a47_hstree_mass" -> hstreeSql(7, 20),
     "a20b_sketches_portable" ->
       """WITH r AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
                     FROM events WHERE user_id IS NOT NULL),

@@ -56,6 +56,32 @@ class AnomalySpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("half-space mass: the planted outlier owns the sparsest leaves") {
+    // a tight cluster at (10, 20, 30) with one far-away point
+    val pts = ((1 to 100).map(i =>
+      (i.toString, 10L + i % 3, 20L + (i * 7) % 4, 30L + i % 5)) :+
+      ("999", 500L, 900L, 700L)).toDF("id", "x0", "x1", "x2")
+    val top = graft.ops.Anomaly.halfSpaceMass(
+      pts, "id", Seq("x0", "x1", "x2"), depth = 6, topK = 3).collect()
+    assert(top.head.getString(0) == "999",
+      s"top anomaly ${top.head.getString(0)}")
+    // every row counts itself in every tree's leaf: score >= trees
+    top.foreach(r => assert(r.getLong(r.fieldIndex("score")) >= 3))
+  }
+
+  test("half-space mass is layout-independent") {
+    val pts = (1 to 80).map(i =>
+      (i.toString, i.toLong, (i * 13 % 29).toLong, (i * 7 % 17).toLong))
+      .toDF("id", "x0", "x1", "x2")
+    val a = graft.ops.Anomaly.halfSpaceMass(
+      pts.repartition(1), "id", Seq("x0", "x1", "x2"), topK = 10)
+      .collect().map(_.toSeq)
+    val b = graft.ops.Anomaly.halfSpaceMass(
+      pts.repartition(7), "id", Seq("x0", "x1", "x2"), topK = 10)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("pca2: a pure ridge puts all variance on the ridge direction") {
     // points on y = 2x: e1 = (1,2)/sqrt(5), l2 = 0, evr = 1
     val ridge2 = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L),
