@@ -57,6 +57,91 @@ object Boost {
   def trainStumpsCached(df: DataFrame, labelCol: String,
                         features: Seq[String], rounds: Int = 3,
                         lr: Double = 0.3, lambda: Double = 1.0): Cached = {
+    val (out, _, hist) = trainCore(df, labelCol, features, rounds, lr,
+      lambda)
+    Cached(out, Seq(hist))
+  }
+
+  /** EXACT SHAP attribution for the trained stump ensemble — per
+    * feature, the mean signed and mean absolute Shapley value over the
+    * training distribution, plus the feature's base contribution.
+    *
+    * For a depth-1 ensemble the model is ADDITIVE per feature —
+    * f(x) = Σ_t f_t(x_{feat_t}) with no interactions — so the Shapley
+    * value collapses to closed form (Lundberg & Lee 2017's additive
+    * special case): φ_j(x) = Σ_{t: feat_t = j} (f_t(x) − E[f_t]), with
+    * E over the training distribution. No sampling, no path
+    * approximation — the attribution is exact and replayed by the
+    * oracle from the same split/expectation literals.
+    *
+    * Output per feature: `(feat, base, mean_shap, mean_abs_shap)` —
+    * `base` = Σ E[f_t] over the feature's stumps (the part of the
+    * prediction the feature contributes before seeing x),
+    * `mean_abs_shap` = the global importance ranking a feature audit
+    * reads.
+    *
+    * Scale shape: training's histogram collapse does the corpus work;
+    * attribution is per-CELL algebra over the persisted histogram
+    * (one bounded aggregation per feature) + `rounds` 1-row
+    * expectation collects — nothing re-scans the corpus.
+    */
+  def shapStumps(df: DataFrame, labelCol: String, features: Seq[String],
+                 rounds: Int = 3, lr: Double = 0.3,
+                 lambda: Double = 1.0): DataFrame =
+    shapStumpsCached(df, labelCol, features, rounds, lr, lambda).df
+
+  def shapStumpsCached(df: DataFrame, labelCol: String,
+                       features: Seq[String], rounds: Int = 3,
+                       lr: Double = 0.3, lambda: Double = 1.0): Cached = {
+    val (_, splits, hist) = trainCore(df, labelCol, features, rounds, lr,
+      lambda)
+    // per-stump training expectation E[f_t] = lr·(nL·wL + nR·wR)/n —
+    // one bounded collect per stump, the same double chain the oracle
+    // restates (CAST AS DOUBLE before each product)
+    val counts = splits.map { s =>
+      val r = hist.agg(
+        sum(when(col(s.feat) <= lit(s.threshold), col("cnt"))
+          .otherwise(0L)).as("nl"),
+        sum(col("cnt")).as("n")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    val n = counts.headOption.map(_._2).getOrElse(0L)
+    val exps = splits.zip(counts).map { case (s, (nl, nn)) =>
+      lr * ((nl.toDouble * s.wLeft + (nn - nl).toDouble * s.wRight) /
+        nn.toDouble)
+    }
+    def contrib(s: Split): Column =
+      lit(lr) * when(col(s.feat) <= lit(s.threshold), lit(s.wLeft))
+        .otherwise(lit(s.wRight))
+    val perFeat = features.map { f =>
+      // fixed round order with exact-zero terms for other features'
+      // stumps (adding 0.0 is an IEEE identity, so the engine replay
+      // that zero-fills per CASE lands on the same double)
+      val phi = round(splits.zip(exps).foldLeft(lit(0.0)) {
+        case (acc, (s, e)) =>
+          if (s.feat == f) acc + (contrib(s) - lit(e)) else acc
+      }, 7)
+      val base = splits.zip(exps)
+        .foldLeft(0.0)((a, se) => if (se._1.feat == f) a + se._2 else a)
+      hist.agg(
+          sum(col("cnt") * abs(phi).cast("decimal(11,7)")).as("__sa"),
+          sum(col("cnt") * phi.cast("decimal(11,7)")).as("__ss"))
+        .select(lit(f).as("feat"),
+          round(lit(base), 7).as("base"),
+          when(lit(n) > 0, round(col("__ss").cast("double") /
+            lit(n).cast("double"), 7)).as("mean_shap"),
+          when(lit(n) > 0, round(col("__sa").cast("double") /
+            lit(n).cast("double"), 7)).as("mean_abs_shap"))
+    }
+    val out = perFeat.reduce(_ unionByName _)
+      .orderBy(col("feat"))
+    Cached(out, Seq(hist))
+  }
+
+  private def trainCore(df: DataFrame, labelCol: String,
+                        features: Seq[String], rounds: Int,
+                        lr: Double, lambda: Double)
+      : (DataFrame, Vector[Split], DataFrame) = {
     require(features.nonEmpty && rounds >= 1, "need features and rounds")
     val notNull = (features :+ labelCol)
       .map(col(_).isNotNull).reduce(_ && _)
@@ -157,6 +242,6 @@ object Boost {
         lit(0.0).as("w_left"), lit(0.0).as("w_right"), lit(0L).as("tp"),
         lit(0L).as("fp"), lit(0L).as("fn"), lit(0L).as("tn"),
         lit(0.0).as("acc")))
-    Cached(out, Seq(hist))
+    (out, splits, hist)
   }
 }

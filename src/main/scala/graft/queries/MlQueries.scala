@@ -138,6 +138,20 @@ object MlQueries extends QuerySet {
           round(col("l_extendedprice") * 100).cast("bigint").as("y")),
         "id", "x1", "x2", "y", lambda = 1000.0, topK = 20)),
 
+    // Exact SHAP for the m22 stump ensemble: depth-1 trees are
+    // additive per feature, so the Shapley value is closed-form —
+    // φ_j(x) = Σ stumps-on-j (contribution − training expectation).
+    // Per-feature base / mean / mean-|φ| over the training histogram;
+    // the oracle re-trains the ensemble (the m22 replay) and restates
+    // the attribution from the same split literals.
+    "m27_shap_stumps" -> ((s, d) =>
+      graft.ops.Boost.shapStumpsCached(
+        Tables.lineitem(s, d).select(
+          (col("l_returnflag") === "R").cast("int").as("y"),
+          col("l_quantity").cast("long").as("x1"),
+          round(col("l_discount") * 100).cast("long").as("x2")),
+        "y", Seq("x1", "x2"), rounds = 3).df),
+
     // M1-M12 end-to-end: preprocess → encode/assemble/scale → balance →
     // split → LR/RF/GBT → metric battery. Returns the model_metrics
     // frame (3 rows). Deterministic input via the seeded generator.
@@ -526,8 +540,118 @@ object MlQueries extends QuerySet {
          SELECT * FROM ($unions) ORDER BY boost_round"""
   }
 
+  /** m27's oracle: re-train the stumps (the m22 replay, MATERIALIZED —
+    * every w$t is read by later rounds AND by the attribution tail,
+    * and DuckDB inlines plain CTEs per reference), then restate the
+    * closed-form SHAP: per-stump training expectation, per-cell φ in
+    * fixed round order with exact-zero terms for other features'
+    * stumps, decimal-weighted means over the histogram.
+    */
+  private def shapOracleSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { t =>
+      s"""e$t AS (SELECT x1, x2, cnt, pos, margin,
+                   round(1.0 / (1.0 + exp(-margin)), 7) AS p
+                 FROM h${t - 1}),
+         g$t AS (SELECT x1, x2, cnt, pos, margin,
+                   CAST(round(cnt * p - pos, 9) AS DECIMAL(30,9)) AS g,
+                   CAST(round((cnt * p) * (1.0 - p), 9)
+                        AS DECIMAL(30,9)) AS hh
+                 FROM e$t),
+         t$t AS (SELECT SUM(g) AS tg, SUM(hh) AS th, SUM(cnt) AS tc
+                 FROM g$t),
+         pa$t AS (SELECT x1 AS v, SUM(g) AS fg, SUM(hh) AS fh,
+                    SUM(cnt) AS fc FROM g$t GROUP BY 1),
+         ca$t AS (SELECT 'x1' AS feat, v, SUM(fg) OVER w AS gl,
+                    SUM(fh) OVER w AS hl, SUM(fc) OVER w AS cl
+                  FROM pa$t WINDOW w AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pb$t AS (SELECT x2 AS v, SUM(g) AS fg, SUM(hh) AS fh,
+                    SUM(cnt) AS fc FROM g$t GROUP BY 1),
+         cb$t AS (SELECT 'x2' AS feat, v, SUM(fg) OVER w AS gl,
+                    SUM(fh) OVER w AS hl, SUM(fc) OVER w AS cl
+                  FROM pb$t WINDOW w AS (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         b$t AS (SELECT feat, v,
+                   round(((gl2 * gl2) / (hl2 + 1.0)
+                          + (gr2 * gr2) / (hr2 + 1.0))
+                         - ((tg2 * tg2) / (th2 + 1.0)), 7) AS gain,
+                   round(-(gl2) / (hl2 + 1.0), 9) AS wl,
+                   round(-(gr2) / (hr2 + 1.0), 9) AS wr
+                 FROM (SELECT feat, v,
+                         CAST(gl AS DOUBLE) AS gl2,
+                         CAST(hl AS DOUBLE) AS hl2,
+                         CAST(tg AS DOUBLE) AS tg2,
+                         CAST(th AS DOUBLE) AS th2,
+                         CAST(tg AS DOUBLE) - CAST(gl AS DOUBLE) AS gr2,
+                         CAST(th AS DOUBLE) - CAST(hl AS DOUBLE) AS hr2
+                       FROM (SELECT * FROM ca$t
+                             UNION ALL SELECT * FROM cb$t)
+                       CROSS JOIN t$t WHERE cl < tc)),
+         w$t AS MATERIALIZED (SELECT * FROM b$t
+                 ORDER BY gain DESC, feat, v LIMIT 1),
+         h$t AS MATERIALIZED (SELECT c.x1, c.x2, c.cnt, c.pos,
+                   round(c.margin + 0.3 * (CASE WHEN w.feat = 'x1'
+                       THEN (CASE WHEN c.x1 <= w.v THEN w.wl
+                             ELSE w.wr END)
+                       ELSE (CASE WHEN c.x2 <= w.v THEN w.wl
+                             ELSE w.wr END) END), 9) AS margin
+                 FROM h${t - 1} c CROSS JOIN w$t w),
+         x$t AS (SELECT w.feat, w.v, w.wl, w.wr,
+                   0.3 * ((CAST(SUM(CASE WHEN (CASE WHEN w.feat = 'x1'
+                         THEN c.x1 ELSE c.x2 END) <= w.v
+                       THEN c.cnt ELSE 0 END) AS DOUBLE) * w.wl
+                     + CAST(SUM(CASE WHEN (CASE WHEN w.feat = 'x1'
+                         THEN c.x1 ELSE c.x2 END) > w.v
+                       THEN c.cnt ELSE 0 END) AS DOUBLE) * w.wr)
+                    / CAST(SUM(c.cnt) AS DOUBLE)) AS et
+                 FROM h0 c CROSS JOIN w$t w
+                 GROUP BY w.feat, w.v, w.wl, w.wr)"""
+    }.mkString(",\n         ")
+    def phiTerm(t: Int, f: String): String =
+      s"""(CASE WHEN w$t.feat = '$f'
+            THEN 0.3 * (CASE WHEN (CASE WHEN w$t.feat = 'x1'
+                  THEN c.x1 ELSE c.x2 END) <= w$t.v
+                THEN w$t.wl ELSE w$t.wr END) - x$t.et
+            ELSE 0.0 END)"""
+    def baseTerm(t: Int, f: String): String =
+      s"(CASE WHEN w$t.feat = '$f' THEN x$t.et ELSE 0.0 END)"
+    val crossRefs = (1 to rounds)
+      .map(t => s"CROSS JOIN w$t CROSS JOIN x$t").mkString(" ")
+    val aggs = Seq("x1", "x2").map { f =>
+      val phi = (1 to rounds).map(t => phiTerm(t, f)).mkString(" + ")
+      val base = (1 to rounds).map(t => baseTerm(t, f)).mkString(" + ")
+      s"""ph_$f AS MATERIALIZED (SELECT c.cnt, round($phi, 7) AS phi,
+               round($base, 7) AS base
+             FROM h0 c $crossRefs),
+         ag_$f AS (SELECT '$f' AS feat, MIN(base) AS base,
+                 round(CAST(SUM(cnt * CAST(phi AS DECIMAL(11,7)))
+                   AS DOUBLE) / CAST((SELECT SUM(cnt) FROM h0)
+                   AS DOUBLE), 7) AS mean_shap,
+                 round(CAST(SUM(cnt * ABS(CAST(phi AS DECIMAL(11,7))))
+                   AS DOUBLE) / CAST((SELECT SUM(cnt) FROM h0)
+                   AS DOUBLE), 7) AS mean_abs_shap
+               FROM ph_$f)"""
+    }.mkString(",\n         ")
+    s"""WITH h0 AS MATERIALIZED (SELECT CAST(l_quantity AS BIGINT) AS x1,
+                      CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                      COUNT(*) AS cnt,
+                      SUM(CASE WHEN l_returnflag = 'R' THEN 1
+                               ELSE 0 END) AS pos,
+                      CAST(0.0 AS DOUBLE) AS margin
+                    FROM lineitem
+                    WHERE l_returnflag IS NOT NULL
+                      AND l_quantity IS NOT NULL
+                      AND l_discount IS NOT NULL
+                    GROUP BY 1, 2),
+         $iters,
+         $aggs
+         SELECT * FROM (SELECT * FROM ag_x1 UNION ALL SELECT * FROM ag_x2)
+         ORDER BY feat"""
+  }
+
   def oracle: Map[String, String] = Map(
     "m22_boosted_stumps" -> boostOracleSql(3),
+    "m27_shap_stumps" -> shapOracleSql(3),
 
     // replay ridge2PerGroup: HUGEINT raw moments, centered sums as
     // the identical sab - sa*sb/n double chain, explicit 2x2 solve

@@ -69,4 +69,45 @@ class BoostSpec extends SparkSpec {
     val empty = Seq.empty[(Int, Long, Long)].toDF("y", "x1", "x2")
     assert(Boost.trainStumps(empty, "y", Seq("x1", "x2")).count() == 0)
   }
+
+  test("shap: the label-carrying feature owns the attribution and " +
+    "the signed mean centers at zero") {
+    // y depends on x1 only; x2 is a shuffled index with no signal
+    val rows = (1 to 60).map(i =>
+      (if (i % 2 == 0) 1 else 0, (i % 2 + 10).toLong, (i * 7 % 13).toLong))
+      .toDF("y", "x1", "x2")
+    val shap = Boost.shapStumps(rows, "y", Seq("x1", "x2"), rounds = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("mean_shap")),
+          r.getDouble(r.fieldIndex("mean_abs_shap")))).toMap
+    // E[φ] = 0 per feature by expectation-centering (exact, not approx)
+    shap.values.foreach { case (mean, _) => assert(mean == 0.0, shap) }
+    assert(shap("x1")._2 > 10 * math.max(shap("x2")._2, 1e-12), s"$shap")
+  }
+
+  test("shap local accuracy: base + attribution reconstructs the " +
+    "ensemble's mean margin") {
+    // Σ_j (base_j + mean_shap_j) = E[margin] — Shapley efficiency in
+    // expectation; mean_shap is exactly 0, so Σ base_j must equal the
+    // cnt-weighted mean of the trained margin
+    val rows = (1 to 80).map(i =>
+      (if ((i * 3) % 7 < 3) 1 else 0, (i % 5).toLong, (i % 4).toLong))
+      .toDF("y", "x1", "x2")
+    val model = Boost.trainStumps(rows, "y", Seq("x1", "x2"), rounds = 3)
+      .collect()
+    val shap = Boost.shapStumps(rows, "y", Seq("x1", "x2"), rounds = 3)
+      .collect()
+    val sumBase = shap.map(_.getDouble(1)).sum
+    // recompute the mean margin from the split literals
+    val data = rows.collect().map(r => (r.getLong(1), r.getLong(2)))
+    val meanMargin = data.map { case (x1, x2) =>
+      model.map { m =>
+        val x = if (m.getAs[String]("feat") == "x1") x1 else x2
+        0.3 * (if (x <= m.getAs[Long]("threshold"))
+          m.getAs[Double]("w_left") else m.getAs[Double]("w_right"))
+      }.sum
+    }.sum / data.length
+    assert(math.abs(sumBase - meanMargin) < 1e-5,
+      s"sum base $sumBase vs mean margin $meanMargin")
+  }
 }
