@@ -144,6 +144,64 @@ object Journey {
           .as("p"))
   }
 
+  /** SEQUENTIAL-PATTERN support (depth 2): for every ordered pair of
+    * event types (a → b), how many entities have SOME a-event strictly
+    * before SOME b-event — the subsequence ("followed by, eventually")
+    * semantics of PrefixSpan/SPAM length-2 patterns, which
+    * [[transitionMatrix]]'s ADJACENT bigrams cannot express (a → b
+    * with anything in between still counts here).
+    *
+    * The scale trick: "∃ i<j with type_i = a, type_j = b" collapses to
+    * span algebra — a ≠ b: min_ts(a) < max_ts(b); a = b: two events at
+    * distinct timestamps. So the corpus reduces to ONE (entity, type)
+    * aggregation of (min, max, cnt) spans, and the pair stage is a
+    * self-join on entity whose per-entity width is the TYPE DOMAIN,
+    * never the entity's event count — type-domain² output bound, the
+    * a37/a41 pair-space discipline. Support counts entities (spans are
+    * unique per (entity, type), so COUNT(*) is the entity count);
+    * confidence divides by the antecedent's entity count.
+    *
+    * Equal-timestamp co-occurrence is NOT counted ("strictly
+    * precedes") — ties carry no order evidence.
+    *
+    * Output: `(ante, cons, support, confidence)` for pairs with
+    * support ≥ `minSupport`, ordered by (ante, cons).
+    */
+  def sequencePairs(df: DataFrame, entityCol: String, tsCol: String,
+                    typeCol: String, minSupport: Long = 2L): DataFrame = {
+    val c = sequencePairsCached(df, entityCol, tsCol, typeCol, minSupport)
+    c.df
+  }
+
+  def sequencePairsCached(df: DataFrame, entityCol: String, tsCol: String,
+                          typeCol: String,
+                          minSupport: Long = 2L): Cached = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val spans = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .groupBy(col(entityCol).as("__e"), col(typeCol).as("__t"))
+      .agg(min(col(tsCol)).as("__mn"), max(col(tsCol)).as("__mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = spans.as("a").join(spans.as("b"),
+      col("a.__e") === col("b.__e") &&
+        ((col("a.__t") =!= col("b.__t") && col("a.__mn") < col("b.__mx"))
+          || (col("a.__t") === col("b.__t") &&
+            col("a.__mn") < col("a.__mx"))))
+    val sup = pairs
+      .groupBy(col("a.__t").as("ante"), col("b.__t").as("cons"))
+      .agg(count(lit(1)).as("support"))
+    val nA = spans.groupBy(col("__t").as("ante"))
+      .agg(count(lit(1)).as("__na"))
+    val out = sup.join(broadcast(nA), Seq("ante"))
+      .filter(col("support") >= minSupport)
+      .select(col("ante"), col("cons"), col("support"),
+        round(col("support").cast("double") /
+          col("__na").cast("double"), 7).as("confidence"))
+      .orderBy(col("ante"), col("cons"))
+    Cached(out, Seq(spans))
+  }
+
   /** Great-circle distance (km) between two (lat, lon) degree pairs —
     * the haversine formula, mean Earth radius 6371 km. Plain column
     * trig spelled identically in the w12 oracle; transcendental, so

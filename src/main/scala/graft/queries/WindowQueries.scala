@@ -153,6 +153,18 @@ object WindowQueries extends QuerySet {
         "event_type", "ts_us", maxLag = 3)
         .df.orderBy(col("grp"), col("k"))),
 
+    // Length-2 sequential patterns over event types: per ordered pair
+    // (a → b), how many users have some a STRICTLY before some b —
+    // subsequence semantics (anything may sit in between), not w-family
+    // adjacency. Corpus collapses to one (user, type) span aggregation;
+    // the pair stage is type-domain² wide, never events² (the a37/a41
+    // pair-space discipline).
+    "w19_seq_patterns" -> ((s, d) =>
+      graft.ops.Journey.sequencePairsCached(
+        Tables.eventsMicros(s, d).select(col("user_id"),
+          col("ts_us"), col("event_type")),
+        "user_id", "ts_us", "event_type", minSupport = 2L).df),
+
     // Rolling 7-day active users per observed day (DAU/WAU/stickiness)
     // — contribution-day explode + one grouped countDistinct instead
     // of an unmergeable sliding-distinct window.
@@ -273,6 +285,31 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    // replay sequencePairs: (user, type) spans, strict-precedence pair
+    // rule on span algebra, entity-count support, antecedent-share
+    // confidence. sp is read three times -> MATERIALIZED.
+    "w19_seq_patterns" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t,
+                      epoch_us(ts) AS ts
+                    FROM events
+                    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND ts IS NOT NULL),
+         sp AS MATERIALIZED (SELECT u, t, MIN(ts) AS mn, MAX(ts) AS mx
+               FROM e GROUP BY u, t),
+         pr AS (SELECT a.t AS ante, b.t AS cons
+                FROM sp a JOIN sp b ON a.u = b.u
+                WHERE (a.t <> b.t AND a.mn < b.mx)
+                   OR (a.t = b.t AND a.mn < a.mx)),
+         sup AS (SELECT ante, cons, COUNT(*) AS support
+                 FROM pr GROUP BY 1, 2),
+         na AS (SELECT t AS ante, COUNT(*) AS n FROM sp GROUP BY 1)
+         SELECT s.ante AS ante, s.cons AS cons,
+                CAST(s.support AS BIGINT) AS support,
+                round(CAST(s.support AS DOUBLE) / CAST(na.n AS DOUBLE), 7)
+                  AS confidence
+         FROM sup s JOIN na USING (ante)
+         WHERE s.support >= 2
+         ORDER BY ante, cons""",
     "w16_forecast_backtest" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
                       CAST(round(value * 100) AS BIGINT) AS v

@@ -203,4 +203,27 @@ class JourneySpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set((3L, 4L)), got.mkString(","))
     assert(math.abs(got.head._2 - 22.24) < 0.1, got.head._2.toString)
   }
+
+  test("sequencePairs: subsequence semantics, strict precedence, " +
+    "same-type repeats") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 5L, "B"),              // A→B for u1, not B→A
+      (2L, 3L, "A"), (2L, 3L, "B"),              // ties carry no order
+      (3L, 1L, "A"), (3L, 2L, "A"),              // repeat → A→A
+      (4L, 4L, "A"),                             // single A: no A→A
+      (5L, 1L, "A"), (5L, 2L, "C"), (5L, 9L, "B") // gap still counts A→B
+    ).toDF("u", "ts", "t")
+    val got = Journey.sequencePairs(ev, "u", "ts", "t", minSupport = 1L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got((("A"), ("B"))) == 2L, got) // u1 and u5
+    assert(!got.contains(("B", "A")), got)
+    assert(got(("A", "A")) == 1L, got)     // u3 only
+    assert(got(("A", "C")) == 1L && got(("C", "B")) == 1L, got)
+    // confidence of A→B: 2 of the 5 users with an A
+    val conf = Journey.sequencePairs(ev, "u", "ts", "t", minSupport = 1L)
+      .filter(col("ante") === "A" && col("cons") === "B")
+      .first().getDouble(3)
+    assert(math.abs(conf - 0.4) < 1e-9, conf.toString)
+  }
 }
