@@ -753,6 +753,27 @@ object SourceQueries extends QuerySet {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // JSON-lines round-trip (the interchange format every ingestion
+    // edge speaks): orders staged as JSONL, read back with the EXPLICIT
+    // schema (no inference pass — same contract as s15), same aggregate
+    // as the rest of the format family. Doubles survive (Spark emits
+    // shortest-roundtrip literals); dates travel as ISO strings that
+    // the date-typed schema parses back.
+    "s16_json_roundtrip" -> ((s, d) => {
+      val path = Tables.stageDir(s, "s16_json")
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus"))
+      src.write.mode("overwrite").json(path)
+      s.read.schema(src.schema).json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "s07_orc_roundtrip" -> ((s, d) => {
       val path = Tables.stageDir(s, "s07_orc")
       Tables.orders(s, d)
@@ -1079,6 +1100,12 @@ object SourceQueries extends QuerySet {
             MAX(o_orderkey) AS max_key
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "s07_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+            ${sqlSum("o_totalprice")} AS sum_price,
+            MIN(o_orderdate) AS min_date,
+            MAX(o_orderkey) AS max_key
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s16_json_roundtrip" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
             ${sqlSum("o_totalprice")} AS sum_price,
             MIN(o_orderdate) AS min_date,
