@@ -7,12 +7,17 @@ import graft.ops.{Layout, Similarity}
 import graft.queries.Tables
 
 /** Diagnostic: print the power-iteration state round by round so a
-  * diverging engine replay can be localized to its first bad round.
-  * Usage: runMain graft.tools.PcaProbe <sfDir> [rounds]
+  * diverging engine replay can be localized to its first bad round —
+  * or, with `prod`, time the PRODUCTION composition (order-free
+  * one-scan covariance over the FULL embeddings table feeding the same
+  * iteration) for the scale probe; the n19 driver query itself is
+  * vec_id-capped, so probing it against a scaled corpus is vacuous.
+  * Usage: runMain graft.tools.PcaProbe <sfDir> [rounds|prod]
   */
 object PcaProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    if (args.length > 1 && args(1) == "prod") { prodProbe(sfDir); return }
     val rounds = if (args.length > 1) args(1).toInt else 3
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -56,6 +61,28 @@ object PcaProbe {
       v.orderBy(col("vi")).limit(4).collect().foreach(x =>
         println(s"[pcaprobe] round $r v(${x.getInt(0)}) = ${x.getDouble(1)}"))
     }
+    spark.stop()
+  }
+
+  private def prodProbe(sfDir: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val t0 = System.nanoTime()
+    val out = Similarity.pcaPowerFromCov(
+      Similarity.covarianceMatrix(emb, "embedding"), rounds = 8)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[pcaprobe] prod n=$n secs=$secs%.2f " +
+      f"l1=${out.head.getDouble(2)}%.6f evr=${out.head.getDouble(3)}%.6f")
     spark.stop()
   }
 }
