@@ -428,6 +428,17 @@ object OpsQueries extends QuerySet {
           round(col("l_extendedprice") * 100).cast("bigint").as("x2")),
         "id", Seq("x0", "x1", "x2"), depth = 7, topK = 20)),
 
+    // Gini coefficient of spend concentration per event type — Lorenz
+    // algebra on the distinct-cents histogram (bucketedPrefixSums, no
+    // global window), rank-weighted sum exact in DECIMAL(38,0), one
+    // final double chain. The 1%-carries-80% screen for both abuse
+    // detection and corpus-diversity audits.
+    "a48_gini" -> ((s, d) =>
+      graft.ops.Aggregates.giniPerGroup(
+        Tables.events(s, d).select(col("event_type").as("g"),
+          round(col("value") * 100).cast("bigint").as("v")),
+        "g", "v").orderBy(col("grp"))),
+
     // Kruskal-Wallis H across ALL event types' spend distributions:
     // the k-group one-shot screen replacing pairwise U tests — pooled
     // midranks from the distinct-cents histogram (bucketedPrefixSums,
@@ -671,6 +682,36 @@ object OpsQueries extends QuerySet {
 
   def oracle: Map[String, String] = Map(
     "a47_hstree_mass" -> hstreeSql(7, 20),
+    // replay giniPerGroup: cents histogram, per-group cumulative
+    // counts, the v·(c·r + c(c+1)/2) rank-weighted sum in HUGEINT,
+    // the identical final double chain
+    "a48_gini" ->
+      """WITH e AS (SELECT event_type AS g,
+                      CAST(round(value * 100) AS BIGINT) AS v
+                    FROM events
+                    WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         h AS (SELECT g, v, COUNT(*) AS c FROM e GROUP BY g, v),
+         cu AS (SELECT g, v, c,
+                  SUM(c) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum
+                FROM h),
+         t AS (SELECT g, SUM(c) AS n,
+                 SUM(CAST(v AS HUGEINT) * c) AS s,
+                 SUM(CAST(v AS HUGEINT) *
+                     (CAST(c AS HUGEINT) * (cum - c)
+                      + (c * (c + 1)) // 2)) AS tt,
+                 MIN(v) AS mnv
+               FROM cu GROUP BY g)
+         SELECT g AS grp, CAST(n AS BIGINT) AS n,
+                CAST(s AS BIGINT) AS total,
+                CASE WHEN mnv < 0 THEN NULL
+                     WHEN s > 0 THEN
+                       round(2.0 * CAST(tt AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) -
+                         (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 7)
+                END AS gini
+         FROM t ORDER BY grp""",
     "a20b_sketches_portable" ->
       """WITH r AS (SELECT md5('hll:' || CAST(user_id AS VARCHAR)) AS h
                     FROM events WHERE user_id IS NOT NULL),

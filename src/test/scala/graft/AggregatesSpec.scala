@@ -768,4 +768,23 @@ class AggregatesSpec extends SparkSpec {
     val r2 = graft.ops.Aggregates.cohensKappa(cm2).head()
     assert(r2.isNullAt(r2.fieldIndex("kappa")))
   }
+
+  test("giniPerGroup: equality, total concentration, hand case, " +
+    "negative refusal") {
+    val rows = (
+      Seq.fill(5)(("eq", 7L)) ++                       // all equal → 0
+      Seq(("one", 0L), ("one", 0L), ("one", 0L), ("one", 10L)) ++
+      Seq(("hand", 1L), ("hand", 2L), ("hand", 3L), ("hand", 4L)) ++
+      Seq(("neg", -1L), ("neg", 5L))
+    ).toDF("g", "v")
+    val got = graft.ops.Aggregates.giniPerGroup(rows, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("eq").contains(0.0), got.toString)
+    // one holder of everything over n=4: G = (n−1)/n = 0.75
+    assert(got("one").contains(0.75), got.toString)
+    // 1,2,3,4: T = 30, S = 10 → 2·30/40 − 5/4 = 0.25
+    assert(got("hand").contains(0.25), got.toString)
+    assert(got("neg").isEmpty, got.toString)
+  }
 }

@@ -62,9 +62,12 @@ class SparkEntrySpec extends AnyFunSuite {
         "IS_DISTINCT")
       // collect bare table identifiers; CTE names declared in the SQL
       // are legitimate non-table references
-      // both CTE forms: `name AS (` and `name(col, ...) AS (`
+      // CTE forms: `name AS (`, `name(col, ...) AS (`, and DuckDB's
+      // `name AS MATERIALIZED (` (forced materialization — used where
+      // plain CTEs would re-inline per reference)
       val ctes =
-        "(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+        ("(?i)([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*" +
+          "(?:MATERIALIZED\\s*)?\\(").r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .filterNot(ctes)
