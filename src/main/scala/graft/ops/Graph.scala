@@ -63,6 +63,82 @@ object Graph {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) on the BIPARTITE
+    * user→attribute membership graph — the directed structure the
+    * symmetric co-attribute projection throws away. Authorities are
+    * the attributes (devices, locations — the props `k` analogue)
+    * accumulating mass from strong hubs; hubs are the users spanning
+    * strong attributes. On a fraud graph this is the "which shared
+    * device is the ring's hub" question [[pageRank]]'s popularity
+    * score does not answer, and unlike the co-attribute pairing it
+    * never materializes a users-per-attr² term.
+    *
+    * Integer fixed-point, the g02 discipline: scores are BIGINTs
+    * scaled by `scale`; each half-round is one join + hash agg, then a
+    * MAX-rescale (`s·scale div max`) — floor divisions on nonnegative
+    * integers, bit-identical across engines and partitionings, the
+    * oracle unrolls every round. Max-rescale (not the L2 norm of the
+    * textbook) keeps the iteration integer-exact; the fixed point is
+    * the same dominant eigenvector direction, reported with max =
+    * `scale`. Overflow: per-node sums ≤ deg·scale, rescale multiplies
+    * by `scale` → deg·scale² must stay under 2⁶³ — deg ≤ 9·10⁶ at the
+    * default scale, checked nowhere cheaper than the documented bound.
+    *
+    * `membership` rows are distinct (user, attr) memberships
+    * (deduplicated defensively here — duplicate rows would double
+    * edges).
+    *
+    * Output: `(kind, node, score)` — kind `auth` rows carry attribute
+    * ids, kind `hub` rows user ids; both sides' max is `scale`.
+    */
+  def hitsBipartiteCached(membership: DataFrame, userCol: String,
+                          attrCol: String, iters: Int = 3,
+                          scale: Long = 1000000L): Cached = {
+    require(iters >= 1 && iters <= 20, s"iters in [1,20], got $iters")
+    require(scale >= 100L, s"scale must be >= 100, got $scale")
+    val m = membership
+      .filter(col(userCol).isNotNull && col(attrCol).isNotNull)
+      .select(col(userCol).cast("long").as("__mu"),
+        col(attrCol).cast("long").as("__ma"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    m.count() // eager: every half-round joins it
+    var backing: List[DataFrame] = List(m)
+    def rescale(df: DataFrame, keyCol: String, sCol: String): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // eager: the max subtree broadcasts CONCURRENTLY with
+                // the rescale scan — lazy persist would race and
+                // rematerialize the half-round (the g09 lesson)
+      backing = p :: backing
+      val mx = p.agg(max(col(sCol)).as("__mx"))
+      p.crossJoin(broadcast(mx))
+        .selectExpr(keyCol,
+          s"($sCol * CAST($scale AS BIGINT)) div __mx AS score")
+    }
+    var hubs = m.select(col("__mu").as("node")).distinct()
+      .withColumn("score", lit(scale))
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = m.join(hubs.withColumnRenamed("node", "__mu"), Seq("__mu"))
+        .groupBy(col("__ma").as("node")).agg(sum(col("score")).as("__s"))
+      auths = rescale(aRaw, "node", "__s")
+      val hRaw = m.join(auths.withColumnRenamed("node", "__ma"), Seq("__ma"))
+        .groupBy(col("__mu").as("node")).agg(sum(col("score")).as("__s"))
+      hubs = rescale(hRaw, "node", "__s")
+    }
+    val out = auths.select(lit("auth").as("kind"), col("node"),
+        col("score"))
+      .unionByName(hubs.select(lit("hub").as("kind"), col("node"),
+        col("score")))
+      .orderBy(col("kind"), col("node"))
+    Cached(out, backing)
+  }
+
+  def hitsBipartite(membership: DataFrame, userCol: String,
+                    attrCol: String, iters: Int = 3,
+                    scale: Long = 1000000L): DataFrame =
+    hitsBipartiteCached(membership, userCol, attrCol, iters, scale).df
+
   /** Both directions of a canonical `(u, v)` edge list. Input rows are
     * distinct unordered pairs, so the union is already duplicate-free.
     */

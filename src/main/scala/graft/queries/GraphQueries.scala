@@ -37,6 +37,23 @@ object GraphQueries extends QuerySet {
     "g01_coattr_edges" -> ((s, d) =>
       edges(s, d).orderBy(col("u"), col("v"))),
 
+    // HITS hubs/authorities on the DIRECTED user→attribute bipartite
+    // membership (3 rounds, integer fixed-point, max-rescale per
+    // half-round) — "which shared device is the ring's hub", the
+    // directed question the symmetric co-attribute projection can't
+    // answer, with no users-per-attr² pairing term anywhere.
+    "g13_hits" -> ((s, d) =>
+      graft.ops.Graph.hitsBipartiteCached(
+        Tables.events(s, d)
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("int").as("attr"))
+          .filter(col("user_id").isNotNull && col("attr").isNotNull)
+          .groupBy(col("user_id"), col("attr"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+          .select(col("user_id"), col("attr")),
+        "user_id", "attr", iters = 3).df),
+
     "g02_pagerank" -> ((s, d) =>
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
@@ -170,7 +187,42 @@ object GraphQueries extends QuerySet {
                FROM pa a JOIN pa b ON a.attr = b.attr AND a.u < b.u
                GROUP BY 1, 2)"""
 
+  /** g13's oracle: the shared qualified (user, attr) prelude, then
+    * `iters` unrolled half-round pairs — HUGEINT sums, max-rescale via
+    * `//` on positives (≡ Spark `div`). MATERIALIZED throughout: each
+    * half-round frame is read by its own MAX subquery AND the next
+    * half-round, and DuckDB inlines plain CTEs per reference.
+    */
+  private def hitsSql(iters: Int, scale: Long): String = {
+    val rounds = (1 to iters).map { i =>
+      s""",
+         ar$i AS MATERIALIZED (SELECT m.ma AS node, SUM(h.score) AS s
+                FROM mq m JOIN h${i - 1} h ON m.mu = h.node GROUP BY 1),
+         a$i AS MATERIALIZED (SELECT node,
+                  (s * CAST($scale AS HUGEINT)) //
+                    (SELECT MAX(s) FROM ar$i) AS score
+                FROM ar$i),
+         hr$i AS MATERIALIZED (SELECT m.mu AS node, SUM(a.score) AS s
+                FROM mq m JOIN a$i a ON m.ma = a.node GROUP BY 1),
+         h$i AS MATERIALIZED (SELECT node,
+                  (s * CAST($scale AS HUGEINT)) //
+                    (SELECT MAX(s) FROM hr$i) AS score
+                FROM hr$i)"""
+    }.mkString
+    s"""$prelude,
+         mq AS MATERIALIZED (SELECT CAST(u AS BIGINT) AS mu,
+                CAST(attr AS BIGINT) AS ma FROM pa),
+         h0 AS (SELECT DISTINCT mu AS node,
+                  CAST($scale AS BIGINT) AS score FROM mq)$rounds
+         SELECT kind, node, CAST(score AS BIGINT) AS score FROM (
+           SELECT 'auth' AS kind, node, score FROM a$iters
+           UNION ALL
+           SELECT 'hub' AS kind, node, score FROM h$iters)
+         ORDER BY kind, node"""
+  }
+
   def oracle: Map[String, String] = Map(
+    "g13_hits" -> hitsSql(3, 1000000L),
     "g01_coattr_edges" ->
       s"""$prelude
          SELECT u, v, shared FROM e ORDER BY u, v""",

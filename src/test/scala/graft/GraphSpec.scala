@@ -249,4 +249,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 0L, 2L -> 5L))
   }
+
+  test("hits: the shared attribute is the top authority, the spanning " +
+    "user the top hub, max-rescale pins both maxima at scale") {
+    // attr 10 holds users 1,2,3; attr 20 only user 3 → 10 is the
+    // authority; user 3 spans both attrs → the hub
+    val m = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L))
+      .toDF("u", "a")
+    val out = Graph.hitsBipartite(m, "u", "a", iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out(("auth", 10L)) == 1000000L, out.toString)
+    assert(out(("auth", 20L)) < 1000000L, out.toString)
+    assert(out(("hub", 3L)) == 1000000L, out.toString)
+    assert(out(("hub", 1L)) == out(("hub", 2L)), out.toString)
+    assert(out(("hub", 1L)) < 1000000L, out.toString)
+  }
+
+  test("hits is layout-independent and dedups duplicate memberships") {
+    val m = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 20L), (3L, 20L))
+      .toDF("u", "a")
+    val a = Graph.hitsBipartite(m.repartition(1), "u", "a")
+      .collect().map(_.toSeq)
+    val b = Graph.hitsBipartite(m.repartition(5), "u", "a")
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
 }
