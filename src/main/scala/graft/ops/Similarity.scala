@@ -401,6 +401,75 @@ object Similarity {
       .orderBy(col("i"))
   }
 
+  /** Per-dimension means by the ORDERED fold (ascending `idCol`
+    * sequential double sum ≡ DuckDB `list_dot_product` over the sorted
+    * list — the [[covarianceMatrixOrdered]] discipline), so the means
+    * frame is engine-identical with no rounding. Verification corpora
+    * only (collect_list bounds memory by rows); the production twin is
+    * a plain sum/n aggregation. Output: `(pos, m)`.
+    */
+  def dimMeansOrdered(df: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      asDouble(col(vecCol)).as("__v"))
+    val n = base.count()
+    base.select(col("__id"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(aggregate(array_sort(collect_list(struct(col("__id"), col("x")))),
+        lit(0.0), (acc, x) => acc + x.getField("x")).as("__s"))
+      .select(col("pos"), (col("__s") / lit(n.toDouble)).as("m"))
+  }
+
+  /** Production twin of [[dimMeansOrdered]]: one order-free scan. */
+  def dimMeans(df: DataFrame, vecCol: String): DataFrame = {
+    val base = Layout.fanOut(df).select(asDouble(col(vecCol)).as("__v"))
+    base.select(posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(col("x")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("pos"),
+        (col("__s") / col("__n").cast("double")).as("m"))
+  }
+
+  /** PCA RECONSTRUCTION-ERROR outlier screen: per vector, the squared
+    * distance to the line (mean + span of the top principal component)
+    * — `resid = ‖x−μ‖² − (v·(x−μ))²` — the classic subspace-anomaly
+    * score (an embedding far from the corpus' dominant direction is a
+    * mislabeled/degenerate candidate). Composes the factored pieces:
+    * `loadings` from [[pcaPowerFromCov]] (either covariance arm),
+    * `means` from [[dimMeansOrdered]] (hash-exact twin) or
+    * [[dimMeans]] (production) — the n16b composition pattern.
+    *
+    * Determinism: per-dimension squares and projections are 7dp-rounded
+    * into DECIMAL(20,7) sums (order-free, exact); the final
+    * `d2 − proj²` is one double chain, 7dp.
+    *
+    * Scale shape: one scan-local pass (posexplode + two broadcast
+    * dim-row joins + hash agg per vector), TakeOrdered frontier —
+    * nothing pair-shaped anywhere.
+    *
+    * Output: the `topK` largest-residual rows `(vec_id, resid)`.
+    */
+  def pcaResidualOutliers(df: DataFrame, idCol: String, vecCol: String,
+                          loadings: DataFrame, means: DataFrame,
+                          topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ex = df.select(col(idCol).as("__id"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .join(broadcast(means.select(col("pos"), col("m"))), Seq("pos"))
+      .join(broadcast(loadings.select(col("i").as("pos"),
+        col("loading").as("vl"))), Seq("pos"))
+    val u = col("x") - col("m")
+    ex.groupBy(col("__id"))
+      .agg(sum(round(u * u, 7).cast("decimal(20,7)")).as("__d2"),
+        sum(round(col("vl") * u, 7).cast("decimal(20,7)")).as("__pj"))
+      .select(col("__id").as("vec_id"),
+        round(col("__d2").cast("double") -
+          col("__pj").cast("double") * col("__pj").cast("double"), 7)
+          .as("resid"))
+      .orderBy(col("resid").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

@@ -136,6 +136,20 @@ object SimilarityQueries extends QuerySet {
           "vec_id", "embedding"),
         rounds = 8)),
 
+    // PCA reconstruction-error outlier screen composing the factored
+    // pieces (n16b pattern): n19's top component + ordered-fold means
+    // feed resid = ‖x−μ‖² − (v·(x−μ))², the subspace-anomaly score —
+    // top-20 embeddings farthest from the corpus' dominant direction.
+    // One scan-local pass, two broadcast dim-row joins, no pair term.
+    "n20_pca_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val load = Similarity.pcaPowerFromCov(
+        Similarity.covarianceMatrixOrdered(emb, "vec_id", "embedding"),
+        rounds = 8)
+      Similarity.pcaResidualOutliers(emb, "vec_id", "embedding", load,
+        Similarity.dimMeansOrdered(emb, "vec_id", "embedding"), topK = 20)
+    }),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -640,7 +654,42 @@ object SimilarityQueries extends QuerySet {
     * round. Generated from the same (dim, rounds, cap) literals the
     * engine query passes.
     */
-  private def pcaSql(dim: Int, rounds: Int, cap: Int): String = {
+  private def pcaSql(dim: Int, rounds: Int, cap: Int): String =
+    s"""WITH ${pcaBody(dim, rounds, cap)}
+          SELECT v.vi AS i, v.vl AS loading, l1.l1 AS l1,
+                 round(l1.l1 / tr.tr, 7) AS evr
+          FROM v$rounds v, l1, tr ORDER BY i"""
+
+  /** n20's oracle: the shared PCA CTE body (unreferenced l1/tr CTEs
+    * prune away), ordered-fold per-dimension means, then the per-vector
+    * residual `‖x−μ‖² − (v·(x−μ))²` with 7dp-rounded DECIMAL sums —
+    * mirroring [[graft.ops.Similarity.pcaResidualOutliers]].
+    */
+  private def pcaOutlierSql(dim: Int, rounds: Int, cap: Int,
+                            topK: Int): String =
+    s"""WITH ${pcaBody(dim, rounds, cap)},
+          nn AS (SELECT COUNT(*) AS n FROM e),
+          mu AS (SELECT pos, s / CAST((SELECT n FROM nn) AS DOUBLE) AS m
+                 FROM mx),
+          ex AS (SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos,
+                        unnest(v) AS x
+                 FROM e),
+          sc AS (SELECT ex.vec_id,
+                   SUM(CAST(round((ex.x - mu.m) * (ex.x - mu.m), 7)
+                     AS DECIMAL(20,7))) AS d2,
+                   SUM(CAST(round(vv.vl * (ex.x - mu.m), 7)
+                     AS DECIMAL(20,7))) AS pj
+                 FROM ex JOIN mu ON ex.pos = mu.pos
+                         JOIN v$rounds vv ON vv.vi = ex.pos
+                 GROUP BY ex.vec_id)
+          SELECT vec_id,
+                 round(CAST(d2 AS DOUBLE) -
+                       CAST(pj AS DOUBLE) * CAST(pj AS DOUBLE), 7)
+                   AS resid
+          FROM sc
+          ORDER BY resid DESC, vec_id ASC LIMIT $topK"""
+
+  private def pcaBody(dim: Int, rounds: Int, cap: Int): String = {
     val v00 = Similarity.PcaSeed
     // AS MATERIALIZED everywhere a CTE is read twice: DuckDB inlines
     // plain CTEs per REFERENCE, and each round reads w$i twice (matvec
@@ -659,7 +708,7 @@ object SimilarityQueries extends QuerySet {
                       CAST(w AS DECIMAL(18,7))) AS DOUBLE)) AS nrm
                     FROM w$i) n)"""
     }.mkString
-    s"""WITH e AS MATERIALIZED (SELECT vec_id,
+    s"""e AS MATERIALIZED (SELECT vec_id,
                      CAST(embedding AS DOUBLE[]) AS v
                    FROM embeddings WHERE vec_id < $cap),
           idx AS (SELECT unnest(range(0, $dim)) AS i),
@@ -695,15 +744,13 @@ object SimilarityQueries extends QuerySet {
                    AS DECIMAL(18,7))) AS DOUBLE) AS l1
                  FROM v$rounds v JOIN wf w ON v.vi = w.i),
           tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(18,7))) AS DOUBLE) AS tr
-                 FROM fc WHERE i = j)
-          SELECT v.vi AS i, v.vl AS loading, l1.l1 AS l1,
-                 round(l1.l1 / tr.tr, 7) AS evr
-          FROM v$rounds v, l1, tr ORDER BY i"""
+                 FROM fc WHERE i = j)"""
   }
 
   def oracle: Map[String, String] = Map(
     "n18_dbscan" -> dbscanSql(1.3, 3, 3),
     "n19_pca_power" -> pcaSql(64, 8, 200),
+    "n20_pca_outliers" -> pcaOutlierSql(64, 8, 200, 20),
     // recall@10 of the portable IVF pipeline against the exact
     // brute-force oracle — the audit every ANN deployment runs; both
     // arms reuse the n01/n02b recipes verbatim so this oracle can

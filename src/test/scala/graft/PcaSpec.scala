@@ -65,6 +65,43 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("residual outliers: off-axis point tops, far-along-axis point " +
+    "does not") {
+    // cloud along (1,2,0,0); id 900 sits far ALONG the axis (large but
+    // on-trend), id 901 sits far OFF it (the true outlier)
+    val pts = ((0 until 100).map { i =>
+      val t = (i - 50).toDouble / 10.0
+      (i.toLong, Array(t, 2 * t, 0.0, 0.0))
+    } :+ (900L, Array(30.0, 60.0, 0.0, 0.0))
+      :+ (901L, Array(0.0, 0.0, 25.0, 0.0))).toDF("vec_id", "embedding")
+    val load = Similarity.pcaPowerFromCov(
+      Similarity.covarianceMatrixOrdered(pts, "vec_id", "embedding"),
+      rounds = 12)
+    val means = Similarity.dimMeansOrdered(pts, "vec_id", "embedding")
+    val top = Similarity.pcaResidualOutliers(pts, "vec_id", "embedding",
+      load, means, topK = 3).collect()
+    assert(top.head.getLong(0) == 901L, top.mkString(","))
+    assert(!top.map(_.getLong(0)).contains(900L), top.mkString(","))
+  }
+
+  test("residual outliers: production means/covariance arm agrees " +
+    "with the ordered twin") {
+    val loadT = Similarity.pcaPowerFromCov(
+      Similarity.covarianceMatrixOrdered(stretched, "vec_id", "embedding"),
+      rounds = 8)
+    val meansT = Similarity.dimMeansOrdered(stretched, "vec_id", "embedding")
+    val twin = Similarity.pcaResidualOutliers(stretched, "vec_id",
+      "embedding", loadT, meansT, topK = 10).collect()
+    val loadP = Similarity.pcaPowerFromCov(
+      Similarity.covarianceMatrix(stretched, "embedding"), rounds = 8)
+    val meansP = Similarity.dimMeans(stretched, "embedding")
+    val prod = Similarity.pcaResidualOutliers(stretched, "vec_id",
+      "embedding", loadP, meansP, topK = 10).collect()
+    assert(twin.map(_.getLong(0)).toSeq == prod.map(_.getLong(0)).toSeq)
+    twin.zip(prod).foreach { case (a, b) =>
+      assert(approx(a.getDouble(1), b.getDouble(1), 1e-5)) }
+  }
+
   test("l1 is bounded by the trace and evr is a valid share") {
     val out = Similarity.pcaPowerFromCov(
       Similarity.covarianceMatrixOrdered(stretched, "vec_id", "embedding"),
