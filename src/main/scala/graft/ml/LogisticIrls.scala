@@ -160,4 +160,79 @@ object LogisticIrls {
         sum(when(p >= 0.5, 1L).otherwise(0L)).as("n_pred_pos"),
         sum(d9(p)).cast("double").as("proba_sum"))
   }
+
+  /** PLATT SCALING (Platt 1999): the 1-feature logistic
+    * p = σ(a + b·score) fitted by the same IRLS discipline as
+    * [[train]], reduced to the 2×2 normal equations — the parametric
+    * calibration map that turns any raw score (a margin, a distance, a
+    * heuristic) into a probability, completing the calibration family
+    * next to the isotonic (PAV) and conformal forms. Same exactness
+    * contract: 7dp sigmoids, 9dp DECIMAL(30,9) gradient/Hessian sums
+    * (order-free), Cramer solve as one fixed-grouping double chain,
+    * 9dp coefficients per step. A constant score makes the Hessian
+    * determinant EXACTLY zero → null coefficients (ANSI forbids the
+    * IEEE 0/0 the [[train]] near-singular float regime produces).
+    */
+  def trainPlatt(df: DataFrame, labelCol: String, scoreCol: String,
+                 iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "at least one Newton step")
+    val base = base1Of(df, labelCol, scoreCol)
+    var beta = df.sparkSession.range(1).select(
+      lit(0.0).as("a"), lit(0.0).as("b"))
+    for (_ <- 1 to iterations) beta = step1(base, beta)
+    beta
+  }
+
+  private def base1Of(df: DataFrame, labelCol: String,
+                      scoreCol: String): DataFrame =
+    df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("double").as("y"),
+        col(scoreCol).cast("double").as("x"))
+
+  private def z1Of: Column = col("a") + col("b") * col("x")
+
+  private def step1(base: DataFrame, beta: DataFrame): DataFrame = {
+    val joined = base.crossJoin(broadcast(beta))
+    val p = sigmoid(z1Of)
+    val w = p * (lit(1.0) - p)
+    val r = col("y") - p
+    val agg = joined.agg(
+      max(col("a")).as("pa"), max(col("b")).as("pb"),
+      sum(d9(r)).as("g0"),
+      sum(d9(r * col("x"))).as("g1"),
+      sum(d9(w)).as("h00"),
+      sum(d9(w * col("x"))).as("h01"),
+      sum(d9(w * col("x") * col("x"))).as("h11"))
+    def D(n: String): Column = col(n).cast("double")
+    val (g0, g1) = (D("g0"), D("g1"))
+    val (h00, h01, h11) = (D("h00"), D("h01"), D("h11"))
+    val det = h00 * h11 - h01 * h01
+    val da = g0 * h11 - h01 * g1
+    val db = h00 * g1 - h01 * g0
+    // a constant score makes det EXACTLY zero (h01 = c·h00, h11 =
+    // c²·h00) and ANSI mode hard-fails double/0 — null coefficients
+    // are the degenerate signal here (the train() NaN note applies to
+    // the NEAR-singular float regime, which divides fine)
+    agg.select(
+      when(det =!= 0.0, round(col("pa") + da / det, 9)).as("a"),
+      when(det =!= 0.0, round(col("pb") + db / det, 9)).as("b"))
+  }
+
+  /** Train the Platt map, then score the same frame: one row —
+    * 9dp (a, b), row count, positives at the 0.5 threshold, and the
+    * exact-decimal sum of the rounded calibrated probabilities (the
+    * [[trainSummary]] hash gate, 1-feature form).
+    */
+  def plattSummary(df: DataFrame, labelCol: String, scoreCol: String,
+                   iterations: Int = 3): DataFrame = {
+    val beta = trainPlatt(df, labelCol, scoreCol, iterations)
+    val base = base1Of(df, labelCol, scoreCol)
+    val p = sigmoid(z1Of)
+    base.crossJoin(broadcast(beta))
+      .agg(
+        max(col("a")).as("a"), max(col("b")).as("b"),
+        count(lit(1)).as("n"),
+        sum(when(p >= 0.5, 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(d9(p)).cast("double").as("proba_sum"))
+  }
 }

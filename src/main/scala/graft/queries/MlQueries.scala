@@ -319,6 +319,18 @@ object MlQueries extends QuerySet {
           col("l_discount").as("x2")),
         "y", "x1", "x2", iterations = 3)),
 
+    // Platt scaling (the 1-feature IRLS logistic): calibrate a raw
+    // score (quantity) into P(returned) via p = σ(a + b·score) — the
+    // parametric calibration next to the isotonic (m18-family) and
+    // conformal forms; same 7dp-sigmoid / 9dp-decimal / Cramer-chain
+    // exactness contract as m16, reduced to the 2×2 solve.
+    "m28_platt" -> ((s, d) =>
+      graft.ml.LogisticIrls.plattSummary(
+        Tables.lineitem(s, d).select(
+          (col("l_returnflag") === "R").cast("int").as("y"),
+          col("l_quantity").as("x")),
+        "y", "x", iterations = 3)),
+
     // Multinomial Naive Bayes — the TRAINED model that lives fully on
     // the oracle (unlike the MLlib fits): even docs train a language
     // classifier (priors + add-one term likelihoods), odd docs score
@@ -442,6 +454,57 @@ object MlQueries extends QuerySet {
          ef AS (SELECT y, x1, x2, b0, b1, b2, $pExpr AS p
                 FROM f CROSS JOIN bet$iterations)
          SELECT MAX(b0) AS b0, MAX(b1) AS b1, MAX(b2) AS b2,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_pred_pos,
+                CAST(SUM(CAST(round(p, 9) AS DECIMAL(30,9))) AS DOUBLE)
+                  AS proba_sum
+         FROM ef"""
+  }
+
+  /** m28's oracle: [[irlsOracleSql]] reduced to the 1-feature (2×2)
+    * Platt form — same 7dp sigmoid, 9dp DECIMAL sums, Cramer chain
+    * with the Scala side's exact grouping.
+    */
+  private def irls1OracleSql(iterations: Int): String = {
+    val pExpr = "round(1.0 / (1.0 + exp(-(a + (b * x)))), 7)"
+    def dec(e: String) = s"SUM(CAST(round($e, 9) AS DECIMAL(30,9)))"
+    val sums = s"""MAX(a) AS pa, MAX(b) AS pb,
+           ${dec("y - p")} AS g0,
+           ${dec("(y - p) * x")} AS g1,
+           ${dec("p * (1.0 - p)")} AS h00,
+           ${dec("(p * (1.0 - p)) * x")} AS h01,
+           ${dec("((p * (1.0 - p)) * x) * x")} AS h11"""
+    val iters = (1 to iterations).map { i =>
+      s"""e$i AS (SELECT y, x, a, b, $pExpr AS p
+                 FROM f CROSS JOIN bet${i - 1}),
+         s$i AS (SELECT $sums FROM e$i),
+         d$i AS (SELECT pa, pb,
+                   CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+                   CAST(h00 AS DOUBLE) AS h00,
+                   CAST(h01 AS DOUBLE) AS h01,
+                   CAST(h11 AS DOUBLE) AS h11 FROM s$i),
+         bet$i AS (SELECT
+                     CASE WHEN ((h00 * h11) - (h01 * h01)) <> 0.0 THEN
+                       round(pa + ((((g0 * h11) - (h01 * g1))) /
+                         (((h00 * h11) - (h01 * h01)))), 9) END AS a,
+                     CASE WHEN ((h00 * h11) - (h01 * h01)) <> 0.0 THEN
+                       round(pb + ((((h00 * g1) - (h01 * g0))) /
+                         (((h00 * h11) - (h01 * h01)))), 9) END AS b
+                   FROM d$i)"""
+    }.mkString(",\n         ")
+    s"""WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0
+                            ELSE 0.0 END AS y,
+                     CAST(l_quantity AS DOUBLE) AS x
+                   FROM lineitem
+                   WHERE l_returnflag IS NOT NULL
+                     AND l_quantity IS NOT NULL),
+         bet0 AS (SELECT CAST(0.0 AS DOUBLE) AS a,
+                         CAST(0.0 AS DOUBLE) AS b),
+         $iters,
+         ef AS (SELECT y, x, a, b, $pExpr AS p
+                FROM f CROSS JOIN bet$iterations)
+         SELECT MAX(a) AS a, MAX(b) AS b,
                 COUNT(*) AS n,
                 CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_pred_pos,
@@ -990,6 +1053,7 @@ object MlQueries extends QuerySet {
          GROUP BY a4.j, c3.cx, c3.cy
          ORDER BY a4.j""",
     "m16_logistic_irls" -> irlsOracleSql(3),
+    "m28_platt" -> irls1OracleSql(3),
     "m12c_tree_score" ->
       s"""WITH f AS (SELECT l_orderkey,
                       CAST(l_quantity AS DOUBLE) AS x_qty,

@@ -320,4 +320,31 @@ class MLSpec extends SparkSpec {
     assert(math.abs(nPos - rows.count(_._1 == 1)) < 40,
       s"served positives wildly off: $nPos vs ${rows.count(_._1 == 1)}")
   }
+
+  test("Platt scaling: direction, MLE balance, degenerate NaN signal") {
+    import graft.ml.LogisticIrls
+    // label probability increases with the raw score → b > 0, and the
+    // calibrated probabilities reproduce the MLE balance Σp ≈ Σy
+    val rows = (1 to 400).map { i =>
+      val x = (i % 20).toDouble
+      (if (x + (i % 7) * 0.5 > 11) 1 else 0, x)
+    }
+    val df = rows.toDF("y", "x")
+    val s = LogisticIrls.plattSummary(df, "y", "x").collect()(0)
+    assert(s.getDouble(1) > 0.1, s"positive signal not learned: $s")
+    val probaSum = s.getDouble(4)
+    assert(math.abs(probaSum - rows.map(_._1).sum) < 2.0,
+      s"MLE balance violated: $probaSum vs ${rows.map(_._1).sum}")
+    // repartition-stable (order-free decimal sums)
+    val a1 = LogisticIrls.trainPlatt(df, "y", "x").collect()(0)
+    val a2 = LogisticIrls.trainPlatt(df.repartition(13), "y", "x")
+      .collect()(0)
+    assert(a1.getDouble(0) == a2.getDouble(0) &&
+      a1.getDouble(1) == a2.getDouble(1))
+    // constant score: EXACTLY singular Hessian → null coefficients
+    // (ANSI forbids the IEEE 0/0), not a crash
+    val cs = (1 to 50).map(i => (i % 2, 3.0)).toDF("y", "x")
+    val deg = LogisticIrls.trainPlatt(cs, "y", "x").collect()(0)
+    assert(deg.isNullAt(0) && deg.isNullAt(1), deg.toString)
+  }
 }
