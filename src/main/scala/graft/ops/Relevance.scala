@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus relevance scoring for training-data pipelines: TF-IDF
@@ -243,5 +244,52 @@ object Relevance {
       .select(col("query_id"), explode(col("__tk")).as("__e"))
       .select(col("query_id"), col("__e.id").as("doc_id"),
         col("__e.score").as("bm25"), col("__e.rank").as("rank"))
+  }
+
+  /** ZIPF'S-LAW slope of the corpus vocabulary — the log-log OLS fit
+    * of frequency against rank over the top `topN` terms. Natural text
+    * sits near slope −1; a corpus drifting toward −0.6 (flat =
+    * templated/boilerplate-heavy) or −1.5 (spiky = scraped duplicates,
+    * degenerate tokenization) fails the corpus-health gate, which is
+    * why Zipf diagnostics sit in every large-corpus audit toolbox.
+    *
+    * Takes ANY `(term, tf)` frame (feed it [[vocabulary]] — factored,
+    * the n16b pattern). Rank ties break on term; ln outputs round to
+    * 7dp before the order-free DECIMAL moment sums (ln is
+    * transcendental — the t09/t21 discipline); slope and intercept are
+    * fixed-order double chains, intercept computed FROM the rounded
+    * slope so both engines share its exact-decimal input.
+    *
+    * Scale shape: TakeOrdered topN from the vocabulary aggregation,
+    * then all algebra on ≤ topN rows — the corpus term is the
+    * vocabulary scan that produced the input frame.
+    *
+    * Output: one row `(n_terms, slope, intercept)`.
+    */
+  def zipfSlope(vocab: DataFrame, topN: Int = 100): DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val top = Layout.materializeBounded(
+      vocab.select(col("term"), col("tf"))
+        .orderBy(col("tf").desc, col("term").asc).limit(topN),
+      maxRows = 1000000L)
+    val w = Window.orderBy(col("tf").desc, col("term").asc)
+    val ranked = top.withColumn("__r", row_number().over(w))
+    val lx = round(log(col("__r").cast("double")), 7)
+    val ly = round(log(col("tf").cast("double")), 7)
+    val d7 = "decimal(18,7)"
+    val agg = ranked.agg(count(lit(1)).as("__n"),
+      sum(lx.cast(d7)).as("__sx"), sum(ly.cast(d7)).as("__sy"),
+      sum(round(lx * ly, 7).cast(d7)).as("__sxy"),
+      sum(round(lx * lx, 7).cast(d7)).as("__sxx"))
+    val nd = col("__n").cast("double")
+    def D(n: String): Column = col(n).cast("double")
+    val denom = nd * D("__sxx") - D("__sx") * D("__sx")
+    val slope = when(denom =!= 0.0,
+      round((nd * D("__sxy") - D("__sx") * D("__sy")) / denom, 7))
+    agg.withColumn("__sl", slope)
+      .select(col("__n").cast("long").as("n_terms"),
+        col("__sl").as("slope"),
+        round((D("__sy") - col("__sl") * D("__sx")) / nd, 7)
+          .as("intercept"))
   }
 }

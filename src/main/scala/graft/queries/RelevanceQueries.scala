@@ -27,6 +27,18 @@ object RelevanceQueries extends QuerySet {
         "text", "doc_id", minDf = 30L, maxDfRatio = 0.78)
         .orderBy(col("term"))),
 
+    // Zipf's-law slope over the top-100 vocabulary terms: the log-log
+    // OLS corpus-health diagnostic (natural text ≈ −1; flat =
+    // boilerplate, spiky = duplication). Composes the unpruned
+    // vocabulary frame through the factored fit; ln rounds 7dp before
+    // order-free DECIMAL moment sums.
+    "t28_zipf" -> ((s, d) =>
+      Relevance.zipfSlope(
+        Relevance.vocabulary(
+          Tables.documents(s, d).select("doc_id", "text"),
+          "text", "doc_id"),
+        topN = 100)),
+
     "t09_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 50).select("doc_id", "text")
@@ -123,6 +135,45 @@ object RelevanceQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    // replay zipfSlope: the t19 token recipe unpruned, top-100 by
+    // (tf desc, term), ln(rank)/ln(tf) at 7dp, DECIMAL moment sums,
+    // slope then intercept FROM the rounded slope
+    "t28_zipf" ->
+      """WITH t AS (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                        AS term
+               FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                FROM t GROUP BY doc_id, term),
+         stats AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS tf
+                   FROM tf GROUP BY term),
+         top AS (SELECT term, tf FROM stats
+                 ORDER BY tf DESC, term LIMIT 100),
+         rk AS (SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term)
+                  AS r FROM top),
+         lg AS (SELECT round(ln(CAST(r AS DOUBLE)), 7) AS lx,
+                       round(ln(CAST(tf AS DOUBLE)), 7) AS ly
+                FROM rk),
+         ag AS (SELECT COUNT(*) AS n,
+                  SUM(CAST(lx AS DECIMAL(18,7))) AS sx,
+                  SUM(CAST(ly AS DECIMAL(18,7))) AS sy,
+                  SUM(CAST(round(lx * ly, 7) AS DECIMAL(18,7))) AS sxy,
+                  SUM(CAST(round(lx * lx, 7) AS DECIMAL(18,7))) AS sxx
+                FROM lg),
+         sl AS (SELECT n, sx, sy,
+                  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            <> 0.0 THEN
+                    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 7)
+                  END AS slope
+                FROM ag)
+         SELECT CAST(n AS BIGINT) AS n_terms, slope,
+                round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                      / CAST(n AS DOUBLE), 7) AS intercept
+         FROM sl""",
     "t19_vocabulary" ->
       """WITH t AS (SELECT doc_id,
                       unnest(string_split_regex(trim(lower(text)), '\s+'))

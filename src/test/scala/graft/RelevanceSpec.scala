@@ -144,4 +144,21 @@ class RelevanceSpec extends SparkSpec {
     assert(Relevance.pmi(degenerate, "text", "doc_id", window = 3,
       minPairs = 1L).count() == 1)
   }
+
+  test("zipfSlope: an exact power law fits slope −1, a flat " +
+    "distribution fits slope 0") {
+    // tf(r) = 1e6 / r — a pure Zipf-1 curve (values large enough that
+    // integer rounding barely perturbs the log-log line)
+    val zipf = (1 to 50)
+      .map(r => (f"t$r%03d", math.round(1e6 / r)))
+      .toDF("term", "tf")
+    val z = Relevance.zipfSlope(zipf, topN = 50).first()
+    assert(z.getLong(0) == 50L)
+    assert(math.abs(z.getDouble(1) + 1.0) < 1e-3, z.toString)
+    val flat = (1 to 50).map(r => (f"t$r%03d", 1000L)).toDF("term", "tf")
+    val f = Relevance.zipfSlope(flat, topN = 50).first()
+    assert(f.getDouble(1) == 0.0, f.toString)
+    // intercept of the power law recovers ln(C)
+    assert(math.abs(z.getDouble(2) - math.log(1e6)) < 1e-2, z.toString)
+  }
 }
