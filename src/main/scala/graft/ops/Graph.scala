@@ -103,17 +103,24 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     m.count() // eager: every half-round joins it
-    var backing: List[DataFrame] = List(m)
+    val backing: List[DataFrame] = List(m)
     def rescale(df: DataFrame, keyCol: String, sCol: String): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       p.count() // eager: the max subtree broadcasts CONCURRENTLY with
                 // the rescale scan — lazy persist would race and
                 // rematerialize the half-round (the g09 lesson)
-      backing = p :: backing
       val mx = p.agg(max(col(sCol)).as("__mx"))
-      p.crossJoin(broadcast(mx))
+      // Checkpoints.cut, NOT just persist: the crossJoin reads p twice
+      // (max subtree + rescale scan), so without truncating the
+      // LOGICAL plan each half-round doubles the analysis tree —
+      // 2^(2·iters) copies of the qualification subtree by the final
+      // action (measured: 17 s of planning at sf0.1). The cut is
+      // eager, so p's blocks free immediately after.
+      val out = Checkpoints.cut(p.crossJoin(broadcast(mx))
         .selectExpr(keyCol,
-          s"($sCol * CAST($scale AS BIGINT)) div __mx AS score")
+          s"($sCol * CAST($scale AS BIGINT)) div __mx AS score"))
+      p.unpersist(blocking = false)
+      out
     }
     var hubs = m.select(col("__mu").as("node")).distinct()
       .withColumn("score", lit(scale))
