@@ -382,10 +382,12 @@ object Similarity {
     }
     // pin each round's dim-row vector as a local relation: the norm
     // branch and the next matvec both read it, and without the cut the
-    // two-consumer plan doubles per round (2^rounds nodes)
+    // two-consumer plan doubles per round (2^rounds nodes). Only the
+    // ROUND OUTPUT pins — w's two consumers re-derive the matvec from
+    // the local v and the local cells, which is cheaper than a second
+    // materialization job per round (A/B'd: 9.6 → ~6 s at sf0.1)
     val vFinal = (1 to rounds).foldLeft(v0)((v, _) =>
-      Layout.materializeBounded(normalize(
-        Layout.materializeBounded(matvec(v), maxRows = 1L << 20)),
+      Layout.materializeBounded(normalize(matvec(v)),
         maxRows = 1L << 20))
     val wFinal = matvec(vFinal)
     // Rayleigh quotient v'Cv on the unit-norm v: exact decimal sum of
