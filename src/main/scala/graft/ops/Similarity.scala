@@ -472,6 +472,65 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Per-max-rank RBO contribution constants: item matched at joint
+    * depth m contributes `Σ_{d=m..k} (1−p)·p^(d−1)/d` to the truncated
+    * RBO sum. Generated driver-side at 7dp so BOTH engines sum
+    * identical exact decimals — pow is not correctly rounded and would
+    * otherwise be a cross-engine ulp surface.
+    */
+  def rboConstants(k: Int, p: Double): Seq[Double] = {
+    val terms = (1 to k).map(d => (1.0 - p) * math.pow(p, d - 1) / d)
+    (1 to k).map(m => BigDecimal(terms.drop(m - 1).sum)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** RANK-BIASED OVERLAP (Webber, Moffat & Zobel, TOIS 2010),
+    * truncated lower-bound form at depth k — the TOP-WEIGHTED
+    * ranking-agreement metric the recall@k audit (n12) cannot express:
+    * recall treats a hit at rank 1 and rank k identically, RBO weights
+    * depth d by p^(d−1), so an index that finds the right items in the
+    * wrong ORDER scores below one that preserves the head. The
+    * infinite-tail extrapolation is dropped (this is RBO_min at k):
+    * exact, deterministic, and the conservative bound an index audit
+    * wants.
+    *
+    * Identity used: RBO_min = Σ_d w_d·A_d/d with A_d = |A[..d] ∩
+    * B[..d]| collapses per MATCHED ITEM to the suffix constant
+    * C(max(ra, rb)) — so the whole metric is one equi-join on
+    * (query, item) + a k-entry literal lookup + an exact decimal sum.
+    * No per-depth explode, no window.
+    *
+    * Both inputs must carry `(query_id, vec_id, rank)` with rank
+    * 1-based and ≤ k (any [[topKFinish]]-shaped frame). Queries with
+    * zero overlap emit rbo = 0 (left join from a's query set).
+    *
+    * Output per query: `(query_id, n_overlap, rbo)`, 7dp.
+    */
+  def rboTruncated(a: DataFrame, b: DataFrame, k: Int,
+                   p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 100, s"k in [1,100], got $k")
+    require(p > 0.0 && p < 1.0, s"p in (0,1), got $p")
+    val consts = rboConstants(k, p)
+    val aa = a.select(col("query_id"), col("vec_id"),
+      col("rank").cast("int").as("__ra"))
+    val bb = b.select(col("query_id").as("__qb"),
+      col("vec_id").as("__vb"), col("rank").cast("int").as("__rb"))
+    val matched = aa.join(bb,
+        col("query_id") === col("__qb") && col("vec_id") === col("__vb"))
+      .select(col("query_id"),
+        element_at(array(consts.map(lit): _*),
+          greatest(col("__ra"), col("__rb"))).as("__c"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(col("__c").cast("decimal(18,7)")).cast("double").as("__rbo"))
+    aa.select(col("query_id")).distinct()
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("__rbo"), lit(0.0)).as("rbo"))
+      .orderBy(col("query_id"))
+  }
+
   /** A trained coarse quantizer: just its centroids. */
   case class IvfModel(centroids: Array[Array[Double]])
 

@@ -150,6 +150,21 @@ object SimilarityQueries extends QuerySet {
         Similarity.dimMeansOrdered(emb, "vec_id", "embedding"), topK = 20)
     }),
 
+    // Rank-biased overlap (Webber et al. 2010, truncated RBO_min at
+    // k=10, p=0.9) between the exact and IVF rankings — the
+    // TOP-WEIGHTED agreement metric n12's recall can't express (right
+    // items in the wrong order score lower). Collapses per matched
+    // item to a suffix-constant lookup: one equi-join + k literal
+    // weights + exact decimal sums, no per-depth explode.
+    "n21_rbo" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+      Similarity.rboTruncated(
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10),
+        Similarity.ivfTopKPortable(emb, qs, "vec_id", "embedding", k = 10),
+        k = 10, p = 0.9)
+    }),
+
     // MMR diversified rerank of query-0's top-20 shortlist: five
     // greedy λ=0.7 picks, every step's argmax replayed by the
     // unrolled oracle on the same raw-double cosines as n01.
@@ -747,10 +762,37 @@ object SimilarityQueries extends QuerySet {
                  FROM fc WHERE i = j)"""
   }
 
+  /** n21's oracle: both ranking arms verbatim (n01/n02b recipes), the
+    * matched-item join, and the SAME 7dp suffix constants the engine
+    * generates — `Similarity.rboConstants` is the single source, so
+    * the two sides cannot diverge on pow's last ulp.
+    */
+  private def rboSql(k: Int, p: Double): String = {
+    val c = Similarity.rboConstants(k, p).mkString(", ")
+    s"""WITH ex AS (SELECT query_id, vec_id, rank FROM ($n01Sql) t),
+         ap AS (SELECT query_id AS qb, vec_id AS vb, rank AS rb
+                FROM ($n02bSql) t),
+         mt AS (SELECT ex.query_id AS query_id,
+                  CAST(([$c])[GREATEST(ex.rank, ap.rb)]
+                    AS DECIMAL(18,7)) AS c
+                FROM ex JOIN ap
+                  ON ex.query_id = ap.qb AND ex.vec_id = ap.vb),
+         ag AS (SELECT query_id, COUNT(*) AS n_overlap,
+                  CAST(SUM(c) AS DOUBLE) AS rbo
+                FROM mt GROUP BY 1),
+         qs AS (SELECT DISTINCT query_id FROM ex)
+         SELECT qs.query_id AS query_id,
+                CAST(COALESCE(ag.n_overlap, 0) AS BIGINT) AS n_overlap,
+                COALESCE(ag.rbo, 0.0) AS rbo
+         FROM qs LEFT JOIN ag ON qs.query_id = ag.query_id
+         ORDER BY qs.query_id"""
+  }
+
   def oracle: Map[String, String] = Map(
     "n18_dbscan" -> dbscanSql(1.3, 3, 3),
     "n19_pca_power" -> pcaSql(64, 8, 200),
     "n20_pca_outliers" -> pcaOutlierSql(64, 8, 200, 20),
+    "n21_rbo" -> rboSql(10, 0.9),
     // recall@10 of the portable IVF pipeline against the exact
     // brute-force oracle — the audit every ANN deployment runs; both
     // arms reuse the n01/n02b recipes verbatim so this oracle can

@@ -77,4 +77,29 @@ class FusionSpec extends SparkSpec {
         r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
   }
+
+  test("rbo: identical lists carry the truncated mass 1−p^k, disjoint " +
+    "lists zero, head agreement outweighs tail agreement") {
+    import graft.ops.Similarity
+    def ranking(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (q, id, i + 1) }
+    val k = 10
+    val idsA = (1L to 10L)
+    val same = ranking(0L, idsA).toDF("query_id", "vec_id", "rank")
+    val r1 = Similarity.rboTruncated(same, same, k = k, p = 0.9).first()
+    assert(r1.getLong(1) == 10L)
+    assert(math.abs(r1.getDouble(2) - (1.0 - math.pow(0.9, k))) < 1e-4,
+      r1.toString)
+    val disjoint = ranking(0L, 11L to 20L).toDF("query_id", "vec_id", "rank")
+    val r0 = Similarity.rboTruncated(same, disjoint, k = k, p = 0.9).first()
+    assert(r0.getLong(1) == 0L && r0.getDouble(2) == 0.0, r0.toString)
+    // one shared item: at the HEAD of both lists vs at the TAIL of both
+    val headB = ranking(0L, 1L +: (21L to 29L)).toDF("query_id", "vec_id", "rank")
+    val tailB = ranking(0L, (21L to 29L) :+ 10L).toDF("query_id", "vec_id", "rank")
+    val head = Similarity.rboTruncated(same, headB, k = k, p = 0.9)
+      .first().getDouble(2)
+    val tail = Similarity.rboTruncated(same, tailB, k = k, p = 0.9)
+      .first().getDouble(2)
+    assert(head > 5 * tail, s"head $head vs tail $tail")
+  }
 }
