@@ -1848,6 +1848,15 @@ object Aggregates {
     val hist = rows
       .groupBy(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c"))
+    giniFromHist(hist)
+  }
+
+  /** The Lorenz algebra over ANY `(__g, __v, __c)` histogram frame —
+    * factored (the n16b pattern) so a streaming complete-mode count
+    * sink feeds the identical finish (st22); [[giniPerGroup]] is the
+    * batch wrapper that builds the histogram from raw rows.
+    */
+  def giniFromHist(hist: DataFrame): DataFrame = {
     val cum = bucketedPrefixSums(hist, "__v", ascending = true,
       sumCols = Seq("__c"), groupCols = Seq("__g"))
     val vD = col("__v").cast("decimal(38,0)")

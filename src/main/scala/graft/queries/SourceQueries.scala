@@ -623,6 +623,29 @@ object SourceQueries extends QuerySet {
           .otherwise(0L)).as("a1y")))
     }),
 
+    // Streaming Gini (§2.6 × a48): the (type, cents) count histogram
+    // maintained IN the stream — state bounded by the VALUE DOMAIN
+    // (distinct cents per type, the st20-threshold-histogram contract
+    // class), never by event count — with the factored Lorenz finish
+    // (giniFromHist) batch-side. Spend-concentration drift is the
+    // wash-trading monitor a dashboard polls; the oracle is a48's
+    // recipe verbatim, so streamed counts must equal batch bit-exactly.
+    "st22_stream_gini" -> ((s, d) => {
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val qn = "st22_gini_sink"
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("__g"),
+          round(col("value") * 100).cast("bigint").as("__v"))
+        .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      graft.ops.Aggregates.giniFromHist(s.table(qn))
+        .orderBy(col("grp"))
+    }),
+
     // Streaming Benford screen (§2.6 × a29): the (type, digit)
     // observed-count table maintained IN the stream — state is ≤ 9
     // rows per event type forever — with the expected/χ² collapse
@@ -1248,6 +1271,9 @@ object SourceQueries extends QuerySet {
     // the streaming CUSUM must converge to the BATCH fold exactly —
     // same oracle SQL as w14 by construction
     "st15_stream_cusum" -> WindowQueries.oracle("w14_cusum"),
+    // streamed (type, cents) counts ≡ batch, so a48's replay IS the
+    // st22 oracle (the st15/st16 convention)
+    "st22_stream_gini" -> OpsQueries.oracle("a48_gini"),
     "st18_stream_conformal" -> MlQueries.oracle("m18_conformal"),
     // streamed Benford counts must equal the a29 batch recipe verbatim
     "st16_stream_benford" -> OpsQueries.oracle("a29_benford"),
