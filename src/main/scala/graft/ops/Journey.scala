@@ -202,6 +202,75 @@ object Journey {
     Cached(out, Seq(spans))
   }
 
+  /** KAPLAN–MEIER survival over right-censored durations — the
+    * time-to-event pillar (time-to-first-purchase here; time-to-
+    * chargeback, time-to-churn, document retention elsewhere): at each
+    * distinct duration t, S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'}) with
+    * d = events at t' and n = subjects still at risk. Censored
+    * subjects (never converted) leave the risk set at their last
+    * observation without counting as events — the estimator's whole
+    * point; naive conversion curves silently treat them as failures.
+    *
+    * Input: one row per subject `(durCol integer, eventCol 0/1)` —
+    * duration in whatever integer unit the caller bucketed (hours
+    * here), event = 1 observed, 0 right-censored.
+    *
+    * Exactness: the duration table collapses to the (t, d, c)
+    * histogram; at-risk counts come from [[graft.ops.Aggregates
+    * .bucketedPrefixSums]] (no global window); the survival product is
+    * the 7dp-rounded ln-sum — ln((n−d)/n) on engine-identical doubles,
+    * DECIMAL(18,7) cumulative sums, one exp per row, 7dp output (the
+    * t12 transcendental discipline). A level where d = n (everyone
+    * remaining fails) pins S = 0 exactly, no ln(0).
+    *
+    * Output per distinct duration: `(t, n_risk, n_event, n_censored,
+    * survival)`, ascending t.
+    *
+    * Scale shape: one subject-keyed aggregation upstream (the caller),
+    * one histogram groupBy, the banded prefix-sum join twice (counts
+    * and ln terms) — cost bounded by distinct durations, never
+    * subjects.
+    */
+  def kaplanMeier(df: DataFrame, durCol: String,
+                  eventCol: String): DataFrame = {
+    val hist = df
+      .filter(col(durCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durCol).cast("long").as("__t"))
+      .agg(sum(col(eventCol).cast("long")).as("__d"),
+        sum(lit(1L) - col(eventCol).cast("long")).as("__c"))
+      .withColumn("__leave", col("__d") + col("__c"))
+    val cum = graft.ops.Aggregates.bucketedPrefixSums(hist, "__t",
+      ascending = true, sumCols = Seq("__leave"))
+    val tot = cum.agg(sum(col("__leave")).as("__n")).select(col("__n"))
+    val withRisk = cum.crossJoin(broadcast(tot))
+      .withColumn("__risk",
+        col("__n") - (col("cum___leave") - col("__leave")))
+    val nD = col("__risk").cast("double")
+    val dD = col("__d").cast("double")
+    val term = when(col("__risk") > col("__d"),
+      round(log((nD - dD) / nD), 7)).otherwise(lit(0.0))
+    // decimal(11,7), NOT wider: the prefix-sum machinery widens by +10
+    // per aggregation layer (local window, bucket totals, offsets), and
+    // the final local+offset ADD on anything wider than (28,7)+(38,7)
+    // overflows precision 38 — Spark then silently REDUCES THE SCALE
+    // to 6 and the survival product loses its 7th decimal (measured:
+    // cum −0.2231436 → −0.223144). |ln| ≤ ln(n) ≈ 18 fits (11,7).
+    val termed = withRisk.withColumn("__ln",
+      term.cast("decimal(11,7)"))
+    val cum2 = graft.ops.Aggregates.bucketedPrefixSums(
+      termed.select(col("__t"), col("__risk"), col("__d"), col("__c"),
+        col("__ln")),
+      "__t", ascending = true, sumCols = Seq("__ln"))
+    cum2.select(col("__t").as("t"),
+        col("__risk").cast("long").as("n_risk"),
+        col("__d").cast("long").as("n_event"),
+        col("__c").cast("long").as("n_censored"),
+        when(col("__risk") > col("__d"),
+          round(exp(col("cum___ln").cast("double")), 7))
+          .otherwise(lit(0.0)).as("survival"))
+      .orderBy(col("t"))
+  }
+
   /** Great-circle distance (km) between two (lat, lon) degree pairs —
     * the haversine formula, mean Earth radius 6371 km. Plain column
     * trig spelled identically in the w12 oracle; transcendental, so

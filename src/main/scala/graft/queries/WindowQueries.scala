@@ -165,6 +165,26 @@ object WindowQueries extends QuerySet {
           col("ts_us"), col("event_type")),
         "user_id", "ts_us", "event_type", minSupport = 2L).df),
 
+    // Kaplan–Meier time-to-first-purchase: per user, hours from first
+    // event to first purchase (event) or to last observation
+    // (right-censored) — the survival curve that treats non-converters
+    // correctly instead of as failures. Histogram + banded prefix sums
+    // for at-risk counts, 7dp ln-sum survival product (the t12
+    // transcendental discipline).
+    "w20_survival" -> ((s, d) => {
+      val ev = Tables.eventsMicros(s, d)
+        .filter(col("user_id").isNotNull && col("ts_us").isNotNull)
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts_us")))
+            .as("tp"),
+          max(col("ts_us")).as("tmax"))
+        .select(
+          expr("(coalesce(tp, tmax) - t0) div 3600000000").as("dur_h"),
+          col("tp").isNotNull.cast("int").as("ev"))
+      graft.ops.Journey.kaplanMeier(per, "dur_h", "ev")
+    }),
+
     // Rolling 7-day active users per observed day (DAU/WAU/stickiness)
     // — contribution-day explode + one grouped countDistinct instead
     // of an unmergeable sliding-distinct window.
@@ -285,6 +305,49 @@ object WindowQueries extends QuerySet {
   )
 
   def oracle: Map[String, String] = Map(
+    // replay kaplanMeier: per-user first/first-purchase/last times,
+    // hour durations, (t, d, c) histogram, windowed at-risk counts,
+    // 7dp ln terms summed as DECIMAL, exp survival, d = n pins 0
+    "w20_survival" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS ty,
+                      epoch_us(ts) AS t
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         per AS (SELECT u, MIN(t) AS t0,
+                   MIN(CASE WHEN ty = 'purchase' THEN t END) AS tp,
+                   MAX(t) AS tmax
+                 FROM e GROUP BY u),
+         sub AS (SELECT (COALESCE(tp, tmax) - t0) // 3600000000 AS dur,
+                   CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+                 FROM per),
+         h AS (SELECT dur AS t, SUM(ev) AS d, SUM(1 - ev) AS c
+               FROM sub GROUP BY 1),
+         cu AS (SELECT t, d, c, d + c AS lv,
+                  SUM(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cl
+                FROM h),
+         tt AS (SELECT SUM(lv) AS n FROM cu),
+         rk AS (SELECT t, d, c,
+                  (SELECT n FROM tt) - (cl - lv) AS risk FROM cu),
+         tm AS (SELECT t, d, c, risk,
+                  CASE WHEN risk > d THEN
+                    CAST(round(ln((CAST(risk AS DOUBLE)
+                      - CAST(d AS DOUBLE)) / CAST(risk AS DOUBLE)), 7)
+                      AS DECIMAL(18,7))
+                  ELSE CAST(0.0 AS DECIMAL(18,7)) END AS lnp
+                FROM rk),
+         cs AS (SELECT t, d, c, risk,
+                  SUM(lnp) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cl2
+                FROM tm)
+         SELECT t, CAST(risk AS BIGINT) AS n_risk,
+                CAST(d AS BIGINT) AS n_event,
+                CAST(c AS BIGINT) AS n_censored,
+                CASE WHEN risk > d THEN
+                  round(exp(CAST(cl2 AS DOUBLE)), 7)
+                ELSE 0.0 END AS survival
+         FROM cs ORDER BY t""",
+
     // replay sequencePairs: (user, type) spans, strict-precedence pair
     // rule on span algebra, entity-count support, antecedent-share
     // confidence. sp is read three times -> MATERIALIZED.

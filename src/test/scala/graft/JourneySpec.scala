@@ -226,4 +226,22 @@ class JourneySpec extends SparkSpec {
       .first().getDouble(3)
     assert(math.abs(conf - 0.4) < 1e-9, conf.toString)
   }
+
+  test("kaplanMeier: hand-computed curve, censoring holds survival, " +
+    "exhausted risk pins zero") {
+    // durations: event@1, censored@2, two events@3
+    val subj = Seq((1L, 1), (2L, 0), (3L, 1), (3L, 1)).toDF("dur", "ev")
+    val km = Journey.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // t=1: 4 at risk, 1 event → S = 3/4
+    assert(km(1L)._1 == 4L && km(1L)._2 == 1L)
+    assert(math.abs(km(1L)._4 - 0.75) < 1e-6, km.toString)
+    // t=2: censoring leaves the risk set WITHOUT dropping survival
+    assert(km(2L)._3 == 1L && km(2L)._2 == 0L)
+    assert(math.abs(km(2L)._4 - 0.75) < 1e-6, km.toString)
+    // t=3: both remaining fail → survival exactly 0, no ln(0)
+    assert(km(3L)._1 == 2L && km(3L)._2 == 2L && km(3L)._4 == 0.0,
+      km.toString)
+  }
 }
