@@ -32,15 +32,27 @@ object Smote {
     * `maxBucketCandidates` caps the neighbor pool per LSH bucket — one
     * dense bucket (many identical/near-identical minority rows) would
     * otherwise make the candidate equi-join quadratic in that bucket.
-    * The Cached form returns the persisted per-class minority frames
-    * for release after the consuming action; [[oversample]] is the
-    * plain one-shot wrapper (same contract as the Dedup pipelines).
+    * `candTarget` (default 2k) drives the ADAPTIVE table count (r10
+    * verdict mandate #2): per point, hash tables are consulted in
+    * order and a table is joined only while the capped pool
+    * contribution of the earlier tables is still below the target —
+    * a point in a dense bucket finds its k neighbors in table 0 and
+    * never pays the other tables' candidate fan-out. On the lattice-
+    * dense probe corpus this plus the 64-row pool cap cuts the
+    * pre-dedup candidate volume ~12× (SCALEPROBE §r11 A/B) with the
+    * synthesis contract (SmoteSpec hull/determinism) unchanged; 64 =
+    * 12.8k pool candidates for the default k, generous for an
+    * LSH-localized neighbor pick. The Cached form returns the
+    * persisted per-class minority frames for release after the
+    * consuming action; [[oversample]] is the plain one-shot wrapper
+    * (same contract as the Dedup pipelines).
     */
   def oversampleCached(df: DataFrame, labelCol: String,
                        featureCols: Seq[String],
                        k: Int = 5, numTables: Int = 3,
                        bucketWidth: Double = 2.0, seed: Long = 42L,
-                       maxBucketCandidates: Int = 256): graft.ops.Cached = {
+                       maxBucketCandidates: Int = 64,
+                       candTarget: Int = 0): graft.ops.Cached = {
     val counts = df.groupBy(col(labelCol)).count()
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     require(counts.size >= 2, "need at least two classes") // P9 guard
@@ -49,7 +61,7 @@ object Smote {
     val results = counts.filter(_._2 < majority).map { case (cls, cnt) =>
       synthesize(df.filter(col(labelCol) === cls), featureCols,
         need = majority - cnt, k, numTables, bucketWidth, seed,
-        maxBucketCandidates)
+        maxBucketCandidates, candTarget)
     }
     graft.ops.Cached(results.map(_._1).foldLeft(df)(_ unionByName _),
       results.map(_._2).toSeq)
@@ -57,30 +69,51 @@ object Smote {
 
   def oversample(df: DataFrame, labelCol: String, featureCols: Seq[String],
                  k: Int = 5, numTables: Int = 3, bucketWidth: Double = 2.0,
-                 seed: Long = 42L, maxBucketCandidates: Int = 256): DataFrame =
+                 seed: Long = 42L, maxBucketCandidates: Int = 64,
+                 candTarget: Int = 0): DataFrame =
     oversampleCached(df, labelCol, featureCols, k, numTables, bucketWidth,
-      seed, maxBucketCandidates).df
+      seed, maxBucketCandidates, candTarget).df
 
-  private def synthesize(minority: DataFrame, featureCols: Seq[String],
-                         need: Long, k: Int, numTables: Int,
-                         bucketWidth: Double, seed: Long,
-                         maxBucketCandidates: Int)
-      : (DataFrame, DataFrame) = {
-    val dim = featureCols.length
-    val rnd = new scala.util.Random(seed)
-    // seeded unit-ish hyperplanes for the projection tables
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(numTables)(Seq.fill(dim)(rnd.nextGaussian()))
-
+  /** Minority frame prepared for the LSH pipeline: feature vector,
+    * squared norm, synthetic id — persisted (caller releases).
+    */
+  private[graft] def prepare(minority: DataFrame,
+                          featureCols: Seq[String]): DataFrame = {
     val fv = array(featureCols.map(col(_).cast("double")): _*)
-    val base = minority
+    minority
       .withColumn("__fv", fv)
       .withColumn("__n2", ArrayMath.dot(col("__fv"), col("__fv")))
       .withColumn("__id", monotonically_increasing_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
-    val cnt = base.count() // also materializes the persisted frame
-    val copiesPerRow = (need.toDouble / cnt)
+  /** Pre-dedup candidate pairs `(id, nbr_id, d2)` — the frame whose
+    * volume is THE SMOTE scale term (the r10 probe's 184 M-row agg
+    * input); exposed package-side so SmoteProbe can A/B the volume
+    * directly. Shape notes:
+    *
+    * Candidate POOL side capped per (table, bucket): a pathologically
+    * dense bucket stays O(|bucket| × cap), not O(|bucket|²). Points
+    * keep their full left-side presence, so everyone still finds
+    * neighbors within the (deterministic, id-ordered) capped pool.
+    *
+    * ADAPTIVE table count (candTarget doc above): per point, keep
+    * table t only while the EARLIER tables' capped pool contribution
+    * is still below the target — a dense-bucket point stops after
+    * table 0 instead of paying every table's fan-out. Two window
+    * passes over the numTables·n bucketed frame (bucket size, then
+    * per-point running contribution) — negligible next to the
+    * candidate join volume they prevent. Deterministic: bucket sizes
+    * and the t-ascending order are data-defined.
+    */
+  private[graft] def lshCandidates(base: DataFrame, dim: Int, k: Int,
+                                numTables: Int, bucketWidth: Double,
+                                seed: Long, maxBucketCandidates: Int,
+                                candTarget: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // seeded unit-ish hyperplanes for the projection tables
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(numTables)(Seq.fill(dim)(rnd.nextGaussian()))
 
     // LSH bucketing: (table, floor(v·r / w))
     val bucketed = base.select(col("__id"), col("__fv"), col("__n2"),
@@ -92,16 +125,39 @@ object Smote {
       .select(col("__id"), col("__fv"), col("__n2"),
         col("bk.t"), col("bk.bucket"))
 
-    // candidate POOL side capped per (table, bucket): a pathologically
-    // dense bucket stays O(|bucket| × cap), not O(|bucket|²). Points keep
-    // their full left-side presence, so everyone still finds neighbors
-    // within the (deterministic, id-ordered) capped pool.
     val poolW = Window.partitionBy(col("t"), col("bucket"))
       .orderBy(col("__id").asc)
     val candPool = bucketed
       .withColumn("__bn", row_number().over(poolW))
       .filter(col("__bn") <= maxBucketCandidates)
       .drop("__bn")
+
+    val target = if (candTarget > 0) candTarget else 2 * k
+    val wBk = Window.partitionBy(col("t"), col("bucket"))
+    val wPt = Window.partitionBy(col("__id")).orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val leftAdaptive = bucketed
+      .withColumn("__bsz", count(lit(1)).over(wBk))
+      .withColumn("__prev", coalesce(sum(least(col("__bsz") - 1,
+          lit(maxBucketCandidates.toLong))).over(wPt), lit(0L)))
+      .filter(col("__prev") < target)
+      .drop("__bsz", "__prev")
+    leftAdaptive.as("a").join(candPool.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(col("a.__id").as("id"), col("b.__id").as("nbr_id"),
+        (col("a.__n2") - lit(2.0) * ArrayMath.dot(col("a.__fv"), col("b.__fv"))
+          + col("b.__n2")).as("d2"))
+  }
+
+  private def synthesize(minority: DataFrame, featureCols: Seq[String],
+                         need: Long, k: Int, numTables: Int,
+                         bucketWidth: Double, seed: Long,
+                         maxBucketCandidates: Int, candTarget: Int)
+      : (DataFrame, DataFrame) = {
+    val base = prepare(minority, featureCols)
+    val cnt = base.count() // also materializes the persisted frame
+    val copiesPerRow = (need.toDouble / cnt)
 
     // candidates via bucket equi-join: up to numTables × cap rows PER
     // POINT to find k neighbors. The r10 probe measured the original
@@ -116,12 +172,8 @@ object Smote {
     // Candidate rows carry only (id, nbr_id, d2) — the neighbor
     // vector re-joins from `base` over the n·k result, not the
     // n·tables·cap candidate volume.
-    val cand = bucketed.as("a").join(candPool.as("b"),
-        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
-          col("a.__id") =!= col("b.__id"))
-      .select(col("a.__id").as("id"), col("b.__id").as("nbr_id"),
-        (col("a.__n2") - lit(2.0) * ArrayMath.dot(col("a.__fv"), col("b.__fv"))
-          + col("b.__n2")).as("d2"))
+    val cand = lshCandidates(base, featureCols.length, k, numTables,
+        bucketWidth, seed, maxBucketCandidates, candTarget)
       .groupBy(col("id"), col("nbr_id")).agg(min(col("d2")).as("d2"))
     val knn = cand
       .groupBy(col("id"))

@@ -326,6 +326,24 @@ object Anomaly {
     // uses(t)(f) = how often tree t splits feature f in `depth` levels
     def uses(t: Int, f: Int): Int =
       (0 until depth).count(d => (t + d) % p == f)
+    // Overflow guard: the leaf cell computes (x − mn)·2^m with m =
+    // uses(t,f), a Long product that wraps (ANSI: throws) when a
+    // feature's range exceeds 2^63 / 2^m. One collect of the 1-row
+    // min/max frame (already computed, driver-bounded) makes the
+    // documented input-range contract fail loudly up front instead of
+    // mid-scan.
+    val mmRow = mm.first()
+    features.indices.foreach { i =>
+      if (!mmRow.isNullAt(2 * i) && !mmRow.isNullAt(2 * i + 1)) {
+        val range = mmRow.getLong(2 * i + 1) - mmRow.getLong(2 * i)
+        val mUse = (0 until p).map(t => uses(t, i)).max
+        require(range >= 0L && range < (Long.MaxValue >> mUse),
+          s"halfSpaceMass: feature '${features(i)}' range $range " +
+            s"exceeds the overflow bound 2^${63 - mUse} for depth=" +
+            s"$depth (cell arithmetic (x-min)*2^$mUse must stay " +
+            "< 2^63); rescale the feature or reduce depth")
+      }
+    }
     // leaf id of tree t: per-feature integer cells composed in the
     // tree's rotation order (bijective with the bit-interleaved path)
     def leafExpr(t: Int): Column =
@@ -335,8 +353,12 @@ object Anomaly {
           s"(__mx$f - __mn$f + 1)")
         acc * lit(1L << m) + cell
       }
+    // re-broadcast the already-collected stats row as a literal frame
+    // so the guard's collect is the ONLY min/max scan
+    val mmLocal = df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(mmRow), mm.schema)
     val trees = features.indices
-    val leaves = rows.crossJoin(broadcast(mm))
+    val leaves = rows.crossJoin(broadcast(mmLocal))
       .select(col("__id") +:
         trees.map(t => leafExpr(t).as(s"__leaf$t")): _*)
     val leavesP = leaves.persist(

@@ -162,13 +162,18 @@ object CrossVal {
       .select(col("__fold"), col("__n_test"), col("__ntr"),
         col("__b1"), col("__b2"), col("__b0"))
     // held-out scoring: e is an EXACT 7dp decimal (7dp b's × integer
-    // x's, all partial sums double-exact), so square/sum in decimal
+    // x's, all partial sums double-exact), so square/sum in decimal.
+    // Width 18,7 (not the oracle's 19,7): e² must stay a FULL-scale
+    // decimal(≤38,14) for 14dp exactness, and 19,7 squared is
+    // precision 39 → Spark shaves the scale to 13 and rounds. 18,7
+    // keeps the product exact at decimal(37,14) with |e| < 10^11
+    // headroom — any wider residual overflows both engines alike.
     val scored = rows
       .join(broadcast(models.select(col("__fold"), col("__b1"),
         col("__b2"), col("__b0"))), Seq("__fold"))
       .withColumn("__e", (col("__y").cast("double") -
         (col("__b0") + col("__b1") * col("__x1").cast("double") +
-          col("__b2") * col("__x2").cast("double"))).cast("decimal(14,7)"))
+          col("__b2") * col("__x2").cast("double"))).cast("decimal(18,7)"))
       .groupBy(col("__fold"))
       .agg(sum(col("__e") * col("__e")).as("__ssq"))
     models.join(scored, Seq("__fold"))

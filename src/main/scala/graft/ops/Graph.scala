@@ -103,6 +103,26 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     m.count() // eager: every half-round joins it
+    // Overflow guard (documented bound, now CHECKED): a half-round sum
+    // is ≤ deg·scale and the rescale multiplies by scale, so
+    // deg·scale² must stay under 2⁶³. The oracle computes in HUGEINT
+    // and would silently succeed past the bound — fail loudly and
+    // identically on both sides instead. One cheap aggregation on the
+    // already-persisted membership frame.
+    val maxDeg = m.groupBy(col("__mu")).agg(count(lit(1)).as("__d"))
+      .select(col("__d"))
+      .unionAll(m.groupBy(col("__ma")).agg(count(lit(1)).as("__d"))
+        .select(col("__d")))
+      .agg(max(col("__d")).as("__mx"))
+      .first() match {
+        case r if r.isNullAt(0) => 0L // empty graph: nothing to overflow
+        case r => r.getLong(0)
+      }
+    val degBound = Long.MaxValue / scale / scale
+    require(maxDeg <= degBound,
+      s"hitsBipartite: max degree $maxDeg exceeds overflow bound " +
+        s"$degBound for scale=$scale (deg*scale^2 must stay < 2^63); " +
+        "lower `scale` or pre-aggregate the membership frame")
     val backing: List[DataFrame] = List(m)
     def rescale(df: DataFrame, keyCol: String, sCol: String): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -358,14 +358,22 @@ object Similarity {
     require(rounds >= 1 && rounds <= 32, s"rounds in [1,32], got $rounds")
     val spark = cov.sparkSession
     val c7 = round(col("cov"), 7)
-    val upper = cov.select(col("i"), col("j"), c7.as("c"))
+    // cast the indices to int up front: the docstring admits ANY
+    // (i,j,cov) cell frame, so a caller's long-typed indices must not
+    // ClassCastException at the dim read below
+    val upper = cov.select(col("i").cast("int").as("i"),
+      col("j").cast("int").as("j"), c7.as("c"))
     val full = upper.union(
       cov.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), c7.as("c")))
+        .select(col("j").cast("int").as("i"),
+          col("i").cast("int").as("j"), c7.as("c")))
     // dim² cells max — 64-dim embeddings = 2,080 upper cells; the 1<<20
     // bound admits dim ≤ ~1448 before falling back to a persisted frame
     val cells = Layout.materializeBounded(full, maxRows = 1L << 20)
-    val dim = cells.agg(max(col("i"))).first().getInt(0) + 1
+    val dimRow = cells.agg(max(col("i"))).first()
+    require(!dimRow.isNullAt(0),
+      "pcaPowerFromCov: empty covariance frame (no cells)")
+    val dim = dimRow.getInt(0) + 1
     val v0 = spark.createDataFrame(
       (0 until dim).map(i => (i, PcaSeed))).toDF("vi", "vl")
     def matvec(v: DataFrame): DataFrame =

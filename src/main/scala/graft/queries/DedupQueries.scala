@@ -83,6 +83,7 @@ object DedupQueries extends QuerySet {
     // brute theta-join oracle.
     "d20_containment" -> ((s, d) => {
       val base = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: probe cover=PrefixProbe
         .filter(col("doc_id") < 150)
       val excerpts = base
         .withColumn("doc_id", col("doc_id") + 3000000)
@@ -96,6 +97,7 @@ object DedupQueries extends QuerySet {
 
     "d14_setjoin_prefix" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: probe cover=VocabProbe
         .filter(col("doc_id") < 400)
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -113,6 +115,7 @@ object DedupQueries extends QuerySet {
     // edit distance, min-label closure, total mapping) replays in
     // DuckDB. Output = per-entity size and member checksum.
     "d15_entity_resolution" -> ((s, d) => {
+      // CAP: probe cover=EntityProbe
       val base = Tables.documents(s, d).filter(col("doc_id") < 300)
         .select(col("doc_id"),
           array_join(slice(split(trim(lower(col("text"))), "\\s+"),
@@ -133,6 +136,7 @@ object DedupQueries extends QuerySet {
     // fully replayed by DuckDB in portable mode.
     "d16_minhash_calibration" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: baseline cover=d02_minhash_lsh
         .filter(col("doc_id") < 300)
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -168,6 +172,7 @@ object DedupQueries extends QuerySet {
     // original — the property fixed blocks and line dedup lack.
     "d19_cdc_chunks" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+        // CAP: probe cover=d19_cdc_chunks
         .select(col("doc_id"), col("text")).filter(col("doc_id") < 300)
       val noisy = docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(lit("zq noise prefix "), col("text")).as("text"))
@@ -179,6 +184,7 @@ object DedupQueries extends QuerySet {
     // un-banded correctness baseline for the LSH paths.
     "d03_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
+        // CAP: baseline cover=d02_minhash_lsh
         Tables.documents(s, d).filter(col("doc_id") < 100),
         "text", "doc_id", n = 3, threshold = 0.015)
         .orderBy(col("id_a"), col("id_b"))),
@@ -207,6 +213,7 @@ object DedupQueries extends QuerySet {
     // path, gated rows-only + DedupSpec).
     "d02b_minhash_portable" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: baseline cover=d02_minhash_lsh
         .filter(col("doc_id") < 300)
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -229,6 +236,7 @@ object DedupQueries extends QuerySet {
     // restated by the DuckDB oracle.
     "c02_cluster_safe_split" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: slice cover=d05_dedup_clustered
         .filter(col("doc_id") < 300)
       val corpus = docs.union(docs
         .withColumn("doc_id", col("doc_id") + 1000000)
@@ -359,6 +367,7 @@ object DedupQueries extends QuerySet {
       // parity pipeline's candidate set grows quadratically with the
       // corpus — the production path (d04) caps buckets instead
       val docs = Tables.documents(s, d).select("doc_id", "text")
+        // CAP: probe cover=d04b_simhash_portable
         .filter(col("doc_id") < 1000)
       val mutated = docs
         .withColumn("doc_id", col("doc_id") + 1000000)

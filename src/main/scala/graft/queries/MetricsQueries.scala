@@ -28,6 +28,82 @@ object MetricsQueries extends QuerySet {
               l_discount * 9 + l_tax AS proba
        FROM lineitem"""
 
+  /** Shared gate for the KLL sketch queries (a49 / st25): joins the
+    * sketched per-group `(p, est)` estimates against the group's
+    * EXACT value CDF, emits the exact type-1 quantile (oracle-
+    * replayable) and the deterministic within-bound boolean. The
+    * rank-error bound replays [[graft.functions.KllSketchAgg.rankErrorBound]]
+    * in column algebra with `length(bin(n div k))` as the exact
+    * integer ⌊log₂⌋+1 — no float log whose last ulp could flip a
+    * floor between runs.
+    */
+  private[queries] def kllGate(sketched: DataFrame, raw: DataFrame,
+                               capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = raw.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cdf = h.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("grp"))
+        .orderBy(col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = cdf.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    // pinned as a local relation: groups×percents rows, and BOTH the
+    // exact-quantile branch and the bound-check branch read it — the
+    // pin also sidesteps conflicting-reference resolution on the
+    // est↔cdf self-join lattice
+    val est = graft.ops.Layout.materializeBounded(
+      sketched.select(col("grp"), explode(col("q")).as("e"))
+        .select(col("grp"), col("e.p").as("p"), col("e.est").as("est"))
+        .join(ng, Seq("grp"))
+        .withColumn("target", greatest(lit(1L),
+          expr("(CAST(p AS BIGINT) * n + 99) div 100")))
+        .withColumn("bound", when(col("n") > capacity,
+          expr(s"2 * length(bin(n div $capacity)) * n div $capacity"))
+          .otherwise(lit(0L))),
+      maxRows = 1000000L)
+    val exact = est.select(col("grp"), col("p"), col("target"))
+      .join(cdf.select(col("grp"), col("v"), col("cum")), Seq("grp"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("grp"), col("p"))
+      .agg(min(col("v")).as("exact_v"))
+    val out = est
+      .join(cdf.select(col("grp"), col("v").as("est"),
+        col("cnt").as("ecnt"), col("cum").as("ecum")),
+        Seq("grp", "est"))
+      .withColumn("within_bound",
+        (col("ecum") - col("ecnt") + 1 <= col("target") + col("bound")) &&
+          (col("ecum") >= col("target") - col("bound")))
+      .join(exact, Seq("grp", "p"))
+      .select(col("grp").as("event_type"), col("p"), col("exact_v"),
+        col("within_bound"))
+      .orderBy(col("event_type"), col("p"))
+    // materializeBounded is eager, so the CDF's blocks free here
+    val pinned = graft.ops.Layout.materializeBounded(out,
+      maxRows = 1000000L)
+    cdf.unpersist(blocking = false)
+    pinned
+  }
+
+  private[queries] val kllOracleSql: String =
+    """WITH r AS (SELECT event_type AS grp, value AS v FROM events
+                  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       h AS (SELECT grp, v, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+       c AS (SELECT grp, v, cnt,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS cum
+             FROM h),
+       n AS (SELECT grp, SUM(cnt) AS n FROM h GROUP BY grp),
+       p AS (SELECT * FROM (VALUES (10),(25),(50),(75),(90),(99))
+             AS t(p)),
+       tg AS (SELECT n.grp, p.p,
+                GREATEST(1, (p.p * n.n + 99) // 100) AS target
+              FROM n CROSS JOIN p),
+       ex AS (SELECT tg.grp, tg.p, MIN(c.v) AS exact_v
+              FROM tg JOIN c ON c.grp = tg.grp AND c.cum >= tg.target
+              GROUP BY 1, 2)
+       SELECT grp AS event_type, CAST(p AS INT) AS p, exact_v,
+              TRUE AS within_bound
+       FROM ex ORDER BY event_type, p"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A11-A14: accuracy %, weighted P/R/F1, specificity, FPR, FNR, MCC —
     // the full FD/model.py:131-146 battery from one confusion pass.
@@ -108,6 +184,29 @@ object MetricsQueries extends QuerySet {
       Aggregates.equidepthBins(
         Tables.events(s, d).select(col("value")), "value", k = 8)
         .orderBy(col("bin"))),
+
+    // Mergeable KLL-style quantile sketch over the per-type event
+    // value distribution (r10 verdict mandate #7 — the streaming-
+    // quantile gap: st13's histogram needs a known value domain, the
+    // sketch does not). The gate is two-part and fully deterministic:
+    // the EXACT type-1 quantiles (a26's integer rank rule, oracle-
+    // replayed) ride along as columns, and the sketch estimate must
+    // sit within the analytic worst-case rank-error bound of the
+    // target rank (KllSketchAgg.rankErrorBound, computed engine-side
+    // with integer bin()-length log2 so no float log boundary can
+    // flip it; the oracle pins the boolean TRUE). Estimates
+    // themselves are partition-order-dependent by nature — the BOUND
+    // is the portable contract, KllSpec stress-tests it.
+    "a49_kll_quantiles" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"),
+          col("value").cast("double").as("v"))
+      val sk = raw.groupBy(col("grp"))
+        .agg(graft.functions.KllSketchAgg.kllQuantiles(
+          col("v"), 512, Seq(10, 25, 50, 75, 90, 99)).as("q"))
+      kllGate(sk, raw, capacity = 512)
+    }),
 
     // Chi-square drift on a categorical column: the language mix of
     // even- vs odd-id documents as a 2×C contingency, one chi² term
@@ -235,6 +334,7 @@ object MetricsQueries extends QuerySet {
                   ((n_expected + n_actual) * na /
                      CAST(ne + na AS DOUBLE)), 9) AS chi2_term
          FROM b CROSS JOIN t ORDER BY lang""",
+    "a49_kll_quantiles" -> kllOracleSql,
     "a26_equidepth" ->
       """WITH v AS (SELECT value AS v, COUNT(*) AS cnt FROM events
                     WHERE value IS NOT NULL GROUP BY value),

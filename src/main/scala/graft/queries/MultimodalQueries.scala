@@ -33,6 +33,7 @@ object MultimodalQueries extends QuerySet {
   private def testMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
       .map(id => (id, testRaster(id))).toDF("media_id", "bytes")
   }
@@ -45,6 +46,7 @@ object MultimodalQueries extends QuerySet {
   private def testPngMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
       .map { id =>
         val w = 8; val h = 8
@@ -68,6 +70,7 @@ object MultimodalQueries extends QuerySet {
   private def testGifMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
       .map(id => {
         val w = 8; val h = 8
@@ -95,6 +98,7 @@ object MultimodalQueries extends QuerySet {
   private def testJpegMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
       .map { id =>
         val w = 16; val h = 16
@@ -117,6 +121,7 @@ object MultimodalQueries extends QuerySet {
   private def testVideoMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
       .map { id =>
         val w = 8; val h = 8
@@ -168,8 +173,10 @@ object MultimodalQueries extends QuerySet {
   private def nearDupMedia(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 100).as[Long]
     val twins = Tables.documents(s, d).select(col("doc_id"))
+      // CAP: fixture
       .filter(col("doc_id") < 50).as[Long].map(_ + 100000L)
     base.union(twins).map(id => (id, nearDupRaster(id)))
       .toDF("media_id", "bytes")
@@ -203,8 +210,10 @@ object MultimodalQueries extends QuerySet {
     "mm18_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
       val base = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 100).as[Long]
       val twins = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 50).as[Long].map(_ + 100000L)
       val media = base.union(twins).map { id =>
         val b0 = id % 100000
@@ -247,6 +256,7 @@ object MultimodalQueries extends QuerySet {
       val qn = "st17_img_dedup_sink"
       def ids = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
+        // CAP: fixture
         .filter(col("doc_id") < 100).select(col("doc_id")).as[Long]
       val media = ids.union(ids)
         .flatMap { id =>
@@ -390,6 +400,7 @@ object MultimodalQueries extends QuerySet {
     "mm04_audio_roundtrip" -> ((s, d) => {
       import s.implicits._
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 100).as[Long]
       val media = ids.map { id =>
         val n = 64
@@ -408,6 +419,7 @@ object MultimodalQueries extends QuerySet {
     "mm14_audio_resample" -> ((s, d) => {
       import s.implicits._
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 100).as[Long]
       val media = ids.map { id =>
         val n = 64
@@ -431,6 +443,7 @@ object MultimodalQueries extends QuerySet {
     "mm08_flac_roundtrip" -> ((s, d) => {
       import s.implicits._
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 100).as[Long]
       val media = ids.map { id =>
         val n = 64
@@ -448,6 +461,7 @@ object MultimodalQueries extends QuerySet {
     "mm16_flac_resample" -> ((s, d) => {
       import s.implicits._
       val ids = Tables.documents(s, d).select(col("doc_id"))
+        // CAP: fixture
         .filter(col("doc_id") < 100).as[Long]
       val media = ids.map { id =>
         val n = 64

@@ -41,6 +41,7 @@ object RelevanceQueries extends QuerySet {
 
     "t09_tfidf" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+        // CAP: baseline cover=t22_bm25_retrieval
         .filter(col("doc_id") < 50).select("doc_id", "text")
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term").asc)
@@ -103,6 +104,7 @@ object RelevanceQueries extends QuerySet {
     "t22b_bm25_fixed_queries" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
       val qs = docs.filter(col("doc_id") % 97 === 0 &&
+          // CAP: queryset
           col("doc_id") < 10000000L)
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(trim(lower(col("text"))), "\\s+"),

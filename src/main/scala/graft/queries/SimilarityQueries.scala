@@ -29,6 +29,7 @@ object SimilarityQueries extends QuerySet {
     // Brute-force cosine top-10 for 5 query vectors (broadcast NL join).
     "n01_brute_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -43,6 +44,7 @@ object SimilarityQueries extends QuerySet {
     // exactly.
     "n15_rrf_fusion" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       val qs = emb.filter(col("vec_id") < 5)
       val runA = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding",
         k = 10).select("query_id", "vec_id", "rank")
@@ -63,6 +65,7 @@ object SimilarityQueries extends QuerySet {
     // frame via lofFromKnn.
     "n16_lof" -> ((s, d) =>
       Similarity.lofOutliers(
+        // CAP: probe cover=LofProbe
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
         "vec_id", "embedding", k = 5)
         .orderBy(col("vec_id"))),
@@ -76,6 +79,7 @@ object SimilarityQueries extends QuerySet {
     // in DuckDB, so the SCALE path itself is hash-checked. LofSpec
     // gates ANN-fed ≡ exact at nprobe = 2^nPlanes (recall 1.0).
     "n16b_lof_ann" -> ((s, d) => {
+      // CAP: probe cover=LofProbe
       val pts = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       val knn = Similarity.ivfTopKL2Portable(pts, pts,
           "vec_id", "embedding", k = 5)
@@ -90,6 +94,7 @@ object SimilarityQueries extends QuerySet {
     // audit. Vote = integer count argmax, ties to the smallest label.
     "n17_knn_vote" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       Similarity.knnVote(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", "label", k = 5)
         .orderBy(col("query_id"))
@@ -101,6 +106,7 @@ object SimilarityQueries extends QuerySet {
     // the corpus. Hash-checked end to end like n16b.
     "n17b_knn_vote_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       val qs = emb.filter(col("vec_id") < 20)
       val knn = Similarity.ivfTopKL2Portable(emb, qs,
         "vec_id", "embedding", k = 5)
@@ -118,6 +124,7 @@ object SimilarityQueries extends QuerySet {
     // frames (n04b/n02b cells), exactly n16b's composition.
     "n18_dbscan" -> ((s, d) =>
       Similarity.dbscanCached(
+        // CAP: probe cover=LofProbe
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
         "vec_id", "embedding", eps2 = 1.3, minPts = 3)
         .df.orderBy(col("vec_id"))),
@@ -132,6 +139,7 @@ object SimilarityQueries extends QuerySet {
     "n19_pca_power" -> ((s, d) =>
       Similarity.pcaPowerFromCov(
         Similarity.covarianceMatrixOrdered(
+          // CAP: probe cover=PcaProbe
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
           "vec_id", "embedding"),
         rounds = 8)),
@@ -142,6 +150,7 @@ object SimilarityQueries extends QuerySet {
     // top-20 embeddings farthest from the corpus' dominant direction.
     // One scan-local pass, two broadcast dim-row joins, no pair term.
     "n20_pca_outliers" -> ((s, d) => {
+      // CAP: probe cover=PcaProbe
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val load = Similarity.pcaPowerFromCov(
         Similarity.covarianceMatrixOrdered(emb, "vec_id", "embedding"),
@@ -158,6 +167,7 @@ object SimilarityQueries extends QuerySet {
     // weights + exact decimal sums, no per-depth explode.
     "n21_rbo" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       val qs = emb.filter(col("vec_id") < 5)
       Similarity.rboTruncated(
         Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10),
@@ -181,6 +191,7 @@ object SimilarityQueries extends QuerySet {
     // math, so the whole compressed-index path is hash-checked.
     "n07_quantized_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -190,6 +201,7 @@ object SimilarityQueries extends QuerySet {
     // the corpus max pairwise cosine is ~0.44, so this band is populated).
     "n03_cosine_neardups" -> ((s, d) =>
       Similarity.cosineNearDups(
+        // CAP: probe cover=CapProbe
         Tables.embeddings(s, d).filter(col("vec_id") < 200),
         "vec_id", "embedding", threshold = 0.35)
         .orderBy(col("id_a"), col("id_b"))),
@@ -218,6 +230,7 @@ object SimilarityQueries extends QuerySet {
     // join, and the exact-cosine verify, putting the WHOLE embedding
     // LSH pipeline on a hash-checked oracle.
     "n04b_cosine_lsh_portable" -> ((s, d) => {
+      // CAP: probe cover=CapProbe
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
         .select(col("vec_id"),
           transform(col("embedding"), _.cast("double")).as("embedding"))
@@ -261,6 +274,7 @@ object SimilarityQueries extends QuerySet {
     // rule row-for-row. Exact copies of every 5th vector must collapse
     // to the ORIGINAL (tie on cent_cos breaks to the smaller id).
     "n06b_semdedup_portable" -> ((s, d) => {
+      // CAP: baseline cover=n06_semdedup
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < 200)
         .select("vec_id", "embedding")
       val copies = emb.filter(col("vec_id") % 5 === 0)
@@ -276,6 +290,7 @@ object SimilarityQueries extends QuerySet {
       val emb = Tables.embeddings(s, d)
       val (model, indexed) = Similarity.ivfIndex(emb, "vec_id", "embedding",
         nlist = 8)
+      // CAP: queryset
       Similarity.ivfTopK(indexed, model, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nprobe = 3)
         .groupBy(col("query_id"))
@@ -289,6 +304,7 @@ object SimilarityQueries extends QuerySet {
     // and ratio are the only new algebra.
     "n12_ann_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       val qs = emb.filter(col("vec_id") < 5)
       val exact = graft.ops.Similarity.bruteForceTopK(emb, qs,
         "vec_id", "embedding", k = 10)
@@ -316,6 +332,7 @@ object SimilarityQueries extends QuerySet {
     "n13_retrieval_metrics" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       val qs = emb.filter(col("vec_id") < 5)
       val exact = graft.ops.Similarity.bruteForceTopK(emb, qs,
         "vec_id", "embedding", k = 10)
@@ -352,6 +369,7 @@ object SimilarityQueries extends QuerySet {
     // KMeans form stays spec-gated on n02).
     "n02b_ivf_portable" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       Similarity.ivfTopKPortable(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -364,6 +382,7 @@ object SimilarityQueries extends QuerySet {
     // recipe and replays the same dot products.
     "n09_random_project" -> ((s, d) =>
       Similarity.randomProject(
+        // CAP: probe cover=CapProbe
         Tables.embeddings(s, d).filter(col("vec_id") < 100),
         "vec_id", "embedding", outDim = 16, seed = 42L)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("pos", "val")))
@@ -375,6 +394,7 @@ object SimilarityQueries extends QuerySet {
     // exclusion inside the scan.
     "n11_hard_negatives" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // CAP: queryset
       Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", "label", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -388,6 +408,7 @@ object SimilarityQueries extends QuerySet {
     // in PipelineOpsSpec.
     "n10_embedding_cov" -> ((s, d) =>
       Similarity.covarianceMatrixOrdered(
+        // CAP: probe cover=PcaProbe
         Tables.embeddings(s, d).filter(col("vec_id") < 200),
         "vec_id", "embedding")
         .orderBy(col("i"), col("j"))),
@@ -399,6 +420,7 @@ object SimilarityQueries extends QuerySet {
     "n08_pq_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val model = Similarity.pqTrain(emb, "embedding", m = 8, ksub = 16)
+      // CAP: queryset
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", model, k = 10, shortlist = 100)
         .groupBy(col("query_id"))
@@ -417,6 +439,7 @@ object SimilarityQueries extends QuerySet {
       val emb = Tables.embeddings(s, d)
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
       val model = Similarity.pqBooksPortable(dim, m = 8, ksub = 16)
+      // CAP: queryset
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5),
         "vec_id", "embedding", model, k = 10, shortlist = 100)
         .orderBy(col("query_id"), col("rank"))

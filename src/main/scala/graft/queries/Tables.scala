@@ -48,6 +48,28 @@ object Tables {
     s"$base/graft_stage_${s.sparkContext.applicationId}/$name"
   }
 
+  /** Stage `df` as the single parquet file `$stage/$name.parquet`
+    * with the given mtime — file stream sources order batches by
+    * modification time, so a sequence of stageOne calls with
+    * ascending mtimes + `maxFilesPerTrigger=1` is a deterministic
+    * micro-batch schedule (the st19 late-audit recipe, shared).
+    */
+  def stageOne(stage: String, df: DataFrame, name: String,
+               mtime: Long): Unit = {
+    val tmp = s"$stage/__tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dest = new java.io.File(s"$stage/$name.parquet")
+    dest.delete()
+    require(part.renameTo(dest), s"rename failed: $dest")
+    require(dest.setLastModified(mtime), s"mtime failed: $dest")
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    new java.io.File(tmp).delete()
+  }
+
   def tsMicros(dt: DataType, name: String = "ts"): Column = dt match {
     // integral `div`, NOT `/`: epoch-nanos exceed 2^53, double loses µs
     case LongType         => expr(s"`$name` div 1000")

@@ -49,6 +49,39 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * numbers. Within one batch the event-time sort makes order moot, so
   * only cross-batch regressions count — exactly the assumption's
   * scope.
+  *
+  * BOUNDED-LATENESS ABSORPTION (r10 verdict mandate #1): with
+  * `maxLateness = L > 0` every state in the family gains a reorder
+  * buffer — the Kafka multi-partition reality where per-key order
+  * holds only within L of event time. An event is HELD while its ts
+  * is within L of the key's high-water mark and RELEASED — folded
+  * into the state, and for [[trailingCounts]] emitted, exactly once —
+  * only when the high-water mark passes `ts + L`, in strict event-
+  * time order. Under the contract (every arrival has
+  * `ts >= hwm − L` at its batch), the released fold sequence is
+  * IDENTICAL to the fully-ordered run's: a shuffled batch schedule
+  * produces bit-equal final output (ReorderSpec proves it on the
+  * doubles). Arrivals that violate the contract (> L late) fall back
+  * to the L = 0 semantics — folded as-of-arrival, counted in `ooo` —
+  * so the old behavior is the documented fallback, not the default.
+  * Two invariants make the order proof go through: buffer entries
+  * always satisfy `ts >= hwm − L` (the release rule at the previous
+  * batch's hwm), and a release requires `ts < hwm − L` strictly, so
+  * no legal future arrival — not even a same-instant tie —
+  * can precede a released event.
+  *
+  * PUNCTUATION: a row with a NULL payload (null `tagCol` for
+  * [[trailingCounts]], null `valueCol` for [[ewmaStates]] /
+  * [[cusumStates]]) advances the key's high-water mark to its ts and
+  * releases accordingly but folds nothing and emits nothing itself —
+  * the per-key end-of-stream flush a bounded run (or a Kafka control
+  * message) uses to drain the buffer. Punctuation is only
+  * interpreted on the L > 0 path; at L = 0 the legacy null handling
+  * (drop / coalesce) is unchanged.
+  *
+  * State bound with the buffer: per-key rate × L events on top of the
+  * existing window state — the same arrival-rate bound, never corpus
+  * size.
   */
 object StreamVelocity {
 
@@ -56,10 +89,17 @@ object StreamVelocity {
   case class VelRow(user: Long, ts: Long, tag: String, velN: Int,
                     ooo: Long)
   case class VelState(times: Seq[Long], hwm: Long, ooo: Long)
+  case class VelStateR(times: Seq[Long], buf: Seq[TaggedEvent],
+                       hwm: Long, ooo: Long)
 
   case class EwmaEvent(user: Long, ts: Long, id: Long, v: Double)
+  case class EwmaEventOpt(user: Long, ts: Long, id: Long,
+                          v: Option[Double])
   case class EwmaRow(user: Long, n: Long, ewma: Double, ooo: Long)
   case class EwmaState(n: Long, ewma: Double, hwm: Long, ooo: Long)
+  case class EwmaPend(ts: Long, id: Long, v: Double)
+  case class EwmaStateR(n: Long, ewma: Double, buf: Seq[EwmaPend],
+                        hwm: Long, ooo: Long)
 
   /** Out-of-order arrivals in this batch: rows with event time
     * strictly below the key's cross-batch high-water mark. `sorted`
@@ -84,50 +124,104 @@ object StreamVelocity {
     */
   def ewmaStates(events: DataFrame, userCol: String, tsCol: String,
                  idCol: String, valueCol: String,
-                 aNum: Int = 1, aDen: Int = 8): Dataset[EwmaRow] = {
+                 aNum: Int = 1, aDen: Int = 8,
+                 maxLateness: Long = 0L): Dataset[EwmaRow] = {
     require(aNum > 0 && aDen > 0 && aNum < aDen && (aDen & (aDen - 1)) == 0,
       s"alpha must be dyadic in (0,1): got $aNum/$aDen")
+    require(maxLateness >= 0L,
+      s"maxLateness must be >= 0, got $maxLateness")
     val alpha = aNum.toDouble / aDen
     val beta = 1.0 - alpha
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(userCol).cast("long").as("user"),
-        col(tsCol).cast("long").as("ts"),
-        col(idCol).cast("long").as("id"),
-        col(valueCol).cast("double").as("v"))
-      .as[EwmaEvent]
-      .groupByKey(_.user)
-      .flatMapGroupsWithState[EwmaState, EwmaRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[EwmaEvent],
-         state: GroupState[EwmaState]) =>
-          val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
-          val s0 = state.getOption.getOrElse(
-            EwmaState(0L, 0.0, Long.MinValue, 0L))
-          var (n, e) = (s0.n, s0.ewma)
-          val ooo = s0.ooo + countOoo(sorted.map(_.ts), s0.hwm)
-          val hwm =
-            if (sorted.isEmpty) s0.hwm
-            else math.max(s0.hwm, sorted.last.ts)
-          var i = 0
-          while (i < sorted.length) {
-            e = if (n == 0L) sorted(i).v else e * beta + alpha * sorted(i).v
-            n += 1
-            i += 1
-          }
-          state.update(EwmaState(n, e, hwm, ooo))
-          if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
-          else Iterator.empty
-      }
+    if (maxLateness == 0L)
+      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+          col(idCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(userCol).cast("long").as("user"),
+          col(tsCol).cast("long").as("ts"),
+          col(idCol).cast("long").as("id"),
+          col(valueCol).cast("double").as("v"))
+        .as[EwmaEvent]
+        .groupByKey(_.user)
+        .flatMapGroupsWithState[EwmaState, EwmaRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[EwmaEvent],
+           state: GroupState[EwmaState]) =>
+            val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+            val s0 = state.getOption.getOrElse(
+              EwmaState(0L, 0.0, Long.MinValue, 0L))
+            var (n, e) = (s0.n, s0.ewma)
+            val ooo = s0.ooo + countOoo(sorted.map(_.ts), s0.hwm)
+            val hwm =
+              if (sorted.isEmpty) s0.hwm
+              else math.max(s0.hwm, sorted.last.ts)
+            var i = 0
+            while (i < sorted.length) {
+              e = if (n == 0L) sorted(i).v else e * beta + alpha * sorted(i).v
+              n += 1
+              i += 1
+            }
+            state.update(EwmaState(n, e, hwm, ooo))
+            if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
+            else Iterator.empty
+        }
+    else
+      // bounded-lateness reorder path (object doc): null value =
+      // punctuation; releases fold in strict event-time order
+      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).cast("long").as("user"),
+          col(tsCol).cast("long").as("ts"),
+          coalesce(col(idCol).cast("long"), lit(-1L)).as("id"),
+          col(valueCol).cast("double").as("v"))
+        .as[EwmaEventOpt]
+        .groupByKey(_.user)
+        .flatMapGroupsWithState[EwmaStateR, EwmaRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[EwmaEventOpt],
+           state: GroupState[EwmaStateR]) =>
+            val s0 = state.getOption.getOrElse(
+              EwmaStateR(0L, 0.0, Vector.empty, Long.MinValue, 0L))
+            val incoming = rows.toArray
+            val hwm =
+              if (incoming.isEmpty) s0.hwm
+              else math.max(s0.hwm, incoming.map(_.ts).max)
+            val real = incoming.collect {
+              case r if r.v.isDefined => EwmaPend(r.ts, r.id, r.v.get)
+            }
+            val (tooLate, ok) = real.partition(r =>
+              s0.hwm != Long.MinValue && r.ts < s0.hwm - maxLateness)
+            val ooo = s0.ooo + tooLate.length
+            val merged = (s0.buf ++ ok).sortBy(r => (r.ts, r.id))
+            val (rel, hold) =
+              if (hwm == Long.MinValue) (Vector.empty[EwmaPend], merged)
+              else merged.partition(_.ts < hwm - maxLateness)
+            // too-late rows fold first: their ts is strictly below
+            // every buffered entry's (buffer invariant), so this IS
+            // event-time order among the batch's folds — and as-of-
+            // arrival relative to already-finalized ones (the L=0
+            // fallback, counted above)
+            val folded = tooLate.sortBy(r => (r.ts, r.id)) ++ rel
+            var (n, e) = (s0.n, s0.ewma)
+            folded.foreach { r =>
+              e = if (n == 0L) r.v else e * beta + alpha * r.v
+              n += 1
+            }
+            state.update(EwmaStateR(n, e, hold, hwm, ooo))
+            if (folded.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
+            else Iterator.empty
+        }
   }
 
   case class CusumEvent(user: Long, ts: Long, id: Long, cents: Long)
+  case class CusumEventOpt(user: Long, ts: Long, id: Long,
+                           cents: Option[Long])
   case class CusumRow(user: Long, n: Long, alarms: Long,
                       sp: Long, sn: Long, ooo: Long)
   case class CusumState(n: Long, sp: Long, sn: Long, al: Long,
                         hwm: Long, ooo: Long)
+  case class CusumPend(ts: Long, id: Long, cents: Long)
+  case class CusumStateR(n: Long, sp: Long, sn: Long, al: Long,
+                         buf: Seq[CusumPend], hwm: Long, ooo: Long)
 
   /** Streaming two-sided CUSUM — `ops/Velocity.cusumFinal` maintained
     * IN the stream: regime-shift alarms AT SERVING TIME with four
@@ -139,45 +233,97 @@ object StreamVelocity {
     */
   def cusumStates(events: DataFrame, userCol: String, tsCol: String,
                   idCol: String, valueCol: String,
-                  targetCents: Long, hCents: Long): Dataset[CusumRow] = {
+                  targetCents: Long, hCents: Long,
+                  maxLateness: Long = 0L): Dataset[CusumRow] = {
     require(hCents > 0, "alarm threshold must be positive")
+    require(maxLateness >= 0L,
+      s"maxLateness must be >= 0, got $maxLateness")
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(userCol).cast("long").as("user"),
-        col(tsCol).cast("long").as("ts"),
-        col(idCol).cast("long").as("id"),
-        round(col(valueCol) * 100).cast("long").as("cents"))
-      .as[CusumEvent]
-      .groupByKey(_.user)
-      .flatMapGroupsWithState[CusumState, CusumRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[CusumEvent],
-         state: GroupState[CusumState]) =>
-          val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
-          var st = state.getOption.getOrElse(
-            CusumState(0L, 0L, 0L, 0L, Long.MinValue, 0L))
-          val ooo = st.ooo + countOoo(sorted.map(_.ts), st.hwm)
-          val hwm =
-            if (sorted.isEmpty) st.hwm
-            else math.max(st.hwm, sorted.last.ts)
-          var i = 0
-          while (i < sorted.length) {
-            val d = sorted(i).cents - targetCents
-            val sp1 = math.max(0L, st.sp + d)
-            val sn1 = math.max(0L, st.sn - d)
-            st =
-              if (sp1 > hCents || sn1 > hCents)
-                CusumState(st.n + 1, 0L, 0L, st.al + 1, hwm, ooo)
-              else CusumState(st.n + 1, sp1, sn1, st.al, hwm, ooo)
-            i += 1
-          }
-          state.update(st.copy(hwm = hwm, ooo = ooo))
-          if (sorted.nonEmpty)
-            Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn, ooo))
-          else Iterator.empty
-      }
+    if (maxLateness == 0L)
+      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+          col(idCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(userCol).cast("long").as("user"),
+          col(tsCol).cast("long").as("ts"),
+          col(idCol).cast("long").as("id"),
+          round(col(valueCol) * 100).cast("long").as("cents"))
+        .as[CusumEvent]
+        .groupByKey(_.user)
+        .flatMapGroupsWithState[CusumState, CusumRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[CusumEvent],
+           state: GroupState[CusumState]) =>
+            val sorted = rows.toArray.sortBy(r => (r.ts, r.id))
+            var st = state.getOption.getOrElse(
+              CusumState(0L, 0L, 0L, 0L, Long.MinValue, 0L))
+            val ooo = st.ooo + countOoo(sorted.map(_.ts), st.hwm)
+            val hwm =
+              if (sorted.isEmpty) st.hwm
+              else math.max(st.hwm, sorted.last.ts)
+            var i = 0
+            while (i < sorted.length) {
+              val d = sorted(i).cents - targetCents
+              val sp1 = math.max(0L, st.sp + d)
+              val sn1 = math.max(0L, st.sn - d)
+              st =
+                if (sp1 > hCents || sn1 > hCents)
+                  CusumState(st.n + 1, 0L, 0L, st.al + 1, hwm, ooo)
+                else CusumState(st.n + 1, sp1, sn1, st.al, hwm, ooo)
+              i += 1
+            }
+            state.update(st.copy(hwm = hwm, ooo = ooo))
+            if (sorted.nonEmpty)
+              Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn, ooo))
+            else Iterator.empty
+        }
+    else
+      // bounded-lateness reorder path (object doc): null value =
+      // punctuation; releases fold in strict event-time order
+      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(userCol).cast("long").as("user"),
+          col(tsCol).cast("long").as("ts"),
+          coalesce(col(idCol).cast("long"), lit(-1L)).as("id"),
+          round(col(valueCol) * 100).cast("long").as("cents"))
+        .as[CusumEventOpt]
+        .groupByKey(_.user)
+        .flatMapGroupsWithState[CusumStateR, CusumRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[CusumEventOpt],
+           state: GroupState[CusumStateR]) =>
+            val s0 = state.getOption.getOrElse(
+              CusumStateR(0L, 0L, 0L, 0L, Vector.empty,
+                Long.MinValue, 0L))
+            val incoming = rows.toArray
+            val hwm =
+              if (incoming.isEmpty) s0.hwm
+              else math.max(s0.hwm, incoming.map(_.ts).max)
+            val real = incoming.collect {
+              case r if r.cents.isDefined =>
+                CusumPend(r.ts, r.id, r.cents.get)
+            }
+            val (tooLate, ok) = real.partition(r =>
+              s0.hwm != Long.MinValue && r.ts < s0.hwm - maxLateness)
+            val ooo = s0.ooo + tooLate.length
+            val merged = (s0.buf ++ ok).sortBy(r => (r.ts, r.id))
+            val (rel, hold) =
+              if (hwm == Long.MinValue) (Vector.empty[CusumPend], merged)
+              else merged.partition(_.ts < hwm - maxLateness)
+            val folded = tooLate.sortBy(r => (r.ts, r.id)) ++ rel
+            var (n, sp, sn, al) = (s0.n, s0.sp, s0.sn, s0.al)
+            folded.foreach { r =>
+              val d = r.cents - targetCents
+              val sp1 = math.max(0L, sp + d)
+              val sn1 = math.max(0L, sn - d)
+              if (sp1 > hCents || sn1 > hCents) {
+                sp = 0L; sn = 0L; al += 1
+              } else { sp = sp1; sn = sn1 }
+              n += 1
+            }
+            state.update(CusumStateR(n, sp, sn, al, hold, hwm, ooo))
+            if (folded.nonEmpty)
+              Iterator(CusumRow(user, n, al, sp, sn, ooo))
+            else Iterator.empty
+        }
   }
 
   /** Per-event trailing-window count (including the event itself and
@@ -186,10 +332,15 @@ object StreamVelocity {
     * frame. `tagCol` rides along for downstream grouping.
     */
   def trailingCounts(events: DataFrame, userCol: String, tsCol: String,
-                     tagCol: String, windowMicros: Long): Dataset[VelRow] = {
+                     tagCol: String, windowMicros: Long,
+                     maxLateness: Long = 0L): Dataset[VelRow] = {
     require(windowMicros > 0, "windowMicros must be positive")
+    require(maxLateness >= 0L,
+      s"maxLateness must be >= 0, got $maxLateness")
     val spark = events.sparkSession
     import spark.implicits._
+    if (maxLateness > 0L) return trailingCountsReorder(
+      events, userCol, tsCol, tagCol, windowMicros, maxLateness)
     // dead-letter stance, enforced: a null user/ts would throw inside
     // the primitive-field encoder ("Null value appeared in non-nullable
     // field") and KILL the streaming query — rows without an entity or
@@ -234,6 +385,69 @@ object StreamVelocity {
             i = j
           }
           state.update(VelState(times, hwm, ooo))
+          out.result().iterator
+      }
+  }
+
+  /** Bounded-lateness arm of [[trailingCounts]] (object doc): events
+    * within `maxLateness` of the key's high-water mark are HELD and
+    * emitted exactly once on release, in strict event-time order with
+    * the full same-instant peer group; null-tag rows are punctuation.
+    */
+  private def trailingCountsReorder(
+      events: DataFrame, userCol: String, tsCol: String,
+      tagCol: String, windowMicros: Long,
+      maxLateness: Long): Dataset[VelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(tagCol).cast("string").as("tag")) // null = punctuation
+      .as[TaggedEvent]
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[VelStateR, VelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TaggedEvent],
+         state: GroupState[VelStateR]) =>
+          val s0 = state.getOption.getOrElse(
+            VelStateR(Vector.empty, Vector.empty, Long.MinValue, 0L))
+          val incoming = rows.toArray
+          val hwm =
+            if (incoming.isEmpty) s0.hwm
+            else math.max(s0.hwm, incoming.map(_.ts).max)
+          val real = incoming.filter(_.tag != null)
+          val (tooLate, ok) = real.partition(r =>
+            s0.hwm != Long.MinValue && r.ts < s0.hwm - maxLateness)
+          val ooo = s0.ooo + tooLate.length
+          val merged = (s0.buf ++ ok).sortBy(r => (r.ts, r.tag))
+          val (rel, hold) =
+            if (hwm == Long.MinValue)
+              (Vector.empty[TaggedEvent], merged)
+            else merged.partition(_.ts < hwm - maxLateness)
+          // too-late rows fold first: strictly below every buffered
+          // ts (buffer invariant), so this is event-time order among
+          // the batch's folds; relative to already-released events
+          // they take the documented as-of-arrival fallback, counted
+          val folded = tooLate.sortBy(r => (r.ts, r.tag)) ++ rel
+          var times = s0.times.toVector
+          val out = Vector.newBuilder[VelRow]
+          var i = 0
+          while (i < folded.length) {
+            val t = folded(i).ts
+            var j = i
+            while (j < folded.length && folded(j).ts == t) j += 1
+            times = times.filter(_ > t - windowMicros) ++
+              Vector.fill(j - i)(t)
+            val n = times.length
+            var k = i
+            while (k < j) {
+              out += VelRow(user, folded(k).ts, folded(k).tag, n, ooo)
+              k += 1
+            }
+            i = j
+          }
+          state.update(VelStateR(times, hold, hwm, ooo))
           out.result().iterator
       }
   }

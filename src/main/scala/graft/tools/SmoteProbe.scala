@@ -13,11 +13,18 @@ import org.apache.spark.sql.functions._
   * maxBucketCandidates per bucket) and the `need`-row generator
   * (output-bound by construction: need = majority − minority ∝ rows).
   *
-  * Usage: runMain graft.tools.SmoteProbe <sfDir>
+  * With the `volume` arg it instead A/Bs the PRE-DEDUP candidate
+  * count (the r10 probe's 184 M-row agg input) between the legacy
+  * shape (cap 256, no adaptive tables — candTarget = MaxValue keeps
+  * every table) and the r11 shape (cap 64, adaptive candTarget = 2k)
+  * — the mandate-#2 "shrunk >= 5x" evidence, measured not argued.
+  *
+  * Usage: runMain graft.tools.SmoteProbe <sfDir> [volume]
   */
 object SmoteProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val volumeMode = args.length > 1 && args(1) == "volume"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +40,24 @@ object SmoteProbe {
         col("l_discount").cast("double").as("x_disc"),
         col("l_tax").cast("double").as("x_tax"))
     val nIn = in.count() // warm the scan
+    if (volumeMode) {
+      val minority = in.filter(col("label") === 1)
+      val base = graft.ml.Smote.prepare(minority,
+        Seq("x_qty", "x_disc", "x_tax"))
+      base.count()
+      def vol(cap: Int, target: Int): Long =
+        graft.ml.Smote.lshCandidates(base, dim = 3, k = 5,
+          numTables = 3, bucketWidth = 2.0, seed = 42L,
+          maxBucketCandidates = cap, candTarget = target).count()
+      val legacy = vol(256, Int.MaxValue)
+      val r11 = vol(64, 0)
+      println(f"""{"probe":"smote_volume","dir":"$dir","n_in":$nIn,""" +
+        f""""legacy_cand":$legacy,"r11_cand":$r11,""" +
+        f""""shrink":${legacy.toDouble / math.max(1L, r11)}%.1f}""")
+      base.unpersist()
+      spark.stop()
+      return
+    }
     def onePass(): (Double, Long) = {
       val t0 = System.nanoTime()
       val out = graft.ml.Smote.oversampleCached(in, "label",

@@ -134,6 +134,84 @@ def survey8(json_path):
         return 1
     return 1 if (broken or partial) else 0
 
+CAP_RE = None  # compiled lazily (keeps `re` import local to caps())
+
+def caps(repo_root="."):
+    """Machine-check the cap -> probe contract (r10 verdict mandate
+    #3): every driver query that bounds its input with a literal id
+    filter must carry a marker comment AT THE CAP SITE declaring why
+    its bench curve still has an asymptote story, and markers that
+    claim probe coverage must name a row that exists in SCALEPROBE.md.
+    Prevents the next capped query from silently shipping with a
+    vacuous-by-construction bench curve.
+
+    Marker grammar (same line or up to two lines above the cap):
+      // CAP: queryset                  bounded QUERY side only; the
+                                        corpus side is unbounded, so
+                                        the driver curve is real
+      // CAP: fixture                   fixed-size synthesized fixture
+                                        (codec staging); work is
+                                        per-doc scan-local
+      // CAP: slice cover=<token>       pushed-down entity/id slice;
+                                        <token> names the SCALEPROBE
+                                        row (query or tools/ probe)
+                                        carrying the uncapped story
+      // CAP: baseline cover=<token>    exact O(n^2)-ish baseline kept
+                                        for the oracle; <token> names
+                                        the probed scale path
+      // CAP: probe cover=<token>       input cap whose uncapped form
+                                        is probed directly
+    """
+    import re
+    cap_re = re.compile(
+        r'col\("(?:vec_id|doc_id|user_id|event_id)"\)\s*(?:<|<=)\s*\d')
+    mark_re = re.compile(
+        r'//\s*CAP:\s*(queryset|fixture|slice|baseline|probe)'
+        r'(?:\s+cover=([A-Za-z0-9_./-]+))?')
+    qname_re = re.compile(r'"([a-z0-9_]+)" ->')
+    probe_text = open(os.path.join(repo_root, "SCALEPROBE.md")).read()
+    needs_cover = {"slice", "baseline", "probe"}
+    rows, errors = [], []
+    files = sorted(glob.glob(os.path.join(
+        repo_root, "src/main/scala/graft/queries/*.scala")))
+    for path in files:
+        lines = open(path).read().splitlines()
+        query = None
+        for i, ln in enumerate(lines):
+            qm = qname_re.search(ln)
+            if qm:
+                query = qm.group(1)
+            if not cap_re.search(ln):
+                continue
+            mark = None
+            for back in range(0, 3):
+                if i - back < 0:
+                    break
+                mm = mark_re.search(lines[i - back])
+                if mm:
+                    mark = mm
+                    break
+            loc = f"{os.path.basename(path)}:{i + 1}"
+            if mark is None:
+                errors.append(f"UNMARKED cap at {loc} (query={query}): "
+                              f"{ln.strip()[:70]}")
+                continue
+            kind, cover = mark.group(1), mark.group(2)
+            if kind in needs_cover and not cover:
+                errors.append(f"{loc} (query={query}): kind '{kind}' "
+                              "requires cover=<token>")
+            elif cover and cover not in probe_text:
+                errors.append(f"{loc} (query={query}): cover token "
+                              f"'{cover}' not found in SCALEPROBE.md")
+            rows.append((query or "?", loc, kind, cover or "-"))
+    print(f"{'query':34} {'site':28} {'kind':9} cover")
+    for q, loc, kind, cover in rows:
+        print(f"{q:34} {loc:28} {kind:9} {cover}")
+    print(f"== {len(rows)} cap sites, {len(errors)} errors ==")
+    for e in errors:
+        print("ERROR:", e, file=sys.stderr)
+    return 1 if errors else 0
+
 def bench_diff(path_a, path_b, threshold=1.3):
     """Canary-normalized comparison of two Bench records (r9 verdict
     mandate #4): raw per-query seconds on this box drift up to ~1.17x
@@ -324,6 +402,8 @@ def main(sf_dir, out_dir, emit_json=None):
 if __name__ == "__main__":
     if sys.argv[1] == "--survey8":
         sys.exit(survey8(sys.argv[2]))
+    if sys.argv[1] == "--caps":
+        sys.exit(caps(sys.argv[2] if len(sys.argv) > 2 else "."))
     if sys.argv[1] == "--bench-diff":
         sys.exit(bench_diff(sys.argv[2], sys.argv[3],
                             float(sys.argv[4]) if len(sys.argv) > 4
