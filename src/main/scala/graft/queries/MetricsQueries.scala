@@ -84,6 +84,53 @@ object MetricsQueries extends QuerySet {
     pinned
   }
 
+  /** Shared gate for the Misra–Gries queries (a50 / st26): exact
+    * per-group counts find the TRUE heavy hitters (c·(k+1) > n), a
+    * left join against the sketch contents checks the two theorem
+    * facts. Integer threshold algebra throughout.
+    */
+  private[queries] def hhGate(sketched: DataFrame, raw: DataFrame,
+                              k: Int): DataFrame = {
+    val counts = raw.groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = counts.groupBy(col("grp")).agg(sum(col("c")).as("n"))
+    val sk = graft.ops.Layout.materializeBounded(
+      sketched.select(col("grp"), explode(col("hh")).as("e"))
+        .select(col("grp"), col("e.item").as("item"),
+          col("e.est").as("est")),
+      maxRows = 1000000L)
+    val out = counts.join(ng, Seq("grp"))
+      .filter(col("c") * (k + 1) > col("n"))
+      .join(sk, Seq("grp", "item"), "left")
+      .withColumn("retained", col("est").isNotNull)
+      .withColumn("bound_ok", col("retained") &&
+        col("est") <= col("c") &&
+        (col("c") - col("est")) * (k + 1) <= col("n"))
+      .select(col("grp").as("event_type"), col("item"),
+        col("c").as("exact_c"), col("retained"), col("bound_ok"))
+      .orderBy(col("event_type"), col("item"))
+    val pinned = graft.ops.Layout.materializeBounded(out,
+      maxRows = 1000000L)
+    counts.unpersist(blocking = false)
+    pinned
+  }
+
+  private[queries] val hhOracleSql: String =
+    """WITH r AS (SELECT event_type AS grp,
+                    CASE WHEN user_id % 2 = 0 THEN user_id % 10
+                         ELSE user_id END AS item
+                  FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       c AS (SELECT grp, item, COUNT(*) AS c FROM r GROUP BY 1, 2),
+       n AS (SELECT grp, SUM(c) AS n FROM c GROUP BY grp)
+       SELECT c.grp AS event_type, CAST(c.item AS BIGINT) AS item,
+              CAST(c.c AS BIGINT) AS exact_c,
+              TRUE AS retained, TRUE AS bound_ok
+       FROM c JOIN n ON c.grp = n.grp
+       WHERE c.c * 65 > n.n
+       ORDER BY event_type, item"""
+
   private[queries] val kllOracleSql: String =
     """WITH r AS (SELECT event_type AS grp, value AS v FROM events
                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
@@ -206,6 +253,28 @@ object MetricsQueries extends QuerySet {
         .agg(graft.functions.KllSketchAgg.kllQuantiles(
           col("v"), 512, Seq(10, 25, 50, 75, 90, 99)).as("q"))
       kllGate(sk, raw, capacity = 512)
+    }),
+
+    // Misra–Gries heavy hitters per event type (the frequency sibling
+    // of a49's rank sketch; mergeable-summaries merge rule, so the
+    // worst-case guarantee holds under any partition/merge order).
+    // The item column plants 5 hot keys per group (even user_ids fold
+    // to id%10) over a long distinct tail — the gate emits the TRUE
+    // heavy hitters (exact counts, SQL-replayable) with the two
+    // theorem booleans pinned: every item with c·(k+1) > n is
+    // retained, and its estimate sits in [c − n/(k+1), c]. All
+    // threshold arithmetic stays integer ((c−est)·(k+1) ≤ n), no
+    // division to diverge on.
+    "a50_heavy_hitters" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("CASE WHEN user_id % 2 = 0 THEN user_id % 10 " +
+            "ELSE user_id END").as("item"))
+      val sk = raw.groupBy(col("grp"))
+        .agg(graft.functions.HeavyHittersAgg.heavyHitters(
+          col("item"), 64).as("hh"))
+      hhGate(sk, raw, k = 64)
     }),
 
     // Chi-square drift on a categorical column: the language mix of
@@ -335,6 +404,7 @@ object MetricsQueries extends QuerySet {
                      CAST(ne + na AS DOUBLE)), 9) AS chi2_term
          FROM b CROSS JOIN t ORDER BY lang""",
     "a49_kll_quantiles" -> kllOracleSql,
+    "a50_heavy_hitters" -> hhOracleSql,
     "a26_equidepth" ->
       """WITH v AS (SELECT value AS v, COUNT(*) AS cnt FROM events
                     WHERE value IS NOT NULL GROUP BY value),

@@ -633,6 +633,38 @@ object SourceQueries extends QuerySet {
       MetricsQueries.kllGate(s.table(qn), raw, capacity = 512)
     }),
 
+    // Streaming heavy hitters at k counters of state (§2.6 × a50):
+    // the Misra–Gries summary maintained as streaming aggregation
+    // state across four micro-batches — constant per-group state on
+    // an unbounded stream, and because the merge rule is the
+    // mergeable-summaries one, the worst-case retention/bound
+    // guarantee survives the stream's merge tree. Same oracle as the
+    // batch a50.
+    "st26_stream_heavy_hitters" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st26_in")
+      val raw = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("CASE WHEN user_id % 2 = 0 THEN user_id % 10 " +
+            "ELSE user_id END").as("item"))
+      raw.coalesce(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st26_hh_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .groupBy(col("grp"))
+          .agg(graft.functions.HeavyHittersAgg.heavyHitters(
+            col("item"), 64).as("hh"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      MetricsQueries.hhGate(s.table(qn), raw, k = 64)
+    }),
+
     // §2.6 reorder × EWMA (same staging recipe as st23): the
     // bit-exact dyadic fold must survive a shuffled batch schedule —
     // the last emission per user equals the batch fold IDENTICALLY,
@@ -1403,6 +1435,7 @@ object SourceQueries extends QuerySet {
          FROM e GROUP BY user_id ORDER BY user_id""",
     // the sketch's streaming fold satisfies the same exact+bound gate
     "st25_stream_kll" -> MetricsQueries.kllOracleSql,
+    "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
     // reorder arm: released fold ≡ event-time order, so the SAME
     // RANGE-window replay gates it — plus the pinned-zero ooo gate
     "st23_stream_velocity_reorder" ->
