@@ -95,6 +95,40 @@ object DedupQueries extends QuerySet {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multi-pass sorted-neighborhood blocking (Hernández–Stolfo):
+    // d15's corpus (3-token names + first-char-dropped twins) through
+    // the OTHER classic candidate generator — sort by packed key,
+    // pair within a w=12 window, union a forward and a REVERSED-key
+    // pass (the reversal is what catches leading-char edits, the 1995
+    // paper's argument for multi-pass), levenshtein-verify. Rank comes
+    // from the bucketed prefix-sum (no global window); pairing is an
+    // equi-join on pos-div-w blocks, volume ≤ n·(w−1) by construction.
+    "d21_sorted_neighborhood" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        // CAP: probe cover=SnProbe
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"),
+            1, 3), " ").as("name"))
+      val noisy = base.select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substring(name, 2)").as("name"))
+      val all = base.unionByName(noisy)
+      val cand = graft.ops.SortedNeighborhood.multiPass(
+        all.filter(col("name").isNotNull), "doc_id",
+        Seq("fwd" -> col("name"), "rev" -> reverse(col("name"))), w = 12)
+      val named = all.select(col("doc_id"), col("name"))
+      cand
+        .join(named.select(col("doc_id").as("id_a"),
+          col("name").as("name_a")), Seq("id_a"))
+        .join(named.select(col("doc_id").as("id_b"),
+          col("name").as("name_b")), Seq("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("found_fwd"),
+          col("found_rev"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "d14_setjoin_prefix" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
         // CAP: probe cover=VocabProbe
@@ -943,6 +977,57 @@ object DedupQueries extends QuerySet {
            ON abs(length(p.pstr) - length(c.str)) <= 2
           AND levenshtein(p.pstr, c.str) <= 2
          ORDER BY probe_id, corpus_id""",
+    // replays the packed-BIGINT sort keys (7-bit codepoints over 21
+    // id bits), both pass orders, the <12-position window pairing,
+    // the pass-union flags, and the levenshtein verify
+    "d21_sorted_neighborhood" ->
+      """WITH base AS (SELECT doc_id,
+             list_aggregate(
+               string_split_regex(trim(lower(text)), '\s+')[1:3],
+               'string_agg', ' ') AS name
+           FROM documents WHERE doc_id < 300),
+         ar AS (SELECT doc_id AS id, name FROM base
+                UNION ALL
+                SELECT doc_id + 1000000 AS id, substring(name, 2) AS name
+                FROM base),
+         kk AS (SELECT id, name, rpad(name, 5, ' ') AS pf,
+                       rpad(reverse(name), 5, ' ') AS pr
+                FROM ar WHERE name IS NOT NULL),
+         pk AS (SELECT id, name,
+                  (((((CAST(ascii(substr(pf,1,1)) AS BIGINT)%128)*128
+                     + ascii(substr(pf,2,1))%128)*128
+                     + ascii(substr(pf,3,1))%128)*128
+                     + ascii(substr(pf,4,1))%128)*128
+                     + ascii(substr(pf,5,1))%128) * 2097152 + id AS kf,
+                  (((((CAST(ascii(substr(pr,1,1)) AS BIGINT)%128)*128
+                     + ascii(substr(pr,2,1))%128)*128
+                     + ascii(substr(pr,3,1))%128)*128
+                     + ascii(substr(pr,4,1))%128)*128
+                     + ascii(substr(pr,5,1))%128) * 2097152 + id AS kr
+                FROM kk),
+         posf AS (SELECT id, ROW_NUMBER() OVER (ORDER BY kf) AS pos
+                  FROM pk),
+         posr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY kr) AS pos
+                  FROM pk),
+         cf AS (SELECT LEAST(a.id, b.id) AS id_a,
+                       GREATEST(a.id, b.id) AS id_b
+                FROM posf a JOIN posf b
+                  ON b.pos > a.pos AND b.pos - a.pos < 12),
+         cr AS (SELECT LEAST(a.id, b.id) AS id_a,
+                       GREATEST(a.id, b.id) AS id_b
+                FROM posr a JOIN posr b
+                  ON b.pos > a.pos AND b.pos - a.pos < 12),
+         u AS (SELECT id_a, id_b, MAX(f) AS found_fwd, MAX(r) AS found_rev
+               FROM (SELECT id_a, id_b, TRUE AS f, FALSE AS r FROM cf
+                     UNION ALL
+                     SELECT id_a, id_b, FALSE AS f, TRUE AS r FROM cr) q
+               GROUP BY 1, 2)
+         SELECT u.id_a, u.id_b, found_fwd, found_rev,
+                CAST(levenshtein(na.name, nb.name) AS BIGINT) AS dist
+         FROM u JOIN ar na ON na.id = u.id_a
+                JOIN ar nb ON nb.id = u.id_b
+         WHERE levenshtein(na.name, nb.name) <= 2
+         ORDER BY id_a, id_b""",
     "d20_containment" ->
       s"""WITH t AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 150),

@@ -58,6 +58,48 @@ object GraphQueries extends QuerySet {
       graft.ops.Graph.pageRank(edges(s, d), iters = 3)
         .orderBy(col("node"))),
 
+    // Newman modularity of g15's post-sweep partition: per-community
+    // intra-edge and degree mass with the 4m²-scaled integer
+    // modularity term — "how ring-like is each detected cluster",
+    // scored without a single float division. (The components
+    // partition would collapse to one zero-term community on this
+    // corpus; the swept partition exercises the stats per-community.)
+    "g14_modularity" -> ((s, d) => {
+      val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = graft.ops.Graph.symmetrize(e)
+        .select(col("u").as("node")).distinct()
+      val singletons = nodes.withColumn("comm", col("node"))
+      val memb = graft.ops.Community.greedyMovePass(e, singletons)
+        .select(col("node"), col("comm"))
+      val out = graft.ops.Community.modularityStats(e, memb)
+        .orderBy(col("comm"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 1000000L)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
+    // One synchronous Louvain-style sweep from singletons (the
+    // deterministic first local-move round of Blondel et al. 2008):
+    // every node moves to the neighbor community with the largest
+    // positive integer ΔQ·4m² (smallest id on ties), all moves at
+    // once — community detection's inner loop, replayed exactly by
+    // the oracle's window-argmax.
+    "g15_community_move" -> ((s, d) => {
+      val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = graft.ops.Graph.symmetrize(e)
+        .select(col("u").as("node")).distinct()
+      val singletons = nodes.withColumn("comm", col("node"))
+      val out = graft.ops.Community.greedyMovePass(e, singletons)
+        .orderBy(col("node"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 1000000L)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
     // Semi-supervised label spreading: three fraud-typology seed
     // classes (user_id % 3 on the % 37 seed set) diffuse two integer
     // fixed-point rounds through the co-attribute graph in ONE edge
@@ -417,6 +459,75 @@ object GraphQueries extends QuerySet {
                 FROM j2 r LEFT JOIN m3 m ON r.node = m.node),
          j3 AS (SELECT a.node, b.lbl FROM p3 a JOIN p3 b ON a.lbl = b.node)
          SELECT node, lbl AS component FROM j3 ORDER BY node""",
+
+    // g15's sweep chain first (same CTEs), then integer modularity
+    // terms of the swept partition: q_num = 4m·e_in − d²
+    "g14_modularity" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS k FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         links AS (SELECT u AS node, v AS b, COUNT(*) AS kic FROM sym
+                   GROUP BY 1, 2),
+         gains AS (SELECT l.node, l.b,
+                     4 * mm.m * l.kic
+                       - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                   FROM links l
+                   JOIN deg dn ON l.node = dn.node
+                   JOIN deg db ON l.b = db.node
+                   CROSS JOIN mm),
+         best AS (SELECT node, b FROM (
+                    SELECT node, b, ROW_NUMBER() OVER (
+                      PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                    FROM gains WHERE gain > 0) t
+                  WHERE rn = 1),
+         allnodes AS (SELECT DISTINCT u AS node FROM sym),
+         mb AS (SELECT n.node, COALESCE(be.b, n.node) AS lbl
+                FROM allnodes n LEFT JOIN best be ON n.node = be.node),
+         ds AS (SELECT mb.lbl AS comm, COUNT(*) AS n_nodes,
+                       SUM(deg.k) AS d_sum
+                FROM mb JOIN deg ON mb.node = deg.node GROUP BY 1),
+         ein AS (SELECT a.lbl AS comm, COUNT(*) AS e_in
+                 FROM e JOIN mb a ON e.u = a.node
+                        JOIN mb b ON e.v = b.node
+                 WHERE a.lbl = b.lbl GROUP BY 1)
+         SELECT ds.comm, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+                CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+                CAST(ds.d_sum AS BIGINT) AS d_sum,
+                CAST(4 * mm.m * COALESCE(ein.e_in, 0)
+                     - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
+         FROM ds LEFT JOIN ein ON ds.comm = ein.comm CROSS JOIN mm
+         ORDER BY ds.comm""",
+
+    // one deterministic local-move sweep from singletons: gain·4m² =
+    // 4m·k_ib − 2·k_i·(d_b − d_a + k_i) with k_ia = 0 and d_a = k_i
+    // at singleton start; window-argmax replays max-gain/min-id
+    "g15_community_move" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS k FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         links AS (SELECT u AS node, v AS b, COUNT(*) AS kic FROM sym
+                   GROUP BY 1, 2),
+         gains AS (SELECT l.node, l.b,
+                     4 * mm.m * l.kic
+                       - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                   FROM links l
+                   JOIN deg dn ON l.node = dn.node
+                   JOIN deg db ON l.b = db.node
+                   CROSS JOIN mm),
+         best AS (SELECT node, b FROM (
+                    SELECT node, b, ROW_NUMBER() OVER (
+                      PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                    FROM gains WHERE gain > 0) t
+                  WHERE rn = 1),
+         nodes AS (SELECT DISTINCT u AS node FROM sym)
+         SELECT n.node, COALESCE(be.b, n.node) AS comm,
+                be.b IS NOT NULL AS moved
+         FROM nodes n LEFT JOIN best be ON n.node = be.node
+         ORDER BY n.node""",
 
     // 3 unrolled Bellman-Ford rounds, integer min-plus over cost
     // 1000 // shared; NULL dist = unreached, filtered at the end

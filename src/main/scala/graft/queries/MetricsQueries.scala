@@ -116,6 +116,52 @@ object MetricsQueries extends QuerySet {
     pinned
   }
 
+  /** Shared gate for the AMS tug-of-war queries (a51 / st27): the
+    * sketch's r counters are a LINEAR function of the exact item
+    * counts, so the oracle recomputes every z_j from (item, c) pairs
+    * with the same Mersenne-prime sign algebra
+    * ([[graft.functions.AmsSketchAgg.sign]]) and the gate pins both
+    * the exact F₂ and the full sketch estimate — integer end to end.
+    * Long headroom: needs Σ z_j² ≤ r·n² < 2^63 per group (n ≲ 3.7e8
+    * at r=64); past that the gate (not the sketch) moves to decimal.
+    */
+  private[queries] def amsGate(sketched: DataFrame, raw: DataFrame,
+                               r: Int): DataFrame = {
+    val ex = raw.groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("f2"))
+    sketched
+      .withColumn("sum_z2",
+        expr("aggregate(z, 0L, (acc, x) -> acc + x * x)"))
+      .join(ex, Seq("grp"))
+      .select(col("grp").as("event_type"), col("n"),
+        col("f2").as("f2_exact"), col("sum_z2"),
+        abs(col("sum_z2") - lit(r.toLong) * col("f2")).as("abs_err_x_r"))
+      .orderBy(col("event_type"))
+  }
+
+  private[queries] val amsOracleSql: String =
+    """WITH r AS (SELECT event_type AS grp, user_id AS item FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       c AS (SELECT grp, item, COUNT(*) AS c FROM r GROUP BY 1, 2),
+       ex AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+                CAST(SUM(c*c) AS BIGINT) AS f2 FROM c GROUP BY grp),
+       js AS (SELECT j FROM generate_series(0, 63) AS t(j)),
+       z AS (SELECT grp, j,
+               SUM(c * (CASE WHEN
+                 2 * (((((2*j + 1) * 1103515245) % 2147483647) *
+                       (((item % 2147483647) + 2147483647) % 2147483647) +
+                       ((12345*j + 6789) % 2147483647)) % 2147483647)
+                 < 2147483647 THEN 1 ELSE -1 END)) AS zj
+             FROM c CROSS JOIN js GROUP BY 1, 2),
+       sk AS (SELECT grp, CAST(SUM(zj*zj) AS BIGINT) AS sum_z2
+              FROM z GROUP BY grp)
+       SELECT ex.grp AS event_type, n, f2 AS f2_exact, sum_z2,
+              ABS(sum_z2 - 64*f2) AS abs_err_x_r
+       FROM ex JOIN sk ON ex.grp = sk.grp
+       ORDER BY event_type"""
+
   private[queries] val hhOracleSql: String =
     """WITH r AS (SELECT event_type AS grp,
                     CASE WHEN user_id % 2 = 0 THEN user_id % 10
@@ -265,6 +311,24 @@ object MetricsQueries extends QuerySet {
     // retained, and its estimate sits in [c − n/(k+1), c]. All
     // threshold arithmetic stays integer ((c−est)·(k+1) ≤ n), no
     // division to diverge on.
+    // AMS F₂ sketch per event type — the MOMENT member of the
+    // mergeable-sketch family (a49 rank, a50 frequency): 64 signed
+    // tug-of-war counters whose merge is lossless vector addition, so
+    // the streamed/partitioned fold is BIT-equal to the batch one, not
+    // merely bound-preserving. The gate replays every counter from
+    // exact counts in SQL (the sign hash is Mersenne-prime integer
+    // algebra) and pins exact F₂ next to the sketch estimate — F₂ is
+    // the key-concentration number behind self-join sizing and
+    // repeated-key skew detection at 100 TB.
+    "a51_ams_f2" -> ((s, d) => {
+      val raw = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"), col("user_id").as("item"))
+      val sk = raw.groupBy(col("grp"))
+        .agg(graft.functions.AmsSketchAgg.amsSketch(col("item"), 64).as("z"))
+      amsGate(sk, raw, r = 64)
+    }),
+
     "a50_heavy_hitters" -> ((s, d) => {
       val raw = Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("event_type").isNotNull)
@@ -405,6 +469,7 @@ object MetricsQueries extends QuerySet {
          FROM b CROSS JOIN t ORDER BY lang""",
     "a49_kll_quantiles" -> kllOracleSql,
     "a50_heavy_hitters" -> hhOracleSql,
+    "a51_ams_f2" -> amsOracleSql,
     "a26_equidepth" ->
       """WITH v AS (SELECT value AS v, COUNT(*) AS cnt FROM events
                     WHERE value IS NOT NULL GROUP BY value),

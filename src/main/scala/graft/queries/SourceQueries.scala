@@ -665,6 +665,35 @@ object SourceQueries extends QuerySet {
       MetricsQueries.hhGate(s.table(qn), raw, k = 64)
     }),
 
+    // §2.6 streaming AMS F₂ (a51's batch sketch as streaming state):
+    // a LINEAR sketch, so the stream's incremental fold across
+    // micro-batches is bit-equal to the batch counters — the strongest
+    // of the three mergeable-sketch stories (st25 bound-preserving
+    // rank, st26 bound-preserving frequency, st27 LOSSLESS moment).
+    // Same oracle as batch a51.
+    "st27_stream_ams_f2" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st27_in")
+      val raw = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"), col("user_id").as("item"))
+      raw.coalesce(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st27_ams_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .groupBy(col("grp"))
+          .agg(graft.functions.AmsSketchAgg.amsSketch(
+            col("item"), 64).as("z"))
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      MetricsQueries.amsGate(s.table(qn), raw, r = 64)
+    }),
+
     // §2.6 reorder × EWMA (same staging recipe as st23): the
     // bit-exact dyadic fold must survive a shuffled batch schedule —
     // the last emission per user equals the batch fold IDENTICALLY,
@@ -1436,6 +1465,8 @@ object SourceQueries extends QuerySet {
     // the sketch's streaming fold satisfies the same exact+bound gate
     "st25_stream_kll" -> MetricsQueries.kllOracleSql,
     "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
+    // the linear sketch's streaming fold is bit-equal to batch a51
+    "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,
     // reorder arm: released fold ≡ event-time order, so the SAME
     // RANGE-window replay gates it — plus the pinned-zero ooo gate
     "st23_stream_velocity_reorder" ->

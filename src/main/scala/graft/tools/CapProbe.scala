@@ -27,6 +27,9 @@ import graft.queries.Tables
   *             n04b's portable twin caps vec_id < 200)
   *  - `proj` — [[Similarity.randomProject]] over the FULL embeddings
   *             table (n09 caps vec_id < 100)
+  *  - `sn`   — [[graft.ops.SortedNeighborhood.multiPass]] over the
+  *             FULL documents table (d21 caps doc_id < 300); the
+  *             SnProbe cover for the caps contract
   *
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.CapProbe <dir> <arm> [reps]
   */
@@ -82,6 +85,21 @@ object CapProbe {
           "vec_id", "embedding", outDim = 16, seed = 42L)
           .select(explode(col("proj")).as("v"))
           .agg(sum(round(col("v"), 7).cast("decimal(27,7)")).as("s"))
+      case "sn" =>
+        // d21 uncapped: multi-pass sorted-neighborhood over the FULL
+        // documents table (the driver query caps doc_id < 300);
+        // idBits=27 keys up to 134M docs
+        val all = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            array_join(slice(split(trim(lower(col("text"))), "\\s+"),
+              1, 3), " ").as("name"))
+          .filter(col("name").isNotNull)
+        graft.ops.SortedNeighborhood.multiPass(all, "doc_id",
+          Seq("fwd" -> col("name"), "rev" -> reverse(col("name"))),
+          w = 12, idBits = 27)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("found_fwd"), 1L).otherwise(0L)).as("n_fwd"),
+            sum(when(col("found_rev"), 1L).otherwise(0L)).as("n_rev"))
       case other => sys.error(s"unknown arm: $other")
     }
     for (rep <- 1 to reps) {

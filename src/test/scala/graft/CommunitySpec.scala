@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Community
+
+/** Modularity algebra and the deterministic local-move sweep on
+  * hand-computable graphs.
+  */
+class CommunitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two disjoint triangles as own communities: Q = 1/2 exactly") {
+    // the textbook value: Q = sum(e_c/m - (d_c/2m)^2) = 2*(1/2 - 1/4)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("u", "v")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    val got = Community.modularityStats(e, memb)
+      .select("comm", "n_nodes", "e_in", "d_sum", "q_num")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // m=6: q_num = 4*6*3 - 6^2 = 36 per community; Q = 72/(4*36) = 1/2
+    assert(got.toSeq == Seq((1L, 3L, 3L, 6L, 36L), (4L, 3L, 3L, 6L, 36L)))
+  }
+
+  test("single community has Q = 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val memb = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("node", "comm")
+    val q = Community.modularityStats(e, memb)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    assert(q == 0L)
+  }
+
+  test("sweep from singletons: triangle nodes all move, min-id ties") {
+    // m=3; every move gain*4m^2 = 4*3*1 - 2*2*2 = 4 > 0; each node's
+    // two neighbor gains tie, so the move target is the smaller id
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val singl = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "comm")
+    val got = Community.greedyMovePass(e, singl)
+      .select("node", "comm", "moved")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, true), (2L, 1L, true), (3L, 1L, true)))
+  }
+
+  test("no positive gain: a bridge node between equal masses stays") {
+    // path 1-2-3 from the partition {1,2},{3}: node 2 moving to {3}
+    // has gain 4m(k_ib - k_ia) - 2k(d_b - d_a + k)
+    //   = 4*2*(1-1) - 2*2*(1 - 3 + 2) = 0 -> not > 0, stays
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "comm")
+    val got = Community.greedyMovePass(e, memb)
+      .filter(col("node") === 2L)
+      .select("comm", "moved").as[(Long, Boolean)].head()
+    assert(got == ((1L, false)))
+  }
+
+  test("results are partitioning-invariant") {
+    val edges = (1L to 60L).flatMap(i =>
+      Seq((i, i % 20 + 100L), (i, (i * 7) % 20 + 100L)))
+      .distinct.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val singl = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      .map(n => (n, n))
+    def run(parts: Int) = Community.greedyMovePass(
+        edges.toDF("u", "v").repartition(parts),
+        singl.toDF("node", "comm"))
+      .select("node", "comm").as[(Long, Long)].collect().toSet
+    assert(run(1) == run(13))
+  }
+}

@@ -25,8 +25,9 @@ SPARK_DRIVER_MEM=16g sbt -batch 'runMain graft.tools.SmoteProbe /root/testdata/s
 log "SMOTE timing 10x"
 SPARK_DRIVER_MEM=48g sbt -batch 'runMain graft.tools.SmoteProbe /tmp/sf1x10' 2>/dev/null | grep '"probe"' >> $OUT
 
-# 2. CapProbe arms (mandate #3 gaps): sf0.1 -> 10x; linear arms also 50x
-for arm in a07 asof f02 proj lsh; do
+# 2. CapProbe arms (mandate #3 gaps + the round's sn arm): sf0.1 -> 10x;
+#    linear arms also 50x
+for arm in a07 asof f02 proj lsh sn; do
   for dir in /root/testdata/sf0.1 /tmp/sf1x10; do
     log "CAPPROBE $arm $dir"
     SPARK_DRIVER_MEM=16g SPARK_GRAFT_CPUS=32 \
@@ -51,5 +52,14 @@ run_bench m6_50x /tmp/sf1x50 n21_rbo,m12d_rf_score,m28_platt 2 48g
 NEW=st23_stream_velocity_reorder,st24_stream_ewma_reorder,st25_stream_kll,st26_stream_heavy_hitters,a49_kll_quantiles,a50_heavy_hitters
 run_bench new_10x /tmp/sf1x10 $NEW 2
 run_bench new_50x /tmp/sf1x50 $NEW 2 48g
+
+# 6. second-batch operators (AMS, sorted-neighborhood, modularity)
+NEW2=a51_ams_f2,st27_stream_ams_f2,d21_sorted_neighborhood,g14_modularity,g15_community_move
+run_bench new2_sf01 /root/testdata/sf0.1 $NEW2 2
+run_bench new2_10x /tmp/sf1x10 $NEW2 2
+run_bench new2_50x /tmp/sf1x50 $NEW2 2 48g
+log "CAPPROBE sn /tmp/sf1x50"
+SPARK_DRIVER_MEM=48g SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.tools.CapProbe /tmp/sf1x50 sn 2" 2>/dev/null | grep capprobe >> $OUT
 
 log DONE
