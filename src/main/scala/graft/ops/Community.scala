@@ -44,10 +44,16 @@ object Community {
     */
   def modularityStats(edges: DataFrame, membership: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
+    // memb feeds three subtrees (d_sum + both ends of the intra-edge
+    // join) — node-scale persist, or its upstream re-runs per consumer
     val memb = membership.select(col("node"), col("comm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mRow = e.agg(count(lit(1)).as("m"))
     val sym = Graph.symmetrize(e)
+    // deg feeds the guard AND the stats — persist (the guard's max
+    // aggregation doubles as the eager materialization)
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     guardScale(mRow, deg)
     val dSum = deg.join(memb, Seq("node"))
       .groupBy(col("comm"))
@@ -71,17 +77,25 @@ object Community {
     */
   def greedyMovePass(edges: DataFrame, membership: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
+    // four consumers (dSum, links, self, the final left join)
     val memb = membership.select(col("node"), col("comm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mRow = e.agg(count(lit(1)).as("m"))
     val sym = Graph.symmetrize(e)
+    // deg/dSum/links are each read by TWO downstream subtrees (self +
+    // gains) — persist all three or the sweep recomputes its own
+    // shuffles per consumer (bench-measured 2x on g15 before the pin)
+    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
+      .persist(disk)
     guardScale(mRow, deg)
     val dSum = deg.join(memb, Seq("node"))
-      .groupBy(col("comm")).agg(sum(col("k")).as("d"))
+      .groupBy(col("comm")).agg(sum(col("k")).as("d")).persist(disk)
     // k_{i,c}: node i's edge count into community c
     val links = sym
       .join(memb.select(col("node").as("v"), col("comm").as("c")), Seq("v"))
       .groupBy(col("u").as("node"), col("c")).agg(count(lit(1)).as("kic"))
+      .persist(disk)
     val self = memb.withColumnRenamed("comm", "a")
       .join(deg, Seq("node"))
       .join(dSum.select(col("comm").as("a"), col("d").as("d_a")), Seq("a"))

@@ -70,12 +70,18 @@ object GraphQueries extends QuerySet {
       val nodes = graft.ops.Graph.symmetrize(e)
         .select(col("u").as("node")).distinct()
       val singletons = nodes.withColumn("comm", col("node"))
+      // the sweep output feeds THREE stats subtrees (d_sum + both ends
+      // of the intra-edge join) — eager node-scale pin, or the whole
+      // sweep re-runs per consumer (bench: 16.6 s -> sweep-once)
       val memb = graft.ops.Community.greedyMovePass(e, singletons)
         .select(col("node"), col("comm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      memb.count()
       val out = graft.ops.Community.modularityStats(e, memb)
         .orderBy(col("comm"))
       val pinned = graft.ops.Layout.materializeBounded(out,
         maxRows = 1000000L)
+      memb.unpersist(blocking = false)
       e.unpersist(blocking = false)
       pinned
     }),

@@ -147,7 +147,7 @@ object MetricsQueries extends QuerySet {
        c AS (SELECT grp, item, COUNT(*) AS c FROM r GROUP BY 1, 2),
        ex AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
                 CAST(SUM(c*c) AS BIGINT) AS f2 FROM c GROUP BY grp),
-       js AS (SELECT j FROM generate_series(0, 63) AS t(j)),
+       js AS (SELECT j FROM range(0, 64) t(j)),
        z AS (SELECT grp, j,
                SUM(c * (CASE WHEN
                  2 * (((((2*j + 1) * 1103515245) % 2147483647) *
