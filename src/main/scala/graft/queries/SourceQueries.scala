@@ -218,7 +218,7 @@ object SourceQueries extends QuerySet {
       // floor halves with the partition count while results are
       // partition-independent (all 20 st oracles re-verified green).
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = graft.streaming.Attribution.intervalJoin(
             clicks, purchases, keyCol = "user_id",
@@ -284,7 +284,7 @@ object SourceQueries extends QuerySet {
       // state-partition sizing: see st07 — the outer join pays the
       // four-store commit cost on EVERY one of its three micro-batches
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = graft.streaming.Attribution.intervalJoin(
             clicks, purchases, keyCol = "user_id",
@@ -352,7 +352,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(s"$stage/b0.parquet").schema
       val qn = "st19_late_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -388,7 +388,7 @@ object SourceQueries extends QuerySet {
       val qn = "st09_session_sink"
       // state-partition sizing: see st07
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -450,7 +450,7 @@ object SourceQueries extends QuerySet {
         .select(col("__ncal"), col("__k"), col("__q7"), col("__sy"),
           col("__c1"), col("__c0"))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = flags.writeStream.format("memory").queryName(qn)
           .outputMode("append").start()
@@ -466,7 +466,7 @@ object SourceQueries extends QuerySet {
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = graft.streaming.StreamVelocity.ewmaStates(
             src, "user_id", "ts_us", "event_id", "value")
@@ -492,7 +492,7 @@ object SourceQueries extends QuerySet {
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = graft.streaming.StreamVelocity.cusumStates(
             src, "user_id", "ts_us", "event_id", "value",
@@ -518,7 +518,7 @@ object SourceQueries extends QuerySet {
         .withColumn("ts_us", Tables.tsMicros(schema("ts").dataType))
       // state-partition sizing: see st07
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = graft.streaming.StreamVelocity.trailingCounts(
             src, "user_id", "ts_us", "event_type",
@@ -578,7 +578,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(s"$stage/b0.parquet").schema
       val qn = "st23_reorder_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -619,7 +619,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(stage).schema
       val qn = "st25_kll_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -651,7 +651,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(stage).schema
       val qn = "st26_hh_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -680,7 +680,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(stage).schema
       val qn = "st27_ams_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val q = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
@@ -734,7 +734,7 @@ object SourceQueries extends QuerySet {
       val schema = s.read.parquet(s"$stage/b0.parquet").schema
       val qn = "st24_reorder_sink"
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "2")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
       try {
         val src = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)

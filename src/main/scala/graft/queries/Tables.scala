@@ -42,6 +42,16 @@ object Tables {
     * each other's parquet mid-read. Memory-sink names need no nonce:
     * the in-memory table registry is already per-session.
     */
+  /** Stateful-stream shuffle parallelism for the st-family harnesses:
+    * 2 keeps per-batch fixed overhead negligible at oracle scale
+    * (sf0.01-0.1, 4 staged micro-batches), but a scaled corpus wants
+    * the state stores spread wider — the 50x reorder probe measured
+    * st23 118 -> 46 s moving window-vector state from 2 to 8 stores.
+    * Probes set SPARK_GRAFT_STREAM_PARTS; the driver default stays 2.
+    */
+  def streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "2")
+
   def stageDir(s: SparkSession, name: String): String = {
     val base = s.conf.getOption("spark.graft.stageDir")
       .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))

@@ -52,7 +52,7 @@ object CapProbe {
         Aggregates.lastPerKey(Tables.events(spark, dir),
           "user_id", "event_id", "value")
           .agg(count(lit(1)).as("n"),
-            sum(round(col("value"), 2).cast("decimal(27,2)")).as("s"))
+            sum(round(col("last_value"), 2).cast("decimal(27,2)")).as("s"))
       case "asof" =>
         val ev = Tables.eventsMicros(spark, dir)
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -88,7 +88,8 @@ object CapProbe {
       case "sn" =>
         // d21 uncapped: multi-pass sorted-neighborhood over the FULL
         // documents table (the driver query caps doc_id < 300);
-        // idBits=27 keys up to 134M docs
+        // prefixChars=4 + idBits=30 keys up to 1.07e9 docs (ScaleUp's
+        // 50x copies reach doc_id ~4.9e8 under its 1e7 id offset)
         val all = Tables.documents(spark, dir)
           .select(col("doc_id"),
             array_join(slice(split(trim(lower(col("text"))), "\\s+"),
@@ -96,7 +97,7 @@ object CapProbe {
           .filter(col("name").isNotNull)
         graft.ops.SortedNeighborhood.multiPass(all, "doc_id",
           Seq("fwd" -> col("name"), "rev" -> reverse(col("name"))),
-          w = 12, idBits = 27)
+          w = 12, prefixChars = 4, idBits = 30)
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("found_fwd"), 1L).otherwise(0L)).as("n_fwd"),
             sum(when(col("found_rev"), 1L).otherwise(0L)).as("n_rev"))
