@@ -259,4 +259,67 @@ object Seasonal {
         "__qg", "__qlo", "__qhi")
     Cached(out, if (persist) Seq(decomp) else Seq.empty)
   }
+
+  /** Holt linear-trend (double exponential) smoothing per group, in
+    * INTEGER FIXED-POINT — the level-plus-slope forecaster between
+    * [[decomposeDayHour]]'s static profile and a full seasonal-Holt:
+    * the adaptive baseline a spend-velocity monitor serves when the
+    * series drifts (reference capability: the dashboard's daily trend
+    * panel, `FD/dashboard.py` hourly/daily charts, as a forecaster
+    * instead of an eyeball).
+    *
+    * The classic recursion (Holt 1957)
+    *
+    *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * runs at scale S = 10⁶ with α = aNum/aDen, β = bNum/bDen as
+    * integer ratios and truncate-toward-zero integer division — the
+    * g02-PageRank fixed-point trick applied to a per-key fold, so a
+    * 150-step recursion is engine-identical bit for bit (JVM `div` ≡
+    * DuckDB `//` on any sign; no float chain to drift). Seeded
+    * l₁ = y₁·S, b₁ = 0; h-step forecast = l + h·b.
+    *
+    * Scale shape: one grouped agg builds the per-group day series
+    * (BOUNDED BY THE DAY DOMAIN, never corpus rows — the collect_list
+    * caveat doesn't apply to a ≤series-length state), then the fold
+    * runs as a codegen'd `aggregate` higher-order function — no UDF,
+    * no window, one shuffle on the group key. |y|·S·aNum must fit
+    * Int64: |cents| ≤ 9·10¹¹ per (group, day) at S = 10⁶, aNum ≤ 10.
+    *
+    * Output: group, n_days, level_fp, trend_fp, forecast{h}_fp (all
+    * BIGINT, fixed-point at S).
+    */
+  def holtLinear(df: DataFrame, groupCol: String, tsUsCol: String,
+                 centsCol: String, aNum: Int = 3, aDen: Int = 10,
+                 bNum: Int = 3, bDen: Int = 10, h: Int = 7): DataFrame = {
+    require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen,
+      s"alpha/beta must be proper positive ratios: $aNum/$aDen, $bNum/$bDen")
+    require(h >= 0, s"h must be >= 0, got $h")
+    val daily = df
+      .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .groupBy(col(groupCol),
+        // integer div, not `/` (double division loses exactness)
+        expr(s"CAST($tsUsCol AS BIGINT) div 86400000000").as("__day"))
+      .agg(sum(col(centsCol).cast("long")).as("__cents"))
+    val lExpr = s"($aNum" + "L * y * 1000000L + " +
+      s"${aDen - aNum}" + "L * (acc[0] + acc[1])) div " + s"${aDen}L"
+    daily.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__cents"))))
+        .as("__series"))
+      .withColumn("__ys", expr("transform(__series, p -> p.__cents)"))
+      .withColumn("__st", expr(
+        "aggregate(slice(__ys, 2, size(__ys) - 1), " +
+          "array(element_at(__ys, 1) * 1000000L, 0L), " +
+          s"(acc, y) -> array($lExpr, " +
+          s"(${bNum}L * (($lExpr) - acc[0]) + ${bDen - bNum}L * acc[1]) " +
+          s"div ${bDen}L))"))
+      .select(col(groupCol),
+        size(col("__ys")).cast("long").as("n_days"),
+        col("__st")(0).as("level_fp"),
+        col("__st")(1).as("trend_fp"),
+        (col("__st")(0) + lit(h.toLong) * col("__st")(1))
+          .as(s"forecast${h}_fp"))
+  }
 }

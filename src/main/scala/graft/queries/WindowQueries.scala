@@ -110,6 +110,22 @@ object WindowQueries extends QuerySet {
     // trend per event type, hour-of-day seasonal index of the
     // detrended cents, residual = the anomaly signal. The per-(type,
     // hour) audit pins every component through the oracle.
+    // Holt linear-trend smoothing per event type over the daily cent
+    // series, in integer fixed-point (ops/Seasonal.holtLinear): the
+    // 150-step level/slope recursion is exact integer algebra with
+    // toward-zero division in BOTH engines, so the fold — a codegen'd
+    // `aggregate` lambda, no UDF, no window — is hash-exact including
+    // the 7-step forecast. Completes the forecasting family: w15
+    // static profile, w16 backtest, w21 adaptive level+trend.
+    "w21_holt" -> ((s, d) =>
+      graft.ops.Seasonal.holtLinear(
+        Tables.eventsMicros(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "ts_us", "cents")
+        .orderBy(col("event_type"))),
+
     "w15_seasonal_decomp" -> ((s, d) =>
       graft.ops.Seasonal.decomposeDayHour(
         Tables.eventsMicros(s, d)
@@ -476,6 +492,37 @@ object WindowQueries extends QuerySet {
                          + CAST(n_pairs AS DOUBLE) * mu * mu) / den, 7)
                 END AS acf
          FROM d ORDER BY grp, k""",
+
+    // replay the integer fixed-point Holt fold: list_reduce over the
+    // day series lifted to [y*S, 0] pairs (the first pair IS the
+    // seed), every step BIGINT with //'s toward-zero truncation -
+    // identical to the engine's div on any sign
+    "w21_holt" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+         ser AS (SELECT event_type, list(cents ORDER BY day) AS ys
+                 FROM daily GROUP BY 1),
+         st AS (SELECT event_type, ys,
+                  list_reduce(
+                    list_transform(ys,
+                      y -> [y * 1000000, CAST(0 AS BIGINT)]),
+                    (acc, x) -> [
+                      (3 * x[1] + 7 * (acc[1] + acc[2])) // 10,
+                      (3 * (((3 * x[1] + 7 * (acc[1] + acc[2])) // 10)
+                            - acc[1]) + 7 * acc[2]) // 10
+                    ]) AS s
+                FROM ser)
+         SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+                s[1] AS level_fp, s[2] AS trend_fp,
+                s[1] + 7 * s[2] AS forecast7_fp
+         FROM st ORDER BY event_type""",
 
     "w15_seasonal_decomp" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,
