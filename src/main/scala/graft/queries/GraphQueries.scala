@@ -106,6 +106,34 @@ object GraphQueries extends QuerySet {
       pinned
     }),
 
+    // Two chained local-move sweeps (the Louvain inner loop iterated):
+    // round 2 starts from g15's partition, so the GENERAL gain formula
+    // — nonzero k_ia (edges into the CURRENT community) and the
+    // d_a − k_i correction — is on the oracle, not just the spec;
+    // emits each node's round-1 and round-2 communities and whether
+    // round 2 still moved it (convergence signal).
+    "g16_community_converge" -> ((s, d) => {
+      val e = edges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodes = graft.ops.Graph.symmetrize(e)
+        .select(col("u").as("node")).distinct()
+      val singletons = nodes.withColumn("comm", col("node"))
+      val memb1 = graft.ops.Community.greedyMovePass(e, singletons)
+        .select(col("node"), col("comm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      memb1.count()
+      val m2 = graft.ops.Community.greedyMovePass(e, memb1)
+      val out = memb1.withColumnRenamed("comm", "comm1")
+        .join(m2.select(col("node"), col("comm").as("comm2"),
+          col("moved").as("moved2")), Seq("node"))
+        .orderBy(col("node"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 1000000L)
+      memb1.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
     // Semi-supervised label spreading: three fraud-typology seed
     // classes (user_id % 3 on the % 37 seed set) diffuse two integer
     // fixed-point rounds through the co-attribute graph in ONE edge
@@ -505,6 +533,61 @@ object GraphQueries extends QuerySet {
                      - ds.d_sum * ds.d_sum AS BIGINT) AS q_num
          FROM ds LEFT JOIN ein ON ds.comm = ein.comm CROSS JOIN mm
          ORDER BY ds.comm""",
+
+    // the g15 chain, then round 2 with the GENERAL gain: nonzero
+    // k_ia from links into the node's own round-1 community, d_a over
+    // the round-1 partition — 4m(k_ib − k_ia) − 2k(d_b − d_a + k)
+    "g16_community_converge" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS k FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         links AS (SELECT u AS node, v AS b, COUNT(*) AS kic FROM sym
+                   GROUP BY 1, 2),
+         gains AS (SELECT l.node, l.b,
+                     4 * mm.m * l.kic
+                       - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                   FROM links l
+                   JOIN deg dn ON l.node = dn.node
+                   JOIN deg db ON l.b = db.node
+                   CROSS JOIN mm),
+         best AS (SELECT node, b FROM (
+                    SELECT node, b, ROW_NUMBER() OVER (
+                      PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                    FROM gains WHERE gain > 0) t
+                  WHERE rn = 1),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         mb1 AS (SELECT n.node, COALESCE(be.b, n.node) AS lbl
+                 FROM nodes n LEFT JOIN best be ON n.node = be.node),
+         d1 AS (SELECT mb1.lbl AS c, SUM(deg.k) AS d
+                FROM mb1 JOIN deg ON mb1.node = deg.node GROUP BY 1),
+         links1 AS (SELECT s.u AS node, m.lbl AS c, COUNT(*) AS kic
+                    FROM sym s JOIN mb1 m ON s.v = m.node GROUP BY 1, 2),
+         self1 AS (SELECT m.node, m.lbl AS a, dn.k, da.d AS d_a,
+                          COALESCE(l.kic, 0) AS k_ia
+                   FROM mb1 m
+                   JOIN deg dn ON m.node = dn.node
+                   JOIN d1 da ON m.lbl = da.c
+                   LEFT JOIN links1 l
+                     ON l.node = m.node AND l.c = m.lbl),
+         gains2 AS (SELECT s.node, l.c AS b,
+                      4 * mm.m * (l.kic - s.k_ia)
+                        - 2 * s.k * (db.d - s.d_a + s.k) AS gain
+                    FROM self1 s
+                    JOIN links1 l ON s.node = l.node AND l.c <> s.a
+                    JOIN d1 db ON l.c = db.c
+                    CROSS JOIN mm),
+         best2 AS (SELECT node, b FROM (
+                     SELECT node, b, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                     FROM gains2 WHERE gain > 0) t
+                   WHERE rn = 1)
+         SELECT s.node, s.a AS comm1,
+                COALESCE(b2.b, s.a) AS comm2,
+                b2.b IS NOT NULL AS moved2
+         FROM self1 s LEFT JOIN best2 b2 ON s.node = b2.node
+         ORDER BY s.node""",
 
     // one deterministic local-move sweep from singletons: gain·4m² =
     // 4m·k_ib − 2·k_i·(d_b − d_a + k_i) with k_ia = 0 and d_a = k_i
