@@ -694,6 +694,51 @@ object SourceQueries extends QuerySet {
       MetricsQueries.amsGate(s.table(qn), raw, r = 64)
     }),
 
+    // §2.6 streaming Holt (w21's level+trend fold as streaming state):
+    // the daily cent series staged as three DAY-ORDERED micro-batches,
+    // three integers of state per type folding across them — the last
+    // emission per type must equal the batch w21 fold bit for bit
+    // (same integer algebra, same oracle).
+    "st28_stream_holt" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st28_in")
+      val daily = Tables.eventsMicros(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(ts_us AS BIGINT) div 86400000000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      val stats = daily.agg(min(col("day")), max(col("day"))).first()
+      val (mnD, mxD) = (stats.getLong(0), stats.getLong(1))
+      val span = (mxD - mnD) / 3 + 1
+      val base = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        Tables.stageOne(stage,
+          daily.filter(col("day") >= mnD + i * span &&
+            col("day") < mnD + (i + 1) * span),
+          s"b$i", base - 240000 + i * 60000)
+      }
+      val schema = s.read.parquet(s"$stage/b0.parquet").schema
+      val qn = "st28_holt_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamVelocity.holtStates(
+            src, "event_type", "day", "cents")
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("grp").as("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max_by(col("l"), col("n")).as("level_fp"),
+          max_by(col("b"), col("n")).as("trend_fp"))
+        .withColumn("forecast7_fp",
+          col("level_fp") + lit(7L) * col("trend_fp"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2.6 reorder × EWMA (same staging recipe as st23): the
     // bit-exact dyadic fold must survive a shuffled batch schedule —
     // the last emission per user equals the batch fold IDENTICALLY,
@@ -1467,6 +1512,8 @@ object SourceQueries extends QuerySet {
     "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
     // the linear sketch's streaming fold is bit-equal to batch a51
     "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,
+    // the integer Holt fold's last emission is bit-equal to batch w21
+    "st28_stream_holt" -> WindowQueries.holtOracleSql,
     // reorder arm: released fold ≡ event-time order, so the SAME
     // RANGE-window replay gates it — plus the pinned-zero ooo gate
     "st23_stream_velocity_reorder" ->

@@ -10,6 +10,35 @@ import org.apache.spark.sql.functions._
   */
 object WindowQueries extends QuerySet {
 
+  /** Shared by batch w21 and streaming st28 (the streaming fold
+    * is bit-equal to the batch one by the integer algebra). */
+  private[queries] val holtOracleSql: String =
+    """WITH daily AS (
+           SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+         ser AS (SELECT event_type, list(cents ORDER BY day) AS ys
+                 FROM daily GROUP BY 1),
+         st AS (SELECT event_type, ys,
+                  list_reduce(
+                    list_transform(ys,
+                      y -> [y * 1000000, CAST(0 AS BIGINT)]),
+                    (acc, x) -> [
+                      (3 * x[1] + 7 * (acc[1] + acc[2])) // 10,
+                      (3 * (((3 * x[1] + 7 * (acc[1] + acc[2])) // 10)
+                            - acc[1]) + 7 * acc[2]) // 10
+                    ]) AS s
+                FROM ser)
+         SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+                s[1] AS level_fp, s[2] AS trend_fp,
+                s[1] + 7 * s[2] AS forecast7_fp
+         FROM st ORDER BY event_type"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP over two dims; rolled-up levels surfaced as 'ALL'.
     "w01_rollup" -> ((s, d) =>
@@ -105,11 +134,6 @@ object WindowQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
-    // Classical trend/seasonal/residual decomposition of spend, all
-    // integer (truncated integer means — JVM div ≡ DuckDB //): daily
-    // trend per event type, hour-of-day seasonal index of the
-    // detrended cents, residual = the anomaly signal. The per-(type,
-    // hour) audit pins every component through the oracle.
     // Holt linear-trend smoothing per event type over the daily cent
     // series, in integer fixed-point (ops/Seasonal.holtLinear): the
     // 150-step level/slope recursion is exact integer algebra with
@@ -126,6 +150,11 @@ object WindowQueries extends QuerySet {
         "event_type", "ts_us", "cents")
         .orderBy(col("event_type"))),
 
+    // Classical trend/seasonal/residual decomposition of spend, all
+    // integer (truncated integer means — JVM div ≡ DuckDB //): daily
+    // trend per event type, hour-of-day seasonal index of the
+    // detrended cents, residual = the anomaly signal. The per-(type,
+    // hour) audit pins every component through the oracle.
     "w15_seasonal_decomp" -> ((s, d) =>
       graft.ops.Seasonal.decomposeDayHour(
         Tables.eventsMicros(s, d)
@@ -498,31 +527,7 @@ object WindowQueries extends QuerySet {
     // seed), every step BIGINT with //'s toward-zero truncation -
     // identical to the engine's div on any sign
     "w21_holt" ->
-      """WITH daily AS (
-           SELECT event_type,
-                  epoch_us(ts) // 86400000000 AS day,
-                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                    AS cents
-           FROM events
-           WHERE event_type IS NOT NULL AND ts IS NOT NULL
-             AND value IS NOT NULL
-           GROUP BY 1, 2),
-         ser AS (SELECT event_type, list(cents ORDER BY day) AS ys
-                 FROM daily GROUP BY 1),
-         st AS (SELECT event_type, ys,
-                  list_reduce(
-                    list_transform(ys,
-                      y -> [y * 1000000, CAST(0 AS BIGINT)]),
-                    (acc, x) -> [
-                      (3 * x[1] + 7 * (acc[1] + acc[2])) // 10,
-                      (3 * (((3 * x[1] + 7 * (acc[1] + acc[2])) // 10)
-                            - acc[1]) + 7 * acc[2]) // 10
-                    ]) AS s
-                FROM ser)
-         SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
-                s[1] AS level_fp, s[2] AS trend_fp,
-                s[1] + 7 * s[2] AS forecast7_fp
-         FROM st ORDER BY event_type""",
+      holtOracleSql,
 
     "w15_seasonal_decomp" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,

@@ -92,6 +92,10 @@ object StreamVelocity {
   case class VelStateR(times: Seq[Long], buf: Seq[TaggedEvent],
                        hwm: Long, ooo: Long)
 
+  case class HoltEvent(grp: String, day: Long, cents: Long)
+  case class HoltRow(grp: String, n: Long, l: Long, b: Long)
+  case class HoltState(n: Long, l: Long, b: Long)
+
   case class EwmaEvent(user: Long, ts: Long, id: Long, v: Double)
   case class EwmaEventOpt(user: Long, ts: Long, id: Long,
                           v: Option[Double])
@@ -386,6 +390,53 @@ object StreamVelocity {
           }
           state.update(VelState(times, hwm, ooo))
           out.result().iterator
+      }
+  }
+
+  /** Streaming Holt linear-trend baseline — `ops/Seasonal.holtLinear`
+    * maintained IN the stream: state per group is THREE integers
+    * (count, fixed-point level, fixed-point trend), folded over daily
+    * rows in day order continuing across micro-batches. The recursion
+    * is the same all-integer toward-zero-division algebra as the
+    * batch op, so the LAST emission per group is bit-equal to the
+    * batch fold (st28 shares w21's oracle). Same ordered-arrival
+    * stance as [[ewmaStates]] at L = 0: batches fold their rows in
+    * day order; cross-batch order is the staging contract.
+    */
+  def holtStates(daily: DataFrame, grpCol: String, dayCol: String,
+                 centsCol: String, aNum: Int = 3, aDen: Int = 10,
+                 bNum: Int = 3, bDen: Int = 10): Dataset[HoltRow] = {
+    require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen,
+      s"alpha/beta must be proper positive ratios: $aNum/$aDen, $bNum/$bDen")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.filter(col(grpCol).isNotNull && col(dayCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(dayCol).cast("long").as("day"),
+        col(centsCol).cast("long").as("cents"))
+      .as[HoltEvent]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[HoltState, HoltRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[HoltEvent],
+         state: GroupState[HoltState]) =>
+          val sorted = rows.toArray.sortBy(_.day)
+          val s0 = state.getOption.getOrElse(HoltState(0L, 0L, 0L))
+          var (n, l, b) = (s0.n, s0.l, s0.b)
+          sorted.foreach { r =>
+            if (n == 0L) { l = r.cents * 1000000L; b = 0L }
+            else {
+              val l2 = (aNum * r.cents * 1000000L +
+                (aDen - aNum) * (l + b)) / aDen
+              b = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
+              l = l2
+            }
+            n += 1L
+          }
+          state.update(HoltState(n, l, b))
+          if (sorted.nonEmpty) Iterator(HoltRow(grp, n, l, b))
+          else Iterator.empty
       }
   }
 
