@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: degree/link frames are groupBys on node and
   * (node, comm) — shuffles on the natural keys; the 1-row m frame
   * broadcasts; nothing quadratic, nothing driver-side. Overflow is
-  * guarded loudly: 4m·max(k_i) and d_c² must fit Int64, checked with
-  * one cheap aggregation (the a51/HITS guard pattern).
+  * guarded loudly at the true bounds — (2m)² < 2⁶³ for the q_num
+  * squares and 8m·k_max + 2k_max² ≤ Int64 for the gain numerator —
+  * with one cheap aggregation (the a51/HITS guard pattern; see
+  * [[Community.guardBounds]]).
   *
   * Reference capability: ring detection over shared-attribute links —
   * the "which accounts move together" question behind the dashboard's
@@ -123,19 +125,43 @@ object Community {
         col("b").isNotNull.as("moved"))
   }
 
-  /** Loud integer-overflow guard (the ADVICE r10 pattern): 4m·k_max
-    * and (2m)² must fit Int64 — one tiny aggregation, fails
-    * identically on both engines' behalf rather than wrapping.
+  /** Loud integer-overflow guard (the ADVICE r10 pattern): one tiny
+    * aggregation feeds [[guardBounds]], failing identically on both
+    * engines' behalf rather than wrapping.
     */
   private def guardScale(mRow: DataFrame, deg: DataFrame): Unit = {
     val m = mRow.head().getLong(0)
-    require(m < (1L << 31),
-      s"modularity numerators need (2m)^2 < 2^63: m=$m too large")
     val kMax = deg.agg(max(col("k"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    require(kMax <= 0L || 4L * m <= Long.MaxValue / kMax,
-      s"4m*k_max overflows Int64: m=$m, k_max=$kMax")
+    guardBounds(m, kMax)
+  }
+
+  /** The pure bound check (ADVICE r11: the guard must precede EVERY
+    * overflow, at its true bound). Two numerators to protect:
+    *
+    *   - q_num = 4m·e_in − d_sum²: e_in ≤ m and d_sum ≤ 2m, so both
+    *     terms fit Int64 iff (2m)² < 2⁶³ ⇔ m ≤ 1518500249
+    *     (the old m < 2³¹ under-guarded by ~√2: m ∈ [1.52e9, 2.15e9)
+    *     wrapped d_sum² silently);
+    *   - gain = 4m·(k_ib − k_ia) − 2k·(d_b − d_a + k): with
+    *     k_i{a,b} ∈ [0, k] and |d_b − d_a| ≤ 2m, the first term is
+    *     ≤ 4m·k and the second ≤ 2k·(2m + k), so |gain| ≤
+    *     8m·k + 2k² — checked in BigInt so the guard arithmetic
+    *     itself cannot wrap (the old 4m·k_max check admitted gains
+    *     at 2× the guarded bound).
+    *
+    * Package-private: CommunitySpec exercises the bounds directly —
+    * constructing 1.5e9 edges to trip them through the frame API is
+    * not a test.
+    */
+  private[graft] def guardBounds(m: Long, kMax: Long): Unit = {
+    require(m <= 1518500249L,
+      s"modularity numerators need (2m)^2 < 2^63: m=$m too large")
+    require(kMax <= 0L ||
+      BigInt(8) * m * kMax + BigInt(2) * kMax * kMax <= Long.MaxValue,
+      s"gain numerator 8m*k_max + 2k_max^2 overflows Int64: " +
+        s"m=$m, k_max=$kMax — coarsen or split the graph")
   }
 }

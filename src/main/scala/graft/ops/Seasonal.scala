@@ -284,12 +284,33 @@ object Seasonal {
     * (BOUNDED BY THE DAY DOMAIN, never corpus rows — the collect_list
     * caveat doesn't apply to a ≤series-length state), then the fold
     * runs as a codegen'd `aggregate` higher-order function — no UDF,
-    * no window, one shuffle on the group key. |y|·S·aNum must fit
-    * Int64: |cents| ≤ 9·10¹¹ per (group, day) at S = 10⁶, aNum ≤ 10.
+    * no window, one shuffle on the group key.
+    *
+    * Overflow contract — CHECKED at runtime (ADVICE r11, the
+    * Community/HITS loud-guard pattern): every fold term is bounded
+    * by max(aNum, aDen−aNum)·max(|y|·S, |l|+|b|), so the guard
+    * requires max|cents| ≤ Int64 / S / max(aNum, aDen−aNum) / 16 —
+    * one aggregation on the (persisted) daily frame, which the fold
+    * re-reads, so the guard costs no extra corpus scan. The 16×
+    * headroom covers the smoothed state's transient drift past the
+    * data range (|l| tracks y·S; |b| is an EWMA of level steps —
+    * HoltSpec pins |l|+|b| ≤ 8·max|y|·S on a worst-case alternating
+    * series at the default ratios). Under the OLD prose-only bound
+    * the intermediate 7·(l+b) term sat within 10× of Long.MaxValue
+    * and would have wrapped silently; now the fold never builds.
     *
     * Output: group, n_days, level_fp, trend_fp, forecast{h}_fp (all
     * BIGINT, fixed-point at S).
     */
+  /** The loud Int64 bound on |daily cents| for the fixed-point Holt
+    * fold (doc at [[holtLinear]]): Int64 / S / max(aNum, aDen−aNum)
+    * / 16. Package-private so the spec pins the arithmetic and the
+    * streaming twin ([[graft.streaming.StreamVelocity.holtStates]])
+    * enforces the identical contract per row.
+    */
+  private[graft] def holtCentsBound(aNum: Int, aDen: Int): Long =
+    Long.MaxValue / 1000000L / math.max(aNum, aDen - aNum) / 16L
+
   def holtLinear(df: DataFrame, groupCol: String, tsUsCol: String,
                  centsCol: String, aNum: Int = 3, aDen: Int = 10,
                  bNum: Int = 3, bDen: Int = 10, h: Int = 7): DataFrame = {
@@ -303,6 +324,20 @@ object Seasonal {
         // integer div, not `/` (double division loses exactness)
         expr(s"CAST($tsUsCol AS BIGINT) div 86400000000").as("__day"))
       .agg(sum(col(centsCol).cast("long")).as("__cents"))
+      // the guard action materializes this; the fold then re-reads the
+      // (group×day)-sized blocks instead of re-scanning the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // loud overflow guard (doc above): one aggregation on the daily
+    // frame, failing before the fold ever builds
+    val bound = holtCentsBound(aNum, aDen)
+    val maxAbs = daily.agg(max(abs(col("__cents")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(maxAbs <= bound,
+      s"holtLinear: max |daily cents| $maxAbs exceeds the Int64 fold " +
+        s"bound $bound for alpha=$aNum/$aDen at scale 10^6; rescale " +
+        "the value column or aggregate coarser")
     val lExpr = s"($aNum" + "L * y * 1000000L + " +
       s"${aDen - aNum}" + "L * (acc[0] + acc[1])) div " + s"${aDen}L"
     daily.groupBy(col(groupCol))

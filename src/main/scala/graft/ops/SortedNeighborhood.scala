@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   * algebra; no string-collation dependence anywhere. Non-ASCII
   * codepoints fold mod 128: deterministic on both sides, costs only
   * blocking quality (a fold collision can merge two key neighborhoods,
-  * never diverge engines).
+  * never diverge engines). One caveat the packing cannot absorb: a
+  * DERIVED key built with an engine's `reverse()` (the classic second
+  * pass) is only cross-engine deterministic when every grapheme is a
+  * single codepoint — Spark reverses codepoints, DuckDB reverses
+  * grapheme clusters, so a combining sequence reorders differently
+  * BEFORE the key ever packs. Pre-fold such keys to ASCII (drop
+  * non-ASCII codepoints) before reversing, as the d21 driver query
+  * does.
   *
   * Reference capability: merge/purge over noisy customer identities —
   * the dedup the reference's synthetic customers would need at corpus
@@ -59,8 +66,11 @@ object SortedNeighborhood {
 
   /** Adds `pos` (1-based global rank in packed-key order) and `blk`
     * (`(pos-1) div w`) to `df`. The packed key must be UNIQUE — ids
-    * unique and in [0, 2^idBits) guarantee that; violations fail
-    * loudly here rather than silently reordering.
+    * unique and in [0, 2^idBits) guarantee that; BOTH halves of the
+    * contract are checked loudly here (ADVICE r11: a duplicate id
+    * would give two rows the same packed key, and the within-bucket
+    * prefix-sum rank would then order the tie arbitrarily — a silent
+    * cross-engine divergence, not a loud failure).
     */
   def positions(df: DataFrame, keyCol: Column, idCol: String, w: Int,
                 prefixChars: Int = 5, idBits: Int = 21): DataFrame = {
@@ -68,11 +78,20 @@ object SortedNeighborhood {
     val keyed = df
       .withColumn("__snkey", packedKey(keyCol, col(idCol), prefixChars, idBits))
       .withColumn("__one", lit(1L))
-    // loud contract check, one cheap agg: ids in range (key packing
-    // assumes it) — an out-of-range id would alias another prefix
-    val bad = keyed.filter(col(idCol) < 0 ||
-      col(idCol) >= (1L << idBits)).limit(1).count()
-    require(bad == 0L,
+    // loud contract check, ONE aggregation: ids in range (key packing
+    // assumes it — an out-of-range id would alias another prefix) AND
+    // ids distinct (exact count_distinct; the ranking below is a full
+    // shuffle of the same frame, so the check never dominates)
+    val chk = keyed.agg(count(lit(1)).as("__n"),
+      count_distinct(col(idCol)).as("__nd"),
+      min(col(idCol).cast("long")).as("__mn"),
+      max(col(idCol).cast("long")).as("__mx")).head()
+    val (n, nd) = (chk.getLong(0), chk.getLong(1))
+    require(n == nd,
+      s"$idCol must be unique for sorted-neighborhood key packing: " +
+        s"$n rows but $nd distinct ids")
+    require(n == 0L ||
+      (chk.getLong(2) >= 0L && chk.getLong(3) < (1L << idBits)),
       s"$idCol must lie in [0, 2^$idBits) for sorted-neighborhood key packing")
     Aggregates.bucketedPrefixSums(keyed, "__snkey", ascending = true,
         sumCols = Seq("__one"))

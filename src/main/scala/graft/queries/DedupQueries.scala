@@ -113,9 +113,15 @@ object DedupQueries extends QuerySet {
       val noisy = base.select((col("doc_id") + 1000000).as("doc_id"),
         expr("substring(name, 2)").as("name"))
       val all = base.unionByName(noisy)
+      // reversed pass pre-folds to ASCII (ADVICE r11): Spark reverses
+      // codepoints, DuckDB grapheme clusters — dropping non-ASCII
+      // codepoints first makes the two reversals provably identical
+      // (no-op on this corpus; the packing already folds mod 128)
       val cand = graft.ops.SortedNeighborhood.multiPass(
         all.filter(col("name").isNotNull), "doc_id",
-        Seq("fwd" -> col("name"), "rev" -> reverse(col("name"))), w = 12)
+        Seq("fwd" -> col("name"),
+          "rev" -> reverse(regexp_replace(col("name"),
+            "[^\\x00-\\x7F]", ""))), w = 12)
       val named = all.select(col("doc_id"), col("name"))
       cand
         .join(named.select(col("doc_id").as("id_a"),
@@ -991,7 +997,8 @@ object DedupQueries extends QuerySet {
                 SELECT doc_id + 1000000 AS id, substring(name, 2) AS name
                 FROM base),
          kk AS (SELECT id, name, rpad(name, 5, ' ') AS pf,
-                       rpad(reverse(name), 5, ' ') AS pr
+                       rpad(reverse(regexp_replace(name,
+                         '[^\x00-\x7F]', '', 'g')), 5, ' ') AS pr
                 FROM ar WHERE name IS NOT NULL),
          pk AS (SELECT id, name,
                   (((((CAST(ascii(substr(pf,1,1)) AS BIGINT)%128)*128

@@ -67,4 +67,26 @@ class CommunitySpec extends SparkSpec {
       .select("node", "comm").as[(Long, Long)].collect().toSet
     assert(run(1) == run(13))
   }
+
+  test("overflow guard bounds (ADVICE r11): q_num square and gain " +
+      "numerator both precede their true wrap points") {
+    // in range: fine at the exact m bound with a tiny degree
+    Community.guardBounds(1518500249L, 4L)
+    Community.guardBounds(0L, 0L)
+    // the square bound: m past floor(sqrt(2^61)) wraps d_sum^2
+    val e1 = intercept[IllegalArgumentException] {
+      Community.guardBounds(1518500250L, 4L)
+    }
+    assert(e1.getMessage.contains("(2m)^2"))
+    // the gain bound: the OLD 4m*k check passed this pair, but
+    // 8m*k + 2k^2 > Long.MaxValue — the silent 2x window the advice
+    // named, now loud
+    val m = 1500000000L
+    val k = Long.MaxValue / (4L * m) // old guard: 4m*k <= Max passes
+    assert(4L * m <= Long.MaxValue / k)
+    val e2 = intercept[IllegalArgumentException] {
+      Community.guardBounds(m, k)
+    }
+    assert(e2.getMessage.contains("8m*k_max"))
+  }
 }

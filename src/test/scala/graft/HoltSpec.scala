@@ -62,4 +62,35 @@ class HoltSpec extends SparkSpec {
     val series = Seq.fill(60)(scala.util.Random.nextInt(1000).toLong)
     assert(run(series, parts = 1) == run(series, parts = 13))
   }
+
+  test("overflow guard: a daily sum past holtCentsBound fails loudly " +
+      "(ADVICE r11)") {
+    val bound = Seasonal.holtCentsBound(3, 10)
+    assert(bound == Long.MaxValue / S / 7L / 16L)
+    // at the bound: builds and runs
+    assert(run(Seq(bound, -bound))._1 == 2L)
+    // one past it: loud, before the fold
+    val ex = intercept[IllegalArgumentException] {
+      run(Seq(bound + 1L))
+    }
+    assert(ex.getMessage.contains("fold bound"))
+  }
+
+  test("transient-drift headroom: |l|+|b| stays within 8x the data " +
+      "swing on a worst-case alternating series (the guard's 16x slack)") {
+    // the adversarial input for a smoother: full-amplitude alternation
+    val c = 10000L
+    val series = (0 until 400).map(i => if (i % 2 == 0) c else -c)
+    var l = series.head * S
+    var b = 0L
+    var worst = math.abs(l) + math.abs(b)
+    series.tail.foreach { y =>
+      val l2 = (3L * y * S + 7L * (l + b)) / 10L
+      b = (3L * (l2 - l) + 7L * b) / 10L
+      l = l2
+      worst = math.max(worst, math.abs(l) + math.abs(b))
+    }
+    assert(worst <= 8L * c * S,
+      s"|l|+|b| reached $worst > ${8L * c * S}")
+  }
 }

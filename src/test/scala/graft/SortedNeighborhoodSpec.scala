@@ -72,4 +72,14 @@ class SortedNeighborhoodSpec extends SparkSpec {
       SortedNeighborhood.positions(bad, col("name"), "id", w = 2).count()
     }
   }
+
+  test("duplicate ids fail loudly (ADVICE r11: tied packed keys would " +
+      "rank arbitrarily)") {
+    val bad = Seq((5L, "aaa"), (5L, "bbb"), (6L, "ccc"))
+      .toDF("id", "name")
+    val ex = intercept[IllegalArgumentException] {
+      SortedNeighborhood.positions(bad, col("name"), "id", w = 2).count()
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
 }
