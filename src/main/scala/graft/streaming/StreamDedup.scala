@@ -42,9 +42,22 @@ import graft.ops.{Dedup, TextAnalysis}
   * Scale shape: state is ONE long per distinct (band, bucket) — the
   * corpus's bucket vocabulary, not its documents — and the only
   * shuffle is the groupByKey on the band key, ∝ bands × docs rows of
-  * (key, id) pairs. Production runs bound state with the state-store
-  * TTL knobs (a bucket unclaimed for months can expire); NoTimeout
-  * here keeps the bounded-source semantics exact.
+  * (key, id) pairs.
+  *
+  * BUCKET EVICTION (r11 verdict mandate #1, the
+  * [[StreamVelocity]] horizon applied to the vocabulary): with
+  * `tsCol` + `evictHorizonUs = H > 0` the claims run
+  * `GroupStateTimeout.EventTimeTimeout` — each claim re-arms its
+  * bucket's timeout at the bucket's event-time high-water mark + H,
+  * and a bucket unclaimed for a horizon EXPIRES: its winner is
+  * forgotten, so the next document to hash there claims it fresh.
+  * That is the TTL trade stated plainly: near-duplicates separated by
+  * more than the horizon are no longer linked (both kept), in
+  * exchange for state bounded by the horizon's active vocabulary
+  * instead of the corpus's. Arrivals older than the watermark
+  * (maxEventTime − H) are dropped by the engine — their bucket may
+  * already be gone. With the horizon off (0, the default) the
+  * NoTimeout path below is byte-identical to round 11.
   */
 object StreamDedup {
 
@@ -56,6 +69,14 @@ object StreamDedup {
     */
   case class BandRow(key: String, id: Long)
 
+  /** Band-key row with event time (the eviction arm's shape). */
+  case class BandRowT(key: String, id: Long, ts: Long)
+
+  /** Eviction-arm state: the bucket's winner and its event-time
+    * high-water mark (what the timeout re-arms from).
+    */
+  case class BucketState(winner: Long, hwm: Long)
+
   /** Per-bucket first-claim verdicts for a streaming document frame.
     *
     * `portable = true` uses the md5 signature/band kernels (engine-
@@ -66,12 +87,21 @@ object StreamDedup {
   def bandVerdicts(docs: DataFrame, textCol: String, idCol: String,
                    shingleSize: Int = 3, numHashes: Int = 8,
                    bands: Int = 4,
-                   portable: Boolean = false): Dataset[BandVerdict] = {
+                   portable: Boolean = false,
+                   tsCol: String = "",
+                   evictHorizonUs: Long = 0L): Dataset[BandVerdict] = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    require(evictHorizonUs >= 0L,
+      s"evictHorizonUs must be >= 0, got $evictHorizonUs")
+    require(evictHorizonUs == 0L || tsCol.nonEmpty,
+      "bucket eviction needs an event-time column (tsCol)")
     val spark = docs.sparkSession
     import spark.implicits._
+    if (evictHorizonUs > 0L)
+      return bandVerdictsEvict(docs, textCol, idCol, shingleSize,
+        numHashes, bands, portable, tsCol, evictHorizonUs)
     // stage shingles → signature → band keys as separate projections:
     // the signature references the shingle column numHashes times and
     // the band keys reference the signature bands times — inlined into
@@ -103,6 +133,55 @@ object StreamDedup {
           val winner = state.getOption.getOrElse(ids.min)
           if (!state.exists) state.update(winner)
           ids.iterator.map(id => BandVerdict(id, band, id == winner))
+      }
+  }
+
+  /** Eviction arm of [[bandVerdicts]] (object doc): same claim rule,
+    * but the bucket state carries its event-time high-water mark and
+    * times out once the watermark passes hwm + horizon.
+    */
+  private def bandVerdictsEvict(
+      docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int, portable: Boolean,
+      tsCol: String, evictHorizonUs: Long): Dataset[BandVerdict] = {
+    val rowsPerBand = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig =
+      if (portable) Dedup.minhashSignaturePortable(col("sh"), numHashes)
+      else Dedup.minhashSignature(col("sh"), numHashes)
+    val bk =
+      if (portable) Dedup.bandKeysPortable(col("sig"), bands, rowsPerBand)
+      else Dedup.bandKeys(col("sig"), bands, rowsPerBand)
+    docs.select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("long").as("ts"),
+        Dedup.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)
+          .as("sh"))
+      .select(col("id"), col("ts"), sig.as("sig"))
+      .select(col("id"), col("ts"), explode(bk).as("bk"))
+      .select(concat_ws("|", col("bk.band"), col("bk.bucket")).as("key"),
+        col("id"), col("ts"),
+        timestamp_micros(col("ts")).as("__evt"))
+      .withWatermark("__evt", s"$evictHorizonUs microseconds")
+      .as[BandRowT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BucketState, BandVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[BandRowT],
+         state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key.substring(0, key.indexOf('|')).toInt
+            val arr = rows.toArray
+            val ids = arr.map(_.id).distinct
+            val s0 = state.getOption.getOrElse(
+              BucketState(ids.min, Long.MinValue))
+            val hwm = math.max(s0.hwm, arr.map(_.ts).max)
+            state.update(BucketState(s0.winner, hwm))
+            state.setTimeoutTimestamp((hwm + evictHorizonUs) / 1000L + 1L)
+            ids.iterator.map(id => BandVerdict(id, band, id == s0.winner))
+          }
       }
   }
 

@@ -614,4 +614,179 @@ class StreamSpec extends SparkSpec {
     assert(!graft.jobs.KafkaSmoke.providerPresent(spark))
     assert(graft.jobs.KafkaSmoke.skipMessage.contains("spark-sql-kafka"))
   }
+
+  // === state eviction (r11 verdict mandate #1) ========================
+  // Event-time-timeout eviction as a TESTED code path: a key idle past
+  // the horizon leaves the state store (numRowsTotal observably drops)
+  // and re-seeds cleanly on reappearance (count restarts at 1, ooo at
+  // 0). Horizon off keeps the round-11 NoTimeout paths byte-identical —
+  // every other test in this suite runs them.
+
+  /** Latest reported state-store row count for `q`. */
+  private def lastStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(sys.error("no state operator progress reported"))
+
+  test("eviction horizon: an idle EWMA key leaves the store and " +
+      "re-seeds cleanly (n and ooo restart)") {
+    import graft.streaming.StreamVelocity
+    val H = 2000000L // 2 s
+    val stream = MemoryStream[(Long, Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user", "ts", "id", "v")
+    val qn = "ewma_evict_sink"
+    val q = StreamVelocity.ewmaStates(df, "user", "ts", "id", "v",
+        aNum = 1, aDen = 2, evictHorizonUs = H)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // b1: both keys live; user 1 hwm = 2 s
+      stream.addData((1L, 2000000L, 1L, 8.0), (2L, 2000000L, 2L, 1.0))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+      // b2: a within-horizon LATE row for user 1 — folds as-of-arrival
+      // and fires ooo (proving the counter was nonzero before eviction)
+      stream.addData((1L, 1500000L, 3L, 16.0))
+      q.processAllAvailable()
+      // b3/b4: user 2 advances the watermark past user 1's
+      // hwm + horizon (wm = 10s - 2s = 8s > 2s + 2s) -> user 1 evicts
+      stream.addData((2L, 10000000L, 4L, 2.0))
+      q.processAllAvailable()
+      stream.addData((2L, 11000000L, 5L, 3.0))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 1L, "user 1 must have been evicted")
+      // b5: user 1 reappears above the watermark -> fresh state
+      stream.addData((1L, 12000000L, 6L, 9.0))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+    } finally q.stop()
+    val got = spark.table(qn).filter($"user" === 1L)
+      .select($"n", $"ewma", $"ooo")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 8.0, 0L),   // b1 seed
+      (2L, 12.0, 1L),  // b2 late fold: (8 + 16)/2, ooo fired
+      (1L, 9.0, 0L)),  // b5 re-seed: count AND ooo restart
+      got.toString)
+  }
+
+  test("eviction horizon: trailing-count window state evicts " +
+      "(store shrinks) and restarts empty") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val df = stream.toDF().toDF("user", "ts", "tag")
+    val qn = "vel_evict_sink"
+    val q = StreamVelocity.trailingCounts(df, "user", "ts", "tag",
+        windowMicros = 1000000L, evictHorizonUs = 2000000L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 2000000L, "a"), (1L, 2000001L, "a"),
+        (2L, 2000000L, "b"))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+      stream.addData((2L, 10000000L, "b"))
+      q.processAllAvailable()
+      stream.addData((2L, 11000000L, "b"))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 1L, "user 1's window vector evicted")
+      stream.addData((1L, 12000000L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(qn).filter($"user" === 1L)
+      .select($"ts", $"velN").as[(Long, Int)].collect().toMap
+    assert(u1 == Map(2000000L -> 1, 2000001L -> 2, 12000000L -> 1),
+      u1.toString)
+    // the horizon >= window precondition is loud
+    intercept[IllegalArgumentException] {
+      StreamVelocity.trailingCounts(df, "user", "ts", "tag",
+        windowMicros = 5000000L, evictHorizonUs = 2000000L)
+    }
+  }
+
+  test("eviction horizon: CUSUM and Holt states re-seed after the " +
+      "horizon passes") {
+    import graft.streaming.StreamVelocity
+    val cs = MemoryStream[(Long, Long, Long, Double)](spark)
+    val cq = StreamVelocity.cusumStates(
+        cs.toDF().toDF("user", "ts", "id", "v"), "user", "ts", "id", "v",
+        targetCents = 1000L, hCents = 100000L, evictHorizonUs = 2000000L)
+      .toDF.writeStream.format("memory").queryName("cusum_evict_sink")
+      .outputMode("append").start()
+    try {
+      cs.addData((1L, 2000000L, 1L, 20.0), (1L, 2000001L, 2L, 30.0))
+      cq.processAllAvailable()
+      cs.addData((2L, 10000000L, 3L, 10.0))
+      cq.processAllAvailable()
+      cs.addData((2L, 11000000L, 4L, 10.0))
+      cq.processAllAvailable()
+      cs.addData((1L, 12000000L, 5L, 20.0)) // re-seed
+      cq.processAllAvailable()
+    } finally cq.stop()
+    val cGot = spark.table("cusum_evict_sink").filter($"user" === 1L)
+      .select($"n", $"sp").as[(Long, Long)].collect().toSet
+    // continuation would read (3, 4000): sp restarts at 1000, n at 1
+    assert(cGot.contains((2L, 3000L)) && cGot.contains((1L, 1000L)) &&
+      !cGot.exists(_._1 == 3L), cGot.toString)
+
+    val hs = MemoryStream[(String, Long, Long)](spark)
+    val hq = StreamVelocity.holtStates(
+        hs.toDF().toDF("grp", "day", "cents"), "grp", "day", "cents",
+        evictHorizonDays = 5L)
+      .toDF.writeStream.format("memory").queryName("holt_evict_sink")
+      .outputMode("append").start()
+    try {
+      // days start at 10: day 0 sits AT the initial watermark (epoch
+      // 0) and the event-time late filter would drop it
+      hs.addData(("a", 10L, 10L), ("a", 11L, 20L))
+      hq.processAllAvailable()
+      hs.addData(("b", 40L, 5L))
+      hq.processAllAvailable()
+      hs.addData(("b", 41L, 5L))
+      hq.processAllAvailable()
+      hs.addData(("a", 50L, 7L)) // re-seed: l = 7e6, b = 0, n = 1
+      hq.processAllAvailable()
+    } finally hq.stop()
+    val hGot = spark.table("holt_evict_sink").filter($"grp" === "a")
+      .select($"n", $"l", $"b").as[(Long, Long, Long)].collect().toSet
+    assert(hGot.contains((2L, 13000000L, 900000L)) &&
+      hGot.contains((1L, 7000000L, 0L)) && !hGot.exists(_._1 == 3L),
+      hGot.toString)
+  }
+
+  test("bucket eviction: an expired LSH bucket is reclaimed by the " +
+      "next arrival, then defends its new claim") {
+    import graft.streaming.StreamDedup
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val df = stream.toDF().toDF("id", "text", "ts")
+    val qn = "dedup_evict_sink"
+    val textX = "alpha beta gamma delta epsilon zeta"
+    val q = StreamDedup.bandVerdicts(df, "text", "id",
+        tsCol = "ts", evictHorizonUs = 2000000L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, textX, 2000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) > 0L)
+      // advance the watermark far past id 1's buckets + horizon with
+      // an unrelated doc, then once more so the timeouts fire
+      stream.addData((2L, "one two three four five six", 10000000L))
+      q.processAllAvailable()
+      stream.addData((2L, "one two three four five six", 11000000L))
+      q.processAllAvailable()
+      // id 3 re-claims textX's (expired) buckets; id 4 then loses to 3
+      stream.addData((3L, textX, 12000000L))
+      q.processAllAvailable()
+      stream.addData((4L, textX, 12500000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdict = spark.table(qn).groupBy($"id")
+      .agg(min($"ok").as("kept")).as[(Long, Boolean)].collect().toMap
+    // without eviction id 3 would lose every bucket to id 1
+    assert(verdict(3L), s"id 3 must reclaim the expired buckets: $verdict")
+    assert(!verdict(4L), s"id 4 must lose to id 3's fresh claim: $verdict")
+    assert(verdict(1L) && verdict(2L), verdict.toString)
+  }
 }
