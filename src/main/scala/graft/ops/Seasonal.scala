@@ -302,14 +302,24 @@ object Seasonal {
     * Output: group, n_days, level_fp, trend_fp, forecast{h}_fp (all
     * BIGINT, fixed-point at S).
     */
-  /** The loud Int64 bound on |daily cents| for the fixed-point Holt
-    * fold (doc at [[holtLinear]]): Int64 / S / max(aNum, aDen−aNum)
-    * / 16. Package-private so the spec pins the arithmetic and the
-    * streaming twin ([[graft.streaming.StreamVelocity.holtStates]])
-    * enforces the identical contract per row.
+  /** The loud Int64 bound on |daily cents| for the S = 10⁶
+    * fixed-point smoothing folds: Int64 / S / maxCoef / 16, where
+    * maxCoef is the largest numerator any fold term multiplies by.
+    * The 16× headroom absorbs the smoothed state's transient drift
+    * past the data range (HoltSpec pins it on a worst-case
+    * alternating series).
+    */
+  private[graft] def fixedPointCentsBound(maxCoef: Int): Long =
+    Long.MaxValue / 1000000L / maxCoef / 16L
+
+  /** [[fixedPointCentsBound]] for the two-parameter Holt fold (doc at
+    * [[holtLinear]]). Package-private so the spec pins the arithmetic
+    * and the streaming twin
+    * ([[graft.streaming.StreamVelocity.holtStates]]) enforces the
+    * identical contract per row.
     */
   private[graft] def holtCentsBound(aNum: Int, aDen: Int): Long =
-    Long.MaxValue / 1000000L / math.max(aNum, aDen - aNum) / 16L
+    fixedPointCentsBound(math.max(aNum, aDen - aNum))
 
   def holtLinear(df: DataFrame, groupCol: String, tsUsCol: String,
                  centsCol: String, aNum: Int = 3, aDen: Int = 10,
@@ -356,5 +366,101 @@ object Seasonal {
         col("__st")(1).as("trend_fp"),
         (col("__st")(0) + lit(h.toLong) * col("__st")(1))
           .as(s"forecast${h}_fp"))
+  }
+
+  /** Holt–Winters ADDITIVE seasonal smoothing per group, in the same
+    * S = 10⁶ integer fixed-point as [[holtLinear]] — triple
+    * exponential smoothing (Winters 1960), the composition the
+    * forecasting family was missing: w15's seasonal profile is
+    * STATIC, w21's Holt adapts level+trend but is season-blind; this
+    * adapts all three. The classic recursion with period p and
+    * γ = gNum/gDen:
+    *
+    *   l_t = α·(y_t − s_{t−p}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(y_t − l_t)    + (1−γ)·s_{t−p}
+    *
+    * runs on y·S with integer ratios and truncate-toward-zero
+    * division (JVM `div` ≡ DuckDB `//` on any sign), so the whole
+    * fold — level, trend, AND the p-slot seasonal ring — is
+    * engine-identical bit for bit. Seed: l₁ = y₁·S, b₁ = 0, ring all
+    * zeros (s_j = 0 for j ≤ 1; the first p steps smooth against a
+    * zero season, the standard cold-start).
+    *
+    * State per group is an array of p + 2 BIGINTs `[l, b, s₁..s_p]`
+    * with the head of the ring the seasonal due NEXT; each step
+    * consumes the head and appends the fresh s_t — a slice + concat
+    * in the codegen'd `aggregate` lambda, no UDF, no window, one
+    * shuffle on the group key (the [[holtLinear]] scale shape; the
+    * day series stays bounded by the day domain).
+    *
+    * Output (all BIGINT fixed-point at S): `n_days`, `level_fp`,
+    * `trend_fp`, `s_next_fp` (seasonal due at t+1), `forecast1_fp` =
+    * l + b + s_next, and `forecast<p>_fp` = l + p·b + s_last (at
+    * h = p the seasonal due is the freshest s_t).
+    *
+    * Overflow: the [[holtLinear]] guard generalized — max|cents| ≤
+    * [[fixedPointCentsBound]] of the largest coefficient across all
+    * three ratios (the y − s difference doubles the swing; the 16×
+    * headroom covers it, same HoltSpec-pinned argument).
+    */
+  def holtWinters(df: DataFrame, groupCol: String, tsUsCol: String,
+                  centsCol: String, period: Int = 7,
+                  aNum: Int = 3, aDen: Int = 10,
+                  bNum: Int = 3, bDen: Int = 10,
+                  gNum: Int = 3, gDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen &&
+      gNum > 0 && gNum < gDen,
+      s"alpha/beta/gamma must be proper positive ratios: " +
+        s"$aNum/$aDen, $bNum/$bDen, $gNum/$gDen")
+    require(period >= 2 && period <= 24,
+      s"period must be in [2,24], got $period")
+    val daily = df
+      .filter(col(groupCol).isNotNull && col(tsUsCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .groupBy(col(groupCol),
+        expr(s"CAST($tsUsCol AS BIGINT) div 86400000000").as("__day"))
+      .agg(sum(col(centsCol).cast("long")).as("__cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxCoef = Seq(aNum, aDen - aNum, bNum, bDen - bNum,
+      gNum, gDen - gNum).max
+    val bound = fixedPointCentsBound(maxCoef)
+    val maxAbs = daily.agg(max(abs(col("__cents")))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(maxAbs <= bound,
+      s"holtWinters: max |daily cents| $maxAbs exceeds the Int64 fold " +
+        s"bound $bound for ratios $aNum/$aDen, $bNum/$bDen, $gNum/$gDen " +
+        "at scale 10^6; rescale the value column or aggregate coarser")
+    // the level step, inlined wherever l_t appears (no lets in SQL
+    // lambdas — the w21 oracle's proven pattern): acc layout is
+    // 0-based [l, b, s_head, ..., s_tail]
+    val lp = s"((${aNum}L * (y * 1000000L - acc[2]) + " +
+      s"${aDen - aNum}L * (acc[0] + acc[1])) div ${aDen}L)"
+    val step = s"(acc, y) -> concat(" +
+      s"array($lp, " +
+      s"(${bNum}L * ($lp - acc[0]) + ${bDen - bNum}L * acc[1]) " +
+      s"div ${bDen}L), " +
+      s"slice(acc, 4, ${period - 1}), " +
+      s"array((${gNum}L * (y * 1000000L - $lp) + " +
+      s"${gDen - gNum}L * acc[2]) div ${gDen}L))"
+    daily.groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__day"), col("__cents"))))
+        .as("__series"))
+      .withColumn("__ys", expr("transform(__series, p -> p.__cents)"))
+      .withColumn("__st", expr(
+        "aggregate(slice(__ys, 2, size(__ys) - 1), " +
+          "concat(array(element_at(__ys, 1) * 1000000L, 0L), " +
+          s"array_repeat(0L, $period)), $step)"))
+      .select(col(groupCol),
+        size(col("__ys")).cast("long").as("n_days"),
+        col("__st")(0).as("level_fp"),
+        col("__st")(1).as("trend_fp"),
+        col("__st")(2).as("s_next_fp"),
+        (col("__st")(0) + col("__st")(1) + col("__st")(2))
+          .as("forecast1_fp"),
+        (col("__st")(0) + lit(period.toLong) * col("__st")(1) +
+          col("__st")(period + 1)).as(s"forecast${period}_fp"))
   }
 }

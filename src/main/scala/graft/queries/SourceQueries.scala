@@ -739,6 +739,57 @@ object SourceQueries extends QuerySet {
         .orderBy(col("event_type"))
     }),
 
+    // §2.6 streaming Holt–Winters (w22's triple fold as streaming
+    // state): the daily cent series staged as three DAY-ORDERED
+    // micro-batches, p + 2 integers of state per type (level, trend,
+    // seasonal ring) folding across them — the last emission per type
+    // must equal the batch w22 fold bit for bit (same integer
+    // algebra, same oracle).
+    "st29_stream_holt_winters" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st29_in")
+      val daily = Tables.eventsMicros(s, d)
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          expr("CAST(ts_us AS BIGINT) div 86400000000").as("day"))
+        .agg(sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      val stats = daily.agg(min(col("day")), max(col("day"))).first()
+      val (mnD, mxD) = (stats.getLong(0), stats.getLong(1))
+      val span = (mxD - mnD) / 3 + 1
+      val base = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        Tables.stageOne(stage,
+          daily.filter(col("day") >= mnD + i * span &&
+            col("day") < mnD + (i + 1) * span),
+          s"b$i", base - 240000 + i * 60000)
+      }
+      val schema = s.read.parquet(s"$stage/b0.parquet").schema
+      val qn = "st29_hw_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamVelocity.hwStates(
+            src, "event_type", "day", "cents")
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("grp").as("event_type"))
+        .agg(max(col("n")).as("n_days"),
+          max_by(col("l"), col("n")).as("level_fp"),
+          max_by(col("b"), col("n")).as("trend_fp"),
+          max_by(col("sNext"), col("n")).as("s_next_fp"),
+          max_by(col("sLast"), col("n")).as("__s_last"))
+        .withColumn("forecast1_fp",
+          col("level_fp") + col("trend_fp") + col("s_next_fp"))
+        .withColumn("forecast7_fp",
+          col("level_fp") + lit(7L) * col("trend_fp") + col("__s_last"))
+        .drop("__s_last")
+        .orderBy(col("event_type"))
+    }),
+
     // §2.6 reorder × EWMA (same staging recipe as st23): the
     // bit-exact dyadic fold must survive a shuffled batch schedule —
     // the last emission per user equals the batch fold IDENTICALLY,
@@ -1514,6 +1565,7 @@ object SourceQueries extends QuerySet {
     "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,
     // the integer Holt fold's last emission is bit-equal to batch w21
     "st28_stream_holt" -> WindowQueries.holtOracleSql,
+    "st29_stream_holt_winters" -> WindowQueries.holtWintersOracleSql,
     // reorder arm: released fold ≡ event-time order, so the SAME
     // RANGE-window replay gates it — plus the pinned-zero ooo gate
     "st23_stream_velocity_reorder" ->

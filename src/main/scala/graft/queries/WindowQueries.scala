@@ -39,6 +39,45 @@ object WindowQueries extends QuerySet {
                 s[1] + 7 * s[2] AS forecast7_fp
          FROM st ORDER BY event_type"""
 
+  /** Shared by batch w22 and streaming st29 (the streaming ring fold
+    * is bit-equal to the batch one by the integer algebra): replay
+    * the Holt–Winters triple fold — list_reduce over the day series
+    * lifted to [y·S, 0, 0×7] state lists (the first IS the seed),
+    * the level step inlined wherever l_t appears (no lets in SQL
+    * lambdas), every step BIGINT with //'s toward-zero truncation.
+    * 1-based acc layout: [l, b, s_head .. s_tail].
+    */
+  private[queries] val holtWintersOracleSql: String = {
+    val lp = "((3 * (x[1] - acc[3]) + 7 * (acc[1] + acc[2])) // 10)"
+    s"""WITH daily AS (
+           SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS cents
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+         ser AS (SELECT event_type, list(cents ORDER BY day) AS ys
+                 FROM daily GROUP BY 1),
+         st AS (SELECT event_type, ys,
+                  list_reduce(
+                    list_transform(ys, y -> list_concat(
+                      [y * 1000000, CAST(0 AS BIGINT)],
+                      [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0])),
+                    (acc, x) -> list_concat(list_concat(
+                      [$lp,
+                       (3 * ($lp - acc[1]) + 7 * acc[2]) // 10],
+                      acc[4:]),
+                      [(3 * (x[1] - $lp) + 7 * acc[3]) // 10])) AS s
+                FROM ser)
+         SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+                s[1] AS level_fp, s[2] AS trend_fp, s[3] AS s_next_fp,
+                s[1] + s[2] + s[3] AS forecast1_fp,
+                s[1] + 7 * s[2] + s[9] AS forecast7_fp
+         FROM st ORDER BY event_type"""
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ROLLUP over two dims; rolled-up levels surfaced as 'ALL'.
     "w01_rollup" -> ((s, d) =>
@@ -143,6 +182,22 @@ object WindowQueries extends QuerySet {
     // static profile, w16 backtest, w21 adaptive level+trend.
     "w21_holt" -> ((s, d) =>
       graft.ops.Seasonal.holtLinear(
+        Tables.eventsMicros(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_type"), col("ts_us"),
+            round(col("value") * 100).cast("bigint").as("cents")),
+        "event_type", "ts_us", "cents")
+        .orderBy(col("event_type"))),
+
+    // Holt–Winters additive seasonal smoothing (triple exponential,
+    // weekly period) per event type over the daily cent series — the
+    // level/trend/seasonal-ring fold entirely in S=1e6 integer
+    // fixed-point with toward-zero division, hash-exact against the
+    // list_reduce ring oracle including both forecasts. Completes the
+    // forecasting family: w15 static profile, w21 adaptive
+    // level+trend, w22 adaptive level+trend+season.
+    "w22_holt_winters" -> ((s, d) =>
+      graft.ops.Seasonal.holtWinters(
         Tables.eventsMicros(s, d)
           .filter(col("value").isNotNull)
           .select(col("event_type"), col("ts_us"),
@@ -528,6 +583,9 @@ object WindowQueries extends QuerySet {
     // identical to the engine's div on any sign
     "w21_holt" ->
       holtOracleSql,
+
+    "w22_holt_winters" ->
+      holtWintersOracleSql,
 
     "w15_seasonal_decomp" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) AS t,

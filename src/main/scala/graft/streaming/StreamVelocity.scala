@@ -139,6 +139,10 @@ object StreamVelocity {
   case class HoltRow(grp: String, n: Long, l: Long, b: Long)
   case class HoltState(n: Long, l: Long, b: Long)
 
+  case class HwRow(grp: String, n: Long, l: Long, b: Long,
+                   sNext: Long, sLast: Long)
+  case class HwState(n: Long, l: Long, b: Long, ring: Seq[Long])
+
   case class EwmaEvent(user: Long, ts: Long, id: Long, v: Double)
   case class EwmaEventOpt(user: Long, ts: Long, id: Long,
                           v: Option[Double])
@@ -607,6 +611,71 @@ object StreamVelocity {
             if (sorted.nonEmpty) Iterator(HoltRow(grp, n, l, b))
             else Iterator.empty
           }
+      }
+  }
+
+  /** Streaming Holt–Winters — `ops/Seasonal.holtWinters` maintained
+    * IN the stream: state per group is p + 2 integers (count, level,
+    * trend, and the p-slot seasonal ring), folded over daily rows in
+    * day order continuing across micro-batches. Same all-integer
+    * toward-zero algebra as the batch op, so the LAST emission per
+    * group is bit-equal to the batch fold (st29 shares w22's oracle).
+    * Ordered-arrival stance and the per-row Int64 bound check as
+    * [[holtStates]].
+    */
+  def hwStates(daily: DataFrame, grpCol: String, dayCol: String,
+               centsCol: String, period: Int = 7,
+               aNum: Int = 3, aDen: Int = 10,
+               bNum: Int = 3, bDen: Int = 10,
+               gNum: Int = 3, gDen: Int = 10): Dataset[HwRow] = {
+    require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen &&
+      gNum > 0 && gNum < gDen,
+      s"alpha/beta/gamma must be proper positive ratios: " +
+        s"$aNum/$aDen, $bNum/$bDen, $gNum/$gDen")
+    require(period >= 2 && period <= 24,
+      s"period must be in [2,24], got $period")
+    val maxCoef = Seq(aNum, aDen - aNum, bNum, bDen - bNum,
+      gNum, gDen - gNum).max
+    val bound = graft.ops.Seasonal.fixedPointCentsBound(maxCoef)
+    val spark = daily.sparkSession
+    import spark.implicits._
+    daily.filter(col(grpCol).isNotNull && col(dayCol).isNotNull &&
+        col(centsCol).isNotNull)
+      .select(col(grpCol).cast("string").as("grp"),
+        col(dayCol).cast("long").as("day"),
+        col(centsCol).cast("long").as("cents"))
+      .as[HoltEvent]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[HwState, HwRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[HoltEvent],
+         state: GroupState[HwState]) =>
+          val sorted = rows.toArray.sortBy(_.day)
+          val s0 = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, Vector.fill(period)(0L)))
+          var (n, l, b) = (s0.n, s0.l, s0.b)
+          var ring = s0.ring.toVector
+          sorted.foreach { r =>
+            require(math.abs(r.cents) <= bound,
+              s"hwStates: |cents| ${math.abs(r.cents)} exceeds the " +
+                s"Int64 fold bound $bound (see Seasonal.fixedPointCentsBound)")
+            if (n == 0L) { l = r.cents * 1000000L; b = 0L }
+            else {
+              val sHead = ring.head
+              val l2 = (aNum * (r.cents * 1000000L - sHead) +
+                (aDen - aNum) * (l + b)) / aDen
+              b = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
+              val s2 = (gNum * (r.cents * 1000000L - l2) +
+                (gDen - gNum) * sHead) / gDen
+              ring = ring.tail :+ s2
+              l = l2
+            }
+            n += 1L
+          }
+          state.update(HwState(n, l, b, ring))
+          if (sorted.nonEmpty)
+            Iterator(HwRow(grp, n, l, b, ring.head, ring.last))
+          else Iterator.empty
       }
   }
 

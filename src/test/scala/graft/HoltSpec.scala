@@ -76,6 +76,76 @@ class HoltSpec extends SparkSpec {
     assert(ex.getMessage.contains("fold bound"))
   }
 
+  // === Holt–Winters (w22) ==============================================
+
+  private def runHw(cents: Seq[Long], period: Int, parts: Int = 1) =
+    Seasonal.holtWinters(frame(cents, parts), "event_type", "ts_us",
+        "cents", period = period)
+      .select("n_days", "level_fp", "trend_fp", "s_next_fp",
+        "forecast1_fp", s"forecast${period}_fp")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+
+  /** The triple recursion as a plain loop (α = β = γ = 3/10, ring of
+    * `period` slots, head = seasonal due next).
+    */
+  private def referenceHw(cents: Seq[Long],
+                          period: Int): (Long, Long, Vector[Long]) = {
+    var l = cents.head * S
+    var b = 0L
+    var ring = Vector.fill(period)(0L)
+    cents.tail.foreach { y =>
+      val sH = ring.head
+      val l2 = (3L * (y * S - sH) + 7L * (l + b)) / 10L
+      b = (3L * (l2 - l) + 7L * b) / 10L
+      val s2 = (3L * (y * S - l2) + 7L * sH) / 10L
+      ring = ring.tail :+ s2
+      l = l2
+    }
+    (l, b, ring)
+  }
+
+  test("holt-winters hand-computed three-step series at period 2") {
+    // y = [10, 20, 30]: consumed seasonals are all 0 (cold ring), so
+    // l/b match plain Holt (13e6 -> 18.73e6, 0.9e6 -> 2.349e6); fresh
+    // s2 = 3*(20e6-13e6)/10 = 2.1e6, s3 = 3*(30e6-18.73e6)/10 = 3.381e6
+    assert(runHw(Seq(10L, 20L, 30L), period = 2) ==
+      ((3L, 18730000L, 2349000L, 2100000L,
+        18730000L + 2349000L + 2100000L,
+        18730000L + 2L * 2349000L + 3381000L)))
+  }
+
+  test("holt-winters: cold ring (n <= period + 1) reduces to plain Holt " +
+      "on level and trend") {
+    val series = Seq(12L, -7L, 30L, 4L, 18L, -2L, 9L, 21L)
+    val (l, b) = reference(series)
+    val hw = runHw(series, period = 7)
+    assert((hw._2, hw._3) == ((l, b)))
+  }
+
+  test("holt-winters lambda encoding matches the plain loop, " +
+      "negatives included, seasonal ring exercised") {
+    val rnd = new scala.util.Random(23)
+    val series = Seq.fill(150)((rnd.nextInt(20001) - 10000).toLong)
+    val (l, b, ring) = referenceHw(series, period = 3)
+    val got = runHw(series, period = 3)
+    assert(got == ((150L, l, b, ring.head,
+      l + b + ring.head, l + 3L * b + ring.last)))
+  }
+
+  test("holt-winters is partitioning-invariant") {
+    val series = Seq.fill(60)(scala.util.Random.nextInt(1000).toLong)
+    assert(runHw(series, period = 7, parts = 1) ==
+      runHw(series, period = 7, parts = 13))
+  }
+
+  test("holt-winters overflow guard fails loudly past the bound") {
+    val bound = Seasonal.fixedPointCentsBound(7)
+    val ex = intercept[IllegalArgumentException] {
+      runHw(Seq(bound + 1L), period = 7)
+    }
+    assert(ex.getMessage.contains("fold bound"))
+  }
+
   test("transient-drift headroom: |l|+|b| stays within 8x the data " +
       "swing on a worst-case alternating series (the guard's 16x slack)") {
     // the adversarial input for a smoother: full-amplitude alternation

@@ -615,6 +615,28 @@ class StreamSpec extends SparkSpec {
     assert(graft.jobs.KafkaSmoke.skipMessage.contains("spark-sql-kafka"))
   }
 
+  test("streaming Holt-Winters continues the ring fold across batches " +
+      "≡ batch, bit-exact") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(String, Long, Long)](spark)
+    val df = stream.toDF().toDF("grp", "day", "cents")
+    val qn = "hw_sink"
+    val q = StreamVelocity.hwStates(df, "grp", "day", "cents", period = 2)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData(("g", 1L, 10L), ("g", 2L, 20L))
+      q.processAllAvailable()
+      stream.addData(("g", 3L, 30L)) // ring state crosses the boundary
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn).filter($"n" === 3L)
+      .select($"l", $"b", $"sNext", $"sLast")
+      .as[(Long, Long, Long, Long)].head()
+    // the HoltSpec hand-computed values: the batch fold's exact state
+    assert(got == ((18730000L, 2349000L, 2100000L, 3381000L)))
+  }
+
   // === state eviction (r11 verdict mandate #1) ========================
   // Event-time-timeout eviction as a TESTED code path: a key idle past
   // the horizon leaves the state store (numRowsTotal observably drops)
