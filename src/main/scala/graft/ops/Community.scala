@@ -3,35 +3,44 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Newman modularity and one synchronous greedy refinement sweep —
-  * the community-quality layer over the co-attribute fraud-ring graph
-  * ([[Graph.coAttributeEdges]]): modularity SCORES a partition
-  * (components, label-spread output, any membership), and the sweep
-  * is one Louvain-style local-move round (Blondel et al. 2008) made
-  * deterministic: every node inspects its neighbor communities
-  * simultaneously, moves to the one with the largest positive
-  * modularity gain (smallest community id on ties), and all moves
-  * apply at once — no sequential visit order to diverge on, so a SQL
-  * engine replays the sweep exactly.
+/** Newman modularity, the deterministic synchronous local-move sweep,
+  * and graph COARSENING — the full Louvain loop (Blondel et al. 2008)
+  * over the co-attribute fraud-ring graph ([[Graph.coAttributeEdges]]):
+  * modularity SCORES a partition (components, label-spread output, any
+  * membership); the sweep is one local-move round made deterministic
+  * (every node inspects its neighbor communities simultaneously, moves
+  * to the largest positive modularity gain, smallest community id on
+  * ties, all moves at once — no sequential visit order to diverge on,
+  * so a SQL engine replays the sweep exactly); and [[coarsen]] is
+  * Louvain's phase 2 — communities become super-nodes, intra-community
+  * edges become SELF-LOOPS, inter-community edges aggregate into
+  * weights — so the sweep can run again one level up.
   *
-  * All arithmetic is INTEGER. With m = |E|, e_c = intra-community
-  * edges, d_c = Σ degree over members:
+  * All arithmetic is INTEGER, on the WEIGHTED graph (the unweighted
+  * entry points lift w = 1). With W = Σ edge weights (self-loops
+  * counted once), e_c = intra-community weight (self-loops included),
+  * d_c = Σ weighted degree over members (a self-loop adds 2w to its
+  * node's degree — the convention that makes coarsening EXACT:
+  * the coarse graph's singleton-partition modularity equals the fine
+  * graph's partition modularity, numerator for numerator):
   *
-  *   Q·4m²           = Σ_c (4m·e_c − d_c²)
-  *   ΔQ(i: a→b)·4m²  = 4m·(k_{i,b} − k_{i,a}) − 2·k_i·(d_b − d_a + k_i)
+  *   Q·4W²           = Σ_c (4W·e_c − d_c²)
+  *   ΔQ(i: a→b)·4W²  = 4W·(k_{i,b} − k_{i,a}) − 2·k_i·(d_b − d_a + k_i)
   *
-  * (k_{i,c} = edges from i into c, both d's EXCLUDING i's own k_i
-  * contribution cancelled into the +k_i term). Emitting the 4m²-scaled
-  * numerators keeps every comparison and every output exact — no
-  * float division for an oracle to round differently.
+  * (k_{i,c} = edge weight from i into c, self-loops EXCLUDED — they
+  * move with the node and cancel in the delta; both d's excluding i's
+  * own k_i contribution cancelled into the +k_i term). Emitting the
+  * 4W²-scaled numerators keeps every comparison and every output
+  * exact — no float division for an oracle to round differently.
   *
   * Scale shape: degree/link frames are groupBys on node and
-  * (node, comm) — shuffles on the natural keys; the 1-row m frame
-  * broadcasts; nothing quadratic, nothing driver-side. Overflow is
-  * guarded loudly at the true bounds — (2m)² < 2⁶³ for the q_num
-  * squares and 8m·k_max + 2k_max² ≤ Int64 for the gain numerator —
-  * with one cheap aggregation (the a51/HITS guard pattern; see
-  * [[Community.guardBounds]]).
+  * (node, comm) — shuffles on the natural keys; the 1-row W frame
+  * broadcasts; coarsening is two membership joins + one grouped sum
+  * (output bounded by community-pair count); nothing quadratic,
+  * nothing driver-side. Overflow is guarded loudly at the true
+  * bounds — (2W)² < 2⁶³ for the q_num squares and 8W·k_max + 2k_max²
+  * ≤ Int64 for the gain numerator — with one cheap aggregation (the
+  * a51/HITS guard pattern; see [[Community.guardBounds]]).
   *
   * Reference capability: ring detection over shared-attribute links —
   * the "which accounts move together" question behind the dashboard's
@@ -40,31 +49,74 @@ import org.apache.spark.sql.functions._
   */
 object Community {
 
+  private val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Unweighted edges (u < v, unique) lifted to the weighted shape. */
+  private def lift(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"), lit(1L).as("w"))
+
   /** (comm, n_nodes, e_in, d_sum, q_num) per community of `membership`
-    * over undirected `edges` (u < v, unique), q_num = 4m·e_in − d_sum².
-    * Σ q_num / 4m² is the partition's modularity.
+    * over undirected unweighted `edges` (u < v, unique),
+    * q_num = 4m·e_in − d_sum². Σ q_num / 4m² is the partition's
+    * modularity.
     */
-  def modularityStats(edges: DataFrame, membership: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
+  def modularityStats(edges: DataFrame, membership: DataFrame): DataFrame =
+    modularityStatsW(lift(edges), membership)
+
+  /** One synchronous greedy sweep over unweighted edges (class doc):
+    * returns the new membership `(node, comm, moved)`. Nodes with no
+    * positive-gain neighbor community keep their community.
+    */
+  def greedyMovePass(edges: DataFrame, membership: DataFrame): DataFrame =
+    greedyMovePassW(lift(edges), membership)
+
+  /** Louvain phase 2: collapse `membership`'s communities into
+    * super-nodes. Input edges may carry a `w` weight column (w = 1
+    * assumed otherwise) and may already contain self-loops; output is
+    * the canonical weighted list `(u, v, w)` with u ≤ v, u = v the
+    * self-loops (intra-community weight), total weight preserved —
+    * so [[modularityStatsW]]/[[greedyMovePassW]] run one level up
+    * with the SAME W and the same 4W² scale.
+    */
+  def coarsen(edges: DataFrame, membership: DataFrame): DataFrame = {
+    val w =
+      if (edges.columns.contains("w")) col("w").cast("long")
+      else lit(1L)
+    val memb = membership.select(col("node"), col("comm"))
+    edges.select(col("u"), col("v"), w.as("w"))
+      .join(memb.select(col("node").as("u"), col("comm").as("__ca")),
+        Seq("u"))
+      .join(memb.select(col("node").as("v"), col("comm").as("__cb")),
+        Seq("v"))
+      .select(least(col("__ca"), col("__cb")).as("u"),
+        greatest(col("__ca"), col("__cb")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+  }
+
+  /** Weighted [[modularityStats]] over `(u, v, w)` edges, u ≤ v,
+    * self-loops (u = v) allowed — the coarse-graph form. A self-loop
+    * contributes w to its community's e_in and 2w to its node's
+    * degree (class doc).
+    */
+  def modularityStatsW(wedges: DataFrame,
+                       membership: DataFrame): DataFrame = {
+    val e = wedges.select(col("u"), col("v"), col("w").cast("long").as("w"))
     // memb feeds three subtrees (d_sum + both ends of the intra-edge
     // join) — node-scale persist, or its upstream re-runs per consumer
-    val memb = membership.select(col("node"), col("comm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mRow = e.agg(count(lit(1)).as("m"))
-    val sym = Graph.symmetrize(e)
-    // deg feeds the guard AND the stats — persist (the guard's max
-    // aggregation doubles as the eager materialization)
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val memb = membership.select(col("node"), col("comm")).persist(disk)
+    val mRow = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+    val deg = weightedDegrees(e).persist(disk)
     guardScale(mRow, deg)
     val dSum = deg.join(memb, Seq("node"))
       .groupBy(col("comm"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("k")).as("d_sum"))
+    // self-loops join u = v to the SAME membership row, so ca = cb
+    // holds and their weight lands in e_in with no special case
     val eIn = e
       .join(memb.select(col("node").as("u"), col("comm").as("ca")), Seq("u"))
       .join(memb.select(col("node").as("v"), col("comm").as("cb")), Seq("v"))
       .filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("comm")).agg(count(lit(1)).as("e_in"))
+      .groupBy(col("ca").as("comm")).agg(sum(col("w")).as("e_in"))
     dSum.join(eIn, Seq("comm"), "left")
       .crossJoin(broadcast(mRow))
       .select(col("comm"), col("n_nodes"),
@@ -73,30 +125,41 @@ object Community {
           col("d_sum") * col("d_sum")).as("q_num"))
   }
 
-  /** One synchronous greedy sweep (see class doc): returns the new
-    * membership `(node, comm, moved)`. Nodes with no positive-gain
-    * neighbor community keep their community.
+  /** Weighted [[greedyMovePass]] over `(u, v, w)` edges, u ≤ v,
+    * self-loops allowed — the coarse-graph form. Self-loops shape the
+    * degrees but are EXCLUDED from the neighbor-link frame: a node's
+    * self-loop moves with it, so it cancels out of every gain.
+    *
+    * `downOnly = true` restricts moves to communities with a SMALLER
+    * id — the deterministic breaker for the synchronous sweep's
+    * pairwise-swap pathology: from a singleton start the gain
+    * formula is SYMMETRIC across any pair (gain(a→b) = gain(b→a) =
+    * 4W·k_ab − 2k_a·k_b), so two mutually-best super-nodes would
+    * swap labels forever instead of merging; allowing only the
+    * higher id to move turns every such swap into a true merge.
+    * The level-2 sweep (g17) runs with it on.
     */
-  def greedyMovePass(edges: DataFrame, membership: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"))
+  def greedyMovePassW(wedges: DataFrame,
+                      membership: DataFrame,
+                      downOnly: Boolean = false): DataFrame = {
+    val e = wedges.select(col("u"), col("v"), col("w").cast("long").as("w"))
     // four consumers (dSum, links, self, the final left join)
-    val memb = membership.select(col("node"), col("comm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mRow = e.agg(count(lit(1)).as("m"))
-    val sym = Graph.symmetrize(e)
+    val memb = membership.select(col("node"), col("comm")).persist(disk)
+    val mRow = e.agg(coalesce(sum(col("w")), lit(0L)).as("m"))
+    val nonSelf = e.filter(col("u") =!= col("v"))
+    val sym = nonSelf.unionByName(nonSelf.select(col("v").as("u"),
+      col("u").as("v"), col("w")))
     // deg/dSum/links are each read by TWO downstream subtrees (self +
     // gains) — persist all three or the sweep recomputes its own
     // shuffles per consumer (bench-measured 2x on g15 before the pin)
-    val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val deg = sym.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
-      .persist(disk)
+    val deg = weightedDegrees(e).persist(disk)
     guardScale(mRow, deg)
     val dSum = deg.join(memb, Seq("node"))
       .groupBy(col("comm")).agg(sum(col("k")).as("d")).persist(disk)
-    // k_{i,c}: node i's edge count into community c
+    // k_{i,c}: node i's edge weight into community c (self-loops out)
     val links = sym
       .join(memb.select(col("node").as("v"), col("comm").as("c")), Seq("v"))
-      .groupBy(col("u").as("node"), col("c")).agg(count(lit(1)).as("kic"))
+      .groupBy(col("u").as("node"), col("c")).agg(sum(col("w")).as("kic"))
       .persist(disk)
     val self = memb.withColumnRenamed("comm", "a")
       .join(deg, Seq("node"))
@@ -115,6 +178,7 @@ object Community {
         lit(4L) * col("m") * (col("k_ib") - col("k_ia")) -
           lit(2L) * col("k") * (col("d_b") - col("d_a") + col("k")))
       .filter(col("gain") > 0L)
+      .filter(if (downOnly) col("b") < col("a") else lit(true))
     // deterministic argmax: max gain, then smallest target community
     val best = gains.groupBy(col("node"), col("a"))
       .agg(max(struct(col("gain"), (-col("b")).as("nb"))).as("best"))
@@ -123,6 +187,19 @@ object Community {
       .select(col("node"),
         coalesce(col("b"), col("comm")).as("comm"),
         col("b").isNotNull.as("moved"))
+  }
+
+  /** Weighted degree per node: Σ incident non-self weight + 2 × own
+    * self-loop weight (class doc — the convention that preserves
+    * modularity under coarsening).
+    */
+  private def weightedDegrees(e: DataFrame): DataFrame = {
+    val nonSelf = e.filter(col("u") =!= col("v"))
+    nonSelf.select(col("u").as("node"), col("w"))
+      .unionByName(nonSelf.select(col("v").as("node"), col("w")))
+      .unionByName(e.filter(col("u") === col("v"))
+        .select(col("u").as("node"), (col("w") * 2L).as("w")))
+      .groupBy(col("node")).agg(sum(col("w")).as("k"))
   }
 
   /** Loud integer-overflow guard (the ADVICE r10 pattern): one tiny
@@ -152,9 +229,10 @@ object Community {
     *     itself cannot wrap (the old 4m·k_max check admitted gains
     *     at 2× the guarded bound).
     *
-    * Package-private: CommunitySpec exercises the bounds directly —
-    * constructing 1.5e9 edges to trip them through the frame API is
-    * not a test.
+    * On a weighted graph m is the total WEIGHT and k the weighted
+    * degree — the same derivation verbatim. Package-private:
+    * CommunitySpec exercises the bounds directly — constructing 1.5e9
+    * edges to trip them through the frame API is not a test.
     */
   private[graft] def guardBounds(m: Long, kMax: Long): Unit = {
     require(m <= 1518500249L,

@@ -134,6 +134,53 @@ object GraphQueries extends QuerySet {
       pinned
     }),
 
+    // Full Louvain step: level-1 local-move sweep, then COARSEN
+    // (communities → super-nodes, intra edges → self-loops — the
+    // phase the oracle's algebra hadn't seen: weighted degrees with
+    // the 2×-self-loop convention preserve the 4m² numerators
+    // exactly), then the level-2 weighted sweep on the coarse graph
+    // (downOnly — the synchronous-swap breaker). Emits the level-2
+    // community stats plus both levels' modularity numerators and the
+    // improved flag, all integer, all hash-exact.
+    "g17_louvain_coarsen" -> ((s, d) => {
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = edges(s, d).persist(disk)
+      val nodes = graft.ops.Graph.symmetrize(e)
+        .select(col("u").as("node")).distinct()
+      val singletons = nodes.withColumn("comm", col("node"))
+      // every stage boundary CUTS lineage (materializeBounded, all
+      // node/community-bounded frames): each level-2 operator reads
+      // its inputs many times, so persisted-but-unpruned plans here
+      // multiply the level-1 sweep subtree ~50x into the analyzer —
+      // measured as a driver OOM before the cuts (the g13 lesson)
+      val memb1 = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.greedyMovePass(e, singletons)
+          .select(col("node"), col("comm")), maxRows = 10000000L)
+      val q1 = graft.ops.Community.modularityStats(e, memb1)
+        .agg(sum(col("q_num")).as("q1_total"))
+      val ce = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.coarsen(e, memb1), maxRows = 10000000L)
+      val cnodes = ce.select(col("u").as("node"))
+        .unionByName(ce.select(col("v").as("node"))).distinct()
+      val memb2 = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.greedyMovePassW(ce,
+          cnodes.withColumn("comm", col("node")), downOnly = true)
+          .select(col("node"), col("comm")), maxRows = 10000000L)
+      // stats2 feeds the q2 total AND the output rows — eager pin
+      val stats2 = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.modularityStatsW(ce, memb2),
+        maxRows = 1000000L)
+      val q2 = stats2.agg(sum(col("q_num")).as("q2_total"))
+      val out = stats2
+        .crossJoin(broadcast(q1)).crossJoin(broadcast(q2))
+        .withColumn("improved", col("q2_total") >= col("q1_total"))
+        .orderBy(col("comm"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 1000000L)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
     // Semi-supervised label spreading: three fraud-typology seed
     // classes (user_id % 3 on the % 37 seed set) diffuse two integer
     // fixed-point rounds through the co-attribute graph in ONE edge
@@ -588,6 +635,103 @@ object GraphQueries extends QuerySet {
                 b2.b IS NOT NULL AS moved2
          FROM self1 s LEFT JOIN best2 b2 ON s.node = b2.node
          ORDER BY s.node""",
+
+    // the g15 chain, then the FULL Louvain step: level-1 modularity,
+    // coarsen (LEAST/GREATEST community pair + COUNT(*) weight,
+    // u = v the self-loops), weighted degrees with the 2×-self-loop
+    // convention, the downOnly (c < node) weighted sweep on the
+    // coarse singletons, and the level-2 weighted stats — every
+    // number integer at the same 4m² scale. Multi-referenced CTEs
+    // materialize (the n19 exponential-replay lesson).
+    "g17_louvain_coarsen" ->
+      s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS (SELECT u AS node, COUNT(*) AS k FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         links AS (SELECT u AS node, v AS b, COUNT(*) AS kic FROM sym
+                   GROUP BY 1, 2),
+         gains AS (SELECT l.node, l.b,
+                     4 * mm.m * l.kic
+                       - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                   FROM links l
+                   JOIN deg dn ON l.node = dn.node
+                   JOIN deg db ON l.b = db.node
+                   CROSS JOIN mm),
+         best AS (SELECT node, b FROM (
+                    SELECT node, b, ROW_NUMBER() OVER (
+                      PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                    FROM gains WHERE gain > 0) t
+                  WHERE rn = 1),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         mb1 AS MATERIALIZED (SELECT n.node, COALESCE(be.b, n.node) AS lbl
+                FROM nodes n LEFT JOIN best be ON n.node = be.node),
+         ds1 AS (SELECT mb1.lbl AS comm, SUM(deg.k) AS d_sum
+                 FROM mb1 JOIN deg ON mb1.node = deg.node GROUP BY 1),
+         ein1 AS (SELECT a.lbl AS comm, COUNT(*) AS e_in
+                  FROM e JOIN mb1 a ON e.u = a.node
+                         JOIN mb1 b ON e.v = b.node
+                  WHERE a.lbl = b.lbl GROUP BY 1),
+         q1 AS (SELECT SUM(4 * mm.m * COALESCE(ein1.e_in, 0)
+                  - ds1.d_sum * ds1.d_sum) AS q1_total
+                FROM ds1 LEFT JOIN ein1 ON ds1.comm = ein1.comm
+                CROSS JOIN mm),
+         ce AS MATERIALIZED (SELECT LEAST(a.lbl, b.lbl) AS u,
+                  GREATEST(a.lbl, b.lbl) AS v, COUNT(*) AS w
+                FROM e JOIN mb1 a ON e.u = a.node
+                       JOIN mb1 b ON e.v = b.node
+                GROUP BY 1, 2),
+         cns AS (SELECT u, v, w FROM ce WHERE u <> v),
+         csym AS (SELECT u, v, w FROM cns
+                  UNION ALL SELECT v AS u, u AS v, w FROM cns),
+         cdeg AS MATERIALIZED (SELECT node, SUM(w) AS k FROM (
+                  SELECT u AS node, w FROM csym
+                  UNION ALL
+                  SELECT u AS node, 2 * w AS w FROM ce WHERE u = v) q
+                GROUP BY 1),
+         clinks AS (SELECT u AS node, v AS c, SUM(w) AS kic FROM csym
+                    GROUP BY 1, 2),
+         cgains AS (SELECT l.node, l.c AS b,
+                      4 * mm.m * l.kic
+                        - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                    FROM clinks l
+                    JOIN cdeg dn ON l.node = dn.node
+                    JOIN cdeg db ON l.c = db.node
+                    CROSS JOIN mm
+                    WHERE l.c < l.node),
+         cbest AS (SELECT node, b FROM (
+                     SELECT node, b, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                     FROM cgains WHERE gain > 0) t
+                   WHERE rn = 1),
+         cnodes AS (SELECT DISTINCT node FROM (
+                      SELECT u AS node FROM ce
+                      UNION ALL SELECT v AS node FROM ce) q),
+         mb2 AS MATERIALIZED (SELECT n.node, COALESCE(cb.b, n.node) AS lbl
+                FROM cnodes n LEFT JOIN cbest cb ON n.node = cb.node),
+         ds2 AS (SELECT mb2.lbl AS comm, COUNT(*) AS n_nodes,
+                   SUM(cdeg.k) AS d_sum
+                 FROM mb2 JOIN cdeg ON mb2.node = cdeg.node GROUP BY 1),
+         ein2 AS (SELECT a.lbl AS comm, SUM(ce.w) AS e_in
+                  FROM ce JOIN mb2 a ON ce.u = a.node
+                          JOIN mb2 b ON ce.v = b.node
+                  WHERE a.lbl = b.lbl GROUP BY 1),
+         rows2 AS MATERIALIZED (SELECT ds2.comm, ds2.n_nodes,
+                    COALESCE(ein2.e_in, 0) AS e_in, ds2.d_sum,
+                    4 * mm.m * COALESCE(ein2.e_in, 0)
+                      - ds2.d_sum * ds2.d_sum AS q_num
+                  FROM ds2 LEFT JOIN ein2 ON ds2.comm = ein2.comm
+                  CROSS JOIN mm),
+         q2 AS (SELECT SUM(q_num) AS q2_total FROM rows2)
+         SELECT rows2.comm, CAST(rows2.n_nodes AS BIGINT) AS n_nodes,
+                CAST(rows2.e_in AS BIGINT) AS e_in,
+                CAST(rows2.d_sum AS BIGINT) AS d_sum,
+                CAST(rows2.q_num AS BIGINT) AS q_num,
+                CAST(q1.q1_total AS BIGINT) AS q1_total,
+                CAST(q2.q2_total AS BIGINT) AS q2_total,
+                q2.q2_total >= q1.q1_total AS improved
+         FROM rows2 CROSS JOIN q1 CROSS JOIN q2
+         ORDER BY rows2.comm""",
 
     // one deterministic local-move sweep from singletons: gain·4m² =
     // 4m·k_ib − 2·k_i·(d_b − d_a + k_i) with k_ia = 0 and d_a = k_i

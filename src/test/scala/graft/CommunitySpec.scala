@@ -68,6 +68,61 @@ class CommunitySpec extends SparkSpec {
     assert(run(1) == run(13))
   }
 
+  test("coarsen: two triangles + a bridge collapse to two self-looped " +
+      "super-nodes and one weighted edge") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    val got = Community.coarsen(e, memb)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 3L), (4L, 4L, 3L), (1L, 4L, 1L)))
+  }
+
+  test("coarsening preserves the modularity numerator exactly " +
+      "(2x-self-loop degree convention)") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    val qFine = Community.modularityStats(e, memb)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    val ce = Community.coarsen(e, memb)
+    val singl = Seq((1L, 1L), (4L, 4L)).toDF("node", "comm")
+    val qCoarse = Community.modularityStatsW(ce, singl)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    assert(qFine == qCoarse && qFine != 0L)
+  }
+
+  test("level-2 downOnly sweep MERGES a split clique; the plain " +
+      "synchronous sweep would swap it (the pairwise pathology)") {
+    // clique {4,5,6,7} mis-split into {4,5} and {6,7} by a degenerate
+    // level-1 pass, plus an unrelated triangle {1,2,3}
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (6L, 7L), (4L, 6L), (4L, 7L), (5L, 6L), (5L, 7L))
+      .toDF("u", "v")
+    val memb1 = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 6L), (7L, 6L)).toDF("node", "comm")
+    val ce = Community.coarsen(e, memb1)
+    val singl = Seq((1L, 1L), (4L, 4L), (6L, 6L)).toDF("node", "comm")
+    val merged = Community.greedyMovePassW(ce, singl, downOnly = true)
+      .select("node", "comm").as[(Long, Long)].collect().toMap
+    assert(merged == Map(1L -> 1L, 4L -> 4L, 6L -> 4L), merged.toString)
+    // without downOnly: gain(4→6) = gain(6→4) = 4W·k_ab − 2k_a·k_b
+    // is symmetric at singletons, so the pair label-swaps — still
+    // split, forever
+    val swapped = Community.greedyMovePassW(ce, singl)
+      .select("node", "comm").as[(Long, Long)].collect().toMap
+    assert(swapped == Map(1L -> 1L, 4L -> 6L, 6L -> 4L), swapped.toString)
+    // and the merge genuinely improves modularity
+    val q1 = Community.modularityStatsW(ce, singl)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    val m2df = Seq((1L, 1L), (4L, 4L), (6L, 4L)).toDF("node", "comm")
+    val q2 = Community.modularityStatsW(ce, m2df)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    assert(q2 > q1)
+  }
+
   test("overflow guard bounds (ADVICE r11): q_num square and gain " +
       "numerator both precede their true wrap points") {
     // in range: fine at the exact m bound with a tiny degree
