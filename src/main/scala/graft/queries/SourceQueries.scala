@@ -633,6 +633,42 @@ object SourceQueries extends QuerySet {
       MetricsQueries.kllGate(s.table(qn), raw, capacity = 512)
     }),
 
+    // §2.6 × a49, through the STATE STORE (r11 verdict mandate #7):
+    // the KLL sketch as per-entity flatMapGroupsWithState state — the
+    // Append-mode per-entity quantile monitor on an unknown domain
+    // (st13's histogram needed the domain up front; st25 held the
+    // sketch in a complete-mode aggregation buffer). Four mtime-
+    // ordered micro-batches serialize the compactor hierarchy through
+    // the store between every pair; the final tick must satisfy the
+    // same exact-quantile + within-bound gate as batch a49 — the
+    // worst-case bound is merge-order-free, so the restore boundary
+    // sits inside it. Same oracle as a49/st25.
+    "st30_stream_kll_state" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st30_in")
+      val raw = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"),
+          col("value").cast("double").as("v"))
+      raw.coalesce(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st30_kll_state_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamVelocity.kllQuantileStates(
+            src, "grp", "v", capacity = 512,
+            percents = Seq(10, 25, 50, 75, 90, 99))
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val finalTick = s.table(qn).groupBy(col("grp"))
+        .agg(max_by(col("q"), col("n")).as("q"))
+      MetricsQueries.kllGate(finalTick, raw, capacity = 512)
+    }),
+
     // Streaming heavy hitters at k counters of state (§2.6 × a50):
     // the Misra–Gries summary maintained as streaming aggregation
     // state across four micro-batches — constant per-group state on
@@ -1560,6 +1596,7 @@ object SourceQueries extends QuerySet {
          FROM e GROUP BY user_id ORDER BY user_id""",
     // the sketch's streaming fold satisfies the same exact+bound gate
     "st25_stream_kll" -> MetricsQueries.kllOracleSql,
+    "st30_stream_kll_state" -> MetricsQueries.kllOracleSql,
     "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
     // the linear sketch's streaming fold is bit-equal to batch a51
     "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,

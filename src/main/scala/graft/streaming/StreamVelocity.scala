@@ -614,6 +614,59 @@ object StreamVelocity {
       }
   }
 
+  case class KllEvent(grp: String, v: Double)
+  case class PEst(p: Int, est: Double)
+  case class KllRow(grp: String, n: Long, q: Seq[PEst])
+
+  /** Streaming per-entity QUANTILE monitor on an unknown value domain
+    * — the KLL sketch ([[graft.functions.KllSketchAgg]]) held as
+    * `flatMapGroupsWithState` STATE, not as an aggregation buffer
+    * (st25's complete-mode shape): one serialized compactor hierarchy
+    * per entity, updated in place each micro-batch and emitting the
+    * entity's current percentile estimates per batch — the Append-mode
+    * serving read a latency/amount monitor wants, where st13's
+    * equal-width histogram needed the domain known in advance.
+    *
+    * The sketch's worst-case rank bound is merge-order-free
+    * (mergeable-summaries), so the state-store restore boundary is
+    * inside the guarantee: the final emission per entity satisfies
+    * the SAME exact-quantile + within-bound gate as the batch a49
+    * (st30 shares its oracle). State per entity is
+    * O(capacity · log(n/capacity)) doubles — bounded regardless of
+    * stream length.
+    */
+  def kllQuantileStates(events: DataFrame, keyCol: String,
+                        valueCol: String, capacity: Int,
+                        percents: Seq[Int]): Dataset[KllRow] = {
+    require(capacity >= 8 && capacity % 2 == 0,
+      s"capacity must be even and >= 8, got $capacity")
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0,100], got $percents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("grp"),
+        col(valueCol).cast("double").as("v"))
+      .as[KllEvent]
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState[Array[Byte], KllRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (grp: String, rows: Iterator[KllEvent],
+         state: GroupState[Array[Byte]]) =>
+          val st = state.getOption
+            .map(graft.functions.KllSketchAgg.State.fromBytes)
+            .getOrElse(graft.functions.KllSketchAgg.State.empty())
+          var any = false
+          rows.foreach { r => st.add(r.v, capacity); any = true }
+          state.update(st.toBytes)
+          if (any)
+            Iterator(KllRow(grp, st.count,
+              percents.zip(st.quantiles(percents))
+                .map { case (p, e) => PEst(p, e) }))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming Holt–Winters — `ops/Seasonal.holtWinters` maintained
     * IN the stream: state per group is p + 2 integers (count, level,
     * trend, and the p-slot seasonal ring), folded over daily rows in

@@ -637,6 +637,31 @@ class StreamSpec extends SparkSpec {
     assert(got == ((18730000L, 2349000L, 2100000L, 3381000L)))
   }
 
+  test("KLL quantile state survives the state-store round trip and " +
+      "stays rank-exact under capacity") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(String, Double)](spark)
+    val df = stream.toDF().toDF("grp", "v")
+    val qn = "kll_state_sink"
+    val q = StreamVelocity.kllQuantileStates(df, "grp", "v",
+        capacity = 64, percents = Seq(50, 90))
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1 to 10).map(i => ("g", i.toDouble)): _*)
+      q.processAllAvailable()
+      // the serialized compactor hierarchy crosses the store here
+      stream.addData((11 to 20).map(i => ("g", i.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qn).filter($"n" === 20L)
+      .select(explode($"q").as("e"))
+      .select($"e.p", $"e.est").as[(Int, Double)].collect().toMap
+    // n = 20 < capacity: no compaction ever fired, so the integer
+    // rank rule is exact — p50 -> rank 10 -> 10.0, p90 -> rank 18
+    assert(got == Map(50 -> 10.0, 90 -> 18.0), got.toString)
+  }
+
   // === state eviction (r11 verdict mandate #1) ========================
   // Event-time-timeout eviction as a TESTED code path: a key idle past
   // the horizon leaves the state store (numRowsTotal observably drops)
