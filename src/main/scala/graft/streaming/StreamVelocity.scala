@@ -107,13 +107,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     NoTimeout paths below are byte-identical to round 11, so every
   *     existing st oracle row is untouched.
   *
-  * Composing eviction with the reorder buffer (`maxLateness > 0`) is
-  * rejected loudly: the reorder family's bounded sources drain with
-  * punctuation and hold their buffers deliberately; an eviction
-  * horizon under the lateness bound would drop held events. Pick one
-  * per deployment (production Kafka runs want `H ≫ L` anyway — evict
-  * at hours, reorder at minutes; the composition is future work, not
-  * a silent behavior).
+  * EVICTION × REORDER (both knobs > 0) composes, with `H ≥ L`
+  * required loudly (and `H ≥ window` for [[trailingCounts]]): a
+  * timed-out key DRAINS first — its held buffer folds and emits in
+  * strict event-time order, exactly as a punctuation at the horizon
+  * would have released it — and only then removes. The order proof
+  * survives because any future legal arrival has
+  * `ts ≥ watermark > hwm + H ≥ hwm ≥` every held timestamp, so
+  * nothing that could precede a drained event can ever arrive.
+  * Eviction is therefore a forced end-of-life punctuation, not a
+  * data loss: every held event is emitted exactly once. (Production
+  * Kafka runs want `H ≫ L` — evict at hours, reorder at minutes.)
   */
 object StreamVelocity {
 
@@ -184,13 +188,15 @@ object StreamVelocity {
       s"maxLateness must be >= 0, got $maxLateness")
     require(evictHorizonUs >= 0L,
       s"evictHorizonUs must be >= 0, got $evictHorizonUs")
-    require(maxLateness == 0L || evictHorizonUs == 0L,
-      "eviction does not compose with the reorder buffer (object doc)")
+    require(evictHorizonUs == 0L || evictHorizonUs >= maxLateness,
+      s"evictHorizonUs ($evictHorizonUs) must cover maxLateness " +
+        s"($maxLateness): a drain must release every held event " +
+        "before any legal arrival could reorder with it (object doc)")
     val alpha = aNum.toDouble / aDen
     val beta = 1.0 - alpha
     val spark = events.sparkSession
     import spark.implicits._
-    if (evictHorizonUs > 0L)
+    if (evictHorizonUs > 0L && maxLateness == 0L)
       // eviction arm (object doc): same fold as L = 0, but the state
       // times out once the watermark passes hwm + horizon
       events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
@@ -260,20 +266,45 @@ object StreamVelocity {
             if (sorted.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
             else Iterator.empty
         }
-    else
+    else {
       // bounded-lateness reorder path (object doc): null value =
-      // punctuation; releases fold in strict event-time order
-      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      // punctuation; releases fold in strict event-time order;
+      // optionally composed with eviction (drain-then-remove)
+      val evict = evictHorizonUs > 0L
+      val base = events
+        .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
         .select(col(userCol).cast("long").as("user"),
           col(tsCol).cast("long").as("ts"),
           coalesce(col(idCol).cast("long"), lit(-1L)).as("id"),
           col(valueCol).cast("double").as("v"))
-        .as[EwmaEventOpt]
+      val src =
+        if (!evict) base
+        else base
+          .withColumn("__evt", timestamp_micros(col("ts")))
+          .withWatermark("__evt", s"$evictHorizonUs microseconds")
+      val timeout =
+        if (evict) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout
+      src.as[EwmaEventOpt]
         .groupByKey(_.user)
         .flatMapGroupsWithState[EwmaStateR, EwmaRow](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          OutputMode.Append(), timeout) {
           (user: Long, rows: Iterator[EwmaEventOpt],
            state: GroupState[EwmaStateR]) =>
+          if (evict && state.hasTimedOut) {
+            // DRAIN (object doc): the forced end-of-life punctuation —
+            // every held event folds and emits once, then the key goes
+            val s0 = state.get
+            val rel = s0.buf.sortBy(r => (r.ts, r.id))
+            var (n, e) = (s0.n, s0.ewma)
+            rel.foreach { r =>
+              e = if (n == 0L) r.v else e * beta + alpha * r.v
+              n += 1
+            }
+            state.remove()
+            if (rel.nonEmpty) Iterator(EwmaRow(user, n, e, s0.ooo))
+            else Iterator.empty
+          } else {
             val s0 = state.getOption.getOrElse(
               EwmaStateR(0L, 0.0, Vector.empty, Long.MinValue, 0L))
             val incoming = rows.toArray
@@ -302,9 +333,13 @@ object StreamVelocity {
               n += 1
             }
             state.update(EwmaStateR(n, e, hold, hwm, ooo))
+            if (evict && hwm != Long.MinValue)
+              state.setTimeoutTimestamp(evictAtMs(hwm, evictHorizonUs))
             if (folded.nonEmpty) Iterator(EwmaRow(user, n, e, ooo))
             else Iterator.empty
+          }
         }
+    }
   }
 
   case class CusumEvent(user: Long, ts: Long, id: Long, cents: Long)
@@ -336,11 +371,13 @@ object StreamVelocity {
       s"maxLateness must be >= 0, got $maxLateness")
     require(evictHorizonUs >= 0L,
       s"evictHorizonUs must be >= 0, got $evictHorizonUs")
-    require(maxLateness == 0L || evictHorizonUs == 0L,
-      "eviction does not compose with the reorder buffer (object doc)")
+    require(evictHorizonUs == 0L || evictHorizonUs >= maxLateness,
+      s"evictHorizonUs ($evictHorizonUs) must cover maxLateness " +
+        s"($maxLateness): a drain must release every held event " +
+        "before any legal arrival could reorder with it (object doc)")
     val spark = events.sparkSession
     import spark.implicits._
-    if (evictHorizonUs > 0L)
+    if (evictHorizonUs > 0L && maxLateness == 0L)
       // eviction arm (object doc): the L = 0 integer fold under
       // EventTimeTimeout — evicted keys re-seed at (0, 0, 0, 0)
       events.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
@@ -416,20 +453,55 @@ object StreamVelocity {
               Iterator(CusumRow(user, st.n, st.al, st.sp, st.sn, ooo))
             else Iterator.empty
         }
-    else
+    else {
       // bounded-lateness reorder path (object doc): null value =
-      // punctuation; releases fold in strict event-time order
-      events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      // punctuation; releases fold in strict event-time order;
+      // optionally composed with eviction (drain-then-remove)
+      val evict = evictHorizonUs > 0L
+      val base = events
+        .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
         .select(col(userCol).cast("long").as("user"),
           col(tsCol).cast("long").as("ts"),
           coalesce(col(idCol).cast("long"), lit(-1L)).as("id"),
           round(col(valueCol) * 100).cast("long").as("cents"))
-        .as[CusumEventOpt]
+      val src =
+        if (!evict) base
+        else base
+          .withColumn("__evt", timestamp_micros(col("ts")))
+          .withWatermark("__evt", s"$evictHorizonUs microseconds")
+      val timeout =
+        if (evict) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout
+      def fold(n0: Long, sp0: Long, sn0: Long, al0: Long,
+               rel: Seq[CusumPend]): (Long, Long, Long, Long) = {
+        var (n, sp, sn, al) = (n0, sp0, sn0, al0)
+        rel.foreach { r =>
+          val d = r.cents - targetCents
+          val sp1 = math.max(0L, sp + d)
+          val sn1 = math.max(0L, sn - d)
+          if (sp1 > hCents || sn1 > hCents) {
+            sp = 0L; sn = 0L; al += 1
+          } else { sp = sp1; sn = sn1 }
+          n += 1
+        }
+        (n, sp, sn, al)
+      }
+      src.as[CusumEventOpt]
         .groupByKey(_.user)
         .flatMapGroupsWithState[CusumStateR, CusumRow](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          OutputMode.Append(), timeout) {
           (user: Long, rows: Iterator[CusumEventOpt],
            state: GroupState[CusumStateR]) =>
+          if (evict && state.hasTimedOut) {
+            // DRAIN (object doc): fold every held event once, then go
+            val s0 = state.get
+            val rel = s0.buf.sortBy(r => (r.ts, r.id))
+            val (n, sp, sn, al) = fold(s0.n, s0.sp, s0.sn, s0.al, rel)
+            state.remove()
+            if (rel.nonEmpty)
+              Iterator(CusumRow(user, n, al, sp, sn, s0.ooo))
+            else Iterator.empty
+          } else {
             val s0 = state.getOption.getOrElse(
               CusumStateR(0L, 0L, 0L, 0L, Vector.empty,
                 Long.MinValue, 0L))
@@ -449,21 +521,16 @@ object StreamVelocity {
               if (hwm == Long.MinValue) (Vector.empty[CusumPend], merged)
               else merged.partition(_.ts < hwm - maxLateness)
             val folded = tooLate.sortBy(r => (r.ts, r.id)) ++ rel
-            var (n, sp, sn, al) = (s0.n, s0.sp, s0.sn, s0.al)
-            folded.foreach { r =>
-              val d = r.cents - targetCents
-              val sp1 = math.max(0L, sp + d)
-              val sn1 = math.max(0L, sn - d)
-              if (sp1 > hCents || sn1 > hCents) {
-                sp = 0L; sn = 0L; al += 1
-              } else { sp = sp1; sn = sn1 }
-              n += 1
-            }
+            val (n, sp, sn, al) = fold(s0.n, s0.sp, s0.sn, s0.al, folded)
             state.update(CusumStateR(n, sp, sn, al, hold, hwm, ooo))
+            if (evict && hwm != Long.MinValue)
+              state.setTimeoutTimestamp(evictAtMs(hwm, evictHorizonUs))
             if (folded.nonEmpty)
               Iterator(CusumRow(user, n, al, sp, sn, ooo))
             else Iterator.empty
+          }
         }
+    }
   }
 
   /** Per-event trailing-window count (including the event itself and
@@ -480,14 +547,19 @@ object StreamVelocity {
       s"maxLateness must be >= 0, got $maxLateness")
     require(evictHorizonUs >= 0L,
       s"evictHorizonUs must be >= 0, got $evictHorizonUs")
-    require(maxLateness == 0L || evictHorizonUs == 0L,
-      "eviction does not compose with the reorder buffer (object doc)")
+    require(evictHorizonUs == 0L ||
+      evictHorizonUs >= math.max(maxLateness, windowMicros),
+      s"evictHorizonUs ($evictHorizonUs) must cover both maxLateness " +
+        s"($maxLateness) and the trailing window ($windowMicros): an " +
+        "evicted key must have nothing a legal arrival could still " +
+        "reorder with or count (object doc)")
     val spark = events.sparkSession
     import spark.implicits._
+    if (maxLateness > 0L) return trailingCountsReorder(
+      events, userCol, tsCol, tagCol, windowMicros, maxLateness,
+      evictHorizonUs)
     if (evictHorizonUs > 0L) return trailingCountsEvict(
       events, userCol, tsCol, tagCol, windowMicros, evictHorizonUs)
-    if (maxLateness > 0L) return trailingCountsReorder(
-      events, userCol, tsCol, tagCol, windowMicros, maxLateness)
     // dead-letter stance, enforced: a null user/ts would throw inside
     // the primitive-field encoder ("Null value appeared in non-nullable
     // field") and KILL the streaming query — rows without an entity or
@@ -798,23 +870,70 @@ object StreamVelocity {
     * within `maxLateness` of the key's high-water mark are HELD and
     * emitted exactly once on release, in strict event-time order with
     * the full same-instant peer group; null-tag rows are punctuation.
+    * With `evictHorizonUs > 0` the key additionally DRAINS and
+    * removes once the watermark passes hwm + horizon.
     */
   private def trailingCountsReorder(
       events: DataFrame, userCol: String, tsCol: String,
       tagCol: String, windowMicros: Long,
-      maxLateness: Long): Dataset[VelRow] = {
+      maxLateness: Long, evictHorizonUs: Long = 0L): Dataset[VelRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val evict = evictHorizonUs > 0L
+    /** Window-fold `folded` (event-time order, ties grouped) through
+      * `times0`, emitting one VelRow per event — shared by the data
+      * path and the drain.
+      */
+    def windowFold(user: Long, times0: Vector[Long],
+                   folded: Seq[TaggedEvent],
+                   ooo: Long): (Vector[Long], Vector[VelRow]) = {
+      var times = times0
+      val out = Vector.newBuilder[VelRow]
+      var i = 0
+      while (i < folded.length) {
+        val t = folded(i).ts
+        var j = i
+        while (j < folded.length && folded(j).ts == t) j += 1
+        times = times.filter(_ > t - windowMicros) ++
+          Vector.fill(j - i)(t)
+        val n = times.length
+        var k = i
+        while (k < j) {
+          out += VelRow(user, folded(k).ts, folded(k).tag, n, ooo)
+          k += 1
+        }
+        i = j
+      }
+      (times, out.result())
+    }
+    val base = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).cast("long").as("user"),
         col(tsCol).cast("long").as("ts"),
         col(tagCol).cast("string").as("tag")) // null = punctuation
-      .as[TaggedEvent]
+    val src =
+      if (!evict) base
+      else base
+        .withColumn("__evt", timestamp_micros(col("ts")))
+        .withWatermark("__evt", s"$evictHorizonUs microseconds")
+    val timeout =
+      if (evict) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout
+    src.as[TaggedEvent]
       .groupByKey(_.user)
       .flatMapGroupsWithState[VelStateR, VelRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (user: Long, rows: Iterator[TaggedEvent],
          state: GroupState[VelStateR]) =>
+        if (evict && state.hasTimedOut) {
+          // DRAIN (object doc): held events emit exactly once with
+          // their window counts, then the key goes
+          val s0 = state.get
+          val rel = s0.buf.sortBy(r => (r.ts, r.tag))
+          val (_, out) = windowFold(user, s0.times.toVector, rel, s0.ooo)
+          state.remove()
+          out.iterator
+        } else {
           val s0 = state.getOption.getOrElse(
             VelStateR(Vector.empty, Vector.empty, Long.MinValue, 0L))
           val incoming = rows.toArray
@@ -835,25 +954,13 @@ object StreamVelocity {
           // the batch's folds; relative to already-released events
           // they take the documented as-of-arrival fallback, counted
           val folded = tooLate.sortBy(r => (r.ts, r.tag)) ++ rel
-          var times = s0.times.toVector
-          val out = Vector.newBuilder[VelRow]
-          var i = 0
-          while (i < folded.length) {
-            val t = folded(i).ts
-            var j = i
-            while (j < folded.length && folded(j).ts == t) j += 1
-            times = times.filter(_ > t - windowMicros) ++
-              Vector.fill(j - i)(t)
-            val n = times.length
-            var k = i
-            while (k < j) {
-              out += VelRow(user, folded(k).ts, folded(k).tag, n, ooo)
-              k += 1
-            }
-            i = j
-          }
+          val (times, out) =
+            windowFold(user, s0.times.toVector, folded, ooo)
           state.update(VelStateR(times, hold, hwm, ooo))
-          out.result().iterator
+          if (evict && hwm != Long.MinValue)
+            state.setTimeoutTimestamp(evictAtMs(hwm, evictHorizonUs))
+          out.iterator
+        }
       }
   }
 }

@@ -802,6 +802,82 @@ class StreamSpec extends SparkSpec {
       hGot.toString)
   }
 
+  test("eviction x reorder: a timed-out key DRAINS its held buffer " +
+      "(exactly-once, event-time order) before removing, then re-seeds") {
+    import graft.streaming.StreamVelocity
+    val L = 2000000L  // 2 s reorder bound
+    val H = 4000000L  // 4 s horizon >= max(L, window)
+    val stream = MemoryStream[(Long, Long, String)](spark)
+    val df = stream.toDF().toDF("user", "ts", "tag")
+    val qn = "vel_drain_sink"
+    val q = StreamVelocity.trailingCounts(df, "user", "ts", "tag",
+        windowMicros = 1000000L, maxLateness = L, evictHorizonUs = H)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // both user-1 events sit within L of its hwm -> HELD, no output
+      stream.addData((1L, 5000000L, "a"), (1L, 5500000L, "b"),
+        (2L, 5000000L, "x"))
+      q.processAllAvailable()
+      assert(spark.table(qn).filter($"user" === 1L).count() == 0L,
+        "buffered events must not emit before release")
+      // user 2 advances the watermark (delay = H) past user 1's
+      // hwm + H -> user 1 drains: both held events emit ONCE, ordered
+      stream.addData((2L, 20000000L, "x"))
+      q.processAllAvailable()
+      stream.addData((2L, 21000000L, "x"))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 1L, "user 1 drained and removed")
+      stream.addData((1L, 22000000L, "c")) // re-seed: empty window
+      q.processAllAvailable()
+      // the re-seeded event is itself HELD (reorder semantics); a
+      // later event pushes hwm past ts + L and releases it
+      stream.addData((1L, 26000000L, "d"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(qn).filter($"user" === 1L)
+      .select($"ts", $"velN", $"ooo").as[(Long, Int, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(u1 == Seq((5000000L, 1, 0L), (5500000L, 2, 0L),
+      (22000000L, 1, 0L)), u1.toString)
+    // horizon under the lateness bound is rejected loudly
+    intercept[IllegalArgumentException] {
+      StreamVelocity.trailingCounts(df, "user", "ts", "tag",
+        windowMicros = 1000000L, maxLateness = 5000000L,
+        evictHorizonUs = 2000000L)
+    }
+  }
+
+  test("eviction x reorder: EWMA and CUSUM drains fold the buffer " +
+      "into the final emission") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(Long, Long, Long, Double)](spark)
+    val df = stream.toDF().toDF("user", "ts", "id", "v")
+    val qn = "ewma_drain_sink"
+    val q = StreamVelocity.ewmaStates(df, "user", "ts", "id", "v",
+        aNum = 1, aDen = 2, maxLateness = 2000000L,
+        evictHorizonUs = 4000000L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 5000000L, 1L, 8.0), (1L, 5500000L, 2L, 16.0),
+        (2L, 5000000L, 3L, 1.0))
+      q.processAllAvailable()
+      stream.addData((2L, 20000000L, 4L, 2.0))
+      q.processAllAvailable()
+      stream.addData((2L, 21000000L, 5L, 3.0))
+      q.processAllAvailable()
+      stream.addData((1L, 22000000L, 6L, 9.0)) // re-seed (held)
+      q.processAllAvailable()
+      stream.addData((1L, 26000000L, 7L, 11.0)) // releases the 9.0
+      q.processAllAvailable()
+    } finally q.stop()
+    val u1 = spark.table(qn).filter($"user" === 1L)
+      .select($"n", $"ewma").as[(Long, Double)].collect().toSet
+    // drain: seed 8.0 then (8 + 16)/2 = 12.0 at n = 2; re-seed 9.0
+    assert(u1 == Set((2L, 12.0), (1L, 9.0)), u1.toString)
+  }
+
   test("bucket eviction: an expired LSH bucket is reclaimed by the " +
       "next arrival, then defends its new claim") {
     import graft.streaming.StreamDedup
