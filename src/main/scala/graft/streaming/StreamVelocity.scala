@@ -752,55 +752,77 @@ object StreamVelocity {
                centsCol: String, period: Int = 7,
                aNum: Int = 3, aDen: Int = 10,
                bNum: Int = 3, bDen: Int = 10,
-               gNum: Int = 3, gDen: Int = 10): Dataset[HwRow] = {
+               gNum: Int = 3, gDen: Int = 10,
+               evictHorizonDays: Long = 0L): Dataset[HwRow] = {
     require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen &&
       gNum > 0 && gNum < gDen,
       s"alpha/beta/gamma must be proper positive ratios: " +
         s"$aNum/$aDen, $bNum/$bDen, $gNum/$gDen")
     require(period >= 2 && period <= 24,
       s"period must be in [2,24], got $period")
+    require(evictHorizonDays >= 0L,
+      s"evictHorizonDays must be >= 0, got $evictHorizonDays")
     val maxCoef = Seq(aNum, aDen - aNum, bNum, bDen - bNum,
       gNum, gDen - gNum).max
     val bound = graft.ops.Seasonal.fixedPointCentsBound(maxCoef)
+    val dayUs = 86400000000L
+    val horizonUs = evictHorizonDays * dayUs
     val spark = daily.sparkSession
     import spark.implicits._
-    daily.filter(col(grpCol).isNotNull && col(dayCol).isNotNull &&
-        col(centsCol).isNotNull)
+    val rows0 = daily.filter(col(grpCol).isNotNull &&
+        col(dayCol).isNotNull && col(centsCol).isNotNull)
       .select(col(grpCol).cast("string").as("grp"),
         col(dayCol).cast("long").as("day"),
         col(centsCol).cast("long").as("cents"))
-      .as[HoltEvent]
+    // eviction arm (object doc; the holtStates recipe): a group
+    // silent past the horizon drops its (n, l, b, ring) and re-seeds
+    val rows =
+      if (evictHorizonDays == 0L) rows0
+      else rows0
+        .withColumn("__evt", timestamp_micros(col("day") * dayUs))
+        .withWatermark("__evt", s"$horizonUs microseconds")
+    val timeout =
+      if (evictHorizonDays == 0L) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout()
+    rows.as[HoltEvent]
       .groupByKey(_.grp)
       .flatMapGroupsWithState[HwState, HwRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeout) {
         (grp: String, rows: Iterator[HoltEvent],
          state: GroupState[HwState]) =>
-          val sorted = rows.toArray.sortBy(_.day)
-          val s0 = state.getOption.getOrElse(
-            HwState(0L, 0L, 0L, Vector.fill(period)(0L)))
-          var (n, l, b) = (s0.n, s0.l, s0.b)
-          var ring = s0.ring.toVector
-          sorted.foreach { r =>
-            require(math.abs(r.cents) <= bound,
-              s"hwStates: |cents| ${math.abs(r.cents)} exceeds the " +
-                s"Int64 fold bound $bound (see Seasonal.fixedPointCentsBound)")
-            if (n == 0L) { l = r.cents * 1000000L; b = 0L }
-            else {
-              val sHead = ring.head
-              val l2 = (aNum * (r.cents * 1000000L - sHead) +
-                (aDen - aNum) * (l + b)) / aDen
-              b = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
-              val s2 = (gNum * (r.cents * 1000000L - l2) +
-                (gDen - gNum) * sHead) / gDen
-              ring = ring.tail :+ s2
-              l = l2
+          if (evictHorizonDays > 0L && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val sorted = rows.toArray.sortBy(_.day)
+            val s0 = state.getOption.getOrElse(
+              HwState(0L, 0L, 0L, Vector.fill(period)(0L)))
+            var (n, l, b) = (s0.n, s0.l, s0.b)
+            var ring = s0.ring.toVector
+            sorted.foreach { r =>
+              require(math.abs(r.cents) <= bound,
+                s"hwStates: |cents| ${math.abs(r.cents)} exceeds the " +
+                  s"Int64 fold bound $bound (see Seasonal.fixedPointCentsBound)")
+              if (n == 0L) { l = r.cents * 1000000L; b = 0L }
+              else {
+                val sHead = ring.head
+                val l2 = (aNum * (r.cents * 1000000L - sHead) +
+                  (aDen - aNum) * (l + b)) / aDen
+                b = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
+                val s2 = (gNum * (r.cents * 1000000L - l2) +
+                  (gDen - gNum) * sHead) / gDen
+                ring = ring.tail :+ s2
+                l = l2
+              }
+              n += 1L
             }
-            n += 1L
+            state.update(HwState(n, l, b, ring))
+            if (evictHorizonDays > 0L && sorted.nonEmpty)
+              state.setTimeoutTimestamp(
+                evictAtMs(sorted.last.day * dayUs, horizonUs))
+            if (sorted.nonEmpty)
+              Iterator(HwRow(grp, n, l, b, ring.head, ring.last))
+            else Iterator.empty
           }
-          state.update(HwState(n, l, b, ring))
-          if (sorted.nonEmpty)
-            Iterator(HwRow(grp, n, l, b, ring.head, ring.last))
-          else Iterator.empty
       }
   }
 

@@ -800,6 +800,29 @@ class StreamSpec extends SparkSpec {
     assert(hGot.contains((2L, 13000000L, 900000L)) &&
       hGot.contains((1L, 7000000L, 0L)) && !hGot.exists(_._1 == 3L),
       hGot.toString)
+
+    // Holt-Winters ring state: same horizon recipe, the ring resets
+    val hws = MemoryStream[(String, Long, Long)](spark)
+    val hwq = StreamVelocity.hwStates(
+        hws.toDF().toDF("grp", "day", "cents"), "grp", "day", "cents",
+        period = 2, evictHorizonDays = 5L)
+      .toDF.writeStream.format("memory").queryName("hw_evict_sink")
+      .outputMode("append").start()
+    try {
+      hws.addData(("a", 10L, 10L), ("a", 11L, 20L))
+      hwq.processAllAvailable()
+      hws.addData(("b", 40L, 5L))
+      hwq.processAllAvailable()
+      hws.addData(("b", 41L, 5L))
+      hwq.processAllAvailable()
+      hws.addData(("a", 50L, 7L)) // re-seed: fresh zero ring
+      hwq.processAllAvailable()
+    } finally hwq.stop()
+    val hwGot = spark.table("hw_evict_sink").filter($"grp" === "a")
+      .select($"n", $"l", $"sLast").as[(Long, Long, Long)].collect().toSet
+    assert(hwGot.contains((2L, 13000000L, 2100000L)) &&
+      hwGot.contains((1L, 7000000L, 0L)) && !hwGot.exists(_._1 == 3L),
+      hwGot.toString)
   }
 
   test("eviction x reorder: a timed-out key DRAINS its held buffer " +
