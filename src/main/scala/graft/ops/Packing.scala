@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence PACKING — the batch-construction step between a
+  * curated corpus and a pretraining run: documents become fixed-
+  * capacity token sequences. Both real disciplines are here, because
+  * they trade different things:
+  *
+  *  - [[chunkPack]] — concat-and-chunk (the GPT-pretraining default):
+  *    documents concatenate in deterministic order and the token
+  *    stream cuts every `capacity` tokens. 100% fill by construction
+  *    (only each shard's last bin is short); documents may STRADDLE a
+  *    boundary — the count of straddlers is the signal for choosing
+  *    capacity vs. document length. Pure prefix-sum algebra: one
+  *    windowed cumulative sum per shard, fully linear, no per-group
+  *    state anywhere.
+  *
+  *  - [[nextFitStats]] — document-boundary next-fit (the no-cross-doc-
+  *    attention packing): documents fill a bin in order until one
+  *    would overflow, which closes the bin and opens the next. No
+  *    straddling, at the price of per-bin waste; the fold is
+  *    sequential BY NATURE (bin state depends on every prior doc), so
+  *    it runs per SHARD as a two-long fold — (bins, fill) — over the
+  *    shard's token list, and parallelism comes from the shard count.
+  *
+  * Sharding: `shard = pmod(id, nShards)` — deterministic, engine-
+  * reproducible integer algebra (no hash function to diverge on).
+  * nShards is the DEPLOYMENT knob: packing is embarrassingly parallel
+  * across shards and strictly sequential within one, so size nShards
+  * to the cluster (and, for [[nextFitStats]], so a shard's token list
+  * — 8 bytes × docs/shard of group state — fits an executor; the
+  * chunk form carries NO list state and scales without that bound).
+  *
+  * All outputs are integers (token counts, bin ids, ppm ratios via
+  * integer division) — hash-exact against SQL replays: a windowed
+  * cumulative sum for the chunk form, a list_reduce two-cell fold for
+  * next-fit.
+  *
+  * Reference capability: none — this is the LLM-data-pipeline
+  * extension surface (the brief's "operations a large-scale training-
+  * data pipeline would need"), downstream of the dedup/quality/
+  * sampling families that already gate what gets packed.
+  */
+object Packing {
+
+  private def sharded(docs: DataFrame, idCol: String, tokensCol: String,
+                      nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards in [1, 2^20], got $nShards")
+    docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) >= 1L)
+      .select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tok"))
+      .withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
+  }
+
+  /** Concat-and-chunk packing (object doc). Output: one row per doc —
+    * `shard`, `id`, `tok`, `start` (0-based token offset within the
+    * shard's stream), `bin_first`, `bin_last` (`start div capacity` /
+    * `(start+tok−1) div capacity`), `straddles`. Every column integer.
+    */
+  def chunkPack(docs: DataFrame, idCol: String, tokensCol: String,
+                capacity: Long, nShards: Int): DataFrame = {
+    require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded(docs, idCol, tokensCol, nShards)
+      .withColumn("start", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("bin_first", expr(s"start div ${capacity}L"))
+      .withColumn("bin_last",
+        expr(s"(start + tok - 1) div ${capacity}L"))
+      .withColumn("straddles", col("bin_first") =!= col("bin_last"))
+  }
+
+  /** Per-shard chunk-packing summary: `n_docs`, `n_tokens`, `n_bins`
+    * (= ceil(n_tokens / capacity)), `n_straddling`. The per-doc frame
+    * collapses in one grouped agg — the driver-query form.
+    */
+  def chunkPackStats(docs: DataFrame, idCol: String, tokensCol: String,
+                     capacity: Long, nShards: Int): DataFrame =
+    chunkPack(docs, idCol, tokensCol, capacity, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("straddles"), 1L).otherwise(0L)).as("n_straddling"))
+      .withColumn("n_bins",
+        expr(s"(n_tokens + ${capacity - 1}L) div ${capacity}L"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_bins"), col("n_straddling"))
+
+  /** Document-boundary next-fit packing, per-shard FOLD form (object
+    * doc): state is two longs — (bins opened, current fill) — over
+    * the shard's id-ordered token list; a doc that would overflow
+    * closes the bin. Oversize docs (tok > capacity) take a bin alone,
+    * loudly counted. Output per shard: `n_docs`, `n_tokens`,
+    * `n_bins`, `last_fill`, `n_oversize`, and `eff_ppm` =
+    * n_tokens·10⁶ div (n_bins·capacity) — the packing efficiency the
+    * capacity choice is tuned on. Per-doc bin assignment is
+    * spec-gated (PackingSpec replays the fold in plain Scala); the
+    * driver query gates this fold-state form, which a list_reduce
+    * replays exactly.
+    */
+  def nextFitStats(docs: DataFrame, idCol: String, tokensCol: String,
+                   capacity: Long, nShards: Int): DataFrame = {
+    require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
+    sharded(docs, idCol, tokensCol, nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        sum(when(col("tok") > capacity, 1L).otherwise(0L))
+          .as("n_oversize"),
+        sort_array(collect_list(struct(col("id"), col("tok"))))
+          .as("__ds"))
+      .withColumn("__toks", expr("transform(__ds, d -> d.tok)"))
+      // the two-cell fold: acc[0] = bins opened, acc[1] = open fill;
+      // seed = the first doc alone in bin 1
+      .withColumn("__st", expr(
+        "aggregate(slice(__toks, 2, size(__toks) - 1), " +
+          "array(1L, element_at(__toks, 1)), " +
+          s"(acc, t) -> if(acc[1] + t <= ${capacity}L, " +
+          "array(acc[0], acc[1] + t), array(acc[0] + 1L, t)))"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("__st")(0).as("n_bins"),
+        col("__st")(1).as("last_fill"),
+        col("n_oversize"),
+        // integer div, not `/` (double division loses exactness)
+        expr(s"(n_tokens * 1000000L) div (__st[0] * ${capacity}L)")
+          .as("eff_ppm"))
+  }
+}

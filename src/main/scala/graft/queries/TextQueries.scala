@@ -21,7 +21,39 @@ object TextQueries extends QuerySet {
 
   private val enStop = TextAnalysis.langStopwords("en")
 
+  /** Shared input for the packing queries: whitespace token counts
+    * per non-empty document.
+    */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id").isNotNull &&
+        length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Training-sequence packing, concat-and-chunk discipline (the
+    // GPT-pretraining default): documents concatenate per shard in
+    // doc_id order, the token stream cuts every 512 tokens; per-shard
+    // doc/token/bin counts plus how many documents straddle a cut —
+    // the capacity-tuning signal. One windowed prefix sum per shard,
+    // every output integer, hash-exact.
+    "t29_chunk_pack" -> ((s, d) =>
+      graft.ops.Packing.chunkPackStats(docTokens(s, d), "doc_id",
+          "ntok", capacity = 512L, nShards = 8)
+        .orderBy(col("shard"))),
+
+    // Training-sequence packing, document-boundary next-fit (the
+    // no-cross-doc-attention discipline): bins fill in doc_id order
+    // and close on overflow; per-shard bin count, open-bin fill,
+    // oversize count, and the integer-ppm packing efficiency the
+    // capacity choice is tuned on. The (bins, fill) two-cell fold is
+    // replayed exactly by the oracle's list_reduce.
+    "t30_nextfit_pack" -> ((s, d) =>
+      graft.ops.Packing.nextFitStats(docTokens(s, d), "doc_id",
+          "ntok", capacity = 512L, nShards = 8)
+        .orderBy(col("shard"))),
+
     // Distinctive terms per source ("Fightin' Words" log-odds with a
     // flat Dirichlet prior, z-scored): what each slice of the corpus
     // over-represents vs the rest. z is 7dp-rounded before the per-
@@ -426,6 +458,60 @@ object TextQueries extends QuerySet {
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   def oracle: Map[String, String] = Map(
+    // replay chunk packing: shard = id % 8, windowed prefix sum in
+    // id order, bin boundaries by integer division at capacity 512
+    "t29_chunk_pack" ->
+      """WITH d AS (SELECT doc_id AS id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS tok
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL
+               AND len(trim(text)) > 0),
+         s AS (SELECT id, tok, id % 8 AS shard FROM d),
+         c AS (SELECT shard, id, tok,
+                 SUM(tok) OVER (PARTITION BY shard ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - tok AS strt
+               FROM s)
+         SELECT shard, COUNT(*) AS n_docs,
+                CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                CAST((SUM(tok) + 511) // 512 AS BIGINT) AS n_bins,
+                CAST(SUM(CASE WHEN strt // 512
+                               <> (strt + tok - 1) // 512
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_straddling
+         FROM c GROUP BY shard ORDER BY shard""",
+
+    // replay next-fit packing: the (bins, fill) two-cell fold as
+    // list_reduce over the id-ordered token list (the first lifted
+    // pair IS the seed), every step BIGINT
+    "t30_nextfit_pack" ->
+      """WITH d AS (SELECT doc_id AS id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS tok
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL
+               AND len(trim(text)) > 0),
+         s AS (SELECT id, tok, id % 8 AS shard FROM d),
+         g AS (SELECT shard, COUNT(*) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oversize,
+                 list(tok ORDER BY id) AS toks
+               FROM s GROUP BY shard),
+         f AS (SELECT shard, n_docs, n_tokens, n_oversize,
+                 list_reduce(
+                   list_transform(toks, t -> [CAST(1 AS BIGINT), t]),
+                   (acc, x) -> CASE WHEN acc[2] + x[2] <= 512
+                     THEN [acc[1], acc[2] + x[2]]
+                     ELSE [acc[1] + 1, x[2]] END) AS st
+               FROM g)
+         SELECT shard, n_docs, n_tokens,
+                st[1] AS n_bins, st[2] AS last_fill, n_oversize,
+                CAST(n_tokens * 1000000 // (st[1] * 512) AS BIGINT)
+                  AS eff_ppm
+         FROM f ORDER BY shard""",
+
     "t27_ngram_novelty" ->
       """WITH t AS (SELECT doc_id,
                     string_split_regex(trim(lower(text)), '\s+') AS toks

@@ -74,6 +74,24 @@ class CrossValSpec extends SparkSpec {
     }
   }
 
+  test("held-out residuals >= 1e7 stay inside the decimal width " +
+      "(r11 verdict: the old decimal(14,7) threw under ANSI here)") {
+    // a plane plus one 2e7-off outlier: the outlier's fold scores a
+    // held-out residual ~2e7 — decimal(18,7) holds |e| < 1e11, so the
+    // square/sum completes instead of overflowing
+    val rows = ((1 to 40).map { i =>
+      val x1 = i.toLong; val x2 = ((i * 5) % 11).toLong
+      (i.toString, x1, x2, 3 * x1 + 2 * x2 + 7)
+    } :+ (("99", 20L, 5L, 3 * 20 + 2 * 5 + 7 + 20000000L)))
+      .toDF("id", "x1", "x2", "y")
+    val cv = CrossVal.kFoldRidge2(rows, "id", "x1", "x2", "y",
+      k = 4, lambda = 0.0).collect()
+    assert(cv.length == 4)
+    // the fold holding the outlier must carry its ~(2e7)^2 square
+    val worst = cv.map(r => r.getDouble(r.fieldIndex("mse"))).max
+    assert(worst > 1e13, s"outlier square missing: worst mse $worst")
+  }
+
   test("OLS hat trace: leverages sum to the parameter count") {
     // λ=0 → H is the OLS projection; trace(H) = p = 3 (intercept + 2)
     val all = CrossVal.looInfluenceRidge2(rows, "id", "x1", "x2", "y",
