@@ -669,6 +669,83 @@ object SourceQueries extends QuerySet {
       MetricsQueries.kllGate(finalTick, raw, capacity = 512)
     }),
 
+    // §2.6 × a50, through the STATE STORE (the st30 pattern applied
+    // to frequency): the Misra–Gries summary as per-entity
+    // flatMapGroupsWithState state — the Append-mode per-entity
+    // top-items monitor (st26 held the summary in a complete-mode
+    // aggregation buffer). The retained SET depends on arrival order,
+    // but the gate only pins the theorem facts (every true heavy
+    // hitter retained, estimate within n/(k+1)) — deterministic
+    // booleans under ANY order, the a50/st26 stance. Same oracle.
+    "st31_stream_hh_state" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st31_in")
+      val raw = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("CASE WHEN user_id % 2 = 0 THEN user_id % 10 " +
+            "ELSE user_id END").as("item"))
+      raw.coalesce(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val qn = "st31_hh_state_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamSketch.hhStates(
+            src, "grp", "item", k = 64)
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val finalTick = s.table(qn).groupBy(col("grp"))
+        .agg(max_by(col("hh"), col("n")).as("hh"))
+      MetricsQueries.hhGate(finalTick, raw, k = 64)
+    }),
+
+    // §2.6 × t29: streaming concat-and-chunk packing — the per-shard
+    // token offset as ONE LONG of state, documents binned at arrival
+    // across three id-ordered micro-batches; the last emission per
+    // shard equals the batch prefix-sum stats exactly (same oracle).
+    "st32_stream_chunk_pack" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st32_in")
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id").isNotNull &&
+          length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+      val stats = toks.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (mnId, mxId) = (stats.getLong(0), stats.getLong(1))
+      val span = (mxId - mnId) / 3 + 1
+      val base = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        Tables.stageOne(stage,
+          toks.filter(col("doc_id") >= mnId + i * span &&
+            col("doc_id") < mnId + (i + 1) * span),
+          s"b$i", base - 240000 + i * 60000)
+      }
+      val schema = s.read.parquet(s"$stage/b0.parquet").schema
+      val qn = "st32_pack_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamPack.chunkPackStates(
+            src, "doc_id", "ntok", capacity = 512L, nShards = 8)
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("shard"))
+        .agg(max(col("nDocs")).as("n_docs"),
+          max_by(col("nTokens"), col("nDocs")).as("n_tokens"),
+          max_by(col("nBins"), col("nDocs")).as("n_bins"),
+          max_by(col("nStraddling"), col("nDocs")).as("n_straddling"))
+        .orderBy(col("shard"))
+    }),
+
     // Streaming heavy hitters at k counters of state (§2.6 × a50):
     // the Misra–Gries summary maintained as streaming aggregation
     // state across four micro-batches — constant per-group state on
@@ -1597,6 +1674,8 @@ object SourceQueries extends QuerySet {
     // the sketch's streaming fold satisfies the same exact+bound gate
     "st25_stream_kll" -> MetricsQueries.kllOracleSql,
     "st30_stream_kll_state" -> MetricsQueries.kllOracleSql,
+    "st31_stream_hh_state" -> MetricsQueries.hhOracleSql,
+    "st32_stream_chunk_pack" -> TextQueries.chunkPackOracleSql,
     "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
     // the linear sketch's streaming fold is bit-equal to batch a51
     "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,

@@ -457,11 +457,13 @@ object TextQueries extends QuerySet {
   private def hitsSql(words: Seq[String]): String =
     s"len(list_filter($ltoksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
-  def oracle: Map[String, String] = Map(
-    // replay chunk packing: shard = id % 8, windowed prefix sum in
-    // id order, bin boundaries by integer division at capacity 512
-    "t29_chunk_pack" ->
-      """WITH d AS (SELECT doc_id AS id,
+  /** Shared by batch t29 and streaming st32 (the offset fold is
+    * bit-equal to the batch prefix sum by construction): replay
+    * chunk packing — shard = id % 8, windowed prefix sum in id
+    * order, bin boundaries by integer division at capacity 512.
+    */
+  private[queries] val chunkPackOracleSql: String =
+    """WITH d AS (SELECT doc_id AS id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                  AS tok
              FROM documents
@@ -480,7 +482,10 @@ object TextQueries extends QuerySet {
                                <> (strt + tok - 1) // 512
                               THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_straddling
-         FROM c GROUP BY shard ORDER BY shard""",
+         FROM c GROUP BY shard ORDER BY shard"""
+
+  def oracle: Map[String, String] = Map(
+    "t29_chunk_pack" -> chunkPackOracleSql,
 
     // replay next-fit packing: the (bins, fill) two-cell fold as
     // list_reduce over the id-ordered token list (the first lifted

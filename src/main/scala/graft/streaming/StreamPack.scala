@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming concat-and-chunk packing — [[graft.ops.Packing.chunkPack]]
+  * maintained IN the stream: the per-shard token OFFSET is the whole
+  * state (one long plus three counters), so documents arriving over
+  * time keep extending each shard's token stream and every document's
+  * bin placement/straddle verdict is decided at arrival — the
+  * ingestion-time form of training-batch construction, where the
+  * batch op repacks the corpus nightly.
+  *
+  * Each micro-batch folds its documents in id order continuing from
+  * the carried offset; cross-batch id order is the staging contract
+  * (the [[StreamVelocity.holtStates]] stance), so the LAST emission
+  * per shard carries exactly the batch op's per-shard stats (st32
+  * shares t29's oracle).
+  */
+object StreamPack {
+
+  case class PackEvent(shard: Long, id: Long, tok: Long)
+  case class PackRow(shard: Long, nDocs: Long, nTokens: Long,
+                     nBins: Long, nStraddling: Long)
+  case class PackState(nDocs: Long, off: Long, nStraddling: Long)
+
+  def chunkPackStates(docs: DataFrame, idCol: String, tokensCol: String,
+                      capacity: Long, nShards: Int): Dataset[PackRow] = {
+    require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards in [1, 2^20], got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) >= 1L)
+      .select(pmod(col(idCol).cast("long"), lit(nShards.toLong))
+          .as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tok"))
+      .as[PackEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[PackEvent],
+         state: GroupState[PackState]) =>
+          val sorted = rows.toArray.sortBy(_.id)
+          val s0 = state.getOption.getOrElse(PackState(0L, 0L, 0L))
+          var (nd, off, ns) = (s0.nDocs, s0.off, s0.nStraddling)
+          sorted.foreach { r =>
+            val binFirst = off / capacity
+            val binLast = (off + r.tok - 1L) / capacity
+            if (binFirst != binLast) ns += 1L
+            off += r.tok
+            nd += 1L
+          }
+          state.update(PackState(nd, off, ns))
+          if (sorted.nonEmpty)
+            Iterator(PackRow(shard, nd, off,
+              (off + capacity - 1L) / capacity, ns))
+          else Iterator.empty
+      }
+  }
+}

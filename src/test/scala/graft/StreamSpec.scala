@@ -662,6 +662,55 @@ class StreamSpec extends SparkSpec {
     assert(got == Map(50 -> 10.0, 90 -> 18.0), got.toString)
   }
 
+  test("Misra-Gries state: counts continue across batches, the summary " +
+      "stays <= k entries, the hot item survives") {
+    import graft.streaming.StreamSketch
+    val stream = MemoryStream[(String, Long)](spark)
+    val df = stream.toDF().toDF("grp", "item")
+    val qn = "hh_state_sink"
+    val q = StreamSketch.hhStates(df, "grp", "item", k = 2)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      // batch 1: item 7 hot, a distinct tail churns the counters
+      stream.addData(Seq(7L, 7L, 7L, 1L, 2L).map(("g", _)): _*)
+      q.processAllAvailable()
+      // batch 2: more of item 7 plus more tail — the summary crossed
+      // the state store between these
+      stream.addData(Seq(7L, 7L, 3L, 4L).map(("g", _)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table(qn).filter($"n" === 9L)
+      .select(explode($"hh").as("e")).select($"e.item", $"e.est")
+      .as[(Long, Long)].collect().toMap
+    // MG theorem at k=2, n=9: item 7 (c=5, 5*3 > 9) MUST be retained
+    // with est in [5 - 9/3, 5] = [2, 5]; at most 2 entries total
+    assert(last.size <= 2 && last.contains(7L), last.toString)
+    assert(last(7L) >= 2L && last(7L) <= 5L, last.toString)
+  }
+
+  test("streaming chunk-pack: the shard offset crosses the batch " +
+      "boundary, so a straddle spanning batches is detected") {
+    import graft.streaming.StreamPack
+    val stream = MemoryStream[(Long, Long)](spark)
+    val df = stream.toDF().toDF("doc_id", "ntok")
+    val qn = "pack_state_sink"
+    val q = StreamPack.chunkPackStates(df, "doc_id", "ntok",
+        capacity = 10L, nShards = 1)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 4L), (2L, 5L)) // offset ends batch 1 at 9
+      q.processAllAvailable()
+      stream.addData((3L, 3L)) // spans tokens 9..11 -> straddles a cut
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table(qn).filter($"nDocs" === 3L)
+      .select($"nTokens", $"nBins", $"nStraddling")
+      .as[(Long, Long, Long)].head()
+    assert(last == ((12L, 2L, 1L)), last.toString)
+  }
+
   // === state eviction (r11 verdict mandate #1) ========================
   // Event-time-timeout eviction as a TESTED code path: a key idle past
   // the horizon leaves the state store (numRowsTotal observably drops)
