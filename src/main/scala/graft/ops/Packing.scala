@@ -50,11 +50,22 @@ object Packing {
                       nShards: Int): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       s"nShards in [1, 2^20], got $nShards")
-    docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+    val base = docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
         col(tokensCol) >= 1L)
       .select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("tok"))
-      .withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
+    // loud id-uniqueness contract, ONE aggregation (ADVICE r12; the
+    // SortedNeighborhood.positions pattern): every packing order below
+    // is "by id", so a duplicate id makes tied rows engine-arbitrary —
+    // start/bin/straddle and the fold order would diverge cross-engine
+    // SILENTLY. The packing pass itself shuffles the same frame, so
+    // the check never dominates.
+    val chk = base.agg(count(lit(1)).as("__n"),
+      count_distinct(col("id")).as("__nd")).head()
+    require(chk.getLong(0) == chk.getLong(1),
+      s"$idCol must be unique for deterministic packing order: " +
+        s"${chk.getLong(0)} rows but ${chk.getLong(1)} distinct ids")
+    base.withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
   }
 
   /** Concat-and-chunk packing (object doc). Output: one row per doc —
@@ -126,8 +137,23 @@ object Packing {
         col("__st")(0).as("n_bins"),
         col("__st")(1).as("last_fill"),
         col("n_oversize"),
-        // integer div, not `/` (double division loses exactness)
-        expr(s"(n_tokens * 1000000L) div (__st[0] * ${capacity}L)")
-          .as("eff_ppm"))
+        effPpmExpr(capacity, "n_tokens", "__st[0]").as("eff_ppm"))
+  }
+
+  /** Packing efficiency `tokens·10⁶ div (bins·capacity)` with LOUD
+    * Int64 guards on both products (ADVICE r12: Spark wraps silently
+    * where DuckDB errors — the ppm numerator wraps past ~9.2e12
+    * tokens/shard, the denominator past Int64/capacity bins). The
+    * guard is a branch in the select, not an extra pass.
+    */
+  private[graft] def effPpmExpr(capacity: Long, tokens: String,
+                                bins: String): Column = {
+    val tokCap = Long.MaxValue / 1000000L
+    val binCap = Long.MaxValue / capacity
+    expr(s"if($tokens <= ${tokCap}L and $bins <= ${binCap}L, " +
+      s"($tokens * 1000000L) div (($bins) * ${capacity}L), " +
+      "cast(raise_error(concat('packing eff_ppm would overflow Int64: " +
+      s"tokens=', $tokens, ', bins=', $bins, ', capacity=${capacity}; " +
+      "split the shard')) as bigint))")
   }
 }

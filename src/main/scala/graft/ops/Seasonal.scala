@@ -312,6 +312,28 @@ object Seasonal {
   private[graft] def fixedPointCentsBound(maxCoef: Int): Long =
     Long.MaxValue / 1000000L / maxCoef / 16L
 
+  /** The loud Int64 input bound for the TRIPLE (Holt–Winters)
+    * recursion — derived, not prose (ADVICE r12: the plain-Holt 16×
+    * headroom was never pinned for the ring, where the (y − s)
+    * feedback couples level and season). The derivation closes
+    * because the fold CHECKS the state per step (see
+    * [[holtWinters]]): with every carried state cell |l|, |b|, |s_j|
+    * ≤ Z = headroom·bound·S and inputs |y·S| ≤ bound·S, each
+    * numerator is bounded by
+    *
+    *   maxCoef·(|y·S − s| + |l| + |b|)  ≤  maxCoef·(bound·S + 3Z)
+    *                                    =  maxCoef·bound·S·(3h + 1)
+    *
+    * so bound = Int64 / S / maxCoef / (3h + 1) makes every fold
+    * intermediate provably Int64-safe FOR ALL RATIOS — a trajectory
+    * that drifts past the h× envelope (an unstable (α,β,γ) corner)
+    * hits the per-step raise_error instead of wrapping. h = 16
+    * matches the plain-Holt envelope (HoltSpec pins adversarial
+    * triple-recursion drift well inside it at the defaults).
+    */
+  private[graft] def hwCentsBound(maxCoef: Int, headroom: Long = 16L): Long =
+    Long.MaxValue / 1000000L / maxCoef / (3L * headroom + 1L)
+
   /** [[fixedPointCentsBound]] for the two-parameter Holt fold (doc at
     * [[holtLinear]]). Package-private so the spec pins the arithmetic
     * and the streaming twin
@@ -399,16 +421,23 @@ object Seasonal {
     * l + b + s_next, and `forecast<p>_fp` = l + p·b + s_last (at
     * h = p the seasonal due is the freshest s_t).
     *
-    * Overflow: the [[holtLinear]] guard generalized — max|cents| ≤
-    * [[fixedPointCentsBound]] of the largest coefficient across all
-    * three ratios (the y − s difference doubles the swing; the 16×
-    * headroom covers it, same HoltSpec-pinned argument).
+    * Overflow: TWO loud guards, together sound for all ratios
+    * ([[hwCentsBound]] has the derivation). The input guard bounds
+    * max|daily cents| at Int64/S/maxCoef/(3h+1); the fold then checks
+    * every carried state cell against Z = h·bound·S PER STEP (the
+    * level inline — it feeds the same step's trend and season
+    * numerators — and the post-step array), so no numerator can ever
+    * build past Int64: drift beyond the h× envelope fails loudly on
+    * the Spark side exactly where DuckDB would error natively.
+    * `driftHeadroom` IS h — spec-visible so HoltSpec can force the
+    * guard to fire on an ordinary series.
     */
   def holtWinters(df: DataFrame, groupCol: String, tsUsCol: String,
                   centsCol: String, period: Int = 7,
                   aNum: Int = 3, aDen: Int = 10,
                   bNum: Int = 3, bDen: Int = 10,
-                  gNum: Int = 3, gDen: Int = 10): DataFrame = {
+                  gNum: Int = 3, gDen: Int = 10,
+                  driftHeadroom: Long = 16L): DataFrame = {
     require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen &&
       gNum > 0 && gNum < gDen,
       s"alpha/beta/gamma must be proper positive ratios: " +
@@ -422,9 +451,11 @@ object Seasonal {
         expr(s"CAST($tsUsCol AS BIGINT) div 86400000000").as("__day"))
       .agg(sum(col(centsCol).cast("long")).as("__cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(driftHeadroom >= 1L && driftHeadroom <= 1024L,
+      s"driftHeadroom in [1, 1024], got $driftHeadroom")
     val maxCoef = Seq(aNum, aDen - aNum, bNum, bDen - bNum,
       gNum, gDen - gNum).max
-    val bound = fixedPointCentsBound(maxCoef)
+    val bound = hwCentsBound(maxCoef, driftHeadroom)
     val maxAbs = daily.agg(max(abs(col("__cents")))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
@@ -433,18 +464,29 @@ object Seasonal {
       s"holtWinters: max |daily cents| $maxAbs exceeds the Int64 fold " +
         s"bound $bound for ratios $aNum/$aDen, $bNum/$bDen, $gNum/$gDen " +
         "at scale 10^6; rescale the value column or aggregate coarser")
+    // the per-step state envelope Z = h·bound·S (object doc at
+    // hwCentsBound: with all cells <= Z and inputs <= bound·S, every
+    // numerator below fits Int64 by construction)
+    val z = driftHeadroom * bound * 1000000L
+    val zErr = "cast(raise_error('holtWinters: smoothed state " +
+      s"drifted past ${driftHeadroom}x the Int64 input bound — " +
+      "unstable alpha/beta/gamma for this series') as bigint)"
     // the level step, inlined wherever l_t appears (no lets in SQL
     // lambdas — the w21 oracle's proven pattern): acc layout is
-    // 0-based [l, b, s_head, ..., s_tail]
+    // 0-based [l, b, s_head, ..., s_tail]. The raw lp feeds the
+    // step's OWN trend/season numerators, so it is guarded inline
+    // (lpG), not just in the post-step array check.
     val lp = s"((${aNum}L * (y * 1000000L - acc[2]) + " +
       s"${aDen - aNum}L * (acc[0] + acc[1])) div ${aDen}L)"
-    val step = s"(acc, y) -> concat(" +
-      s"array($lp, " +
-      s"(${bNum}L * ($lp - acc[0]) + ${bDen - bNum}L * acc[1]) " +
+    val lpG = s"(if(abs($lp) <= ${z}L, $lp, $zErr))"
+    val step = s"(acc, y) -> transform(concat(" +
+      s"array($lpG, " +
+      s"(${bNum}L * ($lpG - acc[0]) + ${bDen - bNum}L * acc[1]) " +
       s"div ${bDen}L), " +
       s"slice(acc, 4, ${period - 1}), " +
-      s"array((${gNum}L * (y * 1000000L - $lp) + " +
-      s"${gDen - gNum}L * acc[2]) div ${gDen}L))"
+      s"array((${gNum}L * (y * 1000000L - $lpG) + " +
+      s"${gDen - gNum}L * acc[2]) div ${gDen}L)), " +
+      s"v -> if(abs(v) <= ${z}L, v, $zErr))"
     daily.groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(col("__day"), col("__cents"))))
         .as("__series"))

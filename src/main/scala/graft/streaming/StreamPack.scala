@@ -16,14 +16,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the carried offset; cross-batch id order is the staging contract
   * (the [[StreamVelocity.holtStates]] stance), so the LAST emission
   * per shard carries exactly the batch op's per-shard stats (st32
-  * shares t29's oracle).
+  * shares t29's oracle). The contract is MONITORED, not assumed
+  * (ADVICE r12, the velocity family's `ooo` stance): the state
+  * carries the last folded id per shard, and a doc arriving in a
+  * later batch with a smaller id — which is appended at the CURRENT
+  * offset, where the batch op would have placed it earlier — counts
+  * into `ooo`, so a violated staging contract is an observable
+  * nonzero column instead of a silent batch/stream divergence.
   */
 object StreamPack {
 
   case class PackEvent(shard: Long, id: Long, tok: Long)
   case class PackRow(shard: Long, nDocs: Long, nTokens: Long,
-                     nBins: Long, nStraddling: Long)
-  case class PackState(nDocs: Long, off: Long, nStraddling: Long)
+                     nBins: Long, nStraddling: Long, ooo: Long)
+  case class PackState(nDocs: Long, off: Long, nStraddling: Long,
+                       lastId: Long, ooo: Long)
 
   def chunkPackStates(docs: DataFrame, idCol: String, tokensCol: String,
                       capacity: Long, nShards: Int): Dataset[PackRow] = {
@@ -45,8 +52,16 @@ object StreamPack {
         (shard: Long, rows: Iterator[PackEvent],
          state: GroupState[PackState]) =>
           val sorted = rows.toArray.sortBy(_.id)
-          val s0 = state.getOption.getOrElse(PackState(0L, 0L, 0L))
+          val s0 = state.getOption.getOrElse(
+            PackState(0L, 0L, 0L, Long.MinValue, 0L))
           var (nd, off, ns) = (s0.nDocs, s0.off, s0.nStraddling)
+          // cross-batch order monitor (object doc): ids at or below
+          // the carried high-water mark arrived too late to land at
+          // the batch op's offset
+          val ooo = s0.ooo + sorted.count(_.id <= s0.lastId).toLong
+          val lastId =
+            if (sorted.isEmpty) s0.lastId
+            else math.max(s0.lastId, sorted.last.id)
           sorted.foreach { r =>
             val binFirst = off / capacity
             val binLast = (off + r.tok - 1L) / capacity
@@ -54,10 +69,10 @@ object StreamPack {
             off += r.tok
             nd += 1L
           }
-          state.update(PackState(nd, off, ns))
+          state.update(PackState(nd, off, ns, lastId, ooo))
           if (sorted.nonEmpty)
             Iterator(PackRow(shard, nd, off,
-              (off + capacity - 1L) / capacity, ns))
+              (off + capacity - 1L) / capacity, ns, ooo))
           else Iterator.empty
       }
   }

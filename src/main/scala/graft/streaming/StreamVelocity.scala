@@ -129,7 +129,7 @@ object StreamVelocity {
     * always in the watermark's future — the setTimeoutTimestamp
     * contract.
     */
-  private def evictAtMs(hwmUs: Long, horizonUs: Long): Long =
+  private[streaming] def evictAtMs(hwmUs: Long, horizonUs: Long): Long =
     (hwmUs + horizonUs) / 1000L + 1L
 
   case class TaggedEvent(user: Long, ts: Long, tag: String)
@@ -687,6 +687,8 @@ object StreamVelocity {
   }
 
   case class KllEvent(grp: String, v: Double)
+  case class KllEventT(grp: String, v: Double, ts: Long)
+  case class KllEvState(hwm: Long, bytes: Array[Byte])
   case class PEst(p: Int, est: Double)
   case class KllRow(grp: String, n: Long, q: Seq[PEst])
 
@@ -706,37 +708,92 @@ object StreamVelocity {
     * (st30 shares its oracle). State per entity is
     * O(capacity · log(n/capacity)) doubles — bounded regardless of
     * stream length.
+    *
+    * Eviction (r12 verdict mandate #1 — the family contract has no
+    * exceptions among per-entity states): with `evictHorizonUs > 0`
+    * (and `tsUsCol` naming the event-time column) the state runs
+    * under `EventTimeTimeout` — an entity silent past hwm + horizon
+    * drops its ENTIRE compactor hierarchy and re-seeds as a FRESH
+    * sketch on reappearance (n restarts; the monitor answers "this
+    * entity's recent distribution", so an evicted history must not
+    * leak back in). Horizon off keeps the NoTimeout path below
+    * byte-identical, so st30's oracle rows are untouched.
     */
   def kllQuantileStates(events: DataFrame, keyCol: String,
                         valueCol: String, capacity: Int,
-                        percents: Seq[Int]): Dataset[KllRow] = {
+                        percents: Seq[Int],
+                        tsUsCol: String = null,
+                        evictHorizonUs: Long = 0L): Dataset[KllRow] = {
     require(capacity >= 8 && capacity % 2 == 0,
       s"capacity must be even and >= 8, got $capacity")
     require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
       s"percents must be in [0,100], got $percents")
+    require(evictHorizonUs >= 0L,
+      s"evictHorizonUs must be >= 0, got $evictHorizonUs")
+    require(evictHorizonUs == 0L || tsUsCol != null,
+      "evictHorizonUs needs tsUsCol: event-time eviction is keyed on " +
+        "the event-time column")
     val spark = events.sparkSession
     import spark.implicits._
-    events.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("grp"),
-        col(valueCol).cast("double").as("v"))
-      .as[KllEvent]
-      .groupByKey(_.grp)
-      .flatMapGroupsWithState[Array[Byte], KllRow](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (grp: String, rows: Iterator[KllEvent],
-         state: GroupState[Array[Byte]]) =>
-          val st = state.getOption
-            .map(graft.functions.KllSketchAgg.State.fromBytes)
-            .getOrElse(graft.functions.KllSketchAgg.State.empty())
-          var any = false
-          rows.foreach { r => st.add(r.v, capacity); any = true }
-          state.update(st.toBytes)
-          if (any)
-            Iterator(KllRow(grp, st.count,
-              percents.zip(st.quantiles(percents))
-                .map { case (p, e) => PEst(p, e) }))
-          else Iterator.empty
-      }
+    if (evictHorizonUs > 0L)
+      events.filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+          col(tsUsCol).isNotNull)
+        .select(col(keyCol).cast("string").as("grp"),
+          col(valueCol).cast("double").as("v"),
+          col(tsUsCol).cast("long").as("ts"),
+          timestamp_micros(col(tsUsCol).cast("long")).as("__evt"))
+        .withWatermark("__evt", s"$evictHorizonUs microseconds")
+        .as[KllEventT] // __evt rides in the plan for the watermark
+        .groupByKey(_.grp)
+        .flatMapGroupsWithState[KllEvState, KllRow](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (grp: String, rows: Iterator[KllEventT],
+           state: GroupState[KllEvState]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val s0 = state.getOption
+              val st = s0.map(s => graft.functions.KllSketchAgg.State
+                  .fromBytes(s.bytes))
+                .getOrElse(graft.functions.KllSketchAgg.State.empty())
+              var hwm = s0.map(_.hwm).getOrElse(Long.MinValue)
+              var any = false
+              rows.foreach { r =>
+                st.add(r.v, capacity); any = true
+                if (r.ts > hwm) hwm = r.ts
+              }
+              state.update(KllEvState(hwm, st.toBytes))
+              // invoked with data here, so the re-armed timeout is
+              // always past the watermark
+              state.setTimeoutTimestamp(evictAtMs(hwm, evictHorizonUs))
+              if (any)
+                Iterator(KllRow(grp, st.count,
+                  percents.zip(st.quantiles(percents))
+                    .map { case (p, e) => PEst(p, e) }))
+              else Iterator.empty
+            }
+        }
+    else
+      events.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(keyCol).cast("string").as("grp"),
+          col(valueCol).cast("double").as("v"))
+        .as[KllEvent]
+        .groupByKey(_.grp)
+        .flatMapGroupsWithState[Array[Byte], KllRow](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (grp: String, rows: Iterator[KllEvent],
+           state: GroupState[Array[Byte]]) =>
+            val st = state.getOption
+              .map(graft.functions.KllSketchAgg.State.fromBytes)
+              .getOrElse(graft.functions.KllSketchAgg.State.empty())
+            var any = false
+            rows.foreach { r => st.add(r.v, capacity); any = true }
+            state.update(st.toBytes)
+            if (any)
+              Iterator(KllRow(grp, st.count,
+                percents.zip(st.quantiles(percents))
+                  .map { case (p, e) => PEst(p, e) }))
+            else Iterator.empty
+        }
   }
 
   /** Streaming Holt–Winters — `ops/Seasonal.holtWinters` maintained
@@ -753,7 +810,8 @@ object StreamVelocity {
                aNum: Int = 3, aDen: Int = 10,
                bNum: Int = 3, bDen: Int = 10,
                gNum: Int = 3, gDen: Int = 10,
-               evictHorizonDays: Long = 0L): Dataset[HwRow] = {
+               evictHorizonDays: Long = 0L,
+               driftHeadroom: Long = 16L): Dataset[HwRow] = {
     require(aNum > 0 && aNum < aDen && bNum > 0 && bNum < bDen &&
       gNum > 0 && gNum < gDen,
       s"alpha/beta/gamma must be proper positive ratios: " +
@@ -762,9 +820,15 @@ object StreamVelocity {
       s"period must be in [2,24], got $period")
     require(evictHorizonDays >= 0L,
       s"evictHorizonDays must be >= 0, got $evictHorizonDays")
+    require(driftHeadroom >= 1L && driftHeadroom <= 1024L,
+      s"driftHeadroom in [1, 1024], got $driftHeadroom")
     val maxCoef = Seq(aNum, aDen - aNum, bNum, bDen - bNum,
       gNum, gDen - gNum).max
-    val bound = graft.ops.Seasonal.fixedPointCentsBound(maxCoef)
+    // the derived triple-recursion bound + per-step Z envelope
+    // (Seasonal.hwCentsBound doc) — identical contract to the batch
+    // fold, so st29 stays bit-equal to w22
+    val bound = graft.ops.Seasonal.hwCentsBound(maxCoef, driftHeadroom)
+    val zBound = driftHeadroom * bound * 1000000L
     val dayUs = 86400000000L
     val horizonUs = evictHorizonDays * dayUs
     val spark = daily.sparkSession
@@ -807,11 +871,24 @@ object StreamVelocity {
                 val sHead = ring.head
                 val l2 = (aNum * (r.cents * 1000000L - sHead) +
                   (aDen - aNum) * (l + b)) / aDen
-                b = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
-                val s2 = (gNum * (r.cents * 1000000L - l2) +
-                  (gDen - gNum) * sHead) / gDen
+                // per-step Z envelope (Seasonal.hwCentsBound doc):
+                // l2 is checked BEFORE it feeds the trend/season
+                // numerators, matching the batch lambda's inline lpG
+                def driftCheck(v: Long): Long = {
+                  require(math.abs(v) <= zBound,
+                    s"hwStates: smoothed state drifted past " +
+                      s"${driftHeadroom}x the Int64 input bound — " +
+                      "unstable alpha/beta/gamma for this series")
+                  v
+                }
+                val l2c = driftCheck(l2)
+                b = driftCheck(
+                  (bNum * (l2c - l) + (bDen - bNum) * b) / bDen)
+                val s2 = driftCheck(
+                  (gNum * (r.cents * 1000000L - l2c) +
+                    (gDen - gNum) * sHead) / gDen)
                 ring = ring.tail :+ s2
-                l = l2
+                l = l2c
               }
               n += 1L
             }

@@ -78,9 +78,13 @@ class HoltSpec extends SparkSpec {
 
   // === Holt–Winters (w22) ==============================================
 
-  private def runHw(cents: Seq[Long], period: Int, parts: Int = 1) =
+  private def runHw(cents: Seq[Long], period: Int, parts: Int = 1,
+                    aNum: Int = 3, aDen: Int = 10,
+                    bNum: Int = 3, bDen: Int = 10,
+                    gNum: Int = 3, gDen: Int = 10) =
     Seasonal.holtWinters(frame(cents, parts), "event_type", "ts_us",
-        "cents", period = period)
+        "cents", period = period, aNum = aNum, aDen = aDen,
+        bNum = bNum, bDen = bDen, gNum = gNum, gDen = gDen)
       .select("n_days", "level_fp", "trend_fp", "s_next_fp",
         "forecast1_fp", s"forecast${period}_fp")
       .as[(Long, Long, Long, Long, Long, Long)].head()
@@ -139,11 +143,83 @@ class HoltSpec extends SparkSpec {
   }
 
   test("holt-winters overflow guard fails loudly past the bound") {
-    val bound = Seasonal.fixedPointCentsBound(7)
+    val bound = Seasonal.hwCentsBound(7)
+    // the derivation (hwCentsBound doc): Int64 / S / maxCoef / (3h+1)
+    assert(bound == Long.MaxValue / S / 7L / 49L)
     val ex = intercept[IllegalArgumentException] {
       runHw(Seq(bound + 1L), period = 7)
     }
     assert(ex.getMessage.contains("fold bound"))
+  }
+
+  /** Greedy adversarial series for the triple recursion: at each step
+    * pick y = ±c to maximize the largest post-step state cell —
+    * stronger than plain alternation (it chases whichever resonance
+    * the (α,β,γ,p) filter has). BigInt arithmetic so the GENERATOR
+    * can never wrap even when the trajectory diverges; returns the
+    * chosen series and the worst |cell| reached.
+    */
+  private def greedyHwSeries(aNum: Long, aDen: Long, bNum: Long,
+                             bDen: Long, gNum: Long, gDen: Long,
+                             period: Int, c: Long,
+                             steps: Int): (Seq[Long], BigInt) = {
+    val cs = BigInt(c) * S
+    var l = cs; var b = BigInt(0)
+    var ring = Vector.fill(period)(BigInt(0))
+    var worst = cs
+    val ys = Vector.newBuilder[Long]
+    ys += c
+    (1 until steps).foreach { _ =>
+      val cands = Seq(c, -c).map { y =>
+        val sH = ring.head
+        val l2 = (aNum * (BigInt(y) * S - sH) + (aDen - aNum) * (l + b)) / aDen
+        val b2 = (bNum * (l2 - l) + (bDen - bNum) * b) / bDen
+        val s2 = (gNum * (BigInt(y) * S - l2) + (gDen - gNum) * sH) / gDen
+        (Seq(l2.abs, b2.abs, s2.abs).max, y, l2, b2, s2)
+      }
+      val (m, y, l2, b2, s2) = cands.maxBy(_._1)
+      l = l2; b = b2; ring = ring.tail :+ s2
+      worst = worst.max(m)
+      ys += y
+    }
+    (ys.result(), worst)
+  }
+
+  test("triple-recursion adversarial drift stays within the 16x " +
+      "envelope at the default ratios (ADVICE r12: the ring's y - s " +
+      "feedback pinned, not assumed)") {
+    Seq(2, 7).foreach { p =>
+      val (series, worst) =
+        greedyHwSeries(3, 10, 3, 10, 3, 10, p, 10000L, 500)
+      assert(worst <= BigInt(16L) * 10000L * S,
+        s"period $p: adversarial drift $worst past the 16x envelope")
+      // and the op replays the BigInt shadow exactly — no wrap, no
+      // spurious guard fire, ring fully engaged
+      val got = runHw(series, period = p)
+      val (l, bb, ring) = referenceHw(series, period = p)
+      assert(got == ((series.size.toLong, l, bb, ring.head,
+        l + bb + ring.head, l + p.toLong * bb + ring.last)))
+    }
+  }
+
+  test("per-step drift guard fires loudly on an unstable ratio corner " +
+      "instead of wrapping Int64 (ADVICE r12)") {
+    // alpha = beta = gamma = 7/8 at p = 7 resonates: greedy drift
+    // reaches ~65x the input bound — past the 16x envelope the input
+    // guard budgets for, and 28x past Int64 under the OLD 16x-slack
+    // bound (a silent wrap; DuckDB would have errored)
+    val bound = Seasonal.hwCentsBound(7)
+    val (series, worst) =
+      greedyHwSeries(7, 8, 7, 8, 7, 8, 7, bound, 600)
+    assert(worst > BigInt(16L) * bound * S,
+      "corner no longer adversarial — pick a harder one")
+    val ex = intercept[Exception] {
+      runHw(series, period = 7, aNum = 7, aDen = 8, bNum = 7, bDen = 8,
+        gNum = 7, gDen = 8)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("drifted past"))
   }
 
   test("transient-drift headroom: |l|+|b| stays within 8x the data " +

@@ -91,4 +91,42 @@ class PackingSpec extends SparkSpec {
       Packing.nextFitStats(docs, "id", "ntok", capacity = 0L, nShards = 1)
     }
   }
+
+  test("duplicate ids fail loudly: packing order is by id, so a tie " +
+      "would be engine-arbitrary (ADVICE r12)") {
+    val dup = Seq((1L, 5L), (2L, 6L), (2L, 7L)).toDF("id", "ntok")
+    val ex = intercept[IllegalArgumentException] {
+      Packing.chunkPack(dup, "id", "ntok", 10L, 1)
+    }
+    assert(ex.getMessage.contains("unique"))
+    intercept[IllegalArgumentException] {
+      Packing.nextFitStats(dup, "id", "ntok", 10L, 1)
+    }
+  }
+
+  test("eff_ppm overflow guard: tokens past Int64/1e6 per shard fail " +
+      "loudly instead of wrapping (ADVICE r12)") {
+    // the guard expression directly (driving 9.2e12 real tokens
+    // through the fold is not a test): one row at the cap passes,
+    // one past it raises
+    val cap = Long.MaxValue / 1000000L
+    val okRow = Seq((cap, 2L)).toDF("n_tokens", "n_bins")
+      .select(Packing.effPpmExpr(1000000000000L, "n_tokens", "n_bins")
+        .as("e")).as[Long].head()
+    assert(okRow == cap * 1000000L / 2000000000000L)
+    val ex = intercept[Exception] {
+      Seq((cap + 1L, 2L)).toDF("n_tokens", "n_bins")
+        .select(Packing.effPpmExpr(1000000000000L, "n_tokens", "n_bins"))
+        .head()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(ex).contains("overflow"))
+    // and the bins * capacity product is guarded too
+    val ex2 = intercept[Exception] {
+      Seq((100L, Long.MaxValue / 4L)).toDF("n_tokens", "n_bins")
+        .select(Packing.effPpmExpr(8L, "n_tokens", "n_bins")).head()
+    }
+    assert(messages(ex2).contains("overflow"))
+  }
 }

@@ -706,9 +706,37 @@ class StreamSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
     val last = spark.table(qn).filter($"nDocs" === 3L)
-      .select($"nTokens", $"nBins", $"nStraddling")
-      .as[(Long, Long, Long)].head()
-    assert(last == ((12L, 2L, 1L)), last.toString)
+      .select($"nTokens", $"nBins", $"nStraddling", $"ooo")
+      .as[(Long, Long, Long, Long)].head()
+    assert(last == ((12L, 2L, 1L, 0L)), last.toString)
+  }
+
+  test("streaming chunk-pack: a late smaller id counts into ooo — the " +
+      "staging contract is monitored, not assumed (ADVICE r12)") {
+    import graft.streaming.StreamPack
+    val stream = MemoryStream[(Long, Long)](spark)
+    val df = stream.toDF().toDF("doc_id", "ntok")
+    val qn = "pack_ooo_sink"
+    val q = StreamPack.chunkPackStates(df, "doc_id", "ntok",
+        capacity = 10L, nShards = 1)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((5L, 4L), (6L, 5L))
+      q.processAllAvailable()
+      // doc 2 arrives AFTER doc 6 was folded: it lands at offset 9
+      // (where the batch op would have put it at 0) and ooo flags it
+      stream.addData((2L, 3L))
+      q.processAllAvailable()
+      // a duplicate of the high-water id is also a violation
+      stream.addData((6L, 2L), (9L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(qn).select($"nDocs", $"ooo")
+      .as[(Long, Long)].collect().toMap
+    assert(rows(2L) == 0L, rows.toString)
+    assert(rows(3L) == 1L, rows.toString)
+    assert(rows(5L) == 2L, rows.toString)
   }
 
   // === state eviction (r11 verdict mandate #1) ========================
@@ -872,6 +900,71 @@ class StreamSpec extends SparkSpec {
     assert(hwGot.contains((2L, 13000000L, 2100000L)) &&
       hwGot.contains((1L, 7000000L, 0L)) && !hwGot.exists(_._1 == 3L),
       hwGot.toString)
+  }
+
+  test("eviction horizon: an idle KLL quantile state leaves the store " +
+      "and re-seeds as a FRESH sketch (r12 mandate: no exceptions " +
+      "among per-entity states)") {
+    import graft.streaming.StreamVelocity
+    val stream = MemoryStream[(String, Double, Long)](spark)
+    val df = stream.toDF().toDF("grp", "v", "ts")
+    val qn = "kll_evict_sink"
+    val q = StreamVelocity.kllQuantileStates(df, "grp", "v",
+        capacity = 16, percents = Seq(50), tsUsCol = "ts",
+        evictHorizonUs = 2000000L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", 1.0, 2000000L), ("a", 3.0, 2000000L),
+        ("b", 9.0, 2000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+      // b advances the watermark past a's hwm + horizon -> a evicts
+      stream.addData(("b", 9.0, 10000000L))
+      q.processAllAvailable()
+      stream.addData(("b", 9.0, 11000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 1L, "grp a's sketch must have evicted")
+      // a re-seeds: the evicted 1.0/3.0 history must NOT leak back in
+      stream.addData(("a", 100.0, 12000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+    } finally q.stop()
+    val aRows = spark.table(qn).filter($"grp" === "a")
+      .select($"n", explode($"q").as("e")).select($"n", $"e.est")
+      .as[(Long, Double)].collect().toSet
+    assert(aRows == Set((2L, 1.0), (1L, 100.0)), aRows.toString)
+  }
+
+  test("eviction horizon: an idle Misra-Gries state leaves the store " +
+      "and re-seeds (n and counters restart)") {
+    import graft.streaming.StreamSketch
+    val stream = MemoryStream[(String, Long, Long)](spark)
+    val df = stream.toDF().toDF("grp", "item", "ts")
+    val qn = "hh_evict_sink"
+    val q = StreamSketch.hhStates(df, "grp", "item", k = 2,
+        tsUsCol = "ts", evictHorizonUs = 2000000L)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", 7L, 2000000L), ("a", 7L, 2000000L),
+        ("b", 1L, 2000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+      stream.addData(("b", 1L, 10000000L))
+      q.processAllAvailable()
+      stream.addData(("b", 1L, 11000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 1L, "grp a's counters must have evicted")
+      // re-seed: n restarts, item 7's old count must not survive
+      stream.addData(("a", 5L, 12000000L))
+      q.processAllAvailable()
+      assert(lastStateRows(q) == 2L)
+    } finally q.stop()
+    val aRows = spark.table(qn).filter($"grp" === "a")
+      .select($"n", $"hh").as[(Long, Seq[(Long, Long)])].collect().toSet
+    assert(aRows == Set((2L, Seq((7L, 2L))), (1L, Seq((5L, 1L)))),
+      aRows.toString)
   }
 
   test("eviction x reorder: a timed-out key DRAINS its held buffer " +
