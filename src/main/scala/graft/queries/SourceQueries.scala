@@ -746,6 +746,52 @@ object SourceQueries extends QuerySet {
         .orderBy(col("shard"))
     }),
 
+    // §2.6 × t30: streaming document-boundary next-fit packing — the
+    // OPEN BIN (two longs) as per-shard state, so a bin straddles
+    // micro-batch boundaries exactly as the batch fold's cells carry;
+    // three id-ordered batches, last emission per shard equals the
+    // batch two-cell fold (same oracle as t30).
+    "st33_stream_nextfit_pack" -> ((s, d) => {
+      val stage = Tables.stageDir(s, "st33_in")
+      val toks = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("doc_id").isNotNull &&
+          length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("ntok"))
+      val stats = toks.agg(min(col("doc_id")), max(col("doc_id"))).first()
+      val (mnId, mxId) = (stats.getLong(0), stats.getLong(1))
+      val span = (mxId - mnId) / 3 + 1
+      val base = System.currentTimeMillis()
+      (0 until 3).foreach { i =>
+        Tables.stageOne(stage,
+          toks.filter(col("doc_id") >= mnId + i * span &&
+            col("doc_id") < mnId + (i + 1) * span),
+          s"b$i", base - 240000 + i * 60000)
+      }
+      val schema = s.read.parquet(s"$stage/b0.parquet").schema
+      val qn = "st33_nf_sink"
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", Tables.streamParts)
+      try {
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.StreamPack.nextFitStates(
+            src, "doc_id", "ntok", capacity = 512L, nShards = 8)
+          .toDF.writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .groupBy(col("shard"))
+        .agg(max(col("nDocs")).as("n_docs"),
+          max_by(col("nTokens"), col("nDocs")).as("n_tokens"),
+          max_by(col("nBins"), col("nDocs")).as("n_bins"),
+          max_by(col("lastFill"), col("nDocs")).as("last_fill"),
+          max_by(col("nOversize"), col("nDocs")).as("n_oversize"),
+          max_by(col("effPpm"), col("nDocs")).as("eff_ppm"))
+        .orderBy(col("shard"))
+    }),
+
     // Streaming heavy hitters at k counters of state (§2.6 × a50):
     // the Misra–Gries summary maintained as streaming aggregation
     // state across four micro-batches — constant per-group state on
@@ -1676,6 +1722,7 @@ object SourceQueries extends QuerySet {
     "st30_stream_kll_state" -> MetricsQueries.kllOracleSql,
     "st31_stream_hh_state" -> MetricsQueries.hhOracleSql,
     "st32_stream_chunk_pack" -> TextQueries.chunkPackOracleSql,
+    "st33_stream_nextfit_pack" -> TextQueries.nextFitOracleSql,
     "st26_stream_heavy_hitters" -> MetricsQueries.hhOracleSql,
     // the linear sketch's streaming fold is bit-equal to batch a51
     "st27_stream_ams_f2" -> MetricsQueries.amsOracleSql,

@@ -54,6 +54,19 @@ object TextQueries extends QuerySet {
           "ntok", capacity = 512L, nShards = 8)
         .orderBy(col("shard"))),
 
+    // Training-sequence packing, first-fit-decreasing (the waste-
+    // minimizing no-straddle discipline production batch-builders use;
+    // 11/9-OPT where next-fit promises only 2-OPT): docs sort by
+    // length desc within the shard, each lands in the FIRST open bin
+    // that fits. The open-bin fill VECTOR is the fold state; the
+    // oracle replays the identical fold as a list_reduce over fill
+    // lists. eff_ppm vs t30's on the same corpus is the discipline-
+    // selection signal the capacity choice is tuned on.
+    "t31_ffd_pack" -> ((s, d) =>
+      graft.ops.Packing.ffdStats(docTokens(s, d), "doc_id",
+          "ntok", capacity = 512L, nShards = 8)
+        .orderBy(col("shard"))),
+
     // Distinctive terms per source ("Fightin' Words" log-odds with a
     // flat Dirichlet prior, z-scored): what each slice of the corpus
     // over-represents vs the rest. z is 7dp-rounded before the per-
@@ -484,14 +497,14 @@ object TextQueries extends QuerySet {
                   AS n_straddling
          FROM c GROUP BY shard ORDER BY shard"""
 
-  def oracle: Map[String, String] = Map(
-    "t29_chunk_pack" -> chunkPackOracleSql,
-
-    // replay next-fit packing: the (bins, fill) two-cell fold as
-    // list_reduce over the id-ordered token list (the first lifted
-    // pair IS the seed), every step BIGINT
-    "t30_nextfit_pack" ->
-      """WITH d AS (SELECT doc_id AS id,
+  /** Shared by batch t30 and streaming st33 (the open-bin two-long
+    * state is the fold cells carried across batches): replay next-fit
+    * packing — the (bins, fill) two-cell fold as list_reduce over the
+    * id-ordered token list (the first lifted pair IS the seed), every
+    * step BIGINT.
+    */
+  private[queries] val nextFitOracleSql: String =
+    """WITH d AS (SELECT doc_id AS id,
                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
                  AS tok
              FROM documents
@@ -515,6 +528,52 @@ object TextQueries extends QuerySet {
                 st[1] AS n_bins, st[2] AS last_fill, n_oversize,
                 CAST(n_tokens * 1000000 // (st[1] * 512) AS BIGINT)
                   AS eff_ppm
+         FROM f ORDER BY shard"""
+
+  def oracle: Map[String, String] = Map(
+    "t29_chunk_pack" -> chunkPackOracleSql,
+
+    "t30_nextfit_pack" -> nextFitOracleSql,
+
+    // replay first-fit-decreasing: the fold accumulator IS the
+    // open-bin fill list (seeded by the largest doc), docs in
+    // (tok DESC, id ASC) order; the first-fit index is the head of a
+    // filtered 1-based range, inlined twice (no lets in lambdas —
+    // the same stance as the Spark fold's expression)
+    "t31_ffd_pack" ->
+      """WITH d AS (SELECT doc_id AS id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS tok
+             FROM documents
+             WHERE text IS NOT NULL AND doc_id IS NOT NULL
+               AND len(trim(text)) > 0),
+         s AS (SELECT id, tok, id % 8 AS shard FROM d),
+         g AS (SELECT shard, COUNT(*) AS n_docs,
+                 CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oversize,
+                 list(tok ORDER BY tok DESC, id) AS toks
+               FROM s GROUP BY shard),
+         f AS (SELECT shard, n_docs, n_tokens, n_oversize,
+                 list_reduce(
+                   list_transform(toks, t -> [t]),
+                   (acc, x) -> CASE
+                     WHEN list_filter(range(1, len(acc) + 1),
+                            i -> acc[i] + x[1] <= 512)[1] IS NULL
+                     THEN list_append(acc, x[1])
+                     ELSE list_transform(range(1, len(acc) + 1),
+                            j -> CASE WHEN j =
+                                   list_filter(range(1, len(acc) + 1),
+                                     i -> acc[i] + x[1] <= 512)[1]
+                                 THEN acc[j] + x[1] ELSE acc[j] END)
+                   END) AS fills
+               FROM g)
+         SELECT shard, n_docs, n_tokens, n_oversize,
+                CAST(len(fills) AS BIGINT) AS n_bins,
+                CAST(list_min(fills) AS BIGINT) AS min_fill,
+                CAST(list_max(fills) AS BIGINT) AS max_fill,
+                CAST(n_tokens * 1000000 // (len(fills) * 512)
+                  AS BIGINT) AS eff_ppm
          FROM f ORDER BY shard""",
 
     "t27_ngram_novelty" ->

@@ -32,6 +32,76 @@ object StreamPack {
   case class PackState(nDocs: Long, off: Long, nStraddling: Long,
                        lastId: Long, ooo: Long)
 
+  case class NfRow(shard: Long, nDocs: Long, nTokens: Long,
+                   nBins: Long, lastFill: Long, nOversize: Long,
+                   effPpm: Long, ooo: Long)
+  case class NfState(nDocs: Long, nTokens: Long, bins: Long,
+                     fill: Long, nOversize: Long, lastId: Long,
+                     ooo: Long)
+
+  /** Streaming document-boundary next-fit —
+    * [[graft.ops.Packing.nextFitStats]] maintained IN the stream
+    * (r12 verdict mandate #6, completing st32's family): the state
+    * per shard is the OPEN BIN — two longs (bins opened, current
+    * fill) plus counters — folded over id-ordered docs continuing
+    * across micro-batches, so a bin can straddle a batch boundary: a
+    * doc arriving next batch that would overflow the open bin closes
+    * it exactly as the batch fold would have. LAST emission per
+    * shard equals the batch op's stats (st33 shares t30's oracle);
+    * same monitored cross-batch id contract (`ooo`) as
+    * [[chunkPackStates]], same loud eff_ppm overflow stance as the
+    * batch op (JVM-side here).
+    */
+  def nextFitStates(docs: DataFrame, idCol: String, tokensCol: String,
+                    capacity: Long, nShards: Int): Dataset[NfRow] = {
+    require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards in [1, 2^20], got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
+        col(tokensCol) >= 1L)
+      .select(pmod(col(idCol).cast("long"), lit(nShards.toLong))
+          .as("shard"),
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("tok"))
+      .as[PackEvent]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[NfState, NfRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[PackEvent],
+         state: GroupState[NfState]) =>
+          val sorted = rows.toArray.sortBy(_.id)
+          val s0 = state.getOption.getOrElse(
+            NfState(0L, 0L, 0L, 0L, 0L, Long.MinValue, 0L))
+          var (nd, nt, bins, fill) = (s0.nDocs, s0.nTokens, s0.bins,
+            s0.fill)
+          var nOver = s0.nOversize
+          val ooo = s0.ooo + sorted.count(_.id <= s0.lastId).toLong
+          val lastId =
+            if (sorted.isEmpty) s0.lastId
+            else math.max(s0.lastId, sorted.last.id)
+          sorted.foreach { r =>
+            if (r.tok > capacity) nOver += 1L
+            if (bins == 0L) { bins = 1L; fill = r.tok }
+            else if (fill + r.tok <= capacity) fill += r.tok
+            else { bins += 1L; fill = r.tok }
+            nt += r.tok
+            nd += 1L
+          }
+          state.update(NfState(nd, nt, bins, fill, nOver, lastId, ooo))
+          if (sorted.nonEmpty) {
+            // the batch op's loud eff_ppm overflow stance (JVM form)
+            require(nt <= Long.MaxValue / 1000000L &&
+              bins <= Long.MaxValue / capacity,
+              s"packing eff_ppm would overflow Int64: tokens=$nt, " +
+                s"bins=$bins, capacity=$capacity; split the shard")
+            Iterator(NfRow(shard, nd, nt, bins, fill, nOver,
+              nt * 1000000L / (bins * capacity), ooo))
+          } else Iterator.empty
+      }
+  }
+
   def chunkPackStates(docs: DataFrame, idCol: String, tokensCol: String,
                       capacity: Long, nShards: Int): Dataset[PackRow] = {
     require(capacity >= 1L, s"capacity must be >= 1, got $capacity")

@@ -92,6 +92,58 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("first-fit-decreasing beats next-fit on the classic instance " +
+      "(r12 mandate #3: the discipline comparison IS the capability)") {
+    // cap 10, toks by id = [2,5,4,7,1,3,8]: next-fit (id order) opens
+    // 5 bins; FFD sorts to [8,7,5,4,3,2,1] and packs 3 perfect bins
+    val docs = Seq((1L, 2L), (2L, 5L), (3L, 4L), (4L, 7L), (5L, 1L),
+      (6L, 3L), (7L, 8L)).toDF("id", "ntok")
+    val nf = Packing.nextFitStats(docs, "id", "ntok", 10L, 1)
+      .select($"n_bins", $"eff_ppm").as[(Long, Long)].head()
+    assert(nf == ((5L, 30L * 1000000L / 50L)), nf.toString)
+    val ffd = Packing.ffdStats(docs, "id", "ntok", 10L, 1)
+      .select($"n_bins", $"min_fill", $"max_fill", $"eff_ppm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(ffd == ((3L, 10L, 10L, 1000000L)), ffd.toString)
+  }
+
+  test("ffd: first-fit scans bins in OPEN order (not best-fit); " +
+      "oversize docs open a bin alone; plain-Scala replay agrees") {
+    // cap 10, sorted desc = [9,5,4,4]: 9 -> b1; 5 -> b2; 4 -> b2=9
+    // (first fit, though b1 would leave less slack); 4 -> b3
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 4L), (4L, 4L))
+      .toDF("id", "ntok")
+    val got = Packing.ffdStats(docs, "id", "ntok", 10L, 1)
+      .select($"n_bins", $"min_fill", $"max_fill").as[(Long, Long, Long)]
+      .head()
+    assert(got == ((3L, 4L, 9L)), got.toString)
+    // oversize: 12 > cap takes a bin alone and accepts nothing
+    val over = Packing.ffdStats(
+      Seq((1L, 12L), (2L, 3L), (3L, 2L)).toDF("id", "ntok"),
+      "id", "ntok", 10L, 1)
+      .select($"n_bins", $"n_oversize", $"max_fill")
+      .as[(Long, Long, Long)].head()
+    assert(over == ((2L, 1L, 12L)), over.toString)
+    // randomized replay: the SQL fold == the algorithm in plain Scala
+    def replay(desc: Seq[Long], cap: Long): Vector[Long] =
+      desc.foldLeft(Vector.empty[Long]) { (bins, t) =>
+        bins.indexWhere(_ + t <= cap) match {
+          case -1 => bins :+ t
+          case i => bins.updated(i, bins(i) + t)
+        }
+      }
+    val rnd = new scala.util.Random(31)
+    val big = (1L to 400L).map(i => (i, 1L + rnd.nextInt(600).toLong))
+    val fills = replay(
+      big.sortBy { case (id, t) => (-t, id) }.map(_._2), 512L)
+    val r = Packing.ffdStats(big.toDF("id", "ntok"), "id", "ntok",
+        512L, 1)
+      .select($"n_bins", $"min_fill", $"max_fill", $"n_tokens")
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((fills.size.toLong, fills.min, fills.max, fills.sum)),
+      r.toString)
+  }
+
   test("duplicate ids fail loudly: packing order is by id, so a tie " +
       "would be engine-arbitrary (ADVICE r12)") {
     val dup = Seq((1L, 5L), (2L, 6L), (2L, 7L)).toDF("id", "ntok")

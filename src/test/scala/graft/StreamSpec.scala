@@ -711,6 +711,43 @@ class StreamSpec extends SparkSpec {
     assert(last == ((12L, 2L, 1L, 0L)), last.toString)
   }
 
+  test("streaming next-fit: the OPEN BIN crosses the batch boundary — " +
+      "a doc arriving next batch that would overflow it closes it " +
+      "exactly as the batch fold (r12 mandate #6)") {
+    import graft.streaming.StreamPack
+    val stream = MemoryStream[(Long, Long)](spark)
+    val df = stream.toDF().toDF("doc_id", "ntok")
+    val qn = "nf_state_sink"
+    val q = StreamPack.nextFitStates(df, "doc_id", "ntok",
+        capacity = 10L, nShards = 1)
+      .toDF.writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 4L), (2L, 5L)) // open bin ends batch 1 at 9
+      q.processAllAvailable()
+      stream.addData((3L, 3L), (4L, 12L)) // 3 overflows -> bin 2; 12
+      q.processAllAvailable()             // oversize -> bin 3 alone
+      stream.addData((5L, 6L))            // 12 + 6 > 10 -> bin 4
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(qn)
+      .select($"nDocs", $"nBins", $"lastFill", $"nOversize", $"effPpm",
+        $"ooo")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(rows == Set(
+      (2L, 1L, 9L, 0L, 900000L, 0L),
+      (4L, 3L, 12L, 1L, 24L * 1000000L / 30L, 0L),
+      (5L, 4L, 6L, 1L, 30L * 1000000L / 40L, 0L)), rows.toString)
+    // and the final tick equals the batch op on the union of batches
+    val batch = graft.ops.Packing.nextFitStats(
+      Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 12L), (5L, 6L))
+        .toDF("doc_id", "ntok"), "doc_id", "ntok", 10L, 1)
+      .select($"n_docs", $"n_bins", $"last_fill", $"n_oversize",
+        $"eff_ppm").as[(Long, Long, Long, Long, Long)].head()
+    assert(batch == ((5L, 4L, 6L, 1L, 30L * 1000000L / 40L)),
+      batch.toString)
+  }
+
   test("streaming chunk-pack: a late smaller id counts into ooo — the " +
       "staging contract is monitored, not assumed (ADVICE r12)") {
     import graft.streaming.StreamPack
