@@ -189,6 +189,85 @@ object Community {
         col("b").isNotNull.as("moved"))
   }
 
+  case class LouvainResult(membership: DataFrame, trace: DataFrame)
+
+  /** FULL Louvain to convergence (r12 verdict mandate #4): the
+    * [[greedyMovePassW]] → [[coarsen]] pair iterated until a level's
+    * sweep makes ZERO moves or `maxLevels` is reached — level 1 on
+    * the fine graph, every deeper level on the coarse graph with
+    * `downOnly` (the synchronous-swap breaker; g17's stance). The new
+    * surface over g17 is the TERMINATION RULE and the membership
+    * COMPOSITION across levels, both chosen to be replayable by a
+    * static SQL unroll: a converged level is a fixed point (zero
+    * moves ⇒ singleton membership ⇒ coarsen is the identity ⇒ every
+    * deeper sweep also moves nothing), so the early stop below and an
+    * oracle that computes all `maxLevels` levels unconditionally
+    * produce IDENTICAL outputs — the stopped levels just repeat.
+    *
+    * Returns `membership` — one row per FINE node with its community
+    * at every level (`node`, `c1`, …, `c<maxLevels>`; post-
+    * convergence columns repeat the converged label) — and `trace` —
+    * one row per EXECUTED level (`level`, `n_comms`, `moves`,
+    * `q_total` at the 4m² scale; level 0 is the singleton baseline,
+    * level k > 1 executed iff level k−1 moved; coarsening exactness
+    * makes each coarse q_total THE fine-partition modularity).
+    *
+    * Scale shape: every per-level frame is node/community-bounded and
+    * eagerly cut ([[graft.ops.Layout.materializeBounded]] — the g17
+    * lesson: persist-only boundaries re-expanded the level-1 subtree
+    * ~50× into the analyzer); per-level cost SHRINKS with the
+    * community count because every level-k shuffle runs on the
+    * level-(k−1) coarse graph. The driver holds only the per-level
+    * scalar counts (moves, q) — membership stays distributed.
+    */
+  def louvain(edges: DataFrame, maxLevels: Int = 3): LouvainResult = {
+    require(maxLevels >= 1 && maxLevels <= 8,
+      s"maxLevels in [1, 8], got $maxLevels")
+    val cut = (df: DataFrame) =>
+      graft.ops.Layout.materializeBounded(df, maxRows = 10000000L)
+    val e0 = lift(edges)
+    val nodes0 = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node"))).distinct()
+    var fine = cut(nodes0.withColumn("c0", col("node")))
+    val q0 = modularityStatsW(e0, nodes0.withColumn("comm", col("node")))
+      .agg(coalesce(sum(col("q_num")), lit(0L))).head().getLong(0)
+    val trace = Vector.newBuilder[(Long, Long, Long, Long)]
+    trace += ((0L, fine.count(), 0L, q0))
+    var wedges = cut(e0)
+    var level = 1
+    var converged = false
+    while (level <= maxLevels && !converged) {
+      val cnodes = wedges.select(col("u").as("node"))
+        .unionByName(wedges.select(col("v").as("node"))).distinct()
+      val memb = cut(greedyMovePassW(wedges,
+        cnodes.withColumn("comm", col("node")),
+        downOnly = level >= 2))
+      val moves = memb.filter(col("moved")).count()
+      val mb = memb.select(col("node"), col("comm"))
+      val qk = modularityStatsW(wedges, mb)
+        .agg(coalesce(sum(col("q_num")), lit(0L))).head().getLong(0)
+      val nComms = mb.select(col("comm")).distinct().count()
+      trace += ((level.toLong, nComms, moves, qk))
+      fine = cut(fine.join(
+        mb.select(col("node").as("__prev"), col("comm").as(s"c$level")),
+        fine(s"c${level - 1}") === col("__prev")).drop("__prev"))
+      if (moves == 0L) converged = true
+      else wedges = cut(coarsen(wedges, mb))
+      level += 1
+    }
+    // post-convergence levels repeat the converged label (object doc)
+    var k = level
+    while (k <= maxLevels) {
+      fine = fine.withColumn(s"c$k", col(s"c${k - 1}"))
+      k += 1
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    LouvainResult(
+      fine.drop("c0"),
+      trace.result().toDF("level", "n_comms", "moves", "q_total"))
+  }
+
   /** Weighted degree per node: Σ incident non-self weight + 2 × own
     * self-loop weight (class doc — the convention that preserves
     * modularity under coarsening).

@@ -181,6 +181,41 @@ object GraphQueries extends QuerySet {
       pinned
     }),
 
+    // FULL Louvain to convergence (r12 mandate #4): sweep -> coarsen
+    // looped until a level moves nothing (fixed point: zero moves =>
+    // identity coarsen => every deeper level repeats), depth-capped
+    // at 3 — the composed per-level membership for every FINE node.
+    // Level 3 genuinely fires on this corpus; the oracle unrolls all
+    // three levels unconditionally (the fixed-point argument makes
+    // that equal to the early-stopped loop).
+    "g18_louvain_full" -> ((s, d) => {
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = edges(s, d).persist(disk)
+      val out = graft.ops.Community.louvain(e, maxLevels = 3)
+        .membership.orderBy(col("node"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 10000000L)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
+    // The per-level modularity trace of g18's run: level 0 is the
+    // singleton baseline, each executed level reports its community
+    // count, move count, and 4m²-scaled modularity numerator total
+    // (coarsening exactness makes every coarse total THE fine-
+    // partition modularity). Unexecuted post-convergence levels are
+    // absent — the termination rule is on the oracle.
+    "g18b_louvain_trace" -> ((s, d) => {
+      val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e = edges(s, d).persist(disk)
+      val out = graft.ops.Community.louvain(e, maxLevels = 3)
+        .trace.orderBy(col("level"))
+      val pinned = graft.ops.Layout.materializeBounded(out,
+        maxRows = 1000L)
+      e.unpersist(blocking = false)
+      pinned
+    }),
+
     // Semi-supervised label spreading: three fraud-typology seed
     // classes (user_id % 3 on the % 37 seed set) diffuse two integer
     // fixed-point rounds through the co-attribute graph in ONE edge
@@ -309,6 +344,138 @@ object GraphQueries extends QuerySet {
          e AS (SELECT a.u AS u, b.u AS v, COUNT(*) AS shared
                FROM pa a JOIN pa b ON a.attr = b.attr AND a.u < b.u
                GROUP BY 1, 2)"""
+
+  /** The shared g18/g18b replay chain: the g17 oracle's level-1 sweep
+    * + coarsen + downOnly level-2 sweep, extended one more coarsen +
+    * downOnly sweep to level 3, with per-level modularity totals.
+    * Multi-referenced CTEs materialize (the n19 lesson). Static
+    * unrolling equals the op's early-stopped loop because a converged
+    * level is a fixed point (zero moves ⇒ identity coarsen ⇒ the
+    * deeper sweeps repeat it).
+    */
+  private lazy val louvainChainSql: String =
+    s"""$prelude,
+         sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v
+                 FROM e),
+         deg AS MATERIALIZED (SELECT u AS node, COUNT(*) AS k
+                FROM sym GROUP BY 1),
+         mm AS (SELECT COUNT(*) AS m FROM e),
+         links AS (SELECT u AS node, v AS b, COUNT(*) AS kic FROM sym
+                   GROUP BY 1, 2),
+         gains AS (SELECT l.node, l.b,
+                     4 * mm.m * l.kic
+                       - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                   FROM links l
+                   JOIN deg dn ON l.node = dn.node
+                   JOIN deg db ON l.b = db.node
+                   CROSS JOIN mm),
+         best AS (SELECT node, b FROM (
+                    SELECT node, b, ROW_NUMBER() OVER (
+                      PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                    FROM gains WHERE gain > 0) t
+                  WHERE rn = 1),
+         nodes AS (SELECT DISTINCT u AS node FROM sym),
+         mb1 AS MATERIALIZED (SELECT n.node, COALESCE(be.b, n.node) AS lbl
+                FROM nodes n LEFT JOIN best be ON n.node = be.node),
+         ds1 AS (SELECT mb1.lbl AS comm, SUM(deg.k) AS d_sum
+                 FROM mb1 JOIN deg ON mb1.node = deg.node GROUP BY 1),
+         ein1 AS (SELECT a.lbl AS comm, COUNT(*) AS e_in
+                  FROM e JOIN mb1 a ON e.u = a.node
+                         JOIN mb1 b ON e.v = b.node
+                  WHERE a.lbl = b.lbl GROUP BY 1),
+         q1 AS (SELECT SUM(4 * mm.m * COALESCE(ein1.e_in, 0)
+                  - ds1.d_sum * ds1.d_sum) AS q1_total
+                FROM ds1 LEFT JOIN ein1 ON ds1.comm = ein1.comm
+                CROSS JOIN mm),
+         ce AS MATERIALIZED (SELECT LEAST(a.lbl, b.lbl) AS u,
+                  GREATEST(a.lbl, b.lbl) AS v, COUNT(*) AS w
+                FROM e JOIN mb1 a ON e.u = a.node
+                       JOIN mb1 b ON e.v = b.node
+                GROUP BY 1, 2),
+         cns AS (SELECT u, v, w FROM ce WHERE u <> v),
+         csym AS (SELECT u, v, w FROM cns
+                  UNION ALL SELECT v AS u, u AS v, w FROM cns),
+         cdeg AS MATERIALIZED (SELECT node, SUM(w) AS k FROM (
+                  SELECT u AS node, w FROM csym
+                  UNION ALL
+                  SELECT u AS node, 2 * w AS w FROM ce WHERE u = v) q
+                GROUP BY 1),
+         clinks AS (SELECT u AS node, v AS c, SUM(w) AS kic FROM csym
+                    GROUP BY 1, 2),
+         cgains AS (SELECT l.node, l.c AS b,
+                      4 * mm.m * l.kic
+                        - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                    FROM clinks l
+                    JOIN cdeg dn ON l.node = dn.node
+                    JOIN cdeg db ON l.c = db.node
+                    CROSS JOIN mm
+                    WHERE l.c < l.node),
+         cbest AS (SELECT node, b FROM (
+                     SELECT node, b, ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY gain DESC, b ASC) AS rn
+                     FROM cgains WHERE gain > 0) t
+                   WHERE rn = 1),
+         cnodes AS (SELECT DISTINCT node FROM (
+                      SELECT u AS node FROM ce
+                      UNION ALL SELECT v AS node FROM ce) q),
+         mb2 AS MATERIALIZED (SELECT n.node, COALESCE(cb.b, n.node) AS lbl
+                FROM cnodes n LEFT JOIN cbest cb ON n.node = cb.node),
+         ds2 AS (SELECT mb2.lbl AS comm, SUM(cdeg.k) AS d_sum
+                 FROM mb2 JOIN cdeg ON mb2.node = cdeg.node GROUP BY 1),
+         ein2 AS (SELECT a.lbl AS comm, SUM(ce.w) AS e_in
+                  FROM ce JOIN mb2 a ON ce.u = a.node
+                          JOIN mb2 b ON ce.v = b.node
+                  WHERE a.lbl = b.lbl GROUP BY 1),
+         q2 AS (SELECT SUM(4 * mm.m * COALESCE(ein2.e_in, 0)
+                  - ds2.d_sum * ds2.d_sum) AS q2_total
+                FROM ds2 LEFT JOIN ein2 ON ds2.comm = ein2.comm
+                CROSS JOIN mm),
+         ce2 AS MATERIALIZED (SELECT LEAST(a.lbl, b.lbl) AS u,
+                  GREATEST(a.lbl, b.lbl) AS v, SUM(ce.w) AS w
+                FROM ce JOIN mb2 a ON ce.u = a.node
+                        JOIN mb2 b ON ce.v = b.node
+                GROUP BY 1, 2),
+         cns2 AS (SELECT u, v, w FROM ce2 WHERE u <> v),
+         csym2 AS (SELECT u, v, w FROM cns2
+                   UNION ALL SELECT v AS u, u AS v, w FROM cns2),
+         cdeg2 AS MATERIALIZED (SELECT node, SUM(w) AS k FROM (
+                   SELECT u AS node, w FROM csym2
+                   UNION ALL
+                   SELECT u AS node, 2 * w AS w FROM ce2 WHERE u = v) q
+                 GROUP BY 1),
+         clinks2 AS (SELECT u AS node, v AS c, SUM(w) AS kic FROM csym2
+                     GROUP BY 1, 2),
+         cgains2 AS (SELECT l.node, l.c AS b,
+                       4 * mm.m * l.kic
+                         - 2 * dn.k * (db.k - dn.k + dn.k) AS gain
+                     FROM clinks2 l
+                     JOIN cdeg2 dn ON l.node = dn.node
+                     JOIN cdeg2 db ON l.c = db.node
+                     CROSS JOIN mm
+                     WHERE l.c < l.node),
+         cbest2 AS (SELECT node, b FROM (
+                      SELECT node, b, ROW_NUMBER() OVER (
+                        PARTITION BY node ORDER BY gain DESC, b ASC)
+                        AS rn
+                      FROM cgains2 WHERE gain > 0) t
+                    WHERE rn = 1),
+         cnodes2 AS (SELECT DISTINCT node FROM (
+                       SELECT u AS node FROM ce2
+                       UNION ALL SELECT v AS node FROM ce2) q),
+         mb3 AS MATERIALIZED (SELECT n.node,
+                  COALESCE(cb.b, n.node) AS lbl
+                FROM cnodes2 n LEFT JOIN cbest2 cb ON n.node = cb.node),
+         ds3 AS (SELECT mb3.lbl AS comm, SUM(cdeg2.k) AS d_sum
+                 FROM mb3 JOIN cdeg2 ON mb3.node = cdeg2.node
+                 GROUP BY 1),
+         ein3 AS (SELECT a.lbl AS comm, SUM(ce2.w) AS e_in
+                  FROM ce2 JOIN mb3 a ON ce2.u = a.node
+                           JOIN mb3 b ON ce2.v = b.node
+                  WHERE a.lbl = b.lbl GROUP BY 1),
+         q3 AS (SELECT SUM(4 * mm.m * COALESCE(ein3.e_in, 0)
+                  - ds3.d_sum * ds3.d_sum) AS q3_total
+                FROM ds3 LEFT JOIN ein3 ON ds3.comm = ein3.comm
+                CROSS JOIN mm)"""
 
   /** g13's oracle: the shared qualified (user, attr) prelude, then
     * `iters` unrolled half-round pairs — HUGEINT sums, max-rescale via
@@ -732,6 +899,57 @@ object GraphQueries extends QuerySet {
                 q2.q2_total >= q1.q1_total AS improved
          FROM rows2 CROSS JOIN q1 CROSS JOIN q2
          ORDER BY rows2.comm""",
+
+    // the g17 chain extended to THREE levels (g18's loop replayed as
+    // a static unroll — valid because a converged level is a fixed
+    // point) plus the membership COMPOSITION: c1 = level-1 label,
+    // c2 = level-2 label of c1, c3 = level-3 label of c2
+    "g18_louvain_full" ->
+      s"""$louvainChainSql
+         SELECT CAST(f.node AS BIGINT) AS node,
+                CAST(f.lbl AS BIGINT) AS c1,
+                CAST(m2.lbl AS BIGINT) AS c2,
+                CAST(m3.lbl AS BIGINT) AS c3
+         FROM mb1 f JOIN mb2 m2 ON f.lbl = m2.node
+                    JOIN mb3 m3 ON m2.lbl = m3.node
+         ORDER BY f.node""",
+
+    // g18's trace: level 0 = singleton baseline (q0 = −Σk² — e_in is
+    // 0 everywhere), level k > 1 present ONLY if level k−1 moved (the
+    // termination rule itself is on the oracle)
+    "g18b_louvain_trace" ->
+      s"""$louvainChainSql
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS level,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes)
+                    AS n_comms,
+                  CAST(0 AS BIGINT) AS moves,
+                  (SELECT CAST(-SUM(k * k) AS BIGINT) FROM deg)
+                    AS q_total
+           UNION ALL
+           SELECT CAST(1 AS BIGINT),
+                  (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM mb1),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb1
+                   WHERE lbl <> node),
+                  (SELECT CAST(q1_total AS BIGINT) FROM q1)
+           UNION ALL
+           SELECT CAST(2 AS BIGINT),
+                  (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM mb2),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb2
+                   WHERE lbl <> node),
+                  (SELECT CAST(q2_total AS BIGINT) FROM q2)
+           FROM (SELECT 1) one
+           WHERE (SELECT COUNT(*) FROM mb1 WHERE lbl <> node) > 0
+           UNION ALL
+           SELECT CAST(3 AS BIGINT),
+                  (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM mb3),
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM mb3
+                   WHERE lbl <> node),
+                  (SELECT CAST(q3_total AS BIGINT) FROM q3)
+           FROM (SELECT 1) one
+           WHERE (SELECT COUNT(*) FROM mb1 WHERE lbl <> node) > 0
+             AND (SELECT COUNT(*) FROM mb2 WHERE lbl <> node) > 0
+         ) t ORDER BY level""",
 
     // one deterministic local-move sweep from singletons: gain·4m² =
     // 4m·k_ib − 2·k_i·(d_b − d_a + k_i) with k_ia = 0 and d_a = k_i

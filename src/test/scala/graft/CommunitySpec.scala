@@ -123,6 +123,153 @@ class CommunitySpec extends SparkSpec {
     assert(q2 > q1)
   }
 
+  /** The full Louvain loop in plain Scala maps — the spec-side
+    * reference [[graft.ops.Community.louvain]] must match move for
+    * move: same synchronous sweep (max gain, smallest target id on
+    * ties, downOnly at level >= 2), same coarsen, same termination.
+    */
+  private def louvainReplay(edges0: Seq[(Long, Long)], maxLevels: Int)
+      : (Map[Long, Vector[Long]], Vector[(Long, Long, Long, Long)]) = {
+    var wedges: Map[(Long, Long), Long] =
+      edges0.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+        .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    def stats(we: Map[(Long, Long), Long], mb: Map[Long, Long]) = {
+      val m = we.values.sum
+      val deg = collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      we.foreach { case ((u, v), w) =>
+        if (u == v) deg(u) += 2L * w
+        else { deg(u) += w; deg(v) += w }
+      }
+      val dSum = deg.groupBy { case (n, _) => mb(n) }
+        .map { case (c, g) => c -> g.values.sum }
+      val eIn = we.toSeq.filter { case ((u, v), _) => mb(u) == mb(v) }
+        .groupBy { case ((u, _), _) => mb(u) }
+        .map { case (c, g) => c -> g.map(_._2).sum }
+        .withDefaultValue(0L)
+      val q = dSum.map { case (c, d) => 4L * m * eIn(c) - d * d }.sum
+      (m, deg.toMap.withDefaultValue(0L), dSum.withDefaultValue(0L), q)
+    }
+    def sweep(we: Map[(Long, Long), Long],
+              downOnly: Boolean): Map[Long, Long] = {
+      val nodes = we.keySet.flatMap(p => Seq(p._1, p._2))
+      val mb = nodes.map(n => n -> n).toMap
+      val (m, deg, dSum, _) = stats(we, mb)
+      val links = collection.mutable.Map.empty[(Long, Long), Long]
+        .withDefaultValue(0L)
+      we.foreach { case ((u, v), w) =>
+        if (u != v) {
+          links((u, mb(v))) += w
+          links((v, mb(u))) += w
+        }
+      }
+      nodes.map { i =>
+        val a = mb(i)
+        val kIa = links((i, a))
+        // toSeq first: collect on a Map would DEDUPE the (gain, b)
+        // pairs by gain, silently dropping tied candidates
+        val cands = links.toSeq.collect {
+          case ((n, b), kIb) if n == i && b != a &&
+              (!downOnly || b < a) =>
+            (4L * m * (kIb - kIa) -
+              2L * deg(i) * (dSum(b) - dSum(a) + deg(i)), b)
+        }.filter(_._1 > 0L)
+        if (cands.isEmpty) i -> a
+        else {
+          val best = cands.maxBy { case (g, b) => (g, -b) }
+          i -> best._2
+        }
+      }.toMap
+    }
+    val nodes0 = wedges.keySet.flatMap(p => Seq(p._1, p._2)).toVector.sorted
+    var fine: Map[Long, Vector[Long]] = nodes0.map(n => n -> Vector(n)).toMap
+    val q0 = stats(wedges, nodes0.map(n => n -> n).toMap)._4
+    val trace = Vector.newBuilder[(Long, Long, Long, Long)]
+    trace += ((0L, nodes0.size.toLong, 0L, q0))
+    var level = 1
+    var converged = false
+    while (level <= maxLevels && !converged) {
+      val mb = sweep(wedges, downOnly = level >= 2)
+      val moves = mb.count { case (n, c) => n != c }.toLong
+      val qk = stats(wedges, mb)._4
+      trace += ((level.toLong, mb.values.toSet.size.toLong, moves, qk))
+      fine = fine.map { case (n, cs) => n -> (cs :+ mb(cs.last)) }
+      if (moves == 0L) converged = true
+      else wedges = wedges.toSeq.map { case ((u, v), w) =>
+        ((math.min(mb(u), mb(v)), math.max(mb(u), mb(v))), w)
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      level += 1
+    }
+    val filled = fine.map { case (n, cs) =>
+      n -> (cs ++ Vector.fill(maxLevels + 1 - cs.size)(cs.last)).tail
+    }
+    (filled, trace.result())
+  }
+
+  test("full Louvain (r12 mandate #4): a two-tier clique hierarchy " +
+      "needs TWO coarsen rounds; the op matches the plain-Scala " +
+      "replay level for level") {
+    // four K4 cliques 0-3, 10-13, 20-23, 30-33; clique pairs bridged
+    // by two edges (0-10, 1-11 / 20-30, 21-31), the pair super-
+    // clusters by one (13-23) — level 1 collapses cliques, level 2
+    // merges bridged pairs, a genuinely hierarchical instance
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)
+    val edges = (k4(0) ++ k4(10) ++ k4(20) ++ k4(30) ++
+      Seq((0L, 10L), (1L, 11L), (20L, 30L), (21L, 31L), (13L, 23L)))
+      .map { case (u, v) => (u.toLong, v.toLong) }
+    val (refMemb, refTrace) = louvainReplay(edges, maxLevels = 3)
+    // the fixture is only valid if depth 3 genuinely executes
+    assert(refTrace.exists(t => t._1 == 2L && t._3 > 0L),
+      s"fixture converged before level 2: $refTrace")
+    assert(refTrace.exists(_._1 == 3L), s"level 3 never ran: $refTrace")
+    val res = graft.ops.Community.louvain(
+      edges.toDF("u", "v"), maxLevels = 3)
+    val gotTrace = res.trace
+      .select($"level", $"n_comms", $"moves", $"q_total")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toVector
+    assert(gotTrace == refTrace, s"got $gotTrace\nref $refTrace")
+    val gotMemb = res.membership.select($"node", $"c1", $"c2", $"c3")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Vector(r._2, r._3, r._4)).toMap
+    assert(gotMemb == refMemb,
+      s"membership diverged: ${gotMemb.toSeq.sortBy(_._1)}")
+    // and the final partition is the four cliques' two super-clusters
+    // or coarser — every clique must be intact inside one community
+    val byClique = gotMemb.groupBy { case (n, _) => n / 10L }
+      .map { case (c, g) => c -> g.values.map(_.last).toSet.size }
+    assert(byClique.values.forall(_ == 1), byClique.toString)
+  }
+
+  test("full Louvain: early stop is a fixed point — a clique " +
+      "converging at level 3 repeats its label through c4, and no " +
+      "level-4 trace row is emitted") {
+    // K4 alone: level 1 swaps (0<->1 pathology), level 2 downOnly
+    // merges to one community with one move, level 3 moves nothing ->
+    // converged; level 4 must not execute and c4 must repeat c3
+    val edges = (for { i <- 0 until 4; j <- i + 1 until 4 }
+      yield (i.toLong, j.toLong))
+    val (refMemb, refTrace) = louvainReplay(edges, maxLevels = 4)
+    assert(refTrace.size == 4 && refTrace.last._1 == 3L &&
+      refTrace.last._3 == 0L, refTrace.toString)
+    val res = graft.ops.Community.louvain(
+      edges.toDF("u", "v"), maxLevels = 4)
+    val gotTrace = res.trace
+      .select($"level", $"n_comms", $"moves", $"q_total")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toVector
+    assert(gotTrace == refTrace, s"got $gotTrace\nref $refTrace")
+    val gotMemb = res.membership
+      .select($"node", $"c1", $"c2", $"c3", $"c4")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> Vector(r._2, r._3, r._4, r._5)).toMap
+    assert(gotMemb == refMemb, gotMemb.toString)
+    gotMemb.values.foreach(cs => assert(cs(3) == cs(2),
+      s"post-convergence label must repeat: $cs"))
+    // and every node landed in the single merged community
+    assert(gotMemb.values.map(_.last).toSet.size == 1)
+  }
+
   test("overflow guard bounds (ADVICE r11): q_num square and gain " +
       "numerator both precede their true wrap points") {
     // in range: fine at the exact m bound with a tiny degree
