@@ -54,6 +54,46 @@ object TextQueries extends QuerySet {
           "ntok", capacity = 512L, nShards = 8)
         .orderBy(col("shard"))),
 
+    // Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    // model; r12 mandate #5) — Viterbi-EM over the corpus vocabulary:
+    // candidate substrings seed, two EM rounds re-segment every
+    // distinct word under the current integer log-prob scores and
+    // re-estimate from piece counts. ln() keeps this rows-only (the
+    // BPE-training t16 stance); t33 is the hash-exact portable twin
+    // (fixed-vocab Viterbi IS DuckDB-expressible), UnigramSpec pins a
+    // hand-derived EM round.
+    "t32_unigram_train" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("word"))
+        .filter(col("word").rlike("^[a-z]{1,20}$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      graft.ops.Unigram.trainUnigram(words, "word", "freq",
+          vocabSize = 24, emIters = 2)
+        .orderBy(col("cnt").desc, col("piece"))
+    }),
+
+    // Viterbi segmentation under a FIXED unigram vocabulary (t32's
+    // portable twin): the max-score split of every corpus word under
+    // literal integer piece scores — the DP is a codegen'd fold over
+    // character positions, the walk-back a second fold, all integer/
+    // string algebra; the oracle replays the DP as the same flat-
+    // array list_reduce and walks back with a recursive CTE.
+    "t33_unigram_segment" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(trim(lower(col("text"))), "\\s+"))
+          .as("word"))
+        .filter(col("word").rlike("^[a-z]{1,20}$"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      graft.ops.Unigram.segmentWords(words, "word",
+          unigramVocab, charFallback = UnigramFallback)
+        .select(col("word"), col("n"), col("n_pieces"),
+          col("score_fp"), col("seg"))
+        .orderBy(col("word"))
+    }),
+
     // Training-sequence packing, first-fit-decreasing (the waste-
     // minimizing no-straddle discipline production batch-builders use;
     // 11/9-OPT where next-fit promises only 2-OPT): docs sort by
@@ -465,6 +505,24 @@ object TextQueries extends QuerySet {
         .orderBy(col("lang")))
   )
 
+  /** t33's fixed vocabulary: subword pieces of the corpus's database-
+    * vocabulary words with integer fixed-point scores (micro-nat
+    * scale; more negative = rarer). Shared by the Spark CASE chain
+    * and the oracle replay so both engines score identically.
+    */
+  private[queries] val unigramVocab: Seq[(String, Long)] = Seq(
+    "jo" -> -900L, "in" -> -700L, "ha" -> -800L, "sh" -> -850L,
+    "ro" -> -950L, "ba" -> -800L, "tch" -> -950L, "sc" -> -900L,
+    "an" -> -700L, "col" -> -850L, "umn" -> -950L, "cust" -> -900L,
+    "omer" -> -950L, "fil" -> -900L, "ter" -> -750L, "sma" -> -950L,
+    "ll" -> -800L, "mer" -> -850L, "ge" -> -800L, "ta" -> -800L,
+    "ble" -> -900L, "val" -> -850L, "ue" -> -800L, "st" -> -750L,
+    "rea" -> -900L, "am" -> -800L, "win" -> -900L, "dow" -> -900L,
+    "spa" -> -900L, "rk" -> -850L, "gro" -> -900L, "up" -> -750L,
+    "par" -> -850L, "big" -> -800L, "agg" -> -800L, "key" -> -800L)
+
+  private[queries] val UnigramFallback = -1500L
+
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
   private val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
   private def hitsSql(words: Seq[String]): String =
@@ -530,8 +588,63 @@ object TextQueries extends QuerySet {
                   AS eff_ppm
          FROM f ORDER BY shard"""
 
+  /** t33's replay: the same flat-array Viterbi fold (DuckDB 1.0
+    * miscompiles struct-typed reduce ACCUMULATORS, so the dp stays a
+    * flat BIGINT list exactly like the Spark fold), back-pointers
+    * extracted by a plain transform, and the walk-back as a
+    * recursive CTE — pos strictly decreases to 0, one terminal row
+    * per word.
+    */
+  private def unigramSegmentOracle: String = {
+    val cases = unigramVocab
+      .map { case (p, s) => s"WHEN '$p' THEN $s" }.mkString(" ")
+    val piece = "substr(word, CAST(j AS INT) + 1, CAST(x[1] - j AS INT))"
+    val score = s"CASE $piece $cases ELSE CASE WHEN " +
+      s"length($piece) = 1 THEN $UnigramFallback " +
+      "ELSE -1000000000000 END END"
+    s"""WITH RECURSIVE words AS (
+           SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+                   '\\s+')) AS t
+                 FROM documents WHERE text IS NOT NULL)
+           WHERE regexp_matches(t, '^[a-z]{1,20}$$') GROUP BY t),
+         d AS MATERIALIZED (SELECT word, n,
+           list_reduce(
+             list_prepend([CAST(0 AS BIGINT), CAST(-1 AS BIGINT)],
+               list_transform(range(1, length(word) + 1), i -> [i])),
+             (acc, x) -> list_concat(acc, flatten(list_transform(
+               [list_aggregate(list_transform(
+                  range(greatest(x[1] - 4, 0), x[1]),
+                  j -> {'s': acc[CAST(2*j AS INT) + 1] + ($score),
+                        'nj': -j}), 'max')],
+               b -> [b.s, -b.nj])))) AS dp
+           FROM words),
+         b AS MATERIALIZED (SELECT word, n,
+           dp[2*length(word) + 1] AS score_fp,
+           list_transform(range(1, length(word) + 1),
+             p -> dp[CAST(2*p AS INT) + 2]) AS backs
+           FROM d),
+         walk AS (
+           SELECT word, CAST(length(word) AS BIGINT) AS pos,
+                  '' AS seg, CAST(0 AS BIGINT) AS np FROM b
+           UNION ALL
+           SELECT w.word, b.backs[CAST(w.pos AS INT)],
+                  substr(w.word,
+                    CAST(b.backs[CAST(w.pos AS INT)] AS INT) + 1,
+                    CAST(w.pos - b.backs[CAST(w.pos AS INT)] AS INT))
+                  || (CASE WHEN w.np > 0 THEN '|' ELSE '' END) || w.seg,
+                  w.np + 1
+           FROM walk w JOIN b ON w.word = b.word WHERE w.pos > 0)
+         SELECT b.word, b.n, wk.np AS n_pieces,
+                CAST(b.score_fp AS BIGINT) AS score_fp, wk.seg
+         FROM b JOIN walk wk ON b.word = wk.word AND wk.pos = 0
+         ORDER BY b.word"""
+  }
+
   def oracle: Map[String, String] = Map(
     "t29_chunk_pack" -> chunkPackOracleSql,
+
+    "t33_unigram_segment" -> unigramSegmentOracle,
 
     "t30_nextfit_pack" -> nextFitOracleSql,
 

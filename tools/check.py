@@ -79,6 +79,10 @@ ROWS_ONLY_META = {
         "iterative merge training (not SQL-expressible)",
         "t16b_bpe_tokenize_portable",
         "PipelineOpsSpec (canonical merge example)"),
+    "t32_unigram_train": (
+        "Viterbi-EM score re-estimation (`ln` fixed-point)",
+        "t33_unigram_segment (fixed-vocab Viterbi, oracle-green)",
+        "UnigramSpec (hand-derived EM round + DP)"),
 }
 
 def survey8(json_path):
