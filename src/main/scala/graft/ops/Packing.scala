@@ -46,25 +46,39 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The Int64 bound a single doc's token count must respect so
+    * every fit test below (`fill + tok <= capacity`) stays exact:
+    * fills never exceed max(capacity, largest oversize doc), so the
+    * test's sum is bounded by capacity + 2·maxTok.
+    */
+  private[graft] def maxTokBound(capacity: Long): Long =
+    (Long.MaxValue - capacity) / 2
+
   private def sharded(docs: DataFrame, idCol: String, tokensCol: String,
-                      nShards: Int): DataFrame = {
+                      nShards: Int, capacity: Long): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       s"nShards in [1, 2^20], got $nShards")
     val base = docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
         col(tokensCol) >= 1L)
       .select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("tok"))
-    // loud id-uniqueness contract, ONE aggregation (ADVICE r12; the
-    // SortedNeighborhood.positions pattern): every packing order below
-    // is "by id", so a duplicate id makes tied rows engine-arbitrary —
-    // start/bin/straddle and the fold order would diverge cross-engine
-    // SILENTLY. The packing pass itself shuffles the same frame, so
-    // the check never dominates.
+    // loud contract checks, ONE aggregation (ADVICE r12; the
+    // SortedNeighborhood.positions pattern): (a) ids unique — every
+    // packing order below is "by id", so a duplicate id makes tied
+    // rows engine-arbitrary and start/bin/straddle would diverge
+    // cross-engine SILENTLY; (b) single-doc token counts inside
+    // [[maxTokBound]] — past it a fold's fit test could wrap before
+    // any downstream guard sees the sum. The packing pass itself
+    // shuffles the same frame, so the check never dominates.
     val chk = base.agg(count(lit(1)).as("__n"),
-      count_distinct(col("id")).as("__nd")).head()
+      count_distinct(col("id")).as("__nd"),
+      max(col("tok")).as("__mx")).head()
     require(chk.getLong(0) == chk.getLong(1),
       s"$idCol must be unique for deterministic packing order: " +
         s"${chk.getLong(0)} rows but ${chk.getLong(1)} distinct ids")
+    require(chk.getLong(0) == 0L || chk.getLong(2) <= maxTokBound(capacity),
+      s"$tokensCol max ${chk.getLong(2)} exceeds the Int64 fit-test " +
+        s"bound ${maxTokBound(capacity)} at capacity $capacity")
     base.withColumn("shard", pmod(col("id"), lit(nShards.toLong)))
   }
 
@@ -78,7 +92,7 @@ object Packing {
     require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
     val w = Window.partitionBy(col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded(docs, idCol, tokensCol, nShards)
+    sharded(docs, idCol, tokensCol, nShards, capacity)
       .withColumn("start", sum(col("tok")).over(w) - col("tok"))
       .withColumn("bin_first", expr(s"start div ${capacity}L"))
       .withColumn("bin_last",
@@ -117,7 +131,7 @@ object Packing {
   def nextFitStats(docs: DataFrame, idCol: String, tokensCol: String,
                    capacity: Long, nShards: Int): DataFrame = {
     require(capacity >= 1L, s"capacity must be >= 1, got $capacity")
-    sharded(docs, idCol, tokensCol, nShards)
+    sharded(docs, idCol, tokensCol, nShards, capacity)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),
@@ -166,7 +180,7 @@ object Packing {
     // sequence is 0-based like Spark's [] indexing
     val idx = "try_element_at(filter(sequence(0, size(acc) - 1), " +
       s"i -> acc[i] + t <= ${capacity}L), 1)"
-    sharded(docs, idCol, tokensCol, nShards)
+    sharded(docs, idCol, tokensCol, nShards, capacity)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok")).as("n_tokens"),

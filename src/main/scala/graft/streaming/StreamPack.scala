@@ -82,6 +82,11 @@ object StreamPack {
             if (sorted.isEmpty) s0.lastId
             else math.max(s0.lastId, sorted.last.id)
           sorted.foreach { r =>
+            // the batch op's fit-test bound (Packing.maxTokBound):
+            // past it `fill + tok` could wrap before any guard
+            require(r.tok <= graft.ops.Packing.maxTokBound(capacity),
+              s"tok ${r.tok} exceeds the Int64 fit-test bound at " +
+                s"capacity $capacity")
             if (r.tok > capacity) nOver += 1L
             if (bins == 0L) { bins = 1L; fill = r.tok }
             else if (fill + r.tok <= capacity) fill += r.tok
@@ -133,6 +138,13 @@ object StreamPack {
             if (sorted.isEmpty) s0.lastId
             else math.max(s0.lastId, sorted.last.id)
           sorted.foreach { r =>
+            // the carried offset grows without bound across the
+            // stream's lifetime (ADVICE r12 follow-up): fail loudly
+            // before `off + tok` can wrap Int64 — the batch op's
+            // ANSI-mode prefix sum throws at the same point
+            require(r.tok <= Long.MaxValue - off,
+              s"shard token offset $off + ${r.tok} would overflow " +
+                "Int64; re-shard or restart the packing epoch")
             val binFirst = off / capacity
             val binLast = (off + r.tok - 1L) / capacity
             if (binFirst != binLast) ns += 1L
