@@ -229,11 +229,17 @@ object Community {
     val nodes0 = edges.select(col("u").as("node"))
       .unionByName(edges.select(col("v").as("node"))).distinct()
     var fine = cut(nodes0.withColumn("c0", col("node")))
-    val q0 = modularityStatsW(e0, nodes0.withColumn("comm", col("node")))
-      .agg(coalesce(sum(col("q_num")), lit(0L))).head().getLong(0)
+    // singleton baseline in ONE pass: e_in = 0 everywhere (no fine
+    // self-loops), so q0 = -SUM(k^2) directly from degrees instead of
+    // the stats op's three joins over the full edge list
+    val q0 = -weightedDegrees(e0)
+      .agg(coalesce(sum(col("k") * col("k")), lit(0L))).head().getLong(0)
     val trace = Vector.newBuilder[(Long, Long, Long, Long)]
     trace += ((0L, fine.count(), 0L, q0))
-    var wedges = cut(e0)
+    // the FINE edge list is never cut/collected (the caller persists
+    // it); only coarse graphs, community-pair-bounded, go through the
+    // cut below
+    var wedges = e0
     var level = 1
     var converged = false
     while (level <= maxLevels && !converged) {
@@ -242,11 +248,15 @@ object Community {
       val memb = cut(greedyMovePassW(wedges,
         cnodes.withColumn("comm", col("node")),
         downOnly = level >= 2))
-      val moves = memb.filter(col("moved")).count()
+      // memb is a driver-local relation after the cut, so this
+      // combined moves/n_comms aggregation is one trivial action
+      val mc = memb.agg(
+        sum(when(col("moved"), 1L).otherwise(0L)).as("__mv"),
+        count_distinct(col("comm")).as("__nc")).head()
+      val (moves, nComms) = (mc.getLong(0), mc.getLong(1))
       val mb = memb.select(col("node"), col("comm"))
       val qk = modularityStatsW(wedges, mb)
         .agg(coalesce(sum(col("q_num")), lit(0L))).head().getLong(0)
-      val nComms = mb.select(col("comm")).distinct().count()
       trace += ((level.toLong, nComms, moves, qk))
       fine = cut(fine.join(
         mb.select(col("node").as("__prev"), col("comm").as(s"c$level")),
