@@ -38,6 +38,8 @@ object PackProbe {
         "chunk" -> graft.ops.Packing.chunkPackStats(
           toks, "doc_id", "ntok", 512L, nShards),
         "nextfit" -> graft.ops.Packing.nextFitStats(
+          toks, "doc_id", "ntok", 512L, nShards),
+        "ffd" -> graft.ops.Packing.ffdStats(
           toks, "doc_id", "ntok", 512L, nShards))) {
         val t0 = System.nanoTime()
         val agg = df.agg(sum(col("n_docs")), sum(col("n_bins"))).first()
