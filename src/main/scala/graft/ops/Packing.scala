@@ -58,18 +58,24 @@ object Packing {
                       nShards: Int, capacity: Long): DataFrame = {
     require(nShards >= 1 && nShards <= (1 << 20),
       s"nShards in [1, 2^20], got $nShards")
+    // persisted: the guard aggregation below materializes this
+    // two-long frame, and the packing pass then reads the cache
+    // instead of re-running the caller's tokenize projection (the
+    // guard doubled t29/t30 before the pin — bench-measured +0.5 s
+    // each at sf0.1, and the second scan rides the same tokenize
+    // floor the family's 50x exponent already pays)
     val base = docs.filter(col(idCol).isNotNull && col(tokensCol).isNotNull &&
         col(tokensCol) >= 1L)
       .select(col(idCol).cast("long").as("id"),
         col(tokensCol).cast("long").as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // loud contract checks, ONE aggregation (ADVICE r12; the
     // SortedNeighborhood.positions pattern): (a) ids unique — every
     // packing order below is "by id", so a duplicate id makes tied
     // rows engine-arbitrary and start/bin/straddle would diverge
     // cross-engine SILENTLY; (b) single-doc token counts inside
     // [[maxTokBound]] — past it a fold's fit test could wrap before
-    // any downstream guard sees the sum. The packing pass itself
-    // shuffles the same frame, so the check never dominates.
+    // any downstream guard sees the sum.
     val chk = base.agg(count(lit(1)).as("__n"),
       count_distinct(col("id")).as("__nd"),
       max(col("tok")).as("__mx")).head()
