@@ -440,10 +440,27 @@ object TextAnalysis {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val grams = transform(Dedup.passages(tokens(lower(text)), k),
       g => md5(g.cast("binary")))
+    val n = size(grams)
+    // sliding window minimum as a SPARSE TABLE: doubling
+    // zip_with(least) passes then one overlapped combine — O(n·log w)
+    // with no per-window allocation, where the naive
+    // array_min(slice(...)) per window was O(n·w) and dominated the
+    // whole suite under the forced bench action (21 s -> the md5
+    // floor). zip_with pads the shorter (shifted) side with nulls,
+    // which `least` skips, so positions past n−w+1 hold partial-
+    // window mins — the final slice drops exactly those; min's
+    // idempotence makes the overlapped combine exact for any w.
+    var m = grams
+    var span = 1
+    while (span * 2 <= w) {
+      m = zip_with(m, slice(m, lit(span + 1), n), least(_, _))
+      span *= 2
+    }
+    val wm = if (span < w) zip_with(m, slice(m, lit(w - span + 1), n),
+      least(_, _)) else m
     sort_array(array_distinct(
-      when(size(grams) <= w, array(array_min(grams)))
-        .otherwise(transform(sequence(lit(0), size(grams) - w),
-          j => array_min(slice(grams, j + 1, lit(w)))))))
+      when(n <= w, array(array_min(grams)))
+        .otherwise(slice(wm, lit(1), n - w + 1))))
   }
 
   /** TOKEN-DISTRIBUTION DIVERSITY per corpus slice: Shannon entropy

@@ -630,6 +630,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(same.count() == 1)
   }
 
+  test("winnowing sparse-table window-min equals the naive per-window " +
+      "min for every w, power-of-2 or not (r13 rewrite pin)") {
+    import graft.ops.TextAnalysis
+    val rnd = new scala.util.Random(17)
+    val words = Vector("ka", "zu", "mo", "re", "ta", "li", "vo", "ne")
+    val texts = (1L to 12L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    // plain-Scala naive reference over the same md5 gram stream
+    def naive(text: String, k: Int, w: Int): Seq[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val grams = (0 to toks.size - k)
+        .map(j => toks.slice(j, j + k).mkString(" "))
+        .map { g =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(g.getBytes("UTF-8"))
+          d.map("%02x".format(_)).mkString
+        }
+      val mins =
+        if (grams.size <= w) Seq(grams.min)
+        else (0 to grams.size - w).map(j => grams.slice(j, j + w).min)
+      mins.distinct.sorted
+    }
+    for (w <- Seq(1, 2, 3, 4, 5, 7, 8)) {
+      val got = texts.toDF("doc_id", "text")
+        .select($"doc_id",
+          TextAnalysis.winnowFingerprints($"text", k = 2, w = w).as("fp"))
+        .as[(Long, Seq[String])].collect().toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) == naive(t, 2, w),
+          s"w=$w doc=$id: ${got(id)} != ${naive(t, 2, w)}")
+      }
+    }
+  }
+
   test("gopher rules: each rule fires on its targeted degenerate doc") {
     import graft.ops.TextAnalysis
     val good = ("the quick brown fox jumps over a lazy dog near the " +
