@@ -67,10 +67,21 @@ object LogisticIrls {
     * moment sums would describe two different populations.
     */
   def train(df: DataFrame, labelCol: String, x1Col: String, x2Col: String,
-            iterations: Int = 3): DataFrame = {
+            iterations: Int = 3): DataFrame =
+    trainOn(baseOf(df, labelCol, x1Col, x2Col), iterations)
+
+  /** The Newton loop over an already-projected (y, x1, x2) frame —
+    * persisted here because every iteration is a full pass over it
+    * (iteration k's broadcast beta subtree chains iterations 1..k−1,
+    * so an unpersisted base re-reads the source per pass; the r13
+    * forced-action bench measured the 3-iteration chain + summary at
+    * 4 unshared corpus scans).
+    */
+  private def trainOn(base0: DataFrame, iterations: Int): DataFrame = {
     require(iterations >= 1, "at least one Newton step")
-    val base = baseOf(df, labelCol, x1Col, x2Col)
-    var beta = df.sparkSession.range(1).select(
+    val base = base0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var beta = base.sparkSession.range(1).select(
       lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
     for (_ <- 1 to iterations) beta = step(base, beta)
     beta
@@ -93,10 +104,17 @@ object LogisticIrls {
     col("b0") + col("b1") * col("x1") + col("b2") * col("x2")
 
   private def step(base: DataFrame, beta: DataFrame): DataFrame = {
+    // p/w/r materialize in a PROJECTION below the agg: each sum(...)
+    // is its own aggregate function and common-subexpression
+    // elimination does not cross them, so referencing sigmoid(z)
+    // inside all twelve terms evaluated exp() twelve times per row
+    // (r13 forced-bench finding)
     val joined = base.crossJoin(broadcast(beta))
-    val p = sigmoid(zOf)
-    val w = p * (lit(1.0) - p)
-    val r = col("y") - p
+      .withColumn("__p", sigmoid(zOf))
+      .withColumn("__w", col("__p") * (lit(1.0) - col("__p")))
+      .withColumn("__r", col("y") - col("__p"))
+    val w = col("__w")
+    val r = col("__r")
     val agg = joined.agg(
       // β is constant over the frame; max() carries it through the agg
       max(col("b0")).as("pb0"), max(col("b1")).as("pb1"),
@@ -149,8 +167,10 @@ object LogisticIrls {
     */
   def trainSummary(df: DataFrame, labelCol: String, x1Col: String,
                    x2Col: String, iterations: Int = 3): DataFrame = {
-    val beta = train(df, labelCol, x1Col, x2Col, iterations)
+    // ONE projected frame for the Newton loop AND the scoring pass —
+    // trainOn persists it, so the summary reads the cache
     val base = baseOf(df, labelCol, x1Col, x2Col)
+    val beta = trainOn(base, iterations)
     val p = sigmoid(zOf)
     base.crossJoin(broadcast(beta))
       .agg(
@@ -192,10 +212,13 @@ object LogisticIrls {
   private def z1Of: Column = col("a") + col("b") * col("x")
 
   private def step1(base: DataFrame, beta: DataFrame): DataFrame = {
+    // the step() stance: one sigmoid per row via a projection
     val joined = base.crossJoin(broadcast(beta))
-    val p = sigmoid(z1Of)
-    val w = p * (lit(1.0) - p)
-    val r = col("y") - p
+      .withColumn("__p", sigmoid(z1Of))
+      .withColumn("__w", col("__p") * (lit(1.0) - col("__p")))
+      .withColumn("__r", col("y") - col("__p"))
+    val w = col("__w")
+    val r = col("__r")
     val agg = joined.agg(
       max(col("a")).as("pa"), max(col("b")).as("pb"),
       sum(d9(r)).as("g0"),
