@@ -107,15 +107,32 @@ object Layout {
     * themselves and wrap in [[Cached]].
     */
   def materializeBounded(df: DataFrame, maxRows: Long = 100000L): DataFrame = {
+    collectBounded(df, maxRows) match {
+      case Right(rows) => df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+      case Left(persisted) => persisted
+    }
+  }
+
+  /** [[materializeBounded]] with the bounded rows handed BACK to the
+    * caller (r13): operators whose continuation is itself bounded by
+    * the same cardinality (the Louvain coarse levels) can then run it
+    * as driver algebra instead of re-planning Spark jobs over a
+    * LocalRelation. `Right(rows)` ⇔ the frame fit `maxRows` (same
+    * count-then-collect guard as materializeBounded — the driver never
+    * holds an unchecked row set); `Left(persisted)` is the eagerly
+    * materialized distributed fallback.
+    */
+  def collectBounded(df: DataFrame, maxRows: Long)
+      : Either[DataFrame, Array[org.apache.spark.sql.Row]] = {
     val persisted =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = persisted.count()
     if (n <= maxRows) {
       val rows = persisted.collect()
       persisted.unpersist(blocking = false)
-      df.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
-    } else persisted
+      Right(rows)
+    } else Left(persisted)
   }
 
   /** Per-key populations above the cap — ≤ rows/maxBucket keys and

@@ -357,19 +357,49 @@ object Similarity {
   def pcaPowerFromCov(cov: DataFrame, rounds: Int = 8): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds in [1,32], got $rounds")
     val spark = cov.sparkSession
+    // dim² cells max — 64-dim embeddings = 2,080 upper cells; the 1<<20
+    // bound admits dim ≤ ~1448 before falling back to the distributed
+    // loop. Within the bound the cell frame was ALREADY driver-local
+    // (materializeBounded pinned it since r11), so the r13 step is to
+    // run the dim-bounded iteration AS driver decimal algebra — the
+    // same valueOf/HALF_UP/decimal operations Spark's codegen performs
+    // (PcaSpec pins path equality bit for bit) — instead of ~3 tiny
+    // Spark jobs per round: the corpus-sized work (one scan to dim²/2
+    // cells) happened upstream; nothing here is row-scale.
+    val persisted = pcaPowerCells(cov)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = persisted.count()
+    if (n <= (1L << 20)) {
+      val rows = persisted.collect()
+      persisted.unpersist(blocking = false)
+      pcaPowerLocal(spark, rows, rounds)
+    } else pcaPowerDistributed(persisted, rounds)
+  }
+
+  /** The 7dp-rounded, symmetrized `(i, j, c)` cell frame both
+    * iteration paths consume — the PcaSpec path-equality A/B surface.
+    * Indices cast to int up front: the docstring admits ANY (i,j,cov)
+    * cell frame, so a caller's long-typed indices must not
+    * ClassCastException at the dim read.
+    */
+  private[graft] def pcaPowerCells(cov: DataFrame): DataFrame = {
     val c7 = round(col("cov"), 7)
-    // cast the indices to int up front: the docstring admits ANY
-    // (i,j,cov) cell frame, so a caller's long-typed indices must not
-    // ClassCastException at the dim read below
     val upper = cov.select(col("i").cast("int").as("i"),
       col("j").cast("int").as("j"), c7.as("c"))
-    val full = upper.union(
+    upper.union(
       cov.filter(col("i") =!= col("j"))
         .select(col("j").cast("int").as("i"),
           col("i").cast("int").as("j"), c7.as("c")))
-    // dim² cells max — 64-dim embeddings = 2,080 upper cells; the 1<<20
-    // bound admits dim ≤ ~1448 before falling back to a persisted frame
-    val cells = Layout.materializeBounded(full, maxRows = 1L << 20)
+  }
+
+  /** The pre-r13 distributed iteration — the > 2²⁰-cell fallback (dim
+    * ≳ 1448) and the reference [[pcaPowerLocal]] is spec-pinned
+    * against. `cells` must be the [[pcaPowerCells]] frame, pinned or
+    * persisted by the caller.
+    */
+  private[graft] def pcaPowerDistributed(cells: DataFrame,
+                                         rounds: Int): DataFrame = {
+    val spark = cells.sparkSession
     val dimRow = cells.agg(max(col("i"))).first()
     require(!dimRow.isNullAt(0),
       "pcaPowerFromCov: empty covariance frame (no cells)")
@@ -409,6 +439,112 @@ object Similarity {
       .select(col("vi").as("i"), col("vl").as("loading"),
         col("l1"), round(col("l1") / col("tr"), 7).as("evr"))
       .orderBy(col("i"))
+  }
+
+  /** Spark's codegen rounds a double as `java.math.BigDecimal
+    * .valueOf(x).setScale(s, HALF_UP).doubleValue()` with NaN/Inf
+    * passed through (RoundBase's double branch in 4.1.2 — the eval
+    * path's `scala.math.BigDecimal(d)` builds from the same
+    * `Double.toString` canonical form, so the two agree); this is
+    * that operation verbatim, making driver-side replays of
+    * 7dp-rounded pipelines bit-identical.
+    */
+  private[graft] def roundHalfUp7(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(7, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** [[pcaPowerDistributed]] replayed as driver decimal algebra over
+    * the collected cell rows — operation-for-operation: each matvec
+    * term is `round(c·v, 7)` then an exact scale-7 decimal (the
+    * double→decimal(27,7) cast of an already-7dp double is exact);
+    * sums are exact BigDecimal adds (order-free like Spark's decimal
+    * sum); the norm squares at scale 14 (decimal(18,7)² ≡
+    * BigDecimal.multiply on scale-7 values); every double re-entry
+    * (÷nrm, sqrt, l1/tr) is the same IEEE op Spark executes. The
+    * matched-key inner joins become presence flags so a sparse cell
+    * frame drops exactly the rows Spark's joins would. PcaSpec pins
+    * equality against [[pcaPowerDistributed]] and the n19/n20 oracles
+    * pin it end-to-end.
+    */
+  private[graft] def pcaPowerLocal(spark: org.apache.spark.sql.SparkSession,
+                                   rows: Array[org.apache.spark.sql.Row],
+                                   rounds: Int): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    require(rows.nonEmpty,
+      "pcaPowerFromCov: empty covariance frame (no cells)")
+    val dim = rows.iterator.map(_.getInt(0)).max + 1
+    // sum() skips null cells exactly like the frame aggregation
+    val cells = rows.iterator.filter(r => !r.isNullAt(2))
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toArray
+    def dec7(x: Double): JBD = JBD.valueOf(x).setScale(7, RM.HALF_UP)
+    // one power round: w_i = Σ_j dec7(round7(c_ij·v_j)) over present j
+    def matvec(v: Array[Double], present: Array[Boolean])
+        : Array[JBD] = {
+      val w = new Array[JBD](dim)
+      var x = 0
+      while (x < cells.length) {
+        val (i, j, c) = cells(x)
+        if (present(j)) {
+          val t = dec7(roundHalfUp7(c * v(j)))
+          w(i) = if (w(i) == null) t else w(i).add(t)
+        }
+        x += 1
+      }
+      w
+    }
+    var v = Array.fill(dim)(PcaSeed)
+    var present = Array.fill(dim)(true)
+    var r = 0
+    while (r < rounds) {
+      val w = matvec(v, present)
+      var tot = JBD.ZERO
+      var i = 0
+      while (i < dim) {
+        if (w(i) != null) tot = tot.add(w(i).multiply(w(i)))
+        i += 1
+      }
+      val nrm = math.sqrt(tot.doubleValue())
+      val nv = new Array[Double](dim)
+      val np = new Array[Boolean](dim)
+      i = 0
+      while (i < dim) {
+        if (w(i) != null) {
+          nv(i) = roundHalfUp7(w(i).doubleValue() / nrm)
+          np(i) = true
+        }
+        i += 1
+      }
+      v = nv; present = np; r += 1
+    }
+    val wF = matvec(v, present)
+    var l1s = JBD.ZERO
+    var tr = JBD.ZERO
+    var i = 0
+    while (i < dim) {
+      if (present(i) && wF(i) != null)
+        l1s = l1s.add(dec7(roundHalfUp7(v(i) * wF(i).doubleValue())))
+      i += 1
+    }
+    var x = 0
+    while (x < cells.length) {
+      if (cells(x)._1 == cells(x)._2) tr = tr.add(dec7(cells(x)._3))
+      x += 1
+    }
+    val l1 = l1s.doubleValue()
+    val evr = roundHalfUp7(l1 / tr.doubleValue())
+    val out = (0 until dim).filter(present)
+      .map(i => org.apache.spark.sql.Row(i, v(i), l1, evr))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("loading",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("l1",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("evr",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** Per-dimension means by the ORDERED fold (ascending `idCol`

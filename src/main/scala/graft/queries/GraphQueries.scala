@@ -67,21 +67,20 @@ object GraphQueries extends QuerySet {
     "g14_modularity" -> ((s, d) => {
       val e = edges(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodes = graft.ops.Graph.symmetrize(e)
-        .select(col("u").as("node")).distinct()
-      val singletons = nodes.withColumn("comm", col("node"))
-      // the sweep output feeds THREE stats subtrees (d_sum + both ends
-      // of the intra-edge join) — eager node-scale pin, or the whole
-      // sweep re-runs per consumer (bench: 16.6 s -> sweep-once)
-      val memb = graft.ops.Community.greedyMovePass(e, singletons)
-        .select(col("node"), col("comm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      memb.count()
+      // r13: the singleton start runs the algebraically-specialized
+      // fast path (no membership joins to an identity map, no
+      // symmetrize/distinct scaffold — Community doc). The sweep
+      // output feeds THREE stats subtrees (d_sum + both ends of the
+      // intra-edge join) — node-bounded LOCAL pin (persist alone kept
+      // the whole sweep subtree in each consumer's logical plan, the
+      // g13 "blocks, not plans" lesson)
+      val memb = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.greedyMoveFromSingletons(e)
+          .select(col("node"), col("comm")), maxRows = 10000000L)
       val out = graft.ops.Community.modularityStats(e, memb)
         .orderBy(col("comm"))
       val pinned = graft.ops.Layout.materializeBounded(out,
         maxRows = 1000000L)
-      memb.unpersist(blocking = false)
       e.unpersist(blocking = false)
       pinned
     }),
@@ -95,10 +94,9 @@ object GraphQueries extends QuerySet {
     "g15_community_move" -> ((s, d) => {
       val e = edges(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodes = graft.ops.Graph.symmetrize(e)
-        .select(col("u").as("node")).distinct()
-      val singletons = nodes.withColumn("comm", col("node"))
-      val out = graft.ops.Community.greedyMovePass(e, singletons)
+      // r13: singleton fast path — same (node, comm, moved) frame from
+      // a third of the plan (Community doc; CommunitySpec pins equality)
+      val out = graft.ops.Community.greedyMoveFromSingletons(e)
         .orderBy(col("node"))
       val pinned = graft.ops.Layout.materializeBounded(out,
         maxRows = 1000000L)
@@ -115,13 +113,14 @@ object GraphQueries extends QuerySet {
     "g16_community_converge" -> ((s, d) => {
       val e = edges(s, d)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nodes = graft.ops.Graph.symmetrize(e)
-        .select(col("u").as("node")).distinct()
-      val singletons = nodes.withColumn("comm", col("node"))
-      val memb1 = graft.ops.Community.greedyMovePass(e, singletons)
-        .select(col("node"), col("comm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      memb1.count()
+      // r13: round 1 on the singleton fast path; memb1 pins as a
+      // node-bounded LOCAL relation — the general round-2 sweep reads
+      // its membership FOUR times, and the old persist left four
+      // copies of the whole round-1 subtree in the logical plan (the
+      // g13 "blocks, not plans" lesson — this was most of g16's cost)
+      val memb1 = graft.ops.Layout.materializeBounded(
+        graft.ops.Community.greedyMoveFromSingletons(e)
+          .select(col("node"), col("comm")), maxRows = 10000000L)
       val m2 = graft.ops.Community.greedyMovePass(e, memb1)
       val out = memb1.withColumnRenamed("comm", "comm1")
         .join(m2.select(col("node"), col("comm").as("comm2"),
@@ -129,7 +128,6 @@ object GraphQueries extends QuerySet {
         .orderBy(col("node"))
       val pinned = graft.ops.Layout.materializeBounded(out,
         maxRows = 1000000L)
-      memb1.unpersist(blocking = false)
       e.unpersist(blocking = false)
       pinned
     }),
@@ -145,36 +143,55 @@ object GraphQueries extends QuerySet {
     "g17_louvain_coarsen" -> ((s, d) => {
       val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val e = edges(s, d).persist(disk)
-      val nodes = graft.ops.Graph.symmetrize(e)
-        .select(col("u").as("node")).distinct()
-      val singletons = nodes.withColumn("comm", col("node"))
       // every stage boundary CUTS lineage (materializeBounded, all
       // node/community-bounded frames): each level-2 operator reads
       // its inputs many times, so persisted-but-unpruned plans here
       // multiply the level-1 sweep subtree ~50x into the analyzer —
-      // measured as a driver OOM before the cuts (the g13 lesson)
+      // measured as a driver OOM before the cuts (the g13 lesson).
+      // r13: both sweeps run the singleton fast path, and q1 is priced
+      // on the COARSE graph — singletonQNum(ce) equals the fine
+      // stats total by coarsening exactness (the spec'd invariant) —
+      // one degree pass over ce instead of three joins over e.
       val memb1 = graft.ops.Layout.materializeBounded(
-        graft.ops.Community.greedyMovePass(e, singletons)
+        graft.ops.Community.greedyMoveFromSingletons(e)
           .select(col("node"), col("comm")), maxRows = 10000000L)
-      val q1 = graft.ops.Community.modularityStats(e, memb1)
-        .agg(sum(col("q_num")).as("q1_total"))
-      val ce = graft.ops.Layout.materializeBounded(
-        graft.ops.Community.coarsen(e, memb1), maxRows = 10000000L)
-      val cnodes = ce.select(col("u").as("node"))
-        .unionByName(ce.select(col("v").as("node"))).distinct()
-      val memb2 = graft.ops.Layout.materializeBounded(
-        graft.ops.Community.greedyMovePassW(ce,
-          cnodes.withColumn("comm", col("node")), downOnly = true)
-          .select(col("node"), col("comm")), maxRows = 10000000L)
-      // stats2 feeds the q2 total AND the output rows — eager pin
-      val stats2 = graft.ops.Layout.materializeBounded(
-        graft.ops.Community.modularityStatsW(ce, memb2),
-        maxRows = 1000000L)
-      val q2 = stats2.agg(sum(col("q_num")).as("q2_total"))
-      val out = stats2
-        .crossJoin(broadcast(q1)).crossJoin(broadcast(q2))
-        .withColumn("improved", col("q2_total") >= col("q1_total"))
-        .orderBy(col("comm"))
+      val out = graft.ops.Layout.collectBounded(
+          graft.ops.Community.coarsen(e, memb1), maxRows = 10000000L) match {
+        case Right(rows) =>
+          // community-bounded coarse graph on the driver: level 2 is
+          // exact Long algebra (Community.Local — the louvain r13
+          // engine); values identical to the frame ops, oracle-pinned
+          val es = graft.ops.Community.Local.fromRows(rows)
+          val q1v = graft.ops.Community.Local.qNum(es)
+          val sw = graft.ops.Community.Local.sweep(es, downOnly = true)
+          val membMap = sw.iterator.map(t => (t._1, t._2)).toMap
+          val stats = graft.ops.Community.Local.stats(es, membMap)
+          val q2v = stats.iterator.map(s => BigInt(s._5)).sum
+          require(q2v.isValidLong, s"q2 total overflows Int64: $q2v")
+          s.createDataFrame(stats.toSeq)
+            .toDF("comm", "n_nodes", "e_in", "d_sum", "q_num")
+            .withColumn("q1_total", lit(q1v))
+            .withColumn("q2_total", lit(q2v.toLong))
+            .withColumn("improved", col("q2_total") >= col("q1_total"))
+            .orderBy(col("comm"))
+        case Left(ce) =>
+          // distributed fallback (coarse graph past the bound)
+          val q1v = graft.ops.Community.singletonQNum(ce)
+          val memb2 = graft.ops.Layout.materializeBounded(
+            graft.ops.Community.greedyMoveFromSingletonsW(ce,
+              downOnly = true)
+              .select(col("node"), col("comm")), maxRows = 10000000L)
+          // stats2 feeds the q2 total AND the output rows — eager pin
+          val stats2 = graft.ops.Layout.materializeBounded(
+            graft.ops.Community.modularityStatsW(ce, memb2),
+            maxRows = 1000000L)
+          val q2 = stats2.agg(sum(col("q_num")).as("q2_total"))
+          stats2
+            .withColumn("q1_total", lit(q1v))
+            .crossJoin(broadcast(q2))
+            .withColumn("improved", col("q2_total") >= col("q1_total"))
+            .orderBy(col("comm"))
+      }
       val pinned = graft.ops.Layout.materializeBounded(out,
         maxRows = 1000000L)
       e.unpersist(blocking = false)

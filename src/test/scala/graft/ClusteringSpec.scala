@@ -38,4 +38,14 @@ class ClusteringSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).forall(_ == 1L))
     assert(out.map(_.getDouble(4)).forall(_ == 0.0), "converged exactly")
   }
+
+  test("assignment tie at equal distance goes to the lower centroid " +
+      "index") {
+    // {0,2,4}, k=2: init c0 = 0+(1*4) div 4 = 1, c1 = 0+(3*4) div 4 = 3;
+    // x=2 is equidistant (d2 = 1 to both) -> tie to j=0
+    val pts = Seq((0L, 0L), (2L, 0L), (4L, 0L)).toDF("x", "y")
+    val out = Clustering.kmeansExact2d(pts, "x", "y", k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L), out.toString)
+  }
 }

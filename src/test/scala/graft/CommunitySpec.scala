@@ -291,4 +291,68 @@ class CommunitySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("8m*k_max"))
   }
+
+  test("singleton fast path == general sweep: unweighted, weighted " +
+      "self-loops, downOnly both ways") {
+    // two triangles + bridge (ties, bridges), then its coarse graph
+    // (self-loops + weights) — the two shapes every caller runs
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val singl = (1L to 6L).map(n => (n, n)).toDF("node", "comm")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("node", "comm", "moved")
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(norm(Community.greedyMoveFromSingletons(e)) ==
+      norm(Community.greedyMovePass(e, singl)))
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    val ce = Community.coarsen(e, memb)
+    val csingl = Seq((1L, 1L), (4L, 4L)).toDF("node", "comm")
+    for (down <- Seq(false, true))
+      assert(norm(Community.greedyMoveFromSingletonsW(ce, downOnly = down))
+        == norm(Community.greedyMovePassW(ce, csingl, downOnly = down)),
+        s"downOnly=$down")
+  }
+
+  test("singletonQNum prices a partition through its coarse graph " +
+      "(== modularityStats total) and matches its no-self-loop arm") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("u", "v")
+    val memb = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "comm")
+    val qFine = Community.modularityStats(e, memb)
+      .agg(sum(col("q_num"))).head().getLong(0)
+    assert(Community.singletonQNum(Community.coarsen(e, memb)) == qFine)
+    val w1 = e.withColumn("w", lit(1L))
+    assert(Community.singletonQNum(w1, noSelfLoops = true) ==
+      Community.singletonQNum(w1))
+  }
+
+  test("Local driver algebra == the frame ops on a weighted " +
+      "self-looped coarse graph (sweep/coarsen/qNum/stats)") {
+    import graft.ops.Community.Local
+    // a coarse-shaped graph: self-loops, weights, a tie candidate
+    val tuples = Seq((1L, 1L, 3L), (1L, 4L, 2L), (4L, 4L, 1L),
+      (4L, 7L, 2L), (1L, 7L, 2L), (7L, 9L, 1L), (9L, 9L, 2L))
+    val ce = tuples.toDF("u", "v", "w")
+    val es = tuples.toArray
+    val singl = Seq(1L, 4L, 7L, 9L).map(n => (n, n)).toDF("node", "comm")
+    for (down <- Seq(false, true)) {
+      val frame = Community.greedyMoveFromSingletonsW(ce, downOnly = down)
+        .select("node", "comm", "moved")
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(Local.sweep(es, downOnly = down).toSeq == frame,
+        s"downOnly=$down")
+    }
+    val memb = Map(1L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L)
+    val membDf = memb.toSeq.toDF("node", "comm")
+    val frameCoarse = Community.coarsen(ce, membDf)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(Local.coarsen(es, memb).toSeq == frameCoarse)
+    assert(Local.qNum(es) == Community.singletonQNum(ce))
+    val frameStats = Community.modularityStatsW(ce, membDf)
+      .select("comm", "n_nodes", "e_in", "d_sum", "q_num")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(Local.stats(es, memb).toSeq == frameStats)
+  }
 }

@@ -110,4 +110,19 @@ class PcaSpec extends SparkSpec {
     val evr = out.getDouble(3)
     assert(l1 > 0.0 && evr > 0.0 && evr <= 1.0, s"l1 $l1 evr $evr")
   }
+
+  test("driver-local power iteration == the distributed loop, " +
+      "bit for bit") {
+    val cov = Similarity.covarianceMatrixOrdered(
+      stretched, "vec_id", "embedding")
+    val fast = Similarity.pcaPowerFromCov(cov, rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    val cells = graft.ops.Layout.materializeBounded(
+      Similarity.pcaPowerCells(cov), maxRows = 1L << 20)
+    val slow = Similarity.pcaPowerDistributed(cells, rounds = 8)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(fast.toSeq == slow.toSeq)
+  }
 }
