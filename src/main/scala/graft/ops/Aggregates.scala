@@ -1702,50 +1702,107 @@ object Aggregates {
     */
   def theilSen(df: DataFrame, xCol: String, yCol: String,
                maxCells: Int = 8192): Cached = {
-    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
+    val spark = df.sparkSession
+    val cellsDf = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    requireBoundedCells(cells, maxCells, "theilSen")
-    val pairs = cells.as("a").join(cells.as("b"),
-        col("a.__x") < col("b.__x"))
-      .select(((col("b.__y") - col("a.__y")).cast("double") /
-        (col("b.__x") - col("a.__x")).cast("double")).as("__s"),
-        (col("a.__c") * col("b.__c")).as("__w"))
-    // slopes feeds the prefix-sum machinery (2 subtrees) AND the
-    // total — persisted, or the cells² pair join re-executes per
-    // consumer; the 1-row slope frame goes through materializeBounded
-    // so its two downstream crossJoins read a LocalRelation instead of
-    // re-deriving the whole selection (the g11/kCore discipline)
-    val slopes = pairs.groupBy(col("__s")).agg(sum(col("__w")).as("__w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cum = bucketedPrefixSums(slopes, "__s", ascending = true,
-      Seq("__w"))
-    val wTot = slopes.agg(sum(col("__w")).as("__wtot"))
-    val slopeRow = Layout.materializeBounded(
-      cum.crossJoin(broadcast(wTot))
-        .filter(col("cum___w") >= expr("(__wtot + 1) div 2"))
-        .agg(min(col("__s")).as("__slope"),
-          min(col("__wtot")).as("__wtot")))
-    val resid = cells.crossJoin(broadcast(slopeRow))
-      .select(round(col("__y").cast("double") -
-        col("__slope") * col("__x").cast("double"), 9).as("__r"),
-        col("__c"))
-      .groupBy(col("__r")).agg(sum(col("__c")).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rCum = bucketedPrefixSums(resid, "__r", ascending = true,
-      Seq("__c"))
-    val nTot = resid.agg(sum(col("__c")).as("__ntot"))
-    val icptRow = rCum.crossJoin(broadcast(nTot))
-      .filter(col("cum___c") >= expr("(__ntot + 1) div 2"))
-      .agg(min(col("__r")).as("__icept"), min(col("__ntot")).as("__ntot"))
-    val out = icptRow.crossJoin(broadcast(slopeRow))
-      .select(col("__ntot").as("n"), col("__wtot").as("w_pairs"),
-        col("__slope").as("slope"), col("__icept").as("intercept"))
-    val backing = scala.collection.mutable.ArrayBuffer(cells, slopes, resid)
-    if (slopeRow.storageLevel !=
-        org.apache.spark.storage.StorageLevel.NONE) backing += slopeRow
-    Cached(out, backing.toSeq)
+    // the quantization contract makes > maxCells an ERROR, not a
+    // fallback — so inside the bound the whole pair/median chain is
+    // ≤ maxCells² driver integer/double algebra (r13: the two
+    // bucketedPrefixSums passes, three persists and ~10 jobs of the
+    // frame pipeline replayed as exact JVM arithmetic; every double
+    // op is the same IEEE expression, round9 is Spark's own
+    // valueOf/HALF_UP, and group keys normalize -0.0 the way catalyst
+    // does). AggregatesSpec pins the op's fixtures; the a46 oracle
+    // pins end-to-end.
+    val cells = Layout.collectBounded(cellsDf, maxCells.toLong) match {
+      case Right(rows) =>
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      case Left(p) =>
+        val n = p.count()
+        require(n <= maxCells,
+          s"theilSen: $n distinct (x, y) cells exceeds " +
+            s"maxCells=$maxCells. " +
+            "The pairwise stage is quadratic in the CELL count, so " +
+            "these ops contract on QUANTIZED bounded-domain columns " +
+            "(cast to cents/buckets/grades first — the " +
+            "kendallTauB/theilSen quantization contract); a " +
+            "continuous DOUBLE column makes cells ~ rows and the " +
+            "join rows^2. Quantize the column, or raise maxCells " +
+            "deliberately after costing cells^2/2 pairs.")
+        Array.empty[(Long, Long, Long)] // unreachable
+    }
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def r9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else JBD.valueOf(x).setScale(9, RM.HALF_UP).doubleValue()
+    // catalyst groupBy normalizes -0.0 to 0.0
+    def norm0(x: Double): Double = if (x == 0.0) 0.0 else x
+    // weighted slopes over every x-distinct cell pair
+    val slopes = scala.collection.mutable.HashMap.empty[Double, Long]
+    var wTot = 0L
+    var i = 0
+    while (i < cells.length) {
+      var j = 0
+      while (j < cells.length) {
+        val (ax, ay, ac) = cells(i)
+        val (bx, by, bc) = cells(j)
+        if (ax < bx) {
+          val s = norm0((by - ay).toDouble / (bx - ax).toDouble)
+          val w = ac * bc
+          slopes(s) = slopes.getOrElse(s, 0L) + w
+          wTot += w
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // weighted lower median: smallest slope with cum >= (wtot+1) div 2
+    val slopeOpt: Option[Double] =
+      if (slopes.isEmpty) None
+      else {
+        val thr = (wTot + 1L) / 2L
+        var cum = 0L
+        slopes.toArray.sortBy(_._1)(Ordering.Double.TotalOrdering).collectFirst {
+          case (s, w) if { cum += w; cum >= thr } => s
+        }
+      }
+    // residual lower median at the fitted slope; a null slope makes
+    // every residual null — ONE null group whose mass is n (the frame
+    // pipeline's exact null propagation: n survives, intercept nulls)
+    val out: org.apache.spark.sql.Row =
+      if (cells.isEmpty)
+        org.apache.spark.sql.Row(null, null, null, null)
+      else {
+        val nTot = cells.iterator.map(_._3).sum
+        slopeOpt match {
+          case None =>
+            org.apache.spark.sql.Row(nTot, null, null, null)
+          case Some(slope) =>
+            val resid = scala.collection.mutable.HashMap
+              .empty[Double, Long]
+            cells.foreach { case (x, y, c) =>
+              val r = r9(y.toDouble - slope * x.toDouble)
+              resid(r) = resid.getOrElse(r, 0L) + c
+            }
+            val thr = (nTot + 1L) / 2L
+            var cum = 0L
+            val icept = resid.toArray.sortBy(_._1)(Ordering.Double.TotalOrdering).collectFirst {
+              case (r, c) if { cum += c; cum >= thr } => r
+            }.get
+            org.apache.spark.sql.Row(nTot, wTot, slope, icept)
+        }
+      }
+    import org.apache.spark.sql.types._
+    val frame = spark.createDataFrame(
+      java.util.Arrays.asList(out),
+      StructType(Seq(StructField("n", LongType),
+        StructField("w_pairs", LongType),
+        StructField("slope", DoubleType),
+        StructField("intercept", DoubleType))))
+    Cached(frame, Seq.empty)
   }
 
   /** KRUSKAL–WALLIS H with tie correction — [[mannWhitneyU]] extended

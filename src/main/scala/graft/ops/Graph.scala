@@ -96,12 +96,25 @@ object Graph {
                           scale: Long = 1000000L): Cached = {
     require(iters >= 1 && iters <= 20, s"iters in [1,20], got $iters")
     require(scale >= 100L, s"scale must be >= 100, got $scale")
-    val m = membership
+    val mDf = membership
       .filter(col(userCol).isNotNull && col(attrCol).isNotNull)
       .select(col(userCol).cast("long").as("__mu"),
         col(attrCol).cast("long").as("__ma"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // r13: the iteration is pure Long algebra (sums, max, floor div —
+    // no rounding surface), so inside the bounded collect it runs on
+    // the driver: the distributed loop cost 6 half-rounds × (persist +
+    // count + max broadcast + localCheckpoint) of pure job overhead on
+    // an edge list that fits in memory. Past the bound the pre-r13
+    // loop below is the 100-TB path. HitsSpec fixtures + the g13
+    // oracle pin value equality.
+    Layout.collectBounded(mDf, 10000000L) match {
+      case Right(rows) =>
+        return Cached(hitsLocal(membership.sparkSession, rows, iters,
+          scale), Seq.empty)
+      case Left(_) => ()
+    }
+    val m = mDf.persist(StorageLevel.MEMORY_AND_DISK)
     m.count() // eager: every half-round joins it
     // Overflow guard (documented bound, now CHECKED): a half-round sum
     // is ≤ deg·scale and the rescale multiplies by scale, so
@@ -165,6 +178,70 @@ object Graph {
                     attrCol: String, iters: Int = 3,
                     scale: Long = 1000000L): DataFrame =
     hitsBipartiteCached(membership, userCol, attrCol, iters, scale).df
+
+  /** The HITS loop over collected (user, attr) membership rows —
+    * value-for-value the distributed half-rounds (Σ neighbor score,
+    * then `s·scale div max`, all nonnegative Long ops under the same
+    * deg·scale² < 2⁶³ guard). Output ordered (kind, node) like the
+    * frame path.
+    */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+                        rows: Array[org.apache.spark.sql.Row],
+                        iters: Int, scale: Long): DataFrame = {
+    import scala.collection.mutable
+    val edges = rows.map(r => (r.getLong(0), r.getLong(1)))
+    // overflow guard at the documented bound (deg·scale² < 2⁶³)
+    val degU = mutable.LongMap.empty[Long]
+    val degA = mutable.LongMap.empty[Long]
+    edges.foreach { case (u, a) =>
+      degU(u) = degU.getOrElse(u, 0L) + 1L
+      degA(a) = degA.getOrElse(a, 0L) + 1L
+    }
+    var maxDeg = 0L
+    degU.foreachValue(d => if (d > maxDeg) maxDeg = d)
+    degA.foreachValue(d => if (d > maxDeg) maxDeg = d)
+    val degBound = Long.MaxValue / scale / scale
+    require(maxDeg <= degBound,
+      s"hitsBipartite: max degree $maxDeg exceeds overflow bound " +
+        s"$degBound for scale=$scale (deg*scale^2 must stay < 2^63); " +
+        "lower `scale` or pre-aggregate the membership frame")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("kind", StringType),
+      StructField("node", LongType), StructField("score", LongType)))
+    if (edges.isEmpty) // empty graph: zero rows, like the frame path
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+    def rescale(s: mutable.LongMap[Long]): Unit = {
+      var mx = 0L
+      s.foreachValue(v => if (v > mx) mx = v)
+      s.mapValuesInPlace((_, v) => v * scale / mx)
+    }
+    var hubs = mutable.LongMap.empty[Long]
+    degU.foreachKey(u => hubs(u) = scale)
+    var auths = mutable.LongMap.empty[Long]
+    var it = 0
+    while (it < iters) {
+      val aRaw = mutable.LongMap.empty[Long]
+      edges.foreach { case (u, a) =>
+        hubs.get(u).foreach(s => aRaw(a) = aRaw.getOrElse(a, 0L) + s)
+      }
+      rescale(aRaw); auths = aRaw
+      val hRaw = mutable.LongMap.empty[Long]
+      edges.foreach { case (u, a) =>
+        auths.get(a).foreach(s => hRaw(u) = hRaw.getOrElse(u, 0L) + s)
+      }
+      rescale(hRaw); hubs = hRaw
+      it += 1
+    }
+    val out =
+      auths.toArray.sortBy(_._1).map { case (n, s) =>
+        org.apache.spark.sql.Row("auth", n, s) } ++
+      hubs.toArray.sortBy(_._1).map { case (n, s) =>
+        org.apache.spark.sql.Row("hub", n, s) }
+    spark.createDataFrame(java.util.Arrays.asList(out.toIndexedSeq: _*),
+      schema)
+  }
 
   /** Both directions of a canonical `(u, v)` edge list. Input rows are
     * distinct unordered pairs, so the union is already duplicate-free.

@@ -110,4 +110,35 @@ class BoostSpec extends SparkSpec {
     assert(math.abs(sumBase - meanMargin) < 1e-5,
       s"sum base $sumBase vs mean margin $meanMargin")
   }
+
+  test("driver-local training == the distributed pipeline " +
+      "(splits, confusion, shap) on the mixed fixture") {
+    import org.apache.spark.sql.functions._
+    val mixed = Seq(
+      (1, 10L, 0L), (1, 10L, 0L), (1, 10L, 5L), (0, 1L, 5L),
+      (0, 1L, 0L), (1, 1L, 0L), (0, 10L, 5L), (0, 1L, 5L)
+    ).toDF("y", "x1", "x2")
+    val feats = Seq("x1", "x2")
+    val localOut = Boost.trainStumps(mixed, "y", feats, rounds = 4)
+      .orderBy("boost_round").collect().map(_.toSeq).toSeq
+    val hist = mixed
+      .filter(col("x1").isNotNull && col("x2").isNotNull &&
+        col("y").isNotNull)
+      .groupBy(col("x1").cast("long").as("x1"),
+        col("x2").cast("long").as("x2"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y").cast("long")).as("pos"))
+      .persist()
+    hist.count()
+    val (distOut, distSplits) =
+      Boost.trainDistributed(hist, feats, rounds = 4, lr = 0.3,
+        lambda = 1.0)
+    assert(localOut ==
+      distOut.orderBy("boost_round").collect().map(_.toSeq).toSeq)
+    val localShap = Boost.shapStumps(mixed, "y", feats, rounds = 4)
+      .collect().map(_.toSeq).toSeq
+    val distShap = Boost.shapDistributed(hist, distSplits, feats,
+      lr = 0.3).collect().map(_.toSeq).toSeq
+    assert(localShap == distShap)
+    hist.unpersist()
+  }
 }
