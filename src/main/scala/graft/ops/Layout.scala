@@ -127,6 +127,12 @@ object Layout {
       : Either[DataFrame, Array[org.apache.spark.sql.Row]] = {
     val persisted =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // count-then-collect, deliberately: an A/B against a single
+    // limit(maxRows+1).collect() probe REGRESSED the loop-heavy
+    // queries (g09 3.7 → 5.3 s, g11 4.0 → 5.1 s at sf0.1) —
+    // CollectLimit's incremental partition scans (1, 4, 16, …) launch
+    // more jobs than the count it saves, and the count's full-width
+    // cache materialization is what the second job then reads.
     val n = persisted.count()
     if (n <= maxRows) {
       val rows = persisted.collect()

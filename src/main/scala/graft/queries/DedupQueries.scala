@@ -112,7 +112,14 @@ object DedupQueries extends QuerySet {
             1, 3), " ").as("name"))
       val noisy = base.select((col("doc_id") + 1000000).as("doc_id"),
         expr("substring(name, 2)").as("name"))
-      val all = base.unionByName(noisy)
+      // r13: EAGER pin — `all` feeds SIX subtrees (two passes' packed
+      // keys, each pass's uniqueness-check action, and both name-join
+      // branches), and each one re-ran the documents scan + tokenize
+      // chain (the e01/g09 lazy-persist race). Node-bounded here
+      // (bench cap 600 rows); past the bound materializeBounded falls
+      // back to the eagerly materialized persisted frame.
+      val all = graft.ops.Layout.materializeBounded(
+        base.unionByName(noisy), maxRows = 10000000L)
       // reversed pass pre-folds to ASCII (ADVICE r11): Spark reverses
       // codepoints, DuckDB grapheme clusters — dropping non-ASCII
       // codepoints first makes the two reversals provably identical
